@@ -1,0 +1,416 @@
+package graft.oracle
+
+import graft.queries.Num.{Sql => N}
+
+/** DuckDB oracle SQL (SURVEY §2.B, oracle=yes rows), one string per
+  * `SparkEntry.queries` key. Dialect discipline (SURVEY §2.C):
+  *  - bare table names (driver registers views over the same parquet);
+  *  - identical output column names/ordering keys as the Spark query;
+  *  - identical rounding on every floating aggregate;
+  *  - DuckDB type normalization: year()/length() cast to INT, ceil/floor
+  *    to BIGINT, sum(INT) to BIGINT (DuckDB widens to HUGEINT);
+  *  - timestamps compared via epoch_us / date casts (events.ts is ns in
+  *    DuckDB but µs-aligned in the data, so epoch_us agrees with Spark's
+  *    unix_micros).
+  */
+object OracleSql {
+
+  val sql: Map[String, String] = Map(
+    "scan_parquet_project" -> """
+      SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""",
+
+    "scan_pushdown_filter" -> """
+      SELECT count(*) AS n_rows, round(sum(l_extendedprice), 2) AS sum_price,
+             round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_quantity < 25""",
+
+    "filter_predicates" -> s"""
+      SELECT ${N.d2(s"SUM(${N.money("l_extendedprice")} * ${N.rate("l_discount")})")} AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""",
+
+    "filter_in_like" -> """
+      SELECT p_partkey, p_name, p_brand, p_size
+      FROM part
+      WHERE p_brand IN ('Brand#1', 'Brand#12', 'Brand#22')
+        AND p_name LIKE '%wid%' AND p_name NOT LIKE '%cold%'
+      ORDER BY p_partkey""",
+
+    "project_expressions" -> s"""
+      SELECT l_orderkey, l_linenumber,
+             ${N.d2(s"${N.money("l_extendedprice")} * (1 - ${N.rate("l_discount")})")} AS revenue,
+             ${N.d2(s"${N.money("l_extendedprice")} * (1 + ${N.rate("l_tax")})")} AS gross,
+             CASE WHEN l_quantity < 10 THEN 'low'
+                  WHEN l_quantity < 30 THEN 'mid'
+                  ELSE 'high' END AS qty_bucket
+      FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 500""",
+
+    "join_inner_hash" -> """
+      SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "join_broadcast" -> """
+      SELECT p_brand, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand ORDER BY p_brand""",
+
+    "join_left_outer" -> """
+      SELECT c_custkey, count(o_orderkey) AS n_orders
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey ORDER BY c_custkey""",
+
+    "join_full_outer" -> """
+      SELECT COALESCE(a.key, b.key) AS key,
+             CASE WHEN a.key IS NULL THEN 0 ELSE 1 END AS in_a,
+             CASE WHEN b.key IS NULL THEN 0 ELSE 1 END AS in_b
+      FROM (SELECT DISTINCT c_custkey AS key FROM customer WHERE c_acctbal > 9000) a
+      FULL JOIN (SELECT DISTINCT o_custkey AS key FROM orders WHERE o_totalprice > 400000) b
+        ON a.key = b.key
+      ORDER BY key""",
+
+    "join_semi" -> """
+      SELECT c_custkey, c_name FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey""",
+
+    "join_anti" -> """
+      SELECT c_custkey, c_name FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey""",
+
+    "join_cross" -> """
+      SELECT r_name, n_name FROM region CROSS JOIN nation
+      ORDER BY r_name, n_name""",
+
+    "join_theta_range" -> """
+      SELECT p_size, count(*) AS n_pairs, round(sum(l_quantity), 2) AS sum_qty
+      FROM (SELECT * FROM lineitem WHERE l_orderkey <= 80) l
+      JOIN (SELECT * FROM part WHERE p_size <= 10) p
+        ON l.l_quantity BETWEEN p.p_size - 2 AND p.p_size + 2
+      GROUP BY p_size ORDER BY p_size""",
+
+    "join_asof" -> """
+      SELECT p.event_id AS event_id, p.user_id AS user_id,
+             epoch_us(p.ts) AS purchase_us, epoch_us(c.ts) AS last_click_us
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND p.ts >= c.ts
+      ORDER BY event_id""",
+
+    "join_multiway" -> s"""
+      SELECT l_orderkey, ${N.d2(s"SUM(${N.money("l_extendedprice")} * (1 - ${N.rate("l_discount")}))")} AS revenue
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate > TIMESTAMP '1998-01-01'
+      GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+
+    "join_star_flagship" -> s"""
+      SELECT n_name, ${N.d2(s"SUM(${N.money("l_extendedprice")} * (1 - ${N.rate("l_discount")}))")} AS revenue
+      FROM region
+      JOIN nation ON n_regionkey = r_regionkey
+      JOIN customer ON c_nationkey = n_nationkey
+      JOIN orders ON o_custkey = c_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY n_name ORDER BY revenue DESC, n_name""",
+
+    "agg_hash_groupby" -> s"""
+      SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_base_price,
+             ${N.d2(s"SUM(${N.money("l_extendedprice")} * (1 - ${N.rate("l_discount")}))")} AS sum_disc_price,
+             ${N.d2(s"SUM(${N.money("l_extendedprice")} * (1 - ${N.rate("l_discount")}) * (1 + ${N.rate("l_tax")}))")} AS sum_charge,
+             ${N.avgMoney("l_quantity", 4)} AS avg_qty,
+             ${N.avgMoney("l_extendedprice", 4)} AS avg_price,
+             ${N.avgMoney("l_discount", 4)} AS avg_disc,
+             count(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+      GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+
+    "agg_distinct_count" -> """
+      SELECT c_mktsegment, count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "agg_grouping_sets" -> """
+      SELECT l_returnflag, l_linestatus,
+             GROUPING(l_returnflag, l_linestatus) AS gid,
+             round(sum(l_quantity), 2) AS sum_qty,
+             count(*) AS n
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+
+    "agg_rollup" -> """
+      SELECT COALESCE(yr, -1) AS yr, COALESCE(mon, -1) AS mon,
+             round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+      FROM (SELECT CAST(year(o_orderdate) AS INT) AS yr,
+                   CAST(month(o_orderdate) AS INT) AS mon, o_totalprice
+            FROM orders)
+      GROUP BY ROLLUP(yr, mon)
+      ORDER BY yr, mon""",
+
+    "agg_cube" -> """
+      SELECT COALESCE(l_returnflag, 'ALL') AS flag, COALESCE(l_linestatus, 'ALL') AS status,
+             count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      ORDER BY flag, status""",
+
+    "agg_having" -> """
+      SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+      FROM orders GROUP BY o_orderpriority HAVING count(*) > 100
+      ORDER BY o_orderpriority""",
+
+    "agg_stats" -> s"""
+      SELECT n_name, round(min(c_acctbal), 2) AS min_bal, round(max(c_acctbal), 2) AS max_bal,
+             ${N.avgMoney("c_acctbal", 4)} AS avg_bal, round(stddev_samp(c_acctbal), 2) AS std_bal,
+             round(var_samp(c_acctbal), 2) AS var_bal, count(*) AS n
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY n_name""",
+
+    "window_rank" -> """
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             rank() OVER w AS rnk, dense_rank() OVER w AS drnk
+      FROM orders WHERE o_custkey <= 200
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+      ORDER BY o_custkey, rnk, o_orderkey""",
+
+    "window_topk_per_group" -> """
+      SELECT c_mktsegment, o_orderkey, o_totalprice, rn FROM (
+        SELECT c_mktsegment, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders JOIN customer ON o_custkey = c_custkey)
+      WHERE rn <= 3 ORDER BY c_mktsegment, rn""",
+
+    "window_running_sum" -> """
+      SELECT o_custkey, o_orderkey,
+             round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_price
+      FROM orders WHERE o_custkey <= 200
+      ORDER BY o_custkey, o_orderkey""",
+
+    "window_range_frame" -> """
+      SELECT o_custkey, o_orderkey, price_l,
+             round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY price_l
+               RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW), 2) AS range_sum
+      FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                   CAST(floor(o_totalprice) AS BIGINT) AS price_l
+            FROM orders WHERE o_custkey <= 200)
+      ORDER BY o_custkey, price_l, o_orderkey""",
+
+    "window_lag_lead" -> """
+      SELECT user_id, event_id,
+             round(value - lag(value, 1) OVER w, 4) AS d_value,
+             epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS d_ts_us
+      FROM (SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-04')
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, event_id""",
+
+    "window_ntile" -> """
+      SELECT c_custkey, c_acctbal,
+             ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+      FROM customer WHERE c_custkey < 2000
+      ORDER BY c_custkey""",
+
+    "sort_multi_null" -> """
+      SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg_nn, c_acctbal
+      FROM customer
+      ORDER BY seg_nn DESC NULLS LAST, c_custkey
+      LIMIT 1000""",
+
+    "topk_global" -> """
+      SELECT l_orderkey, l_linenumber, l_extendedprice
+      FROM lineitem
+      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+      LIMIT 20""",
+
+    "set_union" -> """
+      SELECT key, count(*) AS n FROM (
+        SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'BUILDING'
+        UNION ALL
+        SELECT c_custkey AS key FROM customer WHERE c_acctbal > 8000)
+      GROUP BY key ORDER BY key""",
+
+    "set_intersect" -> """
+      SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'BUILDING'
+      INTERSECT
+      SELECT o_custkey AS key FROM orders
+      ORDER BY key""",
+
+    "set_except" -> """
+      SELECT c_custkey AS key FROM customer
+      EXCEPT
+      SELECT o_custkey AS key FROM orders
+      ORDER BY key""",
+
+    "fn_string" -> """
+      SELECT p_partkey,
+             upper(p_name) AS name_upper,
+             CAST(length(p_name) AS INT) AS name_len,
+             substring(p_name, 1, 5) AS name_sub,
+             trim(concat(' ', p_name, ' ')) AS name_trim,
+             regexp_extract(p_brand, '[0-9]+') AS brand_num,
+             concat_ws('-', p_brand, p_type) AS brand_type,
+             regexp_replace(p_name, 'a', 'X', 'g') AS name_repl
+      FROM part ORDER BY p_partkey LIMIT 200""",
+
+    "fn_date" -> """
+      SELECT o_orderkey,
+             CAST(year(o_orderdate) AS INT) AS yr,
+             CAST(month(o_orderdate) AS INT) AS mon,
+             CAST(day(o_orderdate) AS INT) AS dom,
+             CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+             CAST(o_orderdate AS DATE) + 30 AS plus30,
+             CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INT) AS days_to_2000
+      FROM orders ORDER BY o_orderkey LIMIT 200""",
+
+    "fn_math" -> s"""
+      SELECT p_partkey,
+             CAST(ROUND(${N.money("p_retailprice")}, 1) AS DOUBLE) AS price_r1,
+             abs(p_retailprice - 1000) AS abs_diff,
+             CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
+             CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+             round(pow(p_retailprice, 0.5), 4) AS price_pow_half,
+             round(ln(p_retailprice), 4) AS price_ln,
+             round(sqrt(p_retailprice), 4) AS price_sqrt,
+             p_partkey % 7 AS key_mod
+      FROM part ORDER BY p_partkey LIMIT 200""",
+
+    "fn_conditional" -> """
+      SELECT c_custkey,
+             CASE WHEN c_acctbal < 0 THEN 'neg'
+                  WHEN c_acctbal < 5000 THEN 'low'
+                  ELSE 'high' END AS bal_bucket,
+             COALESCE(nullif(c_mktsegment, 'BUILDING'), 'none') AS seg_or_none,
+             round(greatest(c_acctbal, 0.0), 2) AS bal_pos,
+             round(least(c_acctbal, 1000.0), 2) AS bal_cap
+      FROM customer ORDER BY c_custkey LIMIT 500""",
+
+    "fn_json" -> s"""
+      SELECT event_type, CAST(sum(k) AS BIGINT) AS sum_k, count(*) AS n,
+             ${N.avgInt("k", 4)} AS avg_k
+      FROM (SELECT event_type, CAST(json_extract(props, '$$.k') AS INT) AS k FROM events)
+      GROUP BY event_type ORDER BY event_type""",
+
+    "fn_array" -> """
+      SELECT vec_id,
+             CAST(len(embedding) AS INT) AS dim,
+             round(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
+             round(CAST(embedding[-1] AS DOUBLE), 4) AS last_val,
+             round((SELECT sum(CAST(x AS DOUBLE)) FROM unnest(embedding[1:4]) AS u(x)), 4) AS sum_first4
+      FROM embeddings ORDER BY vec_id LIMIT 1000""",
+
+    "fn_explode_words" -> """
+      SELECT word, count(*) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE length(word) > 0
+      GROUP BY word ORDER BY n DESC, word LIMIT 20""",
+
+    "udaf_weighted_avg" -> """
+      SELECT p_brand,
+             round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS wavg_price,
+             count(*) AS n
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand ORDER BY p_brand""",
+
+    "stream_tumbling_count" -> s"""
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+             count(*) AS n, ${N.sumMoney("value")} AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
+
+    "stream_sliding_avg" -> s"""
+      SELECT epoch_us(w) AS win_start_us, ${N.avgMoney("value", 4)} AS avg_value, count(*) AS n
+      FROM (
+        SELECT time_bucket(INTERVAL '30 minutes', ts) AS w, value FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' AS w, value FROM events)
+      GROUP BY w ORDER BY win_start_us""",
+
+    "stream_session_window" -> """
+      WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events),
+      grouped AS (
+        SELECT user_id, ts,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS grp
+        FROM flagged)
+      SELECT user_id, epoch_us(min(ts)) AS session_start_us, count(*) AS n
+      FROM grouped GROUP BY user_id, grp
+      ORDER BY user_id, session_start_us""",
+
+    "stream_dedup" -> """
+      SELECT user_id, event_type, first_event_id, first_ts_us FROM (
+        SELECT user_id, event_type, event_id AS first_event_id, epoch_us(ts) AS first_ts_us,
+               row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+        FROM events)
+      WHERE rn = 1 ORDER BY user_id, event_type""",
+
+    "llm_dedup_exact" -> """
+      SELECT source, count(*) AS n_docs, count(DISTINCT md5(text)) AS n_uniq
+      FROM documents GROUP BY source ORDER BY source""",
+
+    "llm_sim_cosine_topk" -> """
+      WITH n AS (
+        SELECT vec_id, embedding,
+               sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                     FROM unnest(embedding) AS u(x))) AS nrm
+        FROM embeddings),
+      p AS (SELECT vec_id AS pid, embedding AS pe, nrm AS pnorm FROM n WHERE vec_id < 10),
+      pairs AS (
+        SELECT p.pid AS pid, c.vec_id AS nid,
+               round((SELECT sum(a * b) FROM (
+                        SELECT CAST(unnest(p.pe) AS DOUBLE) AS a,
+                               CAST(unnest(c.embedding) AS DOUBLE) AS b))
+                     / (p.pnorm * c.nrm), 4) AS cos
+        FROM p CROSS JOIN n c WHERE c.vec_id <> p.pid)
+      SELECT pid, nid, cos, rnk FROM (
+        SELECT pid, nid, cos,
+               row_number() OVER (PARTITION BY pid ORDER BY cos DESC, nid) AS rnk
+        FROM pairs)
+      WHERE rnk <= 5 ORDER BY pid, rnk""",
+
+    "llm_text_stats" -> s"""
+      SELECT lang, count(*) AS n_docs, ${N.avgInt("n_chars", 2)} AS avg_chars,
+             count(DISTINCT source) AS n_sources,
+             ${N.avgInt("len(string_split(text, ' '))", 2)} AS avg_tokens
+      FROM documents GROUP BY lang ORDER BY lang""",
+
+    "llm_tfidf_top_terms" -> """
+      WITH words AS (
+        SELECT lang, doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      w2 AS (SELECT * FROM words WHERE length(term) > 0),
+      tf AS (SELECT lang, term, count(*) AS tf FROM w2 GROUP BY lang, term),
+      dfreq AS (SELECT term, count(*) AS df
+                FROM (SELECT DISTINCT doc_id, term FROM w2) GROUP BY term),
+      n AS (SELECT count(*) AS n_total FROM documents),
+      scored AS (
+        SELECT lang, term,
+               round(tf * ln(CAST(n_total AS DOUBLE) / CAST(df AS DOUBLE)), 4) AS score
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+      SELECT lang, term, score, rnk FROM (
+        SELECT lang, term, score,
+               row_number() OVER (PARTITION BY lang ORDER BY score DESC, term) AS rnk
+        FROM scored)
+      WHERE rnk <= 3 ORDER BY lang, rnk""",
+
+    "llm_multimodal_join" -> """
+      SELECT lang, label, count(*) AS n,
+             round(avg(CAST(embedding[1] AS DOUBLE)), 4) AS avg_dim0
+      FROM documents JOIN embeddings ON doc_id = vec_id
+      GROUP BY lang, label ORDER BY lang, label"""
+  ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\n\\s+", "\n") }
+}

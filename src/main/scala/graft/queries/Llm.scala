@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.tables.Tables.t
+import graft.llm.{MinHash, Vectors}
+
+/** LLM-data-pipeline operators (SURVEY §2.B llm_* rows): dedup,
+  * similarity search, text analysis, multimodal join.
+  */
+object Llm {
+
+  /** Exact dedup via content hash: per source, total vs distinct md5(text).
+    * At scale this is a single hash-shuffle on the digest — the canonical
+    * exact-dedup shape. */
+  def llmDedupExact(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), countDistinct(md5(col("text"))).as("n_uniq"))
+      .orderBy("source")
+
+  /** MinHash + LSH near-dup candidates. Signature is one map pass (UDF on
+    * text); banding turns candidate generation into an equi-join on the
+    * band hash (shuffle, not all-pairs). Oracle-exempt: seeded-hash output
+    * isn't SQL-expressible; ScalaTest checks estimates against exact
+    * Jaccard. */
+  def llmDedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    val sigUdf = udf((text: String) => MinHash.signature(text))
+    val sigs = t(s, dir, "documents")
+      .select(col("doc_id"), sigUdf(col("text")).as("sig"))
+    val bandStructs = array((0 until MinHash.Bands).map { i =>
+      struct(lit(i).as("band"),
+        xxhash64(lit(i), slice(col("sig"), i * MinHash.RowsPerBand + 1, MinHash.RowsPerBand)).as("bkey"))
+    }: _*)
+    val bands = sigs.select(col("doc_id"), col("sig"), explode(bandStructs).as("b"))
+      .select(col("doc_id"), col("sig"), col("b.band").as("band"), col("b.bkey").as("bkey"))
+    val a = bands.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("band"), col("bkey"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("band"), col("bkey"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1.0).otherwise(0.0)), lit(0.0), _ + _) / MinHash.NumPerm).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= 0.2)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Brute-force cosine top-k: 10 probe vectors broadcast against all
+    * embeddings; norms precomputed per row before the join; dot product
+    * via zip_with/aggregate (no UDF). Ranking is on the ROUNDED cosine
+    * with vec_id tiebreak so both engines rank identically. */
+  def llmSimCosineTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Vectors.norm(col("v")))
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("pid"), col("v").as("pv"), col("nrm").as("pnorm"))
+    val pairs = emb.crossJoin(broadcast(probes))
+      .filter(col("pid") =!= col("vec_id"))
+      .select(col("pid"), col("vec_id").as("nid"),
+        round(Vectors.cosineWithNorms(Vectors.dot(col("pv"), col("v")), col("pnorm"), col("nrm")), 4).as("cos"))
+    val w = Window.partitionBy("pid").orderBy(desc("cos"), asc("nid"))
+    pairs.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select("pid", "nid", "cos", "rnk")
+      .orderBy("pid", "rnk")
+  }
+
+  /** Per-language corpus statistics (doc counts, char/token averages). */
+  def llmTextStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        Num.avgInt(col("n_chars"), 2).as("avg_chars"),
+        countDistinct(col("source")).as("n_sources"),
+        Num.avgInt(size(split(col("text"), " ")), 2).as("avg_tokens"))
+      .orderBy("lang")
+
+  /** TF-IDF top-3 terms per language: tf per (lang, term), document
+    * frequency per term, score = tf·ln(N/df). Two aggregations plus a
+    * windowed top-k; N is a 1-row broadcast, never a collect. */
+  def llmTfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val words = docs
+      .select(col("lang"), col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = words.groupBy("lang", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = words.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val nTotal = docs.agg(count(lit(1)).as("n_total"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(nTotal))
+      .select(col("lang"), col("term"),
+        round(col("tf") * log(col("n_total").cast("double") / col("df").cast("double")), 4).as("score"))
+    val w = Window.partitionBy("lang").orderBy(desc("score"), asc("term"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select("lang", "term", "score", "rnk")
+      .orderBy("lang", "rnk")
+  }
+
+  /** Multimodal star: text table ⋈ vector table on id, grouped stats over
+    * one embedding dimension. */
+  def llmMultimodalJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .join(t(s, dir, "embeddings"), col("doc_id") === col("vec_id"))
+      .groupBy("lang", "label")
+      .agg(count(lit(1)).as("n"),
+        round(avg(element_at(col("embedding"), 1).cast("double")), 4).as("avg_dim0"))
+      .orderBy("lang", "label")
+}

@@ -1,0 +1,380 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.tables.Tables.t
+
+/** Relational operator inventory (SURVEY §2.B: scan/filter/project/join/
+  * agg/window/sort/set rows).
+  *
+  * Determinism discipline (SURVEY §2.C): every query ends in a total
+  * ORDER BY over a candidate key of the result; every floating aggregate
+  * is rounded identically to its DuckDB oracle; ranking functions are
+  * cast to long to match DuckDB's BIGINT.
+  *
+  * Scale notes are on each operator: these run on single-file parquet at
+  * sf0.1 locally, but the plan shapes (broadcast for dims, partial+final
+  * hash aggregation, window partitioning on high-cardinality keys) are
+  * chosen to survive a 1000-executor 100 TB run.
+  */
+object Relational {
+
+  private def ts(s: String) = lit(s).cast("timestamp")
+
+  /** Projection-only scan: Catalyst prunes the parquet read schema to the
+    * 4 selected columns (verify via `ReadSchema` in explain). */
+  def scanParquetProject(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+      .limit(100)
+
+  /** Predicate-pushdown scan: both range predicates reach the parquet
+    * reader as PushedFilters; aggregation makes output bounded. */
+  def scanPushdownFilter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1996-01-01") &&
+        col("l_shipdate") < ts("1997-01-01") &&
+        col("l_quantity") < 25)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(sum("l_extendedprice"), 2).as("sum_price"),
+        round(sum("l_quantity"), 2).as("sum_qty"))
+
+  /** TPC-H Q6 shape: conjunctive band predicates + single aggregate. */
+  def filterPredicates(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1997-01-01") &&
+        col("l_shipdate") < ts("1998-01-01") &&
+        col("l_discount").between(0.03, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(Num.d2(sum(Num.money(col("l_extendedprice")) * Num.rate(col("l_discount")))).as("revenue"))
+
+  /** IN-list + LIKE / NOT LIKE predicates (string pushdown). */
+  def filterInLike(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .filter(col("p_brand").isin("Brand#1", "Brand#12", "Brand#22") &&
+        col("p_name").like("%wid%") && !col("p_name").like("%cold%"))
+      .select("p_partkey", "p_name", "p_brand", "p_size")
+      .orderBy("p_partkey")
+
+  /** Computed projections: arithmetic, CASE bucketing. */
+  def projectExpressions(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        Num.d2(Num.money(col("l_extendedprice")) * (lit(1) - Num.rate(col("l_discount")))).as("revenue"),
+        Num.d2(Num.money(col("l_extendedprice")) * (lit(1) + Num.rate(col("l_tax")))).as("gross"),
+        when(col("l_quantity") < 10, "low")
+          .when(col("l_quantity") < 30, "mid")
+          .otherwise("high").as("qty_bucket"))
+      .orderBy("l_orderkey", "l_linenumber")
+      .limit(500)
+
+  /** Equi inner join on the fact-fact pair; at scale both sides shuffle on
+    * custkey (sort-merge / shuffled-hash chosen by Catalyst + AQE). */
+  def joinInnerHash(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("sum_price"))
+      .orderBy("c_mktsegment")
+
+  /** Explicit broadcast of the small dim (part) — no shuffle of lineitem. */
+  def joinBroadcast(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy("p_brand")
+
+  /** LEFT OUTER keeping customers with zero orders (count counts non-null
+    * o_orderkey only, so they show n_orders=0). */
+  def joinLeftOuter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy("c_custkey")
+
+  /** FULL OUTER of two filtered key sets with presence markers. */
+  def joinFullOuter(s: SparkSession, dir: String): DataFrame = {
+    val a = t(s, dir, "customer").filter(col("c_acctbal") > 9000)
+      .select(col("c_custkey").as("key")).distinct().withColumn("in_a", lit(1))
+    val b = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+      .select(col("o_custkey").as("key")).distinct().withColumn("in_b", lit(1))
+    a.join(b, Seq("key"), "full")
+      .select(col("key"), coalesce(col("in_a"), lit(0)).as("in_a"),
+        coalesce(col("in_b"), lit(0)).as("in_b"))
+      .orderBy("key")
+  }
+
+  /** LEFT SEMI = EXISTS: customers with at least one order. */
+  def joinSemi(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** LEFT ANTI = NOT EXISTS: customers with no orders. */
+  def joinAnti(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Cartesian product of the two tiny dims (BroadcastNestedLoop). */
+  def joinCross(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "region").crossJoin(t(s, dir, "nation"))
+      .select("r_name", "n_name")
+      .orderBy("r_name", "n_name")
+
+  /** Non-equi (theta/band) join: quantity within ±2 of part size. Both
+    * inputs pre-filtered; part side broadcast → BroadcastNestedLoopJoin,
+    * which is the right physical shape for a band join with a small side. */
+  def joinThetaRange(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").filter(col("l_orderkey") <= 80)
+    val p = t(s, dir, "part").filter(col("p_size") <= 10)
+    li.join(broadcast(p),
+        col("l_quantity").between(col("p_size") - 2, col("p_size") + 2))
+      .groupBy("p_size")
+      .agg(count(lit(1)).as("n_pairs"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("p_size")
+  }
+
+  /** As-of join without a join: single pass over the per-user time-ordered
+    * event stream carrying the last click forward (running `last` with
+    * ignoreNulls). Equivalent to DuckDB `ASOF LEFT JOIN` (p.ts >= c.ts);
+    * clicks sort before purchases at equal ts ("click" < "purchase").
+    * Scale: one shuffle on user_id, no O(P×C) pair blow-up — this is the
+    * formulation that survives 100 TB, unlike a range self-join. */
+  def joinAsof(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").filter(col("event_type").isin("click", "purchase"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_type").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("click_ts", when(col("event_type") === "click", col("ts")))
+      .withColumn("last_click_us", unix_micros(last(col("click_ts"), ignoreNulls = true).over(w)))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("purchase_us"), col("last_click_us"))
+      .orderBy("event_id")
+  }
+
+  /** TPC-H Q3 shape: 3-way join, grouped revenue, global top-10. */
+  def joinMultiway(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("o_orderdate") < ts("1998-01-01") && col("l_shipdate") > ts("1998-01-01"))
+      .groupBy("l_orderkey")
+      .agg(Num.d2(sum(Num.money(col("l_extendedprice")) * (lit(1) - Num.rate(col("l_discount"))))).as("revenue"))
+      .orderBy(desc("revenue"), asc("l_orderkey"))
+      .limit(10)
+
+  /** TPC-H Q5 shape: 6-table star. Dims (region/nation/customer/supplier)
+    * broadcast below the default threshold; the orders⋈lineitem spine is
+    * the only real shuffle. This is the flagship (`SparkEntry.entry`). */
+  def joinStarFlagship(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "region").filter(col("r_name") === "ASIA")
+      .join(t(s, dir, "nation"), col("n_regionkey") === col("r_regionkey"))
+      .join(t(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
+      .join(t(s, dir, "orders"), col("o_custkey") === col("c_custkey"))
+      .filter(col("o_orderdate") >= ts("1997-01-01") && col("o_orderdate") < ts("1998-01-01"))
+      .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("n_name")
+      .agg(Num.d2(sum(Num.money(col("l_extendedprice")) * (lit(1) - Num.rate(col("l_discount"))))).as("revenue"))
+      .orderBy(desc("revenue"), asc("n_name"))
+
+  /** TPC-H Q1 pricing summary: partial+final HashAggregate, 6 aggregates. */
+  def aggHashGroupby(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= ts("2001-09-01"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        Num.d2(sum(Num.money(col("l_extendedprice")) * (lit(1) - Num.rate(col("l_discount"))))).as("sum_disc_price"),
+        Num.d2(sum(Num.money(col("l_extendedprice")) * (lit(1) - Num.rate(col("l_discount"))) * (lit(1) + Num.rate(col("l_tax"))))).as("sum_charge"),
+        Num.avgMoney(col("l_quantity"), 4).as("avg_qty"),
+        Num.avgMoney(col("l_extendedprice"), 4).as("avg_price"),
+        Num.avgMoney(col("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Exact distinct (planned via Expand + two-phase aggregate). */
+  def aggDistinctCount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(countDistinct(col("o_custkey")).as("n_cust"), count(lit(1)).as("n_orders"))
+      .orderBy("c_mktsegment")
+
+  /** HLL sketch distinct — oracle-exempt (sketches differ across engines);
+    * ScalaTest asserts ±5% of exact. At 100 TB this is the only sane
+    * distinct: fixed-size partial state, no Expand blow-up. */
+  def aggApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(approx_count_distinct(col("o_custkey")).as("n_approx"))
+      .orderBy("o_orderpriority")
+
+  /** GROUPING SETS with grouping_id (bitmask identical to DuckDB GROUPING). */
+  def aggGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("graft_li_gsets")
+    s.sql("""
+      SELECT l_returnflag, l_linestatus,
+             grouping_id(l_returnflag, l_linestatus) AS gid,
+             round(sum(l_quantity), 2) AS sum_qty,
+             count(1) AS n
+      FROM graft_li_gsets
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")
+  }
+
+  /** ROLLUP over (year, month); rolled-up levels surfaced as -1 so the
+    * sort order needs no NULL-ordering agreement with the oracle. */
+  def aggRollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mon"), col("o_totalprice"))
+      .rollup("yr", "mon")
+      .agg(round(sum("o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))
+      .select(coalesce(col("yr"), lit(-1)).as("yr"), coalesce(col("mon"), lit(-1)).as("mon"),
+        col("revenue"), col("n_orders"))
+      .orderBy("yr", "mon")
+
+  /** CUBE over the two flags, NULL levels coalesced to 'ALL'. */
+  def aggCube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"), col("n"), col("sum_qty"))
+      .orderBy("flag", "status")
+
+  /** HAVING = post-aggregation filter. */
+  def aggHaving(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
+      .filter(col("n") > 100)
+      .orderBy("o_orderpriority")
+
+  /** Statistical aggregates per nation dim value. */
+  def aggStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        round(min("c_acctbal"), 2).as("min_bal"),
+        round(max("c_acctbal"), 2).as("max_bal"),
+        Num.avgMoney(col("c_acctbal"), 4).as("avg_bal"),
+        round(stddev_samp(col("c_acctbal")), 2).as("std_bal"),
+        round(var_samp(col("c_acctbal")), 2).as("var_bal"),
+        count(lit(1)).as("n"))
+      .orderBy("n_name")
+
+  /** rank + dense_rank per customer partition, fully tiebroken. */
+  def windowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    t(s, dir, "orders").filter(col("o_custkey") <= 200)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"))
+      .orderBy("o_custkey", "rnk", "o_orderkey")
+  }
+
+  /** Top-3 per group via row_number ≤ 3 (the filter cuts before the final
+    * sort; at scale a per-partition bounded heap strategy could replace
+    * the full window sort — SURVEY §4.3 P3). */
+  def windowTopkPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment").orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"),
+        col("rn").cast("long").as("rn"))
+      .orderBy("c_mktsegment", "rn")
+  }
+
+  /** Running sum, ROWS UNBOUNDED PRECEDING..CURRENT frame. */
+  def windowRunningSum(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders").filter(col("o_custkey") <= 200)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(sum("o_totalprice").over(w), 2).as("cum_price"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** RANGE frame over a long ordering key (floor of price — DuckDB casts
+    * double→bigint by rounding, so floor first on both sides). */
+  def windowRangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("price_l").rangeBetween(-1000, 0)
+    t(s, dir, "orders").filter(col("o_custkey") <= 200)
+      .withColumn("price_l", floor(col("o_totalprice")))
+      .select(col("o_custkey"), col("o_orderkey"), col("price_l"),
+        round(sum("o_totalprice").over(w), 2).as("range_sum"))
+      .orderBy("o_custkey", "price_l", "o_orderkey")
+  }
+
+  /** lag deltas per user over event time. */
+  def windowLagLead(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t(s, dir, "events").filter(col("ts") < ts("2024-01-04"))
+      .select(col("user_id"), col("event_id"),
+        round(col("value") - lag("value", 1).over(w), 4).as("d_value"),
+        (unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(w))).as("d_ts_us"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** ntile quartiles over a global ordering (single-partition window —
+    * fine for a bounded slice; at scale use approx percentiles instead). */
+  def windowNtile(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy("c_acctbal", "c_custkey")
+    t(s, dir, "customer").filter(col("c_custkey") < 2000)
+      .select(col("c_custkey"), col("c_acctbal"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .orderBy("c_custkey")
+  }
+
+  /** Multi-key sort with explicit NULL placement on a nullable expr. */
+  def sortMultiNull(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(col("c_custkey"),
+        expr("nullif(c_mktsegment, 'BUILDING')").as("seg_nn"),
+        col("c_acctbal"))
+      .orderBy(col("seg_nn").desc_nulls_last, col("c_custkey"))
+      .limit(1000)
+
+  /** Global top-k → TakeOrderedAndProject (no full sort at scale). */
+  def topkGlobal(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy(desc("l_extendedprice"), asc("l_orderkey"), asc("l_linenumber"))
+      .limit(20)
+
+  /** UNION ALL with multiplicity surfaced via count. */
+  def setUnion(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val a = c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("key"))
+    val b = c.filter(col("c_acctbal") > 8000).select(col("c_custkey").as("key"))
+    a.unionByName(b).groupBy("key").agg(count(lit(1)).as("n")).orderBy("key")
+  }
+
+  /** INTERSECT (distinct semantics on both engines). */
+  def setIntersect(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("key"))
+      .intersect(t(s, dir, "orders").select(col("o_custkey").as("key")))
+      .orderBy("key")
+
+  /** EXCEPT (distinct semantics on both engines). */
+  def setExcept(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_custkey").as("key"))
+      .except(t(s, dir, "orders").select(col("o_custkey").as("key")))
+      .orderBy("key")
+}

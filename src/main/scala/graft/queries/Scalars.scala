@@ -1,0 +1,120 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables.t
+
+/** Scalar-function inventory (SURVEY §2.B fn_* rows). All codegen'd
+  * builtins — no UDFs on these paths, so each query stays inside a single
+  * WholeStageCodegen span over the parquet scan.
+  */
+object Scalars {
+
+  /** String functions over part names/brands. */
+  def fnString(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        length(col("p_name")).as("name_len"),
+        substring(col("p_name"), 1, 5).as("name_sub"),
+        trim(concat(lit(" "), col("p_name"), lit(" "))).as("name_trim"),
+        regexp_extract(col("p_brand"), "[0-9]+", 0).as("brand_num"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+        regexp_replace(col("p_name"), "a", "X").as("name_repl"))
+      .orderBy("p_partkey")
+      .limit(200)
+
+  /** Date/time functions over order dates (timestamps, UTC session). */
+  def fnDate(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mon"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+        date_add(col("o_orderdate").cast("date"), 30).as("plus30"),
+        datediff(lit("2000-01-01").cast("date"), col("o_orderdate").cast("date")).as("days_to_2000"))
+      .orderBy("o_orderkey")
+      .limit(200)
+
+  /** Math functions over part prices. Spark ceil/floor(double) return
+    * BIGINT — the oracle casts DuckDB's DOUBLE results to match. */
+  def fnMath(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        round(Num.money(col("p_retailprice")), 1).cast("double").as("price_r1"),
+        abs(col("p_retailprice") - 1000).as("abs_diff"),
+        ceil(col("p_retailprice")).as("price_ceil"),
+        floor(col("p_retailprice")).as("price_floor"),
+        round(pow(col("p_retailprice"), 0.5), 4).as("price_pow_half"),
+        round(log(col("p_retailprice")), 4).as("price_ln"),
+        round(sqrt(col("p_retailprice")), 4).as("price_sqrt"),
+        (col("p_partkey") % 7).as("key_mod"))
+      .orderBy("p_partkey")
+      .limit(200)
+
+  /** CASE / coalesce / nullif / greatest / least. */
+  def fnConditional(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(
+        col("c_custkey"),
+        when(col("c_acctbal") < 0, "neg")
+          .when(col("c_acctbal") < 5000, "low")
+          .otherwise("high").as("bal_bucket"),
+        coalesce(expr("nullif(c_mktsegment, 'BUILDING')"), lit("none")).as("seg_or_none"),
+        round(greatest(col("c_acctbal"), lit(0.0)), 2).as("bal_pos"),
+        round(least(col("c_acctbal"), lit(1000.0)), 2).as("bal_cap"))
+      .orderBy("c_custkey")
+      .limit(500)
+
+  /** JSON path extraction from the events props column, then aggregate. */
+  def fnJson(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"), get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy("event_type")
+      .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"), Num.avgInt(col("k"), 4).as("avg_k"))
+      .orderBy("event_type")
+
+  /** Array functions over float32 embeddings (cast to double before any
+    * arithmetic; element_at is 1-based and supports negative indexes,
+    * matching DuckDB list indexing). */
+  def fnArray(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        round(element_at(col("embedding"), 1).cast("double"), 4).as("first_val"),
+        round(element_at(col("embedding"), -1).cast("double"), 4).as("last_val"),
+        round(aggregate(slice(col("embedding"), 1, 4), lit(0.0),
+          (acc, x) => acc + x.cast("double")), 4).as("sum_first4"))
+      .orderBy("vec_id")
+      .limit(1000)
+
+  /** Map construction + lookup. Oracle-exempt: DuckDB's MAP output format
+    * differs structurally; covered by ScalaTest instead (SURVEY §2.B). */
+  def fnMap(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(map_from_entries(sort_array(collect_list(struct(col("event_type"), col("n"))))).as("type_counts"))
+      .select(
+        col("user_id"),
+        element_at(col("type_counts"), "click").as("clicks"),
+        element_at(col("type_counts"), "purchase").as("purchases"),
+        size(col("type_counts")).as("n_types"))
+      .orderBy("user_id")
+
+  /** Generator: tokenize + explode + count (word frequency top-20). */
+  def fnExplodeWords(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("word"))
+      .limit(20)
+}

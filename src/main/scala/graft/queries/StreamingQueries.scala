@@ -1,0 +1,66 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.tables.Tables.t
+
+/** Streaming-shaped operators (SURVEY §2.B stream_* rows), expressed here
+  * in their batch form over the bounded events table — the identical
+  * transformations run unchanged on `readStream` inputs; the streaming
+  * twins (MemoryStream-driven, incl. watermark late-drop) live in
+  * `graft.streaming` and its test suite.
+  */
+object StreamingQueries {
+
+  /** 1-day tumbling window counts per event type. */
+  def streamTumblingCount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Num.sumMoney(col("value")).as("sum_value"))
+      .select(col("w.start").cast("date").as("day"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy("day", "event_type")
+
+  /** 1-hour windows sliding every 30 minutes: each event lands in exactly
+    * two windows (start = bucket30(ts) and bucket30(ts) − 30 min). */
+  def streamSlidingAvg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(Num.avgMoney(col("value"), 4).as("avg_value"), count(lit(1)).as("n"))
+      .select(unix_micros(col("w.start")).as("win_start_us"), col("avg_value"), col("n"))
+      .orderBy("win_start_us")
+
+  /** Per-user session windows with a 30-minute inactivity gap. Spark
+    * starts a new session when gap ≥ 30 min (event merges only while
+    * ts < prev + gap) — the oracle's gaps-and-islands flag uses >= too. */
+  def streamSessionWindow(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("session_start_us"), col("n"))
+      .orderBy("user_id", "session_start_us")
+
+  /** First event per (user, type) by time — batch form of streaming
+    * dropDuplicates; fully tiebroken via (ts, event_id). */
+  def streamDedup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    t(s, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"),
+        col("event_id").as("first_event_id"), unix_micros(col("ts")).as("first_ts_us"))
+      .orderBy("user_id", "event_type")
+  }
+
+  /** Watermarked tumbling counts. `withWatermark` is a no-op in batch
+    * (kept so the same plan runs on readStream); the late-row-drop
+    * semantics are asserted in the MemoryStream ScalaTest (oracle-exempt,
+    * SURVEY §2.B). */
+  def streamWatermarkLate(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("w.start")).as("win_start_us"), col("event_type"), col("n"))
+      .orderBy("win_start_us", "event_type")
+}
