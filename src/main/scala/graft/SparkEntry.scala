@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Llm, Relational, Scalars, StreamingQueries, UdxQueries}
+import graft.queries.{Llm, LlmExtra, MultimodalQueries, Relational, Scalars, StreamingQueries, UdxQueries}
 import graft.oracle.OracleSql
 
 /** Driver contract — see /root/repo/SURVEY.md §2.B (the declared operator
@@ -82,7 +82,21 @@ object SparkEntry {
     "llm_sim_cosine_topk" -> Llm.llmSimCosineTopk _,
     "llm_text_stats" -> Llm.llmTextStats _,
     "llm_tfidf_top_terms" -> Llm.llmTfidfTopTerms _,
-    "llm_multimodal_join" -> Llm.llmMultimodalJoin _
+    "llm_multimodal_join" -> Llm.llmMultimodalJoin _,
+    // extended dedup family
+    "llm_dedup_simhash" -> LlmExtra.llmDedupSimhash _,
+    "llm_dedup_ngram_jaccard" -> LlmExtra.llmDedupNgramJaccard _,
+    "llm_dedup_embed_cosine" -> LlmExtra.llmDedupEmbedCosine _,
+    // similarity-search scale path
+    "llm_sim_lsh_topk" -> LlmExtra.llmSimLshTopk _,
+    // text-analysis family
+    "llm_lang_id" -> LlmExtra.llmLangId _,
+    "llm_quality_score" -> LlmExtra.llmQualityScore _,
+    "llm_token_count" -> LlmExtra.llmTokenCount _,
+    "llm_fingerprint" -> LlmExtra.llmFingerprint _,
+    // multimodal binary columns
+    "mm_binary_features" -> MultimodalQueries.mmBinaryFeatures _,
+    "mm_decode_stub" -> MultimodalQueries.mmDecodeStub _
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on

@@ -411,6 +411,95 @@ object OracleSql {
       SELECT lang, label, count(*) AS n,
              round(avg(CAST(embedding[1] AS DOUBLE)), 4) AS avg_dim0
       FROM documents JOIN embeddings ON doc_id = vec_id
-      GROUP BY lang, label ORDER BY lang, label"""
+      GROUP BY lang, label ORDER BY lang, label""",
+
+    "llm_dedup_ngram_jaccard" -> s"""
+      WITH d AS (
+        SELECT doc_id, source,
+               list_distinct([array_to_string(w[CAST(i AS INT):CAST(i AS INT)+2], ' ')
+                              FOR i IN range(1, greatest(len(w)-2, 1)+1)]) AS sh
+        FROM (SELECT doc_id, source, string_split(text, ' ') AS w
+              FROM documents WHERE doc_id < 2000))
+      SELECT doc_a, doc_b, ${N.ratio("inter", "uni", 4)} AS jac FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               len(list_intersect(a.sh, b.sh)) AS inter,
+               len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
+        FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
+      WHERE inter >= 1 ORDER BY doc_a, doc_b""",
+
+    "llm_dedup_embed_cosine" -> """
+      WITH n AS (
+        SELECT vec_id, embedding,
+               sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                     FROM unnest(embedding) AS u(x))) AS nrm
+        FROM embeddings),
+      p AS (SELECT vec_id AS pid, embedding AS pe, nrm AS pnorm FROM n WHERE vec_id < 100)
+      SELECT pid, nid, cos FROM (
+        SELECT p.pid AS pid, c.vec_id AS nid,
+               round((SELECT sum(a * b) FROM (
+                        SELECT CAST(unnest(p.pe) AS DOUBLE) AS a,
+                               CAST(unnest(c.embedding) AS DOUBLE) AS b))
+                     / (p.pnorm * c.nrm), 4) AS cos
+        FROM p CROSS JOIN n c WHERE c.vec_id > p.pid)
+      WHERE cos >= 0.30 ORDER BY pid, nid""",
+
+    "llm_lang_id" -> """
+      WITH grams AS (
+        SELECT doc_id, lang, unnest([substr(text, CAST(i AS INT), 3)
+                                     FOR i IN range(1, greatest(length(text)-2, 1)+1)]) AS gram
+        FROM documents),
+      profile AS (
+        SELECT plang, gram FROM (
+          SELECT lang AS plang, gram, count(*) AS cnt,
+                 row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, gram) AS rk
+          FROM grams WHERE doc_id % 10 <> 0 GROUP BY lang, gram)
+        WHERE rk <= 50),
+      test_grams AS (
+        SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id % 10 = 0),
+      scores AS (
+        SELECT doc_id, plang, count(*) AS score
+        FROM test_grams JOIN profile USING (gram) GROUP BY doc_id, plang),
+      pred AS (
+        SELECT doc_id, plang AS pred_lang FROM (
+          SELECT doc_id, plang,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang) AS rk
+          FROM scores)
+        WHERE rk = 1)
+      SELECT lang, pred_lang, count(*) AS n
+      FROM documents JOIN pred USING (doc_id)
+      WHERE doc_id % 10 = 0
+      GROUP BY lang, pred_lang ORDER BY lang, pred_lang""",
+
+    "llm_quality_score" -> s"""
+      SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+             ${N.ratio("n_alpha", "n_tokens", 2)} AS avg_token_len,
+             ${N.ratio("n_stop", "n_tokens", 4)} AS stop_rate,
+             CASE WHEN n_tokens < 8 THEN 'short'
+                  WHEN len(list_distinct(w)) * 2 < n_tokens THEN 'repetitive'
+                  ELSE 'ok' END AS quality
+      FROM (
+        SELECT doc_id, w, len(w) AS n_tokens,
+               length(replace(text, ' ', '')) AS n_alpha,
+               len(list_filter(w, x -> x IN ('a', 'the', 'of', 'and', 'data', 'row'))) AS n_stop
+        FROM (SELECT doc_id, text, string_split(text, ' ') AS w
+              FROM documents WHERE doc_id < 2000))
+      ORDER BY doc_id""",
+
+    "llm_token_count" -> """
+      SELECT lang,
+             CAST(sum(ws_tokens) AS BIGINT) AS sum_ws_tokens,
+             CAST(sum(re_tokens) AS BIGINT) AS sum_re_tokens,
+             CAST(max(re_tokens) AS BIGINT) AS max_re_tokens,
+             count(*) AS n_docs
+      FROM (SELECT lang, len(string_split(text, ' ')) AS ws_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS re_tokens
+            FROM documents)
+      GROUP BY lang ORDER BY lang""",
+
+    "mm_binary_features" -> """
+      SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+             sha256(text) AS sha,
+             CAST(ascii(substr(text, 1, 1)) AS INT) AS first_byte
+      FROM documents WHERE doc_id < 2000 ORDER BY doc_id"""
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\n\\s+", "\n") }
 }

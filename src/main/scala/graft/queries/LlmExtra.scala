@@ -1,0 +1,203 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.tables.Tables.t
+import graft.llm.{Lsh, SimHash, Winnowing}
+
+/** Extended LLM-training-data-pipeline operators beyond SURVEY's original
+  * §2.B set: the remaining dedup family (SimHash, exact n-gram Jaccard,
+  * embedding cosine), the LSH ANN scale path, and the text-analysis
+  * family (language-ID, quality scoring, tokenizer counts, winnowing
+  * fingerprints).
+  */
+object LlmExtra {
+
+  // ---------------------------------------------------------------- dedup
+
+  /** SimHash near-dup candidates: 64-bit signature per doc (one map
+    * pass), pigeonhole banding (4×16 bits) for candidate generation via
+    * equi-join, exact Hamming filter on candidates. Oracle-exempt
+    * (seeded hashes); ScalaTest checks signatures and band recall. */
+  def llmDedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val shUdf = udf((text: String) => SimHash.simhash64(text))
+    val sigs = t(s, dir, "documents")
+      .select(col("doc_id"), shUdf(col("text")).as("sig"))
+    val bandStructs = array((0 until SimHash.Bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("sig"), b * SimHash.BandBits).bitwiseAND(lit(0xFFFFL)).as("bkey"))
+    }: _*)
+    val bands = sigs.select(col("doc_id"), col("sig"), explode(bandStructs).as("bs"))
+      .select(col("doc_id"), col("sig"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
+    val a = bands.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("band"), col("bkey"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("band"), col("bkey"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 24)
+      .orderBy("hamming", "doc_a", "doc_b")
+      .limit(100)
+  }
+
+  /** Exact word-3-gram Jaccard over same-source pairs in a bounded doc
+    * slice — the verification-grade exact counterpart of MinHash. Pure
+    * higher-order functions (no UDF), so the identical shingling runs in
+    * DuckDB as a list comprehension. Jaccard is computed with exact
+    * integer half-up arithmetic (Num.ratio) — no float rounding drift. */
+  def llmDedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .filter(col("doc_id") < 2000)
+      .withColumn("w", split(col("text"), " "))
+      .select(col("doc_id"), col("source"),
+        array_distinct(expr(
+          "transform(sequence(1, greatest(size(w) - 2, 1)), i -> array_join(slice(w, i, 3), ' '))"
+        )).as("sh"))
+    val a = d.select(col("doc_id").as("doc_a"), col("source"), col("sh").as("sh_a"))
+    val b = d.select(col("doc_id").as("doc_b"), col("source"), col("sh").as("sh_b"))
+    a.join(b, "source")
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .filter(col("inter") >= 1)
+      .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      .select(col("doc_a"), col("doc_b"),
+        Num.ratio(col("inter"), col("uni"), 4).as("jac"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Embedding-cosine near-dup scan: 100 probe vectors against the full
+    * corpus (norms precomputed pre-join, codegen'd fold dot product),
+    * pairs above threshold. The unbounded version at 100 TB swaps the
+    * broadcast probe set for LSH-bucketed candidates (llm_sim_lsh_topk's
+    * shape). */
+  def llmDedupEmbedCosine(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), graft.llm.Vectors.toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", graft.llm.Vectors.norm(col("v")))
+    val probes = emb.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("pid"), col("v").as("pv"), col("nrm").as("pnorm"))
+    emb.crossJoin(broadcast(probes))
+      .filter(col("vec_id") > col("pid"))
+      .select(col("pid"), col("vec_id").as("nid"),
+        round(graft.llm.Vectors.cosineWithNorms(
+          graft.llm.Vectors.dot(col("pv"), col("v")), col("pnorm"), col("nrm")), 4).as("cos"))
+      .filter(col("cos") >= 0.30)
+      .orderBy("pid", "nid")
+  }
+
+  // --------------------------------------------------- similarity search
+
+  /** ANN via random-hyperplane LSH: bucket every vector into 8 tables of
+    * 8-bit sign buckets (one map pass), candidates = bucket collisions
+    * with a probe (equi-join on (table, bucket)), exact cosine + top-5
+    * only on candidates. This is the 100 TB path — the equi-join shuffle
+    * replaces llm_sim_cosine_topk's cross join. Oracle-exempt; ScalaTest
+    * measures recall against the brute-force result. */
+  def llmSimLshTopk(s: SparkSession, dir: String): DataFrame = {
+    val bucketsUdf = udf((v: Seq[Double]) =>
+      Lsh.buckets(v.toArray).map { case (tb, bk) => tb * 65536 + bk })
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), graft.llm.Vectors.toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", graft.llm.Vectors.norm(col("v")))
+      .withColumn("bkt", explode(bucketsUdf(col("v"))))
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("pid"), col("v").as("pv"), col("nrm").as("pnorm"), col("bkt"))
+    val cands = emb.join(probes, "bkt")
+      .filter(col("vec_id") =!= col("pid"))
+      .select(col("pid"), col("vec_id").as("nid"), col("pv"), col("v"), col("pnorm"), col("nrm"))
+      .distinct()
+    val scored = cands.select(col("pid"), col("nid"),
+      round(graft.llm.Vectors.cosineWithNorms(
+        graft.llm.Vectors.dot(col("pv"), col("v")), col("pnorm"), col("nrm")), 4).as("cos"))
+    val w = Window.partitionBy("pid").orderBy(desc("cos"), asc("nid"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select("pid", "nid", "cos", "rnk")
+      .orderBy("pid", "rnk")
+  }
+
+  // ------------------------------------------------------- text analysis
+
+  /** Character-3-gram language ID, self-trained: per-language top-50 gram
+    * profiles from the 90% train split (deterministic doc_id % 10 split),
+    * test docs scored by integer profile-hit counts, argmax with lang
+    * tiebreak, output as a confusion matrix. Integer scores make the
+    * argmax engine-independent. */
+  def llmLangId(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val grams = docs.select(col("doc_id"), col("lang"),
+        explode(expr("transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))")).as("gram"))
+    val profile = grams.filter(col("doc_id") % 10 =!= 0)
+      .groupBy(col("lang").as("plang"), col("gram")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("plang").orderBy(desc("cnt"), asc("gram"))))
+      .filter(col("rk") <= 50)
+      .select("plang", "gram")
+    val testGrams = grams.filter(col("doc_id") % 10 === 0)
+      .select("doc_id", "gram").distinct()
+    val scores = testGrams.join(profile, "gram")
+      .groupBy("doc_id", "plang").agg(count(lit(1)).as("score"))
+    val pred = scores.withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(desc("score"), asc("plang"))))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("plang").as("pred_lang"))
+    docs.filter(col("doc_id") % 10 === 0)
+      .join(pred, "doc_id")
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "pred_lang")
+  }
+
+  /** Per-document quality signals over a bounded slice: token count, mean
+    * token length, stopword rate, a CASE quality bucket — all integers
+    * or Num.ratio half-up ratios, so the oracle matches bit-for-bit. */
+  def llmQualityScore(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(col("doc_id") < 2000)
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("w")))
+      .withColumn("n_alpha", length(regexp_replace(col("text"), " ", "")))
+      .withColumn("n_stop", size(expr("filter(w, x -> x IN ('a', 'the', 'of', 'and', 'data', 'row'))")))
+      .select(
+        col("doc_id"),
+        col("n_tokens").cast("int").as("n_tokens"),
+        Num.ratio(col("n_alpha"), col("n_tokens"), 2).as("avg_token_len"),
+        Num.ratio(col("n_stop"), col("n_tokens"), 4).as("stop_rate"),
+        when(col("n_tokens") < 8, "short")
+          .when(size(array_distinct(col("w"))) * 2 < col("n_tokens"), "repetitive")
+          .otherwise("ok").as("quality"))
+      .orderBy("doc_id")
+
+  /** Token counting two ways per language: whitespace tokens and a
+    * BPE-ish regex lexer ([A-Za-z]+ | digits | single punctuation) — the
+    * pre-tokenizer shape used by GPT-style byte-pair encoders. */
+  def llmTokenCount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"),
+        size(split(col("text"), " ")).as("ws_tokens"),
+        expr("size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0))").as("re_tokens"))
+      .groupBy("lang")
+      .agg(
+        sum(col("ws_tokens").cast("long")).as("sum_ws_tokens"),
+        sum(col("re_tokens").cast("long")).as("sum_re_tokens"),
+        max(col("re_tokens")).cast("long").as("max_re_tokens"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("lang")
+
+  /** Winnowing fingerprints (rolling char-5-gram hashes, window-4 robust
+    * winnowing) per document: fingerprint count and density. Oracle-
+    * exempt (seeded rolling hash); ScalaTest checks the winnowing
+    * guarantee on constructed near-dup pairs. */
+  def llmFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val fpUdf = udf((text: String) => Winnowing.fingerprints(text))
+    t(s, dir, "documents")
+      .filter(col("doc_id") < 500)
+      .select(col("doc_id"), length(col("text")).as("n_chars_txt"), fpUdf(col("text")).as("fps"))
+      .select(col("doc_id"), col("n_chars_txt"),
+        size(col("fps")).as("n_fps"),
+        element_at(col("fps"), 1).as("fp_first"))
+      .orderBy("doc_id")
+  }
+}

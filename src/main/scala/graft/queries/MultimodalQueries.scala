@@ -1,0 +1,55 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables.t
+import graft.multimodal.{Media, MediaRow}
+
+/** Multimodal-column operators: binary payloads with typed metadata.
+  * The testdata has no real media files, so document text bytes stand in
+  * as the opaque binary column — the operator shapes (binary schema,
+  * digest/length features, partition-batched decode) are what matter.
+  */
+object MultimodalQueries {
+
+  /** Cheap binary-column features computable without a decoder: byte
+    * length, content digest, first byte. Runs entirely in codegen'd
+    * built-ins; the parquet scan prunes to the one needed column. */
+  def mmBinaryFeatures(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(col("doc_id") < 2000)
+      .withColumn("bin", col("text").cast("binary"))
+      .select(
+        col("doc_id"),
+        octet_length(col("bin")).as("n_bytes"),
+        sha2(col("bin"), 256).as("sha"),
+        ascii(substring(col("text"), 1, 1)).as("first_byte"))
+      .orderBy("doc_id")
+
+  /** Partition-batched decode over the binary column via a typed
+    * Dataset + mapPartitions (the Scala analogue of mapInPandas): the
+    * decoder is a deterministic stub (no codec libs in this container,
+    * see Media.decodeStub), the plumbing — Encoders, batch shape,
+    * downstream agg — is real. Oracle-exempt; ScalaTest pins the stub's
+    * determinism and schema. */
+  def mmDecodeStub(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = t(s, dir, "documents")
+      .filter(col("doc_id") < 2000)
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video").as("kind"),
+        col("text").cast("binary").as("bytes"))
+      .as[MediaRow]
+    val metas = rows.mapPartitions(_.map(Media.decodeStub))
+    metas.groupBy("kind")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("n_bytes").cast("long")).as("total_bytes"),
+        max(col("width")).cast("long").as("max_width"),
+        max(col("n_frames")).cast("long").as("max_frames"),
+        countDistinct(col("sample_rate")).as("n_rates"))
+      .orderBy("kind")
+  }
+}

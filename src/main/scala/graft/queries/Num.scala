@@ -56,6 +56,16 @@ object Num {
     (signum(units).cast("long") * q).cast("double") / lit(math.pow(10, p))
   }
 
+  /** Scalar (non-aggregate) half-up ratio of two non-negative integer
+    * columns at `p` decimals — exact integer arithmetic, division-free of
+    * float ambiguity. Emits 0 when the denominator is 0. */
+  def ratio(num: Column, den: Column, p: Int): Column = {
+    val scaled = num.cast("long") * lit(math.pow(10, p).toLong)
+    val q = call_function("div", scaled * 2 + den, den * 2)
+    when(den === 0, lit(0.0))
+      .otherwise(q.cast("double") / lit(math.pow(10, p)))
+  }
+
   /** DuckDB oracle-side mirror of the same formulas, so query and oracle
     * are generated from one definition where practical. */
   object Sql {
@@ -67,6 +77,11 @@ object Num {
       avgOfUnits(s"CAST(SUM(CAST(${money(e)} * 100 AS BIGINT)) AS BIGINT)", 2, p)
     def avgInt(e: String, p: Int): String =
       avgOfUnits(s"SUM(CAST($e AS BIGINT))", 0, p)
+    def ratio(num: String, den: String, p: Int): String = {
+      val s = math.pow(10, p).toLong
+      val d = math.pow(10, p)
+      s"CASE WHEN ($den) = 0 THEN 0.0 ELSE CAST((CAST($num AS BIGINT) * $s * 2 + ($den)) // (($den) * 2) AS DOUBLE) / $d END"
+    }
     private def avgOfUnits(units: String, k: Int, p: Int): String = {
       val s = math.pow(10, p - k).toLong
       val d = math.pow(10, p)

@@ -218,7 +218,7 @@ object Relational {
   def aggApproxDistinct(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
       .groupBy("o_orderpriority")
-      .agg(approx_count_distinct(col("o_custkey")).as("n_approx"))
+      .agg(approx_count_distinct(col("o_custkey"), 0.02).as("n_approx"))
       .orderBy("o_orderpriority")
 
   /** GROUPING SETS with grouping_id (bitmask identical to DuckDB GROUPING). */

@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured-Streaming forms of the stream_* operators (SURVEY §2.B).
+  *
+  * Each transform is written against an unbounded DataFrame and is the
+  * SAME declarative plan the batch twins in
+  * `graft.queries.StreamingQueries` run over the bounded events table —
+  * `readStream` vs `read` is the only difference, which is the point of
+  * Structured Streaming. State: windowed aggregations and dropDuplicates
+  * keep per-key state in the StateStore; the watermark bounds that state
+  * (and drops late rows) so a 100 TB/day stream doesn't accumulate
+  * unbounded state.
+  */
+object StreamOps {
+
+  /** 1-day tumbling count+sum per event type (stream_tumbling_count). */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(col("w.start").as("win_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** 1-hour sliding windows every 30 min (stream_sliding_avg shape). */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("win_start"), col("n"))
+
+  /** Per-user 30-min-gap session windows (stream_session_window). */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("w.start").as("session_start"), col("n"))
+
+  /** First event per (user, type): streaming dedup with watermark-bounded
+    * state (stream_dedup). */
+  def dedupFirst(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("user_id", "event_type")
+
+  /** Watermarked hourly counts in append mode — rows later than the
+    * 10-minute watermark are dropped (stream_watermark_late). */
+  def watermarkedHourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("win_start"), col("event_type"), col("n"))
+}

@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{Llm, LlmExtra, MultimodalQueries, Relational, Scalars, UdxQueries}
+import graft.llm.{Lsh, MinHash, SimHash, Winnowing}
+import graft.multimodal.{Media, MediaRow}
+
+/** Coverage for the oracle-exempt §2.B rows (SURVEY §5.2 layer 2): each
+  * one gets an independent correctness check since the DuckDB compare
+  * can't express it. */
+class OracleExemptSpec extends GraftSpec {
+
+  test("agg_approx_distinct within 5% of exact per group") {
+    val approx = Relational.aggApproxDistinct(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.tables.Tables.t(spark, sfDir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(countDistinct(col("o_custkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    for ((k, e) <- exact) {
+      val a = approx(k)
+      assert(math.abs(a - e).toDouble / e <= 0.05, s"$k: approx $a vs exact $e")
+    }
+  }
+
+  test("fn_map per-user map lookups equal plain pivoted counts") {
+    val got = Scalars.fnMap(spark, sfDir).collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)), r.getInt(3))).toSeq
+    val ev = graft.tables.Tables.t(spark, sfDir, "events")
+    val expected = ev.groupBy("user_id")
+      .agg(
+        sum(when(col("event_type") === "click", 1L)).as("clicks"),
+        sum(when(col("event_type") === "purchase", 1L)).as("purchases"),
+        countDistinct(col("event_type")).cast("int").as("n_types"))
+      .orderBy("user_id")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)), r.getInt(3))).toSeq
+    assert(got == expected)
+  }
+
+  test("udtf_ngrams generator matches a plain Scala reference count") {
+    val got = UdxQueries.udtfNgrams(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val names = graft.tables.Tables.t(spark, sfDir, "part")
+      .select("p_name").collect().map(_.getString(0))
+    val ref = names.flatMap(n => if (n.length < 3) Nil else (0 to n.length - 3).map(i => n.substring(i, i + 3)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (g, c) => (-c, g) }.take(20)
+    assert(got == ref)
+  }
+
+  test("minhash estimated Jaccard tracks exact Jaccard on real docs") {
+    val docs = graft.tables.Tables.t(spark, sfDir, "documents")
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = LlmExtra.llmDedupNgramJaccard(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.nonEmpty)
+    // On every exact-Jaccard pair, the 64-perm estimate is within 0.25
+    // (binomial σ = sqrt(J(1−J)/64) ≈ 0.06; 4σ bound).
+    pairs.take(200).foreach { case (a, b, jac) =>
+      val est = MinHash.estJaccard(MinHash.signature(docs(a)), MinHash.signature(docs(b)))
+      assert(math.abs(est - jac) <= 0.25, s"pair ($a,$b): exact $jac est $est")
+    }
+  }
+
+  test("llm_dedup_minhash output pairs have nontrivial exact Jaccard") {
+    val docs = graft.tables.Tables.t(spark, sfDir, "documents")
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = Llm.llmDedupMinhash(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.nonEmpty)
+    out.foreach { case (a, b, est) =>
+      val exact = MinHash.exactJaccard(docs(a), docs(b))
+      assert(math.abs(est - exact) <= 0.25, s"($a,$b) est=$est exact=$exact")
+    }
+  }
+
+  test("simhash: identical docs collide, banding finds all close pairs") {
+    val s1 = SimHash.simhash64("the quick brown fox jumps over the lazy dog")
+    val s2 = SimHash.simhash64("the quick brown fox jumps over the lazy dog")
+    assert(s1 == s2)
+    val s3 = SimHash.simhash64("the quick brown fox jumps over the lazy cat")
+    assert(SimHash.hamming(s1, s3) < SimHash.hamming(s1, SimHash.simhash64("completely different words entirely unrelated text")))
+    // pigeonhole: hamming <= 3 implies at least one of 4 bands equal
+    val flipped = s1 ^ 0x8000000000000001L ^ 0x10000L // 3 bits in 3 bands
+    assert((0 until SimHash.Bands).exists(b => SimHash.band(s1, b) == SimHash.band(flipped, b)))
+    val q = LlmExtra.llmDedupSimhash(spark, sfDir)
+    val rows = q.collect()
+    assert(rows.forall(_.getLong(2) <= 24))
+  }
+
+  test("lsh topk recall vs brute-force cosine topk") {
+    val brute = Llm.llmSimCosineTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = LlmExtra.llmSimLshTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.nonEmpty)
+    // LSH neighbors must be a plausible subset: every LSH hit's cosine is
+    // real; recall of the true top-5 should be well above random.
+    // Expected recall ≈ 13% on this unclustered random data (8 tables ×
+    // 8-bit buckets; near-neighbors at cos≈0.4 collide ~4× the random
+    // rate). Assert the mechanism finds at least one true neighbor and
+    // that candidate generation isn't degenerate (all or nothing).
+    val recall = brute.intersect(lsh).size.toDouble / brute.size
+    assert(recall > 0.0, s"LSH found none of the true top-5 (recall 0)")
+    assert(lsh.size < 500 * 10, "candidate set degenerated to all pairs")
+  }
+
+  test("winnowing guarantee: shared substring ⇒ shared fingerprint") {
+    val common = "abcdefghijklmnopqrstuvwxyz0123456789"
+    val d1 = "PREFIXONE " + common + " SUFFIXONE"
+    val d2 = "thisdiffers " + common + " andthisdifferstoo"
+    val f1 = Winnowing.fingerprints(d1).toSet
+    val f2 = Winnowing.fingerprints(d2).toSet
+    assert(f1.intersect(f2).nonEmpty) // shared run ≥ K+W−1 = 8 chars
+    assert(Winnowing.fingerprints(d1).toSeq == Winnowing.fingerprints(d1).toSeq)
+    val q = LlmExtra.llmFingerprint(spark, sfDir).collect()
+    assert(q.nonEmpty && q.forall(_.getInt(2) > 0))
+  }
+
+  test("mm_decode_stub is deterministic and typed") {
+    val m = MediaRow(7L, "image", "some bytes here".getBytes("UTF-8"))
+    assert(Media.decodeStub(m) == Media.decodeStub(m))
+    val meta = Media.decodeStub(m)
+    assert(meta.width >= 64 && meta.height >= 64 && meta.n_frames == 1)
+    val v = Media.decodeStub(MediaRow(8L, "video", "vid".getBytes))
+    assert(v.n_frames >= 25 && Media.sampleFrames(v, 25).nonEmpty)
+    val out = MultimodalQueries.mmDecodeStub(spark, sfDir).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("audio", "image", "video"))
+  }
+}

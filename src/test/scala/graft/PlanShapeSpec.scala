@@ -1,0 +1,57 @@
+package graft
+
+import graft.queries.Relational
+
+/** Physical-plan assertions (SURVEY §5.2): the *shape* is the point for
+  * these operators — a correct result with the wrong plan fails at
+  * 100 TB even though sf0.01 passes. */
+class PlanShapeSpec extends GraftSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  /** Formatted explain — shows scan details (PushedFilters/ReadSchema)
+    * and codegen ids even while AQE has not finalized the plan. */
+  private def fmt(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("join_broadcast actually broadcasts the dim side") {
+    assert(plan(Relational.joinBroadcast(spark, sfDir)).contains("BroadcastHashJoin"))
+  }
+
+  test("join_star_flagship broadcasts all dims; no dim-side shuffle join") {
+    val p = plan(Relational.joinStarFlagship(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("topk_global plans TakeOrderedAndProject, not a global sort") {
+    assert(plan(Relational.topkGlobal(spark, sfDir)).contains("TakeOrderedAndProject"))
+  }
+
+  test("scan_pushdown_filter pushes predicates into the parquet scan") {
+    val p = fmt(Relational.scanPushdownFilter(spark, sfDir))
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate") && p.contains("LessThan(l_quantity"))
+  }
+
+  test("scan_parquet_project prunes the read schema to selected columns") {
+    val p = plan(Relational.scanParquetProject(spark, sfDir))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && !readSchema.contains("l_shipdate"),
+      s"read schema not pruned: $readSchema")
+  }
+
+  test("agg_hash_groupby plans two-phase (partial + final) hash aggregation") {
+    val p = plan(Relational.aggHashGroupby(spark, sfDir))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "expected partial+final HashAggregate")
+  }
+
+  test("whole-stage codegen covers the flagship pipeline") {
+    // AQE only finalizes (and codegens) the plan on execution.
+    val df = Relational.joinStarFlagship(spark, sfDir)
+    df.collect()
+    // the simple plan string marks WholeStageCodegen stages as "*(n)"
+    val p = plan(df)
+    assert(p.contains("isFinalPlan=true") && p.contains("*("), p)
+  }
+}

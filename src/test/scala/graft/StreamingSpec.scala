@@ -1,0 +1,88 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.StreamOps
+
+case class TestEvent(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+/** Structured-Streaming twins of the stream_* operators, driven through
+  * MemoryStream micro-batches (SURVEY §5.2: mandatory coverage for
+  * stream_watermark_late, plus batch/stream agreement for the rest). */
+class StreamingSpec extends GraftSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def runBatches[A](q: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+                            mode: OutputMode,
+                            batches: Seq[Seq[TestEvent]]): Array[org.apache.spark.sql.Row] = {
+    implicit val sqlCtx = spark.sqlContext
+    import SparkSpecBase.spark.implicits._
+    val in = MemoryStream[TestEvent]
+    val sinkName = s"sink_${System.nanoTime()}"
+    val query = q(in.toDF()).writeStream
+      .format("memory").queryName(sinkName).outputMode(mode).start()
+    try {
+      batches.foreach { b => in.addData(b); query.processAllAvailable() }
+      spark.table(sinkName).collect()
+    } finally query.stop()
+  }
+
+  test("streaming tumbling counts equal the batch plan on the same rows") {
+    val rows = Seq(
+      TestEvent(ts("2024-01-01 01:00:00"), 1, "click", 1.0),
+      TestEvent(ts("2024-01-01 05:00:00"), 1, "click", 2.0),
+      TestEvent(ts("2024-01-01 09:00:00"), 2, "view", 3.0),
+      TestEvent(ts("2024-01-02 01:00:00"), 1, "click", 4.0))
+    val got = runBatches(StreamOps.tumblingCounts, OutputMode.Complete(), Seq(rows))
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3))).sorted
+    import SparkSpecBase.spark.implicits._
+    val batch = StreamOps.tumblingCounts(rows.toDF())
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3))).sorted
+    assert(got.sameElements(batch))
+    assert(got.length == 3)
+  }
+
+  test("streaming dedup keeps one row per (user, type)") {
+    val rows = Seq(
+      TestEvent(ts("2024-01-01 01:00:00"), 1, "click", 1.0),
+      TestEvent(ts("2024-01-01 01:05:00"), 1, "click", 99.0),
+      TestEvent(ts("2024-01-01 01:06:00"), 1, "view", 2.0))
+    val got = runBatches(StreamOps.dedupFirst, OutputMode.Append(), Seq(rows))
+    assert(got.length == 2)
+  }
+
+  test("session windows merge events within the 30-minute gap") {
+    val rows = Seq(
+      TestEvent(ts("2024-01-01 01:00:00"), 1, "click", 1.0),
+      TestEvent(ts("2024-01-01 01:20:00"), 1, "click", 1.0), // same session
+      TestEvent(ts("2024-01-01 03:00:00"), 1, "click", 1.0), // new session
+      // watermark driver: push watermark past 03:30 so sessions finalize
+      TestEvent(ts("2024-01-01 06:00:00"), 9, "view", 0.0))
+    val got = runBatches(StreamOps.sessionCounts, OutputMode.Complete(), Seq(rows))
+      .filter(_.getLong(0) == 1L)
+      .map(r => (r.getTimestamp(1).toString, r.getLong(2))).sorted
+    assert(got.toSeq == Seq(("2024-01-01 01:00:00.0", 2L), ("2024-01-01 03:00:00.0", 1L)))
+  }
+
+  test("stream_watermark_late: rows behind the watermark are dropped") {
+    val batch1 = Seq(
+      TestEvent(ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+      TestEvent(ts("2024-01-01 10:15:00"), 2, "click", 1.0))
+    // advances watermark to 11:50 — the 10:00 window can finalize
+    val batch2 = Seq(TestEvent(ts("2024-01-01 12:00:00"), 3, "view", 1.0))
+    // LATE: 10:30 is far behind watermark 11:50 → must be dropped
+    val batch3 = Seq(TestEvent(ts("2024-01-01 10:30:00"), 4, "click", 1.0))
+    // advances watermark past 13:00 so the 12:00 window also emits
+    val batch4 = Seq(TestEvent(ts("2024-01-01 14:00:00"), 5, "view", 1.0))
+    val got = runBatches(StreamOps.watermarkedHourlyCounts, OutputMode.Append(),
+      Seq(batch1, batch2, batch3, batch4))
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+    // 10:00 click window counts ONLY the two on-time rows — the late
+    // 10:30 click did not resurrect or grow the finalized window.
+    assert(got.contains(("2024-01-01 10:00:00.0", "click", 2L)), s"got $got")
+    assert(!got.exists { case (w, t, n) => w == "2024-01-01 10:00:00.0" && t == "click" && n != 2L })
+  }
+}
