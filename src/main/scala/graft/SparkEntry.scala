@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Llm, LlmExtra, MultimodalQueries, Relational, Scalars, StreamingQueries, UdxQueries}
+import graft.queries.{CensusQueries, Llm, LlmExtra, MultimodalQueries, Relational, Scalars, StreamingQueries, UdxQueries}
 import graft.oracle.OracleSql
 
 /** Driver contract — see /root/repo/SURVEY.md §2.B (the declared operator
@@ -96,7 +96,9 @@ object SparkEntry {
     "llm_fingerprint" -> LlmExtra.llmFingerprint _,
     // multimodal binary columns
     "mm_binary_features" -> MultimodalQueries.mmBinaryFeatures _,
-    "mm_decode_stub" -> MultimodalQueries.mmDecodeStub _
+    "mm_decode_stub" -> MultimodalQueries.mmDecodeStub _,
+    // census ETL (reference §2.A pipeline over the checked-in fixture)
+    "ingest_census_csv" -> CensusQueries.ingestCensusCsv _
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on

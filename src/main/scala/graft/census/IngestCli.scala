@@ -1,0 +1,63 @@
+package graft.census
+
+import org.apache.spark.sql.SparkSession
+import scala.io.Source
+
+/** CLI entry point mirroring the reference's argparse surface
+  * (SURVEY §2.A A14, upstream:censuspgsql/acs2pgsql.py::main):
+  *
+  *   runMain graft.census.IngestCli \
+  *     --year 2014 --span 5 --states xa,xb \
+  *     --data-dir src/main/resources/acs \
+  *     --lookup src/main/resources/acs/ACS_5yr_Seq_Table_Number_Lookup.txt \
+  *     --out /tmp/acs_out            # parquet output dir
+  *     [--pg-dsn "host=... dbname=..."]   # optional COPY-pipe sink
+  *
+  * The HTTP download / unzip stages (A1/A2) are out of scope at runtime
+  * (zero egress): the CLI starts from a local data dir, exactly as the
+  * driver's testdata pipeline does.
+  */
+object IngestCli {
+
+  def main(args: Array[String]): Unit = {
+    val opts = args.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
+    val year = opts.getOrElse("--year", "2014").toInt
+    val span = opts.getOrElse("--span", "5").toInt
+    val states = opts.getOrElse("--states", "xa,xb").split(",").toSeq
+    val dataDir = opts("--data-dir")
+    val lookup = opts("--lookup")
+    val out = opts.get("--out")
+    val dsn = opts.get("--pg-dsn")
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val src = Source.fromFile(lookup)
+    val metas = try Metadata.parseLookup(src.getLines()) finally src.close()
+    val schemaName = s"acs${year}_${span}yr"
+    val (geo, est, moe) = Ingest.ingestSequence(spark, dataDir, year, span, states, metas)
+
+    println(PgSink.createSchemaDdl(schemaName).mkString(";\n"))
+    metas.foreach { m =>
+      println(PgSink.createTableDdl(schemaName, m, moe = false).mkString(";\n"))
+      println(PgSink.createTableDdl(schemaName, m, moe = true).mkString(";\n"))
+    }
+
+    val all = Map("geoheader" -> geo) ++ est ++ moe
+    out.foreach { dir =>
+      all.foreach { case (name, df) =>
+        df.coalesce(1).write.mode("overwrite").parquet(s"$dir/$name")
+        println(s"[ingest] wrote $dir/$name (${df.count()} rows)")
+      }
+    }
+    dsn.foreach { d =>
+      all.foreach { case (name, df) => PgSink.writeCopy(df, d, s"$schemaName.$name") }
+    }
+    spark.stop()
+  }
+}

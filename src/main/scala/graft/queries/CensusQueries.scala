@@ -1,0 +1,46 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.io.Source
+import graft.census.{Ingest, Metadata}
+
+/** The reference-equivalent ETL pipeline as a graded query
+  * (SURVEY §2.B ingest_census_csv): metadata parse → declared-schema
+  * CSV scans → cell slice/coerce/rename → estimates ⋈ geoheader, over
+  * the checked-in synthetic ACS fixture (FIXTURES.md §B — the real
+  * census.gov inputs are unreachable, zero egress). Oracle-exempt;
+  * CensusIngestSpec golden-checks every stage.
+  */
+object CensusQueries {
+
+  /** Fixture directory: resolved from the classpath (sbt runs with
+    * resources as plain directories), falling back to the repo path. */
+  private[graft] def fixtureDir: String = {
+    val url = getClass.getResource("/acs/ACS_5yr_Seq_Table_Number_Lookup.txt")
+    if (url != null && url.getProtocol == "file")
+      new java.io.File(url.getPath).getParent
+    else "/root/repo/src/main/resources/acs"
+  }
+
+  private[graft] def fixtureMetas: Seq[graft.census.TableMeta] = {
+    val src = Source.fromFile(s"$fixtureDir/ACS_5yr_Seq_Table_Number_Lookup.txt")
+    try Metadata.parseLookup(src.getLines()) finally src.close()
+  }
+
+  /** geoheader ⋈ b00001 estimates, aggregated per summary level — the
+    * canonical consumer query shape of the reference's output database
+    * (SURVEY §3.3). */
+  def ingestCensusCsv(s: SparkSession, dir: String): DataFrame = {
+    val (geo, est, _) =
+      Ingest.ingestSequence(s, fixtureDir, 2014, 5, Seq("xa", "xb"), fixtureMetas)
+    est("b00001")
+      .join(geo, Seq("stusab", "logrecno"))
+      .groupBy("sumlevel")
+      .agg(
+        count(lit(1)).as("n_geo"),
+        sum(col("b00001001")).as("sum_total"),
+        sum(col("b00001002")).as("sum_male"))
+      .orderBy("sumlevel")
+  }
+}

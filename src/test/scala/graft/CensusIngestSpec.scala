@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.census.{Ingest, Metadata, PgSink}
+import graft.queries.CensusQueries
+
+/** Golden-output tests for the reference-equivalent ETL path
+  * (SURVEY §5.2 layer 4, FIXTURES.md §B expected outputs). */
+class CensusIngestSpec extends GraftSpec {
+
+  private lazy val metas = CensusQueries.fixtureMetas
+  private lazy val dir = CensusQueries.fixtureDir
+  private lazy val pipeline =
+    Ingest.ingestSequence(spark, dir, 2014, 5, Seq("xa", "xb"), metas)
+
+  test("lookup parse: tables, cells, universe, cell titles (A3)") {
+    assert(metas.map(_.tableId) == Seq("B00001", "B00002"))
+    val b1 = metas.head
+    assert(b1.cells == 2 && b1.startPos == 7 && b1.sequence == 1)
+    assert(b1.title == "POPULATION, TOTAL") // quoted-comma CSV field
+    assert(b1.universe == "Universe:  Total population") // 0.5 row skipped as cell
+    assert(b1.cellTitles.map(_.title) == Seq("Total:", "Male:"))
+    assert(metas(1).cells == 3 && metas(1).startPos == 9)
+  }
+
+  test("metadata-derived schema (A4)") {
+    val sch = metas.head.schema
+    assert(sch.fieldNames.toSeq == Seq("stusab", "logrecno", "b00001001", "b00001002"))
+    assert(sch("b00001001").dataType == DoubleType)
+    val seqSch = Metadata.sequenceSchema(metas)
+    assert(seqSch.fieldNames.length == 6 + 5)
+    assert(seqSch.fieldNames.slice(6, 11).toSeq ==
+      Seq("b00001001", "b00001002", "b00002001", "b00002002", "b00002003"))
+  }
+
+  test("geoheader ingest: 10 rows, PK-unique, declared schema (A5)") {
+    val geo = pipeline._1
+    assert(geo.count() == 10)
+    assert(geo.select("stusab", "logrecno").distinct().count() == 10)
+    assert(geo.schema("logrecno").dataType == IntegerType)
+    val r = geo.filter(col("stusab") === "xa" && col("logrecno") === 2).collect()(0)
+    assert(r.getAs[String]("name") == "Tract 1, XA") // quoted comma survives
+    assert(r.getAs[String]("sumlevel") == "140")
+  }
+
+  test("estimates slice + null coercion + rename (A6-A9)") {
+    val b1 = pipeline._2("b00001")
+    assert(b1.columns.toSeq == Seq("stusab", "logrecno", "b00001001", "b00001002"))
+    assert(b1.count() == 10)
+    val xa2 = b1.filter(col("stusab") === "xa" && col("logrecno") === 2).collect()(0)
+    assert(xa2.getAs[Double]("b00001001") == 800.0)
+    assert(xa2.isNullAt(xa2.fieldIndex("b00001002"))) // '' → NULL
+    val b2 = pipeline._2("b00002")
+    val xa2b = b2.filter(col("stusab") === "xa" && col("logrecno") === 2).collect()(0)
+    assert(xa2b.isNullAt(xa2b.fieldIndex("b00002003"))) // '.' → NULL
+    val xb3 = b1.filter(col("stusab") === "xb" && col("logrecno") === 3).collect()(0)
+    assert(xb3.isNullAt(xb3.fieldIndex("b00001002"))) // xb '.' cell
+  }
+
+  test("MOE twin with jam value passthrough (A10-A11)") {
+    val moe = pipeline._3("b00001_moe")
+    assert(moe.count() == 10) // two states unioned by the multi-path scan
+    val xa2 = moe.filter(col("stusab") === "xa" && col("logrecno") === 2).collect()(0)
+    assert(xa2.getAs[Double]("b00001002") == -555555555.0) // jam, not NULL
+  }
+
+  test("sink DDL carries schema, PK, and COMMENT metadata (A4/A13)") {
+    val ddl = PgSink.createSchemaDdl("acs2014_5yr") ++
+      PgSink.createTableDdl("acs2014_5yr", metas.head, moe = false)
+    val all = ddl.mkString(";\n")
+    assert(all.contains("DROP SCHEMA IF EXISTS acs2014_5yr CASCADE"))
+    assert(all.contains("CREATE TABLE acs2014_5yr.b00001"))
+    assert(all.contains("b00001001 DOUBLE PRECISION"))
+    assert(all.contains("PRIMARY KEY (stusab, logrecno)"))
+    assert(all.contains("COMMENT ON TABLE acs2014_5yr.b00001 IS 'POPULATION, TOTAL (Universe:  Total population)'"))
+    assert(all.contains("COMMENT ON COLUMN acs2014_5yr.b00001.b00001002 IS 'Male:'"))
+  }
+
+  test("ingest_census_csv consumer query golden values") {
+    val got = CensusQueries.ingestCensusCsv(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    // per-sumlevel totals hand-computed from the fixture e-files
+    assert(got.map(_._1) == Seq("040", "140", "150"))
+    assert(got.map(_._2) == Seq(2L, 4L, 4L))
+    assert(got.map(_._3) == Seq(1200.0 + 2200.0, 800.0 + 650.0 + 1800.0 + 1650.0,
+      400.0 + 350.0 + 1400.0 + 1350.0))
+  }
+}

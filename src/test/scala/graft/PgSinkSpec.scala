@@ -1,0 +1,50 @@
+package graft
+
+import scala.sys.process._
+import graft.census.PgSink
+
+/** Postgres sink (SURVEY §2.B sink_postgres): COPY text formatting is
+  * unit-tested always; the live end-to-end COPY smoke runs against a
+  * scratch initdb'd PG 15 when the local postgres binaries can start
+  * one (they exist in this container — SURVEY §0), else it cancels. */
+class PgSinkSpec extends GraftSpec {
+
+  test("COPY text formatting: tabs, nulls, escapes") {
+    import SparkSpecBase.spark.implicits._
+    val df = Seq(("a\tb", Some(1.5)), ("line\nbreak", None)).toDF("s", "d")
+    val lines = df.collect().map(PgSink.copyLine)
+    assert(lines(0) == "a\\tb\t1.5")
+    assert(lines(1) == "line\\nbreak\t\\N")
+  }
+
+  private val dataDir = "/tmp/graft_pgdata"
+  private val sockDir = "/tmp/graft_pgsock"
+  private val port = 54334
+  private def dsn = s"host=$sockDir port=$port dbname=postgres user=postgres"
+
+  private def sh(cmd: String): Int = Seq("bash", "-c", cmd).! // exit code
+
+  private def startPg(): Boolean = {
+    if (sh(s"""psql "$dsn" -c 'select 1' >/dev/null 2>&1""") == 0) return true
+    sh(s"rm -rf $dataDir $sockDir && mkdir -p $dataDir $sockDir && chown postgres:postgres $dataDir $sockDir")
+    if (sh(s"""cd /tmp && su postgres -s /bin/bash -c "initdb -D $dataDir" >/dev/null 2>&1""") != 0) return false
+    if (sh(s"""cd /tmp && su postgres -s /bin/bash -c "pg_ctl -D $dataDir -o '-p $port -k $sockDir -c listen_addresses=' -l $dataDir/pg.log start" >/dev/null 2>&1""") != 0) return false
+    Thread.sleep(1500)
+    sh(s"""psql "$dsn" -c 'select 1' >/dev/null 2>&1""") == 0
+  }
+
+  test("live COPY-pipe sink round-trips a DataFrame into Postgres") {
+    assume(startPg(), "scratch postgres could not be started")
+    import SparkSpecBase.spark.implicits._
+    sh(s"""psql "$dsn" -c 'DROP TABLE IF EXISTS graft_sink; CREATE TABLE graft_sink(k bigint, v text, x double precision)'""")
+    val rows: Seq[(Long, String, java.lang.Double)] = (1 to 100).map(i =>
+      (i.toLong, if (i % 10 == 0) null else s"v$i",
+        if (i % 7 == 0) null else java.lang.Double.valueOf(i + 0.25)))
+    val df = rows.toDF("k", "v", "x").repartition(3)
+    df.collect() // materialize input before the sink runs
+    PgSink.writeCopy(df, dsn, "graft_sink")
+    val out = Seq("bash", "-c",
+      s"""psql "$dsn" -tAc 'SELECT count(*), count(v), count(x), sum(k) FROM graft_sink'""").!!.trim
+    assert(out == "100|90|86|5050", s"got: $out")
+  }
+}
