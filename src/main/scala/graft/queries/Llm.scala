@@ -61,10 +61,14 @@ object Llm {
       .filter(col("pid") =!= col("vec_id"))
       .select(col("pid"), col("vec_id").as("nid"),
         round(Vectors.cosineWithNorms(Vectors.dot(col("pv"), col("v")), col("pnorm"), col("nrm")), 4).as("cos"))
-    val w = Window.partitionBy("pid").orderBy(desc("cos"), asc("nid"))
-    pairs.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= 5)
-      .select("pid", "nid", "cos", "rnk")
+    // bounded-heap top-k aggregate (graft.udx.TopKAggregator) instead of
+    // a window row_number: each input partition reduces to ≤ 5 rows per
+    // probe before the shuffle — no per-probe global sort, no skew.
+    pairs.groupBy("pid")
+      .agg(graft.udx.TopKAggregator.topk(5)(col("cos"), col("nid")).as("tk"))
+      .select(col("pid"), posexplode(col("tk.items")))
+      .select(col("pid"), col("col._2").as("nid"), col("col._1").as("cos"),
+        (col("pos") + 1).cast("long").as("rnk"))
       .orderBy("pid", "rnk")
   }
 

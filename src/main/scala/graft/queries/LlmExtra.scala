@@ -21,9 +21,11 @@ object LlmExtra {
     * equi-join, exact Hamming filter on candidates. Oracle-exempt
     * (seeded hashes); ScalaTest checks signatures and band recall. */
   def llmDedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    val shUdf = udf((text: String) => SimHash.simhash64(text))
+    // native Catalyst expression (graft.udx.SimHashExpression) — no UDF
+    // serialization boundary in the signature map pass
+    graft.udx.NGrams.registerAll(s)
     val sigs = t(s, dir, "documents")
-      .select(col("doc_id"), shUdf(col("text")).as("sig"))
+      .select(col("doc_id"), expr("graft_simhash(text)").as("sig"))
     val bandStructs = array((0 until SimHash.Bands).map { b =>
       struct(lit(b).as("band"),
         shiftrightunsigned(col("sig"), b * SimHash.BandBits).bitwiseAND(lit(0xFFFFL)).as("bkey"))

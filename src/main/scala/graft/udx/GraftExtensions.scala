@@ -1,0 +1,42 @@
+package graft.udx
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+import graft.llm.SimHash
+
+/** Native scalar expression: `graft_simhash(text)` → 64-bit SimHash
+  * signature. Unary, null-safe, deterministic; CodegenFallback keeps it
+  * inside the generated pipeline (one virtual call per row) without
+  * hand-written codegen. */
+case class SimHashExpression(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    SimHash.simhash64(input.asInstanceOf[UTF8String].toString)
+  override def prettyName: String = "graft_simhash"
+  override protected def withNewChildInternal(newChild: Expression): SimHashExpression =
+    copy(child = newChild)
+}
+
+/** Session extension point (`spark.sql.extensions=graft.udx.GraftExtensions`):
+  * registers the engine's custom SQL functions at session build time so
+  * any SQL client on the cluster sees them — the production equivalent
+  * of the per-session `NGrams.register` used in tests. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_ngrams"),
+      new ExpressionInfo(classOf[NGramsGenerator].getName, "graft_ngrams"),
+      (exprs: Seq[Expression]) =>
+        NGramsGenerator(exprs.head, exprs(1).eval(null).asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHashExpression].getName, "graft_simhash"),
+      (exprs: Seq[Expression]) => SimHashExpression(exprs.head)))
+  }
+}

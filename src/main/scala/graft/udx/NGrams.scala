@@ -41,4 +41,15 @@ object NGrams {
       "graft_ngrams",
       exprs => NGramsGenerator(exprs.head, exprs(1).eval(null).asInstanceOf[Int]),
       "scala_udf")
+
+  /** Registers every graft_* function on an already-built session —
+    * per-session equivalent of installing `GraftExtensions` via
+    * `spark.sql.extensions` at session build time. Idempotent. */
+  def registerAll(spark: SparkSession): Unit = {
+    register(spark)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash",
+      exprs => SimHashExpression(exprs.head),
+      "scala_udf")
+  }
 }

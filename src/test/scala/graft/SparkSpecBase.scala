@@ -13,6 +13,9 @@ object SparkSpecBase {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // install the engine's custom functions the production way, so
+      // tests exercise the SparkSessionExtensions path end-to-end
+      .config("spark.sql.extensions", "graft.udx.GraftExtensions")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.SimHash
+import graft.udx.TopKAggregator
+
+/** Custom-extension coverage: SparkSessionExtensions function install,
+  * the native SimHash expression, and the bounded-heap top-k aggregate
+  * vs the window formulation it replaces. */
+class UdxSpec extends GraftSpec {
+
+  test("GraftExtensions installs graft_* functions at session build time") {
+    // no NGrams.register call here — the functions must come from the
+    // spark.sql.extensions config on the shared test session
+    val ng = spark.sql("SELECT graft_ngrams('abcd', 3) AS g").collect().map(_.getString(0))
+    assert(ng.toSeq == Seq("abc", "bcd"))
+    val sh = spark.sql("SELECT graft_simhash('a b c') AS s").collect()(0).getLong(0)
+    assert(sh == SimHash.simhash64("a b c"))
+  }
+
+  test("native simhash expression is null-safe and matches the Scala impl") {
+    import SparkSpecBase.spark.implicits._
+    val df = Seq(Some("x y z"), None).toDF("t")
+      .selectExpr("graft_simhash(t) AS s")
+    val rows = df.collect()
+    assert(rows(0).getLong(0) == SimHash.simhash64("x y z"))
+    assert(rows(1).isNullAt(0))
+  }
+
+  test("bounded-heap topk equals window row_number topk") {
+    val orders = graft.tables.Tables.t(spark, sfDir, "orders")
+      .select(col("o_custkey"), round(col("o_totalprice"), 2).as("score"), col("o_orderkey"))
+    val viaAgg = orders.groupBy("o_custkey")
+      .agg(TopKAggregator.topk(3)(col("score"), col("o_orderkey")).as("tk"))
+      .select(col("o_custkey"), posexplode(col("tk.items")))
+      .select(col("o_custkey"), col("col._2").as("id"), col("col._1").as("score"),
+        (col("pos") + 1).as("rnk"))
+      .orderBy("o_custkey", "rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(desc("score"), asc("o_orderkey"))
+    val viaWindow = orders.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("o_custkey", "o_orderkey", "score", "rnk")
+      .orderBy("o_custkey", "rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(viaAgg.toSeq == viaWindow.toSeq)
+  }
+
+  test("topk partial aggregation: merge of disjoint buffers is ordered and capped") {
+    val agg = new TopKAggregator.TopK(3)
+    val a = Seq((0.9, 1L), (0.5, 2L), (0.1, 3L)).foldLeft(agg.zero)(agg.reduce)
+    val b = Seq((0.8, 4L), (0.5, 1L), (0.95, 9L)).foldLeft(agg.zero)(agg.reduce)
+    val m = agg.merge(a, b).items
+    assert(m == Seq((0.95, 9L), (0.9, 1L), (0.8, 4L)))
+  }
+}
