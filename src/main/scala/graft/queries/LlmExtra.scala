@@ -38,8 +38,12 @@ object LlmExtra {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
-      .distinct()
+      // Hamming cut BEFORE the distinct: the band join emits tens of
+      // millions of candidate pairs at sf0.1 and deduplicating them all
+      // costs a full shuffle of the candidate set; filtering first
+      // shrinks the distinct to the (tiny) near-dup set.
       .filter(col("hamming") <= 24)
+      .distinct()
       .orderBy("hamming", "doc_a", "doc_b")
       .limit(100)
   }
