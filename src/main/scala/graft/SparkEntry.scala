@@ -87,8 +87,9 @@ object SparkEntry {
     "llm_dedup_simhash" -> LlmExtra.llmDedupSimhash _,
     "llm_dedup_ngram_jaccard" -> LlmExtra.llmDedupNgramJaccard _,
     "llm_dedup_embed_cosine" -> LlmExtra.llmDedupEmbedCosine _,
-    // similarity-search scale path
+    // similarity-search scale paths
     "llm_sim_lsh_topk" -> LlmExtra.llmSimLshTopk _,
+    "llm_sim_ivf_topk" -> LlmExtra.llmSimIvfTopk _,
     // text-analysis family
     "llm_lang_id" -> LlmExtra.llmLangId _,
     "llm_quality_score" -> LlmExtra.llmQualityScore _,

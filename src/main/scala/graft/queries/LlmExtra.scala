@@ -124,6 +124,48 @@ object LlmExtra {
       .orderBy("pid", "rnk")
   }
 
+  /** ANN via IVF coarse quantization (the second scale path next to
+    * LSH): assign every vector to its nearest of 16 cells, probe only
+    * the 2 nearest cells per query vector — cell-key equi-join instead
+    * of a cross join. Cell argmax and final top-5 both use the
+    * bounded-heap TopK aggregate. Oracle-exempt; ScalaTest measures
+    * recall vs brute force. */
+  def llmSimIvfTopk(s: SparkSession, dir: String): DataFrame = {
+    import graft.llm.Ivf
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), graft.llm.Vectors.toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", graft.llm.Vectors.norm(col("v")))
+    val cents = emb.filter(col("vec_id") < Ivf.NCells)
+      .select(col("vec_id").cast("long").as("cell"), col("v").as("cv"))
+    val scored = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cell"), graft.llm.Vectors.dot(col("v"), col("cv")).as("d"))
+    // nearest cell per vector / 2 nearest per probe — argmax via the
+    // bounded-heap aggregate (score desc, cell asc tiebreak)
+    val assigned = scored.groupBy("vec_id")
+      .agg(graft.udx.TopKAggregator.topk(1)(col("d"), col("cell")).as("tk"))
+      .select(col("vec_id"), col("tk.items")(0).getField("_2").as("cell"))
+      .join(emb, "vec_id")
+    val probeCells = scored.filter(col("vec_id") < 10)
+      .groupBy("vec_id")
+      .agg(graft.udx.TopKAggregator.topk(Ivf.NProbe)(col("d"), col("cell")).as("tk"))
+      .select(col("vec_id").as("pid"), explode(col("tk.items")).as("it"))
+      .select(col("pid"), col("it._2").as("cell"))
+      .join(emb.select(col("vec_id").as("pid"), col("v").as("pv"), col("nrm").as("pnorm")), "pid")
+    val cands = assigned.join(probeCells, "cell")
+      .filter(col("vec_id") =!= col("pid"))
+      .select(col("pid"), col("vec_id").as("nid"), col("pv"), col("v"), col("pnorm"), col("nrm"))
+      .distinct()
+    val pairs = cands.select(col("pid"), col("nid"),
+      round(graft.llm.Vectors.cosineWithNorms(
+        graft.llm.Vectors.dot(col("pv"), col("v")), col("pnorm"), col("nrm")), 4).as("cos"))
+    pairs.groupBy("pid")
+      .agg(graft.udx.TopKAggregator.topk(5)(col("cos"), col("nid")).as("tk"))
+      .select(col("pid"), posexplode(col("tk.items")))
+      .select(col("pid"), col("col._2").as("nid"), col("col._1").as("cos"),
+        (col("pos") + 1).cast("long").as("rnk"))
+      .orderBy("pid", "rnk")
+  }
+
   // ------------------------------------------------------- text analysis
 
   /** Character-3-gram language ID, self-trained: per-language top-50 gram

@@ -1,0 +1,43 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom arbitrary state via `mapGroupsWithState` (SURVEY north star:
+  * KeyValueGroupedDataset state for what windowed aggs can't express).
+  *
+  * The operator keeps one running per-user aggregate across ALL
+  * micro-batches — cumulative count, cumulative value, last event time —
+  * i.e. state that never aligns to a window boundary. The state store
+  * holds one small record per user; with a real workload a timeout
+  * (`GroupStateTimeout`) would expire idle users to bound state size at
+  * 100 TB/day — wired here, set to NoTimeout for deterministic tests.
+  */
+final case class UserEvent(ts: java.sql.Timestamp, user_id: Long, event_type: String, value: Double)
+final case class UserRunning(user_id: Long, n_events: Long, total_value: Double, last_ts: java.sql.Timestamp)
+
+object Stateful {
+
+  def updateUser(
+      uid: Long,
+      events: Iterator[UserEvent],
+      state: GroupState[UserRunning]): UserRunning = {
+    val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0, new java.sql.Timestamp(0)))
+    val next = events.foldLeft(prev) { (acc, e) =>
+      UserRunning(uid, acc.n_events + 1, acc.total_value + e.value,
+        if (e.ts.after(acc.last_ts)) e.ts else acc.last_ts)
+    }
+    state.update(next)
+    next
+  }
+
+  /** Running per-user totals across micro-batches. Use with
+    * `OutputMode.Update` — each batch emits only the users it touched. */
+  def runningUserTotals(events: Dataset[UserEvent]): Dataset[UserRunning] = {
+    implicit val enc = Encoders.product[UserRunning]
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(updateUser)
+  }
+
+  val outputMode: OutputMode = OutputMode.Update()
+}

@@ -107,6 +107,35 @@ class OracleExemptSpec extends GraftSpec {
     assert(lsh.size < 500 * 10, "candidate set degenerated to all pairs")
   }
 
+  test("ivf topk recall vs brute-force cosine topk") {
+    val brute = Llm.llmSimCosineTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = LlmExtra.llmSimIvfTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.nonEmpty)
+    // probing 2 of 16 cells scans ~1/8 of the corpus; near neighbors
+    // cluster into the probe's own cell, so recall must beat that rate
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall > 0.125, s"IVF recall $recall not above the 2/16 scan rate")
+  }
+
+  test("salted skew join equals the plain join on skewed data") {
+    import SparkSpecBase.spark.implicits._
+    // 90% of the large side lands on key 7 — the skew shape
+    val large = (1 to 5000).map(i => (if (i % 10 == 0) i % 5 else 7, i.toLong))
+      .toDF("k", "payload")
+    val small = Seq((7, "hot"), (0, "a"), (1, "b"), (2, "c"), (3, "d"), (4, "e"))
+      .toDF("k", "name")
+    val salted = graft.operators.SkewJoin
+      .saltedInnerJoin(large, small, "k", 8, col("payload"))
+      .select("k", "payload", "name")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSet
+    val plain = large.join(small, "k")
+      .select("k", "payload", "name")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSet
+    assert(salted == plain && salted.size == 5000)
+  }
+
   test("winnowing guarantee: shared substring ⇒ shared fingerprint") {
     val common = "abcdefghijklmnopqrstuvwxyz0123456789"
     val d1 = "PREFIXONE " + common + " SUFFIXONE"

@@ -67,6 +67,30 @@ class StreamingSpec extends GraftSpec {
     assert(got.toSeq == Seq(("2024-01-01 01:00:00.0", 2L), ("2024-01-01 03:00:00.0", 1L)))
   }
 
+  test("mapGroupsWithState carries per-user running totals across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import SparkSpecBase.spark.implicits._
+    import graft.streaming.{Stateful, UserEvent}
+    val in = MemoryStream[UserEvent]
+    val sinkName = s"state_sink_${System.nanoTime()}"
+    val query = Stateful.runningUserTotals(in.toDS()).writeStream
+      .format("memory").queryName(sinkName).outputMode(Stateful.outputMode).start()
+    try {
+      in.addData(UserEvent(ts("2024-01-01 01:00:00"), 1, "click", 1.5),
+        UserEvent(ts("2024-01-01 01:01:00"), 1, "view", 2.0),
+        UserEvent(ts("2024-01-01 01:02:00"), 2, "click", 7.0))
+      query.processAllAvailable()
+      in.addData(UserEvent(ts("2024-01-01 02:00:00"), 1, "click", 4.0))
+      query.processAllAvailable()
+      // Update mode appends each batch's touched users; the LAST row per
+      // user is the cumulative state spanning both micro-batches.
+      val last = spark.table(sinkName).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).map { case (u, rs) => rs.maxBy(_._2) }.toSet
+      assert(last == Set((1L, 3L, 7.5), (2L, 1L, 7.0)))
+    } finally query.stop()
+  }
+
   test("stream_watermark_late: rows behind the watermark are dropped") {
     val batch1 = Seq(
       TestEvent(ts("2024-01-01 10:05:00"), 1, "click", 1.0),
