@@ -15,10 +15,16 @@ object Bench {
     // ~5s one-off otherwise lands on whichever query runs first
     try SparkEntry.queries("scan_parquet_project")(spark, sfDir).count()
     catch { case _: Throwable => () }
+    // min of two runs per query: single-shot timings on a shared VM are
+    // exposed to transient host contention (observed 4x outliers); the
+    // min is the steady-state cost of the plan
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

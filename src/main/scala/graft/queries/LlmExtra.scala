@@ -144,20 +144,23 @@ object LlmExtra {
     val assigned = scored.groupBy("vec_id")
       .agg(graft.udx.TopKAggregator.topk(1)(col("d"), col("cell")).as("tk"))
       .select(col("vec_id"), col("tk.items")(0).getField("_2").as("cell"))
-      .join(emb, "vec_id")
     val probeCells = scored.filter(col("vec_id") < 10)
       .groupBy("vec_id")
       .agg(graft.udx.TopKAggregator.topk(Ivf.NProbe)(col("d"), col("cell")).as("tk"))
       .select(col("vec_id").as("pid"), explode(col("tk.items")).as("it"))
       .select(col("pid"), col("it._2").as("cell"))
-      .join(emb.select(col("vec_id").as("pid"), col("v").as("pv"), col("nrm").as("pnorm")), "pid")
-    val cands = assigned.join(probeCells, "cell")
+    // dedup candidate PAIRS before re-attaching vectors — a distinct over
+    // 64-element array columns would hash/compare the full vectors
+    val candIds = assigned.select(col("vec_id"), col("cell")).join(probeCells, "cell")
       .filter(col("vec_id") =!= col("pid"))
-      .select(col("pid"), col("vec_id").as("nid"), col("pv"), col("v"), col("pnorm"), col("nrm"))
+      .select(col("pid"), col("vec_id").as("nid"))
       .distinct()
-    val pairs = cands.select(col("pid"), col("nid"),
-      round(graft.llm.Vectors.cosineWithNorms(
-        graft.llm.Vectors.dot(col("pv"), col("v")), col("pnorm"), col("nrm")), 4).as("cos"))
+    val pairs = candIds
+      .join(emb.select(col("vec_id").as("pid"), col("v").as("pv"), col("nrm").as("pnorm")), "pid")
+      .join(emb.select(col("vec_id").as("nid"), col("v"), col("nrm")), "nid")
+      .select(col("pid"), col("nid"),
+        round(graft.llm.Vectors.cosineWithNorms(
+          graft.llm.Vectors.dot(col("pv"), col("v")), col("pnorm"), col("nrm")), 4).as("cos"))
     pairs.groupBy("pid")
       .agg(graft.udx.TopKAggregator.topk(5)(col("cos"), col("nid")).as("tk"))
       .select(col("pid"), posexplode(col("tk.items")))
