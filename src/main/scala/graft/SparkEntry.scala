@@ -44,6 +44,7 @@ object SparkEntry {
     "agg_rollup" -> Relational.aggRollup _,
     "agg_cube" -> Relational.aggCube _,
     "agg_having" -> Relational.aggHaving _,
+    "agg_pivot" -> Relational.aggPivot _,
     "agg_stats" -> Relational.aggStats _,
     // windows
     "window_rank" -> Relational.windowRank _,

@@ -165,6 +165,13 @@ object OracleSql {
       FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
       ORDER BY flag, status""",
 
+    "agg_pivot" -> """
+      SELECT o_orderpriority,
+             CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+             CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
+             CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_p
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
     "agg_having" -> """
       SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
       FROM orders GROUP BY o_orderpriority HAVING count(*) > 100

@@ -254,6 +254,21 @@ object Relational {
         coalesce(col("l_linestatus"), lit("ALL")).as("status"), col("n"), col("sum_qty"))
       .orderBy("flag", "status")
 
+  /** Pivot: long→wide reshaping with an explicit value list (explicit
+    * values keep the plan a single pass — no distinct-collect pre-query —
+    * and make the output schema static, which is what a 100 TB pipeline
+    * wants anyway). */
+  def aggPivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+      .orderBy("o_orderpriority")
+
   /** HAVING = post-aggregation filter. */
   def aggHaving(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
