@@ -55,7 +55,14 @@ object Ingest {
       span: Int,
       states: Seq[String],
       metas: Seq[TableMeta]): (DataFrame, Map[String, DataFrame], Map[String, DataFrame]) = {
+    require(metas.nonEmpty, "ingestSequence: empty table metadata")
     val seqNo = metas.head.sequence
+    // Real ACS lookups span many sequences whose start positions each
+    // restart at 7; mixing them here would silently misalign the declared
+    // CSV schema against the one sequence file actually read.
+    require(metas.forall(_.sequence == seqNo),
+      s"ingestSequence: metas span sequences ${metas.map(_.sequence).distinct.sorted.mkString(",")}; " +
+        "group by sequence first (use ingestAll)")
     val geo = readGeoheader(spark,
       states.map(st => s"$dataDir/g$year$span$st.csv"))
     val ePaths = states.map(st => f"$dataDir/e$year$span$st$seqNo%04d000.txt")
@@ -64,6 +71,30 @@ object Ingest {
     val mSeq = readSequence(spark, mPaths, metas)
     val est = metas.map(m => m.tableId.toLowerCase -> tableFrame(eSeq, m)).toMap
     val moe = metas.map(m => s"${m.tableId.toLowerCase}_moe" -> moeFrame(mSeq, m)).toMap
+    (geo, est, moe)
+  }
+
+  /** Whole-lookup ingest: group tables by sequence number (a real ACS
+    * release has hundreds of sequences, each its own e/m file pair per
+    * state) and run the per-sequence pipeline once per sequence. The
+    * geoheader is read once; table maps merge disjointly because a table
+    * id lives in exactly one sequence. */
+  def ingestAll(
+      spark: SparkSession,
+      dataDir: String,
+      year: Int,
+      span: Int,
+      states: Seq[String],
+      metas: Seq[TableMeta]): (DataFrame, Map[String, DataFrame], Map[String, DataFrame]) = {
+    require(metas.nonEmpty, "ingestAll: empty table metadata")
+    val geo = readGeoheader(spark,
+      states.map(st => s"$dataDir/g$year$span$st.csv"))
+    val bySeq = metas.groupBy(_.sequence).toSeq.sortBy(_._1)
+    val perSeq = bySeq.map { case (_, seqMetas) =>
+      ingestSequence(spark, dataDir, year, span, states, seqMetas)
+    }
+    val est = perSeq.map(_._2).reduce(_ ++ _)
+    val moe = perSeq.map(_._3).reduce(_ ++ _)
     (geo, est, moe)
   }
 }

@@ -40,7 +40,9 @@ object IngestCli {
     val src = Source.fromFile(lookup)
     val metas = try Metadata.parseLookup(src.getLines()) finally src.close()
     val schemaName = s"acs${year}_${span}yr"
-    val (geo, est, moe) = Ingest.ingestSequence(spark, dataDir, year, span, states, metas)
+    // group by sequence inside: a real lookup spans many sequences whose
+    // cell start positions each restart at 7
+    val (geo, est, moe) = Ingest.ingestAll(spark, dataDir, year, span, states, metas)
 
     println(PgSink.createSchemaDdl(schemaName).mkString(";\n"))
     metas.foreach { m =>

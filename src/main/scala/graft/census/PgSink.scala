@@ -62,7 +62,12 @@ object PgSink {
     }.mkString("\t")
 
   /** COPY-pipe bulk load: per partition, one `psql -c "COPY ... FROM
-    * STDIN"` child process fed the partition's rows. */
+    * STDIN"` child process fed the partition's rows. psql output is
+    * drained on a background thread while rows are written: reading it
+    * only after waitFor() deadlocks both processes once psql emits more
+    * than the ~64KB pipe buffer of notices/errors mid-write, and an
+    * early psql exit would otherwise surface as an opaque broken-pipe
+    * IOException instead of the COPY error text. */
   def writeCopy(df: DataFrame, dsn: String, table: String): Unit = {
     df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       if (rows.hasNext) {
@@ -70,15 +75,30 @@ object PgSink {
           "-c", s"COPY $table FROM STDIN")
         pb.redirectErrorStream(true)
         val p = pb.start()
+        val drained = new java.io.ByteArrayOutputStream()
+        val drainer = new Thread(() => {
+          try p.getInputStream.transferTo(drained)
+          catch { case _: java.io.IOException => () }
+        }, s"psql-drain-$table")
+        drainer.setDaemon(true)
+        drainer.start()
+        def psqlText(): String = {
+          drainer.join(5000)
+          drained.toString("UTF-8").trim
+        }
         val out = new java.io.BufferedWriter(
           new java.io.OutputStreamWriter(p.getOutputStream, "UTF-8"))
-        try rows.foreach { r => out.write(copyLine(r)); out.write("\n") }
-        finally out.close()
-        val code = p.waitFor()
-        if (code != 0) {
-          val err = new String(p.getInputStream.readAllBytes(), "UTF-8")
-          sys.error(s"psql COPY into $table failed ($code): $err")
+        try {
+          try rows.foreach { r => out.write(copyLine(r)); out.write("\n") }
+          finally out.close()
+        } catch {
+          case e: java.io.IOException =>
+            // psql died mid-COPY: attach its error text, not the broken pipe
+            p.waitFor()
+            sys.error(s"psql COPY into $table aborted (${e.getMessage}): ${psqlText()}")
         }
+        val code = p.waitFor()
+        if (code != 0) sys.error(s"psql COPY into $table failed ($code): ${psqlText()}")
       }
     }
   }

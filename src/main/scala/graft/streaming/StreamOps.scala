@@ -40,8 +40,19 @@ object StreamOps {
       .agg(count(lit(1)).as("n"))
       .select(col("user_id"), col("w.start").as("session_start"), col("n"))
 
-  /** First event per (user, type): streaming dedup with watermark-bounded
-    * state (stream_dedup). */
+  /** One event per (user, type): streaming dedup with watermark-bounded
+    * state (stream_dedup).
+    *
+    * Semantics note — this is ARRIVAL-order dedup, the intended
+    * Structured Streaming `dropDuplicates` behavior: the first row to
+    * ARRIVE wins, whatever its event time. The batch twin
+    * (`StreamingQueries.streamDedup`) instead keeps the EVENT-TIME
+    * earliest row by (ts, event_id). On in-order input the two agree;
+    * on out-of-order input they can keep different rows (same keys,
+    * different payload) — asserted by StreamingSpec. An event-time-
+    * earliest streaming form would need a min_by aggregation in update
+    * mode (different output mode, same state bound), which callers who
+    * need replay-stable payloads should use instead. */
   def dedupFirst(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "1 hour")

@@ -77,6 +77,51 @@ class CensusIngestSpec extends GraftSpec {
     assert(all.contains("COMMENT ON COLUMN acs2014_5yr.b00001.b00001002 IS 'Male:'"))
   }
 
+  test("multi-sequence lookup: ingestAll groups by sequence; ingestSequence rejects a mixed batch") {
+    // Two sequences whose start positions both begin at 7 — the real ACS
+    // layout that silently misaligns if all metas are fed to one
+    // sequenceSchema (cells would interleave across files).
+    val lookup =
+      """File ID,Table ID,Sequence Number,Line Number,Start Position,Total Cells in Table,Total Cells in Sequence,Table Title,Subject Area
+        |ACSSF,B10001,1,,7,2 CELLS,2,AAA,S
+        |ACSSF,B10001,1,1,,,,Total:,
+        |ACSSF,B10001,1,2,,,,Male:,
+        |ACSSF,B20001,2,,7,1 CELLS,1,BBB,S
+        |ACSSF,B20001,2,1,,,,Total:,
+        |""".stripMargin
+    val metas = Metadata.parseLookup(lookup.linesIterator)
+    assert(metas.map(_.sequence) == Seq(1, 2))
+
+    val tmp = java.nio.file.Files.createTempDirectory("acs_multiseq").toFile
+    tmp.deleteOnExit()
+    def write(name: String, text: String): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(tmp, name))
+      try w.write(text) finally w.close()
+    }
+    write("g20145xa.csv", "ACSSF,xa,040,00,1,04000US91,State XA\n")
+    write("e20145xa0001000.txt", "ACSSF,2014e5,xa,000,1,1,11,12\n")
+    write("m20145xa0001000.txt", "ACSSF,2014m5,xa,000,1,1,1,2\n")
+    write("e20145xa0002000.txt", "ACSSF,2014e5,xa,000,2,1,77\n")
+    write("m20145xa0002000.txt", "ACSSF,2014m5,xa,000,2,1,7\n")
+
+    val (geo, est, moe) =
+      Ingest.ingestAll(spark, tmp.getAbsolutePath, 2014, 5, Seq("xa"), metas)
+    assert(geo.count() == 1)
+    assert(est.keySet == Set("b10001", "b20001"))
+    assert(moe.keySet == Set("b10001_moe", "b20001_moe"))
+    val r1 = est("b10001").collect()(0)
+    assert(r1.getAs[Double]("b10001001") == 11.0 && r1.getAs[Double]("b10001002") == 12.0)
+    // seq-2 table reads the seq-2 file, its cell range restarting at 7
+    val r2 = est("b20001").collect()(0)
+    assert(r2.getAs[Double]("b20001001") == 77.0)
+    assert(moe("b20001_moe").collect()(0).getAs[Double]("b20001001") == 7.0)
+
+    val err = intercept[IllegalArgumentException] {
+      Ingest.ingestSequence(spark, tmp.getAbsolutePath, 2014, 5, Seq("xa"), metas)
+    }
+    assert(err.getMessage.contains("group by sequence"))
+  }
+
   test("ingest_census_csv consumer query golden values") {
     val got = CensusQueries.ingestCensusCsv(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq

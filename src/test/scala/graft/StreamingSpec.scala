@@ -54,6 +54,19 @@ class StreamingSpec extends GraftSpec {
     assert(got.length == 2)
   }
 
+  test("streaming dedup is arrival-order: first-ARRIVED row wins on out-of-order input") {
+    // The ts=01:05 row arrives in batch 1; the event-time-earlier 01:00
+    // row arrives in batch 2. dropDuplicates keeps the batch-1 arrival
+    // (value 99.0) — the documented divergence from the batch twin,
+    // which would keep the 01:00 row (value 1.0) via min-by-(ts,id).
+    val batch1 = Seq(TestEvent(ts("2024-01-01 01:05:00"), 1, "click", 99.0))
+    val batch2 = Seq(TestEvent(ts("2024-01-01 01:00:00"), 1, "click", 1.0))
+    val got = runBatches(StreamOps.dedupFirst, OutputMode.Append(), Seq(batch1, batch2))
+    assert(got.length == 1)
+    assert(got(0).getAs[Double]("value") == 99.0)
+    assert(got(0).getAs[Timestamp]("ts") == ts("2024-01-01 01:05:00"))
+  }
+
   test("session windows merge events within the 30-minute gap") {
     val rows = Seq(
       TestEvent(ts("2024-01-01 01:00:00"), 1, "click", 1.0),
