@@ -46,6 +46,10 @@ object SparkEntry {
     "agg_having" -> Relational.aggHaving _,
     "agg_pivot" -> Relational.aggPivot _,
     "agg_stats" -> Relational.aggStats _,
+    "agg_median_percentile" -> Relational.aggMedianPercentile _,
+    "agg_corr_covar" -> Relational.aggCorrCovar _,
+    "agg_arg_minmax" -> Relational.aggArgMinmax _,
+    "agg_bool_countif" -> Relational.aggBoolCountif _,
     // windows
     "window_rank" -> Relational.windowRank _,
     "window_topk_per_group" -> Relational.windowTopkPerGroup _,
@@ -53,12 +57,15 @@ object SparkEntry {
     "window_range_frame" -> Relational.windowRangeFrame _,
     "window_lag_lead" -> Relational.windowLagLead _,
     "window_ntile" -> Relational.windowNtile _,
+    "window_value_fns" -> Relational.windowValueFns _,
+    "window_percent_cume" -> Relational.windowPercentCume _,
     // sort / limit / set
     "sort_multi_null" -> Relational.sortMultiNull _,
     "topk_global" -> Relational.topkGlobal _,
     "set_union" -> Relational.setUnion _,
     "set_intersect" -> Relational.setIntersect _,
     "set_except" -> Relational.setExcept _,
+    "set_ops_all" -> Relational.setOpsAll _,
     // scalar functions
     "fn_string" -> Scalars.fnString _,
     "fn_date" -> Scalars.fnDate _,
@@ -67,6 +74,7 @@ object SparkEntry {
     "fn_json" -> Scalars.fnJson _,
     "fn_array" -> Scalars.fnArray _,
     "fn_map" -> Scalars.fnMap _,
+    "fn_struct" -> Scalars.fnStruct _,
     "fn_explode_words" -> Scalars.fnExplodeWords _,
     // streaming-shaped (batch forms; streaming twins in graft.streaming)
     "stream_tumbling_count" -> StreamingQueries.streamTumblingCount _,
@@ -104,8 +112,10 @@ object SparkEntry {
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for the non-SQL-expressible ops
-    * (agg_approx_distinct, fn_map, udtf_ngrams, stream_watermark_late,
-    * llm_dedup_minhash) — those are covered by ScalaTest (SURVEY §5). */
+    * the same parquet tables. Omitted for the 9 non-SQL-expressible ops
+    * (agg_approx_distinct, stream_watermark_late, llm_dedup_minhash,
+    * llm_dedup_simhash, llm_fingerprint, llm_sim_lsh_topk,
+    * llm_sim_ivf_topk, mm_decode_stub, ingest_census_csv) — those are
+    * covered by ScalaTest instead (SURVEY §5). */
   def oracleSql: Map[String, String] = OracleSql.sql
 }

@@ -324,6 +324,88 @@ object OracleSql {
       WHERE length(word) > 0
       GROUP BY word ORDER BY n DESC, word LIMIT 20""",
 
+    "agg_median_percentile" -> """
+      SELECT c_mktsegment,
+             round(median(c_acctbal), 4) AS median_bal,
+             round(quantile_cont(c_acctbal, 0.25), 4) AS p25_bal,
+             round(quantile_cont(c_acctbal, 0.75), 4) AS p75_bal,
+             count(*) AS n
+      FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "agg_corr_covar" -> """
+      SELECT l_returnflag,
+             round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+             round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_s,
+             round(covar_pop(l_quantity, l_extendedprice), 2) AS covar_p,
+             count(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "agg_arg_minmax" -> """
+      SELECT c_mktsegment,
+             arg_max(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey) AS richest,
+             arg_min(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey) AS poorest,
+             count(*) AS n
+      FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "agg_bool_countif" -> """
+      SELECT o_orderpriority,
+             CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
+             bool_and(o_totalprice > 0) AS all_positive,
+             bool_or(o_orderstatus = 'F') AS any_finished,
+             count(*) AS n
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "window_value_fns" -> """
+      SELECT o_custkey, o_orderkey,
+             first_value(o_totalprice) OVER w AS first_price,
+             last_value(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price,
+             nth_value(o_totalprice, 2) OVER w AS second_price
+      FROM orders WHERE o_custkey <= 200
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      ORDER BY o_custkey, o_orderkey""",
+
+    "window_percent_cume" -> """
+      SELECT c_mktsegment, c_custkey,
+             round(percent_rank() OVER w, 6) AS pct_rank,
+             round(cume_dist() OVER w, 6) AS cume
+      FROM customer WHERE c_custkey <= 500
+      WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+      ORDER BY c_mktsegment, c_custkey""",
+
+    "set_ops_all" -> """
+      WITH a AS (SELECT l_orderkey AS key FROM lineitem WHERE l_quantity > 45),
+           b AS (SELECT l_orderkey AS key FROM lineitem WHERE l_returnflag = 'R'),
+           i AS (SELECT key, count(*) AS n_inter FROM (SELECT key FROM a INTERSECT ALL SELECT key FROM b) GROUP BY key),
+           e AS (SELECT key, count(*) AS n_except FROM (SELECT key FROM a EXCEPT ALL SELECT key FROM b) GROUP BY key)
+      SELECT COALESCE(i.key, e.key) AS key,
+             COALESCE(n_inter, 0) AS n_inter,
+             COALESCE(n_except, 0) AS n_except
+      FROM i FULL JOIN e ON i.key = e.key
+      ORDER BY key""",
+
+    "fn_struct" -> """
+      SELECT o_orderkey,
+             o_orderstatus AS status,
+             CAST(year(o_orderdate) AS INT) AS yr,
+             CASE WHEN o_totalprice > 200000 THEN 'big' ELSE 'small' END AS bucket,
+             round(o_totalprice, 2) AS price
+      FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""",
+
+    "fn_map" -> """
+      SELECT user_id,
+             count(*) FILTER (WHERE event_type = 'click') AS clicks,
+             count(*) FILTER (WHERE event_type = 'purchase') AS purchases,
+             count(DISTINCT event_type) AS n_types
+      FROM events GROUP BY user_id ORDER BY user_id""",
+
+    "udtf_ngrams" -> """
+      SELECT gram, count(1) AS n FROM (
+        SELECT unnest(list_transform(range(1, greatest(length(p_name) - 1, 1)),
+                                     i -> substr(p_name, i, 3))) AS gram
+        FROM part)
+      GROUP BY gram ORDER BY n DESC, gram LIMIT 20""",
+
     "udaf_weighted_avg" -> """
       SELECT p_brand,
              round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS wavg_price,

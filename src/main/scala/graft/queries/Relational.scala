@@ -291,6 +291,64 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("n_name")
 
+  /** Exact order statistics per segment: median + interpolated quartiles
+    * (Spark `percentile`; DuckDB `quantile_cont`). At scale the exact
+    * form sorts each group; `approx_percentile` (t-digest, one pass, no
+    * sort) is the 100 TB swap-in — kept exact here for oracle parity.
+    * Quartile fractions 0.25/0.75 are ulp-exact in double, so the
+    * interpolated true values terminate at 4 decimals and round(_,4)
+    * agrees across engines. */
+  def aggMedianPercentile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .groupBy("c_mktsegment")
+      .agg(
+        round(median(col("c_acctbal")), 4).as("median_bal"),
+        round(percentile(col("c_acctbal"), lit(0.25)), 4).as("p25_bal"),
+        round(percentile(col("c_acctbal"), lit(0.75)), 4).as("p75_bal"),
+        count(lit(1)).as("n"))
+      .orderBy("c_mktsegment")
+
+  /** Bivariate statistics per return flag: correlation + sample/population
+    * covariance — single-pass co-moment aggregates (partial+final), no
+    * shuffle beyond the group-by. */
+  def aggCorrCovar(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covar_s"),
+        round(covar_pop(col("l_quantity"), col("l_extendedprice")), 2).as("covar_p"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** argmax/argmin aggregates (max_by/min_by ↔ DuckDB arg_max/arg_min):
+    * the ordering value is a composite bigint (balance-cents ⊕ custkey)
+    * so ties are impossible and both engines pick the same row — the
+    * top-1-per-group shape without a window sort. */
+  def aggArgMinmax(s: SparkSession, dir: String): DataFrame = {
+    val ord = (round(col("c_acctbal") * 100).cast("long") * 10000000L + col("c_custkey")).as("ord")
+    t(s, dir, "customer")
+      .withColumn("ord", ord)
+      .groupBy("c_mktsegment")
+      .agg(
+        max_by(col("c_name"), col("ord")).as("richest"),
+        min_by(col("c_name"), col("ord")).as("poorest"),
+        count(lit(1)).as("n"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Boolean/conditional aggregates: count_if + bool_and/bool_or (DuckDB
+    * same names) — all codegen'd single-pass aggregates. */
+  def aggBoolCountif(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        count_if(col("o_totalprice") > 200000).as("n_big"),
+        bool_and(col("o_totalprice") > 0).as("all_positive"),
+        bool_or(col("o_orderstatus") === "F").as("any_finished"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
   /** rank + dense_rank per customer partition, fully tiebroken. */
   def windowRank(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), asc("o_orderkey"))
@@ -356,6 +414,33 @@ object Relational {
       .orderBy("c_custkey")
   }
 
+  /** Value window functions: first_value / last_value / nth_value. The
+    * last_value frame is explicitly UNBOUNDED FOLLOWING — the default
+    * frame ends at CURRENT ROW, which silently returns the current value
+    * on both engines (classic trap, made explicit here). */
+  def windowValueFns(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, dir, "orders").filter(col("o_custkey") <= 200)
+      .select(col("o_custkey"), col("o_orderkey"),
+        first(col("o_totalprice")).over(w).as("first_price"),
+        last(col("o_totalprice")).over(wFull).as("last_price"),
+        nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Distribution window functions: percent_rank + cume_dist per segment
+    * over a fully-tiebroken ordering. Both are rank-ratio rationals the
+    * two engines compute with the identical double division. */
+  def windowPercentCume(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    t(s, dir, "customer").filter(col("c_custkey") <= 500)
+      .select(col("c_mktsegment"), col("c_custkey"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy("c_mktsegment", "c_custkey")
+  }
+
   /** Multi-key sort with explicit NULL placement on a nullable expr. */
   def sortMultiNull(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer")
@@ -392,4 +477,21 @@ object Relational {
     t(s, dir, "customer").select(col("c_custkey").as("key"))
       .except(t(s, dir, "orders").select(col("o_custkey").as("key")))
       .orderBy("key")
+
+  /** INTERSECT ALL / EXCEPT ALL — multiset semantics (min / difference
+    * of multiplicities, planned as an aggregate + generate, no join
+    * explosion); surfaced as per-key counts for a bounded deterministic
+    * output. */
+  def setOpsAll(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val a = li.filter(col("l_quantity") > 45).select(col("l_orderkey").as("key"))
+    val b = li.filter(col("l_returnflag") === "R").select(col("l_orderkey").as("key"))
+    val inter = a.intersectAll(b).groupBy("key").agg(count(lit(1)).as("n_inter"))
+    val exc = a.exceptAll(b).groupBy("key").agg(count(lit(1)).as("n_except"))
+    inter.join(exc, Seq("key"), "full")
+      .select(col("key"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+        coalesce(col("n_except"), lit(0L)).as("n_except"))
+      .orderBy("key")
+  }
 }

@@ -93,8 +93,10 @@ object Scalars {
       .orderBy("vec_id")
       .limit(1000)
 
-  /** Map construction + lookup. Oracle-exempt: DuckDB's MAP output format
-    * differs structurally; covered by ScalaTest instead (SURVEY §2.B). */
+  /** Map construction + lookup. The map itself never leaves the query —
+    * the output is its scalar read-backs, so the oracle expresses the
+    * same facts relationally (count FILTER / count DISTINCT); missing
+    * keys coalesce to 0 on both sides, cardinality cast to long. */
   def fnMap(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .groupBy(col("user_id"), col("event_type"))
@@ -103,10 +105,31 @@ object Scalars {
       .agg(map_from_entries(sort_array(collect_list(struct(col("event_type"), col("n"))))).as("type_counts"))
       .select(
         col("user_id"),
-        element_at(col("type_counts"), "click").as("clicks"),
-        element_at(col("type_counts"), "purchase").as("purchases"),
-        size(col("type_counts")).as("n_types"))
+        coalesce(element_at(col("type_counts"), "click"), lit(0L)).as("clicks"),
+        coalesce(element_at(col("type_counts"), "purchase"), lit(0L)).as("purchases"),
+        size(col("type_counts")).cast("long").as("n_types"))
       .orderBy("user_id")
+
+  /** Struct construction + nested field access: build a nested struct
+    * per order, read leaf fields back (dot-path resolution is pure
+    * projection — Catalyst collapses it, no struct materialization in
+    * the scan). Output is the scalar read-backs, so the oracle states
+    * the same facts directly. */
+  def fnStruct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .withColumn("info", struct(
+        col("o_orderstatus").as("status"),
+        year(col("o_orderdate")).as("yr"),
+        struct(
+          col("o_totalprice").as("price"),
+          when(col("o_totalprice") > 200000, "big").otherwise("small").as("bucket")).as("amt")))
+      .filter(col("o_orderkey") <= 1000)
+      .select(col("o_orderkey"),
+        col("info.status").as("status"),
+        col("info.yr").as("yr"),
+        col("info.amt.bucket").as("bucket"),
+        round(col("info.amt.price"), 2).as("price"))
+      .orderBy("o_orderkey")
 
   /** Generator: tokenize + explode + count (word frequency top-20). */
   def fnExplodeWords(s: SparkSession, dir: String): DataFrame =

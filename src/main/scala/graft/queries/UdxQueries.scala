@@ -20,8 +20,8 @@ object UdxQueries {
       .orderBy("p_brand")
 
   /** Character 3-grams of part names via the native Generator, top-20 by
-    * frequency. Oracle-exempt (custom generator); ScalaTest checks a
-    * hand-computed fixture. */
+    * frequency. Oracle: the same grams via DuckDB list_transform over a
+    * range list (custom mechanism, standard semantics). */
   def udtfNgrams(s: SparkSession, dir: String): DataFrame = {
     NGrams.register(s)
     t(s, dir, "part").createOrReplaceTempView("graft_part_ngrams")

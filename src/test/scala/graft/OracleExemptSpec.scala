@@ -26,16 +26,16 @@ class OracleExemptSpec extends GraftSpec {
 
   test("fn_map per-user map lookups equal plain pivoted counts") {
     val got = Scalars.fnMap(spark, sfDir).collect()
-      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)), r.getInt(3))).toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     val ev = graft.tables.Tables.t(spark, sfDir, "events")
     val expected = ev.groupBy("user_id")
       .agg(
-        sum(when(col("event_type") === "click", 1L)).as("clicks"),
-        sum(when(col("event_type") === "purchase", 1L)).as("purchases"),
-        countDistinct(col("event_type")).cast("int").as("n_types"))
+        coalesce(sum(when(col("event_type") === "click", 1L)), lit(0L)).as("clicks"),
+        coalesce(sum(when(col("event_type") === "purchase", 1L)), lit(0L)).as("purchases"),
+        countDistinct(col("event_type")).as("n_types"))
       .orderBy("user_id")
       .collect()
-      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)), r.getInt(3))).toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(got == expected)
   }
 
