@@ -81,6 +81,7 @@ object SparkEntry {
     "stream_sliding_avg" -> StreamingQueries.streamSlidingAvg _,
     "stream_session_window" -> StreamingQueries.streamSessionWindow _,
     "stream_dedup" -> StreamingQueries.streamDedup _,
+    "stream_interval_join" -> StreamingQueries.streamIntervalJoin _,
     "stream_watermark_late" -> StreamingQueries.streamWatermarkLate _,
     // custom UDX
     "udaf_weighted_avg" -> UdxQueries.udafWeightedAvg _,

@@ -448,6 +448,14 @@ object OracleSql {
         FROM events)
       WHERE rn = 1 ORDER BY user_id, event_type""",
 
+    "stream_interval_join" -> s"""
+      WITH c AS (SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'),
+           p AS (SELECT user_id, ts AS p_ts, value FROM events WHERE event_type = 'purchase')
+      SELECT c.user_id AS user_id, count(*) AS n_pairs, ${N.sumMoney("value")} AS sum_value
+      FROM c JOIN p ON c.user_id = p.user_id
+        AND p.p_ts >= c.click_ts AND p.p_ts <= c.click_ts + INTERVAL 1 HOUR
+      GROUP BY c.user_id ORDER BY user_id""",
+
     "llm_dedup_exact" -> """
       SELECT source, count(*) AS n_docs, count(DISTINCT md5(text)) AS n_uniq
       FROM documents GROUP BY source ORDER BY source""",

@@ -52,6 +52,27 @@ object StreamingQueries {
       .orderBy("user_id", "event_type")
   }
 
+  /** Stream-stream interval join, batch form: clicks ⋈ purchases by the
+    * same user where the purchase lands within 1 hour after the click —
+    * the canonical two-stream event-time join (streaming twin with
+    * watermarks on BOTH sides in `StreamOps.intervalJoin`). Planned as
+    * an equi-join on user_id with the time range as residual predicate,
+    * so it shuffles once on the join key — no all-pairs blowup. */
+  def streamIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("value"))
+    clicks.join(purchases,
+        clicks("user_id") === purchases("user_id") &&
+          col("p_ts") >= col("click_ts") &&
+          col("p_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .groupBy(clicks("user_id").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"), Num.sumMoney(col("value")).as("sum_value"))
+      .orderBy("user_id")
+  }
+
   /** Watermarked tumbling counts. `withWatermark` is a no-op in batch
     * (kept so the same plan runs on readStream); the late-row-drop
     * semantics are asserted in the MemoryStream ScalaTest (oracle-exempt,

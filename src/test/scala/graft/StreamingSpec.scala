@@ -67,6 +67,29 @@ class StreamingSpec extends GraftSpec {
     assert(got(0).getAs[Timestamp]("ts") == ts("2024-01-01 01:05:00"))
   }
 
+  test("stream-stream interval join pairs purchases with clicks inside the hour") {
+    implicit val sqlCtx = spark.sqlContext
+    import SparkSpecBase.spark.implicits._
+    val clicks = MemoryStream[TestEvent]
+    val purchases = MemoryStream[TestEvent]
+    val sinkName = s"ssj_sink_${System.nanoTime()}"
+    val query = StreamOps.intervalJoin(clicks.toDF(), purchases.toDF()).writeStream
+      .format("memory").queryName(sinkName).outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData(
+        TestEvent(ts("2024-01-01 10:00:00"), 1, "click", 0.0),
+        TestEvent(ts("2024-01-01 12:00:00"), 2, "click", 0.0))
+      purchases.addData(
+        TestEvent(ts("2024-01-01 10:30:00"), 1, "purchase", 5.0), // in window
+        TestEvent(ts("2024-01-01 11:30:00"), 1, "purchase", 7.0), // > 1h after click
+        TestEvent(ts("2024-01-01 12:10:00"), 3, "purchase", 9.0)) // no matching user
+      query.processAllAvailable()
+      val got = spark.table(sinkName).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(2).toString, r.getDouble(3)))
+      assert(got.toSeq == Seq((1L, "2024-01-01 10:30:00.0", 5.0)))
+    } finally query.stop()
+  }
+
   test("session windows merge events within the 30-minute gap") {
     val rows = Seq(
       TestEvent(ts("2024-01-01 01:00:00"), 1, "click", 1.0),
