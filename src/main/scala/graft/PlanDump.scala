@@ -10,7 +10,8 @@ object PlanDump {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.001"
     val names = Seq("join_star_flagship", "scan_pushdown_filter", "join_asof",
-      "agg_hash_groupby", "llm_sim_cosine_topk", "llm_dedup_minhash", "topk_global")
+      "agg_hash_groupby", "llm_sim_cosine_topk", "llm_dedup_minhash", "topk_global",
+      "stream_interval_join", "set_ops_all", "llm_lang_id")
     names.foreach { n =>
       println(s"===== $n =====")
       println(SparkEntry.queries(n)(spark, dir).queryExecution
