@@ -69,6 +69,7 @@ object SparkEntry {
     // scalar functions
     "fn_string" -> Scalars.fnString _,
     "fn_date" -> Scalars.fnDate _,
+    "fn_date_extra" -> Scalars.fnDateExtra _,
     "fn_math" -> Scalars.fnMath _,
     "fn_conditional" -> Scalars.fnConditional _,
     "fn_json" -> Scalars.fnJson _,

@@ -324,6 +324,17 @@ object OracleSql {
       WHERE length(word) > 0
       GROUP BY word ORDER BY n DESC, word LIMIT 20""",
 
+    "fn_date_extra" -> """
+      SELECT o_orderkey,
+             CAST(o_orderdate AS DATE) AS d,
+             CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3mo,
+             last_day(CAST(o_orderdate AS DATE)) AS eom,
+             CAST(quarter(o_orderdate) AS INT) AS q,
+             CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+             CAST(weekofyear(o_orderdate) AS INT) AS woy,
+             CAST(dayofyear(o_orderdate) AS INT) AS doy
+      FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""",
+
     "agg_median_percentile" -> """
       SELECT c_mktsegment,
              round(median(c_acctbal), 4) AS median_bal,

@@ -39,6 +39,25 @@ object Scalars {
       .orderBy("o_orderkey")
       .limit(200)
 
+  /** Calendar functions beyond fn_date: month arithmetic with end-of-
+    * month clamping (Spark add_months ≡ DuckDB + INTERVAL MONTH),
+    * last_day, quarter, day-of-week (Spark is 1=Sunday, DuckDB 0=Sunday
+    * — oracle adds 1), ISO week, day-of-year. */
+  def fnDateExtra(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") <= 1000)
+      .withColumn("d", to_date(col("o_orderdate")))
+      .select(
+        col("o_orderkey"),
+        col("d"),
+        add_months(col("d"), 3).as("plus3mo"),
+        last_day(col("d")).as("eom"),
+        quarter(col("d")).as("q"),
+        dayofweek(col("d")).as("dow"),
+        weekofyear(col("d")).as("woy"),
+        dayofyear(col("d")).as("doy"))
+      .orderBy("o_orderkey")
+
   /** Math functions over part prices. Spark ceil/floor(double) return
     * BIGINT — the oracle casts DuckDB's DOUBLE results to match. */
   def fnMath(s: SparkSession, dir: String): DataFrame =

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multi-format source/sink round-trips (SURVEY §2.A A5/A6 generalized):
+  * the engine reads parquet (testdata), CSV (census ingest), and JSON —
+  * all with DECLARED schemas, never inference, matching the reference's
+  * fully-declared posture. Round-trips assert lossless re-read,
+  * including quoting/escaping and null handling. */
+class SourcesSpec extends GraftSpec {
+
+  private def tmpDir(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(name).toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  private lazy val docs = graft.tables.Tables.t(spark, sfDir, "documents")
+    .select("doc_id", "text", "lang", "source", "n_chars")
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  private def sortedRows(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+
+  test("CSV round-trip is lossless with declared schema (quotes, commas, nulls)") {
+    val dir = tmpDir("graft_csv")
+    // exercise quoting: text contains spaces; add a synthetic column with
+    // commas, quotes, and a null
+    val out = docs.withColumn("tricky",
+      when(col("doc_id") % 3 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("a,\"b\" "), col("lang"))))
+    out.write.mode("overwrite").option("header", "true").csv(dir)
+    val back = spark.read
+      .schema(docSchema.add("tricky", StringType))
+      .option("header", "true")
+      .csv(dir)
+    assert(sortedRows(back) == sortedRows(out))
+  }
+
+  test("JSON-lines round-trip is lossless with declared schema") {
+    val dir = tmpDir("graft_json")
+    docs.write.mode("overwrite").json(dir)
+    val back = spark.read.schema(docSchema).json(dir)
+    assert(sortedRows(back) == sortedRows(docs))
+  }
+
+  test("partitioned parquet write prunes partitions on read") {
+    val dir = tmpDir("graft_part")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(dir)
+    val one = spark.read.parquet(dir).filter(col("lang") === "en")
+    // partition pruning: the scan must report a pushed partition filter
+    // and read only the en partition's rows
+    val expected = docs.filter(col("lang") === "en").count()
+    assert(one.count() == expected)
+    val scan = one.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("lang"), scan)
+  }
+}
