@@ -28,6 +28,7 @@ object SparkEntry {
     "join_inner_hash" -> Relational.joinInnerHash _,
     "join_broadcast" -> Relational.joinBroadcast _,
     "join_left_outer" -> Relational.joinLeftOuter _,
+    "join_right_outer" -> Relational.joinRightOuter _,
     "join_full_outer" -> Relational.joinFullOuter _,
     "join_semi" -> Relational.joinSemi _,
     "join_anti" -> Relational.joinAnti _,
@@ -50,6 +51,8 @@ object SparkEntry {
     "agg_corr_covar" -> Relational.aggCorrCovar _,
     "agg_arg_minmax" -> Relational.aggArgMinmax _,
     "agg_bool_countif" -> Relational.aggBoolCountif _,
+    "agg_collect_sorted" -> Relational.aggCollectSorted _,
+    "sql_scalar_subquery" -> Relational.sqlScalarSubquery _,
     // windows
     "window_rank" -> Relational.windowRank _,
     "window_topk_per_group" -> Relational.windowTopkPerGroup _,
@@ -68,6 +71,7 @@ object SparkEntry {
     "set_ops_all" -> Relational.setOpsAll _,
     // scalar functions
     "fn_string" -> Scalars.fnString _,
+    "fn_string_extra" -> Scalars.fnStringExtra _,
     "fn_date" -> Scalars.fnDate _,
     "fn_date_extra" -> Scalars.fnDateExtra _,
     "fn_math" -> Scalars.fnMath _,

@@ -324,6 +324,38 @@ object OracleSql {
       WHERE length(word) > 0
       GROUP BY word ORDER BY n DESC, word LIMIT 20""",
 
+    "join_right_outer" -> """
+      SELECT p_partkey, count(l_orderkey) AS n_lineitems
+      FROM lineitem RIGHT JOIN part ON l_partkey = p_partkey
+      GROUP BY p_partkey ORDER BY p_partkey""",
+
+    "agg_collect_sorted" -> """
+      SELECT o_custkey,
+             array_to_string(list_sort(list(o_orderpriority)), '|') AS priorities,
+             count(*) AS n
+      FROM orders WHERE o_custkey <= 100
+      GROUP BY o_custkey ORDER BY o_custkey""",
+
+    "sql_scalar_subquery" -> """
+      SELECT c_custkey,
+             (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders,
+             (SELECT max(o_totalprice) FROM orders WHERE o_custkey = c_custkey) AS max_price
+      FROM customer
+      WHERE c_custkey <= 500
+      ORDER BY c_custkey""",
+
+    "fn_string_extra" -> """
+      SELECT p_partkey,
+             translate(p_name, 'ae', '43') AS name_leet,
+             lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_padded,
+             rpad(p_brand, 10, '.') AS brand_padded,
+             reverse(p_name) AS name_rev,
+             repeat(p_brand, 2) AS brand_twice,
+             left(p_name, 4) AS name_left,
+             right(p_name, 4) AS name_right,
+             split_part(p_type, ' ', 2) AS type_mid
+      FROM part WHERE p_partkey <= 500 ORDER BY p_partkey""",
+
     "fn_date_extra" -> """
       SELECT o_orderkey,
              CAST(o_orderdate AS DATE) AS d,

@@ -98,6 +98,46 @@ object Relational {
       .agg(count(col("o_orderkey")).as("n_orders"))
       .orderBy("c_custkey")
 
+  /** RIGHT OUTER: lineitem ⋈ part keeping partless-of-lineitem rows —
+    * count(left key) gives 0 for parts never shipped. Same executed plan
+    * family as LEFT with sides swapped; declared for SQL-surface
+    * completeness. */
+  def joinRightOuter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"), "right")
+      .groupBy("p_partkey")
+      .agg(count(col("l_orderkey")).as("n_lineitems"))
+      .orderBy("p_partkey")
+
+  /** Ordered list aggregation: collect_list → sort_array → join to a
+    * canonical string (DuckDB list_sort/array_to_string mirror). The
+    * string form sidesteps array-typed output comparison and keeps the
+    * result deterministic under any partitioning — collect_list order is
+    * partition-dependent, the sort normalizes it. */
+  def aggCollectSorted(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").filter(col("o_custkey") <= 100)
+      .groupBy("o_custkey")
+      .agg(
+        array_join(sort_array(collect_list(col("o_orderpriority"))), "|").as("priorities"),
+        count(lit(1)).as("n"))
+      .orderBy("o_custkey")
+
+  /** Correlated scalar subquery through the SQL surface: Catalyst
+    * de-correlates it into a left outer aggregate join — never a
+    * per-row subquery execution (the RDBMS trap this engine inherits
+    * none of). */
+  def sqlScalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("ssq_customer")
+    t(s, dir, "orders").createOrReplaceTempView("ssq_orders")
+    s.sql("""
+      SELECT c_custkey,
+             (SELECT count(*) FROM ssq_orders WHERE o_custkey = c_custkey) AS n_orders,
+             (SELECT max(o_totalprice) FROM ssq_orders WHERE o_custkey = c_custkey) AS max_price
+      FROM ssq_customer
+      WHERE c_custkey <= 500
+      ORDER BY c_custkey""")
+  }
+
   /** FULL OUTER of two filtered key sets with presence markers. */
   def joinFullOuter(s: SparkSession, dir: String): DataFrame = {
     val a = t(s, dir, "customer").filter(col("c_acctbal") > 9000)

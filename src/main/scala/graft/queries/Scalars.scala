@@ -25,6 +25,24 @@ object Scalars {
       .orderBy("p_partkey")
       .limit(200)
 
+  /** Second string-function family: translate/lpad/rpad/reverse/repeat/
+    * left/right/split_part (all codegen'd builtins; initcap omitted —
+    * absent from DuckDB 1.0). */
+  def fnStringExtra(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .filter(col("p_partkey") <= 500)
+      .select(
+        col("p_partkey"),
+        translate(col("p_name"), "ae", "43").as("name_leet"),
+        lpad(col("p_partkey").cast("string"), 8, "0").as("key_padded"),
+        rpad(col("p_brand"), 10, ".").as("brand_padded"),
+        reverse(col("p_name")).as("name_rev"),
+        repeat(col("p_brand"), 2).as("brand_twice"),
+        expr("left(p_name, 4)").as("name_left"),
+        expr("right(p_name, 4)").as("name_right"),
+        split_part(col("p_type"), lit(" "), lit(2)).as("type_mid"))
+      .orderBy("p_partkey")
+
   /** Date/time functions over order dates (timestamps, UTC session). */
   def fnDate(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
