@@ -4,20 +4,25 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 import graft.llm.SimHash
 
 /** Native scalar expression: `graft_simhash(text)` → 64-bit SimHash
-  * signature. Unary, null-safe, deterministic; CodegenFallback keeps it
-  * inside the generated pipeline (one virtual call per row) without
-  * hand-written codegen. */
-case class SimHashExpression(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+  * signature. Unary, null-safe, deterministic, with real `doGenCode`:
+  * the generated stage calls the static hash directly on the unsafe
+  * string — no interpreted-eval detour, no value boxing, no InternalRow
+  * materialization per row (the costs CodegenFallback would add inside
+  * the whole-stage pipeline). */
+case class SimHashExpression(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any =
     SimHash.simhash64(input.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    // SimHash is a top-level Scala object → static forwarder callable
+    // from generated Java
+    defineCodeGen(ctx, ev, c => s"graft.llm.SimHash.simhash64($c.toString())")
   override def prettyName: String = "graft_simhash"
   override protected def withNewChildInternal(newChild: Expression): SimHashExpression =
     copy(child = newChild)
