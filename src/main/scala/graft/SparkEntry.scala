@@ -48,6 +48,7 @@ object SparkEntry {
     "agg_pivot" -> Relational.aggPivot _,
     "agg_stats" -> Relational.aggStats _,
     "agg_median_percentile" -> Relational.aggMedianPercentile _,
+    "agg_approx_percentile" -> Relational.aggApproxPercentile _,
     "agg_corr_covar" -> Relational.aggCorrCovar _,
     "agg_arg_minmax" -> Relational.aggArgMinmax _,
     "agg_bool_countif" -> Relational.aggBoolCountif _,

@@ -348,6 +348,20 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("c_mktsegment")
 
+  /** Sketch order statistics: approx_percentile (positional error ≤
+    * 1/accuracy of the rank, single pass, fixed memory) — the 100 TB
+    * swap-in for agg_median_percentile's exact sort-based form.
+    * Oracle-exempt (sketch internals differ across engines); ScalaTest
+    * bounds it against the exact percentile. */
+  def aggApproxPercentile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .groupBy("c_mktsegment")
+      .agg(
+        round(approx_percentile(col("c_acctbal"), lit(0.5), lit(10000)), 4).as("apx_median"),
+        round(approx_percentile(col("c_acctbal"), lit(0.9), lit(10000)), 4).as("apx_p90"),
+        count(lit(1)).as("n"))
+      .orderBy("c_mktsegment")
+
   /** Bivariate statistics per return flag: correlation + sample/population
     * covariance — single-pass co-moment aggregates (partial+final), no
     * shuffle beyond the group-by. */

@@ -24,6 +24,27 @@ class OracleExemptSpec extends GraftSpec {
     }
   }
 
+  test("agg_approx_percentile returns elements of near-correct rank per segment") {
+    // approx_percentile is element-valued (no interpolation), so compare
+    // by RANK, not by value: the returned element's rank among the
+    // segment's values must sit within a small band of the target rank.
+    val approx = Relational.aggApproxPercentile(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val bySeg = graft.tables.Tables.t(spark, sfDir, "customer")
+      .select("c_mktsegment", "c_acctbal").collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(approx.keySet == bySeg.keySet)
+    for ((seg, (apxMed, apxP90)) <- approx; vals = bySeg(seg); n = vals.length) {
+      // round(_,4) in the query can nudge the value off the exact element;
+      // rank with a half-up tolerance on the comparison
+      def rankOf(v: Double) = vals.count(_ <= v + 5e-5)
+      assert(math.abs(rankOf(apxMed) - 0.5 * n) <= 2.0, s"$seg: median rank ${rankOf(apxMed)} of $n")
+      assert(math.abs(rankOf(apxP90) - 0.9 * n) <= 2.0, s"$seg: p90 rank ${rankOf(apxP90)} of $n")
+      assert(apxP90 >= apxMed, s"$seg: p90 $apxP90 below median $apxMed")
+    }
+  }
+
   test("fn_map per-user map lookups equal plain pivoted counts") {
     val got = Scalars.fnMap(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
