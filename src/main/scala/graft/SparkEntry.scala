@@ -114,6 +114,7 @@ object SparkEntry {
     // multimodal binary columns
     "mm_binary_features" -> MultimodalQueries.mmBinaryFeatures _,
     "mm_decode_stub" -> MultimodalQueries.mmDecodeStub _,
+    "mm_frame_sample" -> MultimodalQueries.mmFrameSample _,
     // census ETL (reference §2.A pipeline over the checked-in fixture)
     "ingest_census_csv" -> CensusQueries.ingestCensusCsv _
   )

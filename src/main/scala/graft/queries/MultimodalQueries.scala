@@ -52,4 +52,28 @@ object MultimodalQueries {
         countDistinct(col("sample_rate")).as("n_rates"))
       .orderBy("kind")
   }
+
+  /** Frame sampling as a typed fan-out: decode → flatMap to one row per
+    * sampled frame index (every 16th) — the every-k-th-frame extraction
+    * shape of a video training pipeline, where the fan-out happens
+    * inside the executors and never materializes unsampled frames.
+    * Aggregated back per video for bounded deterministic output. */
+  def mmFrameSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = t(s, dir, "documents")
+      .filter(col("doc_id") < 600 && col("doc_id") % 3 === 2) // the "video" slice
+      .select(col("doc_id"), lit("video").as("kind"),
+        col("text").cast("binary").as("bytes"))
+      .as[MediaRow]
+    val frames = rows
+      .mapPartitions(_.map(Media.decodeStub))
+      .flatMap(m => Media.sampleFrames(m, 16).map(f => (m.doc_id, f)))
+      .toDF("doc_id", "frame_idx")
+    frames.groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_sampled"),
+        min("frame_idx").cast("long").as("first_frame"),
+        max("frame_idx").cast("long").as("last_frame"))
+      .orderBy("doc_id")
+  }
 }

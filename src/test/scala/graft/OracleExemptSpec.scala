@@ -179,4 +179,21 @@ class OracleExemptSpec extends GraftSpec {
     val out = MultimodalQueries.mmDecodeStub(spark, sfDir).collect()
     assert(out.map(_.getString(0)).toSeq == Seq("audio", "image", "video"))
   }
+
+  test("mm_frame_sample fan-out matches a direct stub computation") {
+    val got = MultimodalQueries.mmFrameSample(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    val texts = graft.tables.Tables.t(spark, sfDir, "documents")
+      .filter("doc_id < 600 AND doc_id % 3 = 2")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.map(_._1).toSet == texts.keySet)
+    got.foreach { case (id, n, first, last) =>
+      val meta = Media.decodeStub(MediaRow(id, "video", texts(id).getBytes("UTF-8")))
+      val expected = Media.sampleFrames(meta, 16)
+      assert(n == expected.length && first == expected.head && last == expected.last,
+        s"doc $id: ($n,$first,$last) vs ${expected.length} frames")
+    }
+  }
 }
