@@ -111,6 +111,7 @@ object SparkEntry {
     "llm_quality_score" -> LlmExtra.llmQualityScore _,
     "llm_token_count" -> LlmExtra.llmTokenCount _,
     "llm_fingerprint" -> LlmExtra.llmFingerprint _,
+    "llm_pack_sequences" -> LlmExtra.llmPackSequences _,
     // multimodal binary columns
     "mm_binary_features" -> MultimodalQueries.mmBinaryFeatures _,
     "mm_decode_stub" -> MultimodalQueries.mmDecodeStub _,

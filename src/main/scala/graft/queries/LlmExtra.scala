@@ -237,6 +237,43 @@ object LlmExtra {
         count(lit(1)).as("n_docs"))
       .orderBy("lang")
 
+  /** Sequence packing: greedily pack documents (in doc_id order, per
+    * source) into training sequences of ≤ 512 whitespace tokens — the
+    * context-window packing step of a pretraining data pipeline. A new
+    * bin starts when the next doc would overflow the cap; an oversized
+    * doc gets its own bin. The scan is per-source (repartition by source
+    * + sortWithinPartitions keeps each source's run contiguous inside
+    * one partition), so bin assignments are deterministic at ANY
+    * parallelism and the op scales by adding sources, not by growing a
+    * serial scan. Oracle-exempt (stateful scan isn't one SQL window);
+    * ScalaTest asserts the greedy invariants + partitioning independence. */
+  def llmPackSequences(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cap = 512
+    val docs = t(s, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).as("n_tokens"))
+      .as[(String, Long, Int)]
+    val assigned = docs
+      .repartition(col("source"))
+      .sortWithinPartitions("source", "doc_id")
+      .mapPartitions { it =>
+        var curSrc: String = null
+        var bin = 0L
+        var used = 0
+        it.map { case (src, _, tok) =>
+          if (src != curSrc) { curSrc = src; bin = 0L; used = 0 }
+          if (used > 0 && used + tok > cap) { bin += 1; used = 0 }
+          used += tok
+          (src, bin, tok.toLong)
+        }
+      }
+      .toDF("source", "bin_id", "n_tokens")
+    assigned.groupBy("source", "bin_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+      .orderBy("source", "bin_id")
+  }
+
   /** Winnowing fingerprints (rolling char-5-gram hashes, window-4 robust
     * winnowing) per document: fingerprint count and density. Oracle-
     * exempt (seeded rolling hash); ScalaTest checks the winnowing

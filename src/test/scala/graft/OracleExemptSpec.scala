@@ -180,6 +180,38 @@ class OracleExemptSpec extends GraftSpec {
     assert(out.map(_.getString(0)).toSeq == Seq("audio", "image", "video"))
   }
 
+  test("llm_pack_sequences: greedy invariants hold and packing is partition-independent") {
+    val cap = 512
+    val bins = LlmExtra.llmPackSequences(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(bins.nonEmpty)
+    // capacity: a bin over cap must be a single oversized doc
+    bins.foreach { case (src, bin, nDocs, tokens) =>
+      assert(tokens <= cap || nDocs == 1, s"$src/$bin: $nDocs docs, $tokens tokens")
+    }
+    // conservation: every doc is packed exactly once
+    val totalDocs = graft.tables.Tables.t(spark, sfDir, "documents").count()
+    assert(bins.map(_._3).sum == totalDocs)
+    // greedy tightness: within a source, no bin (except the last) could
+    // have absorbed the following bin entirely if the next bin is one
+    // underfull doc — check the direct scan agrees instead
+    val docs = graft.tables.Tables.t(spark, sfDir, "documents")
+      .selectExpr("source", "doc_id", "size(split(text, ' ')) AS t").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    val expected = docs.flatMap { case (src, toks) =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long)]
+      var bin = 0L; var n = 0L; var used = 0L
+      toks.foreach { t =>
+        if (used > 0 && used + t > cap) { out += ((src, bin, n, used)); bin += 1; n = 0; used = 0 }
+        n += 1; used += t
+      }
+      if (n > 0) out += ((src, bin, n, used))
+      out
+    }.toSet
+    assert(bins.toSet == expected)
+  }
+
   test("mm_frame_sample fan-out matches a direct stub computation") {
     val got = MultimodalQueries.mmFrameSample(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
