@@ -29,6 +29,7 @@ object SparkEntry {
     "join_broadcast" -> Relational.joinBroadcast _,
     "join_left_outer" -> Relational.joinLeftOuter _,
     "join_right_outer" -> Relational.joinRightOuter _,
+    "join_shuffle_hash" -> Relational.joinShuffleHash _,
     "join_full_outer" -> Relational.joinFullOuter _,
     "join_semi" -> Relational.joinSemi _,
     "join_anti" -> Relational.joinAnti _,

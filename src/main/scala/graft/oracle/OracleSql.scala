@@ -324,6 +324,11 @@ object OracleSql {
       WHERE length(word) > 0
       GROUP BY word ORDER BY n DESC, word LIMIT 20""",
 
+    "join_shuffle_hash" -> s"""
+      SELECT o_orderpriority, count(*) AS n_items, ${N.sumMoney("l_extendedprice")} AS sum_price
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
     "join_right_outer" -> """
       SELECT p_partkey, count(l_orderkey) AS n_lineitems
       FROM lineitem RIGHT JOIN part ON l_partkey = p_partkey

@@ -98,6 +98,20 @@ object Relational {
       .agg(count(col("o_orderkey")).as("n_orders"))
       .orderBy("c_custkey")
 
+  /** Join-strategy hint: force a shuffled hash join (build the smaller
+    * orders side per partition, no sort on either side) where the
+    * planner's default is sort-merge. At scale this is the right call
+    * when one side is much smaller per key range but too big to
+    * broadcast — SMJ pays two sorts, SHJ pays one in-memory hash table
+    * per partition. PlanShapeSpec asserts the hint takes effect. */
+  def joinShuffleHash(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders").hint("shuffle_hash"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"), Num.sumMoney(col("l_extendedprice")).as("sum_price"))
+      .orderBy("o_orderpriority")
+
   /** RIGHT OUTER: lineitem ⋈ part keeping partless-of-lineitem rows —
     * count(left key) gives 0 for parts never shipped. Same executed plan
     * family as LEFT with sides swapped; declared for SQL-surface

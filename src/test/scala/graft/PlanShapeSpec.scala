@@ -25,6 +25,16 @@ class PlanShapeSpec extends GraftSpec {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  test("join_shuffle_hash hint forces ShuffledHashJoin over sort-merge") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan(Relational.joinShuffleHash(spark, sfDir))
+      assert(p.contains("ShuffledHashJoin"), p)
+      assert(!p.contains("SortMergeJoin"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("topk_global plans TakeOrderedAndProject, not a global sort") {
     assert(plan(Relational.topkGlobal(spark, sfDir)).contains("TakeOrderedAndProject"))
   }
