@@ -95,6 +95,7 @@ object SparkEntry {
     "udtf_ngrams" -> UdxQueries.udtfNgrams _,
     // LLM pipeline operators
     "llm_dedup_exact" -> Llm.llmDedupExact _,
+    "llm_dedup_keep_best" -> Llm.llmDedupKeepBest _,
     "llm_dedup_minhash" -> Llm.llmDedupMinhash _,
     "llm_sim_cosine_topk" -> Llm.llmSimCosineTopk _,
     "llm_text_stats" -> Llm.llmTextStats _,

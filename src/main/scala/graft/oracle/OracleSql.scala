@@ -508,6 +508,13 @@ object OracleSql {
       SELECT source, count(*) AS n_docs, count(DISTINCT md5(text)) AS n_uniq
       FROM documents GROUP BY source ORDER BY source""",
 
+    "llm_dedup_keep_best" -> """
+      SELECT h, n_dupes, kept_doc_id FROM (
+        SELECT md5(substr(text, 1, 40)) AS h, count(*) AS n_dupes,
+               arg_max(doc_id, n_chars * 10000000 + doc_id) AS kept_doc_id
+        FROM documents GROUP BY 1)
+      WHERE n_dupes > 1 ORDER BY h""",
+
     "llm_sim_cosine_topk" -> """
       WITH n AS (
         SELECT vec_id, embedding,

@@ -20,6 +20,25 @@ object Llm {
       .agg(count(lit(1)).as("n_docs"), countDistinct(md5(col("text"))).as("n_uniq"))
       .orderBy("source")
 
+  /** Dedup with a keep policy: group by a prefix fingerprint (md5 of the
+    * first 40 chars — the boilerplate/near-dup families in this corpus
+    * share prefixes; full-text md5 has zero collisions below sf0.1) and
+    * keep the "best" document per group (longest, doc_id tiebreak) — the
+    * canonicalization step after duplicate detection. One hash-groupBy
+    * with an argmax aggregate: no window sort, no self-join; the shuffle
+    * carries one row per distinct fingerprint. */
+  def llmDedupKeepBest(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("h", md5(substring(col("text"), 1, 40)))
+      // tie-free composite: chars dominate, doc_id breaks ties
+      .withColumn("ord", col("n_chars") * 10000000L + col("doc_id"))
+      .groupBy("h")
+      .agg(
+        count(lit(1)).as("n_dupes"),
+        max_by(col("doc_id"), col("ord")).as("kept_doc_id"))
+      .filter(col("n_dupes") > 1)
+      .orderBy("h")
+
   /** MinHash + LSH near-dup candidates. Signature is one map pass (UDF on
     * text); banding turns candidate generation into an equi-join on the
     * band hash (shuffle, not all-pairs). Oracle-exempt: seeded-hash output
