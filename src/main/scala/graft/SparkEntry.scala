@@ -47,6 +47,7 @@ object SparkEntry {
     "agg_cube" -> Relational.aggCube _,
     "agg_having" -> Relational.aggHaving _,
     "agg_pivot" -> Relational.aggPivot _,
+    "agg_unpivot" -> Relational.aggUnpivot _,
     "agg_stats" -> Relational.aggStats _,
     "agg_median_percentile" -> Relational.aggMedianPercentile _,
     "agg_approx_percentile" -> Relational.aggApproxPercentile _,
@@ -83,6 +84,7 @@ object SparkEntry {
     "fn_map" -> Scalars.fnMap _,
     "fn_struct" -> Scalars.fnStruct _,
     "fn_explode_words" -> Scalars.fnExplodeWords _,
+    "fn_posexplode" -> Scalars.fnPosexplode _,
     // streaming-shaped (batch forms; streaming twins in graft.streaming)
     "stream_tumbling_count" -> StreamingQueries.streamTumblingCount _,
     "stream_sliding_avg" -> StreamingQueries.streamSlidingAvg _,

@@ -440,6 +440,22 @@ object OracleSql {
              round(o_totalprice, 2) AS price
       FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""",
 
+    "agg_unpivot" -> """
+      WITH wide AS (
+        SELECT o_orderpriority, count(*) AS n_orders,
+               count(DISTINCT o_custkey) AS n_customers
+        FROM orders GROUP BY o_orderpriority)
+      SELECT o_orderpriority, metric, val
+      FROM wide UNPIVOT (val FOR metric IN (n_orders, n_customers))
+      ORDER BY o_orderpriority, metric""",
+
+    "fn_posexplode" -> """
+      SELECT doc_id, CAST(i - 1 AS INT) AS pos, words[i] AS word
+      FROM (SELECT doc_id, string_split(text, ' ') AS words
+            FROM documents WHERE doc_id < 20),
+           UNNEST(range(1, len(words) + 1)) AS t(i)
+      ORDER BY doc_id, pos""",
+
     "fn_map" -> """
       SELECT user_id,
              count(*) FILTER (WHERE event_type = 'click') AS clicks,

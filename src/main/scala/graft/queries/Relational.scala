@@ -417,6 +417,21 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("o_orderpriority")
 
+  /** Unpivot (wide→long, the inverse of agg_pivot): per-priority metric
+    * columns melt into (metric, val) rows — a zero-shuffle Expand over
+    * the already-aggregated frame. */
+  def aggUnpivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"))
+      .unpivot(
+        Array(col("o_orderpriority")),
+        Array(col("n_orders"), col("n_customers")),
+        "metric", "val")
+      .orderBy("o_orderpriority", "metric")
+
   /** rank + dense_rank per customer partition, fully tiebroken. */
   def windowRank(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), asc("o_orderkey"))

@@ -147,6 +147,16 @@ object Scalars {
         size(col("type_counts")).cast("long").as("n_types"))
       .orderBy("user_id")
 
+  /** Positional explode: one row per token WITH its 0-based position —
+    * the order-preserving fan-out (plain explode loses ordinal info).
+    * Same Generate operator, one extra ordinal column. */
+  def fnPosexplode(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), col("pos"), col("col").as("word"))
+      .orderBy("doc_id", "pos")
+
   /** Struct construction + nested field access: build a nested struct
     * per order, read leaf fields back (dot-path resolution is pure
     * projection — Catalyst collapses it, no struct materialization in
