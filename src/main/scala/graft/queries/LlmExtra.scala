@@ -61,13 +61,26 @@ object LlmExtra {
         array_distinct(expr(
           "transform(sequence(1, greatest(size(w) - 2, 1)), i -> array_join(slice(w, i, 3), ' '))"
         )).as("sh"))
-    val a = d.select(col("doc_id").as("doc_a"), col("source"), col("sh").as("sh_a"))
-    val b = d.select(col("doc_id").as("doc_b"), col("source"), col("sh").as("sh_b"))
-    a.join(b, "source")
+    // Inverted-index formulation: explode to (source, shingle, doc)
+    // postings, equi-join postings with themselves, count matches per
+    // doc pair. Cost is output-sensitive (Σ per-shingle pair counts) —
+    // only pairs that SHARE a shingle are ever materialized, exactly the
+    // inter ≥ 1 output set. The previous all-pairs array_intersect form
+    // was quadratic in docs-per-source regardless of similarity.
+    val postings = d.select(col("doc_id"), col("source"),
+      size(col("sh")).as("n_sh"), explode(col("sh")).as("g0"))
+      // join/shuffle on the 8-byte shingle hash, not the ~20-byte string
+      // (collision odds over a corpus of shingles are ~n²/2^65 — nil)
+      .withColumn("g", xxhash64(col("g0"))).drop("g0")
+    postings.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"), col("source"), col("g"))
+      .join(postings.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"), col("source"), col("g")),
+        Seq("source", "g"))
       .filter(col("doc_a") < col("doc_b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .filter(col("inter") >= 1)
-      .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      .groupBy("doc_a", "doc_b")
+      // set sizes ride along with the postings (constant per doc), so no
+      // join-back after the pair count
+      .agg(count(lit(1)).as("inter"), max("n_a").as("n_a"), max("n_b").as("n_b"))
+      .withColumn("uni", col("n_a") + col("n_b") - col("inter"))
       .select(col("doc_a"), col("doc_b"),
         Num.ratio(col("inter"), col("uni"), 4).as("jac"))
       .orderBy("doc_a", "doc_b")
