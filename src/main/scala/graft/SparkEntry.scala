@@ -85,6 +85,7 @@ object SparkEntry {
     "fn_struct" -> Scalars.fnStruct _,
     "fn_explode_words" -> Scalars.fnExplodeWords _,
     "fn_posexplode" -> Scalars.fnPosexplode _,
+    "fn_bitwise" -> Scalars.fnBitwise _,
     // streaming-shaped (batch forms; streaming twins in graft.streaming)
     "stream_tumbling_count" -> StreamingQueries.streamTumblingCount _,
     "stream_sliding_avg" -> StreamingQueries.streamSlidingAvg _,

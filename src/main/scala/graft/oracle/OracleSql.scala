@@ -449,6 +449,17 @@ object OracleSql {
       FROM wide UNPIVOT (val FOR metric IN (n_orders, n_customers))
       ORDER BY o_orderpriority, metric""",
 
+    "fn_bitwise" -> """
+      SELECT o_orderkey,
+             o_orderkey << 2 AS shl,
+             o_orderkey >> 1 AS shr,
+             o_orderkey & 255 AS band,
+             o_orderkey | 16 AS bor,
+             xor(o_orderkey, 85) AS bxor,
+             CAST(bit_count(o_orderkey) AS INT) AS bcount,
+             ~o_orderkey AS bnot
+      FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""",
+
     "fn_posexplode" -> """
       SELECT doc_id, CAST(i - 1 AS INT) AS pos, words[i] AS word
       FROM (SELECT doc_id, string_split(text, ' ') AS words

@@ -147,6 +147,23 @@ object Scalars {
         size(col("type_counts")).cast("long").as("n_types"))
       .orderBy("user_id")
 
+  /** Bitwise operators over order keys: shifts, and/or/xor/not,
+    * popcount — the bit-twiddling family SimHash-style signatures
+    * build on (DuckDB `bit_count` returns TINYINT → oracle casts). */
+  def fnBitwise(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") <= 1000)
+      .select(
+        col("o_orderkey"),
+        expr("shiftleft(o_orderkey, 2)").as("shl"),
+        expr("shiftright(o_orderkey, 1)").as("shr"),
+        col("o_orderkey").bitwiseAND(lit(255L)).as("band"),
+        col("o_orderkey").bitwiseOR(lit(16L)).as("bor"),
+        col("o_orderkey").bitwiseXOR(lit(85L)).as("bxor"),
+        bit_count(col("o_orderkey")).as("bcount"),
+        expr("~o_orderkey").as("bnot"))
+      .orderBy("o_orderkey")
+
   /** Positional explode: one row per token WITH its 0-based position —
     * the order-preserving fan-out (plain explode loses ordinal info).
     * Same Generate operator, one extra ordinal column. */
