@@ -117,6 +117,7 @@ object SparkEntry {
     "llm_token_count" -> LlmExtra.llmTokenCount _,
     "llm_fingerprint" -> LlmExtra.llmFingerprint _,
     "llm_pack_sequences" -> LlmExtra.llmPackSequences _,
+    "llm_decontaminate" -> LlmExtra.llmDecontaminate _,
     // multimodal binary columns
     "mm_binary_features" -> MultimodalQueries.mmBinaryFeatures _,
     "mm_decode_stub" -> MultimodalQueries.mmDecodeStub _,

@@ -250,6 +250,28 @@ object LlmExtra {
         count(lit(1)).as("n_docs"))
       .orderBy("lang")
 
+  /** Benchmark decontamination scan: which corpus documents contain an
+    * exact word-8-gram from the benchmark set (doc_id < 10 stands in
+    * for the eval set)? The benchmark's gram set is tiny → broadcast to
+    * every executor; the corpus side streams through one explode + one
+    * broadcast-hash probe per gram — no shuffle of corpus data at all,
+    * which is what lets this run over 100 TB of pretraining text. */
+  def llmDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    def grams(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("w", split(col("text"), " "))
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(1, greatest(size(w) - 7, 1)), i -> array_join(slice(w, i, 8), ' '))"
+      ))).as("g"))
+    val bench = grams(docs.filter(col("doc_id") < 10))
+      .select(col("g")).distinct()
+    grams(docs.filter(col("doc_id") >= 10))
+      .join(broadcast(bench), "g")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("g")).as("n_hits"))
+      .orderBy("doc_id")
+  }
+
   /** Sequence packing: greedily pack documents (in doc_id order, per
     * source) into training sequences of ≤ 512 whitespace tokens — the
     * context-window packing step of a pretraining data pipeline. A new
