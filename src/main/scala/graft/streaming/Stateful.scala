@@ -40,4 +40,48 @@ object Stateful {
   }
 
   val outputMode: OutputMode = OutputMode.Update()
+
+  private val GapMs = 30L * 60 * 1000
+
+  def sessionize(
+      uid: Long,
+      events: Iterator[UserEvent],
+      state: GroupState[UserSession]): Iterator[UserSession] =
+    if (state.hasTimedOut) {
+      // watermark passed last_ts + gap with no new events: the session is
+      // final — emit it exactly once and drop the state
+      val done = state.get
+      state.remove()
+      Iterator.single(done)
+    } else {
+      val prev = state.getOption
+      val next = events.foldLeft(
+        prev.getOrElse(UserSession(uid, 0L, null, null))) { (acc, e) =>
+        UserSession(uid, acc.n_events + 1,
+          if (acc.first_ts == null || e.ts.before(acc.first_ts)) e.ts else acc.first_ts,
+          if (acc.last_ts == null || e.ts.after(acc.last_ts)) e.ts else acc.last_ts)
+      }
+      state.update(next)
+      state.setTimeoutTimestamp(next.last_ts.getTime + GapMs)
+      Iterator.empty
+    }
+
+  /** Timeout-driven sessionization via `flatMapGroupsWithState` with an
+    * EVENT-TIME timeout: a user's session closes (and emits, exactly
+    * once, in append mode) when the watermark passes 30 idle minutes
+    * after their last event. This is the custom-state production shape
+    * `session_window` can't express (arbitrary per-session payloads,
+    * emit-on-close side outputs) — and the timeout is what bounds the
+    * state store on an unbounded stream. Caller must set a watermark on
+    * `ts` upstream. */
+  def idleSessions(events: Dataset[UserEvent]): Dataset[UserSession] = {
+    implicit val enc = Encoders.product[UserSession]
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(sessionize)
+  }
 }
+
+final case class UserSession(
+    user_id: Long, n_events: Long,
+    first_ts: java.sql.Timestamp, last_ts: java.sql.Timestamp)

@@ -127,6 +127,35 @@ class StreamingSpec extends GraftSpec {
     } finally query.stop()
   }
 
+  test("flatMapGroupsWithState event-time timeout closes idle sessions exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    import SparkSpecBase.spark.implicits._
+    import graft.streaming.{Stateful, UserEvent}
+    val in = MemoryStream[UserEvent]
+    val sinkName = s"sess_sink_${System.nanoTime()}"
+    val query = Stateful.idleSessions(
+        in.toDS().withWatermark("ts", "10 minutes")).writeStream
+      .format("memory").queryName(sinkName).outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: two events, then goes idle
+      in.addData(
+        UserEvent(ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        UserEvent(ts("2024-01-01 10:05:00"), 1, "view", 2.0))
+      query.processAllAvailable()
+      assert(spark.table(sinkName).count() == 0) // session still open
+      // advance the watermark far past 10:35 (last_ts + 30min gap)
+      in.addData(UserEvent(ts("2024-01-01 12:00:00"), 9, "click", 0.0))
+      query.processAllAvailable()
+      // one more batch so the timed-out state is processed
+      in.addData(UserEvent(ts("2024-01-01 12:30:00"), 9, "click", 0.0))
+      query.processAllAvailable()
+      val sessions = spark.table(sinkName).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).toString, r.getTimestamp(3).toString))
+      assert(sessions.toSeq == Seq((1L, 2L, "2024-01-01 10:00:00.0", "2024-01-01 10:05:00.0")),
+        s"got ${sessions.toSeq}")
+    } finally query.stop()
+  }
+
   test("stream_watermark_late: rows behind the watermark are dropped") {
     val batch1 = Seq(
       TestEvent(ts("2024-01-01 10:05:00"), 1, "click", 1.0),
