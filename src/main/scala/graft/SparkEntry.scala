@@ -56,6 +56,7 @@ object SparkEntry {
     "agg_bool_countif" -> Relational.aggBoolCountif _,
     "agg_collect_sorted" -> Relational.aggCollectSorted _,
     "sql_scalar_subquery" -> Relational.sqlScalarSubquery _,
+    "sql_recursive_cte" -> Relational.sqlRecursiveCte _,
     // windows
     "window_rank" -> Relational.windowRank _,
     "window_topk_per_group" -> Relational.windowTopkPerGroup _,

@@ -329,6 +329,16 @@ object OracleSql {
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
+    "sql_recursive_cte" -> """
+      WITH RECURSIVE cal(m) AS (
+        SELECT DATE '1995-01-01'
+        UNION ALL SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM cal WHERE m < DATE '1998-12-01'
+      )
+      SELECT m, count(o_orderkey) AS n_orders
+      FROM cal LEFT JOIN orders
+        ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
+      GROUP BY m ORDER BY m""",
+
     "join_right_outer" -> """
       SELECT p_partkey, count(l_orderkey) AS n_lineitems
       FROM lineitem RIGHT JOIN part ON l_partkey = p_partkey

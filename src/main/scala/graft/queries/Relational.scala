@@ -152,6 +152,24 @@ object Relational {
       ORDER BY c_custkey""")
   }
 
+  /** Recursive CTE (Spark 4.1): generate a 48-month calendar spine and
+    * LEFT JOIN order counts onto it — months with zero orders survive,
+    * the gap-free time-series shape a bare GROUP BY month can't produce.
+    * The recursion materializes 48 driver-light rows; the fact side
+    * stays a single scan + aggregate. */
+  def sqlRecursiveCte(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("rcte_orders")
+    s.sql("""
+      WITH RECURSIVE cal(m) AS (
+        SELECT DATE '1995-01-01'
+        UNION ALL SELECT add_months(m, 1) FROM cal WHERE m < DATE '1998-12-01'
+      )
+      SELECT m, count(o_orderkey) AS n_orders
+      FROM cal LEFT JOIN rcte_orders
+        ON CAST(date_trunc('MONTH', o_orderdate) AS DATE) = m
+      GROUP BY m ORDER BY m""")
+  }
+
   /** FULL OUTER of two filtered key sets with presence markers. */
   def joinFullOuter(s: SparkSession, dir: String): DataFrame = {
     val a = t(s, dir, "customer").filter(col("c_acctbal") > 9000)
