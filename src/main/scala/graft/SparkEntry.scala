@@ -41,6 +41,7 @@ object SparkEntry {
     // aggregations
     "agg_hash_groupby" -> Relational.aggHashGroupby _,
     "agg_distinct_count" -> Relational.aggDistinctCount _,
+    "agg_multi_distinct" -> Relational.aggMultiDistinct _,
     "agg_approx_distinct" -> Relational.aggApproxDistinct _,
     "agg_grouping_sets" -> Relational.aggGroupingSets _,
     "agg_rollup" -> Relational.aggRollup _,
@@ -66,6 +67,7 @@ object SparkEntry {
     "window_ntile" -> Relational.windowNtile _,
     "window_value_fns" -> Relational.windowValueFns _,
     "window_percent_cume" -> Relational.windowPercentCume _,
+    "window_ignore_nulls" -> Relational.windowIgnoreNulls _,
     // sort / limit / set
     "sort_multi_null" -> Relational.sortMultiNull _,
     "topk_global" -> Relational.topkGlobal _,

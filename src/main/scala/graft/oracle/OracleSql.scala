@@ -382,6 +382,20 @@ object OracleSql {
              CAST(dayofyear(o_orderdate) AS INT) AS doy
       FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""",
 
+    "agg_multi_distinct" -> """
+      SELECT o_orderstatus,
+             count(DISTINCT o_custkey) AS n_cust,
+             count(DISTINCT o_orderpriority) AS n_prio,
+             count(*) AS n
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "window_ignore_nulls" -> """
+      SELECT o_custkey, o_orderkey,
+             last_value(CASE WHEN o_totalprice > 200000 THEN o_totalprice END IGNORE NULLS)
+               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS last_big
+      FROM orders WHERE o_custkey <= 200
+      ORDER BY o_custkey, o_orderkey""",
+
     "agg_median_percentile" -> """
       SELECT c_mktsegment,
              round(median(c_acctbal), 4) AS median_bal,

@@ -380,6 +380,18 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("c_mktsegment")
 
+  /** Multiple DISTINCT aggregates in one pass: Catalyst plans this via
+    * Expand (one replicated stream per distinct set) + two-phase
+    * aggregation — the planning stress case for distinct handling. */
+  def aggMultiDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        countDistinct(col("o_custkey")).as("n_cust"),
+        countDistinct(col("o_orderpriority")).as("n_prio"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
   /** Sketch order statistics: approx_percentile (positional error ≤
     * 1/accuracy of the rank, single pass, fixed memory) — the 100 TB
     * swap-in for agg_median_percentile's exact sort-based form.
@@ -527,6 +539,18 @@ object Relational {
         first(col("o_totalprice")).over(w).as("first_price"),
         last(col("o_totalprice")).over(wFull).as("last_price"),
         nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** IGNORE NULLS window navigation: carry the last "big order" price
+    * forward over a sparse column — the gap-filling / last-observation-
+    * carried-forward shape. */
+  def windowIgnoreNulls(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    t(s, dir, "orders").filter(col("o_custkey") <= 200)
+      .withColumn("big", when(col("o_totalprice") > 200000, col("o_totalprice")))
+      .select(col("o_custkey"), col("o_orderkey"),
+        last(col("big"), ignoreNulls = true).over(w).as("last_big"))
       .orderBy("o_custkey", "o_orderkey")
   }
 
