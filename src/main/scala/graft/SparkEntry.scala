@@ -130,10 +130,11 @@ object SparkEntry {
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for the 9 non-SQL-expressible ops
-    * (agg_approx_distinct, stream_watermark_late, llm_dedup_minhash,
-    * llm_dedup_simhash, llm_fingerprint, llm_sim_lsh_topk,
-    * llm_sim_ivf_topk, mm_decode_stub, ingest_census_csv) — those are
+    * the same parquet tables. Omitted for the 12 non-SQL-expressible ops
+    * (agg_approx_distinct, agg_approx_percentile, stream_watermark_late,
+    * llm_dedup_minhash, llm_dedup_simhash, llm_fingerprint,
+    * llm_sim_lsh_topk, llm_sim_ivf_topk, llm_pack_sequences,
+    * mm_decode_stub, mm_frame_sample, ingest_census_csv) — those are
     * covered by ScalaTest instead (SURVEY §5). */
   def oracleSql: Map[String, String] = OracleSql.sql
 }
