@@ -1,6 +1,28 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every `SparkEntry.queries` entry at
+  * SPARK_GRAFT_SF_DIR and emits the results as JSON.
+  *
+  * Output protocol (the driver captures only the LAST 2000 bytes of
+  * stdout — measured from BENCH_r01/r02.json, both of which ended up
+  * `parsed: null` because a single ~2.3KB line with ~95 per-query
+  * timings was head-truncated mid-JSON):
+  *   1. the COMPLETE result JSON is written to `BENCH_LOCAL.json` in the
+  *      working directory — the durable, reproducible artifact;
+  *   2. per-query timings stream out as short `queries_part` lines
+  *      (each well under the tail budget, so the trailing parts survive
+  *      in the capture);
+  *   3. the FINAL line is the canonical
+  *      `{"metric":"total","value":…,"unit":"sec","queries":{…},"sf":…}`
+  *      shape, with the queries map trimmed (slowest first, count in
+  *      "queries_omitted") only if the full line would blow the tail
+  *      budget — so the driver's tail always ends with one complete,
+  *      parseable JSON line carrying the total.
+  */
 object Bench {
+  private def fmt(v: Double): String = f"$v%.3f"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -27,14 +49,35 @@ object Bench {
     }
     val p1 = pass(); val p2 = pass()
     val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
-    // 3-decimal seconds keep the whole line under ~2KB for ~70 queries:
-    // the driver captures only the tail of stdout, and a longer line gets
-    // truncated mid-JSON and fails to parse (observed in BENCH_r01.json)
-    def fmt(v: Double): String = f"$v%.3f"
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def entry(kv: (String, Double)): String = "\"" + kv._1 + "\":" + fmt(kv._2)
+    def line(qs: Seq[(String, Double)], omitted: Int): String = {
+      val extra = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qs.map(entry).mkString("{", ",", "}")}$extra,"sf":"$sfDir"}"""
+    }
+    val all = results.toSeq.sortBy { case (_, v) => -v } // slowest first
+    // durable full artifact (cwd = repo root under sbt)
+    try {
+      val w = new java.io.PrintWriter("BENCH_LOCAL.json")
+      try w.println(line(all, 0)) finally w.close()
+    } catch { case _: Throwable => () }
+    // short per-query chunk lines: each stays far below the 2000-byte
+    // tail capture, so the trailing chunks + final line survive intact
+    val chunks = all.grouped(25).toSeq
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      println(s"""{"metric":"queries_part","part":${i + 1},"parts":${chunks.size},"queries":${c.map(entry).mkString("{", ",", "}")}}""")
+    }
+    // final canonical line, trimmed to the tail budget if needed
+    val budget = 1600 // leave room for sbt's trailing "[success]" line
+    val full = line(all, 0)
+    println(
+      if (full.length <= budget) full
+      else {
+        var kept = all
+        while (kept.nonEmpty && line(kept, all.size - kept.size).length > budget)
+          kept = kept.dropRight(1)
+        line(kept, all.size - kept.size)
+      })
     spark.stop()
   }
 }

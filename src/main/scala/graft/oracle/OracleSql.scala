@@ -414,8 +414,8 @@ object OracleSql {
 
     "agg_arg_minmax" -> """
       SELECT c_mktsegment,
-             arg_max(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey) AS richest,
-             arg_min(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey) AS poorest,
+             arg_max(c_name, CAST(round(c_acctbal * 100) AS BIGINT)::HUGEINT * 9223372036854775808 + c_custkey) AS richest,
+             arg_min(c_name, CAST(round(c_acctbal * 100) AS BIGINT)::HUGEINT * 9223372036854775808 + c_custkey) AS poorest,
              count(*) AS n
       FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
@@ -562,7 +562,7 @@ object OracleSql {
     "llm_dedup_keep_best" -> """
       SELECT h, n_dupes, kept_doc_id FROM (
         SELECT md5(substr(text, 1, 40)) AS h, count(*) AS n_dupes,
-               arg_max(doc_id, n_chars * 10000000 + doc_id) AS kept_doc_id
+               arg_max(doc_id, n_chars::HUGEINT * 9223372036854775808 + doc_id) AS kept_doc_id
         FROM documents GROUP BY 1)
       WHERE n_dupes > 1 ORDER BY h""",
 

@@ -30,12 +30,13 @@ object Llm {
   def llmDedupKeepBest(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .withColumn("h", md5(substring(col("text"), 1, 40)))
-      // tie-free composite: chars dominate, doc_id breaks ties
-      .withColumn("ord", col("n_chars") * 10000000L + col("doc_id"))
       .groupBy("h")
       .agg(
         count(lit(1)).as("n_dupes"),
-        max_by(col("doc_id"), col("ord")).as("kept_doc_id"))
+        // tie-free LEXICOGRAPHIC ordering (chars dominate, doc_id breaks
+        // ties) via struct comparison — a packed bigint composite would
+        // silently misorder once doc_id reaches the multiplier
+        max_by(col("doc_id"), struct(col("n_chars"), col("doc_id"))).as("kept_doc_id"))
       .filter(col("n_dupes") > 1)
       .orderBy("h")
 

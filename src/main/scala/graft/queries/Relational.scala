@@ -420,11 +420,13 @@ object Relational {
       .orderBy("l_returnflag")
 
   /** argmax/argmin aggregates (max_by/min_by ↔ DuckDB arg_max/arg_min):
-    * the ordering value is a composite bigint (balance-cents ⊕ custkey)
-    * so ties are impossible and both engines pick the same row — the
-    * top-1-per-group shape without a window sort. */
+    * the ordering value is LEXICOGRAPHIC (balance-cents, then custkey) so
+    * ties are impossible and both engines pick the same row at ANY key
+    * scale — the top-1-per-group shape without a window sort. Spark
+    * orders a struct natively; the oracle packs the same pair into a
+    * HUGEINT with a 2^63 multiplier (no bleed for any bigint custkey). */
   def aggArgMinmax(s: SparkSession, dir: String): DataFrame = {
-    val ord = (round(col("c_acctbal") * 100).cast("long") * 10000000L + col("c_custkey")).as("ord")
+    val ord = struct(round(col("c_acctbal") * 100).cast("long").as("cents"), col("c_custkey"))
     t(s, dir, "customer")
       .withColumn("ord", ord)
       .groupBy("c_mktsegment")

@@ -54,16 +54,35 @@ object Stateful {
       state.remove()
       Iterator.single(done)
     } else {
-      val prev = state.getOption
-      val next = events.foldLeft(
-        prev.getOrElse(UserSession(uid, 0L, null, null))) { (acc, e) =>
-        UserSession(uid, acc.n_events + 1,
-          if (acc.first_ts == null || e.ts.before(acc.first_ts)) e.ts else acc.first_ts,
-          if (acc.last_ts == null || e.ts.after(acc.last_ts)) e.ts else acc.last_ts)
+      // The 30-min idle gap must be enforced against the DATA, not only
+      // via the event-time timeout: a user whose own traffic drives the
+      // watermark can deliver post-gap events before the timeout fires
+      // (e.g. 10:00 then 13:00 in successive batches). Sort the incoming
+      // batch and split on every gap — against the stored session's
+      // last_ts first, then within the batch — emitting each closed
+      // session immediately; only the trailing open session stays in
+      // state with a refreshed timeout.
+      val sorted = events.toArray.sortBy(_.ts.getTime)
+      val closed = scala.collection.mutable.ArrayBuffer.empty[UserSession]
+      var open = state.getOption
+      sorted.foreach { e =>
+        open match {
+          case Some(sess) if e.ts.getTime - sess.last_ts.getTime > GapMs =>
+            closed += sess
+            open = Some(UserSession(uid, 1L, e.ts, e.ts))
+          case Some(sess) =>
+            open = Some(UserSession(uid, sess.n_events + 1,
+              if (e.ts.before(sess.first_ts)) e.ts else sess.first_ts,
+              if (e.ts.after(sess.last_ts)) e.ts else sess.last_ts))
+          case None =>
+            open = Some(UserSession(uid, 1L, e.ts, e.ts))
+        }
       }
-      state.update(next)
-      state.setTimeoutTimestamp(next.last_ts.getTime + GapMs)
-      Iterator.empty
+      open.foreach { sess =>
+        state.update(sess)
+        state.setTimeoutTimestamp(sess.last_ts.getTime + GapMs)
+      }
+      closed.iterator
     }
 
   /** Timeout-driven sessionization via `flatMapGroupsWithState` with an

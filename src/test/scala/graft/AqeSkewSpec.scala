@@ -25,9 +25,12 @@ class AqeSkewSpec extends GraftSpec {
     val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
     confs.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
-      // left: 50k rows, 90% on key 7 with a fat payload; right: 5k rows uniform
+      // left: 50k rows, 90% on hot key 7 with a fat payload; the other
+      // 10% (ids divisible by 10) spread over keys 0..6 via % 7 (coprime
+      // with 10, so the spread really hits multiple keys); right: 5k rows
+      // uniform over keys 0..9
       val left = spark.range(50000)
-        .select(when(col("id") % 10 === 0, col("id") % 5).otherwise(7L).as("k"),
+        .select(when(col("id") % 10 === 0, col("id") % 7).otherwise(7L).as("k"),
           concat(lit("x" * 200), col("id").cast("string")).as("payload"))
       val right = spark.range(5000)
         .select((col("id") % 10).as("k"), col("id").as("rid"))
@@ -36,8 +39,9 @@ class AqeSkewSpec extends GraftSpec {
       // query and leave this one's AQE plan unfinalized)
       val qe = joined.queryExecution
       val n = qe.executedPlan.execute().count()
-      // row parity: key 7 matches 500 right rows × 45k left rows
-      val expected = 45000L * 500 + 5000L * 500
+      // every right key 0..9 has exactly 500 rows, so each left row —
+      // hot or not — matches 500 right rows
+      val expected = 50000L * 500
       assert(n == expected, s"row count $n != $expected")
       val plan = qe.executedPlan.toString
       assert(plan.toLowerCase.contains("skew=true"),

@@ -156,6 +156,40 @@ class StreamingSpec extends GraftSpec {
     } finally query.stop()
   }
 
+  test("idle-gap sessions split on in-data gaps even when the same user drives the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import SparkSpecBase.spark.implicits._
+    import graft.streaming.{Stateful, UserEvent}
+    val in = MemoryStream[UserEvent]
+    val sinkName = s"sess_gap_sink_${System.nanoTime()}"
+    val query = Stateful.idleSessions(
+        in.toDS().withWatermark("ts", "10 minutes")).writeStream
+      .format("memory").queryName(sinkName).outputMode(OutputMode.Append()).start()
+    try {
+      // user 1 at 10:00, then again at 13:00 — 3h gap, but the 13:00
+      // event ARRIVES before any other traffic advances the watermark
+      // past 10:30, so the event-time timeout has not fired. The gap
+      // check against stored last_ts must split the sessions anyway.
+      in.addData(UserEvent(ts("2024-01-01 10:00:00"), 1, "click", 1.0))
+      query.processAllAvailable()
+      in.addData(
+        UserEvent(ts("2024-01-01 13:00:00"), 1, "click", 2.0),
+        // and a within-batch gap: 13:05 same session, 16:00 a third one
+        UserEvent(ts("2024-01-01 13:05:00"), 1, "view", 3.0),
+        UserEvent(ts("2024-01-01 16:00:00"), 1, "click", 4.0))
+      query.processAllAvailable()
+      val emitted = spark.table(sinkName).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).toString, r.getTimestamp(3).toString))
+      // first session (10:00, 1 event) closed by the 13:00 arrival; second
+      // (13:00-13:05, 2 events) closed by the within-batch 16:00 gap; the
+      // 16:00 session is still open in state, not emitted
+      assert(emitted.toSet == Set(
+        (1L, 1L, "2024-01-01 10:00:00.0", "2024-01-01 10:00:00.0"),
+        (1L, 2L, "2024-01-01 13:00:00.0", "2024-01-01 13:05:00.0")),
+        s"got ${emitted.toSeq}")
+    } finally query.stop()
+  }
+
   test("stream_watermark_late: rows behind the watermark are dropped") {
     val batch1 = Seq(
       TestEvent(ts("2024-01-01 10:05:00"), 1, "click", 1.0),
