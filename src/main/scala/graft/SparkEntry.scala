@@ -37,6 +37,7 @@ object SparkEntry {
     "join_theta_range" -> Relational.joinThetaRange _,
     "join_asof" -> Relational.joinAsof _,
     "join_multiway" -> Relational.joinMultiway _,
+    "join_null_safe" -> Relational.joinNullSafe _,
     "join_star_flagship" -> Relational.joinStarFlagship _,
     // aggregations
     "agg_hash_groupby" -> Relational.aggHashGroupby _,
@@ -56,8 +57,10 @@ object SparkEntry {
     "agg_arg_minmax" -> Relational.aggArgMinmax _,
     "agg_bool_countif" -> Relational.aggBoolCountif _,
     "agg_collect_sorted" -> Relational.aggCollectSorted _,
+    "agg_bit_ops" -> Relational.aggBitOps _,
     "sql_scalar_subquery" -> Relational.sqlScalarSubquery _,
     "sql_recursive_cte" -> Relational.sqlRecursiveCte _,
+    "sql_lateral_join" -> Relational.sqlLateralJoin _,
     // windows
     "window_rank" -> Relational.windowRank _,
     "window_topk_per_group" -> Relational.windowTopkPerGroup _,
@@ -68,6 +71,7 @@ object SparkEntry {
     "window_value_fns" -> Relational.windowValueFns _,
     "window_percent_cume" -> Relational.windowPercentCume _,
     "window_ignore_nulls" -> Relational.windowIgnoreNulls _,
+    "window_gaps_islands" -> Relational.windowGapsIslands _,
     // sort / limit / set
     "sort_multi_null" -> Relational.sortMultiNull _,
     "topk_global" -> Relational.topkGlobal _,
@@ -89,6 +93,9 @@ object SparkEntry {
     "fn_explode_words" -> Scalars.fnExplodeWords _,
     "fn_posexplode" -> Scalars.fnPosexplode _,
     "fn_bitwise" -> Scalars.fnBitwise _,
+    "fn_regexp" -> Scalars.fnRegexp _,
+    "fn_interval_arith" -> Scalars.fnIntervalArith _,
+    "fn_trig" -> Scalars.fnTrig _,
     // streaming-shaped (batch forms; streaming twins in graft.streaming)
     "stream_tumbling_count" -> StreamingQueries.streamTumblingCount _,
     "stream_sliding_avg" -> StreamingQueries.streamSlidingAvg _,
@@ -121,6 +128,10 @@ object SparkEntry {
     "llm_fingerprint" -> LlmExtra.llmFingerprint _,
     "llm_pack_sequences" -> LlmExtra.llmPackSequences _,
     "llm_decontaminate" -> LlmExtra.llmDecontaminate _,
+    "llm_hash_split" -> LlmExtra.llmHashSplit _,
+    "llm_stratified_sample" -> LlmExtra.llmStratifiedSample _,
+    "llm_repetition_score" -> LlmExtra.llmRepetitionScore _,
+    "llm_dedup_editdist" -> LlmExtra.llmDedupEditdist _,
     // multimodal binary columns
     "mm_binary_features" -> MultimodalQueries.mmBinaryFeatures _,
     "mm_decode_stub" -> MultimodalQueries.mmDecodeStub _,

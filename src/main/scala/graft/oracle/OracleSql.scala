@@ -715,6 +715,115 @@ object OracleSql {
       SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
              sha256(text) AS sha,
              CAST(ascii(substr(text, 1, 1)) AS INT) AS first_byte
-      FROM documents WHERE doc_id < 2000 ORDER BY doc_id"""
+      FROM documents WHERE doc_id < 2000 ORDER BY doc_id""",
+
+    "agg_bit_ops" -> """
+      SELECT o_orderpriority,
+             bit_and(o_orderkey) AS k_and,
+             bit_or(o_orderkey) AS k_or,
+             bit_xor(o_orderkey) AS k_xor,
+             count(*) AS n
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "sql_lateral_join" -> """
+      SELECT n_name, t.c_custkey AS top_custkey, t.c_acctbal AS top_acctbal
+      FROM nation, LATERAL (
+        SELECT c_custkey, c_acctbal FROM customer c
+        WHERE c.c_nationkey = n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey LIMIT 1) t
+      ORDER BY n_name""",
+
+    "join_null_safe" -> """
+      SELECT ck, count(*) AS n_pairs
+      FROM (SELECT nullif(c_nationkey % 5, 0) AS ck FROM customer) c
+      JOIN (SELECT nullif(s_nationkey % 5, 0) AS sk FROM supplier) sp
+        ON ck IS NOT DISTINCT FROM sk
+      GROUP BY ck ORDER BY ck NULLS FIRST""",
+
+    "window_gaps_islands" -> """
+      WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL '45 minutes'
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events),
+      grouped AS (
+        SELECT user_id, ts,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS grp
+        FROM flagged)
+      SELECT user_id, min(epoch_us(ts)) AS session_start_us,
+             count(*) AS n_events,
+             (max(epoch_us(ts)) - min(epoch_us(ts))) // 60000000 AS duration_min
+      FROM grouped GROUP BY user_id, grp
+      ORDER BY user_id, session_start_us""",
+
+    "fn_regexp" -> """
+      SELECT p_partkey,
+             regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+             regexp_matches(p_name, '^[bg]') AS starts_bg,
+             CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS BIGINT) AS n_vowels,
+             regexp_extract(p_type, '^([A-Z]+)', 1) AS type_head
+      FROM part ORDER BY p_partkey LIMIT 500""",
+
+    "fn_interval_arith" -> """
+      SELECT o_orderkey,
+             o_orderdate + INTERVAL 36 HOUR AS plus_36h,
+             o_orderdate - INTERVAL 90 MINUTE AS minus_90m,
+             o_orderdate + INTERVAL 2 DAY + INTERVAL 3 HOUR AS plus_2d3h,
+             date_diff('hour', TIMESTAMP '1990-01-01 00:00:00', o_orderdate) AS hours_since_1990,
+             date_diff('day', o_orderdate, TIMESTAMP '2005-01-01 00:00:00') AS days_to_2005
+      FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""",
+
+    "fn_trig" -> """
+      SELECT p_partkey,
+             round(sin(p_retailprice / 1000), 4) AS sin_x,
+             round(cos(p_retailprice / 1000), 4) AS cos_x,
+             round(tan(p_retailprice / 1000), 4) AS tan_x,
+             round(atan(p_retailprice / 1000), 4) AS atan_x,
+             round(atan2(p_retailprice / 1000, 2.0), 4) AS atan2_x2,
+             round(degrees(p_retailprice / 1000), 4) AS deg_x,
+             round(radians(CAST(p_size AS DOUBLE)), 4) AS rad_size,
+             round(log2(p_retailprice), 4) AS log2_price,
+             round(log10(p_retailprice), 4) AS log10_price,
+             CAST(sign(p_size - 25) AS INT) AS sign_size,
+             round(exp((p_retailprice / 1000) / 10), 4) AS exp_x10
+      FROM part ORDER BY p_partkey LIMIT 500""",
+
+    "llm_hash_split" -> s"""
+      SELECT lang,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e','f') THEN 'test'
+                  ELSE 'train' END AS split,
+             count(*) AS n_docs,
+             ${N.avgInt("n_chars", 2)} AS avg_chars
+      FROM documents GROUP BY 1, 2 ORDER BY lang, split""",
+
+    "llm_stratified_sample" -> s"""
+      SELECT lang, count(*) AS n_total,
+             CAST(count_if(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2')) AS BIGINT) AS n_sampled,
+             ${N.ratio(
+               "SUM(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2') THEN n_chars END)",
+               "count_if(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2'))", 2)} AS avg_chars_sampled
+      FROM documents GROUP BY lang ORDER BY lang""",
+
+    "llm_repetition_score" -> s"""
+      WITH b AS (
+        SELECT doc_id, list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS bigrams
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 1000))
+      SELECT doc_id,
+             CAST(len(bigrams) AS BIGINT) AS n_bigrams,
+             CAST(len(list_distinct(bigrams)) AS BIGINT) AS n_uniq,
+             ${N.ratio("len(bigrams) - len(list_distinct(bigrams))", "len(bigrams)", 4)} AS rep_ratio
+      FROM b ORDER BY doc_id""",
+
+    "llm_dedup_editdist" -> """
+      WITH d AS (
+        SELECT doc_id, source, substr(text, 1, 20) AS blk, substr(text, 21, 60) AS body
+        FROM documents)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(levenshtein(a.body, b.body) AS BIGINT) AS edit_dist
+      FROM d a JOIN d b ON a.source = b.source AND a.blk = b.blk AND a.doc_id < b.doc_id
+      WHERE levenshtein(a.body, b.body) <= 30
+      ORDER BY doc_a, doc_b"""
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\n\\s+", "\n") }
 }

@@ -309,6 +309,86 @@ object LlmExtra {
       .orderBy("source", "bin_id")
   }
 
+  /** Deterministic content-hash train/val/test split: the split a doc
+    * lands in is a pure function of its id's md5 (first hex nibble:
+    * 0-b train ≈ 75%, c-d val ≈ 12.5%, e-f test ≈ 12.5%) — stable under
+    * re-runs, re-partitioning, and corpus growth, the property random()
+    * splits lack. One scan, one group-by; no shuffle of the documents
+    * themselves beyond the final tiny aggregate. */
+  def llmHashSplit(s: SparkSession, dir: String): DataFrame = {
+    val nib = substring(md5(col("doc_id").cast("string")), 1, 1)
+    t(s, dir, "documents")
+      .withColumn("split",
+        when(nib.isin("c", "d"), "val")
+          .when(nib.isin("e", "f"), "test")
+          .otherwise("train"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"), Num.avgInt(col("n_chars"), 2).as("avg_chars"))
+      .orderBy("lang", "split")
+  }
+
+  /** Deterministic stratified sampling: within every language stratum,
+    * keep docs whose id-md5 starts with 0/1/2 (a fixed 3/16 ≈ 18.75%
+    * rate). Hash-gated sampling keeps the sample reproducible at any
+    * scale and composable with later pipeline stages (the same predicate
+    * re-derives the sample); per-stratum counts verify the rate. */
+  def llmStratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val keep = substring(md5(col("doc_id").cast("string")), 1, 1).isin("0", "1", "2")
+    t(s, dir, "documents")
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_total"),
+        count_if(keep).as("n_sampled"),
+        // avg over the SAMPLED subset only — Num.avgInt's count(*)
+        // denominator would count the whole stratum, so build the
+        // half-up ratio from conditional aggregates explicitly
+        Num.ratio(sum(when(keep, col("n_chars"))), count_if(keep), 2).as("avg_chars_sampled"))
+      .orderBy("lang")
+  }
+
+  /** Gopher-style repetition quality signal: fraction of duplicate word
+    * bigrams per document (1 − distinct/total, integer half-up ratio).
+    * Bigrams are built array-native (zip_with over two slices) — no
+    * explode, no shuffle; the whole query is a projection. */
+  def llmRepetitionScore(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(col("doc_id") < 1000)
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("bigrams",
+        zip_with(slice(col("w"), lit(1), size(col("w")) - 1),
+          slice(col("w"), lit(2), size(col("w")) - 1),
+          (a, b) => concat(a, lit(" "), b)))
+      .select(
+        col("doc_id"),
+        size(col("bigrams")).cast("long").as("n_bigrams"),
+        size(array_distinct(col("bigrams"))).cast("long").as("n_uniq"),
+        Num.ratio(
+          size(col("bigrams")) - size(array_distinct(col("bigrams"))),
+          size(col("bigrams")), 4).as("rep_ratio"))
+      .orderBy("doc_id")
+
+  /** Blocked edit-distance near-dup verification: block on the 20-char
+    * text prefix (the near-dup families in this corpus share prefixes),
+    * pair within blocks, verify with levenshtein on the next 60 chars.
+    * The classic record-linkage shape — blocking turns an O(n²) compare
+    * into an equi-join whose cost is output-sensitive in block sizes
+    * (≤4 docs/block here), and the expensive distance runs only on
+    * candidates. */
+  def llmDedupEditdist(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        substring(col("text"), 1, 20).as("blk"),
+        substring(col("text"), 21, 60).as("body"))
+    val a = docs.select(col("doc_id").as("doc_a"), col("source"), col("blk"), col("body").as("body_a"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("source"), col("blk"), col("body").as("body_b"))
+    a.join(b, Seq("source", "blk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("body_a"), col("body_b")).cast("long").as("edit_dist"))
+      .filter(col("edit_dist") <= 30)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Winnowing fingerprints (rolling char-5-gram hashes, window-4 robust
     * winnowing) per document: fingerprint count and density. Oracle-
     * exempt (seeded rolling hash); ScalaTest checks the winnowing

@@ -621,4 +621,75 @@ object Relational {
         coalesce(col("n_except"), lit(0L)).as("n_except"))
       .orderBy("key")
   }
+
+  /** Bitwise aggregates (bit_and/bit_or/bit_xor fold over the group) —
+    * single-pass codegen'd aggregates with trivially associative partials,
+    * so the partial+final split costs nothing at any partition count. */
+  def aggBitOps(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        bit_and(col("o_orderkey")).as("k_and"),
+        bit_or(col("o_orderkey")).as("k_or"),
+        bit_xor(col("o_orderkey")).as("k_xor"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
+  /** SQL LATERAL correlated subquery with ORDER BY + LIMIT — the per-row
+    * "top-1 related row" shape. Catalyst decorrelates the lateral into a
+    * window/aggregate join rather than executing the subquery per outer
+    * row (the RDBMS nested-loop trap); nation is 25 rows so the rewritten
+    * join broadcasts. Tie-free via (acctbal DESC, custkey). */
+  def sqlLateralJoin(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "nation").createOrReplaceTempView("lat_nation")
+    t(s, dir, "customer").createOrReplaceTempView("lat_customer")
+    s.sql("""
+      SELECT n_name, t.c_custkey AS top_custkey, t.c_acctbal AS top_acctbal
+      FROM lat_nation, LATERAL (
+        SELECT c_custkey, c_acctbal FROM lat_customer
+        WHERE c_nationkey = n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey LIMIT 1) t
+      ORDER BY n_name""")
+  }
+
+  /** Null-safe equi-join (`<=>` ↔ IS NOT DISTINCT FROM): NULL keys match
+    * each other instead of vanishing — still plans as a hash join on the
+    * null-safe key (nulls hash to one bucket), not a nested loop. Keys
+    * are made nullable via nullif; output is per-key pair counts with an
+    * explicit NULLS FIRST order for cross-engine determinism. */
+  def joinNullSafe(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+      .select(nullif(col("c_nationkey") % 5, lit(0)).as("ck"))
+    val sp = t(s, dir, "supplier")
+      .select(nullif(col("s_nationkey") % 5, lit(0)).as("sk"))
+    c.join(sp, col("ck") <=> col("sk"))
+      .groupBy("ck").agg(count(lit(1)).as("n_pairs"))
+      .orderBy(asc_nulls_first("ck"))
+  }
+
+  /** Batch sessionization via gaps-and-islands (lag → gap flag → running
+    * sum → group) — the window-composition route to session windows,
+    * 45-min gap so it is NOT a restatement of stream_session_window.
+    * At scale this is one shuffle on user_id reused by both window
+    * functions and the final aggregation (same partitioning). Session
+    * duration is computed in exact integer microseconds. */
+  def windowGapsIslands(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapUs = 45L * 60 * 1000000
+    t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("new_s",
+        when(lag(col("ts"), 1).over(w).isNull ||
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) >= gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("grp", sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "grp")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("session_start_us"),
+        call_function("div",
+          max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))), lit(60000000L)).as("duration_min"))
+      .select("user_id", "session_start_us", "n_events", "duration_min")
+      .orderBy("user_id", "session_start_us")
+  }
 }

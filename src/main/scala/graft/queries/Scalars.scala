@@ -204,4 +204,58 @@ object Scalars {
       .agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), asc("word"))
       .limit(20)
+
+  /** Regex family: global replace (Spark replaces all matches by default;
+    * the oracle passes the 'g' flag), boolean match (rlike ↔
+    * regexp_matches), and match counting via regexp_extract_all + size
+    * (explicit group 0 — Spark requires it when the pattern has no
+    * capture group). */
+  def fnRegexp(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+        col("p_name").rlike("^[bg]").as("starts_bg"),
+        size(regexp_extract_all(col("p_name"), lit("[aeiou]"), lit(0))).cast("long").as("n_vowels"),
+        regexp_extract(col("p_type"), "^([A-Z]+)", 1).as("type_head"))
+      .orderBy("p_partkey")
+      .limit(500)
+
+  /** Interval arithmetic: timestamp ± INTERVAL literals and exact integer
+    * hour/day differences (timestampdiff ↔ date_diff) — pure projection,
+    * no float time math anywhere. */
+  def fnIntervalArith(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") <= 2000)
+      .select(
+        col("o_orderkey"),
+        expr("o_orderdate + INTERVAL 36 HOURS").as("plus_36h"),
+        expr("o_orderdate - INTERVAL 90 MINUTES").as("minus_90m"),
+        expr("o_orderdate + INTERVAL 2 DAYS + INTERVAL 3 HOURS").as("plus_2d3h"),
+        expr("timestampdiff(HOUR, timestamp'1990-01-01 00:00:00', o_orderdate)").as("hours_since_1990"),
+        expr("timestampdiff(DAY, o_orderdate, timestamp'2005-01-01 00:00:00')").as("days_to_2005"))
+      .orderBy("o_orderkey")
+
+  /** Trigonometric / transcendental scalar family (identical IEEE-754
+    * results in both engines at round-4). sign is cast to int — DuckDB
+    * returns an integer type there, Spark a double. */
+  def fnTrig(s: SparkSession, dir: String): DataFrame = {
+    val x = col("p_retailprice") / 1000.0
+    t(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        round(sin(x), 4).as("sin_x"),
+        round(cos(x), 4).as("cos_x"),
+        round(tan(x), 4).as("tan_x"),
+        round(atan(x), 4).as("atan_x"),
+        round(atan2(x, lit(2.0)), 4).as("atan2_x2"),
+        round(degrees(x), 4).as("deg_x"),
+        round(radians(col("p_size").cast("double")), 4).as("rad_size"),
+        round(log2(col("p_retailprice")), 4).as("log2_price"),
+        round(log10(col("p_retailprice")), 4).as("log10_price"),
+        signum(col("p_size") - 25).cast("int").as("sign_size"),
+        round(exp(x / 10.0), 4).as("exp_x10"))
+      .orderBy("p_partkey")
+      .limit(500)
+  }
 }
