@@ -56,6 +56,32 @@ class PlanShapeSpec extends GraftSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, "expected partial+final HashAggregate")
   }
 
+  test("sql_lateral_join decorrelates: WindowGroupLimit + broadcast join, no per-row subquery") {
+    val p = plan(Relational.sqlLateralJoin(spark, sfDir))
+    // Catalyst must rewrite the correlated LATERAL ... ORDER BY ... LIMIT 1
+    // into a window-group-limit (partial top-1 per partition BEFORE the
+    // shuffle) joined to the outer side — not a nested-loop re-execution
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("window_gaps_islands plans exactly one data shuffle, reused by both windows and the aggregate") {
+    val p = plan(Relational.windowGapsIslands(spark, sfDir))
+    // one hashpartitioning exchange on user_id feeds lag, the running
+    // sum, and the partial aggregation; the only other exchange is the
+    // final rangepartitioning for the presentation ORDER BY
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "expected partial+final aggregation")
+  }
+
+  test("join_null_safe stays a hash join (null-safe keys hash via coalesce+isnull)") {
+    val p = plan(Relational.joinNullSafe(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("whole-stage codegen covers the flagship pipeline") {
     // AQE only finalizes (and codegens) the plan on execution.
     val df = Relational.joinStarFlagship(spark, sfDir)
