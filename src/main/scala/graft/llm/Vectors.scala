@@ -26,4 +26,18 @@ object Vectors {
     * this is O(N·d) once instead of O(pairs·d) repeated). */
   def cosineWithNorms(dotCol: Column, normA: Column, normB: Column): Column =
     dotCol / (normA * normB)
+
+  /** Native codegen'd dot product over raw `array<float>` columns
+    * (graft.udx.FloatDotExpression): the identical left-fold double
+    * arithmetic as `dot(toDouble(a), toDouble(b))` — float→double
+    * widening is exact — minus the interpreted per-element lambda
+    * dispatch (HOFs are CodegenFallback) and the cast pass, and the
+    * float arrays are half the bytes of double arrays through every
+    * broadcast/shuffle. Requires `graft.udx.NGrams.registerAll` (or the
+    * GraftExtensions session extension). */
+  def fdot(a: Column, b: Column): Column = call_function("graft_fdot", a, b)
+
+  /** Native codegen'd L2 norm over a raw `array<float>` column — same
+    * fold order as `norm(toDouble(v))`. */
+  def fnorm(v: Column): Column = call_function("graft_fnorm", v)
 }

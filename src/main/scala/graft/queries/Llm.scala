@@ -72,15 +72,16 @@ object Llm {
     * via zip_with/aggregate (no UDF). Ranking is on the ROUNDED cosine
     * with vec_id tiebreak so both engines rank identically. */
   def llmSimCosineTopk(s: SparkSession, dir: String): DataFrame = {
+    graft.udx.NGrams.registerAll(s)
     val emb = t(s, dir, "embeddings")
-      .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("v"))
-      .withColumn("nrm", Vectors.norm(col("v")))
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", Vectors.fnorm(col("v")))
     val probes = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("pid"), col("v").as("pv"), col("nrm").as("pnorm"))
     val pairs = emb.crossJoin(broadcast(probes))
       .filter(col("pid") =!= col("vec_id"))
       .select(col("pid"), col("vec_id").as("nid"),
-        round(Vectors.cosineWithNorms(Vectors.dot(col("pv"), col("v")), col("pnorm"), col("nrm")), 4).as("cos"))
+        round(Vectors.cosineWithNorms(Vectors.fdot(col("pv"), col("v")), col("pnorm"), col("nrm")), 4).as("cos"))
     // bounded-heap top-k aggregate (graft.udx.TopKAggregator) instead of
     // a window row_number: each input partition reduces to ≤ 5 rows per
     // probe before the shuffle — no per-probe global sort, no skew.

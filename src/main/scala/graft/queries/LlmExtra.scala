@@ -92,16 +92,17 @@ object LlmExtra {
     * broadcast probe set for LSH-bucketed candidates (llm_sim_lsh_topk's
     * shape). */
   def llmDedupEmbedCosine(s: SparkSession, dir: String): DataFrame = {
+    graft.udx.NGrams.registerAll(s)
     val emb = t(s, dir, "embeddings")
-      .select(col("vec_id"), graft.llm.Vectors.toDouble(col("embedding")).as("v"))
-      .withColumn("nrm", graft.llm.Vectors.norm(col("v")))
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", graft.llm.Vectors.fnorm(col("v")))
     val probes = emb.filter(col("vec_id") < 100)
       .select(col("vec_id").as("pid"), col("v").as("pv"), col("nrm").as("pnorm"))
     emb.crossJoin(broadcast(probes))
       .filter(col("vec_id") > col("pid"))
       .select(col("pid"), col("vec_id").as("nid"),
         round(graft.llm.Vectors.cosineWithNorms(
-          graft.llm.Vectors.dot(col("pv"), col("v")), col("pnorm"), col("nrm")), 4).as("cos"))
+          graft.llm.Vectors.fdot(col("pv"), col("v")), col("pnorm"), col("nrm")), 4).as("cos"))
       .filter(col("cos") >= 0.30)
       .orderBy("pid", "nid")
   }
@@ -115,11 +116,12 @@ object LlmExtra {
     * replaces llm_sim_cosine_topk's cross join. Oracle-exempt; ScalaTest
     * measures recall against the brute-force result. */
   def llmSimLshTopk(s: SparkSession, dir: String): DataFrame = {
-    val bucketsUdf = udf((v: Seq[Double]) =>
-      Lsh.buckets(v.toArray).map { case (tb, bk) => tb * 65536 + bk })
+    graft.udx.NGrams.registerAll(s)
+    val bucketsUdf = udf((v: Seq[Float]) =>
+      Lsh.buckets(v.map(_.toDouble).toArray).map { case (tb, bk) => tb * 65536 + bk })
     val emb = t(s, dir, "embeddings")
-      .select(col("vec_id"), graft.llm.Vectors.toDouble(col("embedding")).as("v"))
-      .withColumn("nrm", graft.llm.Vectors.norm(col("v")))
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", graft.llm.Vectors.fnorm(col("v")))
       .withColumn("bkt", explode(bucketsUdf(col("v"))))
     val probes = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("pid"), col("v").as("pv"), col("nrm").as("pnorm"), col("bkt"))
@@ -129,7 +131,7 @@ object LlmExtra {
       .distinct()
     val scored = cands.select(col("pid"), col("nid"),
       round(graft.llm.Vectors.cosineWithNorms(
-        graft.llm.Vectors.dot(col("pv"), col("v")), col("pnorm"), col("nrm")), 4).as("cos"))
+        graft.llm.Vectors.fdot(col("pv"), col("v")), col("pnorm"), col("nrm")), 4).as("cos"))
     val w = Window.partitionBy("pid").orderBy(desc("cos"), asc("nid"))
     scored.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 5)
@@ -145,13 +147,14 @@ object LlmExtra {
     * recall vs brute force. */
   def llmSimIvfTopk(s: SparkSession, dir: String): DataFrame = {
     import graft.llm.Ivf
+    graft.udx.NGrams.registerAll(s)
     val emb = t(s, dir, "embeddings")
-      .select(col("vec_id"), graft.llm.Vectors.toDouble(col("embedding")).as("v"))
-      .withColumn("nrm", graft.llm.Vectors.norm(col("v")))
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", graft.llm.Vectors.fnorm(col("v")))
     val cents = emb.filter(col("vec_id") < Ivf.NCells)
       .select(col("vec_id").cast("long").as("cell"), col("v").as("cv"))
     val scored = emb.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cell"), graft.llm.Vectors.dot(col("v"), col("cv")).as("d"))
+      .select(col("vec_id"), col("cell"), graft.llm.Vectors.fdot(col("v"), col("cv")).as("d"))
     // nearest cell per vector / 2 nearest per probe — argmax via the
     // bounded-heap aggregate (score desc, cell asc tiebreak)
     val assigned = scored.groupBy("vec_id")
@@ -173,7 +176,7 @@ object LlmExtra {
       .join(emb.select(col("vec_id").as("nid"), col("v"), col("nrm")), "nid")
       .select(col("pid"), col("nid"),
         round(graft.llm.Vectors.cosineWithNorms(
-          graft.llm.Vectors.dot(col("pv"), col("v")), col("pnorm"), col("nrm")), 4).as("cos"))
+          graft.llm.Vectors.fdot(col("pv"), col("v")), col("pnorm"), col("nrm")), 4).as("cos"))
     pairs.groupBy("pid")
       .agg(graft.udx.TopKAggregator.topk(5)(col("cos"), col("nid")).as("tk"))
       .select(col("pid"), posexplode(col("tk.items")))
@@ -190,9 +193,14 @@ object LlmExtra {
     * tiebreak, output as a confusion matrix. Integer scores make the
     * argmax engine-independent. */
   def llmLangId(s: SparkSession, dir: String): DataFrame = {
+    graft.udx.NGrams.registerAll(s)
     val docs = t(s, dir, "documents")
+    // native Generator (graft_ngrams) fans out length−2 gram rows without
+    // materializing the intermediate array the transform+explode route
+    // builds per doc; identical output for any text of ≥ 3 chars (this
+    // corpus: n_chars ≥ 48 at every SF)
     val grams = docs.select(col("doc_id"), col("lang"),
-        explode(expr("transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))")).as("gram"))
+        expr("graft_ngrams(text, 3)").as("gram"))
     val profile = grams.filter(col("doc_id") % 10 =!= 0)
       .groupBy(col("lang").as("plang"), col("gram")).agg(count(lit(1)).as("cnt"))
       .withColumn("rk", row_number().over(
@@ -200,15 +208,28 @@ object LlmExtra {
       .filter(col("rk") <= 50)
       .select("plang", "gram")
     val testGrams = grams.filter(col("doc_id") % 10 === 0)
-      .select("doc_id", "gram").distinct()
-    val scores = testGrams.join(profile, "gram")
-      .groupBy("doc_id", "plang").agg(count(lit(1)).as("score"))
+      .select("doc_id", "gram")
+    // profile is ≤ 50 grams × n_langs (a few hundred rows) but sits
+    // behind a window, so Spark has no size estimate and would plan a
+    // sort-merge join against the full test-gram stream — broadcast it
+    // explicitly (same at 100 TB: the profile is bounded by construction).
+    // The broadcast probe also acts as a MAP-SIDE membership filter, so
+    // only profile hits reach the shuffle; the per-doc gram dedup then
+    // runs on that reduced stream (countDistinct) instead of a full
+    // distinct over every raw test gram.
+    val scores = testGrams.join(broadcast(profile), "gram")
+      .groupBy("doc_id", "plang").agg(countDistinct(col("gram")).as("score"))
     val pred = scores.withColumn("rk", row_number().over(
         Window.partitionBy("doc_id").orderBy(desc("score"), asc("plang"))))
       .filter(col("rk") === 1)
       .select(col("doc_id"), col("plang").as("pred_lang"))
+    // pred is one row per held-out doc. An eval split is bounded in
+    // practice (you score a fixed benchmark set, not 10% of 100 TB), so
+    // broadcast-probing it against the docs scan is the scale shape too;
+    // if the eval side ever grew unbounded this reverts to a plain
+    // doc_id equi-join shuffle.
     docs.filter(col("doc_id") % 10 === 0)
-      .join(pred, "doc_id")
+      .join(broadcast(pred), "doc_id")
       .groupBy(col("lang"), col("pred_lang"))
       .agg(count(lit(1)).as("n"))
       .orderBy("lang", "pred_lang")

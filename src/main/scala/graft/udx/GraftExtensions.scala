@@ -43,5 +43,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHashExpression].getName, "graft_simhash"),
       (exprs: Seq[Expression]) => SimHashExpression(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_fdot"),
+      new ExpressionInfo(classOf[FloatDotExpression].getName, "graft_fdot"),
+      (exprs: Seq[Expression]) => FloatDotExpression(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_fnorm"),
+      new ExpressionInfo(classOf[FloatNormExpression].getName, "graft_fnorm"),
+      (exprs: Seq[Expression]) => FloatNormExpression(exprs.head)))
   }
 }

@@ -51,5 +51,13 @@ object NGrams {
       "graft_simhash",
       exprs => SimHashExpression(exprs.head),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_fdot",
+      exprs => FloatDotExpression(exprs.head, exprs(1)),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_fnorm",
+      exprs => FloatNormExpression(exprs.head),
+      "scala_udf")
   }
 }

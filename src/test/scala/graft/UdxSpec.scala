@@ -54,4 +54,26 @@ class UdxSpec extends GraftSpec {
     val m = agg.merge(a, b).items
     assert(m == Seq((0.95, 9L), (0.9, 1L), (0.8, 4L)))
   }
+
+  test("graft_fdot/graft_fnorm are bit-identical to the HOF double formulation") {
+    import SparkSpecBase.spark.implicits._
+    graft.udx.NGrams.registerAll(spark)
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 50).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1), Array.fill(64)(rnd.nextFloat() * 2 - 1))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val got = df.select(
+      graft.llm.Vectors.fdot(col("a"), col("b")).as("kd"),
+      graft.llm.Vectors.dot(
+        graft.llm.Vectors.toDouble(col("a")), graft.llm.Vectors.toDouble(col("b"))).as("hd"),
+      graft.llm.Vectors.fnorm(col("a")).as("kn"),
+      graft.llm.Vectors.norm(graft.llm.Vectors.toDouble(col("a"))).as("hn")).collect()
+    // the kernel folds left-to-right in double exactly like the HOFs, so
+    // equality must be EXACT (==), not approximate
+    got.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1), s"fdot ${r.getDouble(0)} != ${r.getDouble(1)}")
+      assert(r.getDouble(2) == r.getDouble(3), s"fnorm ${r.getDouble(2)} != ${r.getDouble(3)}")
+    }
+  }
 }
