@@ -93,6 +93,7 @@ object SparkEntry {
     "fn_explode_words" -> Scalars.fnExplodeWords _,
     "fn_posexplode" -> Scalars.fnPosexplode _,
     "fn_bitwise" -> Scalars.fnBitwise _,
+    "fn_array_extra" -> Scalars.fnArrayExtra _,
     "fn_regexp" -> Scalars.fnRegexp _,
     "fn_interval_arith" -> Scalars.fnIntervalArith _,
     "fn_trig" -> Scalars.fnTrig _,

@@ -757,6 +757,20 @@ object OracleSql {
       FROM grouped GROUP BY user_id, grp
       ORDER BY user_id, session_start_us""",
 
+    "fn_array_extra" -> """
+      SELECT doc_id,
+             array_to_string(list_sort(w), ' ') AS sorted_words,
+             CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq,
+             CAST(len(list_intersect(w, ['join','hash','scan','row'])) AS BIGINT) AS n_common,
+             list_contains(w, 'join') AS has_join,
+             CAST(coalesce(list_position(w, 'hash'), 0) AS BIGINT) AS pos_hash,
+             CAST(len(list_filter(w, x -> length(x) > 4)) AS BIGINT) AS n_long,
+             list_has_any(w, ['vector','batch']) AS has_vb,
+             list_reverse(w)[1] AS last_word,
+             CAST(len(flatten([w, w])) AS BIGINT) AS n_flat
+      FROM (SELECT doc_id, string_split(text, ' ')[1:8] AS w FROM documents)
+      ORDER BY doc_id""",
+
     "fn_regexp" -> """
       SELECT p_partkey,
              regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,

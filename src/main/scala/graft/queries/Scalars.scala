@@ -205,6 +205,28 @@ object Scalars {
       .orderBy(desc("n"), asc("word"))
       .limit(20)
 
+  /** Array-function family over tokenized text: sort/distinct/intersect/
+    * contains/position/filter/overlap/reverse/flatten. Set-valued results
+    * are surfaced as sizes (DuckDB's list_intersect/list_distinct return
+    * arbitrary element order) or via array_sort before joining; absent
+    * array_position is 0 in Spark vs NULL in DuckDB — oracle coalesces. */
+  def fnArrayExtra(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("w", slice(split(col("text"), " "), 1, 8))
+      .select(
+        col("doc_id"),
+        array_join(array_sort(col("w")), " ").as("sorted_words"),
+        size(array_distinct(col("w"))).cast("long").as("n_uniq"),
+        size(array_intersect(col("w"),
+          array(lit("join"), lit("hash"), lit("scan"), lit("row")))).cast("long").as("n_common"),
+        array_contains(col("w"), "join").as("has_join"),
+        array_position(col("w"), "hash").cast("long").as("pos_hash"),
+        size(filter(col("w"), x => length(x) > 4)).cast("long").as("n_long"),
+        arrays_overlap(col("w"), array(lit("vector"), lit("batch"))).as("has_vb"),
+        element_at(reverse(col("w")), 1).as("last_word"),
+        size(flatten(array(col("w"), col("w")))).cast("long").as("n_flat"))
+      .orderBy("doc_id")
+
   /** Regex family: global replace (Spark replaces all matches by default;
     * the oracle passes the 'g' flag), boolean match (rlike ↔
     * regexp_matches), and match counting via regexp_extract_all + size

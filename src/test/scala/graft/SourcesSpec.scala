@@ -51,6 +51,16 @@ class SourcesSpec extends GraftSpec {
     assert(sortedRows(back) == sortedRows(docs))
   }
 
+  test("ORC round-trip is lossless (the second columnar format Spark ships natively)") {
+    val dir = tmpDir("graft_orc")
+    docs.write.mode("overwrite").orc(dir)
+    val back = spark.read.schema(docSchema).orc(dir)
+    assert(sortedRows(back) == sortedRows(docs))
+    // ORC predicate pushdown reaches the scan just like parquet
+    val p = back.filter(col("doc_id") < 100).queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("doc_id"), p)
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val dir = tmpDir("graft_part")
     docs.write.mode("overwrite").partitionBy("lang").parquet(dir)
