@@ -133,6 +133,7 @@ object SparkEntry {
     "llm_stratified_sample" -> LlmExtra.llmStratifiedSample _,
     "llm_repetition_score" -> LlmExtra.llmRepetitionScore _,
     "llm_dedup_editdist" -> LlmExtra.llmDedupEditdist _,
+    "llm_length_histogram" -> LlmExtra.llmLengthHistogram _,
     // multimodal binary columns
     "mm_binary_features" -> MultimodalQueries.mmBinaryFeatures _,
     "mm_decode_stub" -> MultimodalQueries.mmDecodeStub _,

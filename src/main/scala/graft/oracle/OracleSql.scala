@@ -830,6 +830,11 @@ object OracleSql {
              ${N.ratio("len(bigrams) - len(list_distinct(bigrams))", "len(bigrams)", 4)} AS rep_ratio
       FROM b ORDER BY doc_id""",
 
+    "llm_length_histogram" -> """
+      SELECT least(n_chars // 100, 9) AS bucket, count(*) AS n_docs,
+             min(n_chars) AS min_chars, max(n_chars) AS max_chars
+      FROM documents GROUP BY 1 ORDER BY bucket""",
+
     "llm_dedup_editdist" -> """
       WITH d AS (
         SELECT doc_id, source, substr(text, 1, 20) AS blk, substr(text, 21, 60) AS body

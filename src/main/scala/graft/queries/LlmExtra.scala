@@ -410,6 +410,20 @@ object LlmExtra {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Document-length histogram: fixed-width buckets (100 chars, capped
+    * at bucket 9) via exact integer division — the corpus-distribution
+    * profile every pipeline run starts with. One scan, one tiny
+    * aggregate; no floats anywhere. */
+  def llmLengthHistogram(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("bucket", least(call_function("div", col("n_chars"), lit(100L)), lit(9L)))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy("bucket")
+
   /** Winnowing fingerprints (rolling char-5-gram hashes, window-4 robust
     * winnowing) per document: fingerprint count and density. Oracle-
     * exempt (seeded rolling hash); ScalaTest checks the winnowing

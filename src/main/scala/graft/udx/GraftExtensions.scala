@@ -51,5 +51,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_fnorm"),
       new ExpressionInfo(classOf[FloatNormExpression].getName, "graft_fnorm"),
       (exprs: Seq[Expression]) => FloatNormExpression(exprs.head)))
+    // rewrite the declarative HOF dot-product idiom to the codegen'd
+    // kernel — users write catalog functions, the engine substitutes the
+    // fused loop (bit-identical fold; see VectorKernelRewrite)
+    ext.injectOptimizerRule(_ => VectorKernelRewrite)
   }
 }

@@ -55,6 +55,28 @@ class UdxSpec extends GraftSpec {
     assert(m == Seq((0.95, 9L), (0.9, 1L), (0.8, 4L)))
   }
 
+  test("optimizer rule rewrites the HOF dot-product idiom to the fused kernel") {
+    // parquet-backed source (a literal LocalRelation would be constant-
+    // folded before the rewrite is observable)
+    val emb = graft.tables.Tables.t(spark, sfDir, "embeddings").filter(col("vec_id") < 20)
+    val df = emb.select(col("vec_id"), graft.llm.Vectors.dot(
+      graft.llm.Vectors.toDouble(col("embedding")),
+      graft.llm.Vectors.toDouble(col("embedding"))).as("d"))
+    // the injected VectorKernelRewrite must have replaced the
+    // aggregate(zip_with(...)) chain with graft_fdot in the optimized plan
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("graft_fdot"), s"rule did not fire:\n$opt")
+    assert(!opt.contains("aggregate("), s"HOF chain survived:\n$opt")
+    // and values equal a driver-side fold over the raw vectors
+    val raw = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    df.collect().foreach { r =>
+      val v = raw(r.getLong(0))
+      val expected = v.foldLeft(0.0) { (s, x) => s + x.toDouble * x.toDouble }
+      assert(r.getDouble(1) == expected)
+    }
+  }
+
   test("graft_fdot/graft_fnorm are bit-identical to the HOF double formulation") {
     import SparkSpecBase.spark.implicits._
     graft.udx.NGrams.registerAll(spark)
