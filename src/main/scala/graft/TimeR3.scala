@@ -9,9 +9,9 @@ object TimeR3 {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.1"
     try SparkEntry.queries("scan_parquet_project")(spark, dir).count() catch { case _: Throwable => () }
-    val qs = Seq("llm_lang_id", "llm_dedup_embed_cosine", "llm_sim_cosine_topk", "llm_sim_lsh_topk", "llm_sim_ivf_topk",
-      "llm_dedup_editdist", "llm_repetition_score", "llm_hash_split", "llm_stratified_sample",
-      "window_gaps_islands", "fn_trig", "fn_regexp", "fn_interval_arith", "agg_bit_ops", "sql_lateral_join", "join_null_safe")
+    val qs = Seq("llm_dedup_ngram_jaccard", "llm_dedup_minhash", "llm_sim_cosine_topk", "llm_tfidf_top_terms", "set_ops_all",
+      
+      "join_star_flagship", "join_multiway")
     for (_ <- 1 to 2; q <- qs) {
       val t0 = System.nanoTime()
       SparkEntry.queries(q)(spark, dir).count()

@@ -32,6 +32,41 @@ object MinHash {
     else words.sliding(k).map(_.mkString(" "))
   }
 
+  /** Distinct 64-bit hashes of the word-3-shingle multiset, mirroring the
+    * Catalyst formulation `array_distinct(transform(sequence(1,
+    * greatest(n-2,1)), i -> array_join(slice(w,i,3),' ')))` over
+    * `split(text, ' ')` EXACTLY (split keeps empty tokens, limit −1; the
+    * short-text branch joins whatever is there) — so swapping one for
+    * the other cannot change which shingles two documents share. The
+    * hash only needs to be an injective shingle-string fingerprint
+    * (pairs are counted on hash equality, collision odds ~n²/2^65), not
+    * any particular engine's hash. One tight JVM pass; no per-element
+    * lambda interpretation, no intermediate string array in the plan. */
+  def shingleHashes(text: String): Array[Long] = {
+    val words = text.split(" ", -1)
+    val n = words.length
+    def h64(s: String): Long = {
+      val h1 = MurmurHash3.stringHash(s, 0xC0FFEE)
+      val h2 = MurmurHash3.stringHash(s, 0x5EED42)
+      (h1.toLong << 32) | (h2.toLong & 0xFFFFFFFFL)
+    }
+    if (n < 3) Array(h64(words.mkString(" ")))
+    else {
+      val seen = new java.util.HashSet[java.lang.Long](n * 2)
+      val out = new scala.collection.mutable.ArrayBuffer[Long](n - 2)
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i <= n - 3) {
+        sb.setLength(0)
+        sb.append(words(i)).append(' ').append(words(i + 1)).append(' ').append(words(i + 2))
+        val h = h64(sb.toString)
+        if (seen.add(h)) out += h
+        i += 1
+      }
+      out.toArray
+    }
+  }
+
   /** 64-long MinHash signature over the text's word 3-shingles. */
   def signature(text: String): Array[Long] = {
     val sig = Array.fill(NumPerm)(Long.MaxValue)

@@ -46,9 +46,12 @@ object Llm {
     * isn't SQL-expressible; ScalaTest checks estimates against exact
     * Jaccard. */
   def llmDedupMinhash(s: SparkSession, dir: String): DataFrame = {
-    val sigUdf = udf((text: String) => MinHash.signature(text))
+    graft.udx.NGrams.registerAll(s)
+    // native expression (graft.udx.MinHashExpression) — same
+    // MinHash.signature kernel the UDF called, without the per-row
+    // Scala-UDF conversion boundary
     val sigs = t(s, dir, "documents")
-      .select(col("doc_id"), sigUdf(col("text")).as("sig"))
+      .select(col("doc_id"), expr("graft_minhash(text)").as("sig"))
     val bandStructs = array((0 until MinHash.Bands).map { i =>
       struct(lit(i).as("band"),
         xxhash64(lit(i), slice(col("sig"), i * MinHash.RowsPerBand + 1, MinHash.RowsPerBand)).as("bkey"))

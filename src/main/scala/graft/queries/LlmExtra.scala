@@ -54,24 +54,25 @@ object LlmExtra {
     * DuckDB as a list comprehension. Jaccard is computed with exact
     * integer half-up arithmetic (Num.ratio) — no float rounding drift. */
   def llmDedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    graft.udx.NGrams.registerAll(s)
+    // graft_shingles64: distinct hashed word-3-shingles in one native
+    // codegen'd pass — mirrors the previous Catalyst formulation
+    // array_distinct(transform(sequence(...), i -> array_join(slice(w,i,3))))
+    // shingle-for-shingle (see MinHash.shingleHashes), minus ~500
+    // interpreted lambda evaluations and string materializations per doc
     val d = t(s, dir, "documents")
       .filter(col("doc_id") < 2000)
-      .withColumn("w", split(col("text"), " "))
-      .select(col("doc_id"), col("source"),
-        array_distinct(expr(
-          "transform(sequence(1, greatest(size(w) - 2, 1)), i -> array_join(slice(w, i, 3), ' '))"
-        )).as("sh"))
+      .select(col("doc_id"), col("source"), expr("graft_shingles64(text)").as("sh"))
     // Inverted-index formulation: explode to (source, shingle, doc)
     // postings, equi-join postings with themselves, count matches per
     // doc pair. Cost is output-sensitive (Σ per-shingle pair counts) —
     // only pairs that SHARE a shingle are ever materialized, exactly the
     // inter ≥ 1 output set. The previous all-pairs array_intersect form
     // was quadratic in docs-per-source regardless of similarity.
+    // Join/shuffle moves the 8-byte shingle hash, never the ~20-byte
+    // string (collision odds over a corpus of shingles are ~n²/2^65 — nil).
     val postings = d.select(col("doc_id"), col("source"),
-      size(col("sh")).as("n_sh"), explode(col("sh")).as("g0"))
-      // join/shuffle on the 8-byte shingle hash, not the ~20-byte string
-      // (collision odds over a corpus of shingles are ~n²/2^65 — nil)
-      .withColumn("g", xxhash64(col("g0"))).drop("g0")
+      size(col("sh")).as("n_sh"), explode(col("sh")).as("g"))
     postings.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"), col("source"), col("g"))
       .join(postings.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"), col("source"), col("g")),
         Seq("source", "g"))

@@ -51,6 +51,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_fnorm"),
       new ExpressionInfo(classOf[FloatNormExpression].getName, "graft_fnorm"),
       (exprs: Seq[Expression]) => FloatNormExpression(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingles64"),
+      new ExpressionInfo(classOf[ShingleHashesExpression].getName, "graft_shingles64"),
+      (exprs: Seq[Expression]) => ShingleHashesExpression(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashExpression].getName, "graft_minhash"),
+      (exprs: Seq[Expression]) => MinHashExpression(exprs.head)))
     // rewrite the declarative HOF dot-product idiom to the codegen'd
     // kernel — users write catalog functions, the engine substitutes the
     // fused loop (bit-identical fold; see VectorKernelRewrite)

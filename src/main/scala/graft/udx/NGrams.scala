@@ -59,5 +59,13 @@ object NGrams {
       "graft_fnorm",
       exprs => FloatNormExpression(exprs.head),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_shingles64",
+      exprs => ShingleHashesExpression(exprs.head),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash",
+      exprs => MinHashExpression(exprs.head),
+      "scala_udf")
   }
 }

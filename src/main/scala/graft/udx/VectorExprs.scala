@@ -31,6 +31,46 @@ object VectorKernels {
   }
 }
 
+/** Static bridges returning Catalyst ArrayData, callable from generated
+  * Java (UnsafeArrayData.fromPrimitiveArray is a zero-copy-ish pack). */
+object TextKernels {
+  import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+  import org.apache.spark.unsafe.types.UTF8String
+  def shingles64(s: UTF8String): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(graft.llm.MinHash.shingleHashes(s.toString))
+  def minhash64(s: UTF8String): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(graft.llm.MinHash.signature(s.toString))
+}
+
+/** `graft_shingles64(text)` → array<bigint>: distinct hashed word-3-
+  * shingles in one codegen'd pass (see MinHash.shingleHashes). */
+case class ShingleHashesExpression(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, LongType}
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.shingles64(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.udx.TextKernels.shingles64($c)")
+  override def prettyName: String = "graft_shingles64"
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpression =
+    copy(child = newChild)
+}
+
+/** `graft_minhash(text)` → array<bigint>: 64-permutation MinHash
+  * signature as a native expression — replaces the Scala UDF and its
+  * per-row Seq conversion/serialization boundary. */
+case class MinHashExpression(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, LongType}
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.minhash64(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.udx.TextKernels.minhash64($c)")
+  override def prettyName: String = "graft_minhash"
+  override protected def withNewChildInternal(newChild: Expression): MinHashExpression =
+    copy(child = newChild)
+}
+
 /** `graft_fdot(array<float>, array<float>)` → double: codegen'd fused
   * dot product. The HOF route (`aggregate(zip_with(a, b, *), 0.0, +)`)
   * materializes a zipped intermediate array and interprets two lambdas

@@ -77,6 +77,27 @@ class UdxSpec extends GraftSpec {
     }
   }
 
+  test("graft_shingles64 mirrors the string-shingle sets: sizes and pairwise intersections") {
+    import graft.llm.MinHash
+    val texts = graft.tables.Tables.t(spark, sfDir, "documents")
+      .filter(col("doc_id") < 60).orderBy("doc_id")
+      .select("text").collect().map(_.getString(0))
+    def stringShingles(t: String): Set[String] = {
+      // the exact Catalyst formulation the kernel replaced: split keeps
+      // empty tokens; short texts produce one joined shingle
+      val w = t.split(" ", -1)
+      if (w.length < 3) Set(w.mkString(" "))
+      else (0 to w.length - 3).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}").toSet
+    }
+    val hashed = texts.map(t => MinHash.shingleHashes(t).toSet)
+    val strs = texts.map(stringShingles)
+    hashed.zip(strs).foreach { case (h, s) => assert(h.size == s.size) }
+    for (i <- texts.indices; j <- (i + 1) until texts.length) {
+      assert(hashed(i).intersect(hashed(j)).size == strs(i).intersect(strs(j)).size,
+        s"pair ($i,$j) intersection mismatch")
+    }
+  }
+
   test("graft_fdot/graft_fnorm are bit-identical to the HOF double formulation") {
     import SparkSpecBase.spark.implicits._
     graft.udx.NGrams.registerAll(spark)
