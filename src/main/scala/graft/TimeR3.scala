@@ -9,7 +9,7 @@ object TimeR3 {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.1"
     try SparkEntry.queries("scan_parquet_project")(spark, dir).count() catch { case _: Throwable => () }
-    val qs = Seq("llm_dedup_ngram_jaccard", "llm_dedup_minhash", "llm_sim_cosine_topk", "llm_tfidf_top_terms", "set_ops_all",
+    val qs = Seq("llm_tfidf_top_terms",
       
       "join_star_flagship", "join_multiway")
     for (_ <- 1 to 2; q <- qs) {

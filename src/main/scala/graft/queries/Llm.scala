@@ -115,11 +115,17 @@ object Llm {
     val words = docs
       .select(col("lang"), col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .filter(length(col("term")) > 0)
-    val tf = words.groupBy("lang", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = words.select("doc_id", "term").distinct()
-      .groupBy("term").agg(count(lit(1)).as("df"))
+    // One explode, one shuffle: tf and the per-(lang,term) distinct doc
+    // count come out of the same aggregation; since every doc has exactly
+    // one lang, document frequency is the SUM of those distinct counts
+    // over langs — a window over the already-aggregated (lang,term) rows,
+    // not a second pass over the exploded corpus. The old two-branch form
+    // exploded the corpus twice and shuffled it three times.
+    val perLang = words.groupBy("lang", "term")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("dfl"))
+    val withDf = perLang.withColumn("df", sum(col("dfl")).over(Window.partitionBy("term")))
     val nTotal = docs.agg(count(lit(1)).as("n_total"))
-    val scored = tf.join(dfreq, "term").crossJoin(broadcast(nTotal))
+    val scored = withDf.crossJoin(broadcast(nTotal))
       .select(col("lang"), col("term"),
         round(col("tf") * log(col("n_total").cast("double") / col("df").cast("double")), 4).as("score"))
     val w = Window.partitionBy("lang").orderBy(desc("score"), asc("term"))

@@ -77,6 +77,17 @@ object StreamOps {
       .select(col("c_user").as("user_id"), col("click_ts"), col("p_ts"), col("value"))
   }
 
+  /** Stream-static enrichment join: an unbounded event stream joined to
+    * a bounded dimension table. The static side is planned as a
+    * broadcast per micro-batch — no streaming state at all (unlike
+    * stream-stream joins), which is why enrichment dims should stay
+    * static/broadcast even when the fact stream is 100 TB/day. Stateless,
+    * so append mode needs no watermark. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), "user_id")
+      .select(col("user_id"), col("ts"), col("event_type"), col("segment"),
+        round(col("value") * col("weight"), 2).as("weighted_value"))
+
   /** Watermarked hourly counts in append mode — rows later than the
     * 10-minute watermark are dropped (stream_watermark_late). */
   def watermarkedHourlyCounts(events: DataFrame): DataFrame =

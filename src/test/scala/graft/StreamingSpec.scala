@@ -90,6 +90,34 @@ class StreamingSpec extends GraftSpec {
     } finally query.stop()
   }
 
+  test("stream-static join enriches each micro-batch from a broadcast dim, stateless") {
+    implicit val sqlCtx = spark.sqlContext
+    import SparkSpecBase.spark.implicits._
+    val dim = Seq((1L, "gold", 2.0), (2L, "basic", 1.0)).toDF("user_id", "segment", "weight")
+    val in = MemoryStream[TestEvent]
+    val sinkName = s"enrich_sink_${System.nanoTime()}"
+    val query = StreamOps.enrichWithDim(in.toDF(), dim).writeStream
+      .format("memory").queryName(sinkName).outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        TestEvent(ts("2024-01-01 10:00:00"), 1, "click", 1.5),
+        TestEvent(ts("2024-01-01 10:01:00"), 2, "view", 3.0),
+        TestEvent(ts("2024-01-01 10:02:00"), 3, "click", 9.9)) // no dim row → dropped
+      query.processAllAvailable()
+      in.addData(TestEvent(ts("2024-01-01 11:00:00"), 1, "view", 2.0))
+      query.processAllAvailable()
+      val got = spark.table(sinkName).collect()
+        .map(r => (r.getLong(0), r.getString(3), r.getDouble(4))).sorted
+      assert(got.toSeq == Seq((1L, "gold", 3.0), (1L, "gold", 4.0), (2L, "basic", 3.0)),
+        s"got ${got.toSeq}")
+      // stateless: the progress metrics must report no state store rows
+      val lastProgress = query.lastProgress
+      assert(lastProgress.stateOperators.isEmpty ||
+        lastProgress.stateOperators.forall(_.numRowsTotal == 0),
+        "stream-static join should keep no state")
+    } finally query.stop()
+  }
+
   test("session windows merge events within the 30-minute gap") {
     val rows = Seq(
       TestEvent(ts("2024-01-01 01:00:00"), 1, "click", 1.0),
