@@ -56,16 +56,23 @@ object Llm {
       struct(lit(i).as("band"),
         xxhash64(lit(i), slice(col("sig"), i * MinHash.RowsPerBand + 1, MinHash.RowsPerBand)).as("bkey"))
     }: _*)
-    val bands = sigs.select(col("doc_id"), col("sig"), explode(bandStructs).as("b"))
-      .select(col("doc_id"), col("sig"), col("b.band").as("band"), col("b.bkey").as("bkey"))
-    val a = bands.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("band"), col("bkey"))
-    val b = bands.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("band"), col("bkey"))
-    a.join(b, Seq("band", "bkey"))
+    val bands = sigs.select(col("doc_id"), explode(bandStructs).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
+    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("bkey"))
+    // dedup candidate PAIRS first (a pair colliding in k bands appears k
+    // times), then join the signatures back and estimate ONCE per pair —
+    // and the band join itself moves only (doc_id, band, bkey) rows, not
+    // 64-long signature arrays
+    val candPairs = a.join(b, Seq("band", "bkey"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        (aggregate(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, 1.0).otherwise(0.0)), lit(0.0), _ + _) / MinHash.NumPerm).as("est_jaccard"))
+      .select("doc_a", "doc_b")
       .distinct()
+    candPairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (expr("graft_lmatch(sig_a, sig_b)").cast("double") / MinHash.NumPerm).as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.2)
       .orderBy("doc_a", "doc_b")
   }

@@ -59,6 +59,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashExpression].getName, "graft_minhash"),
       (exprs: Seq[Expression]) => MinHashExpression(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_lmatch"),
+      new ExpressionInfo(classOf[LongMatchCountExpression].getName, "graft_lmatch"),
+      (exprs: Seq[Expression]) => LongMatchCountExpression(exprs.head, exprs(1))))
     // rewrite the declarative HOF dot-product idiom to the codegen'd
     // kernel — users write catalog functions, the engine substitutes the
     // fused loop (bit-identical fold; see VectorKernelRewrite)

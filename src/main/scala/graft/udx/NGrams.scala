@@ -67,5 +67,9 @@ object NGrams {
       "graft_minhash",
       exprs => MinHashExpression(exprs.head),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_lmatch",
+      exprs => LongMatchCountExpression(exprs.head, exprs(1)),
+      "scala_udf")
   }
 }

@@ -21,6 +21,15 @@ object VectorKernels {
     s
   }
 
+  /** Positions where two long arrays agree (signature match count). */
+  def lmatch(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) { if (a.getLong(i) == b.getLong(i)) c += 1; i += 1 }
+    c
+  }
+
   /** L2 norm of a float vector, accumulated in double. */
   def fnorm(v: ArrayData): Double = {
     val n = v.numElements()
@@ -69,6 +78,21 @@ case class MinHashExpression(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_minhash"
   override protected def withNewChildInternal(newChild: Expression): MinHashExpression =
     copy(child = newChild)
+}
+
+/** `graft_lmatch(array<bigint>, array<bigint>)` → int: number of
+  * positions where the two arrays agree (MinHash signature agreement
+  * count) — one codegen'd loop instead of zip_with+aggregate lambdas. */
+case class LongMatchCountExpression(left: Expression, right: Expression) extends BinaryExpression {
+  import org.apache.spark.sql.types.IntegerType
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.lmatch(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.udx.VectorKernels.lmatch($a, $b)")
+  override def prettyName: String = "graft_lmatch"
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): LongMatchCountExpression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `graft_fdot(array<float>, array<float>)` → double: codegen'd fused
