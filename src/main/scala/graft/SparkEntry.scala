@@ -134,6 +134,8 @@ object SparkEntry {
     "llm_repetition_score" -> LlmExtra.llmRepetitionScore _,
     "llm_dedup_editdist" -> LlmExtra.llmDedupEditdist _,
     "llm_length_histogram" -> LlmExtra.llmLengthHistogram _,
+    "llm_normalize_dedup" -> LlmExtra.llmNormalizeDedup _,
+    "llm_chunk_split" -> LlmExtra.llmChunkSplit _,
     // multimodal binary columns
     "mm_binary_features" -> MultimodalQueries.mmBinaryFeatures _,
     "mm_decode_stub" -> MultimodalQueries.mmDecodeStub _,

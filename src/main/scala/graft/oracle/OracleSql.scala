@@ -830,6 +830,27 @@ object OracleSql {
              ${N.ratio("len(bigrams) - len(list_distinct(bigrams))", "len(bigrams)", 4)} AS rep_ratio
       FROM b ORDER BY doc_id""",
 
+    "llm_normalize_dedup" -> """
+      SELECT source, count(*) AS n_docs,
+             count(DISTINCT md5(text)) AS n_uniq_raw,
+             count(DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))) AS n_uniq_norm
+      FROM documents GROUP BY source ORDER BY source""",
+
+    "llm_chunk_split" -> """
+      WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS w,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents WHERE doc_id < 1000),
+      c AS (
+        SELECT doc_id, w, n_tok,
+               CASE WHEN n_tok <= 128 THEN 1 ELSE 1 + (n_tok - 128 + 95) // 96 END AS n_chunks
+        FROM d)
+      SELECT doc_id, CAST(u.chunk_id AS BIGINT) AS chunk_id,
+             least(128, n_tok - u.chunk_id * 96) AS chunk_len,
+             w[CAST(u.chunk_id * 96 + 1 AS INT)] AS first_tok
+      FROM c, LATERAL unnest(range(0, n_chunks)) AS u(chunk_id)
+      ORDER BY doc_id, chunk_id""",
+
     "llm_length_histogram" -> """
       SELECT least(n_chars // 100, 9) AS bucket, count(*) AS n_docs,
              min(n_chars) AS min_chars, max(n_chars) AS max_chars

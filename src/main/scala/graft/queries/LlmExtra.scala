@@ -411,6 +411,46 @@ object LlmExtra {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Normalization-aware dedup: lowercase, strip non-alphanumerics,
+    * collapse whitespace — then count distinct normalized fingerprints
+    * next to raw ones per source. Normalization is the standard
+    * preprocessing step before exact dedup (it merges trivial variants
+    * the raw hash misses); the gap between n_uniq_raw and n_uniq_norm is
+    * the signal. Same single hash-shuffle shape as llm_dedup_exact. */
+  def llmNormalizeDedup(s: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    t(s, dir, "documents")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_uniq_raw"),
+        countDistinct(md5(norm)).as("n_uniq_norm"))
+      .orderBy("source")
+  }
+
+  /** Sliding-window sequence chunking: each doc fans out to fixed-size
+    * token windows (size 128, stride 96 → 32-token overlap) — the
+    * standard long-document → training-sequence split. Pure integer
+    * arithmetic fan-out via posexplode(sequence(...)): executor-side,
+    * no state, trivially parallel at any scale; a doc's chunk count is
+    * `1 + ceil((n_tok − 128)/96)` so every token lands in ≥ 1 chunk. */
+  def llmChunkSplit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(col("doc_id") < 1000)
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("n_tok", size(col("w")).cast("long"))
+      .withColumn("n_chunks",
+        when(col("n_tok") <= 128, lit(1L))
+          .otherwise(lit(1L) + call_function("div", col("n_tok") - 128 + 95, lit(96L))))
+      .select(col("doc_id"), col("w"), col("n_tok"),
+        posexplode(expr("sequence(0, n_chunks - 1)")))
+      .select(
+        col("doc_id"),
+        col("col").as("chunk_id"),
+        least(lit(128L), col("n_tok") - col("col") * 96).as("chunk_len"),
+        element_at(col("w"), (col("col") * 96 + 1).cast("int")).as("first_tok"))
+      .orderBy("doc_id", "chunk_id")
+
   /** Document-length histogram: fixed-width buckets (100 chars, capped
     * at bucket 9) via exact integer division — the corpus-distribution
     * profile every pipeline run starts with. One scan, one tiny
