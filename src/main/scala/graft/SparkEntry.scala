@@ -65,6 +65,7 @@ object SparkEntry {
     "window_rank" -> Relational.windowRank _,
     "window_topk_per_group" -> Relational.windowTopkPerGroup _,
     "window_running_sum" -> Relational.windowRunningSum _,
+    "window_moving_sum" -> Relational.windowMovingSum _,
     "window_range_frame" -> Relational.windowRangeFrame _,
     "window_lag_lead" -> Relational.windowLagLead _,
     "window_ntile" -> Relational.windowNtile _,

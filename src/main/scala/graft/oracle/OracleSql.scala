@@ -207,6 +207,15 @@ object OracleSql {
       FROM orders WHERE o_custkey <= 200
       ORDER BY o_custkey, o_orderkey""",
 
+    "window_moving_sum" -> s"""
+      SELECT o_custkey, o_orderkey,
+             ${N.d2(s"SUM(${N.money("o_totalprice")}) OVER w")} AS mov_sum,
+             count(*) OVER w AS n_in_frame
+      FROM orders WHERE o_custkey <= 200
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+      ORDER BY o_custkey, o_orderkey""",
+
     "window_range_frame" -> """
       SELECT o_custkey, o_orderkey, price_l,
              round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY price_l

@@ -498,6 +498,20 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Bounded ROWS frame (3 preceding .. current): the moving-window sum,
+    * distinct from the unbounded running sum — Spark keeps a sliding
+    * buffer of 4 rows per partition instead of a running accumulator.
+    * Exact decimal inside the frame, rounded on output. */
+  def windowMovingSum(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(-3, Window.currentRow)
+    t(s, dir, "orders").filter(col("o_custkey") <= 200)
+      .select(col("o_custkey"), col("o_orderkey"),
+        Num.d2(sum(Num.money(col("o_totalprice"))).over(w)).as("mov_sum"),
+        count(lit(1)).over(w).as("n_in_frame"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** RANGE frame over a long ordering key (floor of price — DuckDB casts
     * double→bigint by rounding, so floor first on both sides). */
   def windowRangeFrame(s: SparkSession, dir: String): DataFrame = {
