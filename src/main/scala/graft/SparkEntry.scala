@@ -142,6 +142,8 @@ object SparkEntry {
     "mm_decode_stub" -> MultimodalQueries.mmDecodeStub _,
     "mm_frame_sample" -> MultimodalQueries.mmFrameSample _,
     // census ETL (reference §2.A pipeline over the checked-in fixture)
+    // + the ACS consumer-side MOE aggregation formula
+    "census_moe_agg" -> CensusQueries.censusMoeAgg _,
     "ingest_census_csv" -> CensusQueries.ingestCensusCsv _
   )
 

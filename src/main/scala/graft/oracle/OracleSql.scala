@@ -839,6 +839,16 @@ object OracleSql {
              ${N.ratio("len(bigrams) - len(list_distinct(bigrams))", "len(bigrams)", 4)} AS rep_ratio
       FROM b ORDER BY doc_id""",
 
+    "census_moe_agg" -> s"""
+      SELECT n_name, count(*) AS n_cust,
+             ${N.d2(s"SUM(${N.money("c_acctbal")})")} AS est_sum,
+             round(sqrt(CAST(SUM(c2) AS DOUBLE) / 1000000.0), 2) AS moe_agg
+      FROM (SELECT c_nationkey, c_acctbal,
+                   CAST(round(c_acctbal * 100) AS BIGINT) * CAST(round(c_acctbal * 100) AS BIGINT) AS c2
+            FROM customer)
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY n_name""",
+
     "llm_normalize_dedup" -> """
       SELECT source, count(*) AS n_docs,
              count(DISTINCT md5(text)) AS n_uniq_raw,

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import scala.io.Source
 import graft.census.{Ingest, Metadata}
+import graft.tables.Tables.t
 
 /** The reference-equivalent ETL pipeline as a graded query
   * (SURVEY §2.B ingest_census_csv): metadata parse → declared-schema
@@ -26,6 +27,31 @@ object CensusQueries {
   private[graft] def fixtureMetas: Seq[graft.census.TableMeta] = {
     val src = Source.fromFile(s"$fixtureDir/ACS_5yr_Seq_Table_Number_Lookup.txt")
     try Metadata.parseLookup(src.getLines()) finally src.close()
+  }
+
+  /** ACS margin-of-error aggregation (the published Census formula:
+    * MOE_agg = √Σ moe_i² for a sum of independent estimates) over the
+    * testdata star — the statistical operation consumers of the
+    * reference's estimates+`_moe` twin tables run constantly. The
+    * squared terms are exact decimals (associative, partition-order
+    * independent); only the final √ is floating, applied to an exact
+    * sum on both engines. Synthetic MOE = acctbal/10 keeps the query on
+    * driver-provided testdata (the fixture covers the real `_moe`
+    * ingest path). */
+  def censusMoeAgg(s: SparkSession, dir: String): DataFrame = {
+    // moe_i = acctbal/10 ⇒ moe_i² = cents²/10⁶; Σcents² is exact integer
+    // arithmetic (decimal-38 accumulator — BIGINT would overflow past
+    // ~sf10), the single float op is the final √ of an identical exact
+    // value on both engines
+    val cents = round(col("c_acctbal") * 100).cast("long")
+    t(s, dir, "customer")
+      .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        count(lit(1)).as("n_cust"),
+        Num.d2(sum(Num.money(col("c_acctbal")))).as("est_sum"),
+        round(sqrt(sum((cents * cents).cast("decimal(38,0)")).cast("double") / 1000000.0), 2).as("moe_agg"))
+      .orderBy("n_name")
   }
 
   /** geoheader ⋈ b00001 estimates, aggregated per summary level — the
