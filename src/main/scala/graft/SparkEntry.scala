@@ -38,6 +38,8 @@ object SparkEntry {
     "join_asof" -> Relational.joinAsof _,
     "join_multiway" -> Relational.joinMultiway _,
     "join_null_safe" -> Relational.joinNullSafe _,
+    "join_skew_salted" -> Relational.joinSkewSalted _,
+    "join_bloom_prefilter" -> Relational.joinBloomPrefilter _,
     "join_star_flagship" -> Relational.joinStarFlagship _,
     // aggregations
     "agg_hash_groupby" -> Relational.aggHashGroupby _,
@@ -58,9 +60,11 @@ object SparkEntry {
     "agg_bool_countif" -> Relational.aggBoolCountif _,
     "agg_collect_sorted" -> Relational.aggCollectSorted _,
     "agg_bit_ops" -> Relational.aggBitOps _,
+    "agg_string_agg" -> Relational.aggStringAgg _,
     "sql_scalar_subquery" -> Relational.sqlScalarSubquery _,
     "sql_recursive_cte" -> Relational.sqlRecursiveCte _,
     "sql_lateral_join" -> Relational.sqlLateralJoin _,
+    "sql_exists_subquery" -> Relational.sqlExistsSubquery _,
     // windows
     "window_rank" -> Relational.windowRank _,
     "window_topk_per_group" -> Relational.windowTopkPerGroup _,
@@ -98,6 +102,7 @@ object SparkEntry {
     "fn_regexp" -> Scalars.fnRegexp _,
     "fn_interval_arith" -> Scalars.fnIntervalArith _,
     "fn_trig" -> Scalars.fnTrig _,
+    "fn_try_arith" -> Scalars.fnTryArith _,
     // streaming-shaped (batch forms; streaming twins in graft.streaming)
     "stream_tumbling_count" -> StreamingQueries.streamTumblingCount _,
     "stream_sliding_avg" -> StreamingQueries.streamSlidingAvg _,
@@ -128,6 +133,7 @@ object SparkEntry {
     "llm_quality_score" -> LlmExtra.llmQualityScore _,
     "llm_token_count" -> LlmExtra.llmTokenCount _,
     "llm_fingerprint" -> LlmExtra.llmFingerprint _,
+    "llm_pii_scrub" -> LlmExtra.llmPiiScrub _,
     "llm_pack_sequences" -> LlmExtra.llmPackSequences _,
     "llm_decontaminate" -> LlmExtra.llmDecontaminate _,
     "llm_hash_split" -> LlmExtra.llmHashSplit _,

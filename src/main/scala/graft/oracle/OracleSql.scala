@@ -368,6 +368,74 @@ object OracleSql {
       WHERE c_custkey <= 500
       ORDER BY c_custkey""",
 
+    "sql_exists_subquery" -> """
+      SELECT c_custkey, c_name
+      FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+        AND NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      ORDER BY c_custkey""",
+
+    // the salted join is algebraically the plain join — that IS the check
+    "join_skew_salted" -> s"""
+      SELECT c_mktsegment, count(*) AS n_orders,
+             ${N.sumMoney("o_totalprice")} AS sum_price
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    // bloom prefilter + exact confirm ≡ plain semi-join
+    "join_bloom_prefilter" -> s"""
+      SELECT l_returnflag, count(*) AS n_items,
+             ${N.sumMoney("l_extendedprice")} AS sum_price
+      FROM lineitem
+      WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+      GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "agg_string_agg" -> """
+      SELECT o_custkey,
+             string_agg(o_orderpriority, '|' ORDER BY o_orderkey) AS priorities,
+             count(*) AS n
+      FROM orders
+      WHERE o_custkey <= 100
+      GROUP BY o_custkey
+      ORDER BY o_custkey""",
+
+    "llm_pii_scrub" -> """
+      WITH w AS (
+        SELECT source,
+               CASE WHEN doc_id % 7 = 0
+                    THEN text || ' contact user' || doc_id || '@example.com or 555-' ||
+                         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    ELSE text END AS t2
+        FROM documents),
+      m AS (
+        SELECT source,
+               len(regexp_extract_all(t2, '[a-z0-9._-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_email,
+               len(regexp_extract_all(t2, '\d{3}-\d{4}')) AS n_phone,
+               len(t2) - len(regexp_replace(regexp_replace(t2,
+                 '[a-z0-9._-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+                 '\d{3}-\d{4}', '[PHONE]', 'g')) AS red
+        FROM w)
+      SELECT source,
+             CAST(sum(n_email) AS BIGINT) AS n_emails,
+             CAST(sum(n_phone) AS BIGINT) AS n_phones,
+             CAST(sum(red) AS BIGINT) AS chars_redacted,
+             count(CASE WHEN n_email + n_phone > 0 THEN 1 END) AS n_docs_pii
+      FROM m GROUP BY source ORDER BY source""",
+
+    // ovf can't be expressed in DuckDB 1.0 (BIGINT overflow errors, no
+    // try_add) — the oracle pins the expected constant NULL
+    "fn_try_arith" -> """
+      SELECT l_orderkey, l_linenumber,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) /
+                  nullif(l_quantity - l_quantity, 0) AS DOUBLE) AS div0,
+             round(CAST(l_extendedprice AS DOUBLE) / 4.0, 4) AS div_ok,
+             try_cast(l_returnflag AS INT) AS cast_bad,
+             try_cast(CAST(l_linenumber AS VARCHAR) AS INT) AS cast_ok,
+             CAST(NULL AS BIGINT) AS ovf
+      FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 300""",
+
     "fn_string_extra" -> """
       SELECT p_partkey,
              translate(p_name, 'ae', '43') AS name_leet,

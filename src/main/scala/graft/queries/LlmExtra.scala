@@ -479,4 +479,35 @@ object LlmExtra {
         element_at(col("fps"), 1).as("fp_first"))
       .orderBy("doc_id")
   }
+
+  /** PII scrub: regex redaction of emails and phone-shaped strings with
+    * per-source audit counts — the compliance pass every pretraining
+    * corpus runs before release. PII is injected deterministically
+    * (doc_id % 7) so the driver testdata exercises non-trivial match
+    * counts; patterns are RE2-compatible so the DuckDB oracle
+    * (`regexp_replace(..., 'g')`) agrees byte-for-byte. Purely per-row
+    * codegen'd map work — the only shuffle is the final tiny per-source
+    * rollup, so at 100 TB this runs at scan speed. */
+  def llmPiiScrub(s: SparkSession, dir: String): DataFrame = {
+    val emailPat = "[a-z0-9._-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phonePat = "\\d{3}-\\d{4}"
+    val withPii = t(s, dir, "documents").withColumn("t2",
+      when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(col("text")))
+    withPii
+      .withColumn("n_email", regexp_count(col("t2"), lit(emailPat)))
+      .withColumn("n_phone", regexp_count(col("t2"), lit(phonePat)))
+      .withColumn("clean",
+        regexp_replace(regexp_replace(col("t2"), emailPat, "[EMAIL]"), phonePat, "[PHONE]"))
+      .groupBy("source")
+      .agg(
+        sum("n_email").as("n_emails"),
+        sum("n_phone").as("n_phones"),
+        sum(length(col("t2")) - length(col("clean"))).as("chars_redacted"),
+        count(when(col("n_email") + col("n_phone") > 0, 1)).as("n_docs_pii"))
+      .orderBy("source")
+  }
 }

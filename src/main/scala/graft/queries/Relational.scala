@@ -706,4 +706,82 @@ object Relational {
       .select("user_id", "session_start_us", "n_events", "duration_min")
       .orderBy("user_id", "session_start_us")
   }
+
+  /** Correlated EXISTS / NOT EXISTS through the SQL surface: Catalyst
+    * decorrelates into left-semi + left-anti hash joins — one scan of
+    * orders each, never a per-row subquery execution. */
+  def sqlExistsSubquery(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("exq_customer")
+    t(s, dir, "orders").createOrReplaceTempView("exq_orders")
+    s.sql("""
+      SELECT c_custkey, c_name
+      FROM exq_customer
+      WHERE EXISTS (SELECT 1 FROM exq_orders
+                    WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+        AND NOT EXISTS (SELECT 1 FROM exq_orders
+                        WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      ORDER BY c_custkey""")
+  }
+
+  /** Skew-salted shuffle join — the hot-key mitigation at 100 TB. The
+    * fact side appends a deterministic salt in [0, 8); the dim side is
+    * replicated ×8 carrying every salt value, so the join key becomes
+    * (custkey, salt) and a hot customer's rows spread over 8 reducers
+    * instead of hammering one. The result is provably identical to the
+    * unsalted join — the oracle IS the plain join. shuffle_hash hint
+    * keeps the demonstration honest (a broadcast would bypass the
+    * shuffle being protected). */
+  def joinSkewSalted(s: SparkSession, dir: String): DataFrame = {
+    val nSalt = 8
+    val fact = t(s, dir, "orders")
+      .withColumn("salt", pmod(xxhash64(col("o_orderkey")), lit(nSalt)).cast("int"))
+    val dim = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        explode(sequence(lit(0), lit(nSalt - 1))).as("d_salt"))
+    fact.join(dim.hint("shuffle_hash"),
+        col("o_custkey") === col("c_custkey") && col("salt") === col("d_salt"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), Num.sumMoney(col("o_totalprice")).as("sum_price"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Bloom-prefiltered semi-join — the runtime-filter / sideways-
+    * information-passing pattern: build a bloom filter over the small
+    * filtered key set with a distributed treeAggregate
+    * (`df.stat.bloomFilter`), broadcast the ~100 KB bitmap, and drop
+    * non-matching fact rows AT THE SCAN, before any join machinery runs.
+    * The exact broadcast semi-join afterwards removes bloom false
+    * positives, so the result equals the plain semi-join (the oracle).
+    * At 100 TB this is the difference between feeding the full fact
+    * table to the join and feeding only the ~5% that can match. */
+  def joinBloomPrefilter(s: SparkSession, dir: String): DataFrame = {
+    val hot = t(s, dir, "orders")
+      .filter(col("o_totalprice") > 400000).select("o_orderkey")
+    val bf = hot.stat.bloomFilter("o_orderkey", 100000L, 0.01)
+    val bfB = s.sparkContext.broadcast(bf)
+    val mightContain = udf((k: Long) => bfB.value.mightContainLong(k))
+    t(s, dir, "lineitem")
+      .filter(mightContain(col("l_orderkey")))
+      .join(broadcast(hot), col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"), Num.sumMoney(col("l_extendedprice")).as("sum_price"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Ordered string aggregation (SQL:2016 LISTAGG ... WITHIN GROUP):
+    * concatenation ordered by a DIFFERENT column than the one being
+    * aggregated — the shape `array_join(sort_array(...))` cannot
+    * express. Deterministic because the WITHIN GROUP key (o_orderkey)
+    * is unique within each group. */
+  def aggStringAgg(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("sagg_orders")
+    s.sql("""
+      SELECT o_custkey,
+             listagg(o_orderpriority, '|') WITHIN GROUP (ORDER BY o_orderkey) AS priorities,
+             count(*) AS n
+      FROM sagg_orders
+      WHERE o_custkey <= 100
+      GROUP BY o_custkey
+      ORDER BY o_custkey""")
+  }
 }

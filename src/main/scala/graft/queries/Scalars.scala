@@ -280,4 +280,24 @@ object Scalars {
       .orderBy("p_partkey")
       .limit(500)
   }
+
+  /** ANSI-safe arithmetic (`try_` family): Spark 4 runs with ANSI mode
+    * on, where raw div-by-zero, bad casts, and integer overflow THROW at
+    * runtime — a 100 TB job dying at hour three on one malformed row.
+    * The `try_` variants yield NULL instead, matching DuckDB's NULL
+    * semantics (its oracle). The overflow case can't be expressed in
+    * DuckDB 1.0 (BIGINT overflow always errors, no try_add), so the
+    * oracle encodes the expected constant NULL directly. */
+  def fnTryArith(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        try_divide(Num.money(col("l_extendedprice")),
+          col("l_quantity") - col("l_quantity")).cast("double").as("div0"),
+        round(col("l_extendedprice").cast("double") / 4.0, 4).as("div_ok"),
+        expr("try_cast(l_returnflag AS INT)").as("cast_bad"),
+        expr("try_cast(cast(l_linenumber AS STRING) AS INT)").as("cast_ok"),
+        try_add(lit(Long.MaxValue), col("l_orderkey") + lit(1L)).as("ovf"))
+      .orderBy("l_orderkey", "l_linenumber")
+      .limit(300)
 }
