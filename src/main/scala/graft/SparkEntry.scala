@@ -40,6 +40,7 @@ object SparkEntry {
     "join_null_safe" -> Relational.joinNullSafe _,
     "join_skew_salted" -> Relational.joinSkewSalted _,
     "join_bloom_prefilter" -> Relational.joinBloomPrefilter _,
+    "join_range_bucket" -> Relational.joinRangeBucket _,
     "join_star_flagship" -> Relational.joinStarFlagship _,
     // aggregations
     "agg_hash_groupby" -> Relational.aggHashGroupby _,
@@ -77,6 +78,7 @@ object SparkEntry {
     "window_percent_cume" -> Relational.windowPercentCume _,
     "window_ignore_nulls" -> Relational.windowIgnoreNulls _,
     "window_gaps_islands" -> Relational.windowGapsIslands _,
+    "window_distinct_count" -> Relational.windowDistinctCount _,
     // sort / limit / set
     "sort_multi_null" -> Relational.sortMultiNull _,
     "topk_global" -> Relational.topkGlobal _,
@@ -103,6 +105,8 @@ object SparkEntry {
     "fn_interval_arith" -> Scalars.fnIntervalArith _,
     "fn_trig" -> Scalars.fnTrig _,
     "fn_try_arith" -> Scalars.fnTryArith _,
+    "fn_codec" -> Scalars.fnCodec _,
+    "fn_epoch_time" -> Scalars.fnEpochTime _,
     // streaming-shaped (batch forms; streaming twins in graft.streaming)
     "stream_tumbling_count" -> StreamingQueries.streamTumblingCount _,
     "stream_sliding_avg" -> StreamingQueries.streamSlidingAvg _,
@@ -110,6 +114,7 @@ object SparkEntry {
     "stream_dedup" -> StreamingQueries.streamDedup _,
     "stream_interval_join" -> StreamingQueries.streamIntervalJoin _,
     "stream_watermark_late" -> StreamingQueries.streamWatermarkLate _,
+    "stream_window_topk" -> StreamingQueries.streamWindowTopk _,
     // custom UDX
     "udaf_weighted_avg" -> UdxQueries.udafWeightedAvg _,
     "udtf_ngrams" -> UdxQueries.udtfNgrams _,
@@ -143,6 +148,7 @@ object SparkEntry {
     "llm_length_histogram" -> LlmExtra.llmLengthHistogram _,
     "llm_normalize_dedup" -> LlmExtra.llmNormalizeDedup _,
     "llm_chunk_split" -> LlmExtra.llmChunkSplit _,
+    "llm_domain_mix" -> LlmExtra.llmDomainMix _,
     // multimodal binary columns
     "mm_binary_features" -> MultimodalQueries.mmBinaryFeatures _,
     "mm_decode_stub" -> MultimodalQueries.mmDecodeStub _,

@@ -32,6 +32,11 @@ object Verify {
     // written BEFORE the query loop: a single hung/failed query must not
     // leave the round with no oracle file at all
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // full declared-query manifest, so the parity checker can flag a
+    // query that THREW (and so wrote no output dir) instead of silently
+    // skipping it
+    Files.writeString(Paths.get(s"$outDir/queries.json"),
+      SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -951,6 +951,69 @@ object OracleSql {
              CAST(levenshtein(a.body, b.body) AS BIGINT) AS edit_dist
       FROM d a JOIN d b ON a.source = b.source AND a.blk = b.blk AND a.doc_id < b.doc_id
       WHERE levenshtein(a.body, b.body) <= 30
-      ORDER BY doc_a, doc_b"""
+      ORDER BY doc_a, doc_b""",
+
+    // oracle IS the naive range-predicate join — the Spark side's banded
+    // equi-join must produce identical pairs
+    "join_range_bucket" -> s"""
+      SELECT o.o_orderkey, count(*) AS n_shipments,
+             ${N.d2(s"sum(${N.money("l.l_quantity")})")} AS sum_qty
+      FROM orders o JOIN lineitem l
+        ON CAST(l.l_shipdate AS DATE)
+           BETWEEN CAST(o.o_orderdate AS DATE)
+               AND CAST(o.o_orderdate AS DATE) + to_days(CAST(o.o_orderkey % 30 AS INT))
+      WHERE o.o_orderkey <= 500 AND l.l_orderkey <= 5000
+      GROUP BY o.o_orderkey ORDER BY o.o_orderkey""",
+
+    // DuckDB supports DISTINCT window aggregates natively; Spark side
+    // uses the dense_rank/max rewrite — values must agree
+    "window_distinct_count" -> """
+      SELECT o_orderkey, o_custkey, o_orderpriority,
+             CAST(count(DISTINCT o_orderpriority)
+                  OVER (PARTITION BY o_custkey) AS BIGINT) AS n_distinct_prio
+      FROM orders WHERE o_custkey <= 300 ORDER BY o_orderkey""",
+
+    "fn_codec" -> """
+      SELECT p_partkey,
+             hex(p_name) AS hex_name,
+             base64(CAST(p_name AS BLOB)) AS b64_name,
+             CAST(from_base64(base64(CAST(p_name AS BLOB))) AS VARCHAR) = p_name AS b64_roundtrip,
+             CAST(unhex(hex(p_name)) AS VARCHAR) = p_name AS hex_roundtrip,
+             md5(p_name) AS md5_name,
+             sha256(p_name) AS sha256_name
+      FROM part ORDER BY p_partkey LIMIT 500""",
+
+    "fn_epoch_time" -> """
+      SELECT o_orderkey,
+             CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+             epoch_ms(o_orderdate) AS epoch_ms,
+             epoch_us(o_orderdate) AS epoch_us,
+             make_timestamp(epoch_us(o_orderdate)) AS from_epoch,
+             strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS fmt_full,
+             strftime(o_orderdate, '%Y-%m') AS fmt_ym
+      FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""",
+
+    "stream_window_topk" -> """
+      WITH c AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, count(*) AS n
+        FROM events GROUP BY 1, 2),
+      r AS (
+        SELECT day, event_type, n,
+               row_number() OVER (PARTITION BY day ORDER BY n DESC, event_type) AS rn
+        FROM c)
+      SELECT day, event_type, CAST(n AS BIGINT) AS n, CAST(rn AS BIGINT) AS rn
+      FROM r WHERE rn <= 3 ORDER BY day, rn""",
+
+    "llm_domain_mix" -> """
+      WITH d AS (
+        SELECT source, n_chars,
+               3 + ascii(substr(source, length(source), 1)) - 48 AS thr,
+               CAST(('0x' || substr(md5(text), 1, 1)) AS INT) AS nib
+        FROM documents)
+      SELECT source, count(*) AS n_total,
+             CAST(count_if(nib < thr) AS BIGINT) AS n_kept,
+             CAST(coalesce(sum(CASE WHEN nib < thr THEN n_chars END), 0) AS BIGINT) AS kept_chars,
+             max(thr) AS threshold_16ths
+      FROM d GROUP BY source ORDER BY source"""
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\n\\s+", "\n") }
 }

@@ -510,4 +510,27 @@ object LlmExtra {
         count(when(col("n_email") + col("n_phone") > 0, 1)).as("n_docs_pii"))
       .orderBy("source")
   }
+
+  /** Deterministic domain-mixture sampling — the "mix web at 30%, wiki at
+    * 100%" step of assembling a training corpus. Each source gets its own
+    * keep-rate (here derived from the source name's trailing digit:
+    * rate = (3 + d) / 16), and a doc survives iff its content-hash
+    * nibble clears the per-source threshold. Content-hash gating (vs
+    * `rand()`) makes the mix reproducible at any scale, partitioning, or
+    * re-run, and downstream stages can re-derive membership from the
+    * row itself. Pure per-row map work + one tiny rollup shuffle. */
+  def llmDomainMix(s: SparkSession, dir: String): DataFrame = {
+    val d = ascii(substring(col("source"), -1, 1)) - lit(48)
+    val thr = lit(3) + d
+    val nib = conv(substring(md5(col("text")), 1, 1), 16, 10).cast("int")
+    val keep = nib < thr
+    t(s, dir, "documents")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_total"),
+        count_if(keep).as("n_kept"),
+        coalesce(sum(when(keep, col("n_chars"))), lit(0L)).as("kept_chars"),
+        max(thr).as("threshold_16ths"))
+      .orderBy("source")
+  }
 }

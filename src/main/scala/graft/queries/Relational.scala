@@ -784,4 +784,52 @@ object Relational {
       GROUP BY o_custkey
       ORDER BY o_custkey""")
   }
+
+  /** Banded range join — the 100 TB scale path for interval/point range
+    * predicates. A plain `point BETWEEN start AND end` join has no equi
+    * key, so Spark plans BroadcastNestedLoopJoin: O(|A|·|B|) comparisons
+    * that no cluster survives at fact×fact scale (join_theta_range shows
+    * that form on a tiny broadcast side). Here both sides are mapped to
+    * day-granularity buckets — the interval EXPLODES to one row per day
+    * it covers, the point keys by its own day — turning the range
+    * predicate into a shuffled equi-join that partitions, scales, and
+    * AQE-balances like any other hash join. Each matching (interval,
+    * point) pair shares exactly one bucket (the point's day), so no
+    * dedup is needed; the residual BETWEEN re-check is kept anyway as
+    * belt-and-braces for sub-bucket boundaries. Explosion factor =
+    * interval length in days (bounded ≤ 30 here); at 100 TB you pick the
+    * band width to balance fan-out vs join selectivity. */
+  def joinRangeBucket(s: SparkSession, dir: String): DataFrame = {
+    val iv = t(s, dir, "orders").filter(col("o_orderkey") <= 500)
+      .select(col("o_orderkey"),
+        to_date(col("o_orderdate")).as("iv_start"),
+        date_add(to_date(col("o_orderdate")), (col("o_orderkey") % 30).cast("int")).as("iv_end"))
+    val pts = t(s, dir, "lineitem").filter(col("l_orderkey") <= 5000)
+      .select(to_date(col("l_shipdate")).as("day"), col("l_quantity"))
+    iv.select(col("o_orderkey"), col("iv_start"), col("iv_end"),
+        explode(sequence(col("iv_start"), col("iv_end"))).as("day"))
+      .join(pts, Seq("day"))
+      .filter(col("day").between(col("iv_start"), col("iv_end")))
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("n_shipments"), Num.d2(sum(Num.money(col("l_quantity")))).as("sum_qty"))
+      .orderBy("o_orderkey")
+  }
+
+  /** DISTINCT aggregate over a window — Spark rejects
+    * `count(DISTINCT x) OVER (...)` outright, so the classic rewrite:
+    * dense_rank ranks each distinct value once within the partition, and
+    * the partition-wide MAX of that rank IS the distinct count. Two
+    * window passes over the SAME partition key → one shuffle on
+    * o_custkey, sort reused. The alternative (`size(collect_set ...)`)
+    * materializes the value set per row — this formulation keeps state
+    * at one long per row regardless of value cardinality. */
+  def windowDistinctCount(s: SparkSession, dir: String): DataFrame = {
+    val byPrio = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
+    val whole = Window.partitionBy("o_custkey")
+    t(s, dir, "orders").filter(col("o_custkey") <= 300)
+      .withColumn("dr", dense_rank().over(byPrio))
+      .withColumn("n_distinct_prio", max(col("dr")).over(whole).cast("long"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"), col("n_distinct_prio"))
+      .orderBy("o_orderkey")
+  }
 }

@@ -300,4 +300,45 @@ object Scalars {
         try_add(lit(Long.MaxValue), col("l_orderkey") + lit(1L)).as("ovf"))
       .orderBy("l_orderkey", "l_linenumber")
       .limit(300)
+
+  /** Binary codecs: hex / base64 round-trips, md5, sha2-256 over part
+    * names. All codegen'd built-ins operating on the UTF-8 bytes of the
+    * string. `hex` emits uppercase in both engines; digests are
+    * lowercase hex in both. The round-trip columns decode back and
+    * compare — pinning that encode∘decode is the identity. */
+  def fnCodec(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        hex(col("p_name")).as("hex_name"),
+        base64(col("p_name").cast("binary")).as("b64_name"),
+        (unbase64(base64(col("p_name").cast("binary"))).cast("string") === col("p_name"))
+          .as("b64_roundtrip"),
+        (unhex(hex(col("p_name"))).cast("string") === col("p_name")).as("hex_roundtrip"),
+        md5(col("p_name")).as("md5_name"),
+        sha2(col("p_name"), 256).as("sha256_name"))
+      .orderBy("p_partkey")
+      .limit(500)
+
+  /** Epoch/time conversions: timestamp ↔ epoch seconds/millis/micros and
+    * formatted output. Session timezone is pinned UTC on both engines,
+    * so the string formats agree; all conversions are exact integer
+    * math on the microsecond representation. The parquet column reads as
+    * TIMESTAMP_NTZ (isAdjustedToUTC=false footer), which `unix_millis`/
+    * `unix_micros` reject — the cast to TIMESTAMP is an identity
+    * re-tag under the UTC session zone. */
+  def fnEpochTime(s: SparkSession, dir: String): DataFrame = {
+    val od = col("o_orderdate").cast("timestamp")
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") <= 2000)
+      .select(
+        col("o_orderkey"),
+        unix_timestamp(od).as("epoch_s"),
+        unix_millis(od).as("epoch_ms"),
+        unix_micros(od).as("epoch_us"),
+        timestamp_seconds(unix_timestamp(od)).cast("timestamp_ntz").as("from_epoch"),
+        date_format(od, "yyyy-MM-dd HH:mm:ss").as("fmt_full"),
+        date_format(od, "yyyy-MM").as("fmt_ym"))
+      .orderBy("o_orderkey")
+  }
 }

@@ -84,4 +84,22 @@ object StreamingQueries {
       .agg(count(lit(1)).as("n"))
       .select(unix_micros(col("w.start")).as("win_start_us"), col("event_type"), col("n"))
       .orderBy("win_start_us", "event_type")
+
+  /** Per-window top-k: 1-day tumbling windows, top-3 event types by
+    * count (count desc, type asc tiebreak). Two shuffles total: the
+    * windowed pre-aggregation collapses events to (window × type) rows
+    * — tiny regardless of input scale — and the rank window then
+    * partitions by day, so the expensive pass over raw events happens
+    * exactly once. The same shape runs under `readStream` with
+    * `foreachBatch` ranking per micro-batch. */
+  def streamWindowTopk(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val rk = Window.partitionBy("w").orderBy(col("n").desc, col("event_type").asc)
+    counts.withColumn("rn", row_number().over(rk).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("w.start").cast("date").as("day"), col("event_type"), col("n"), col("rn"))
+      .orderBy("day", "rn")
+  }
 }

@@ -24,9 +24,19 @@ def main(sf_dir, out_dir):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     results = {}
-    for name in sorted(os.listdir(out_dir)):
+    # union of declared queries (queries.json, written by Verify) and
+    # whatever output dirs exist — a query that threw inside Verify has
+    # no output dir and must surface as MISSING_OUTPUT, not be skipped
+    declared = set()
+    qj = os.path.join(out_dir, "queries.json")
+    if os.path.exists(qj):
+        declared = set(json.load(open(qj)))
+    names = sorted(declared | {d for d in os.listdir(out_dir)
+                               if os.path.isdir(os.path.join(out_dir, d))})
+    for name in names:
         qdir = os.path.join(out_dir, name)
         if not os.path.isdir(qdir):
+            results[name] = "MISSING_OUTPUT (query threw in Verify?)"
             continue
         files = glob.glob(f"{qdir}/*.parquet")
         if not files:
