@@ -41,6 +41,7 @@ object SparkEntry {
     "join_skew_salted" -> Relational.joinSkewSalted _,
     "join_bloom_prefilter" -> Relational.joinBloomPrefilter _,
     "join_range_bucket" -> Relational.joinRangeBucket _,
+    "join_sort_merge" -> Relational.joinSortMerge _,
     "join_star_flagship" -> Relational.joinStarFlagship _,
     // aggregations
     "agg_hash_groupby" -> Relational.aggHashGroupby _,
@@ -61,6 +62,7 @@ object SparkEntry {
     "agg_bool_countif" -> Relational.aggBoolCountif _,
     "agg_collect_sorted" -> Relational.aggCollectSorted _,
     "agg_bit_ops" -> Relational.aggBitOps _,
+    "agg_count_min_sketch" -> Relational.aggCountMinSketch _,
     "agg_string_agg" -> Relational.aggStringAgg _,
     "sql_scalar_subquery" -> Relational.sqlScalarSubquery _,
     "sql_recursive_cte" -> Relational.sqlRecursiveCte _,
@@ -149,6 +151,8 @@ object SparkEntry {
     "llm_normalize_dedup" -> LlmExtra.llmNormalizeDedup _,
     "llm_chunk_split" -> LlmExtra.llmChunkSplit _,
     "llm_domain_mix" -> LlmExtra.llmDomainMix _,
+    "llm_vocab_coverage" -> LlmExtra.llmVocabCoverage _,
+    "llm_embed_centroid" -> LlmExtra.llmEmbedCentroid _,
     // multimodal binary columns
     "mm_binary_features" -> MultimodalQueries.mmBinaryFeatures _,
     "mm_decode_stub" -> MultimodalQueries.mmDecodeStub _,
@@ -160,11 +164,12 @@ object SparkEntry {
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for the 12 non-SQL-expressible ops
-    * (agg_approx_distinct, agg_approx_percentile, stream_watermark_late,
-    * llm_dedup_minhash, llm_dedup_simhash, llm_fingerprint,
-    * llm_sim_lsh_topk, llm_sim_ivf_topk, llm_pack_sequences,
-    * mm_decode_stub, mm_frame_sample, ingest_census_csv) — those are
-    * covered by ScalaTest instead (SURVEY §5). */
+    * the same parquet tables. Omitted for the 13 non-SQL-expressible ops
+    * (agg_approx_distinct, agg_approx_percentile, agg_count_min_sketch,
+    * stream_watermark_late, llm_dedup_minhash, llm_dedup_simhash,
+    * llm_fingerprint, llm_sim_lsh_topk, llm_sim_ivf_topk,
+    * llm_pack_sequences, mm_decode_stub, mm_frame_sample,
+    * ingest_census_csv) — those are covered by ScalaTest instead
+    * (SURVEY §5). */
   def oracleSql: Map[String, String] = OracleSql.sql
 }

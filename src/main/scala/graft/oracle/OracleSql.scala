@@ -1004,6 +1004,41 @@ object OracleSql {
       SELECT day, event_type, CAST(n AS BIGINT) AS n, CAST(rn AS BIGINT) AS rn
       FROM r WHERE rn <= 3 ORDER BY day, rn""",
 
+    // oracle IS the hint-free join — the merge hint changes the plan,
+    // never the result
+    "join_sort_merge" -> s"""
+      SELECT o_orderpriority, count(*) AS n_items,
+             ${N.sumMoney("l_extendedprice")} AS sum_price
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "llm_vocab_coverage" -> s"""
+      WITH w AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents),
+      v AS (
+        SELECT word FROM (
+          SELECT word, count(*) AS n FROM w GROUP BY 1
+          ORDER BY n DESC, word LIMIT 20)),
+      m AS (
+        SELECT lang, word IN (SELECT word FROM v) AS cov FROM w)
+      SELECT lang, count(*) AS n_tokens,
+             CAST(count_if(cov) AS BIGINT) AS n_covered,
+             ${N.ratio("count_if(cov)", "count(*)", 4)} AS coverage
+      FROM m GROUP BY lang ORDER BY lang""",
+
+    "llm_embed_centroid" -> """
+      WITH e AS (
+        SELECT label,
+               u.i AS pos,
+               CAST(floor(embedding[CAST(u.i + 1 AS INT)]::DOUBLE * 10000) AS BIGINT) AS xq
+        FROM embeddings, LATERAL unnest(range(len(embedding))) u(i)),
+      g AS (
+        SELECT label, pos, sum(xq) AS sx, count(*) AS n FROM e GROUP BY 1, 2)
+      SELECT label, CAST(max(n) AS BIGINT) AS n_vecs,
+             round(sqrt(CAST(sum(sx * sx) AS DOUBLE)) / (CAST(max(n) AS BIGINT) * 10000.0), 4)
+               AS centroid_norm
+      FROM g GROUP BY label ORDER BY label""",
+
     "llm_domain_mix" -> """
       WITH d AS (
         SELECT source, n_chars,

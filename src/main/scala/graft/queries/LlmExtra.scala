@@ -511,6 +511,51 @@ object LlmExtra {
       .orderBy("source")
   }
 
+  /** Tokenizer-prep vocabulary coverage: build the global top-20 word
+    * vocabulary (count desc, word asc tiebreak) and measure, per
+    * language, what fraction of token occurrences it covers — the
+    * out-of-vocabulary-rate readout that precedes any tokenizer
+    * training run. The vocab is tiny by construction, so it broadcasts;
+    * the corpus side is one explode + broadcast left-semi-shaped mark,
+    * no second corpus shuffle. Ratios via exact integer half-up math. */
+  def llmVocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val words = t(s, dir, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+    val vocab = words.groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("word")).limit(20)
+      .select(col("word"), lit(1).as("in_vocab"))
+    words.join(broadcast(vocab), Seq("word"), "left")
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        count_if(col("in_vocab").isNotNull).as("n_covered"),
+        Num.ratio(count_if(col("in_vocab").isNotNull), count(lit(1)), 4).as("coverage"))
+      .orderBy("lang")
+  }
+
+  /** Per-label embedding centroids (class prototypes): element-wise mean
+    * vector per label, reported as the centroid's L2 norm. Floats are
+    * QUANTIZED to integer 1e-4 units before summing — double sums over
+    * a shuffle are partition-order dependent, integer sums are exact and
+    * associative, so the result is bit-stable at any parallelism (the
+    * single float op left is the final sqrt of an identical exact
+    * value). Pivot on position via posexplode → (label, pos) partial
+    * aggregation — the formulation that distributes when vectors are
+    * long and rows are billions. */
+  def llmEmbedCentroid(s: SparkSession, dir: String): DataFrame = {
+    val q = t(s, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .withColumn("xq", floor(col("x").cast("double") * 10000).cast("long"))
+    q.groupBy("label", "pos")
+      .agg(sum("xq").as("sx"), count(lit(1)).as("n"))
+      .groupBy("label")
+      .agg(
+        max("n").as("n_vecs"),
+        round(sqrt(sum(col("sx") * col("sx")).cast("double")) / (max("n") * lit(10000.0)), 4)
+          .as("centroid_norm"))
+      .orderBy("label")
+  }
+
   /** Deterministic domain-mixture sampling — the "mix web at 30%, wiki at
     * 100%" step of assembling a training corpus. Each source gets its own
     * keep-rate (here derived from the source name's trailing digit:

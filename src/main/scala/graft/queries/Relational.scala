@@ -785,6 +785,37 @@ object Relational {
       ORDER BY o_custkey""")
   }
 
+  /** Explicit sort-merge join (`merge` hint) — completes the strategy
+    * family next to join_broadcast (BHJ) and join_shuffle_hash (SHJ).
+    * SMJ is the right pick when BOTH sides are large and neither fits a
+    * hash table per partition: sort spills gracefully and the merge
+    * phase streams. The hint pins the strategy so the plan can't silently
+    * flip to broadcast on a stats misestimate; result is hint-invariant
+    * (the oracle is the plain join). */
+  def joinSortMerge(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").hint("merge")
+      .join(t(s, dir, "lineitem").hint("merge"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"), Num.sumMoney(col("l_extendedprice")).as("sum_price"))
+      .orderBy("o_orderpriority")
+
+  /** Count-min sketch — fixed-memory heavy-hitter frequency estimation,
+    * the mergeable-sketch scale path for "how often does key k occur"
+    * over 100 TB (exact per-key counts need a full shuffle; the sketch
+    * is one treeAggregate into a few KB). Deterministic for a fixed
+    * seed; estimates are upper bounds within eps·N with the configured
+    * confidence, asserted against exact counts in ScalaTest
+    * (oracle-exempt: sketch internals are engine-specific). */
+  def aggCountMinSketch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem")
+    val sketch = li.stat.countMinSketch(col("l_suppkey"), eps = 0.001, confidence = 0.99, seed = 42)
+    val keys = (1L to 20L).toDF("suppkey")
+    val skB = s.sparkContext.broadcast(sketch)
+    val est = udf((k: Long) => skB.value.estimateCount(k))
+    keys.select(col("suppkey"), est(col("suppkey")).as("est_count")).orderBy("suppkey")
+  }
+
   /** Banded range join — the 100 TB scale path for interval/point range
     * predicates. A plain `point BETWEEN start AND end` join has no equi
     * key, so Spark plans BroadcastNestedLoopJoin: O(|A|·|B|) comparisons

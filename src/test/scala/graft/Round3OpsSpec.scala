@@ -83,6 +83,57 @@ class Round3OpsSpec extends GraftSpec {
     }
   }
 
+  test("join_sort_merge pins SortMergeJoin and matches the hint-free result") {
+    val p = plan(Relational.joinSortMerge(spark, sfDir))
+    assert(p.contains("SortMergeJoin"), p)
+    val hinted = Relational.joinSortMerge(spark, sfDir).collect()
+    val plain = t(spark, sfDir, "orders")
+      .join(t(spark, sfDir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice").cast("decimal(12,2)")), 2).cast("double").as("sum_price"))
+      .orderBy("o_orderpriority").collect()
+    assert(hinted.toSeq == plain.toSeq)
+  }
+
+  test("agg_count_min_sketch estimates bound the exact counts") {
+    val est = Relational.aggCountMinSketch(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val exact = t(spark, sfDir, "lineitem").filter(col("l_suppkey").between(1, 20))
+      .groupBy("l_suppkey").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val total = t(spark, sfDir, "lineitem").count()
+    assert(est.nonEmpty)
+    est.foreach { case (k, e) =>
+      val ex = exact.getOrElse(k, 0L)
+      assert(e >= ex, s"key $k: est $e < exact $ex (CMS never underestimates)")
+      assert(e <= ex + (0.001 * total).ceil.toLong + 1, s"key $k: est $e too far above $ex")
+    }
+  }
+
+  test("llm_vocab_coverage: covered <= total and coverage consistent with counts") {
+    val rows = LlmExtra.llmVocabCoverage(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (tok, cov, ratio) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(cov <= tok && cov >= 0)
+      assert(math.abs(ratio - cov.toDouble / tok) < 1e-4 + 1e-9, s"ratio $ratio vs ${cov.toDouble / tok}")
+    }
+  }
+
+  test("llm_embed_centroid norms are in (0, 1] for unit-norm inputs and count all vectors") {
+    val rows = LlmExtra.llmEmbedCentroid(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val total = t(spark, sfDir, "embeddings").count()
+    assert(rows.map(_.getLong(1)).sum == total)
+    rows.foreach { r =>
+      val norm = r.getDouble(2)
+      // mean of unit vectors has norm <= 1 (triangle inequality), > 0
+      // unless the class is perfectly balanced around the origin
+      assert(norm > 0.0 && norm <= 1.0001, s"label ${r.get(0)} norm=$norm")
+    }
+  }
+
   test("stream_window_topk emits at most 3 ranked rows per day, counts non-increasing") {
     val rows = StreamingQueries.streamWindowTopk(spark, sfDir)
       .collect().map(r => (r.getDate(0).toString, r.getLong(2), r.getLong(3)))
