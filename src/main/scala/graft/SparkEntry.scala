@@ -117,6 +117,7 @@ object SparkEntry {
     "stream_interval_join" -> StreamingQueries.streamIntervalJoin _,
     "stream_watermark_late" -> StreamingQueries.streamWatermarkLate _,
     "stream_window_topk" -> StreamingQueries.streamWindowTopk _,
+    "stream_funnel" -> StreamingQueries.streamFunnel _,
     // custom UDX
     "udaf_weighted_avg" -> UdxQueries.udafWeightedAvg _,
     "udtf_ngrams" -> UdxQueries.udtfNgrams _,
@@ -152,6 +153,7 @@ object SparkEntry {
     "llm_chunk_split" -> LlmExtra.llmChunkSplit _,
     "llm_domain_mix" -> LlmExtra.llmDomainMix _,
     "llm_vocab_coverage" -> LlmExtra.llmVocabCoverage _,
+    "llm_filter_funnel" -> LlmExtra.llmFilterFunnel _,
     "llm_embed_centroid" -> LlmExtra.llmEmbedCentroid _,
     // multimodal binary columns
     "mm_binary_features" -> MultimodalQueries.mmBinaryFeatures _,

@@ -1012,6 +1012,41 @@ object OracleSql {
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
+    "stream_funnel" -> s"""
+      WITH v AS (
+        SELECT user_id, min(ts) AS v_ts FROM events
+        WHERE event_type = 'view' GROUP BY 1),
+      c AS (
+        SELECT e.user_id, min(e.ts) AS c_ts FROM events e
+        JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts >= v.v_ts GROUP BY 1),
+      p AS (
+        SELECT e.user_id, min(e.ts) AS p_ts FROM events e
+        JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts GROUP BY 1)
+      SELECT count(*) AS n_viewers,
+             CAST(count(c_ts) AS BIGINT) AS n_clickers,
+             CAST(count(p_ts) AS BIGINT) AS n_purchasers,
+             ${N.ratio("count(c_ts)", "count(*)", 4)} AS view_to_click,
+             ${N.ratio("count(p_ts)", "count(c_ts)", 4)} AS click_to_purchase
+      FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""",
+
+    "llm_filter_funnel" -> s"""
+      WITH d AS (
+        SELECT lang,
+               n_chars >= 100 AS s1,
+               n_chars >= 100 AND len(string_split(text, ' ')) >= 20 AS s2,
+               n_chars >= 100 AND len(string_split(text, ' ')) >= 20
+                 AND len(list_distinct(string_split(text, ' '))) * 10
+                     >= len(string_split(text, ' ')) * 3 AS s3
+        FROM documents)
+      SELECT lang, count(*) AS n_docs,
+             CAST(count_if(s1) AS BIGINT) AS pass_length,
+             CAST(count_if(s2) AS BIGINT) AS pass_words,
+             CAST(count_if(s3) AS BIGINT) AS pass_repetition,
+             ${N.ratio("count_if(s3)", "count(*)", 4)} AS keep_rate
+      FROM d GROUP BY lang ORDER BY lang""",
+
     "llm_vocab_coverage" -> s"""
       WITH w AS (
         SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents),

@@ -511,6 +511,30 @@ object LlmExtra {
       .orderBy("source")
   }
 
+  /** Staged quality-filter funnel — the drop-accounting every corpus
+    * cleaning pipeline needs: each stage's predicate is applied
+    * CUMULATIVELY (a doc must survive all earlier stages to be counted
+    * at stage k), and the per-language report shows where documents die.
+    * Stages: (1) length ≥ 100 chars, (2) ≥ 20 words, (3) distinct-word
+    * ratio ≥ 0.3 (repetition gate). All predicates are integer
+    * comparisons (ratio via cross-multiplication — no float thresholds),
+    * one scan + one tiny rollup shuffle. */
+  def llmFilterFunnel(s: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val s1 = col("n_chars") >= 100
+    val s2 = s1 && size(words) >= 20
+    val s3 = s2 && size(array_distinct(words)) * 10 >= size(words) * 3
+    t(s, dir, "documents")
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count_if(s1).as("pass_length"),
+        count_if(s2).as("pass_words"),
+        count_if(s3).as("pass_repetition"),
+        Num.ratio(count_if(s3), count(lit(1)), 4).as("keep_rate"))
+      .orderBy("lang")
+  }
+
   /** Tokenizer-prep vocabulary coverage: build the global top-20 word
     * vocabulary (count desc, word asc tiebreak) and measure, per
     * language, what fraction of token occurrences it covers — the

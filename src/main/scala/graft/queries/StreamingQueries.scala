@@ -85,6 +85,36 @@ object StreamingQueries {
       .select(unix_micros(col("w.start")).as("win_start_us"), col("event_type"), col("n"))
       .orderBy("win_start_us", "event_type")
 
+  /** Ordered-stage conversion funnel: view → click → purchase, where
+    * each stage must happen at-or-after the user's FIRST event of the
+    * previous stage. Three aggregates chained by equi-joins on user_id —
+    * the same key throughout, so at scale the shuffles co-partition and
+    * stages 2/3 reuse stage 1's partitioning; per-stage user counts plus
+    * half-up conversion ratios. The incremental twin is a
+    * flatMapGroupsWithState carrying (v_ts, c_ts) per user. */
+  def streamFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("v_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") >= col("v_ts"))
+      .groupBy("user_id").agg(min("ts").as("c_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") >= col("c_ts"))
+      .groupBy("user_id").agg(min("ts").as("p_ts"))
+    // one distributed plan: viewers left-join deeper stages, count
+    // non-nulls — no driver-side actions
+    v.join(c.select(col("user_id"), col("c_ts")), Seq("user_id"), "left")
+      .join(p.select(col("user_id"), col("p_ts")), Seq("user_id"), "left")
+      .agg(
+        count(lit(1)).as("n_viewers"),
+        count(col("c_ts")).as("n_clickers"),
+        count(col("p_ts")).as("n_purchasers"))
+      .select(col("n_viewers"), col("n_clickers"), col("n_purchasers"),
+        Num.ratio(col("n_clickers"), col("n_viewers"), 4).as("view_to_click"),
+        Num.ratio(col("n_purchasers"), col("n_clickers"), 4).as("click_to_purchase"))
+  }
+
   /** Per-window top-k: 1-day tumbling windows, top-3 event types by
     * count (count desc, type asc tiebreak). Two shuffles total: the
     * windowed pre-aggregation collapses events to (window × type) rows

@@ -134,6 +134,28 @@ class Round3OpsSpec extends GraftSpec {
     }
   }
 
+  test("stream_funnel counts are monotonically non-increasing down the stages") {
+    val r = StreamingQueries.streamFunnel(spark, sfDir).collect().head
+    val (nv, nc, np) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nv > 0 && nv >= nc && nc >= np)
+    // clickers really did click at-or-after their first view
+    val ev = t(spark, sfDir, "events")
+    val v = ev.filter(col("event_type") === "view").groupBy("user_id").agg(min("ts").as("v_ts"))
+    val directClickers = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") >= col("v_ts"))
+      .select("user_id").distinct().count()
+    assert(nc == directClickers)
+  }
+
+  test("llm_filter_funnel stage counts are cumulative (non-increasing)") {
+    val rows = LlmExtra.llmFilterFunnel(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, s1, s2, s3) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(n >= s1 && s1 >= s2 && s2 >= s3 && s3 >= 0, r.toString)
+    }
+  }
+
   test("stream_window_topk emits at most 3 ranked rows per day, counts non-increasing") {
     val rows = StreamingQueries.streamWindowTopk(spark, sfDir)
       .collect().map(r => (r.getDate(0).toString, r.getLong(2), r.getLong(3)))
