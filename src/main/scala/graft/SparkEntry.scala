@@ -63,6 +63,7 @@ object SparkEntry {
     "agg_collect_sorted" -> Relational.aggCollectSorted _,
     "agg_bit_ops" -> Relational.aggBitOps _,
     "agg_count_min_sketch" -> Relational.aggCountMinSketch _,
+    "agg_mode" -> Relational.aggMode _,
     "agg_string_agg" -> Relational.aggStringAgg _,
     "sql_scalar_subquery" -> Relational.sqlScalarSubquery _,
     "sql_recursive_cte" -> Relational.sqlRecursiveCte _,
@@ -81,6 +82,7 @@ object SparkEntry {
     "window_ignore_nulls" -> Relational.windowIgnoreNulls _,
     "window_gaps_islands" -> Relational.windowGapsIslands _,
     "window_distinct_count" -> Relational.windowDistinctCount _,
+    "window_range_time" -> Relational.windowRangeTime _,
     // sort / limit / set
     "sort_multi_null" -> Relational.sortMultiNull _,
     "topk_global" -> Relational.topkGlobal _,

@@ -1004,6 +1004,35 @@ object OracleSql {
       SELECT day, event_type, CAST(n AS BIGINT) AS n, CAST(rn AS BIGINT) AS rn
       FROM r WHERE rn <= 3 ORDER BY day, rn""",
 
+    "window_range_time" -> """
+      WITH e AS (
+        SELECT event_id, user_id, value,
+               epoch_us(ts) // 1000000 AS epoch_s
+        FROM events)
+      SELECT event_id, user_id,
+             CAST(count(*) OVER w AS BIGINT) AS n_trailing_1h,
+             CAST(ROUND(sum(CAST(value AS DECIMAL(12,2))) OVER w, 2) AS DOUBLE)
+               AS sum_trailing_1h
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
+                   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+      ORDER BY event_id""",
+
+    // same composite encoding as the Spark side — DuckDB's native mode()
+    // breaks ties arbitrarily, so neither engine uses it
+    "agg_mode" -> """
+      WITH c AS (
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders GROUP BY 1, 2),
+      m AS (
+        SELECT o_orderstatus,
+               max(lpad(CAST(n AS VARCHAR), 12, '0') || '|' || o_orderpriority) AS enc
+        FROM c GROUP BY 1)
+      SELECT o_orderstatus,
+             split_part(enc, '|', 2) AS mode_priority,
+             CAST(split_part(enc, '|', 1) AS BIGINT) AS mode_count
+      FROM m ORDER BY o_orderstatus""",
+
     // oracle IS the hint-free join — the merge hint changes the plan,
     // never the result
     "join_sort_merge" -> s"""

@@ -785,6 +785,47 @@ object Relational {
       ORDER BY o_custkey""")
   }
 
+  /** Trailing time-range window frame: for every event, the sum/count of
+    * the same user's events in the preceding hour — `rangeBetween` over
+    * an epoch-seconds ordering (Spark's RANGE frames are numeric-only,
+    * so the timestamp is projected to seconds first; the frame bound is
+    * then literal 3600). One shuffle+sort on user_id; the frame is
+    * evaluated by a sliding two-pointer pass, not a per-row rescan.
+    * Value sums in exact decimal (partition-order independent). */
+  def windowRangeTime(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("epoch_s")
+      .rangeBetween(-3600L, Window.currentRow)
+    t(s, dir, "events")
+      .withColumn("epoch_s", expr("unix_micros(ts) div 1000000"))
+      .select(
+        col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_trailing_1h"),
+        Num.d2(sum(Num.money(col("value"))).over(w)).as("sum_trailing_1h"))
+      .orderBy("event_id")
+  }
+
+  /** Deterministic MODE (most frequent value, ties broken by the larger
+    * value) via an order-encoded composite string: zero-padded count ||
+    * value compares lexicographically exactly like (count, value), so a
+    * plain `max` aggregate — associative, partial+final, one pass —
+    * yields the argmax with no window or self-join. DuckDB 1.0's native
+    * `mode()` breaks ties arbitrarily and `arg_max` rejects struct keys,
+    * so BOTH engines run the same composite encoding (the oracle is the
+    * same construction, not `mode()`). */
+  def aggMode(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "orders")
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+    counts.groupBy("o_orderstatus")
+      .agg(max(concat(lpad(col("n").cast("string"), 12, "0"), lit("|"), col("o_orderpriority")))
+        .as("enc"))
+      .select(
+        col("o_orderstatus"),
+        substring_index(col("enc"), "|", -1).as("mode_priority"),
+        expr("CAST(split_part(enc, '|', 1) AS BIGINT)").as("mode_count"))
+      .orderBy("o_orderstatus")
+  }
+
   /** Explicit sort-merge join (`merge` hint) — completes the strategy
     * family next to join_broadcast (BHJ) and join_shuffle_hash (SHJ).
     * SMJ is the right pick when BOTH sides are large and neither fits a

@@ -134,6 +134,35 @@ class Round3OpsSpec extends GraftSpec {
     }
   }
 
+  test("window_range_time trailing sums match a self-join recomputation") {
+    val viaFrame = Relational.windowRangeTime(spark, sfDir)
+      .select("event_id", "n_trailing_1h").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val e = t(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), expr("unix_micros(ts) div 1000000").as("es"))
+    val viaJoin = e.as("a").join(e.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("b.es").between(col("a.es") - 3600L, col("a.es")))
+      .groupBy(col("a.event_id").as("event_id"))
+      .agg(count(lit(1)).as("n")).orderBy("event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(viaFrame.toSeq == viaJoin.toSeq)
+  }
+
+  test("agg_mode picks the most frequent priority per status") {
+    val modes = Relational.aggMode(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toList
+    assert(modes.nonEmpty)
+    val counts = t(spark, sfDir, "orders")
+      .groupBy("o_orderstatus", "o_orderpriority").count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+    modes.foreach { case (status, prio, n) =>
+      val grp = counts(status).map(t => (t._2, t._3))
+      val best = grp.maxBy { case (p, c) => (c, p) }
+      assert((prio, n) == best, s"$status: got ($prio,$n) want $best")
+    }
+  }
+
   test("stream_funnel counts are monotonically non-increasing down the stages") {
     val r = StreamingQueries.streamFunnel(spark, sfDir).collect().head
     val (nv, nc, np) = (r.getLong(0), r.getLong(1), r.getLong(2))
