@@ -99,7 +99,47 @@ object Stateful {
       .flatMapGroupsWithState(
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(sessionize)
   }
+
+  /** Incremental ordered-stage funnel (the streaming twin of
+    * `StreamingQueries.streamFunnel`): per-user state machine tracking
+    * the first view, the first click at-or-after that view, and the
+    * first purchase at-or-after that click, across micro-batches.
+    * Each batch's events are processed in event-time order, so an
+    * in-batch view→click→purchase chain advances all three stages at
+    * once. Emits the user's current funnel state every batch it is
+    * touched (Update mode); state is three optional epochs — O(1) per
+    * user regardless of event volume. */
+  def funnelStep(
+      uid: Long,
+      events: Iterator[UserEvent],
+      state: GroupState[FunnelState]): FunnelState = {
+    var st = state.getOption.getOrElse(FunnelState(uid, -1L, -1L, -1L))
+    events.toArray.sortBy(_.ts.getTime).foreach { e =>
+      val t = e.ts.getTime
+      e.event_type match {
+        case "view" if st.v_ms < 0 => st = st.copy(v_ms = t)
+        case "click" if st.c_ms < 0 && st.v_ms >= 0 && t >= st.v_ms =>
+          st = st.copy(c_ms = t)
+        case "purchase" if st.p_ms < 0 && st.c_ms >= 0 && t >= st.c_ms =>
+          st = st.copy(p_ms = t)
+        case _ => ()
+      }
+    }
+    state.update(st)
+    st
+  }
+
+  def funnelStates(events: Dataset[UserEvent]): Dataset[FunnelState] = {
+    implicit val enc = Encoders.product[FunnelState]
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(funnelStep)
+  }
 }
+
+/** Funnel progress per user; -1 = stage not reached (epoch millis
+  * otherwise). Kept as primitives so the state-store row stays fixed
+  * width. */
+final case class FunnelState(user_id: Long, v_ms: Long, c_ms: Long, p_ms: Long)
 
 final case class UserSession(
     user_id: Long, n_events: Long,

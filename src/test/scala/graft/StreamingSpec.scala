@@ -155,6 +155,35 @@ class StreamingSpec extends GraftSpec {
     } finally query.stop()
   }
 
+  test("incremental funnel state matches the batch funnel counts on the events table") {
+    implicit val sqlCtx = spark.sqlContext
+    import SparkSpecBase.spark.implicits._
+    import graft.streaming.{Stateful, UserEvent}
+    // feed the REAL events table through micro-batches in event-time
+    // order, then compare stage counts with the batch streamFunnel
+    val all = graft.tables.Tables.t(spark, sfDir, "events")
+      .select(col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[UserEvent].collect().sortBy(_.ts.getTime)
+    val in = MemoryStream[UserEvent]
+    val sinkName = s"funnel_sink_${System.nanoTime()}"
+    val query = Stateful.funnelStates(in.toDS()).writeStream
+      .format("memory").queryName(sinkName).outputMode(OutputMode.Update()).start()
+    try {
+      all.grouped(math.max(1, all.length / 3)).foreach { b =>
+        in.addData(b.toSeq); query.processAllAvailable()
+      }
+      val finalStates = spark.table(sinkName).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .groupBy(_._1).map { case (_, rs) => rs.last }
+      val nV = finalStates.count(_._2 >= 0)
+      val nC = finalStates.count(_._3 >= 0)
+      val nP = finalStates.count(_._4 >= 0)
+      val batch = graft.queries.StreamingQueries.streamFunnel(spark, sfDir).collect().head
+      assert((nV.toLong, nC.toLong, nP.toLong) ==
+        (batch.getLong(0), batch.getLong(1), batch.getLong(2)))
+    } finally query.stop()
+  }
+
   test("flatMapGroupsWithState event-time timeout closes idle sessions exactly once") {
     implicit val sqlCtx = spark.sqlContext
     import SparkSpecBase.spark.implicits._
