@@ -9,9 +9,8 @@ object PlanDump {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.001"
-    val names = Seq("join_star_flagship", "scan_pushdown_filter", "join_asof",
-      "agg_hash_groupby", "llm_sim_cosine_topk", "llm_dedup_minhash", "topk_global",
-      "stream_interval_join", "set_ops_all", "llm_lang_id")
+    val names = Seq("join_range_bucket", "window_range_time", "window_distinct_count",
+      "stream_funnel", "llm_embed_centroid", "llm_vocab_coverage", "agg_mode")
     names.foreach { n =>
       println(s"===== $n =====")
       println(SparkEntry.queries(n)(spark, dir).queryExecution
