@@ -156,6 +156,7 @@ object SparkEntry {
     "llm_domain_mix" -> LlmExtra.llmDomainMix _,
     "llm_vocab_coverage" -> LlmExtra.llmVocabCoverage _,
     "llm_filter_funnel" -> LlmExtra.llmFilterFunnel _,
+    "llm_dedup_components" -> LlmExtra.llmDedupComponents _,
     "llm_embed_centroid" -> LlmExtra.llmEmbedCentroid _,
     // multimodal binary columns
     "mm_binary_features" -> MultimodalQueries.mmBinaryFeatures _,

@@ -1060,6 +1060,31 @@ object OracleSql {
              ${N.ratio("count(p_ts)", "count(c_ts)", 4)} AS click_to_purchase
       FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""",
 
+    // same edge set; components via recursive transitive closure
+    // (min reachable node == the propagation fixpoint)
+    "llm_dedup_components" -> """
+      WITH pre AS (
+        SELECT md5(substr(text, 1, 40)) AS k, doc_id FROM documents),
+      suf AS (
+        SELECT md5(substr(text, greatest(1, n_chars - 39), 40)) AS k, doc_id
+        FROM documents),
+      pp AS (
+        SELECT a.doc_id AS s, b.doc_id AS d
+        FROM pre a JOIN pre b ON a.k = b.k AND a.doc_id < b.doc_id
+        UNION
+        SELECT a.doc_id, b.doc_id
+        FROM suf a JOIN suf b ON a.k = b.k AND a.doc_id < b.doc_id),
+      e AS (SELECT s, d FROM pp UNION SELECT d, s FROM pp),
+      nodes AS (SELECT DISTINCT s AS n FROM e),
+      r AS (
+        WITH RECURSIVE reach(n, m) AS (
+          SELECT n, n FROM nodes
+          UNION
+          SELECT e.s, reach.m FROM e JOIN reach ON e.d = reach.n)
+        SELECT n, min(m) AS rep FROM reach GROUP BY n)
+      SELECT rep, count(*) AS n_docs, CAST(max(n) AS BIGINT) AS max_doc
+      FROM r GROUP BY rep ORDER BY rep""",
+
     "llm_filter_funnel" -> s"""
       WITH d AS (
         SELECT lang,

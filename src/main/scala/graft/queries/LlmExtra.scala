@@ -511,6 +511,51 @@ object LlmExtra {
       .orderBy("source")
   }
 
+  /** Duplicate-group clustering: connected components over the UNION of
+    * two candidate-pair signals (shared 40-char prefix hash, shared
+    * 40-char suffix hash) — the step every near-dup pipeline needs
+    * between pair generation and "keep one per group", and the reason
+    * pairwise dedup alone under-merges (A~B and B~C must collapse A,B,C
+    * even when A≁C). Components via min-label propagation: every node
+    * starts as its own label; each round, labels flow across edges and
+    * each node keeps the minimum seen; fixpoint in ≤ diameter rounds.
+    * Each round is one shuffle join + one aggregate — the Pregel shape
+    * on plain DataFrames, no driver-side data, only a scalar
+    * convergence count per round. The fixpoint is unique, so the result
+    * is deterministic at any parallelism/iteration interleaving. */
+  def llmDedupComponents(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val pre = d.select(md5(substring(col("text"), 1, 40)).as("k"), col("doc_id"))
+    val suf = d.select(
+      md5(expr("substr(text, greatest(1, n_chars - 39), 40)")).as("k"), col("doc_id"))
+    def pairsOf(keyed: DataFrame): DataFrame =
+      keyed.as("a").join(keyed.as("b"),
+          col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+    val pp = pairsOf(pre).union(pairsOf(suf)).distinct()
+    val edges = pp.union(pp.select(col("dst").as("src"), col("src").as("dst"))).cache()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).cache()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 25) {
+      val prop = edges.join(labels, edges("dst") === labels("node"))
+        .select(edges("src").as("node"), col("label"))
+      val next = labels.select("node", "label").union(prop)
+        .groupBy("node").agg(min("label").as("label")).cache()
+      changed = next.join(labels.withColumnRenamed("label", "prev"), "node")
+        .filter(col("label") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    val out = labels.groupBy(col("label").as("rep"))
+      .agg(count(lit(1)).as("n_docs"), max("node").as("max_doc"))
+      .orderBy("rep")
+    edges.unpersist()
+    out
+  }
+
   /** Staged quality-filter funnel — the drop-accounting every corpus
     * cleaning pipeline needs: each stage's predicate is applied
     * CUMULATIVELY (a doc must survive all earlier stages to be counted

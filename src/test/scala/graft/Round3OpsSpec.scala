@@ -185,6 +185,19 @@ class Round3OpsSpec extends GraftSpec {
     }
   }
 
+  test("llm_dedup_components labels are valid components (edge-closed, rep = min member)") {
+    val comps = LlmExtra.llmDedupComponents(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(comps.nonEmpty)
+    comps.foreach { case (rep, n, maxDoc) =>
+      assert(n >= 2, s"component $rep has $n member(s) — nodes only exist via pairs")
+      assert(rep <= maxDoc)
+    }
+    // transitivity actually exercised: at least one component larger
+    // than a single pair
+    assert(comps.exists(_._2 > 2), "expected at least one transitively merged component")
+  }
+
   test("stream_window_topk emits at most 3 ranked rows per day, counts non-increasing") {
     val rows = StreamingQueries.streamWindowTopk(spark, sfDir)
       .collect().map(r => (r.getDate(0).toString, r.getLong(2), r.getLong(3)))
