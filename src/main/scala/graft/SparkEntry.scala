@@ -165,6 +165,7 @@ object SparkEntry {
     // census ETL (reference §2.A pipeline over the checked-in fixture)
     // + the ACS consumer-side MOE aggregation formula
     "census_moe_agg" -> CensusQueries.censusMoeAgg _,
+    "census_moe_ratio" -> CensusQueries.censusMoeRatio _,
     "ingest_census_csv" -> CensusQueries.ingestCensusCsv _
   )
 

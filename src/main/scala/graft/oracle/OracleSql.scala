@@ -1060,6 +1060,35 @@ object OracleSql {
              ${N.ratio("count(p_ts)", "count(c_ts)", 4)} AS click_to_purchase
       FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""",
 
+    // identical IEEE expression tree over exact integer aggregates
+    "census_moe_ratio" -> """
+      WITH c AS (
+        SELECT n_name,
+               CAST(round((c_acctbal + 1000) * 100) AS BIGINT) AS cents,
+               c_mktsegment = 'BUILDING' AS seg
+        FROM customer JOIN nation ON c_nationkey = n_nationkey),
+      g AS (
+        SELECT n_name,
+               sum(CASE WHEN seg THEN cents END) AS numC,
+               sum(cents) AS denC,
+               sum(CASE WHEN seg THEN cents * cents END) AS moeN2c,
+               sum(cents * cents) AS moeD2c
+        FROM c GROUP BY n_name)
+      SELECT n_name,
+             round(numC::DOUBLE / denC::DOUBLE, 6) AS p,
+             round(
+               sqrt(CASE WHEN (moeN2c::DOUBLE / 1000000.0)
+                              - (numC::DOUBLE / denC::DOUBLE) * (numC::DOUBLE / denC::DOUBLE)
+                                * (moeD2c::DOUBLE / 1000000.0) < 0
+                         THEN (moeN2c::DOUBLE / 1000000.0)
+                              + (numC::DOUBLE / denC::DOUBLE) * (numC::DOUBLE / denC::DOUBLE)
+                                * (moeD2c::DOUBLE / 1000000.0)
+                         ELSE (moeN2c::DOUBLE / 1000000.0)
+                              - (numC::DOUBLE / denC::DOUBLE) * (numC::DOUBLE / denC::DOUBLE)
+                                * (moeD2c::DOUBLE / 1000000.0) END)
+               / (denC::DOUBLE / 100.0), 6) AS moe_p
+      FROM g ORDER BY n_name""",
+
     // same edge set; components via recursive transitive closure
     // (min reachable node == the propagation fixpoint)
     "llm_dedup_components" -> """

@@ -54,6 +54,42 @@ object CensusQueries {
       .orderBy("n_name")
   }
 
+  /** Derived-proportion margin of error — the OTHER published ACS
+    * consumer formula (Census handbook): for p = X/Y with X a subset of
+    * Y, MOE_p = √(MOE_X² − p²·MOE_Y²) / Y, falling back to the ratio
+    * form (+ in the radicand) when the radicand goes negative. All
+    * aggregates are exact integer cents (Σc, Σc²) — partition-order
+    * independent — and the double arithmetic afterwards is the same
+    * IEEE expression tree on both engines, so round-6 parity is exact.
+    * Subset = BUILDING-segment customers; the estimate is the
+    * NONNEGATIVE shifted balance (acctbal + 1000 — TPC-H acctbal goes
+    * down to −999.99, and an ACS proportion's numerator/denominator are
+    * nonnegative by construction), moe_i = est/10 as in
+    * census_moe_agg. */
+  def censusMoeRatio(s: SparkSession, dir: String): DataFrame = {
+    val cents = round((col("c_acctbal") + 1000) * 100).cast("long")
+    val isSeg = col("c_mktsegment") === "BUILDING"
+    val c2 = (cents * cents).cast("decimal(38,0)")
+    t(s, dir, "customer")
+      .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        sum(when(isSeg, cents)).as("numC"),
+        sum(cents).as("denC"),
+        sum(when(isSeg, c2)).as("moeN2c"),
+        sum(c2).as("moeD2c"))
+      .select(col("n_name"),
+        round(col("numC").cast("double") / col("denC").cast("double"), 6).as("p"), {
+          val p = col("numC").cast("double") / col("denC").cast("double")
+          val moeN2 = col("moeN2c").cast("double") / lit(1000000.0)
+          val moeD2 = col("moeD2c").cast("double") / lit(1000000.0)
+          val rad = moeN2 - p * p * moeD2
+          val radSafe = when(rad < 0, moeN2 + p * p * moeD2).otherwise(rad)
+          round(sqrt(radSafe) / (col("denC").cast("double") / lit(100.0)), 6).as("moe_p")
+        })
+      .orderBy("n_name")
+  }
+
   /** geoheader ⋈ b00001 estimates, aggregated per summary level — the
     * canonical consumer query shape of the reference's output database
     * (SURVEY §3.3). */

@@ -185,6 +185,16 @@ class Round3OpsSpec extends GraftSpec {
     }
   }
 
+  test("census_moe_ratio: p in [0,1] and moe_p positive and small relative to p's scale") {
+    val rows = graft.queries.CensusQueries.censusMoeRatio(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.filterNot(_.isNullAt(1)).foreach { r =>
+      val (p, moe) = (r.getDouble(1), r.getDouble(2))
+      assert(p >= 0.0 && p <= 1.0, s"p=$p")
+      assert(moe >= 0.0 && moe < 1.0, s"moe_p=$moe")
+    }
+  }
+
   test("llm_dedup_components labels are valid components (edge-closed, rep = min member)") {
     val comps = LlmExtra.llmDedupComponents(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
