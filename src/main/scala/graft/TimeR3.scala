@@ -9,9 +9,7 @@ object TimeR3 {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.1"
     try SparkEntry.queries("scan_parquet_project")(spark, dir).count() catch { case _: Throwable => () }
-    val qs = Seq("llm_dedup_minhash", "llm_dedup_simhash", "llm_tfidf_top_terms",
-      
-      "join_star_flagship", "join_multiway")
+    val qs = Seq("llm_dedup_components", "llm_lang_id")
     for (_ <- 1 to 2; q <- qs) {
       val t0 = System.nanoTime()
       SparkEntry.queries(q)(spark, dir).count()

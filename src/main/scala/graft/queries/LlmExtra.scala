@@ -536,17 +536,23 @@ object LlmExtra {
     val edges = pp.union(pp.select(col("dst").as("src"), col("src").as("dst"))).cache()
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).cache()
-    var changed = 1L
+    // labels only ever DECREASE, so Σlabel is a strictly-monotone
+    // convergence signature: one cheap aggregate action per round (which
+    // also materializes the cached round) replaces a join-and-count
+    // against the previous labels — halving the jobs per round
+    var sig = labels.agg(sum("label")).head.getLong(0)
     var rounds = 0
-    while (changed > 0 && rounds < 25) {
+    var converged = false
+    while (!converged && rounds < 25) {
       val prop = edges.join(labels, edges("dst") === labels("node"))
         .select(edges("src").as("node"), col("label"))
       val next = labels.select("node", "label").union(prop)
         .groupBy("node").agg(min("label").as("label")).cache()
-      changed = next.join(labels.withColumnRenamed("label", "prev"), "node")
-        .filter(col("label") =!= col("prev")).count()
+      val nextSig = next.agg(sum("label")).head.getLong(0)
       labels.unpersist()
       labels = next
+      converged = nextSig == sig
+      sig = nextSig
       rounds += 1
     }
     val out = labels.groupBy(col("label").as("rep"))
