@@ -83,6 +83,7 @@ object SparkEntry {
     "window_gaps_islands" -> Relational.windowGapsIslands _,
     "window_distinct_count" -> Relational.windowDistinctCount _,
     "window_range_time" -> Relational.windowRangeTime _,
+    "window_share_of_total" -> Relational.windowShareOfTotal _,
     // sort / limit / set
     "sort_multi_null" -> Relational.sortMultiNull _,
     "topk_global" -> Relational.topkGlobal _,
@@ -103,6 +104,7 @@ object SparkEntry {
     "fn_struct" -> Scalars.fnStruct _,
     "fn_explode_words" -> Scalars.fnExplodeWords _,
     "fn_posexplode" -> Scalars.fnPosexplode _,
+    "fn_explode_outer" -> Scalars.fnExplodeOuter _,
     "fn_bitwise" -> Scalars.fnBitwise _,
     "fn_array_extra" -> Scalars.fnArrayExtra _,
     "fn_regexp" -> Scalars.fnRegexp _,

@@ -1060,6 +1060,25 @@ object OracleSql {
              ${N.ratio("count(p_ts)", "count(c_ts)", 4)} AS click_to_purchase
       FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""",
 
+    "fn_explode_outer" -> """
+      WITH d AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), w -> w LIKE '%q%') AS qs
+        FROM documents WHERE doc_id < 2000)
+      SELECT doc_id, CAST(u.i AS INT) AS pos, qs[CAST(u.i + 1 AS INT)] AS qtoken
+      FROM d LEFT JOIN LATERAL unnest(range(len(qs))) u(i) ON TRUE
+      ORDER BY doc_id, pos NULLS FIRST""",
+
+    "window_share_of_total" -> """
+      WITH per AS (
+        SELECT n_name, sum(CAST(c_acctbal AS DECIMAL(12,2)) + 1000) AS s
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name)
+      SELECT n_name,
+             CAST(ROUND(s, 2) AS DOUBLE) AS adj_balance,
+             round(CAST(s AS DOUBLE) / CAST(sum(s) OVER () AS DOUBLE), 6) AS share
+      FROM per ORDER BY n_name""",
+
     // identical IEEE expression tree over exact integer aggregates
     "census_moe_ratio" -> """
       WITH c AS (

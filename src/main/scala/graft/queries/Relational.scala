@@ -804,6 +804,25 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Share-of-total report shape: per-nation revenue and its fraction of
+    * the grand total in ONE query — an unpartitioned window over the
+    * ALREADY-AGGREGATED rows. The window's single-partition exchange
+    * moves only |nations| rows (the raw data was reduced by the
+    * partial+final aggregate first), so the "global" window is free at
+    * any input scale; both sums stay exact decimal until the final
+    * rounded division. */
+  def windowShareOfTotal(s: SparkSession, dir: String): DataFrame = {
+    val per = t(s, dir, "customer")
+      .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(Num.money(col("c_acctbal")) + lit(1000)).as("s"))
+    per.select(
+        col("n_name"),
+        Num.d2(col("s")).as("adj_balance"),
+        round(col("s").cast("double") / sum(col("s")).over().cast("double"), 6).as("share"))
+      .orderBy("n_name")
+  }
+
   /** Deterministic MODE (most frequent value, ties broken by the larger
     * value) via an order-encoded composite string: zero-padded count ||
     * value compares lexicographically exactly like (count, value), so a

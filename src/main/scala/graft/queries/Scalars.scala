@@ -320,6 +320,20 @@ object Scalars {
       .orderBy("p_partkey")
       .limit(500)
 
+  /** Null-preserving generator: `posexplode_outer` keeps a row (with
+    * NULL pos/value) for documents whose filtered token array is EMPTY —
+    * the outer-join-shaped fan-out that plain explode silently drops
+    * (17% of these docs have no 'q' token; an inner explode would lose
+    * them from any downstream per-doc accounting). DuckDB mirrors it as
+    * LEFT JOIN LATERAL over an index range. */
+  def fnExplodeOuter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(col("doc_id") < 2000)
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), w -> w LIKE '%q%')").as("qs"))
+      .select(col("doc_id"), posexplode_outer(col("qs")).as(Seq("pos", "qtoken")))
+      .orderBy(col("doc_id"), col("pos").asc_nulls_first)
+
   /** Epoch/time conversions: timestamp ↔ epoch seconds/millis/micros and
     * formatted output. Session timezone is pinned UTC on both engines,
     * so the string formats agree; all conversions are exact integer

@@ -185,6 +185,22 @@ class Round3OpsSpec extends GraftSpec {
     }
   }
 
+  test("fn_explode_outer keeps one NULL row per empty-array doc") {
+    val df = Scalars.fnExplodeOuter(spark, sfDir)
+    val nullRows = df.filter(col("pos").isNull).count()
+    val emptyDocs = t(spark, sfDir, "documents").filter(col("doc_id") < 2000)
+      .filter(size(expr("filter(split(text, ' '), w -> w LIKE '%q%')")) === 0).count()
+    assert(emptyDocs > 0 && nullRows == emptyDocs)
+    assert(df.select("doc_id").distinct().count() ==
+      t(spark, sfDir, "documents").filter(col("doc_id") < 2000).count())
+  }
+
+  test("window_share_of_total shares sum to 1") {
+    val shares = Relational.windowShareOfTotal(spark, sfDir).collect().map(_.getDouble(2))
+    assert(shares.nonEmpty && shares.forall(s => s > 0 && s < 1))
+    assert(math.abs(shares.sum - 1.0) < 1e-4)
+  }
+
   test("census_moe_ratio: p in [0,1] and moe_p positive and small relative to p's scale") {
     val rows = graft.queries.CensusQueries.censusMoeRatio(spark, sfDir).collect()
     assert(rows.nonEmpty)
