@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CensusQueries, Llm, LlmExtra, MultimodalQueries, Relational, Scalars, StreamingQueries, UdxQueries}
+import graft.queries.{CensusQueries, Llm, LlmExtra, MultimodalQueries, Relational, Scalars, SinkQueries, StreamingQueries, UdxQueries}
 import graft.oracle.OracleSql
 
 /** Driver contract — see /root/repo/SURVEY.md §2.B (the declared operator
@@ -168,7 +168,10 @@ object SparkEntry {
     // + the ACS consumer-side MOE aggregation formula
     "census_moe_agg" -> CensusQueries.censusMoeAgg _,
     "census_moe_ratio" -> CensusQueries.censusMoeRatio _,
-    "ingest_census_csv" -> CensusQueries.ingestCensusCsv _
+    "ingest_census_csv" -> CensusQueries.ingestCensusCsv _,
+    // sink: JDBC round-trip (embedded Derby stands in for Postgres —
+    // identical DataFrameWriter path; see SinkQueries scaladoc)
+    "sink_postgres" -> SinkQueries.sinkPostgres _
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on

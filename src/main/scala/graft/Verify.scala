@@ -5,7 +5,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional third arg: comma-separated query-name filter for targeted
+    // local iteration (the driver always runs the full set)
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -35,9 +39,10 @@ object Verify {
     // full declared-query manifest, so the parity checker can flag a
     // query that THREW (and so wrote no output dir) instead of silently
     // skipping it
+    val selected = only.fold(SparkEntry.queries)(f => SparkEntry.queries.view.filterKeys(f).toMap)
     Files.writeString(Paths.get(s"$outDir/queries.json"),
-      SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
-    SparkEntry.queries.foreach { case (name, fn) =>
+      selected.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

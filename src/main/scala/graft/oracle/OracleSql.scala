@@ -739,12 +739,12 @@ object OracleSql {
       WITH grams AS (
         SELECT doc_id, lang, unnest([substr(text, CAST(i AS INT), 3)
                                      FOR i IN range(1, greatest(length(text)-2, 1)+1)]) AS gram
-        FROM documents),
+        FROM documents WHERE doc_id % 10 <= 1),
       profile AS (
         SELECT plang, gram FROM (
           SELECT lang AS plang, gram, count(*) AS cnt,
                  row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, gram) AS rk
-          FROM grams WHERE doc_id % 10 <> 0 GROUP BY lang, gram)
+          FROM grams WHERE doc_id % 10 = 1 GROUP BY lang, gram)
         WHERE rk <= 50),
       test_grams AS (
         SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id % 10 = 0),
@@ -1186,6 +1186,19 @@ object OracleSql {
              CAST(count_if(nib < thr) AS BIGINT) AS n_kept,
              CAST(coalesce(sum(CASE WHEN nib < thr THEN n_chars END), 0) AS BIGINT) AS kept_chars,
              max(thr) AS threshold_16ths
-      FROM d GROUP BY source ORDER BY source"""
+      FROM d GROUP BY source ORDER BY source""",
+
+    // oracle sees the parquet-side aggregate; the Spark side returns the
+    // same rows ROUND-TRIPPED through a JDBC write+read, so any type or
+    // identifier mangling in the sink path breaks the hash
+    "sink_postgres" -> """
+      SELECT r_name, n_name,
+             count(*) AS n_suppliers,
+             round(sum(CAST(round(s_acctbal * 100) AS BIGINT)) / 100.0, 2) AS total_bal
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+      ORDER BY r_name, n_name"""
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\n\\s+", "\n") }
 }

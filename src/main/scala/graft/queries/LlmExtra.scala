@@ -189,20 +189,26 @@ object LlmExtra {
   // ------------------------------------------------------- text analysis
 
   /** Character-3-gram language ID, self-trained: per-language top-50 gram
-    * profiles from the 90% train split (deterministic doc_id % 10 split),
-    * test docs scored by integer profile-hit counts, argmax with lang
-    * tiebreak, output as a confusion matrix. Integer scores make the
-    * argmax engine-independent. */
+    * profiles from a bounded train SAMPLE (the deterministic
+    * doc_id % 10 = 1 decile — at 100 TB a gram profile converges on a
+    * fixed-size sample long before it has seen the corpus, so profile
+    * construction must NOT scale with corpus size), test docs
+    * (doc_id % 10 = 0, disjoint) scored by integer profile-hit counts,
+    * argmax with lang tiebreak, output as a confusion matrix. Integer
+    * scores make the argmax engine-independent. */
   def llmLangId(s: SparkSession, dir: String): DataFrame = {
     graft.udx.NGrams.registerAll(s)
     val docs = t(s, dir, "documents")
+    // only the train + eval deciles are ever 3-grammed: the filter runs
+    // before the generator, so 80% of the corpus never fans out
     // native Generator (graft_ngrams) fans out length−2 gram rows without
     // materializing the intermediate array the transform+explode route
     // builds per doc; identical output for any text of ≥ 3 chars (this
     // corpus: n_chars ≥ 48 at every SF)
-    val grams = docs.select(col("doc_id"), col("lang"),
+    val grams = docs.filter(col("doc_id") % 10 <= 1)
+      .select(col("doc_id"), col("lang"),
         expr("graft_ngrams(text, 3)").as("gram"))
-    val profile = grams.filter(col("doc_id") % 10 =!= 0)
+    val profile = grams.filter(col("doc_id") % 10 === 1)
       .groupBy(col("lang").as("plang"), col("gram")).agg(count(lit(1)).as("cnt"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("plang").orderBy(desc("cnt"), asc("gram"))))

@@ -33,6 +33,17 @@ class PgSinkSpec extends GraftSpec {
     sh(s"""psql "$dsn" -c 'select 1' >/dev/null 2>&1""") == 0
   }
 
+  test("sink_postgres query: JDBC write+readback round-trip preserves rows") {
+    val df = graft.queries.SinkQueries.sinkPostgres(SparkSpecBase.spark, "/root/testdata/sf0.001")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // schema survives the JDBC type mapper both ways
+    assert(df.schema.fieldNames.toSeq == Seq("r_name", "n_name", "n_suppliers", "total_bal"))
+    // idempotent re-run (A13): overwrite mode drops + reloads, same result
+    val again = graft.queries.SinkQueries.sinkPostgres(SparkSpecBase.spark, "/root/testdata/sf0.001").collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
   test("live COPY-pipe sink round-trips a DataFrame into Postgres") {
     assume(startPg(), "scratch postgres could not be started")
     import SparkSpecBase.spark.implicits._
