@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CensusQueries, Llm, LlmExtra, MultimodalQueries, Relational, Scalars, SinkQueries, StreamingQueries, UdxQueries}
+import graft.queries.{CensusQueries, Llm, LlmExtra, MultimodalQueries, Relational, Scalars, SinkQueries, SourceQueries, StreamingQueries, UdxQueries}
 import graft.oracle.OracleSql
 
 /** Driver contract — see /root/repo/SURVEY.md §2.B (the declared operator
@@ -63,6 +63,7 @@ object SparkEntry {
     "agg_collect_sorted" -> Relational.aggCollectSorted _,
     "agg_bit_ops" -> Relational.aggBitOps _,
     "agg_count_min_sketch" -> Relational.aggCountMinSketch _,
+    "agg_hll_union" -> Relational.aggHllUnion _,
     "agg_mode" -> Relational.aggMode _,
     "agg_string_agg" -> Relational.aggStringAgg _,
     "sql_scalar_subquery" -> Relational.sqlScalarSubquery _,
@@ -122,6 +123,7 @@ object SparkEntry {
     "stream_watermark_late" -> StreamingQueries.streamWatermarkLate _,
     "stream_window_topk" -> StreamingQueries.streamWindowTopk _,
     "stream_funnel" -> StreamingQueries.streamFunnel _,
+    "stream_left_outer_join" -> StreamingQueries.streamLeftOuterJoin _,
     // custom UDX
     "udaf_weighted_avg" -> UdxQueries.udafWeightedAvg _,
     "udtf_ngrams" -> UdxQueries.udtfNgrams _,
@@ -158,6 +160,7 @@ object SparkEntry {
     "llm_domain_mix" -> LlmExtra.llmDomainMix _,
     "llm_vocab_coverage" -> LlmExtra.llmVocabCoverage _,
     "llm_filter_funnel" -> LlmExtra.llmFilterFunnel _,
+    "llm_bpe_pair_counts" -> LlmExtra.llmBpePairCounts _,
     "llm_dedup_components" -> LlmExtra.llmDedupComponents _,
     "llm_embed_centroid" -> LlmExtra.llmEmbedCentroid _,
     // multimodal binary columns
@@ -171,16 +174,21 @@ object SparkEntry {
     "ingest_census_csv" -> CensusQueries.ingestCensusCsv _,
     // sink: JDBC round-trip (embedded Derby stands in for Postgres —
     // identical DataFrameWriter path; see SinkQueries scaladoc)
-    "sink_postgres" -> SinkQueries.sinkPostgres _
+    "sink_postgres" -> SinkQueries.sinkPostgres _,
+    // interchange-format round-trips: serializer fidelity under the
+    // hash gate (see SourceQueries scaladoc)
+    "source_json_roundtrip" -> SourceQueries.sourceJsonRoundtrip _,
+    "source_orc_roundtrip" -> SourceQueries.sourceOrcRoundtrip _,
+    "source_csv_roundtrip" -> SourceQueries.sourceCsvRoundtrip _
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for the 13 non-SQL-expressible ops
+    * the same parquet tables. Omitted for the 14 non-SQL-expressible ops
     * (agg_approx_distinct, agg_approx_percentile, agg_count_min_sketch,
-    * stream_watermark_late, llm_dedup_minhash, llm_dedup_simhash,
-    * llm_fingerprint, llm_sim_lsh_topk, llm_sim_ivf_topk,
-    * llm_pack_sequences, mm_decode_stub, mm_frame_sample,
-    * ingest_census_csv) — those are covered by ScalaTest instead
-    * (SURVEY §5). */
+    * agg_hll_union, stream_watermark_late, llm_dedup_minhash,
+    * llm_dedup_simhash, llm_fingerprint, llm_sim_lsh_topk,
+    * llm_sim_ivf_topk, llm_pack_sequences, mm_decode_stub,
+    * mm_frame_sample, ingest_census_csv) — those are covered by
+    * ScalaTest instead (SURVEY §5). */
   def oracleSql: Map[String, String] = OracleSql.sql
 }

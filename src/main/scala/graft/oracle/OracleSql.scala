@@ -1188,6 +1188,84 @@ object OracleSql {
              max(thr) AS threshold_16ths
       FROM d GROUP BY source ORDER BY source""",
 
+    "llm_perplexity_score" -> """
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE doc_id % 10 <= 1),
+      train AS (SELECT w FROM tok WHERE doc_id % 10 = 1),
+      counts AS (SELECT w, count(*) AS cnt FROM train GROUP BY w),
+      lm AS (SELECT w, cnt FROM counts ORDER BY cnt DESC, w LIMIT 5000),
+      tot AS (SELECT count(*) AS bigN, count(DISTINCT w) AS vocabV FROM train),
+      test AS (SELECT doc_id, w FROM tok WHERE doc_id % 10 = 0 AND doc_id < 2000),
+      scored AS (
+        SELECT doc_id,
+               CAST(round(-ln((coalesce(cnt, 0) + 1)::DOUBLE / (bigN + vocabV)::DOUBLE) * 1000000) AS BIGINT) AS nlp6
+        FROM test LEFT JOIN lm USING (w) CROSS JOIN tot)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             round(CAST(sum(nlp6) AS DOUBLE) / (count(*) * 1000000.0), 4) AS avg_neg_logp
+      FROM scored GROUP BY doc_id ORDER BY doc_id""",
+
+    "fn_url" -> """
+      WITH u AS (
+        SELECT doc_id,
+               'https://' || source || '.example.com/docs/' || doc_id
+                 || '?lang=' || lang || '&rev=2' AS url
+        FROM documents WHERE doc_id < 1500)
+      SELECT doc_id, url,
+             regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+             regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS path,
+             regexp_extract(url, '\?(.*)$', 1) AS query,
+             regexp_extract(url, '[?&]lang=([^&]*)', 1) AS q_lang
+      FROM u ORDER BY doc_id""",
+
+    // the source_* oracles aggregate the parquet directly; the Spark
+    // side aggregates the same rows after a write→read through the
+    // format under test, so serializer fidelity is what's being hashed
+    "source_json_roundtrip" -> """
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+             epoch_us(min(ts)) AS first_ts_us,
+             epoch_us(max(ts)) AS last_ts_us
+      FROM events WHERE event_id % 20 = 0
+      GROUP BY event_type ORDER BY event_type""",
+
+    "source_orc_roundtrip" -> """
+      SELECT l_returnflag, count(*) AS n,
+             CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents,
+             max(l_shipdate) AS last_ship
+      FROM lineitem WHERE l_orderkey % 10 = 0
+      GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "source_csv_roundtrip" -> """
+      SELECT c_mktsegment, count(*) AS n,
+             CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents,
+             count(DISTINCT c_nationkey) AS n_nations
+      FROM customer
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "llm_bpe_pair_counts" -> """
+      WITH w AS (
+        SELECT unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE doc_id < 4000),
+      p AS (
+        SELECT substr(w, CAST(i AS INT), 2) AS pair
+        FROM w, LATERAL unnest(range(1, greatest(length(w) - 1, 0) + 1)) t(i)
+        WHERE length(w) >= 2)
+      SELECT pair, count(*) AS n FROM p
+      GROUP BY pair ORDER BY n DESC, pair LIMIT 20""",
+
+    "stream_left_outer_join" -> s"""
+      WITH c AS (SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'),
+           p AS (SELECT user_id AS p_user, ts AS p_ts, value FROM events WHERE event_type = 'purchase')
+      SELECT c.user_id % 10 AS user_decile,
+             count(*) AS n_rows,
+             count(p.p_ts) AS n_converted,
+             CAST(sum(CASE WHEN p.p_ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unconverted,
+             ${N.sumMoney("value")} AS attributed_value
+      FROM c LEFT JOIN p ON c.user_id = p.p_user
+        AND p.p_ts >= c.click_ts AND p.p_ts <= c.click_ts + INTERVAL 30 MINUTE
+      GROUP BY c.user_id % 10 ORDER BY user_decile""",
+
     // oracle sees the parquet-side aggregate; the Spark side returns the
     // same rows ROUND-TRIPPED through a JDBC write+read, so any type or
     // identifier mangling in the sink path breaks the hash

@@ -659,4 +659,60 @@ object LlmExtra {
         max(thr).as("threshold_16ths"))
       .orderBy("source")
   }
+
+  /** The inner loop of BPE tokenizer training, step one: adjacent
+    * symbol-pair frequencies within words (never across word
+    * boundaries), global top-20 (count desc, pair asc tiebreak) — the
+    * pair the first merge rule would fuse. Two generator fan-outs
+    * (words, then 2-grams via the native graft_ngrams Generator), one
+    * count shuffle, and a tiny global top-k; at 100 TB the pair space
+    * is bounded (alphabet²) so the aggregate output stays small no
+    * matter the corpus — the map-side partial aggregation does almost
+    * all the work. A real BPE trainer iterates merge→recount; one
+    * iteration is the representative (and dominant) cost. */
+  /** CCNet-style perplexity filtering, the quality gate big corpora are
+    * actually cleaned with: a unigram LM (add-1 smoothed, vocabulary
+    * PRUNED to the top-5k tokens so the model is bounded and
+    * broadcastable at any corpus size) trained on one decile, scoring a
+    * disjoint eval slice by average negative log-probability per token.
+    * Determinism across engines: each token's −ln p is rounded to 1e-6
+    * and accumulated as a LONG, so the per-doc sum is exact integer
+    * arithmetic — addition order (partitioning) cannot move the result,
+    * and the only float ops are the per-token ln on identical doubles
+    * and one final division. Scale shape: LM build is one count shuffle
+    * + bounded top-k; scoring is explode + broadcast-probe, no shuffle
+    * on the corpus side until the tiny per-doc aggregate. */
+  def llmPerplexityScore(s: SparkSession, dir: String): DataFrame = {
+    val tok = t(s, dir, "documents")
+      .filter(col("doc_id") % 10 <= 1)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val train = tok.filter(col("doc_id") % 10 === 1)
+    val counts = train.groupBy("w").agg(count(lit(1)).as("cnt"))
+    val lm = counts.orderBy(desc("cnt"), asc("w")).limit(5000)
+      .select(col("w").as("lm_w"), col("cnt"))
+    val totals = train.agg(
+      count(lit(1)).as("bigN"), countDistinct(col("w")).as("vocabV"))
+    val test = tok.filter(col("doc_id") % 10 === 0 && col("doc_id") < 2000)
+    test.join(broadcast(lm), col("w") === col("lm_w"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"),
+        round(-log((coalesce(col("cnt"), lit(0L)) + 1).cast("double") /
+          (col("bigN") + col("vocabV")).cast("double")) * 1e6).cast("long").as("nlp6"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("nlp6").as("sum_nlp6"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("sum_nlp6").cast("double") / (col("n_tokens") * 1e6), 4).as("avg_neg_logp"))
+      .orderBy("doc_id")
+  }
+
+  def llmBpePairCounts(s: SparkSession, dir: String): DataFrame = {
+    graft.udx.NGrams.registerAll(s)
+    t(s, dir, "documents")
+      .filter(col("doc_id") < 4000)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .select(expr("graft_ngrams(w, 2)").as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("pair"))
+      .limit(20)
+  }
 }

@@ -923,4 +923,28 @@ object Relational {
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"), col("n_distinct_prio"))
       .orderBy("o_orderkey")
   }
+
+  /** Mergeable-sketch distinct: per-group Apache DataSketches HLL
+    * (`hll_sketch_agg`) plus a second level that UNIONS the group
+    * sketches (`hll_union_agg`) into a corpus-wide estimate — the
+    * pattern that makes distinct counting reaggregatable at 100 TB:
+    * sketches built once per partition/group/day can be merged along
+    * any rollup axis without touching raw data again, which an exact
+    * `count(DISTINCT)` fundamentally cannot. Estimates are
+    * deterministic for fixed input (no RNG in HLL), but the sketch
+    * algorithm differs from DuckDB's — oracle-exempt, accuracy pinned
+    * vs exact counts in ScalaTest. */
+  def aggHllUnion(s: SparkSession, dir: String): DataFrame = {
+    val sk = t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(hll_sketch_agg(col("o_custkey"), lit(14)).as("sk"),
+        count(lit(1)).as("n_orders"))
+    val per = sk.select(col("o_orderpriority"),
+      hll_sketch_estimate(col("sk")).as("apx_custs"), col("n_orders"))
+    val all = sk.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("apx_custs"),
+        sum("n_orders").as("n_orders"))
+      .select(lit("ALL").as("o_orderpriority"), col("apx_custs"), col("n_orders"))
+    per.union(all).orderBy("o_orderpriority")
+  }
 }

@@ -355,4 +355,23 @@ object Scalars {
         date_format(od, "yyyy-MM").as("fmt_ym"))
       .orderBy("o_orderkey")
   }
+
+  /** URL scalar family: `parse_url` component extraction (HOST / PATH /
+    * QUERY / one named query param) over deterministic synthetic URLs —
+    * the per-row metadata step of any web-corpus pipeline (dedup by
+    * host, mix by domain). Pure codegen'd row-at-a-time work; the
+    * oracle mirrors each component with an equivalent regexp. */
+  def fnUrl(s: SparkSession, dir: String): DataFrame =
+    graft.tables.Tables.t(s, dir, "documents")
+      .filter(col("doc_id") < 1500)
+      .withColumn("url", concat(
+        lit("https://"), col("source"), lit(".example.com/docs/"),
+        col("doc_id"), lit("?lang="), col("lang"), lit("&rev=2")))
+      .select(
+        col("doc_id"), col("url"),
+        expr("parse_url(url, 'HOST')").as("host"),
+        expr("parse_url(url, 'PATH')").as("path"),
+        expr("parse_url(url, 'QUERY')").as("query"),
+        expr("parse_url(url, 'QUERY', 'lang')").as("q_lang"))
+      .orderBy("doc_id")
 }

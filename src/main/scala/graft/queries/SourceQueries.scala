@@ -1,0 +1,86 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables.t
+
+/** Source-format round-trips (SURVEY §2.B `source_*_roundtrip`).
+  *
+  * The reference's universe is CSV in → Postgres out; a user switching to
+  * this engine also needs the interchange formats Spark supports natively.
+  * Each query writes a bounded slice of driver testdata to the format
+  * under test, reads it back through the matching `DataFrameReader`, and
+  * returns an aggregate of the read-back rows — so serializer fidelity
+  * (timestamp encoding, float text round-trip, quoting/escaping, nulls)
+  * sits under the driver's hash gate against a parquet-side oracle, the
+  * same discipline as the JDBC sink.
+  *
+  * Scale notes: all three writers/readers are splittable, partition-
+  * parallel paths (JSON/CSV line-split, ORC striped) — the write is
+  * `mode(Overwrite)` into a per-JVM scratch dir, one file per input
+  * partition, exactly how a 1000-executor export would lay out. Readers
+  * get explicit schemas: schema inference is a full extra pass over the
+  * data and is the first thing to turn off at 100 TB.
+  */
+object SourceQueries {
+
+  private lazy val scratch =
+    s"${sys.props("java.io.tmpdir")}/graft_src_${ProcessHandle.current().pid()}"
+
+  /** JSON lines: timestamps (ISO-8601 micros) and doubles (shortest
+    * round-trip text) must survive write→read bit-for-bit. */
+  def sourceJsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").filter(col("event_id") % 20 === 0)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val path = s"$scratch/events_json"
+    // default JSON timestampFormat truncates to milliseconds — spell out
+    // the full-microsecond format on BOTH sides or sub-ms precision is
+    // silently lost in transit
+    val tsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    ev.write.mode("overwrite").option("timestampFormat", tsFmt).json(path)
+    s.read.schema(ev.schema).option("timestampFormat", tsFmt).json(path)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        // exact per-row cents then integer sum: double SUM is partition-
+        // order-dependent, but round(v*100)→long per row is stable
+        sum(round(col("value") * 100).cast("long")).as("value_cents"),
+        // µs epochs, not raw timestamps, in output (oracle convention —
+        // DuckDB sees the parquet ts as TIMESTAMP_NS)
+        unix_micros(min(col("ts"))).as("first_ts_us"),
+        unix_micros(max(col("ts"))).as("last_ts_us"))
+      .orderBy("event_type")
+  }
+
+  /** ORC: the columnar interchange twin of parquet — decimals, strings,
+    * dates through the vectorized ORC reader. */
+  def sourceOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").filter(col("l_orderkey") % 10 === 0)
+      .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice", "l_shipdate")
+    val path = s"$scratch/lineitem_orc"
+    li.write.mode("overwrite").orc(path)
+    s.read.schema(li.schema).orc(path)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(round(col("l_quantity") * 100).cast("long")).as("qty_cents"),
+        max(col("l_shipdate")).as("last_ship"))
+      .orderBy("l_returnflag")
+  }
+
+  /** CSV with header + explicit read schema: quoting (names may embed
+    * the delimiter), null round-trip, and typed re-parse. */
+  def sourceCsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+      .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal", "c_nationkey")
+    val path = s"$scratch/customer_csv"
+    c.write.mode("overwrite").option("header", "true").csv(path)
+    s.read.schema(c.schema).option("header", "true").csv(path)
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(round(col("c_acctbal") * 100).cast("long")).as("bal_cents"),
+        countDistinct(col("c_nationkey")).as("n_nations"))
+      .orderBy("c_mktsegment")
+  }
+}

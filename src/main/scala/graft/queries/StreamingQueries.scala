@@ -132,4 +132,33 @@ object StreamingQueries {
       .select(col("w.start").cast("date").as("day"), col("event_type"), col("n"), col("rn"))
       .orderBy("day", "rn")
   }
+
+  /** LEFT OUTER time-interval stream-stream join, batch shape: every
+    * click paired with the purchases it led to within 30 minutes, or a
+    * null-match if none — attribution with explicit no-conversion rows,
+    * which an inner interval join silently drops. In streaming the
+    * null-match can only emit once the purchase-side watermark passes
+    * click_ts + 30min (asserted on MemoryStreams in ScalaTest); the
+    * batch plan is the same single user_id shuffle with the time range
+    * as residual, nulls free. Aggregated per user decile so output stays
+    * bounded and deterministic. */
+  def streamLeftOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value"))
+    clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("click_ts") &&
+          col("p_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"),
+        "left")
+      .groupBy((col("user_id") % 10).as("user_decile"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("p_ts")).as("n_converted"),
+        sum(when(col("p_ts").isNull, 1).otherwise(0)).as("n_unconverted"),
+        Num.sumMoney(col("value")).as("attributed_value"))
+      .orderBy("user_decile")
+  }
 }

@@ -77,6 +77,25 @@ object StreamOps {
       .select(col("c_user").as("user_id"), col("click_ts"), col("p_ts"), col("value"))
   }
 
+  /** LEFT OUTER stream-stream interval join (streaming twin of
+    * `stream_left_outer_join`): clicks pair with purchases within 30
+    * minutes; a click with NO purchase emits a null-match row — but only
+    * once the purchase-side watermark has passed click_ts + 30min, since
+    * until then a matching purchase could still arrive. The watermark
+    * bounds both the join state and the null-emission delay. */
+  def leftOuterIntervalJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value"))
+    c.join(p,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("click_ts") &&
+        col("p_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"),
+      "leftOuter")
+      .select(col("c_user").as("user_id"), col("click_ts"), col("p_ts"), col("value"))
+  }
+
   /** Stream-static enrichment join: an unbounded event stream joined to
     * a bounded dimension table. The static side is planned as a
     * broadcast per micro-batch — no streaming state at all (unlike

@@ -45,6 +45,23 @@ class OracleExemptSpec extends GraftSpec {
     }
   }
 
+  test("agg_hll_union: per-group estimates within 5% of exact; union row consistent") {
+    val rows = Relational.aggHllUnion(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    val exactPer = graft.tables.Tables.t(spark, sfDir, "orders")
+      .groupBy("o_orderpriority").agg(countDistinct(col("o_custkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactAll = graft.tables.Tables.t(spark, sfDir, "orders")
+      .agg(countDistinct(col("o_custkey"))).head.getLong(0)
+    for ((k, e) <- exactPer)
+      assert(math.abs(rows(k) - e) / e <= 0.05, s"$k: hll ${rows(k)} vs exact $e")
+    // the UNION estimate must track the distinct count of the union,
+    // which is far below the sum of the per-group counts (heavy overlap)
+    assert(math.abs(rows("ALL") - exactAll) / exactAll <= 0.05,
+      s"union: hll ${rows("ALL")} vs exact $exactAll (sum of groups ${exactPer.values.sum})")
+    assert(rows("ALL") < exactPer.values.sum * 0.9)
+  }
+
   test("fn_map per-user map lookups equal plain pivoted counts") {
     val got = Scalars.fnMap(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq

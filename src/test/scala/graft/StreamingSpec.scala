@@ -90,6 +90,38 @@ class StreamingSpec extends GraftSpec {
     } finally query.stop()
   }
 
+  test("left-outer interval join emits null-match only after watermark passes the window") {
+    implicit val sqlCtx = spark.sqlContext
+    import SparkSpecBase.spark.implicits._
+    val clicks = MemoryStream[TestEvent]
+    val purchases = MemoryStream[TestEvent]
+    val sinkName = s"lsoj_sink_${System.nanoTime()}"
+    val query = StreamOps.leftOuterIntervalJoin(clicks.toDF(), purchases.toDF()).writeStream
+      .format("memory").queryName(sinkName).outputMode(OutputMode.Append()).start()
+    try {
+      // user 1 converts inside 30 min; user 2 never converts
+      clicks.addData(
+        TestEvent(ts("2024-01-01 10:00:00"), 1, "click", 0.0),
+        TestEvent(ts("2024-01-01 10:00:00"), 2, "click", 0.0))
+      purchases.addData(TestEvent(ts("2024-01-01 10:20:00"), 1, "purchase", 5.0))
+      query.processAllAvailable()
+      val matchedOnly = spark.table(sinkName).collect()
+      // user 2's null-match must NOT have emitted yet: its window is
+      // still open (watermark hasn't passed 10:30 + delay)
+      assert(matchedOnly.map(_.getLong(0)).toSet == Set(1L))
+      // advance both watermarks well past the window...
+      clicks.addData(TestEvent(ts("2024-01-01 12:00:00"), 9, "click", 0.0))
+      purchases.addData(TestEvent(ts("2024-01-01 12:00:00"), 9, "purchase", 1.0))
+      query.processAllAvailable()
+      val rows = spark.table(sinkName).collect()
+        .map(r => (r.getLong(0), Option(r.get(2)).map(_.toString).orNull))
+        .sortBy(r => (r._1, Option(r._2).getOrElse("")))
+      // ...now user 2 appears with a NULL purchase side
+      assert(rows.exists(r => r._1 == 2L && r._2 == null),
+        s"no null-match row for user 2 in ${rows.mkString(", ")}")
+    } finally query.stop()
+  }
+
   test("stream-static join enriches each micro-batch from a broadcast dim, stateless") {
     implicit val sqlCtx = spark.sqlContext
     import SparkSpecBase.spark.implicits._
