@@ -114,6 +114,7 @@ object SparkEntry {
     "fn_try_arith" -> Scalars.fnTryArith _,
     "fn_codec" -> Scalars.fnCodec _,
     "fn_epoch_time" -> Scalars.fnEpochTime _,
+    "fn_url" -> Scalars.fnUrl _,
     // streaming-shaped (batch forms; streaming twins in graft.streaming)
     "stream_tumbling_count" -> StreamingQueries.streamTumblingCount _,
     "stream_sliding_avg" -> StreamingQueries.streamSlidingAvg _,
@@ -161,6 +162,7 @@ object SparkEntry {
     "llm_vocab_coverage" -> LlmExtra.llmVocabCoverage _,
     "llm_filter_funnel" -> LlmExtra.llmFilterFunnel _,
     "llm_bpe_pair_counts" -> LlmExtra.llmBpePairCounts _,
+    "llm_perplexity_score" -> LlmExtra.llmPerplexityScore _,
     "llm_dedup_components" -> LlmExtra.llmDedupComponents _,
     "llm_embed_centroid" -> LlmExtra.llmEmbedCentroid _,
     // multimodal binary columns

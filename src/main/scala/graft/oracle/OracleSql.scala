@@ -1208,8 +1208,8 @@ object OracleSql {
     "fn_url" -> """
       WITH u AS (
         SELECT doc_id,
-               'https://' || source || '.example.com/docs/' || doc_id
-                 || '?lang=' || lang || '&rev=2' AS url
+               concat('https://', source, '.example.com/docs/',
+                      CAST(doc_id AS VARCHAR), '?lang=', lang, '&rev=2') AS url
         FROM documents WHERE doc_id < 1500)
       SELECT doc_id, url,
              regexp_extract(url, 'https://([^/]+)/', 1) AS host,
