@@ -70,6 +70,7 @@ object SparkEntry {
     "sql_recursive_cte" -> Relational.sqlRecursiveCte _,
     "sql_lateral_join" -> Relational.sqlLateralJoin _,
     "sql_exists_subquery" -> Relational.sqlExistsSubquery _,
+    "sql_merge_upsert" -> Relational.sqlMergeUpsert _,
     // windows
     "window_rank" -> Relational.windowRank _,
     "window_topk_per_group" -> Relational.windowTopkPerGroup _,
@@ -163,6 +164,7 @@ object SparkEntry {
     "llm_filter_funnel" -> LlmExtra.llmFilterFunnel _,
     "llm_bpe_pair_counts" -> LlmExtra.llmBpePairCounts _,
     "llm_perplexity_score" -> LlmExtra.llmPerplexityScore _,
+    "llm_dedup_url_canonical" -> LlmExtra.llmDedupUrlCanonical _,
     "llm_dedup_components" -> LlmExtra.llmDedupComponents _,
     "llm_embed_centroid" -> LlmExtra.llmEmbedCentroid _,
     // multimodal binary columns

@@ -1188,6 +1188,48 @@ object OracleSql {
              max(thr) AS threshold_16ths
       FROM d GROUP BY source ORDER BY source""",
 
+    "sql_merge_upsert" -> """
+      WITH target AS (
+        SELECT o_orderkey AS t_key, o_orderpriority AS t_prio,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS t_cents
+        FROM orders WHERE o_orderkey % 4 <> 3),
+      staging AS (
+        SELECT o_orderkey AS s_key, o_orderpriority AS s_prio,
+               CAST(round(o_totalprice * 100) AS BIGINT) * 11 // 10 AS s_cents
+        FROM orders WHERE o_orderkey % 2 = 0),
+      merged AS (
+        SELECT coalesce(s_prio, t_prio) AS prio,
+               coalesce(s_cents, t_cents) AS cents,
+               (s_key IS NOT NULL AND t_key IS NOT NULL) AS updated,
+               (t_key IS NULL) AS inserted
+        FROM target FULL OUTER JOIN staging ON t_key = s_key)
+      SELECT prio AS o_orderpriority,
+             count(*) AS n_rows,
+             CAST(count_if(updated) AS BIGINT) AS n_updated,
+             CAST(count_if(inserted) AS BIGINT) AS n_inserted,
+             CAST(count_if(NOT updated AND NOT inserted) AS BIGINT) AS n_kept,
+             CAST(sum(cents) AS BIGINT) AS total_cents
+      FROM merged GROUP BY prio ORDER BY o_orderpriority""",
+
+    "llm_dedup_url_canonical" -> """
+      WITH u AS (
+        SELECT lower(source || '.example.com') AS chost,
+               concat('https://',
+                      CASE WHEN doc_id % 2 = 1 THEN upper(source || '.example.com')
+                           ELSE source || '.example.com' END,
+                      '/page/', CAST(doc_id // 7 AS VARCHAR),
+                      CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END,
+                      CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&utm_id=9' ELSE '' END) AS raw_url
+        FROM documents WHERE doc_id < 7000),
+      c AS (
+        SELECT chost, raw_url,
+               regexp_replace(regexp_replace(lower(raw_url), '\?utm_[^#]*$', ''), '/$', '') AS canon_url
+        FROM u)
+      SELECT chost,
+             count(DISTINCT raw_url) AS n_raw,
+             count(DISTINCT canon_url) AS n_canonical
+      FROM c GROUP BY chost ORDER BY chost""",
+
     "llm_perplexity_score" -> """
       WITH tok AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS w

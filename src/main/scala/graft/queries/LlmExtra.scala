@@ -670,6 +670,31 @@ object LlmExtra {
     * matter the corpus — the map-side partial aggregation does almost
     * all the work. A real BPE trainer iterates merge→recount; one
     * iteration is the representative (and dominant) cost. */
+  /** URL canonicalization + dedup — the step before any web fetch or
+    * URL-keyed dedup: the same resource appears with case-variant hosts,
+    * utm_* tracking params, and trailing slashes. Synthetic variants are
+    * derived deterministically from doc_id (ids map 7→1 onto a path id,
+    * so real collisions exist); canonicalization is lower(host) + strip
+    * tracking params + strip trailing slash, all codegen'd string ops.
+    * Per-host output: raw vs canonical URL counts — the dedup win. */
+  def llmDedupUrlCanonical(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").filter(col("doc_id") < 7000)
+    val host0 = concat(col("source"), lit(".example.com"))
+    val host = when(col("doc_id") % 2 === 1, upper(host0)).otherwise(host0)
+    val track = when(col("doc_id") % 3 === 0, lit("?utm_source=feed&utm_id=9")).otherwise(lit(""))
+    val slash = when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit(""))
+    val raw = concat(lit("https://"), host, lit("/page/"),
+      expr("doc_id div 7"), slash, track)
+    val canon = regexp_replace(
+      regexp_replace(lower(raw), "\\?utm_[^#]*$", ""), "/$", "")
+    d.select(lower(host0).as("chost"), raw.as("raw_url"), canon.as("canon_url"))
+      .groupBy("chost")
+      .agg(
+        countDistinct(col("raw_url")).as("n_raw"),
+        countDistinct(col("canon_url")).as("n_canonical"))
+      .orderBy("chost")
+  }
+
   /** CCNet-style perplexity filtering, the quality gate big corpora are
     * actually cleaned with: a unigram LM (add-1 smoothed, vocabulary
     * PRUNED to the top-5k tokens so the model is bounded and

@@ -934,6 +934,40 @@ object Relational {
     * deterministic for fixed input (no RNG in HLL), but the sketch
     * algorithm differs from DuckDB's — oracle-exempt, accuracy pinned
     * vs exact counts in ScalaTest. */
+  /** MERGE/upsert without a table format: staging changes applied onto a
+    * target snapshot as one FULL OUTER join on the key, then COALESCE
+    * (staging wins) — the plan Delta/Iceberg MERGE INTO lowers to, minus
+    * the file-level rewrite. Both sides shuffle once on the merge key and
+    * co-partition; at 100 TB the join is the whole cost, and pre-
+    * bucketing both tables on the key would eliminate even that. Output
+    * is the per-priority accounting of matched/inserted/kept rows —
+    * the audit every CDC compaction job emits. */
+  def sqlMergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val target = t(s, dir, "orders").filter(col("o_orderkey") % 4 =!= 3)
+      .select(col("o_orderkey").as("t_key"), col("o_orderpriority").as("t_prio"),
+        round(col("o_totalprice") * 100).cast("long").as("t_cents"))
+    val staging = t(s, dir, "orders").filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey").as("s_key"), col("o_orderpriority").as("s_prio"),
+        // the "update": price bumped 10%, exact integer arithmetic
+        // (`div`, not `/` — Spark's / on longs is double division)
+        expr("cast(round(o_totalprice * 100) as bigint) * 11 div 10").as("s_cents"))
+    target.join(staging, col("t_key") === col("s_key"), "full_outer")
+      .select(
+        coalesce(col("s_key"), col("t_key")).as("key"),
+        coalesce(col("s_prio"), col("t_prio")).as("prio"),
+        coalesce(col("s_cents"), col("t_cents")).as("cents"),
+        (col("s_key").isNotNull && col("t_key").isNotNull).as("updated"),
+        (col("t_key").isNull).as("inserted"))
+      .groupBy(col("prio").as("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count_if(col("updated")).as("n_updated"),
+        count_if(col("inserted")).as("n_inserted"),
+        count_if(!col("updated") && !col("inserted")).as("n_kept"),
+        sum(col("cents")).as("total_cents"))
+      .orderBy("o_orderpriority")
+  }
+
   def aggHllUnion(s: SparkSession, dir: String): DataFrame = {
     val sk = t(s, dir, "orders")
       .groupBy("o_orderpriority")

@@ -82,6 +82,23 @@ class PlanShapeSpec extends GraftSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("llm_perplexity_score probes the LM as a broadcast, corpus side never shuffles pre-agg") {
+    val p = plan(graft.queries.LlmExtra.llmPerplexityScore(spark, sfDir))
+    // the pruned LM and the two-scalar totals row must both arrive as
+    // broadcasts; the only hash exchanges are the LM build (train-side
+    // counts) and the final tiny per-doc aggregate — the scored token
+    // stream itself must not shuffle before aggregation
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // scalar totals cross join
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("llm_bpe_pair_counts: two-phase aggregate then bounded top-k, no global sort of pairs") {
+    val p = plan(graft.queries.LlmExtra.llmBpePairCounts(spark, sfDir))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "expected partial+final count")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 should be TakeOrdered, not Sort+Limit:\n$p")
+  }
+
   test("whole-stage codegen covers the flagship pipeline") {
     // AQE only finalizes (and codegens) the plan on execution.
     val df = Relational.joinStarFlagship(spark, sfDir)
