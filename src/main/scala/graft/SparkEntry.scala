@@ -183,7 +183,8 @@ object SparkEntry {
     // hash gate (see SourceQueries scaladoc)
     "source_json_roundtrip" -> SourceQueries.sourceJsonRoundtrip _,
     "source_orc_roundtrip" -> SourceQueries.sourceOrcRoundtrip _,
-    "source_csv_roundtrip" -> SourceQueries.sourceCsvRoundtrip _
+    "source_csv_roundtrip" -> SourceQueries.sourceCsvRoundtrip _,
+    "sink_partitioned_parquet" -> SourceQueries.sinkPartitionedParquet _
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on

@@ -1278,6 +1278,14 @@ object OracleSql {
       FROM lineitem WHERE l_orderkey % 10 = 0
       GROUP BY l_returnflag ORDER BY l_returnflag""",
 
+    "sink_partitioned_parquet" -> """
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             count(*) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+      FROM events
+      WHERE CAST(ts AS DATE) BETWEEN '2024-01-02' AND '2024-01-04'
+      GROUP BY day, event_type ORDER BY day, event_type""",
+
     "source_csv_roundtrip" -> """
       SELECT c_mktsegment, count(*) AS n,
              CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents,

@@ -68,6 +68,30 @@ object SourceQueries {
       .orderBy("l_returnflag")
   }
 
+  /** Date-partitioned parquet layout — THE table design partition
+    * pruning depends on at 100 TB: `partitionBy("day")` writes one
+    * directory per day, and a day-range filter on read touches only
+    * those directories (PartitionFilters in the scan, pinned in
+    * PlanShapeSpec) — every other day's data is never opened. The
+    * `repartition(day)` before the write is the small-files discipline:
+    * without it every shuffle partition writes a file into every day
+    * directory (tasks × days files); with it, one file per day. */
+  def sinkPartitionedParquet(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("day", to_date(col("ts")))
+      .select("event_id", "ts", "user_id", "event_type", "value", "day")
+    val path = s"$scratch/events_byday"
+    ev.repartition(col("day"))
+      .write.mode("overwrite").partitionBy("day").parquet(path)
+    s.read.parquet(path)
+      .filter(col("day").between(lit("2024-01-02"), lit("2024-01-04")))
+      .groupBy("day", "event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .orderBy("day", "event_type")
+  }
+
   /** CSV with header + explicit read schema: quoting (names may embed
     * the delimiter), null round-trip, and typed re-parse. */
   def sourceCsvRoundtrip(s: SparkSession, dir: String): DataFrame = {

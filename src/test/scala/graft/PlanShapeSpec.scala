@@ -99,6 +99,15 @@ class PlanShapeSpec extends GraftSpec {
     assert(p.contains("TakeOrderedAndProject"), s"top-20 should be TakeOrdered, not Sort+Limit:\n$p")
   }
 
+  test("sink_partitioned_parquet: day-range read prunes to the selected partition dirs") {
+    val df = graft.queries.SourceQueries.sinkPartitionedParquet(spark, sfDir)
+    val p = fmt(df)
+    // the day filter must land in PartitionFilters (directory pruning),
+    // NOT as a data filter evaluated per row
+    assert(p.contains("PartitionFilters") && p.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("day")), p.take(4000))
+  }
+
   test("whole-stage codegen covers the flagship pipeline") {
     // AQE only finalizes (and codegens) the plan on execution.
     val df = Relational.joinStarFlagship(spark, sfDir)
