@@ -531,14 +531,24 @@ object LlmExtra {
     * is deterministic at any parallelism/iteration interleaving. */
   def llmDedupComponents(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
-    val pre = d.select(md5(substring(col("text"), 1, 40)).as("k"), col("doc_id"))
-    val suf = d.select(
-      md5(expr("substr(text, greatest(1, n_chars - 39), 40)")).as("k"), col("doc_id"))
-    def pairsOf(keyed: DataFrame): DataFrame =
-      keyed.as("a").join(keyed.as("b"),
-          col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
-    val pp = pairsOf(pre).union(pairsOf(suf)).distinct()
+    // ONE corpus scan emits both candidate keys per doc (prefix + suffix
+    // hash), and ONE groupBy collects each key's doc set; pairs are then
+    // expanded INSIDE the group with codegen'd array ops. The former
+    // shape — a self-join per key signal — scanned the corpus twice and
+    // shuffled it twice; this is one scan + one shuffle, and the group
+    // sets (dup clusters) are small by nature so the in-group k²/2
+    // expansion is bounded exactly like the join's was.
+    val keyed = d.select(col("doc_id"), explode(array(
+        md5(substring(col("text"), 1, 40)),
+        md5(expr("substr(text, greatest(1, n_chars - 39), 40)")))).as("k"))
+    val groups = keyed.groupBy("k")
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val pp = groups.select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids) - i - 1),
+          |            y -> struct(x AS src, y AS dst))))""".stripMargin)).as("e"))
+      .select(col("e.src"), col("e.dst")).distinct()
     val edges = pp.union(pp.select(col("dst").as("src"), col("src").as("dst"))).cache()
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).cache()
