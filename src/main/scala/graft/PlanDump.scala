@@ -9,8 +9,9 @@ object PlanDump {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.001"
-    val names = Seq("join_range_bucket", "window_range_time", "window_distinct_count",
-      "stream_funnel", "llm_embed_centroid", "llm_vocab_coverage", "agg_mode")
+    val names = if (args.nonEmpty) args.toSeq else Seq(
+      "llm_perplexity_score", "sql_merge_upsert", "sink_partitioned_parquet",
+      "llm_dedup_components", "llm_bpe_pair_counts")
     names.foreach { n =>
       println(s"===== $n =====")
       println(SparkEntry.queries(n)(spark, dir).queryExecution

@@ -725,8 +725,12 @@ object LlmExtra {
     val counts = train.groupBy("w").agg(count(lit(1)).as("cnt"))
     val lm = counts.orderBy(desc("cnt"), asc("w")).limit(5000)
       .select(col("w").as("lm_w"), col("cnt"))
-    val totals = train.agg(
-      count(lit(1)).as("bigN"), countDistinct(col("w")).as("vocabV"))
+    // N and V both derive from the counts aggregate (Σcnt, row count) —
+    // NOT from a fresh pass over train tokens: the counts subtree is then
+    // byte-identical in both branches and its shuffle is planned once as
+    // a ReusedExchange, so the train decile is scanned/grammed once
+    val totals = counts.agg(
+      sum(col("cnt")).as("bigN"), count(lit(1)).as("vocabV"))
     val test = tok.filter(col("doc_id") % 10 === 0 && col("doc_id") < 2000)
     test.join(broadcast(lm), col("w") === col("lm_w"), "left")
       .crossJoin(broadcast(totals))
