@@ -36,6 +36,7 @@ object SparkEntry {
     "join_cross" -> Relational.joinCross _,
     "join_theta_range" -> Relational.joinThetaRange _,
     "join_asof" -> Relational.joinAsof _,
+    "join_asof_native" -> Relational.joinAsofNative _,
     "join_multiway" -> Relational.joinMultiway _,
     "join_null_safe" -> Relational.joinNullSafe _,
     "join_skew_salted" -> Relational.joinSkewSalted _,

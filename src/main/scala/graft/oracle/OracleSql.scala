@@ -102,6 +102,16 @@ object OracleSql {
         ON p.user_id = c.user_id AND p.ts >= c.ts
       ORDER BY event_id""",
 
+    // same oracle as join_asof: the custom physical operator must land
+    // on identical rows to DuckDB's native ASOF LEFT JOIN
+    "join_asof_native" -> """
+      SELECT p.event_id AS event_id, p.user_id AS user_id,
+             epoch_us(p.ts) AS purchase_us, epoch_us(c.ts) AS last_click_us
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND p.ts >= c.ts
+      ORDER BY event_id""",
+
     "join_multiway" -> s"""
       SELECT l_orderkey, ${N.d2(s"SUM(${N.money("l_extendedprice")} * (1 - ${N.rate("l_discount")}))")} AS revenue
       FROM customer

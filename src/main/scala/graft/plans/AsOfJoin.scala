@@ -1,0 +1,158 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** AS-OF JOIN as a first-class operator — the full custom-Catalyst path
+  * (SURVEY §4.3 option c): a LogicalPlan node, a planner Strategy, and a
+  * physical SparkPlan, registered per-session (`AsOf.join`) or globally
+  * (`GraftExtensions.injectPlannerStrategy`).
+  *
+  * Semantics (backward as-of, DuckDB `ASOF LEFT JOIN`): for every left
+  * row, attach the right row with the same key and the GREATEST right
+  * time ≤ the left row's time; null-extend when none exists.
+  *
+  * Physical shape: the exec node declares
+  * `requiredChildDistribution = ClusteredDistribution(key)` and
+  * `requiredChildOrdering = (key, time)` on both sides, so Catalyst
+  * plans exactly one hash exchange + sort per side (reusing existing
+  * partitioning/ordering when an upstream stage already provides it —
+  * e.g. bucketed tables join with NO exchange). The merge itself is a
+  * single forward pass over each partition holding ONE buffered right
+  * row and ONE candidate match — O(1) state, no per-key
+  * materialization, no time-range fan-out. That is the property the
+  * window-composed formulation (`Relational.joinAsof`) shares and a
+  * range self-join lacks; the custom operator additionally avoids the
+  * union + filter + running-`last` machinery (one pass, no null
+  * carry-forward column), and is the extension point for semantics
+  * windows can't express (tolerance bounds, forward/nearest direction).
+  *
+  * Constraints (checked by the helper): one equi-key per side, non-null
+  * times; rows with null keys or times never match (left ones still
+  * emit, null-extended).
+  */
+final case class AsOfJoin(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoin(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+final case class AsOfJoinExec(
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression,
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lkB = BindReferences.bindReference(leftKey, lOut)
+      val ltB = BindReferences.bindReference(leftTime, lOut)
+      val rkB = BindReferences.bindReference(rightKey, rOut)
+      val rtB = BindReferences.bindReference(rightTime, rOut)
+      val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
+      val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
+      val nullRight = new GenericInternalRow(rOut.length)
+      val joined = new JoinedRow
+      val resultProj = UnsafeProjection.create(output, output)
+      // O(1) merge state: the next unconsumed right row (with its key),
+      // and the best match so far for the current left key
+      var rHead: InternalRow = null
+      var rHeadKey: Any = null
+      var best: InternalRow = null
+      var bestKey: Any = null
+      lIter.map { l =>
+        val k = lkB.eval(l)
+        val t = ltB.eval(l)
+        if (k == null || t == null) resultProj(joined(l, nullRight))
+        else {
+          if (bestKey != null && keyOrd.compare(bestKey, k) != 0) { best = null; bestKey = null }
+          var continue = true
+          while (continue) {
+            if (rHead == null) {
+              if (rIter.hasNext) {
+                rHead = rIter.next()
+                rHeadKey = rkB.eval(rHead)
+                if (rHeadKey == null || rtB.eval(rHead) == null) rHead = null // unmatched by definition
+              } else continue = false
+            }
+            if (rHead != null) {
+              val c = keyOrd.compare(rHeadKey, k)
+              if (c < 0) rHead = null // key fully passed; its matches were consumed by earlier left rows
+              else if (c == 0 && timeOrd.compare(rtB.eval(rHead), t) <= 0) {
+                best = rHead.copy() // row buffers are reused — retain a copy
+                bestKey = rHeadKey
+                rHead = null
+              } else continue = false // right is ahead of this left row
+            }
+          }
+          if (best != null && keyOrd.compare(bestKey, k) == 0) resultProj(joined(l, best))
+          else resultProj(joined(l, nullRight))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Public entry: `AsOf.join(purchases, clicks, "user_id", "ts", "click_ts")`.
+  * Column names resolve against each side (alias the right side's columns
+  * to fresh names first — that also guarantees distinct expression ids
+  * on a self-join). Idempotently installs the planner strategy on the
+  * session. */
+object AsOf {
+  def join(left: DataFrame, right: DataFrame,
+      key: String, leftTimeCol: String, rightKey: String, rightTimeCol: String): DataFrame = {
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        AsOfJoinStrategy +: spark.experimental.extraStrategies
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        sys.error(s"as-of join: no column '$n' in [${p.output.map(_.name).mkString(", ")}]"))
+    require(attr(lPlan, leftTimeCol).dataType == attr(rPlan, rightTimeCol).dataType,
+      "as-of join: time columns must share a type")
+    val node = AsOfJoin(lPlan, rPlan,
+      attr(lPlan, key), attr(rPlan, rightKey),
+      attr(lPlan, leftTimeCol), attr(rPlan, rightTimeCol))
+    org.apache.spark.sql.graftbridge.Bridge.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], node)
+  }
+}

@@ -234,6 +234,25 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** The same as-of semantics through the CUSTOM OPERATOR path
+    * (graft.plans.AsOfJoin: LogicalPlan + Strategy + SparkPlan): one
+    * exchange + sort per side, then an O(1)-state forward merge per
+    * partition — no union/window machinery at all. Must produce
+    * bit-identical rows to `joinAsof` (AsOfJoinSpec) and hash-match the
+    * same oracle. */
+  def joinAsofNative(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").filter(col("event_type").isin("click", "purchase"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    graft.plans.AsOf.join(purchases, clicks, "user_id", "ts", "c_user", "click_ts")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("purchase_us"),
+        unix_micros(col("click_ts")).as("last_click_us"))
+      .orderBy("event_id")
+  }
+
   /** TPC-H Q3 shape: 3-way join, grouped revenue, global top-10. */
   def joinMultiway(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")

@@ -67,5 +67,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // kernel — users write catalog functions, the engine substitutes the
     // fused loop (bit-identical fold; see VectorKernelRewrite)
     ext.injectOptimizerRule(_ => VectorKernelRewrite)
+    // whole-operator extension: the as-of join planner strategy
+    // (graft.plans.AsOfJoin → AsOfJoinExec); AsOf.join also installs it
+    // per-session for callers without the extensions conf
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

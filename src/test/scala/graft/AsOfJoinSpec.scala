@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.AsOf
+
+/** The custom as-of join operator (LogicalPlan + Strategy + SparkPlan):
+  * result equivalence against the window-composed formulation, edge
+  * semantics, and the physical shape (one exchange + sort per side, the
+  * merge itself adds none). */
+class AsOfJoinSpec extends GraftSpec {
+
+  private def nativeAsof() = {
+    val ev = graft.tables.Tables.t(spark, sfDir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    AsOf.join(purchases, clicks, "user_id", "ts", "c_user", "click_ts")
+  }
+
+  test("native as-of join matches the window-composed join_asof row for row") {
+    val native = nativeAsof()
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("purchase_us"),
+        unix_micros(col("click_ts")).as("last_click_us"))
+      .orderBy("event_id")
+      .collect().map(_.toString)
+    val composed = graft.queries.Relational.joinAsof(spark, sfDir)
+      .collect().map(_.toString)
+    assert(native.length == composed.length)
+    assert(native.sameElements(composed))
+  }
+
+  test("edge semantics: equal timestamps match; no earlier click → null") {
+    import SparkSpecBase.spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val l = Seq((1L, 10L, ts("2024-01-01 10:00:00")), // exact-tie click
+                (2L, 10L, ts("2024-01-01 09:00:00")), // before any click
+                (3L, 20L, ts("2024-01-01 12:00:00")), // user with no clicks
+                (4L, 10L, ts("2024-01-01 11:00:00"))) // later click wins
+      .toDF("event_id", "user_id", "ts")
+    val r = Seq((10L, ts("2024-01-01 10:00:00")),
+                (10L, ts("2024-01-01 10:30:00")))
+      .toDF("c_user", "click_ts")
+    val got = AsOf.join(l, r, "user_id", "ts", "c_user", "click_ts")
+      .select(col("event_id"), col("click_ts"))
+      .collect().map(row => row.getLong(0) -> Option(row.get(1)).map(_.toString).orNull)
+      .toMap
+    assert(got(1L) == "2024-01-01 10:00:00.0") // ≤, not <
+    assert(got(2L) == null)
+    assert(got(3L) == null)
+    assert(got(4L) == "2024-01-01 10:30:00.0") // greatest ≤, not first
+  }
+
+  test("plan: AsOfJoinExec with exactly one exchange+sort per side") {
+    val df = nativeAsof()
+    df.collect()
+    // AQE's toString appends the pre-adaptive plan after "== Initial
+    // Plan ==" — count nodes in the FINAL plan only
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("AsOfJoin"), p) // exec node prints without the Exec suffix
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+    assert("Sort ".r.findAllIn(p).size >= 2, p)
+  }
+}
