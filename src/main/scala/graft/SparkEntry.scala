@@ -37,6 +37,7 @@ object SparkEntry {
     "join_theta_range" -> Relational.joinThetaRange _,
     "join_asof" -> Relational.joinAsof _,
     "join_asof_native" -> Relational.joinAsofNative _,
+    "join_asof_tolerance" -> Relational.joinAsofTolerance _,
     "join_multiway" -> Relational.joinMultiway _,
     "join_null_safe" -> Relational.joinNullSafe _,
     "join_skew_salted" -> Relational.joinSkewSalted _,

@@ -112,6 +112,18 @@ object OracleSql {
         ON p.user_id = c.user_id AND p.ts >= c.ts
       ORDER BY event_id""",
 
+    // correlated-max mirror: DuckDB ASOF has no tolerance clause, so the
+    // bounded match is expressed directly
+    "join_asof_tolerance" -> """
+      WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+           c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+      SELECT p.event_id AS event_id, p.user_id AS user_id,
+             epoch_us(p.ts) AS purchase_us,
+             (SELECT epoch_us(max(c.ts)) FROM c
+              WHERE c.user_id = p.user_id AND c.ts <= p.ts
+                AND c.ts >= p.ts - INTERVAL 1 HOUR) AS last_click_us
+      FROM p ORDER BY event_id""",
+
     "join_multiway" -> s"""
       SELECT l_orderkey, ${N.d2(s"SUM(${N.money("l_extendedprice")} * (1 - ${N.rate("l_discount")}))")} AS revenue
       FROM customer

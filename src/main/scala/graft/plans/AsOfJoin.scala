@@ -40,7 +40,8 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 final case class AsOfJoin(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+    leftTime: Expression, rightTime: Expression,
+    toleranceUs: Option[Long] = None) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -50,8 +51,8 @@ final case class AsOfJoin(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, tol) =>
+      AsOfJoinExec(lk, rk, lt, rt, tol, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -59,6 +60,7 @@ object AsOfJoinStrategy extends SparkStrategy {
 final case class AsOfJoinExec(
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
+    toleranceUs: Option[Long],
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -93,6 +95,10 @@ final case class AsOfJoinExec(
       var rHeadKey: Any = null
       var best: InternalRow = null
       var bestKey: Any = null
+      var bestTime: Long = 0L
+      // tolerance needs numeric time arithmetic; timestamps are Long
+      // micros internally, so -1 (disabled) vs a bound in µs
+      val tol: Long = toleranceUs.getOrElse(-1L)
       lIter.map { l =>
         val k = lkB.eval(l)
         val t = ltB.eval(l)
@@ -114,11 +120,17 @@ final case class AsOfJoinExec(
               else if (c == 0 && timeOrd.compare(rtB.eval(rHead), t) <= 0) {
                 best = rHead.copy() // row buffers are reused — retain a copy
                 bestKey = rHeadKey
+                if (tol >= 0) bestTime = rtB.eval(best).asInstanceOf[Long]
                 rHead = null
               } else continue = false // right is ahead of this left row
             }
           }
-          if (best != null && keyOrd.compare(bestKey, k) == 0) resultProj(joined(l, best))
+          // the greatest right time ≤ t is the only candidate: if IT
+          // violates the tolerance, every earlier one does too → null
+          val withinTol = tol < 0 || (best != null &&
+            t.asInstanceOf[Long] - bestTime <= tol)
+          if (best != null && withinTol && keyOrd.compare(bestKey, k) == 0)
+            resultProj(joined(l, best))
           else resultProj(joined(l, nullRight))
         }
       }
@@ -137,7 +149,8 @@ final case class AsOfJoinExec(
   * session. */
 object AsOf {
   def join(left: DataFrame, right: DataFrame,
-      key: String, leftTimeCol: String, rightKey: String, rightTimeCol: String): DataFrame = {
+      key: String, leftTimeCol: String, rightKey: String, rightTimeCol: String,
+      toleranceUs: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
@@ -149,9 +162,14 @@ object AsOf {
         sys.error(s"as-of join: no column '$n' in [${p.output.map(_.name).mkString(", ")}]"))
     require(attr(lPlan, leftTimeCol).dataType == attr(rPlan, rightTimeCol).dataType,
       "as-of join: time columns must share a type")
+    require(toleranceUs.isEmpty ||
+      Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.TimestampType,
+        org.apache.spark.sql.types.LongType).contains(attr(lPlan, leftTimeCol).dataType),
+      "as-of tolerance requires timestamp or long time columns")
     val node = AsOfJoin(lPlan, rPlan,
       attr(lPlan, key), attr(rPlan, rightKey),
-      attr(lPlan, leftTimeCol), attr(rPlan, rightTimeCol))
+      attr(lPlan, leftTimeCol), attr(rPlan, rightTimeCol), toleranceUs)
     org.apache.spark.sql.graftbridge.Bridge.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], node)
   }

@@ -253,6 +253,27 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** As-of with an attribution WINDOW: a purchase only attributes to the
+    * last click if that click happened within the preceding hour —
+    * `AsOfJoin(toleranceUs = 1h)`. Tolerance is semantics a window
+    * composition can't bolt on without a second filter pass over the
+    * carried-forward column; in the custom operator it's one comparison
+    * at emit (the greatest qualifying right time is the ONLY candidate:
+    * if it misses the bound, every earlier one does too). */
+  def joinAsofTolerance(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").filter(col("event_type").isin("click", "purchase"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    graft.plans.AsOf.join(purchases, clicks, "user_id", "ts", "c_user", "click_ts",
+        toleranceUs = Some(3600L * 1000000L))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("purchase_us"),
+        unix_micros(col("click_ts")).as("last_click_us"))
+      .orderBy("event_id")
+  }
+
   /** TPC-H Q3 shape: 3-way join, grouped revenue, global top-10. */
   def joinMultiway(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")

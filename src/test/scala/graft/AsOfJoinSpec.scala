@@ -52,6 +52,22 @@ class AsOfJoinSpec extends GraftSpec {
     assert(got(4L) == "2024-01-01 10:30:00.0") // greatest ≤, not first
   }
 
+  test("tolerance: match drops when the best click is older than the bound") {
+    import SparkSpecBase.spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val l = Seq((1L, 10L, ts("2024-01-01 10:30:00")),  // click 30 min ago → within 1h
+                (2L, 10L, ts("2024-01-01 12:30:00"))) // click 2.5h ago → out of bound
+      .toDF("event_id", "user_id", "ts")
+    val r = Seq((10L, ts("2024-01-01 10:00:00"))).toDF("c_user", "click_ts")
+    val got = graft.plans.AsOf.join(l, r, "user_id", "ts", "c_user", "click_ts",
+        toleranceUs = Some(3600L * 1000000L))
+      .select(col("event_id"), col("click_ts"))
+      .collect().map(row => row.getLong(0) -> Option(row.get(1)).map(_.toString).orNull)
+      .toMap
+    assert(got(1L) == "2024-01-01 10:00:00.0")
+    assert(got(2L) == null)
+  }
+
   test("plan: AsOfJoinExec with exactly one exchange+sort per side") {
     val df = nativeAsof()
     df.collect()
