@@ -186,7 +186,8 @@ object SparkEntry {
     "source_json_roundtrip" -> SourceQueries.sourceJsonRoundtrip _,
     "source_orc_roundtrip" -> SourceQueries.sourceOrcRoundtrip _,
     "source_csv_roundtrip" -> SourceQueries.sourceCsvRoundtrip _,
-    "sink_partitioned_parquet" -> SourceQueries.sinkPartitionedParquet _
+    "sink_partitioned_parquet" -> SourceQueries.sinkPartitionedParquet _,
+    "sink_sorted_runs" -> SourceQueries.sinkSortedRuns _
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on

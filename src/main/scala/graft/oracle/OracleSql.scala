@@ -1300,6 +1300,15 @@ object OracleSql {
       FROM lineitem WHERE l_orderkey % 10 = 0
       GROUP BY l_returnflag ORDER BY l_returnflag""",
 
+    "sink_sorted_runs" -> """
+      SELECT l_returnflag, count(*) AS n,
+             CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents,
+             min(l_shipdate) AS first_ship,
+             max(l_shipdate) AS last_ship
+      FROM lineitem
+      WHERE l_shipdate >= '1996-03-01' AND l_shipdate < '1996-06-01'
+      GROUP BY l_returnflag ORDER BY l_returnflag""",
+
     "sink_partitioned_parquet" -> """
       SELECT CAST(ts AS DATE) AS day, event_type,
              count(*) AS n,

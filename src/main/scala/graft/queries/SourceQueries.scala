@@ -92,6 +92,33 @@ object SourceQueries {
       .orderBy("day", "event_type")
   }
 
+  /** Range-clustered sorted-run layout — the second physical-design axis
+    * next to directory partitioning: `repartitionByRange(shipdate)` gives
+    * each output file a DISJOINT date range (asserted in SourcesSpec) and
+    * `sortWithinPartitions` orders rows inside, so every parquet
+    * row-group's min/max stats span a narrow band and a date-band filter
+    * skips almost all of them at scan time. Directory partitioning prunes
+    * coarse (per-day dirs); sorted runs prune fine (row groups within a
+    * file) — at 100 TB you want both. The aggregate after the banded
+    * read-back is hash-checked against the raw parquet. */
+  def sinkSortedRuns(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_shipdate", "l_quantity", "l_returnflag")
+    val path = s"$scratch/lineitem_sorted"
+    li.repartitionByRange(8, col("l_shipdate"))
+      .sortWithinPartitions("l_shipdate")
+      .write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+      .filter(col("l_shipdate") >= lit("1996-03-01") && col("l_shipdate") < lit("1996-06-01"))
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(round(col("l_quantity") * 100).cast("long")).as("qty_cents"),
+        min(col("l_shipdate")).as("first_ship"),
+        max(col("l_shipdate")).as("last_ship"))
+      .orderBy("l_returnflag")
+  }
+
   /** CSV with header + explicit read schema: quoting (names may embed
     * the delimiter), null round-trip, and typed re-parse. */
   def sourceCsvRoundtrip(s: SparkSession, dir: String): DataFrame = {

@@ -72,4 +72,24 @@ class SourcesSpec extends GraftSpec {
     val scan = one.queryExecution.executedPlan.toString
     assert(scan.contains("PartitionFilters") && scan.contains("lang"), scan)
   }
+
+  test("sorted-run layout: output files cover disjoint shipdate ranges") {
+    // run the query once (writes the layout), then inspect per-file
+    // min/max of the sort column — range partitioning must give every
+    // file its own band, the precondition for row-group skipping
+    graft.queries.SourceQueries.sinkSortedRuns(spark, sfDir).collect()
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_src_${ProcessHandle.current().pid()}/lineitem_sorted"
+    val perFile = spark.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("l_shipdate").as("lo"), max("l_shipdate").as("hi"))
+      .collect()
+      .map(r => (r.getAs[Any]("lo").toString, r.getAs[Any]("hi").toString))
+      .sortBy(_._1)
+    assert(perFile.length > 1, s"expected multiple sorted runs, got ${perFile.length}")
+    perFile.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2, s"overlapping runs: hi=$hi1 lo=$lo2")
+      case _ => ()
+    }
+  }
 }
