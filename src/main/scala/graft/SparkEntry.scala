@@ -21,6 +21,8 @@ object SparkEntry {
     // scan / filter / project
     "scan_parquet_project" -> Relational.scanParquetProject _,
     "scan_pushdown_filter" -> Relational.scanPushdownFilter _,
+    "scan_observe_metrics" -> Relational.scanObserveMetrics _,
+    "cache_shared_scan" -> Relational.cacheSharedScan _,
     "filter_predicates" -> Relational.filterPredicates _,
     "filter_in_like" -> Relational.filterInLike _,
     "project_expressions" -> Relational.projectExpressions _,

@@ -124,6 +124,25 @@ object OracleSql {
                 AND c.ts >= p.ts - INTERVAL 1 HOUR) AS last_click_us
       FROM p ORDER BY event_id""",
 
+    // observe() is transparent to results — the oracle is the plain aggregate
+    "scan_observe_metrics" -> """
+      SELECT l_returnflag, count(*) AS n,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS outlier_cents
+      FROM lineitem WHERE l_quantity > 45
+      GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "cache_shared_scan" -> """
+      WITH slice AS (
+        SELECT o_orderpriority, o_totalprice FROM orders WHERE o_orderkey % 5 = 0)
+      SELECT o_orderpriority, metric, v FROM (
+        SELECT o_orderpriority, 'n_orders' AS metric, CAST(count(*) AS DOUBLE) AS v
+        FROM slice GROUP BY o_orderpriority
+        UNION ALL
+        SELECT o_orderpriority, 'total_price' AS metric,
+               round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS v
+        FROM slice GROUP BY o_orderpriority)
+      ORDER BY o_orderpriority, metric""",
+
     "join_multiway" -> s"""
       SELECT l_orderkey, ${N.d2(s"SUM(${N.money("l_extendedprice")} * (1 - ${N.rate("l_discount")}))")} AS revenue
       FROM customer

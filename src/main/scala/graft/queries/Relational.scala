@@ -974,6 +974,46 @@ object Relational {
     * deterministic for fixed input (no RNG in HLL), but the sketch
     * algorithm differs from DuckDB's — oracle-exempt, accuracy pinned
     * vs exact counts in ScalaTest. */
+  /** `observe()` metrics: data-quality counters (row count, null count,
+    * exact cents total) accumulated DURING the normal pass — no second
+    * scan, no extra shuffle; a QueryExecutionListener reads them after
+    * each action (asserted in Round3OpsSpec). At 100 TB this is how you
+    * get per-job quality telemetry for free; the observe node is
+    * transparent to results, so the oracle is the plain aggregate. */
+  def scanObserveMetrics(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .observe("graft_metrics",
+        count(lit(1)).as("rows_scanned"),
+        count_if(col("l_quantity") > 45).as("qty_outliers"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("price_cents"))
+      .filter(col("l_quantity") > 45)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("outlier_cents"))
+      .orderBy("l_returnflag")
+
+  /** Shared-scan caching: one filtered slice `persist()`ed and consumed
+    * by TWO different aggregates in the same result (union) — the
+    * materialize-once / read-many pattern for iterative or multi-output
+    * jobs; the second aggregate reads InMemoryTableScan, not parquet
+    * (plan pinned in Round3OpsSpec). At scale you cache exactly these
+    * bounded intermediate slices, never raw scans. */
+  def cacheSharedScan(s: SparkSession, dir: String): DataFrame = {
+    val slice = t(s, dir, "orders")
+      .filter(col("o_orderkey") % 5 === 0)
+      .select("o_orderpriority", "o_totalprice")
+      .persist()
+    val counts = slice.groupBy("o_orderpriority")
+      .agg(count(lit(1)).cast("double").as("v"))
+      .withColumn("metric", lit("n_orders"))
+    val totals = slice.groupBy("o_orderpriority")
+      .agg(round(sum(round(col("o_totalprice") * 100).cast("long")) / 100.0, 2).as("v"))
+      .withColumn("metric", lit("total_price"))
+    counts.unionByName(totals)
+      .select("o_orderpriority", "metric", "v")
+      .orderBy("o_orderpriority", "metric")
+  }
+
   /** MERGE/upsert without a table format: staging changes applied onto a
     * target snapshot as one FULL OUTER join on the key, then COALESCE
     * (staging wins) — the plan Delta/Iceberg MERGE INTO lowers to, minus

@@ -235,4 +235,44 @@ class Round3OpsSpec extends GraftSpec {
       assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b }, day)
     }
   }
+
+  test("scan_observe_metrics: observed counters arrive via QueryExecutionListener") {
+    @volatile var seen: Map[String, Any] = Map.empty
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, duration: Long): Unit = {
+        qe.observedMetrics.get("graft_metrics").foreach { row =>
+          seen = row.schema.fieldNames.zip(row.toSeq).toMap
+        }
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val df = Relational.scanObserveMetrics(spark, sfDir)
+      val outlierRows = df.collect().map(_.getLong(1)).sum
+      // the listener fires asynchronously on the bus — poll briefly
+      var tries = 0
+      while (seen.isEmpty && tries < 50) { Thread.sleep(100); tries += 1 }
+      assert(seen.nonEmpty, "no observed metrics delivered")
+      val total = graft.tables.Tables.t(spark, sfDir, "lineitem").count()
+      assert(seen("rows_scanned") == total, s"rows_scanned=${seen("rows_scanned")} != $total")
+      assert(seen("qty_outliers") == outlierRows,
+        s"qty_outliers=${seen("qty_outliers")} != grouped total $outlierRows")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("cache_shared_scan: second aggregate reads the cache, not parquet") {
+    val df = Relational.cacheSharedScan(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      s"expected both branches on InMemoryTableScan:\n${p.take(3000)}")
+    // counts and totals agree between the two cached branches
+    val rows = df.collect()
+    val n = rows.count(_.getString(1) == "n_orders")
+    val t2 = rows.count(_.getString(1) == "total_price")
+    assert(n == t2 && n > 0)
+  }
 }
