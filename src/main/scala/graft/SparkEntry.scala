@@ -120,6 +120,7 @@ object SparkEntry {
     "fn_codec" -> Scalars.fnCodec _,
     "fn_epoch_time" -> Scalars.fnEpochTime _,
     "fn_url" -> Scalars.fnUrl _,
+    "fn_json_variant" -> Scalars.fnJsonVariant _,
     // streaming-shaped (batch forms; streaming twins in graft.streaming)
     "stream_tumbling_count" -> StreamingQueries.streamTumblingCount _,
     "stream_sliding_avg" -> StreamingQueries.streamSlidingAvg _,
@@ -133,6 +134,7 @@ object SparkEntry {
     // custom UDX
     "udaf_weighted_avg" -> UdxQueries.udafWeightedAvg _,
     "udtf_ngrams" -> UdxQueries.udtfNgrams _,
+    "typed_group_gaps" -> UdxQueries.typedGroupGaps _,
     // LLM pipeline operators
     "llm_dedup_exact" -> Llm.llmDedupExact _,
     "llm_dedup_keep_best" -> Llm.llmDedupKeepBest _,

@@ -1288,6 +1288,28 @@ object OracleSql {
              round(CAST(sum(nlp6) AS DOUBLE) / (count(*) * 1000000.0), 4) AS avg_neg_logp
       FROM scored GROUP BY doc_id ORDER BY doc_id""",
 
+    // VARIANT is an encoding choice; the values compare as plain ints
+    "fn_json_variant" -> """
+      WITH e AS (
+        SELECT event_type, CAST(props::JSON ->> 'k' AS INT) AS k FROM events)
+      SELECT event_type, count(*) AS n,
+             count(k) AS n_with_k,
+             CAST(sum(k) AS BIGINT) AS sum_k,
+             max(k) AS max_k
+      FROM e GROUP BY event_type ORDER BY event_type""",
+
+    "typed_group_gaps" -> """
+      WITH e AS (
+        SELECT user_id, epoch_us(ts) AS us FROM events WHERE user_id < 200),
+      g AS (
+        SELECT user_id,
+               (us - lag(us) OVER (PARTITION BY user_id ORDER BY us)) // 60000000 AS gap
+        FROM e)
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             coalesce(max(gap), -1) AS max_gap_min,
+             coalesce(min(gap), -1) AS min_gap_min
+      FROM g GROUP BY user_id ORDER BY user_id""",
+
     "fn_url" -> """
       WITH u AS (
         SELECT doc_id,

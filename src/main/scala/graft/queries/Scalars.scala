@@ -356,6 +356,25 @@ object Scalars {
       .orderBy("o_orderkey")
   }
 
+  /** Spark 4 VARIANT over semi-structured data: `parse_json` lifts the
+    * events.props JSON string into the binary VARIANT encoding once,
+    * `variant_get` then extracts typed fields without re-parsing text
+    * per access — the modern lakehouse answer to schemaless columns
+    * (vs. per-row get_json_object string parsing, which re-tokenizes
+    * the JSON for every extraction). Aggregated per event type with
+    * exact integer sums. */
+  def fnJsonVariant(s: SparkSession, dir: String): DataFrame =
+    graft.tables.Tables.t(s, dir, "events")
+      .withColumn("v", parse_json(col("props")))
+      .withColumn("k", variant_get(col("v"), "$.k", "int"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("k")).as("n_with_k"),
+        sum(col("k").cast("long")).as("sum_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
   /** URL scalar family: `parse_url` component extraction (HOST / PATH /
     * QUERY / one named query param) over deterministic synthetic URLs —
     * the per-row metadata step of any web-corpus pipeline (dedup by

@@ -32,4 +32,32 @@ object UdxQueries {
       ORDER BY n DESC, gram
       LIMIT 20""")
   }
+
+  /** Batch TYPED grouped-map (`KeyValueGroupedDataset.flatMapGroups`) —
+    * the per-group imperative escape hatch when a computation reads a
+    * whole group's rows in order (here: per-user inter-event gap stats).
+    * The group's events sort in executor memory (bounded: one user's
+    * events), emit exactly one summary row, and the shuffle is the
+    * same single user_id exchange a window would pay. Use the window
+    * form when SQL can express it — this op pins the typed API for the
+    * cases it can't (multi-pass group logic, early exit, local state).
+    * Deterministic: integer gap minutes, fixed sort, exact counts. */
+  def typedGroupGaps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+      .filter(col("user_id") < 200)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .as[(Long, Long)]
+    ev.groupByKey(_._1)
+      .flatMapGroups { (uid: Long, it: Iterator[(Long, Long)]) =>
+        val ts = it.map(_._2).toArray
+        java.util.Arrays.sort(ts)
+        val gaps = ts.indices.drop(1).map(i => (ts(i) - ts(i - 1)) / 60000000L)
+        Iterator.single((uid, ts.length.toLong,
+          if (gaps.isEmpty) -1L else gaps.max,
+          if (gaps.isEmpty) -1L else gaps.min))
+      }
+      .toDF("user_id", "n_events", "max_gap_min", "min_gap_min")
+      .orderBy("user_id")
+  }
 }
