@@ -112,6 +112,16 @@ object OracleSql {
         ON p.user_id = c.user_id AND p.ts >= c.ts
       ORDER BY event_id""",
 
+    // correlated-min mirror: forward direction isn't in DuckDB's ASOF
+    "join_asof_forward" -> """
+      WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+           p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+      SELECT c.event_id AS event_id, c.user_id AS user_id,
+             epoch_us(c.ts) AS click_us,
+             (SELECT epoch_us(min(p.ts)) FROM p
+              WHERE p.user_id = c.user_id AND p.ts >= c.ts) AS next_purchase_us
+      FROM c ORDER BY event_id""",
+
     // correlated-max mirror: DuckDB ASOF has no tolerance clause, so the
     // bounded match is expressed directly
     "join_asof_tolerance" -> """

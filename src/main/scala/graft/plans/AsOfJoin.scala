@@ -41,7 +41,8 @@ final case class AsOfJoin(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
-    toleranceUs: Option[Long] = None) extends BinaryNode {
+    toleranceUs: Option[Long] = None,
+    forward: Boolean = false) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -51,8 +52,8 @@ final case class AsOfJoin(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, tol) =>
-      AsOfJoinExec(lk, rk, lt, rt, tol, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, tol, fwd) =>
+      AsOfJoinExec(lk, rk, lt, rt, tol, fwd, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -60,7 +61,7 @@ object AsOfJoinStrategy extends SparkStrategy {
 final case class AsOfJoinExec(
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
-    toleranceUs: Option[Long],
+    toleranceUs: Option[Long], forward: Boolean,
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -117,21 +118,37 @@ final case class AsOfJoinExec(
             if (rHead != null) {
               val c = keyOrd.compare(rHeadKey, k)
               if (c < 0) rHead = null // key fully passed; its matches were consumed by earlier left rows
-              else if (c == 0 && timeOrd.compare(rtB.eval(rHead), t) <= 0) {
+              else if (!forward && c == 0 && timeOrd.compare(rtB.eval(rHead), t) <= 0) {
+                // BACKWARD: consume — a later-t left row wants a later right
                 best = rHead.copy() // row buffers are reused — retain a copy
                 bestKey = rHeadKey
                 if (tol >= 0) bestTime = rtB.eval(best).asInstanceOf[Long]
                 rHead = null
-              } else continue = false // right is ahead of this left row
+              } else if (forward && c == 0 && timeOrd.compare(rtB.eval(rHead), t) < 0) {
+                // FORWARD: rights strictly before t can never match this
+                // or any later left row — discard
+                rHead = null
+              } else continue = false // backward: right ahead; forward: rHead IS the match candidate
             }
           }
-          // the greatest right time ≤ t is the only candidate: if IT
-          // violates the tolerance, every earlier one does too → null
-          val withinTol = tol < 0 || (best != null &&
-            t.asInstanceOf[Long] - bestTime <= tol)
-          if (best != null && withinTol && keyOrd.compare(bestKey, k) == 0)
-            resultProj(joined(l, best))
-          else resultProj(joined(l, nullRight))
+          if (forward) {
+            // PEEK, don't consume: the same right row may be the "next
+            // at-or-after" for several left rows of this key
+            val m = rHead != null && keyOrd.compare(rHeadKey, k) == 0 && {
+              val rt = rtB.eval(rHead)
+              timeOrd.compare(rt, t) >= 0 &&
+                (tol < 0 || rt.asInstanceOf[Long] - t.asInstanceOf[Long] <= tol)
+            }
+            if (m) resultProj(joined(l, rHead)) else resultProj(joined(l, nullRight))
+          } else {
+            // the greatest right time ≤ t is the only candidate: if IT
+            // violates the tolerance, every earlier one does too → null
+            val withinTol = tol < 0 || (best != null &&
+              t.asInstanceOf[Long] - bestTime <= tol)
+            if (best != null && withinTol && keyOrd.compare(bestKey, k) == 0)
+              resultProj(joined(l, best))
+            else resultProj(joined(l, nullRight))
+          }
         }
       }
     }
@@ -150,7 +167,7 @@ final case class AsOfJoinExec(
 object AsOf {
   def join(left: DataFrame, right: DataFrame,
       key: String, leftTimeCol: String, rightKey: String, rightTimeCol: String,
-      toleranceUs: Option[Long] = None): DataFrame = {
+      toleranceUs: Option[Long] = None, forward: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
@@ -169,7 +186,7 @@ object AsOf {
       "as-of tolerance requires timestamp or long time columns")
     val node = AsOfJoin(lPlan, rPlan,
       attr(lPlan, key), attr(rPlan, rightKey),
-      attr(lPlan, leftTimeCol), attr(rPlan, rightTimeCol), toleranceUs)
+      attr(lPlan, leftTimeCol), attr(rPlan, rightTimeCol), toleranceUs, forward)
     org.apache.spark.sql.graftbridge.Bridge.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], node)
   }

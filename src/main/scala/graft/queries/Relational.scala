@@ -274,6 +274,25 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** FORWARD as-of: each click paired with the user's FIRST purchase
+    * at-or-after it (time-to-conversion) — the direction DuckDB's ASOF
+    * and Spark's windows don't give you directly; in the custom operator
+    * it's the same merge with peek-don't-consume on the right stream
+    * (one right row can serve several clicks). */
+  def joinAsofForward(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").filter(col("event_type").isin("click", "purchase"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    graft.plans.AsOf.join(clicks, purchases, "user_id", "ts", "p_user", "p_ts",
+        forward = true)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("click_us"),
+        unix_micros(col("p_ts")).as("next_purchase_us"))
+      .orderBy("event_id")
+  }
+
   /** TPC-H Q3 shape: 3-way join, grouped revenue, global top-10. */
   def joinMultiway(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")

@@ -68,6 +68,27 @@ class AsOfJoinSpec extends GraftSpec {
     assert(got(2L) == null)
   }
 
+  test("forward: first right at-or-after; one right row serves several lefts") {
+    import SparkSpecBase.spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val l = Seq((1L, 10L, ts("2024-01-01 09:00:00")),  // → 10:00 purchase
+                (2L, 10L, ts("2024-01-01 09:30:00")),  // → same 10:00 purchase
+                (3L, 10L, ts("2024-01-01 10:00:00")),  // exact tie → 10:00
+                (4L, 10L, ts("2024-01-01 11:00:00"))) // after all purchases → null
+      .toDF("event_id", "user_id", "ts")
+    val r = Seq((10L, ts("2024-01-01 08:00:00")),      // before everything — skipped
+                (10L, ts("2024-01-01 10:00:00")))
+      .toDF("p_user", "p_ts")
+    val got = graft.plans.AsOf.join(l, r, "user_id", "ts", "p_user", "p_ts", forward = true)
+      .select(col("event_id"), col("p_ts"))
+      .collect().map(row => row.getLong(0) -> Option(row.get(1)).map(_.toString).orNull)
+      .toMap
+    assert(got(1L) == "2024-01-01 10:00:00.0")
+    assert(got(2L) == "2024-01-01 10:00:00.0")
+    assert(got(3L) == "2024-01-01 10:00:00.0")
+    assert(got(4L) == null)
+  }
+
   test("plan: AsOfJoinExec with exactly one exchange+sort per side") {
     val df = nativeAsof()
     df.collect()
