@@ -108,6 +108,7 @@ object SparkEntry {
     "fn_json" -> Scalars.fnJson _,
     "fn_array" -> Scalars.fnArray _,
     "fn_map" -> Scalars.fnMap _,
+    "fn_map_extra" -> Scalars.fnMapExtra _,
     "fn_struct" -> Scalars.fnStruct _,
     "fn_explode_words" -> Scalars.fnExplodeWords _,
     "fn_posexplode" -> Scalars.fnPosexplode _,

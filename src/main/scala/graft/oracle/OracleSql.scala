@@ -1298,6 +1298,18 @@ object OracleSql {
              round(CAST(sum(nlp6) AS DOUBLE) / (count(*) * 1000000.0), 4) AS avg_neg_logp
       FROM scored GROUP BY doc_id ORDER BY doc_id""",
 
+    // map HOF results read back as scalars → relational restatement
+    "fn_map_extra" -> """
+      WITH c AS (
+        SELECT user_id, event_type, count(*) AS n
+        FROM events WHERE user_id < 300 GROUP BY user_id, event_type)
+      SELECT user_id,
+             CAST(2 * sum(n) AS BIGINT) AS doubled_total,
+             CAST(count_if(n >= 2) AS BIGINT) AS n_frequent_types,
+             CAST(sum(n * CASE event_type WHEN 'click' THEN 2 WHEN 'purchase' THEN 5 ELSE 0 END) AS BIGINT) AS weighted_score,
+             string_agg(upper(event_type), ',' ORDER BY upper(event_type)) AS keys_upper
+      FROM c GROUP BY user_id ORDER BY user_id""",
+
     // VARIANT is an encoding choice; the values compare as plain ints
     "fn_json_variant" -> """
       WITH e AS (

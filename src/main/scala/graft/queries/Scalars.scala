@@ -147,6 +147,32 @@ object Scalars {
         size(col("type_counts")).cast("long").as("n_types"))
       .orderBy("user_id")
 
+  /** Map higher-order functions — transform_values / map_filter /
+    * map_zip_with (against a literal weight map) / transform_keys — with
+    * every result read back as a scalar, so the oracle can state the
+    * same facts relationally without needing map HOFs. All codegen'd
+    * per-row work on the already-aggregated per-user map. */
+  def fnMapExtra(s: SparkSession, dir: String): DataFrame = {
+    val wm = map(lit("click"), lit(2L), lit("purchase"), lit(5L))
+    t(s, dir, "events")
+      .filter(col("user_id") < 300)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(map_from_entries(sort_array(collect_list(struct(col("event_type"), col("n"))))).as("m"))
+      .select(
+        col("user_id"),
+        aggregate(map_values(transform_values(col("m"), (_, v) => v * 2)),
+          lit(0L), (a, b) => a + b).as("doubled_total"),
+        size(map_filter(col("m"), (_, v) => v >= 2)).cast("long").as("n_frequent_types"),
+        aggregate(map_values(map_zip_with(col("m"), wm,
+            (_, v1, v2) => coalesce(v1, lit(0L)) * coalesce(v2, lit(0L)))),
+          lit(0L), (a, b) => a + b).as("weighted_score"),
+        concat_ws(",", sort_array(map_keys(transform_keys(col("m"), (k, _) => upper(k)))))
+          .as("keys_upper"))
+      .orderBy("user_id")
+  }
+
   /** Bitwise operators over order keys: shifts, and/or/xor/not,
     * popcount — the bit-twiddling family SimHash-style signatures
     * build on (DuckDB `bit_count` returns TINYINT → oracle casts). */
