@@ -115,4 +115,42 @@ object StreamOps {
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("win_start"), col("event_type"), col("n"))
+
+  /** Streaming → RDBMS sink via `foreachBatch` UPSERT: each micro-batch's
+    * per-type aggregate is merged into a JDBC table keyed by event_type
+    * (DELETE+INSERT inside one connection per batch — idempotent under
+    * micro-batch replay because the merge is keyed, the production
+    * requirement for an at-least-once sink). The aggregation state lives
+    * in Spark; the RDBMS only ever sees small keyed summaries. Embedded
+    * Derby stands in for Postgres exactly as in SinkQueries. */
+  def foreachBatchJdbcUpsert(events: DataFrame, url: String, table: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    events
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows = batch.collect() // bounded: one row per event type
+        val conn = java.sql.DriverManager.getConnection(url)
+        try {
+          conn.setAutoCommit(false)
+          val st = conn.createStatement()
+          try st.execute(
+            s"""CREATE TABLE $table (event_type VARCHAR(64) PRIMARY KEY,
+               |  n BIGINT, sum_value DOUBLE)""".stripMargin)
+          catch { case _: java.sql.SQLException => () } // already exists
+          val del = conn.prepareStatement(s"DELETE FROM $table WHERE event_type = ?")
+          val ins = conn.prepareStatement(s"INSERT INTO $table VALUES (?, ?, ?)")
+          rows.foreach { r =>
+            del.setString(1, r.getString(0)); del.executeUpdate()
+            ins.setString(1, r.getString(0))
+            ins.setLong(2, r.getLong(1))
+            ins.setDouble(3, r.getDouble(2))
+            ins.executeUpdate()
+          }
+          conn.commit()
+        } finally conn.close()
+      }
+  }
 }
