@@ -1,0 +1,45 @@
+package graft
+
+/** Golden-output pins for the 14 oracle-exempt queries at sf0.001: row
+  * count + MD5 of the sorted stringified rows. The invariant tests in
+  * OracleExemptSpec catch wrong MATH; these catch silent BEHAVIOR drift
+  * (a changed seed, band count, stub constant, split boundary) that
+  * preserves the invariants. Every exempt query is deterministic by
+  * design — including the sketches (fixed seeds) — so these digests are
+  * stable at any partitioning (rows are sorted before hashing; verified
+  * across widths). If a pin fails after an INTENTIONAL semantic change,
+  * regenerate with `sbt "runMain graft.ProbeGolden"`. */
+class GoldenExemptSpec extends GraftSpec {
+
+  private val golden = Map(
+    "agg_approx_distinct" -> (5, "9773b0398f23e85c7b167f9f5f1d2268"),
+    "agg_approx_percentile" -> (5, "812e349bebb023fa3b124cec9fbef536"),
+    "agg_count_min_sketch" -> (20, "b9fc61be1864f36d88cb15bf4d8b7716"),
+    "agg_hll_union" -> (6, "d3b303c7cd4f4c9a742d313775e5d09f"),
+    "stream_watermark_late" -> (868, "10528aeb702d3bf34aa409c859e5658e"),
+    "llm_dedup_minhash" -> (28, "8f3717b6d1337fef7da6a6d66fa2be3a"),
+    "llm_dedup_simhash" -> (100, "9adc9e866211982ea31b13c1bb309f3c"),
+    "llm_fingerprint" -> (500, "2ff81359fbfb6b33067300d21412f3da"),
+    "llm_sim_lsh_topk" -> (50, "bbb2351d8dd56f78f6feb5c1a91cf931"),
+    "llm_sim_ivf_topk" -> (50, "cd60dde04cc5630f1aacf4fd8fad72ce"),
+    "llm_pack_sequences" -> (66, "fe50a1f2a60ae216d6fc49714558c77b"),
+    "mm_decode_stub" -> (3, "7628ee041cc19af9ed57537e80f3045a"),
+    "mm_frame_sample" -> (166, "46d47d9d3ef01219bee31a9ea68c7420"),
+    "ingest_census_csv" -> (3, "2e156d557df551b4833370c4df92c7b6"))
+
+  private def digest(rows: Array[String]): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(rows.sorted.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  golden.foreach { case (name, (nRows, md5)) =>
+    test(s"golden: $name") {
+      val rows = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+        .collect().map(_.toString)
+      assert(rows.length == nRows, s"$name rows ${rows.length} != $nRows")
+      assert(digest(rows) == md5,
+        s"$name output drifted from the golden digest — if intentional, " +
+          "regenerate via `sbt \"runMain graft.ProbeGolden\"`")
+    }
+  }
+}
