@@ -1,0 +1,43 @@
+package graft
+
+/** Global plan lint across the ENTIRE query inventory: no query may plan
+  * a CartesianProduct or BroadcastNestedLoopJoin unless it is on the
+  * explicit whitelist below — the classic silent regression is an
+  * equi-join degenerating into a nested loop after a refactor (lost join
+  * key, accidentally non-equi predicate), which still returns correct
+  * rows at sf0.01 and then detonates at scale. Plans are built, not
+  * executed, so the whole sweep is cheap. */
+class PlanLintSpec extends GraftSpec {
+
+  /** Queries where a nested-loop/cartesian is the intended plan:
+    *  - join_cross: IS the cross-join operator;
+    *  - join_theta_range: pure non-equi predicate, small broadcast side;
+    *  - llm_sim_cosine_topk / llm_dedup_embed_cosine: brute-force cosine
+    *    baselines — crossJoin against a bounded probe/slice by design;
+    *  - llm_sim_ivf_topk: centroid table crossJoin (bounded cell count);
+    *  - llm_perplexity_score / llm_tfidf_top_terms: single-row scalar
+    *    (totals / doc count) attached via broadcast cross join. */
+  private val allowNestedLoop = Set(
+    "join_cross", "join_theta_range",
+    "llm_sim_cosine_topk", "llm_dedup_embed_cosine", "llm_sim_ivf_topk",
+    "llm_perplexity_score", "llm_tfidf_top_terms")
+
+  test("no query plans an unexpected cartesian or nested-loop join") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val p = fn(spark, "/root/testdata/sf0.001").queryExecution.sparkPlan.toString
+      val bad = (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")) &&
+        !allowNestedLoop.contains(name)
+      if (bad) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"unexpected nested-loop plans: ${offenders.mkString(", ")}")
+  }
+
+  test("whitelisted nested-loop queries still have one (keep the list honest)") {
+    val stale = allowNestedLoop.toSeq.sorted.filterNot { name =>
+      val p = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+        .queryExecution.sparkPlan.toString
+      p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")
+    }
+    assert(stale.isEmpty, s"whitelist entries without nested loops (remove them): ${stale.mkString(", ")}")
+  }
+}
