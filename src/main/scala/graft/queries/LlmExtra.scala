@@ -213,7 +213,12 @@ object LlmExtra {
       .withColumn("rk", row_number().over(
         Window.partitionBy("plang").orderBy(desc("cnt"), asc("gram"))))
       .filter(col("rk") <= 50)
-      .select("plang", "gram")
+      // each profile gram gets a UNIQUE bit position within its language
+      // (rk ≤ 50 < 64): "how many DISTINCT profile grams did this doc
+      // hit" becomes popcount(bit_or(1L << bit)) — and unlike
+      // countDistinct, bit_or PARTIAL-AGGREGATES, so the shuffle carries
+      // one long per (doc, lang) instead of every profile hit
+      .select(col("plang"), col("gram"), (col("rk") - 1).as("bit"))
     val testGrams = grams.filter(col("doc_id") % 10 === 0)
       .select("doc_id", "gram")
     // profile is ≤ 50 grams × n_langs (a few hundred rows) but sits
@@ -221,11 +226,10 @@ object LlmExtra {
     // sort-merge join against the full test-gram stream — broadcast it
     // explicitly (same at 100 TB: the profile is bounded by construction).
     // The broadcast probe also acts as a MAP-SIDE membership filter, so
-    // only profile hits reach the shuffle; the per-doc gram dedup then
-    // runs on that reduced stream (countDistinct) instead of a full
-    // distinct over every raw test gram.
+    // only profile hits reach the (map-side-combined) shuffle.
     val scores = testGrams.join(broadcast(profile), "gram")
-      .groupBy("doc_id", "plang").agg(countDistinct(col("gram")).as("score"))
+      .groupBy("doc_id", "plang")
+      .agg(bit_count(bit_or(expr("shiftleft(1L, cast(bit AS int))"))).cast("long").as("score"))
     val pred = scores.withColumn("rk", row_number().over(
         Window.partitionBy("doc_id").orderBy(desc("score"), asc("plang"))))
       .filter(col("rk") === 1)
