@@ -41,4 +41,37 @@ class BucketingSpec extends GraftSpec {
       spark.sql("DROP TABLE IF EXISTS b_customer")
     }
   }
+
+  test("custom as-of join over bucketed inputs plans ZERO exchanges") {
+    // the declared-distribution payoff: AsOfJoinExec asks for
+    // ClusteredDistribution(key) + (key, time) ordering; bucketed tables
+    // already provide the distribution, so Catalyst inserts no Exchange —
+    // only the in-partition sorts (bucket sort columns don't carry
+    // through table reads as a guarantee for this plan shape)
+    val ev = graft.tables.Tables.t(spark, sfDir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    graft.operators.Bucketing.writeBucketed(purchases, "b_purch", "user_id", 8)
+    graft.operators.Bucketing.writeBucketed(clicks.withColumnRenamed("c_user", "user_id")
+      .withColumnRenamed("click_ts", "ts2"), "b_clicks", "user_id", 8)
+    try {
+      val df = graft.plans.AsOf.join(
+        spark.table("b_purch"), spark.table("b_clicks"),
+        "user_id", "ts", "user_id", "ts2")
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      assert(p.contains("AsOfJoin"), p)
+      assert(!p.contains("Exchange"), s"as-of over bucketed inputs still shuffles:\n$p")
+      // row parity with the unbucketed path
+      val plain = graft.plans.AsOf.join(purchases,
+        clicks.withColumnRenamed("c_user", "user_id").withColumnRenamed("click_ts", "ts2"),
+        "user_id", "ts", "user_id", "ts2")
+      assert(df.count() == plain.count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_purch")
+      spark.sql("DROP TABLE IF EXISTS b_clicks")
+    }
+  }
 }
