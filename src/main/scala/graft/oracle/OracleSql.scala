@@ -112,6 +112,16 @@ object OracleSql {
         ON p.user_id = c.user_id AND p.ts >= c.ts
       ORDER BY event_id""",
 
+    // same mirror as stream_interval_join — the custom operator must
+    // reproduce the declarative band join exactly
+    "join_interval_native" -> s"""
+      WITH c AS (SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'),
+           p AS (SELECT user_id, ts AS p_ts, value FROM events WHERE event_type = 'purchase')
+      SELECT c.user_id AS user_id, count(*) AS n_pairs, ${N.sumMoney("value")} AS sum_value
+      FROM c JOIN p ON c.user_id = p.user_id
+        AND p.p_ts >= c.click_ts AND p.p_ts <= c.click_ts + INTERVAL 1 HOUR
+      GROUP BY c.user_id ORDER BY user_id""",
+
     // correlated-min mirror: forward direction isn't in DuckDB's ASOF
     "join_asof_forward" -> """
       WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),

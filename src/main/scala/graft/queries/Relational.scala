@@ -293,6 +293,26 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** The stream_interval_join band join through the CUSTOM OPERATOR
+    * (graft.plans.IntervalJoin): one shuffle + sort per side, then a
+    * sliding-buffer merge whose memory is bounded by band occupancy —
+    * no bucketed explode fan-out, no nested-loop fallback. Must produce
+    * the same per-user aggregate as the declarative interval join (same
+    * oracle SQL). */
+  def joinIntervalNative(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value"))
+    graft.plans.IntervalJoinApi.join(
+        clicks, purchases, "user_id", "click_ts", "p_user", "p_ts",
+        windowUs = 3600L * 1000000L)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"), Num.sumMoney(col("value")).as("sum_value"))
+      .orderBy("user_id")
+  }
+
   /** TPC-H Q3 shape: 3-way join, grouped revenue, global top-10. */
   def joinMultiway(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")

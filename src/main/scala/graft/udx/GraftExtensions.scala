@@ -71,5 +71,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (graft.plans.AsOfJoin → AsOfJoinExec); AsOf.join also installs it
     // per-session for callers without the extensions conf
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectPlannerStrategy(_ => graft.plans.IntervalJoinStrategy)
   }
 }
