@@ -59,6 +59,7 @@ object SparkEntry {
     "agg_cube" -> Relational.aggCube _,
     "agg_having" -> Relational.aggHaving _,
     "agg_pivot" -> Relational.aggPivot _,
+    "agg_pivot_multi" -> Relational.aggPivotMulti _,
     "agg_unpivot" -> Relational.aggUnpivot _,
     "agg_stats" -> Relational.aggStats _,
     "agg_median_percentile" -> Relational.aggMedianPercentile _,
@@ -193,6 +194,7 @@ object SparkEntry {
     "source_json_roundtrip" -> SourceQueries.sourceJsonRoundtrip _,
     "source_orc_roundtrip" -> SourceQueries.sourceOrcRoundtrip _,
     "source_csv_roundtrip" -> SourceQueries.sourceCsvRoundtrip _,
+    "source_text_roundtrip" -> SourceQueries.sourceTextRoundtrip _,
     "sink_partitioned_parquet" -> SourceQueries.sinkPartitionedParquet _,
     "sink_sorted_runs" -> SourceQueries.sinkSortedRuns _
   )

@@ -1382,6 +1382,24 @@ object OracleSql {
       WHERE l_shipdate >= '1996-03-01' AND l_shipdate < '1996-06-01'
       GROUP BY l_returnflag ORDER BY l_returnflag""",
 
+    "source_text_roundtrip" -> """
+      SELECT substr(text, 1, 1) AS c1,
+             count(*) AS n,
+             CAST(sum(length(text)) AS BIGINT) AS total_chars,
+             count(DISTINCT length(text)) AS n_lengths
+      FROM documents WHERE doc_id % 5 = 0
+      GROUP BY c1 ORDER BY c1""",
+
+    "agg_pivot_multi" -> """
+      SELECT o_orderpriority,
+             CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS f_n,
+             CAST(coalesce(sum(CASE WHEN o_orderstatus = 'F'
+                    THEN CAST(round(o_totalprice * 100) AS BIGINT) END), 0) AS BIGINT) AS f_cents,
+             CAST(count_if(o_orderstatus = 'O') AS BIGINT) AS o_n,
+             CAST(coalesce(sum(CASE WHEN o_orderstatus = 'O'
+                    THEN CAST(round(o_totalprice * 100) AS BIGINT) END), 0) AS BIGINT) AS o_cents
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
     "sink_partitioned_parquet" -> """
       SELECT CAST(ts AS DATE) AS day, event_type,
              count(*) AS n,

@@ -637,6 +637,23 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Pivot with MULTIPLE aggregates per pivoted value: Spark suffixes
+    * each output column with the aggregate alias (F_n, F_cents, ...) —
+    * one pass, one shuffle, the wide columns are just projections of the
+    * same partial aggregates. Exact integer cents. */
+  def aggPivotMulti(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .select(col("o_orderpriority"),
+        coalesce(col("F_n"), lit(0L)).as("f_n"),
+        coalesce(col("F_cents"), lit(0L)).as("f_cents"),
+        coalesce(col("O_n"), lit(0L)).as("o_n"),
+        coalesce(col("O_cents"), lit(0L)).as("o_cents"))
+      .orderBy("o_orderpriority")
+
   /** IGNORE NULLS window navigation: carry the last "big order" price
     * forward over a sparse column — the gap-filling / last-observation-
     * carried-forward shape. */

@@ -68,6 +68,29 @@ object SourceQueries {
       .orderBy("l_returnflag")
   }
 
+  /** Raw text lines (`write.text` / `read.text`) — the format every web
+    * corpus arrives in before it has a schema. One column in, one line
+    * out, split-parallel on read; the aggregate after the round-trip
+    * pins byte-for-byte line fidelity (lengths and leading chars
+    * re-derived from the read-back lines). Line formats can't carry
+    * embedded newlines — real ingest sanitizes first (the synthetic
+    * corpus is newline-free by construction). */
+  def sourceTextRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("text"))
+    val path = s"$scratch/documents_text"
+    d.write.mode("overwrite").text(path)
+    s.read.text(path)
+      .select(substring(col("value"), 1, 1).as("c1"), length(col("value")).as("len"))
+      .groupBy("c1")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("len")).cast("long").as("total_chars"),
+        countDistinct(col("len")).as("n_lengths"))
+      .orderBy("c1")
+  }
+
   /** Date-partitioned parquet layout — THE table design partition
     * pruning depends on at 100 TB: `partitionBy("day")` writes one
     * directory per day, and a day-range filter on read touches only
