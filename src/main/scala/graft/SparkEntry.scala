@@ -78,6 +78,8 @@ object SparkEntry {
     "sql_lateral_join" -> Relational.sqlLateralJoin _,
     "sql_exists_subquery" -> Relational.sqlExistsSubquery _,
     "sql_merge_upsert" -> Relational.sqlMergeUpsert _,
+    "sql_session_variable" -> Relational.sqlSessionVariable _,
+    "sql_tvf_range" -> Relational.sqlTvfRange _,
     // windows
     "window_rank" -> Relational.windowRank _,
     "window_topk_per_group" -> Relational.windowTopkPerGroup _,

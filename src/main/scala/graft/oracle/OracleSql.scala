@@ -1382,6 +1382,18 @@ object OracleSql {
       WHERE l_shipdate >= '1996-03-01' AND l_shipdate < '1996-06-01'
       GROUP BY l_returnflag ORDER BY l_returnflag""",
 
+    // the variable/EXECUTE IMMEDIATE machinery constant-folds — static mirror
+    "sql_session_variable" -> """
+      SELECT l_returnflag, count(*) AS n,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem WHERE l_quantity > 45.0
+      GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "sql_tvf_range" -> """
+      SELECT r.range AS bucket, count(*) AS n, CAST(sum(t.x) AS BIGINT) AS sum_x
+      FROM range(0, 8) r, LATERAL unnest(range(r.range * 3, r.range * 3 + 3)) t(x)
+      GROUP BY r.range ORDER BY bucket""",
+
     "source_text_roundtrip" -> """
       SELECT substr(text, 1, 1) AS c1,
              count(*) AS n,

@@ -637,6 +637,38 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Spark 4 SQL scripting surface in one query: a session VARIABLE
+    * (DECLARE / SET VAR) parameterizes the predicate, IDENTIFIER()
+    * resolves the table name from a variable, and the statement itself
+    * runs through EXECUTE IMMEDIATE — the dynamic-SQL toolkit that
+    * replaces string-pasted queries (injection-safe, plan-cached).
+    * Values are constant-folded into the plan, so the oracle is the
+    * static mirror. */
+  def sqlSessionVariable(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("graft_li_var")
+    s.sql("DECLARE OR REPLACE VARIABLE graft_qty_thr DOUBLE DEFAULT 0.0")
+    s.sql("SET VAR graft_qty_thr = 45.0")
+    s.sql("DECLARE OR REPLACE VARIABLE graft_tbl STRING DEFAULT 'graft_li_var'")
+    s.sql("""EXECUTE IMMEDIATE
+      'SELECT l_returnflag, count(*) AS n,
+              CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+       FROM IDENTIFIER(graft_tbl)
+       WHERE l_quantity > graft_qty_thr
+       GROUP BY l_returnflag ORDER BY l_returnflag'""")
+  }
+
+  /** Table-valued functions in FROM: `range()` joined laterally with
+    * `explode()` over a per-row array — generator TVFs as relations,
+    * the SQL-surface twin of the DataFrame-side generators. */
+  def sqlTvfRange(s: SparkSession, dir: String): DataFrame =
+    s.sql("""
+      SELECT r.id AS bucket,
+             count(*) AS n,
+             CAST(sum(x) AS BIGINT) AS sum_x
+      FROM range(0, 8) r,
+           LATERAL explode(sequence(r.id * 3, r.id * 3 + 2)) AS t(x)
+      GROUP BY r.id ORDER BY bucket""")
+
   /** Pivot with MULTIPLE aggregates per pivoted value: Spark suffixes
     * each output column with the aggregate alias (F_n, F_cents, ...) —
     * one pass, one shuffle, the wide columns are just projections of the
