@@ -197,6 +197,7 @@ object SparkEntry {
     "source_orc_roundtrip" -> SourceQueries.sourceOrcRoundtrip _,
     "source_csv_roundtrip" -> SourceQueries.sourceCsvRoundtrip _,
     "source_text_roundtrip" -> SourceQueries.sourceTextRoundtrip _,
+    "sink_codec_roundtrip" -> SourceQueries.sinkCodecRoundtrip _,
     "sink_partitioned_parquet" -> SourceQueries.sinkPartitionedParquet _,
     "sink_sorted_runs" -> SourceQueries.sinkSortedRuns _
   )

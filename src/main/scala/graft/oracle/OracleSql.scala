@@ -1394,6 +1394,16 @@ object OracleSql {
       FROM range(0, 8) r, LATERAL unnest(range(r.range * 3, r.range * 3 + 3)) t(x)
       GROUP BY r.range ORDER BY bucket""",
 
+    // every codec row must equal the direct-parquet aggregate
+    "sink_codec_roundtrip" -> """
+      WITH agg AS (
+        SELECT count(*) AS n,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey % 4 = 0)
+      SELECT c.codec, agg.n, agg.cents
+      FROM (VALUES ('gzip'), ('snappy'), ('zstd')) c(codec) CROSS JOIN agg
+      ORDER BY c.codec""",
+
     "source_text_roundtrip" -> """
       SELECT substr(text, 1, 1) AS c1,
              count(*) AS n,

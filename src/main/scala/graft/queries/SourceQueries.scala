@@ -68,6 +68,27 @@ object SourceQueries {
       .orderBy("l_returnflag")
   }
 
+  /** Parquet compression-codec matrix: the same slice written with
+    * zstd, snappy, and gzip, each read back and aggregated — all three
+    * rows must carry IDENTICAL values, which puts every codec's
+    * encode+decode path under the hash gate. Codec choice is a
+    * first-order 100 TB knob (zstd ≈ gzip ratio at snappy-like decode
+    * speed — the modern default; snappy for CPU-bound scans, gzip for
+    * cold archives). */
+  def sinkCodecRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val slice = t(s, dir, "orders").filter(col("o_orderkey") % 4 === 0)
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    val frames = Seq("gzip", "snappy", "zstd").map { codec =>
+      val path = s"$scratch/orders_$codec"
+      slice.write.mode("overwrite").option("compression", codec).parquet(path)
+      s.read.parquet(path)
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .select(lit(codec).as("codec"), col("n"), col("cents"))
+    }
+    frames.reduce(_ unionByName _).orderBy("codec")
+  }
+
   /** Raw text lines (`write.text` / `read.text`) — the format every web
     * corpus arrives in before it has a schema. One column in, one line
     * out, split-parallel on read; the aggregate after the round-trip
