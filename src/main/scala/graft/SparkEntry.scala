@@ -102,6 +102,7 @@ object SparkEntry {
     "set_intersect" -> Relational.setIntersect _,
     "set_except" -> Relational.setExcept _,
     "set_ops_all" -> Relational.setOpsAll _,
+    "set_union_by_name" -> Relational.setUnionByName _,
     // scalar functions
     "fn_string" -> Scalars.fnString _,
     "fn_string_extra" -> Scalars.fnStringExtra _,
@@ -127,6 +128,7 @@ object SparkEntry {
     "fn_epoch_time" -> Scalars.fnEpochTime _,
     "fn_url" -> Scalars.fnUrl _,
     "fn_json_variant" -> Scalars.fnJsonVariant _,
+    "fn_csv_struct" -> Scalars.fnCsvStruct _,
     // streaming-shaped (batch forms; streaming twins in graft.streaming)
     "stream_tumbling_count" -> StreamingQueries.streamTumblingCount _,
     "stream_sliding_avg" -> StreamingQueries.streamSlidingAvg _,
@@ -175,6 +177,7 @@ object SparkEntry {
     "llm_vocab_coverage" -> LlmExtra.llmVocabCoverage _,
     "llm_filter_funnel" -> LlmExtra.llmFilterFunnel _,
     "llm_bpe_pair_counts" -> LlmExtra.llmBpePairCounts _,
+    "llm_ngram_novelty" -> LlmExtra.llmNgramNovelty _,
     "llm_perplexity_score" -> LlmExtra.llmPerplexityScore _,
     "llm_dedup_url_canonical" -> LlmExtra.llmDedupUrlCanonical _,
     "llm_dedup_components" -> LlmExtra.llmDedupComponents _,

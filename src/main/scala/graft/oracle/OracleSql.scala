@@ -1382,6 +1382,45 @@ object OracleSql {
       WHERE l_shipdate >= '1996-03-01' AND l_shipdate < '1996-06-01'
       GROUP BY l_returnflag ORDER BY l_returnflag""",
 
+    "set_union_by_name" -> """
+      WITH v1 AS (
+        SELECT o_orderkey AS key, o_orderpriority AS prio, NULL::BIGINT AS cents
+        FROM orders WHERE o_orderkey % 10 = 1),
+      v2 AS (
+        SELECT o_orderkey AS key, NULL::VARCHAR AS prio,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey % 10 = 2),
+      u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+      SELECT prio IS NULL AS from_v2, count(*) AS n,
+             count(prio) AS n_prio,
+             CAST(coalesce(sum(cents), 0) AS BIGINT) AS cents
+      FROM u GROUP BY from_v2 ORDER BY from_v2""",
+
+    "fn_csv_struct" -> """
+      WITH c AS (
+        SELECT c_custkey, c_mktsegment AS seg,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        FROM customer WHERE c_custkey <= 500)
+      SELECT c_custkey, c_custkey AS k, seg, cents,
+             concat(CAST(c_custkey AS VARCHAR), ',', seg, ',', CAST(cents AS VARCHAR)) AS reserialized
+      FROM c ORDER BY c_custkey""",
+
+    "llm_ngram_novelty" -> s"""
+      WITH grams AS (
+        SELECT doc_id, lang, unnest([substr(text, CAST(i AS INT), 8)
+                                     FOR i IN range(1, greatest(length(text)-7, 1)+1)]) AS g
+        FROM documents WHERE doc_id % 10 <= 1),
+      train AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 1),
+      test AS (SELECT DISTINCT lang, g FROM grams WHERE doc_id % 10 = 0),
+      novel AS (
+        SELECT lang, count(*) AS n_novel FROM test
+        WHERE g NOT IN (SELECT g FROM train) GROUP BY lang),
+      tot AS (SELECT lang, count(*) AS n_test FROM test GROUP BY lang)
+      SELECT tot.lang, tot.n_test,
+             CAST(coalesce(novel.n_novel, 0) AS BIGINT) AS n_novel,
+             ${N.ratio("coalesce(novel.n_novel, 0)", "tot.n_test", 4)} AS novelty
+      FROM tot LEFT JOIN novel USING (lang) ORDER BY lang""",
+
     // the variable/EXECUTE IMMEDIATE machinery constant-folds — static mirror
     "sql_session_variable" -> """
       SELECT l_returnflag, count(*) AS n,

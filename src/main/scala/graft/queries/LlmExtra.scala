@@ -690,6 +690,33 @@ object LlmExtra {
       .orderBy("source")
   }
 
+  /** N-gram novelty — the memorization/contamination readout: what
+    * fraction of the eval decile's distinct 8-grams never occur in the
+    * train decile. Exact form: distinct test grams LEFT ANTI the train
+    * gram set — two gram streams, one equi-join shuffle, no all-pairs.
+    * At 100 TB the train set outgrows a join comfortably and the scale
+    * path swaps the anti-join for a bloom filter built with
+    * `bloom_filter_agg` (order-independent bitset OR, broadcastable) at
+    * the cost of a bounded false-positive rate; the exact form stays
+    * the oracle-checked reference. */
+  def llmNgramNovelty(s: SparkSession, dir: String): DataFrame = {
+    graft.udx.NGrams.registerAll(s)
+    val grams = t(s, dir, "documents")
+      .filter(col("doc_id") % 10 <= 1)
+      .select(col("doc_id"), col("lang"), expr("graft_ngrams(text, 8)").as("g"))
+    val train = grams.filter(col("doc_id") % 10 === 1).select("g").distinct()
+    val test = grams.filter(col("doc_id") % 10 === 0)
+      .select("lang", "g").distinct()
+    val novel = test.join(train, Seq("g"), "left_anti")
+      .groupBy("lang").agg(count(lit(1)).as("n_novel"))
+    test.groupBy("lang").agg(count(lit(1)).as("n_test"))
+      .join(novel, Seq("lang"), "left")
+      .select(col("lang"), col("n_test"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        Num.ratio(coalesce(col("n_novel"), lit(0L)), col("n_test"), 4).as("novelty"))
+      .orderBy("lang")
+  }
+
   /** The inner loop of BPE tokenizer training, step one: adjacent
     * symbol-pair frequencies within words (never across word
     * boundaries), global top-20 (count desc, pair asc tiebreak) — the

@@ -764,6 +764,26 @@ object Relational {
       .orderBy("key")
   }
 
+  /** Schema-evolution union: `unionByName(allowMissingColumns = true)`
+    * across two projections with different column sets and orders —
+    * the shape every multi-vintage data lake hits; missing columns
+    * null-fill, matching is BY NAME not position. */
+  def setUnionByName(s: SparkSession, dir: String): DataFrame = {
+    val v1 = t(s, dir, "orders").filter(col("o_orderkey") % 10 === 1)
+      .select(col("o_orderkey").as("key"), col("o_orderpriority").as("prio"))
+    val v2 = t(s, dir, "orders").filter(col("o_orderkey") % 10 === 2)
+      .select(
+        round(col("o_totalprice") * 100).cast("long").as("cents"), // different order + extra col
+        col("o_orderkey").as("key"))
+    v1.unionByName(v2, allowMissingColumns = true)
+      .groupBy(col("prio").isNull.as("from_v2"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("prio")).as("n_prio"),
+        coalesce(sum(col("cents")), lit(0L)).as("cents"))
+      .orderBy("from_v2")
+  }
+
   /** Bitwise aggregates (bit_and/bit_or/bit_xor fold over the group) —
     * single-pass codegen'd aggregates with trivially associative partials,
     * so the partial+final split costs nothing at any partition count. */

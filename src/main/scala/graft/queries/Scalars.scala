@@ -1,5 +1,6 @@
 package graft.queries
 
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.tables.Tables.t
@@ -380,6 +381,28 @@ object Scalars {
         date_format(od, "yyyy-MM-dd HH:mm:ss").as("fmt_full"),
         date_format(od, "yyyy-MM").as("fmt_ym"))
       .orderBy("o_orderkey")
+  }
+
+  /** CSV-in-a-column scalars: `from_csv` parses an embedded CSV string
+    * into a typed struct (delimiter inside quoted fields survives),
+    * `to_csv` serializes back — the row-level codec pair for logs that
+    * arrive CSV-encoded inside another format. */
+  def fnCsvStruct(s: SparkSession, dir: String): DataFrame = {
+    graft.tables.Tables.t(s, dir, "customer")
+      .filter(col("c_custkey") <= 500)
+      .withColumn("line", concat_ws(",",
+        col("c_custkey"), col("c_mktsegment"),
+        round(col("c_acctbal") * 100).cast("long")))
+      .withColumn("parsed", from_csv(col("line"),
+        lit("k BIGINT, seg STRING, cents BIGINT"),
+        Map.empty[String, String].asJava))
+      .select(
+        col("c_custkey"),
+        col("parsed.k").as("k"),
+        col("parsed.seg").as("seg"),
+        col("parsed.cents").as("cents"),
+        to_csv(col("parsed")).as("reserialized"))
+      .orderBy("c_custkey")
   }
 
   /** Spark 4 VARIANT over semi-structured data: `parse_json` lifts the
