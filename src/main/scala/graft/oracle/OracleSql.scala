@@ -1405,6 +1405,25 @@ object OracleSql {
              concat(CAST(c_custkey AS VARCHAR), ',', seg, ',', CAST(cents AS VARCHAR)) AS reserialized
       FROM c ORDER BY c_custkey""",
 
+    // argmax assignment + within-cell pairs, double-accumulated dots on
+    // unit-norm vectors — deterministic tie-break (d desc, cell asc)
+    "llm_semdedup" -> """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 16),
+      sc AS (SELECT e.vec_id, c.cell, list_dot_product(e.v, c.cv) AS d
+             FROM e CROSS JOIN c),
+      a AS (SELECT vec_id, cell FROM (
+              SELECT vec_id, cell,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS rk
+              FROM sc) WHERE rk = 1),
+      av AS (SELECT a.vec_id, a.cell, e.v FROM a JOIN e USING (vec_id)),
+      p AS (SELECT x.cell, round(list_dot_product(x.v, y.v), 4) AS cos
+            FROM av x JOIN av y ON x.cell = y.cell AND x.vec_id < y.vec_id)
+      SELECT cell, count(*) AS n_pairs,
+             CAST(count_if(cos >= 0.30) AS BIGINT) AS n_dups,
+             max(cos) AS max_cos
+      FROM p GROUP BY cell ORDER BY cell""",
+
     "llm_ngram_novelty" -> s"""
       WITH grams AS (
         SELECT doc_id, lang, unnest([substr(text, CAST(i AS INT), 8)

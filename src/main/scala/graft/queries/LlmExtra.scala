@@ -690,6 +690,44 @@ object LlmExtra {
       .orderBy("source")
   }
 
+  /** SemDeDup-style clustered near-dup detection: assign every embedding
+    * to its nearest centroid cell (deterministic argmax over the first
+    * NCells vectors — the IVF trick), then look for high-cosine pairs
+    * ONLY within each cell. The cluster pass turns the quadratic
+    * all-pairs problem into per-cell quadratics over sets that shrink
+    * with the cell count — the paper's observation that semantic
+    * duplicates land in the same cluster, as a two-shuffle plan
+    * (assignment argmax + within-cell pairs). Unit-norm inputs, double
+    * dot accumulation, round(4) — same determinism scheme as the
+    * oracle-checked embed_cosine. */
+  def llmSemdedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.llm.Ivf
+    graft.udx.NGrams.registerAll(s)
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").as("v"))
+    val cents = emb.filter(col("vec_id") < Ivf.NCells)
+      .select(col("vec_id").cast("long").as("cell"), col("v").as("cv"))
+    val assigned = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("cell"),
+        graft.llm.Vectors.fdot(col("v"), col("cv")).as("d"))
+      .groupBy("vec_id")
+      .agg(graft.udx.TopKAggregator.topk(1)(col("d"), col("cell")).as("tk"),
+        first(col("v")).as("v"))
+      .select(col("vec_id"), col("v"), col("tk.items")(0).getField("_2").as("cell"))
+    val a = assigned.select(col("cell"), col("vec_id").as("id_a"), col("v").as("va"))
+    val b = assigned.select(col("cell"), col("vec_id").as("id_b"), col("v").as("vb"))
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("cell"),
+        round(graft.llm.Vectors.fdot(col("va"), col("vb")), 4).as("cos"))
+    pairs.groupBy("cell")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        count_if(col("cos") >= 0.30).as("n_dups"),
+        max(col("cos")).as("max_cos"))
+      .orderBy("cell")
+  }
+
   /** N-gram novelty — the memorization/contamination readout: what
     * fraction of the eval decile's distinct 8-grams never occur in the
     * train decile. Exact form: distinct test grams LEFT ANTI the train
