@@ -71,6 +71,7 @@ object SparkEntry {
     "agg_bit_ops" -> Relational.aggBitOps _,
     "agg_count_min_sketch" -> Relational.aggCountMinSketch _,
     "agg_hll_union" -> Relational.aggHllUnion _,
+    "agg_bitmap_distinct" -> Relational.aggBitmapDistinct _,
     "agg_mode" -> Relational.aggMode _,
     "agg_string_agg" -> Relational.aggStringAgg _,
     "sql_scalar_subquery" -> Relational.sqlScalarSubquery _,

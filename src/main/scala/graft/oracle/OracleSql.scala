@@ -1382,6 +1382,16 @@ object OracleSql {
       WHERE l_shipdate >= '1996-03-01' AND l_shipdate < '1996-06-01'
       GROUP BY l_returnflag ORDER BY l_returnflag""",
 
+    // bitmaps are exact — the oracle is plain COUNT(DISTINCT)
+    "agg_bitmap_distinct" -> """
+      WITH per AS (
+        SELECT o_orderpriority, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust
+        FROM orders GROUP BY o_orderpriority),
+      allr AS (
+        SELECT 'ALL' AS o_orderpriority, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust
+        FROM orders)
+      SELECT * FROM per UNION ALL SELECT * FROM allr ORDER BY o_orderpriority""",
+
     "set_union_by_name" -> """
       WITH v1 AS (
         SELECT o_orderkey AS key, o_orderpriority AS prio, NULL::BIGINT AS cents

@@ -1072,6 +1072,27 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** EXACT mergeable distinct via Spark 4 bitmap aggregates: keys bucket
+    * into 32k-bit bitmaps (`bitmap_bucket_number` / `bitmap_bit_position`),
+    * `bitmap_construct_agg` builds per-(group, bucket) bitmaps,
+    * `bitmap_count` sums them back — and, like the HLL twin
+    * (`agg_hll_union`), the bitmaps OR-merge along any rollup axis
+    * (`bitmap_or_agg` for the ALL row) without re-reading raw data. The
+    * trade vs HLL: exact counts, memory ∝ key range instead of fixed. */
+  def aggBitmapDistinct(s: SparkSession, dir: String): DataFrame = {
+    val perBucket = t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"),
+        expr("bitmap_bucket_number(o_custkey)").as("bucket"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(o_custkey))").as("bm"))
+    val per = perBucket.groupBy("o_orderpriority")
+      .agg(sum(expr("bitmap_count(bm)")).as("n_cust"))
+    val all = perBucket.groupBy("bucket")
+      .agg(expr("bitmap_or_agg(bm)").as("bm")) // rollup by MERGE, not re-scan
+      .agg(sum(expr("bitmap_count(bm)")).as("n_cust"))
+      .select(lit("ALL").as("o_orderpriority"), col("n_cust"))
+    per.unionByName(all).orderBy("o_orderpriority")
+  }
+
   /** Mergeable-sketch distinct: per-group Apache DataSketches HLL
     * (`hll_sketch_agg`) plus a second level that UNIONS the group
     * sketches (`hll_union_agg`) into a corpus-wide estimate — the
