@@ -180,6 +180,7 @@ object SparkEntry {
     "llm_bpe_pair_counts" -> LlmExtra.llmBpePairCounts _,
     "llm_ngram_novelty" -> LlmExtra.llmNgramNovelty _,
     "llm_semdedup" -> LlmExtra.llmSemdedup _,
+    "llm_hash_embedding" -> LlmExtra.llmHashEmbedding _,
     "llm_perplexity_score" -> LlmExtra.llmPerplexityScore _,
     "llm_dedup_url_canonical" -> LlmExtra.llmDedupUrlCanonical _,
     "llm_dedup_components" -> LlmExtra.llmDedupComponents _,

@@ -1415,6 +1415,23 @@ object OracleSql {
              concat(CAST(c_custkey AS VARCHAR), ',', seg, ',', CAST(cents AS VARCHAR)) AS reserialized
       FROM c ORDER BY c_custkey""",
 
+    "llm_hash_embedding" -> """
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE doc_id < 2000),
+      hb AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(w), 1, 2)) AS INT) % 64 AS b,
+               CASE WHEN CAST(('0x' || substr(md5(w), 3, 1)) AS INT) % 2 = 0
+                    THEN 1 ELSE -1 END AS sg
+        FROM tok),
+      vec AS (SELECT doc_id, b, sum(sg) AS v FROM hb GROUP BY doc_id, b)
+      SELECT doc_id,
+             CAST(count_if(v <> 0) AS BIGINT) AS nz_dims,
+             CAST(sum(abs(v)) AS BIGINT) AS l1,
+             CAST(sum(v) AS BIGINT) AS net
+      FROM vec GROUP BY doc_id ORDER BY doc_id""",
+
     // argmax assignment + within-cell pairs, double-accumulated dots on
     // unit-norm vectors — deterministic tie-break (d desc, cell asc)
     "llm_semdedup" -> """

@@ -690,6 +690,29 @@ object LlmExtra {
       .orderBy("source")
   }
 
+  /** Feature-hashing ("hashing trick") bag-of-words: each token maps to
+    * one of 64 buckets with a ±1 sign, both derived from its md5 — no
+    * vocabulary to build, ship, or version, which is why the trick
+    * scales to any corpus (the fastText input layer). Per-doc sparse
+    * vector summarized as integers (non-zero dims, L1 mass, net sign)
+    * so the oracle mirrors exactly via the same md5 arithmetic. */
+  def llmHashEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val h = md5(col("w"))
+    val bucket = conv(substring(h, 1, 2), 16, 10).cast("int") % 64
+    val sign = when(conv(substring(h, 3, 1), 16, 10).cast("int") % 2 === 0, 1).otherwise(-1)
+    t(s, dir, "documents")
+      .filter(col("doc_id") < 2000)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), bucket.as("b"), sign.as("sg"))
+      .groupBy("doc_id", "b").agg(sum(col("sg")).as("v"))
+      .groupBy("doc_id")
+      .agg(
+        count_if(col("v") =!= 0).as("nz_dims"),
+        sum(abs(col("v"))).as("l1"),
+        sum(col("v")).as("net"))
+      .orderBy("doc_id")
+  }
+
   /** SemDeDup-style clustered near-dup detection: assign every embedding
     * to its nearest centroid cell (deterministic argmax over the first
     * NCells vectors — the IVF trick), then look for high-cosine pairs
