@@ -41,6 +41,7 @@ object SparkEntry {
     "join_asof_native" -> Relational.joinAsofNative _,
     "join_asof_tolerance" -> Relational.joinAsofTolerance _,
     "join_asof_forward" -> Relational.joinAsofForward _,
+    "join_asof_nearest" -> Relational.joinAsofNearest _,
     "join_interval_native" -> Relational.joinIntervalNative _,
     "join_multiway" -> Relational.joinMultiway _,
     "join_null_safe" -> Relational.joinNullSafe _,

@@ -122,6 +122,18 @@ object OracleSql {
         AND p.p_ts >= c.click_ts AND p.p_ts <= c.click_ts + INTERVAL 1 HOUR
       GROUP BY c.user_id ORDER BY user_id""",
 
+    // nearest-either-direction, ties to the earlier click
+    "join_asof_nearest" -> """
+      WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+           c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+      SELECT p.event_id AS event_id, p.user_id AS user_id,
+             epoch_us(p.ts) AS purchase_us,
+             (SELECT epoch_us(c.ts) FROM c
+              WHERE c.user_id = p.user_id
+              ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)), c.ts
+              LIMIT 1) AS nearest_click_us
+      FROM p ORDER BY event_id""",
+
     // correlated-min mirror: forward direction isn't in DuckDB's ASOF
     "join_asof_forward" -> """
       WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),

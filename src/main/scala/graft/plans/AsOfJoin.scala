@@ -42,7 +42,8 @@ final case class AsOfJoin(
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
     toleranceUs: Option[Long] = None,
-    forward: Boolean = false) extends BinaryNode {
+    forward: Boolean = false,
+    nearest: Boolean = false) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -52,8 +53,8 @@ final case class AsOfJoin(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, tol, fwd) =>
-      AsOfJoinExec(lk, rk, lt, rt, tol, fwd, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, tol, fwd, near) =>
+      AsOfJoinExec(lk, rk, lt, rt, tol, fwd, near, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -61,7 +62,7 @@ object AsOfJoinStrategy extends SparkStrategy {
 final case class AsOfJoinExec(
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
-    toleranceUs: Option[Long], forward: Boolean,
+    toleranceUs: Option[Long], forward: Boolean, nearest: Boolean,
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -97,9 +98,10 @@ final case class AsOfJoinExec(
       var best: InternalRow = null
       var bestKey: Any = null
       var bestTime: Long = 0L
-      // tolerance needs numeric time arithmetic; timestamps are Long
-      // micros internally, so -1 (disabled) vs a bound in µs
+      // tolerance/nearest need numeric time arithmetic; timestamps are
+      // Long micros internally, so -1 (disabled) vs a bound in µs
       val tol: Long = toleranceUs.getOrElse(-1L)
+      val needTime = tol >= 0 || nearest
       lIter.map { l =>
         val k = lkB.eval(l)
         val t = ltB.eval(l)
@@ -119,10 +121,11 @@ final case class AsOfJoinExec(
               val c = keyOrd.compare(rHeadKey, k)
               if (c < 0) rHead = null // key fully passed; its matches were consumed by earlier left rows
               else if (!forward && c == 0 && timeOrd.compare(rtB.eval(rHead), t) <= 0) {
-                // BACKWARD: consume — a later-t left row wants a later right
+                // BACKWARD (and NEAREST's predecessor half): consume —
+                // a later-t left row wants a later right
                 best = rHead.copy() // row buffers are reused — retain a copy
                 bestKey = rHeadKey
-                if (tol >= 0) bestTime = rtB.eval(best).asInstanceOf[Long]
+                if (needTime) bestTime = rtB.eval(best).asInstanceOf[Long]
                 rHead = null
               } else if (forward && c == 0 && timeOrd.compare(rtB.eval(rHead), t) < 0) {
                 // FORWARD: rights strictly before t can never match this
@@ -140,6 +143,20 @@ final case class AsOfJoinExec(
                 (tol < 0 || rt.asInstanceOf[Long] - t.asInstanceOf[Long] <= tol)
             }
             if (m) resultProj(joined(l, rHead)) else resultProj(joined(l, nullRight))
+          } else if (nearest) {
+            // NEAREST: predecessor sits in `best`, successor is the
+            // un-consumed rHead — pick the closer, ties to the earlier
+            val tl = t.asInstanceOf[Long]
+            val backOk = best != null && keyOrd.compare(bestKey, k) == 0
+            val backDist = if (backOk) tl - bestTime else Long.MaxValue
+            val fwdOk = rHead != null && keyOrd.compare(rHeadKey, k) == 0
+            val fwdDist = if (fwdOk) rtB.eval(rHead).asInstanceOf[Long] - tl else Long.MaxValue
+            val useBack = backOk && backDist <= fwdDist
+            val dist = math.min(backDist, fwdDist)
+            if (dist != Long.MaxValue && (tol < 0 || dist <= tol)) {
+              if (useBack) resultProj(joined(l, best))
+              else resultProj(joined(l, rHead))
+            } else resultProj(joined(l, nullRight))
           } else {
             // the greatest right time ≤ t is the only candidate: if IT
             // violates the tolerance, every earlier one does too → null
@@ -167,7 +184,8 @@ final case class AsOfJoinExec(
 object AsOf {
   def join(left: DataFrame, right: DataFrame,
       key: String, leftTimeCol: String, rightKey: String, rightTimeCol: String,
-      toleranceUs: Option[Long] = None, forward: Boolean = false): DataFrame = {
+      toleranceUs: Option[Long] = None, forward: Boolean = false,
+      nearest: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
@@ -179,14 +197,15 @@ object AsOf {
         sys.error(s"as-of join: no column '$n' in [${p.output.map(_.name).mkString(", ")}]"))
     require(attr(lPlan, leftTimeCol).dataType == attr(rPlan, rightTimeCol).dataType,
       "as-of join: time columns must share a type")
-    require(toleranceUs.isEmpty ||
+    require(!(forward && nearest), "nearest implies both directions; do not combine with forward")
+    require((toleranceUs.isEmpty && !nearest) ||
       Set[org.apache.spark.sql.types.DataType](
         org.apache.spark.sql.types.TimestampType,
         org.apache.spark.sql.types.LongType).contains(attr(lPlan, leftTimeCol).dataType),
       "as-of tolerance requires timestamp or long time columns")
     val node = AsOfJoin(lPlan, rPlan,
       attr(lPlan, key), attr(rPlan, rightKey),
-      attr(lPlan, leftTimeCol), attr(rPlan, rightTimeCol), toleranceUs, forward)
+      attr(lPlan, leftTimeCol), attr(rPlan, rightTimeCol), toleranceUs, forward, nearest)
     org.apache.spark.sql.graftbridge.Bridge.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], node)
   }

@@ -313,6 +313,24 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** NEAREST as-of: each purchase paired with the temporally CLOSEST
+    * click in either direction (ties to the earlier one) — sensor/event
+    * alignment semantics; the merge already holds the predecessor and
+    * successor candidates, so nearest is one comparison at emit. */
+  def joinAsofNearest(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").filter(col("event_type").isin("click", "purchase"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    graft.plans.AsOf.join(purchases, clicks, "user_id", "ts", "c_user", "click_ts",
+        nearest = true)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("purchase_us"),
+        unix_micros(col("click_ts")).as("nearest_click_us"))
+      .orderBy("event_id")
+  }
+
   /** TPC-H Q3 shape: 3-way join, grouped revenue, global top-10. */
   def joinMultiway(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")

@@ -61,4 +61,28 @@ class AsOfJoinPropSpec extends GraftSpec {
   test("forward with tolerance matches the reference") {
     (1 to 8).foreach(s => runCase(300 + s, 5000000L, forward = true))
   }
+
+  test("nearest matches the reference on 8 random datasets") {
+    import SparkSpecBase.spark.implicits._
+    (1 to 8).foreach { seed =>
+      val rnd = new scala.util.Random(400 + seed)
+      val nKeys = 1 + rnd.nextInt(8)
+      val left = (0 until 40 + rnd.nextInt(40)).map(i =>
+        (i.toLong, rnd.nextInt(nKeys + 2).toLong, rnd.nextInt(50).toLong * 1000000L))
+      val right = (0 until 30 + rnd.nextInt(40)).map(_ =>
+        (rnd.nextInt(nKeys).toLong, rnd.nextInt(50).toLong * 1000000L))
+      val got = graft.plans.AsOf.join(
+          left.toDF("id", "k", "t").repartition(3),
+          right.toDF("rk", "rt").repartition(4),
+          "k", "t", "rk", "rt", nearest = true)
+        .select(col("id"), col("rt"))
+        .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+      left.foreach { case (id, k, t) =>
+        val cands = right.filter(_._1 == k).map(_._2)
+        val exp = if (cands.isEmpty) None
+          else Some(cands.minBy(rt => (math.abs(rt - t), rt)))
+        assert(got(id) == exp, s"seed=$seed id=$id: got ${got(id)}, want $exp")
+      }
+    }
+  }
 }

@@ -89,6 +89,28 @@ class AsOfJoinSpec extends GraftSpec {
     assert(got(4L) == null)
   }
 
+  test("nearest: closest side wins, exact tie goes to the earlier right") {
+    import SparkSpecBase.spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val l = Seq((1L, 10L, ts("2024-01-01 10:10:00")),  // 10 min after A, 50 before B → A
+                (2L, 10L, ts("2024-01-01 10:40:00")),  // 40 after A, 20 before B → B
+                (3L, 10L, ts("2024-01-01 10:30:00")),  // exact tie → earlier (A)
+                (4L, 99L, ts("2024-01-01 10:30:00"))) // no clicks for key → null
+      .toDF("event_id", "user_id", "ts")
+    val r = Seq((10L, ts("2024-01-01 10:00:00")),  // A
+                (10L, ts("2024-01-01 11:00:00")))  // B
+      .toDF("c_user", "click_ts")
+    val got = graft.plans.AsOf.join(l, r, "user_id", "ts", "c_user", "click_ts",
+        nearest = true)
+      .select(col("event_id"), col("click_ts"))
+      .collect().map(row => row.getLong(0) -> Option(row.get(1)).map(_.toString).orNull)
+      .toMap
+    assert(got(1L) == "2024-01-01 10:00:00.0")
+    assert(got(2L) == "2024-01-01 11:00:00.0")
+    assert(got(3L) == "2024-01-01 10:00:00.0")
+    assert(got(4L) == null)
+  }
+
   test("plan: AsOfJoinExec with exactly one exchange+sort per side") {
     val df = nativeAsof()
     df.collect()
