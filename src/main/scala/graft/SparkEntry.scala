@@ -66,6 +66,7 @@ object SparkEntry {
     "agg_median_percentile" -> Relational.aggMedianPercentile _,
     "agg_approx_percentile" -> Relational.aggApproxPercentile _,
     "agg_corr_covar" -> Relational.aggCorrCovar _,
+    "agg_regression" -> Relational.aggRegression _,
     "agg_arg_minmax" -> Relational.aggArgMinmax _,
     "agg_bool_countif" -> Relational.aggBoolCountif _,
     "agg_collect_sorted" -> Relational.aggCollectSorted _,

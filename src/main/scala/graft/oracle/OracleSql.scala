@@ -1394,6 +1394,14 @@ object OracleSql {
       WHERE l_shipdate >= '1996-03-01' AND l_shipdate < '1996-06-01'
       GROUP BY l_returnflag ORDER BY l_returnflag""",
 
+    "agg_regression" -> """
+      SELECT l_returnflag,
+             round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+             round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+             round(regr_r2(l_extendedprice, l_quantity), 4) AS r2,
+             CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
     // bitmaps are exact — the oracle is plain COUNT(DISTINCT)
     "agg_bitmap_distinct" -> """
       WITH per AS (

@@ -516,6 +516,21 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** Linear-regression aggregates (regr_slope / regr_intercept /
+    * regr_r2 / regr_count): single-pass co-moment accumulation
+    * (partial+final, like corr/covar) — the OLS-fit-per-group shape;
+    * rounded to 4 so the final float division is boundary-stable across
+    * engines and partitionings. */
+  def aggRegression(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+        round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("intercept"),
+        round(regr_r2(col("l_extendedprice"), col("l_quantity")), 4).as("r2"),
+        regr_count(col("l_extendedprice"), col("l_quantity")).as("n"))
+      .orderBy("l_returnflag")
+
   /** argmax/argmin aggregates (max_by/min_by ↔ DuckDB arg_max/arg_min):
     * the ordering value is LEXICOGRAPHIC (balance-cents, then custkey) so
     * ties are impossible and both engines pick the same row at ANY key
