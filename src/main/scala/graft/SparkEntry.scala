@@ -127,6 +127,7 @@ object SparkEntry {
     "fn_interval_arith" -> Scalars.fnIntervalArith _,
     "fn_trig" -> Scalars.fnTrig _,
     "fn_try_arith" -> Scalars.fnTryArith _,
+    "fn_try_cast" -> Scalars.fnTryCast _,
     "fn_codec" -> Scalars.fnCodec _,
     "fn_epoch_time" -> Scalars.fnEpochTime _,
     "fn_url" -> Scalars.fnUrl _,

@@ -1394,6 +1394,24 @@ object OracleSql {
       WHERE l_shipdate >= '1996-03-01' AND l_shipdate < '1996-06-01'
       GROUP BY l_returnflag ORDER BY l_returnflag""",
 
+    "fn_try_cast" -> """
+      WITH x AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 3 = 0
+                    THEN concat(CAST(o_orderkey AS VARCHAR), 'x')
+                    ELSE CAST(o_orderkey AS VARCHAR) END AS num_s,
+               CASE WHEN o_orderkey % 5 = 0 THEN '2024-13-01'
+                    ELSE '2024-06-15' END AS date_s
+        FROM orders WHERE o_orderkey <= 4000),
+      t2 AS (SELECT TRY_CAST(num_s AS BIGINT) AS as_num,
+                    TRY_CAST(date_s AS DATE) AS as_date FROM x)
+      SELECT count(*) AS n,
+             count(as_num) AS n_num_ok,
+             count(as_date) AS n_date_ok,
+             CAST(sum(coalesce(as_num, 0)) AS BIGINT) AS num_total,
+             count(DISTINCT as_date) AS n_dates
+      FROM t2""",
+
     "agg_regression" -> """
       SELECT l_returnflag,
              round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,

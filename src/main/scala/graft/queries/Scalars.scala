@@ -383,6 +383,29 @@ object Scalars {
       .orderBy("o_orderkey")
   }
 
+  /** Error-tolerant casts (`try_cast`): deliberately malformed inputs —
+    * every third row gets a non-numeric suffix, every fifth a bogus date
+    * month — must produce NULL, not a thrown task, under ANSI semantics;
+    * the dirty-ingest posture where one bad row must not kill a 100 TB
+    * job. Counts + null-rate per outcome; DuckDB mirrors via TRY_CAST. */
+  def fnTryCast(s: SparkSession, dir: String): DataFrame =
+    graft.tables.Tables.t(s, dir, "orders")
+      .filter(col("o_orderkey") <= 4000)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 3 === 0, concat(col("o_orderkey"), lit("x")))
+          .otherwise(col("o_orderkey").cast("string")).as("num_s"),
+        when(col("o_orderkey") % 5 === 0, lit("2024-13-01"))
+          .otherwise(lit("2024-06-15")).as("date_s"))
+      .select(
+        expr("try_cast(num_s AS BIGINT)").as("as_num"),
+        expr("try_cast(date_s AS DATE)").as("as_date"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("as_num")).as("n_num_ok"),
+        count(col("as_date")).as("n_date_ok"),
+        sum(coalesce(col("as_num"), lit(0L))).as("num_total"),
+        countDistinct(col("as_date")).as("n_dates"))
+
   /** CSV-in-a-column scalars: `from_csv` parses an embedded CSV string
     * into a typed struct (delimiter inside quoted fields survives),
     * `to_csv` serializes back — the row-level codec pair for logs that
