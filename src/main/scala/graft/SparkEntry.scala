@@ -83,6 +83,7 @@ object SparkEntry {
     "sql_merge_upsert" -> Relational.sqlMergeUpsert _,
     "sql_session_variable" -> Relational.sqlSessionVariable _,
     "sql_tvf_range" -> Relational.sqlTvfRange _,
+    "sql_pipe_syntax" -> Relational.sqlPipeSyntax _,
     // windows
     "window_rank" -> Relational.windowRank _,
     "window_topk_per_group" -> Relational.windowTopkPerGroup _,

@@ -1512,6 +1512,13 @@ object OracleSql {
       FROM lineitem WHERE l_quantity > 45.0
       GROUP BY l_returnflag ORDER BY l_returnflag""",
 
+    // pipe syntax is sugar — classic-form mirror
+    "sql_pipe_syntax" -> """
+      SELECT l_returnflag, count(*) AS n,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem WHERE l_quantity > 45
+      GROUP BY l_returnflag ORDER BY l_returnflag""",
+
     "sql_tvf_range" -> """
       SELECT r.range AS bucket, count(*) AS n, CAST(sum(t.x) AS BIGINT) AS sum_x
       FROM range(0, 8) r, LATERAL unnest(range(r.range * 3, r.range * 3 + 3)) t(x)

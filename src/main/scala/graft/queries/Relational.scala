@@ -690,6 +690,20 @@ object Relational {
        GROUP BY l_returnflag ORDER BY l_returnflag'""")
   }
 
+  /** SQL pipe syntax (Spark 4): the same filter→aggregate→sort stated
+    * as a left-to-right `|>` pipeline — sugar over the identical plan,
+    * so the oracle is the classic form. */
+  def sqlPipeSyntax(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("graft_li_pipe")
+    s.sql("""
+      FROM graft_li_pipe
+      |> WHERE l_quantity > 45
+      |> AGGREGATE count(*) AS n,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+         GROUP BY l_returnflag
+      |> ORDER BY l_returnflag""")
+  }
+
   /** Table-valued functions in FROM: `range()` joined laterally with
     * `explode()` over a per-row array — generator TVFs as relations,
     * the SQL-surface twin of the DataFrame-side generators. */
