@@ -1185,10 +1185,11 @@ object OracleSql {
     // (min reachable node == the propagation fixpoint)
     "llm_dedup_components" -> """
       WITH pre AS (
-        SELECT md5(substr(text, 1, 40)) AS k, doc_id FROM documents),
+        SELECT CAST(('0x' || substr(md5(substr(text, 1, 40)), 1, 15)) AS BIGINT) AS k,
+               doc_id FROM documents),
       suf AS (
-        SELECT md5(substr(text, greatest(1, n_chars - 39), 40)) AS k, doc_id
-        FROM documents),
+        SELECT CAST(('0x' || substr(md5(substr(text, greatest(1, n_chars - 39), 40)), 1, 15)) AS BIGINT) AS k,
+               doc_id FROM documents),
       pp AS (
         SELECT a.doc_id AS s, b.doc_id AS d
         FROM pre a JOIN pre b ON a.k = b.k AND a.doc_id < b.doc_id

@@ -542,10 +542,20 @@ object LlmExtra {
     // shuffled it twice; this is one scan + one shuffle, and the group
     // sets (dup clusters) are small by nature so the in-group k²/2
     // expansion is bounded exactly like the join's was.
+    // keys are SIGNAL-TAGGED (a prefix hash must never pair with a
+    // suffix hash that happens to collide) and narrowed to 60-bit longs
+    // (15 hex chars of the md5 — identical truncation in the oracle, so
+    // any collision is shared): the shuffle key drops from a 32-char
+    // string to (int, long), the dominant bytes of the corpus-wide
+    // exchange
+    def k60(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
     val keyed = d.select(col("doc_id"), explode(array(
-        md5(substring(col("text"), 1, 40)),
-        md5(expr("substr(text, greatest(1, n_chars - 39), 40)")))).as("k"))
-    val groups = keyed.groupBy("k")
+        struct(lit(0).as("sig"), k60(substring(col("text"), 1, 40)).as("k")),
+        struct(lit(1).as("sig"),
+          k60(expr("substr(text, greatest(1, n_chars - 39), 40)")).as("k")))).as("e"))
+      .select(col("doc_id"), col("e.sig").as("sig"), col("e.k").as("k"))
+    val groups = keyed.groupBy("sig", "k")
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
     val pp = groups.select(explode(expr(
