@@ -59,4 +59,32 @@ class StreamRecoverySpec extends GraftSpec {
     assert(rows == Set((1L, "click", 1.0), (2L, "view", 2.0), (3L, "purchase", 3.0)),
       s"got $rows")
   }
+
+  test("Trigger.AvailableNow drains a file-source backfill and stops; equals the batch plan") {
+    // the replay-history-through-the-streaming-pipeline pattern: a
+    // bounded directory read as a STREAM processes everything available,
+    // then terminates on its own — same code path as live ingestion
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_backfill_${System.nanoTime()}"
+    val src = graft.tables.Tables.t(spark, sfDir, "events")
+      .select("ts", "user_id", "event_type", "value")
+    src.write.mode("overwrite")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").json(dir)
+    val stream = spark.readStream.schema(schema)
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .option("maxFilesPerTrigger", "4") // several micro-batches, not one gulp
+      .json(dir)
+    val sinkName = s"backfill_${System.nanoTime()}"
+    val q = StreamOps.tumblingCounts(stream).writeStream
+      .format("memory").queryName(sinkName)
+      .outputMode(OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "AvailableNow query did not self-terminate")
+    val got = spark.table(sinkName).collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3))).sorted
+    val batch = StreamOps.tumblingCounts(src)
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3))).sorted
+    assert(got.length == batch.length && got.sameElements(batch),
+      s"backfill ${got.length} rows vs batch ${batch.length}")
+  }
 }
