@@ -16,7 +16,7 @@ object ProbeGolden {
       "agg_hll_union", "stream_watermark_late", "llm_dedup_minhash",
       "llm_dedup_simhash", "llm_fingerprint", "llm_sim_lsh_topk",
       "llm_sim_ivf_topk", "llm_pack_sequences", "mm_decode_stub",
-      "mm_frame_sample", "ingest_census_csv")
+      "mm_frame_sample", "mm_token_budget", "ingest_census_csv")
     exempt.foreach { n =>
       val rows = SparkEntry.queries(n)(spark, dir).collect().map(_.toString).sorted
       val h = java.security.MessageDigest.getInstance("MD5")

@@ -193,6 +193,7 @@ object SparkEntry {
     "mm_binary_features" -> MultimodalQueries.mmBinaryFeatures _,
     "mm_decode_stub" -> MultimodalQueries.mmDecodeStub _,
     "mm_frame_sample" -> MultimodalQueries.mmFrameSample _,
+    "mm_token_budget" -> MultimodalQueries.mmTokenBudget _,
     // census ETL (reference §2.A pipeline over the checked-in fixture)
     // + the ACS consumer-side MOE aggregation formula
     "census_moe_agg" -> CensusQueries.censusMoeAgg _,
@@ -213,12 +214,12 @@ object SparkEntry {
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for the 14 non-SQL-expressible ops
+    * the same parquet tables. Omitted for the 15 non-SQL-expressible ops
     * (agg_approx_distinct, agg_approx_percentile, agg_count_min_sketch,
     * agg_hll_union, stream_watermark_late, llm_dedup_minhash,
     * llm_dedup_simhash, llm_fingerprint, llm_sim_lsh_topk,
     * llm_sim_ivf_topk, llm_pack_sequences, mm_decode_stub,
-    * mm_frame_sample, ingest_census_csv) — those are covered by
-    * ScalaTest instead (SURVEY §5). */
+    * mm_frame_sample, mm_token_budget, ingest_census_csv) — those are
+    * covered by ScalaTest (incl. golden digests) instead (SURVEY §5). */
   def oracleSql: Map[String, String] = OracleSql.sql
 }

@@ -53,6 +53,48 @@ object MultimodalQueries {
       .orderBy("kind")
   }
 
+  /** Interleaved multimodal token budgeting — the sequence-length
+    * arithmetic of a vision-language training pipeline: each document
+    * costs its TEXT tokens plus its media's patch tokens (images:
+    * ceil(w/16)·ceil(h/16) ViT-style patches; video: patches × sampled
+    * frames; audio: ~frames of 25 ms). One decode pass (mapPartitions
+    * stub) joined back to the text token counts on doc_id, rolled up per
+    * kind. At scale the decode and the text pass share the scan (carry
+    * the text length through the typed row); the join shape here keeps
+    * the stub pluggable. Oracle-exempt (stub hash); golden-pinned. */
+  def mmTokenBudget(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = t(s, dir, "documents").filter(col("doc_id") < 2000)
+    val txt = d.select(col("doc_id").as("t_doc"),
+      size(split(col("text"), " ")).cast("long").as("n_text_tokens"))
+    val metas = d.select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video").as("kind"),
+        col("text").cast("binary").as("bytes"))
+      .as[MediaRow]
+      .mapPartitions(_.map(Media.decodeStub))
+      .toDF()
+    val patches =
+      when(col("kind") === "image",
+        ceil(col("width") / 16.0) * ceil(col("height") / 16.0))
+      .when(col("kind") === "video",
+        ceil(col("width") / 16.0) * ceil(col("height") / 16.0) *
+          ceil(col("n_frames") / 16.0)) // every-16th-frame sampling
+      .otherwise(lit(40 * 30)) // audio: 30 s at 25 ms frames
+      .cast("long")
+    metas.withColumn("media_tokens", patches)
+      .join(txt, col("doc_id") === col("t_doc"))
+      .withColumn("budget", col("n_text_tokens") + col("media_tokens"))
+      .groupBy("kind")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_text_tokens")).as("text_tokens"),
+        sum(col("media_tokens")).as("media_tokens"),
+        max(col("budget")).as("max_budget"))
+      .orderBy("kind")
+  }
+
   /** Frame sampling as a typed fan-out: decode → flatMap to one row per
     * sampled frame index (every 16th) — the every-k-th-frame extraction
     * shape of a video training pipeline, where the fan-out happens

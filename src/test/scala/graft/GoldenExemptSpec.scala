@@ -25,6 +25,7 @@ class GoldenExemptSpec extends GraftSpec {
     "llm_pack_sequences" -> (66, "fe50a1f2a60ae216d6fc49714558c77b"),
     "mm_decode_stub" -> (3, "7628ee041cc19af9ed57537e80f3045a"),
     "mm_frame_sample" -> (166, "46d47d9d3ef01219bee31a9ea68c7420"),
+    "mm_token_budget" -> (3, "5cc1e21858f0bb4d788e46381b3d1f58"),
     "ingest_census_csv" -> (3, "2e156d557df551b4833370c4df92c7b6"))
 
   private def digest(rows: Array[String]): String =
