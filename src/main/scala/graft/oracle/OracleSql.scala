@@ -1395,6 +1395,15 @@ object OracleSql {
       WHERE l_shipdate >= '1996-03-01' AND l_shipdate < '1996-06-01'
       GROUP BY l_returnflag ORDER BY l_returnflag""",
 
+    "fn_stable_id" -> """
+      WITH h AS (
+        SELECT doc_id, md5(concat(source, chr(1), text)) AS m
+        FROM documents WHERE doc_id < 1500)
+      SELECT doc_id,
+             concat(substr(m, 1, 8), '-', substr(m, 9, 4), '-', substr(m, 13, 4),
+                    '-', substr(m, 17, 4), '-', substr(m, 21, 12)) AS stable_id
+      FROM h ORDER BY doc_id""",
+
     "fn_try_cast" -> """
       WITH x AS (
         SELECT o_orderkey,

@@ -383,6 +383,24 @@ object Scalars {
       .orderBy("o_orderkey")
   }
 
+  /** Deterministic content-derived IDs: UUID-shaped identifiers minted
+    * from the md5 of (source, text) — the stable-doc-ID discipline that
+    * survives re-runs, re-shards, and re-ingestion, unlike uuid()/
+    * monotonically_increasing_id (both nondeterministic by design and
+    * banned from this inventory). Distinctness equals content
+    * distinctness by construction. */
+  def fnStableId(s: SparkSession, dir: String): DataFrame = {
+    // \u0001 separator: "ab"+"c" must not collide with "a"+"bc"
+    val h = md5(concat_ws("\u0001", col("source"), col("text")))
+    val uuid = concat_ws("-",
+      substring(h, 1, 8), substring(h, 9, 4), substring(h, 13, 4),
+      substring(h, 17, 4), substring(h, 21, 12))
+    graft.tables.Tables.t(s, dir, "documents")
+      .filter(col("doc_id") < 1500)
+      .select(col("doc_id"), uuid.as("stable_id"))
+      .orderBy("doc_id")
+  }
+
   /** Error-tolerant casts (`try_cast`): deliberately malformed inputs —
     * every third row gets a non-numeric suffix, every fifth a bogus date
     * month — must produce NULL, not a thrown task, under ANSI semantics;
