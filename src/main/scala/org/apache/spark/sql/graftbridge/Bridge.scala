@@ -11,4 +11,15 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object Bridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(spark, plan)
+
+  /** Test-only introspection of a SparkSessionExtensions instance (the
+    * build* methods are private[sql]): lets ExtensionsSpec assert what
+    * `spark.sql.extensions=graft.udx.GraftExtensions` would register
+    * without needing a fresh JVM-first session. */
+  def plannerStrategies(ext: org.apache.spark.sql.SparkSessionExtensions,
+      spark: SparkSession): Seq[org.apache.spark.sql.execution.SparkStrategy] =
+    ext.buildPlannerStrategies(spark)
+  def optimizerRules(ext: org.apache.spark.sql.SparkSessionExtensions,
+      spark: SparkSession): Seq[org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]] =
+    ext.buildOptimizerRules(spark)
 }
