@@ -1397,7 +1397,9 @@ object OracleSql {
 
     "fn_stable_id" -> """
       WITH h AS (
-        SELECT doc_id, md5(concat(source, chr(1), text)) AS m
+        SELECT doc_id, md5(concat(
+          CASE WHEN source IS NULL THEN 'n' ELSE 'v' || source END, chr(1),
+          CASE WHEN text   IS NULL THEN 'n' ELSE 'v' || text   END)) AS m
         FROM documents WHERE doc_id < 1500)
       SELECT doc_id,
              concat(substr(m, 1, 8), '-', substr(m, 9, 4), '-', substr(m, 13, 4),

@@ -197,6 +197,11 @@ object AsOf {
         sys.error(s"as-of join: no column '$n' in [${p.output.map(_.name).mkString(", ")}]"))
     require(attr(lPlan, leftTimeCol).dataType == attr(rPlan, rightTimeCol).dataType,
       "as-of join: time columns must share a type")
+    // mismatched key types (e.g. INT vs BIGINT) hash-partition differently per
+    // side and the interpreted key ordering would CCE at runtime — fail at
+    // analysis time instead
+    require(attr(lPlan, key).dataType == attr(rPlan, rightKey).dataType,
+      "as-of join: key columns must share a type")
     require(!(forward && nearest), "nearest implies both directions; do not combine with forward")
     require((toleranceUs.isEmpty && !nearest) ||
       Set[org.apache.spark.sql.types.DataType](

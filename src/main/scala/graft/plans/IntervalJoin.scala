@@ -151,6 +151,10 @@ object IntervalJoinApi {
         sys.error(s"interval join: no column '$n' in [${p.output.map(_.name).mkString(", ")}]"))
     require(attr(lPlan, leftTimeCol).dataType == attr(rPlan, rightTimeCol).dataType,
       "interval join: time columns must share a type")
+    // same rationale as AsOf.join: catch INT-vs-BIGINT key mismatches before
+    // they corrupt co-partitioning / throw CCE in the interpreted ordering
+    require(attr(lPlan, key).dataType == attr(rPlan, rightKey).dataType,
+      "interval join: key columns must share a type")
     require(Set[org.apache.spark.sql.types.DataType](
         org.apache.spark.sql.types.TimestampType,
         org.apache.spark.sql.types.LongType).contains(attr(lPlan, leftTimeCol).dataType),

@@ -788,16 +788,6 @@ object LlmExtra {
       .orderBy("lang")
   }
 
-  /** The inner loop of BPE tokenizer training, step one: adjacent
-    * symbol-pair frequencies within words (never across word
-    * boundaries), global top-20 (count desc, pair asc tiebreak) — the
-    * pair the first merge rule would fuse. Two generator fan-outs
-    * (words, then 2-grams via the native graft_ngrams Generator), one
-    * count shuffle, and a tiny global top-k; at 100 TB the pair space
-    * is bounded (alphabet²) so the aggregate output stays small no
-    * matter the corpus — the map-side partial aggregation does almost
-    * all the work. A real BPE trainer iterates merge→recount; one
-    * iteration is the representative (and dominant) cost. */
   /** URL canonicalization + dedup — the step before any web fetch or
     * URL-keyed dedup: the same resource appears with case-variant hosts,
     * utm_* tracking params, and trailing slashes. Synthetic variants are
@@ -862,6 +852,16 @@ object LlmExtra {
       .orderBy("doc_id")
   }
 
+  /** The inner loop of BPE tokenizer training, step one: adjacent
+    * symbol-pair frequencies within words (never across word
+    * boundaries), global top-20 (count desc, pair asc tiebreak) — the
+    * pair the first merge rule would fuse. Two generator fan-outs
+    * (words, then 2-grams via the native graft_ngrams Generator), one
+    * count shuffle, and a tiny global top-k; at 100 TB the pair space
+    * is bounded (alphabet²) so the aggregate output stays small no
+    * matter the corpus — the map-side partial aggregation does almost
+    * all the work. A real BPE trainer iterates merge→recount; one
+    * iteration is the representative (and dominant) cost. */
   def llmBpePairCounts(s: SparkSession, dir: String): DataFrame = {
     graft.udx.NGrams.registerAll(s)
     t(s, dir, "documents")

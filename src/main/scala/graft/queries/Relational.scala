@@ -1140,16 +1140,6 @@ object Relational {
     per.unionByName(all).orderBy("o_orderpriority")
   }
 
-  /** Mergeable-sketch distinct: per-group Apache DataSketches HLL
-    * (`hll_sketch_agg`) plus a second level that UNIONS the group
-    * sketches (`hll_union_agg`) into a corpus-wide estimate — the
-    * pattern that makes distinct counting reaggregatable at 100 TB:
-    * sketches built once per partition/group/day can be merged along
-    * any rollup axis without touching raw data again, which an exact
-    * `count(DISTINCT)` fundamentally cannot. Estimates are
-    * deterministic for fixed input (no RNG in HLL), but the sketch
-    * algorithm differs from DuckDB's — oracle-exempt, accuracy pinned
-    * vs exact counts in ScalaTest. */
   /** `observe()` metrics: data-quality counters (row count, null count,
     * exact cents total) accumulated DURING the normal pass — no second
     * scan, no extra shuffle; a QueryExecutionListener reads them after
@@ -1224,6 +1214,16 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** Mergeable-sketch distinct: per-group Apache DataSketches HLL
+    * (`hll_sketch_agg`) plus a second level that UNIONS the group
+    * sketches (`hll_union_agg`) into a corpus-wide estimate — the
+    * pattern that makes distinct counting reaggregatable at 100 TB:
+    * sketches built once per partition/group/day can be merged along
+    * any rollup axis without touching raw data again, which an exact
+    * `count(DISTINCT)` fundamentally cannot. Estimates are
+    * deterministic for fixed input (no RNG in HLL), but the sketch
+    * algorithm differs from DuckDB's — oracle-exempt, accuracy pinned
+    * vs exact counts in ScalaTest. */
   def aggHllUnion(s: SparkSession, dir: String): DataFrame = {
     val sk = t(s, dir, "orders")
       .groupBy("o_orderpriority")

@@ -390,8 +390,13 @@ object Scalars {
     * banned from this inventory). Distinctness equals content
     * distinctness by construction. */
   def fnStableId(s: SparkSession, dir: String): DataFrame = {
-    // \u0001 separator: "ab"+"c" must not collide with "a"+"bc"
-    val h = md5(concat_ws("\u0001", col("source"), col("text")))
+    // \u0001 separator: "ab"+"c" must not collide with "a"+"bc". Each field
+    // is nullity-tagged ('n' vs 'v'+value) because Spark's concat NULLs the
+    // whole result while DuckDB's concat skips NULL args — tagging makes both
+    // sides total functions with identical output for NULL, '' and value cases.
+    def tagged(c: org.apache.spark.sql.Column) =
+      when(c.isNull, lit("n")).otherwise(concat(lit("v"), c))
+    val h = md5(concat(tagged(col("source")), lit("\u0001"), tagged(col("text"))))
     val uuid = concat_ws("-",
       substring(h, 1, 8), substring(h, 9, 4), substring(h, 13, 4),
       substring(h, 17, 4), substring(h, 21, 12))

@@ -139,16 +139,21 @@ object StreamOps {
           try st.execute(
             s"""CREATE TABLE $table (event_type VARCHAR(64) PRIMARY KEY,
                |  n BIGINT, sum_value DOUBLE)""".stripMargin)
-          catch { case _: java.sql.SQLException => () } // already exists
+          catch {
+            // swallow ONLY Derby's table-already-exists (SQLState X0Y32);
+            // a real DDL/connection failure must surface here, not as a
+            // confusing DELETE/INSERT error later
+            case e: java.sql.SQLException if e.getSQLState == "X0Y32" => ()
+          } finally st.close()
           val del = conn.prepareStatement(s"DELETE FROM $table WHERE event_type = ?")
           val ins = conn.prepareStatement(s"INSERT INTO $table VALUES (?, ?, ?)")
-          rows.foreach { r =>
+          try rows.foreach { r =>
             del.setString(1, r.getString(0)); del.executeUpdate()
             ins.setString(1, r.getString(0))
             ins.setLong(2, r.getLong(1))
             ins.setDouble(3, r.getDouble(2))
             ins.executeUpdate()
-          }
+          } finally { del.close(); ins.close() }
           conn.commit()
         } finally conn.close()
       }

@@ -1,6 +1,6 @@
 package graft
 
-/** Golden-output pins for the 14 oracle-exempt queries at sf0.001: row
+/** Golden-output pins for the 15 oracle-exempt queries at sf0.001: row
   * count + MD5 of the sorted stringified rows. The invariant tests in
   * OracleExemptSpec catch wrong MATH; these catch silent BEHAVIOR drift
   * (a changed seed, band count, stub constant, split boundary) that
