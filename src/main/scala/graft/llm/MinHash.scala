@@ -67,11 +67,15 @@ object MinHash {
     }
   }
 
-  /** 64-long MinHash signature over the text's word 3-shingles. */
+  /** 64-long MinHash signature over the text's word 3-shingles. The
+    * shingle hash is md5-derived ([[Md5Hash.h32]] masked to 31 bits) so
+    * the whole signature — and therefore llm_dedup_minhash's output —
+    * is reproducible in DuckDB SQL and sits under the driver's oracle
+    * gate rather than an exemption. */
   def signature(text: String): Array[Long] = {
     val sig = Array.fill(NumPerm)(Long.MaxValue)
     shingles(text).foreach { sh =>
-      val h = (MurmurHash3.stringHash(sh, 0xC0FFEE).toLong & 0x7FFFFFFFL)
+      val h = Md5Hash.h32(sh) & 0x7FFFFFFFL
       var i = 0
       while (i < NumPerm) {
         val v = (A(i) * h + B(i)) % P

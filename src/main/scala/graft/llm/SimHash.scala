@@ -1,7 +1,5 @@
 package graft.llm
 
-import scala.util.hashing.MurmurHash3
-
 /** 64-bit SimHash over whitespace tokens for near-duplicate detection.
   *
   * Each token contributes a deterministic 64-bit hash; per-bit vote
@@ -21,10 +19,9 @@ object SimHash {
   val Bands = 4
   val BandBits: Int = Bits / Bands // 16
 
-  /** Deterministic 64-bit token hash (two seeded 32-bit murmurs). */
-  private def tokenHash(w: String): Long =
-    (MurmurHash3.stringHash(w, 0x5EED1E55).toLong << 32) |
-      (MurmurHash3.stringHash(w, 0x0BADCAFE).toLong & 0xFFFFFFFFL)
+  /** Deterministic 64-bit token hash — md5-derived so the signature is
+    * reproducible in DuckDB SQL (oracle-checked, not exempt). */
+  private def tokenHash(w: String): Long = Md5Hash.h64(w)
 
   def simhash64(text: String): Long = {
     val acc = new Array[Int](Bits)

@@ -1,6 +1,5 @@
 package graft.llm
 
-import scala.util.hashing.MurmurHash3
 import scala.collection.mutable.ArrayBuffer
 
 /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03
@@ -12,24 +11,26 @@ import scala.collection.mutable.ArrayBuffer
   * dropped. Guarantees: any shared substring of length ≥ K + W − 1
   * between two documents yields at least one shared fingerprint.
   *
-  * Deterministic: murmur3 with a fixed seed; no floating point.
+  * Deterministic: md5-derived gram hashes ([[Md5Hash.h32]], unsigned
+  * 32-bit carried in a Long) — the hash DuckDB can also compute, which
+  * is what puts llm_fingerprint under the driver's oracle gate instead
+  * of a golden-digest exemption. No floating point anywhere.
   */
 object Winnowing {
   val K = 5 // gram length in chars
   val W = 4 // winnow window in grams
 
-  def gramHashes(text: String): Array[Int] = {
-    if (text.length < K) Array(MurmurHash3.stringHash(text, 0xF1DE))
-    else Array.tabulate(text.length - K + 1)(i =>
-      MurmurHash3.stringHash(text.substring(i, i + K), 0xF1DE))
+  def gramHashes(text: String): Array[Long] = {
+    if (text.length < K) Array(Md5Hash.h32(text))
+    else Array.tabulate(text.length - K + 1)(i => Md5Hash.h32(text.substring(i, i + K)))
   }
 
   /** Selected fingerprint hashes, in document order, deduplicated on
     * consecutive repeats. */
-  def fingerprints(text: String): Array[Int] = {
+  def fingerprints(text: String): Array[Long] = {
     val hs = gramHashes(text)
     if (hs.length <= W) return Array(hs.min)
-    val out = ArrayBuffer.empty[Int]
+    val out = ArrayBuffer.empty[Long]
     var lastPos = -1
     var start = 0
     while (start + W <= hs.length) {

@@ -1465,6 +1465,129 @@ object OracleSql {
              concat(CAST(c_custkey AS VARCHAR), ',', seg, ',', CAST(cents AS VARCHAR)) AS reserialized
       FROM c ORDER BY c_custkey""",
 
+    // Full MinHash mirror: identical shingling (split on ' ', drop empty
+    // tokens, word-3-grams), identical md5-derived 31-bit shingle hash,
+    // identical LCG permutation family (a·h+b mod 2^31−1) — so signatures,
+    // band collisions, and est_jaccard agree value-for-value with the
+    // native graft_minhash expression. The Spark side's xxhash64 band key
+    // is mirrored by direct band-slice equality (equivalent: the band key
+    // is injective on the slice modulo a 2^-64 collision).
+    "llm_dedup_minhash" -> """
+      WITH wd AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+               CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                    ELSE list_distinct(list_transform(range(1, len(w) - 1), i ->
+                         array_to_string(w[i:i+2], ' '))) END AS shs
+        FROM wd),
+      hs AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) & 2147483647 AS h
+        FROM (SELECT doc_id, unnest(shs) AS g FROM sh)),
+      perm AS (
+        SELECT i,
+               1 + (1664525 * (i + 1) + 1013904223) % 2147483646 AS a,
+               (22695477 * (i + 1) + 1) % 2147483647 AS b
+        FROM range(64) t(i)),
+      sig AS (
+        SELECT doc_id, i, min((a * h + b) % 2147483647) AS v
+        FROM hs CROSS JOIN perm GROUP BY doc_id, i),
+      bands AS (
+        SELECT doc_id, i // 4 AS band,
+               string_agg(CAST(v AS VARCHAR), ',' ORDER BY i) AS bkey
+        FROM sig GROUP BY doc_id, i // 4),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+        WHERE a.doc_id < b.doc_id),
+      sigv AS (SELECT doc_id, list(v ORDER BY i) AS sig FROM sig GROUP BY doc_id)
+      SELECT c.doc_a, c.doc_b,
+             len(list_filter(range(1, 65), j -> sa.sig[j] = sb.sig[j])) / 64.0 AS est_jaccard
+      FROM cand c
+      JOIN sigv sa ON sa.doc_id = c.doc_a
+      JOIN sigv sb ON sb.doc_id = c.doc_b
+      WHERE len(list_filter(range(1, 65), j -> sa.sig[j] = sb.sig[j])) / 64.0 >= 0.2
+      ORDER BY doc_a, doc_b""",
+
+    // Full SimHash mirror: md5-derived 64-bit token hash (first 16 md5
+    // hex chars), per-bit majority votes over token OCCURRENCES, 4×16-bit
+    // pigeonhole banding, exact Hamming on candidates. est/limit ordering
+    // (hamming, doc_a, doc_b) is a total order, so LIMIT 100 is stable.
+    "llm_dedup_simhash" -> """
+      WITH tok AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        FROM documents),
+      th AS (
+        SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 16)) AS UBIGINT) AS h
+        FROM tok),
+      votes AS (
+        SELECT doc_id, j,
+               sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+        FROM th CROSS JOIN (SELECT unnest(range(64)) AS j) b
+        GROUP BY doc_id, j),
+      sig AS (
+        SELECT doc_id,
+               sum(CASE WHEN acc > 0 THEN CAST(1 AS UBIGINT) << CAST(j AS INT)
+                        ELSE CAST(0 AS UBIGINT) END) AS sig
+        FROM votes GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, sig, b AS band, (sig >> (b * 16)) & 65535 AS bkey
+        FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b) t),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+        WHERE a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b, hamming FROM cand
+      WHERE hamming <= 24
+      ORDER BY hamming, doc_a, doc_b
+      LIMIT 100""",
+
+    // Winnowing mirror: md5-derived char-5-gram hashes, window-4 robust
+    // winnowing — per-window min via a ROWS frame, rightmost tie-break via
+    // max(pos) over positions attaining the window min, consecutive-dup
+    // drop via lag(minpos). Short docs (≤ W grams) emit the single min.
+    "llm_fingerprint" -> """
+      WITH d AS (
+        SELECT doc_id, text, length(text) AS n FROM documents WHERE doc_id < 500),
+      g AS (
+        SELECT doc_id, n, unnest(range(1, greatest(n - 4, 1) + 1)) AS pos
+        FROM d),
+      h AS (
+        SELECT g.doc_id, g.n, greatest(g.n - 4, 1) AS ng, g.pos,
+               CAST(('0x' || substr(md5(CASE WHEN g.n < 5 THEN d.text
+                     ELSE substr(d.text, CAST(g.pos AS INT), 5) END), 1, 8)) AS BIGINT) AS h
+        FROM g JOIN d USING (doc_id)),
+      wm AS (
+        SELECT doc_id, pos AS s,
+               min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+               ng
+        FROM h),
+      sel AS (
+        SELECT w.doc_id, w.s, max(p.pos) AS minpos, any_value(w.wmin) AS fp
+        FROM wm w JOIN h p ON p.doc_id = w.doc_id
+                          AND p.pos BETWEEN w.s AND w.s + 3 AND p.h = w.wmin
+        WHERE w.ng > 4 AND w.s <= w.ng - 3
+        GROUP BY w.doc_id, w.s),
+      em AS (
+        SELECT doc_id, s, minpos, fp,
+               lag(minpos) OVER (PARTITION BY doc_id ORDER BY s) AS prevpos
+        FROM sel),
+      agg AS (
+        SELECT doc_id,
+               CAST(count_if(prevpos IS NULL OR minpos <> prevpos) AS BIGINT) AS n_fps,
+               min(CASE WHEN prevpos IS NULL THEN fp END) AS fp_first
+        FROM em GROUP BY doc_id),
+      small AS (
+        SELECT doc_id, CAST(1 AS BIGINT) AS n_fps, min(h) AS fp_first
+        FROM h WHERE ng <= 4 GROUP BY doc_id)
+      SELECT d.doc_id, CAST(d.n AS INT) AS n_chars_txt, a.n_fps, a.fp_first
+      FROM d JOIN (SELECT * FROM agg UNION ALL SELECT * FROM small) a USING (doc_id)
+      ORDER BY doc_id""",
+
     "llm_hash_embedding" -> """
       WITH tok AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS w

@@ -40,11 +40,12 @@ object Llm {
       .filter(col("n_dupes") > 1)
       .orderBy("h")
 
-  /** MinHash + LSH near-dup candidates. Signature is one map pass (UDF on
-    * text); banding turns candidate generation into an equi-join on the
-    * band hash (shuffle, not all-pairs). Oracle-exempt: seeded-hash output
-    * isn't SQL-expressible; ScalaTest checks estimates against exact
-    * Jaccard. */
+  /** MinHash + LSH near-dup candidates. Signature is one map pass;
+    * banding turns candidate generation into an equi-join on the band
+    * hash (shuffle, not all-pairs). md5-derived shingle hashes make the
+    * signatures DuckDB-expressible, so the whole output is oracle-checked
+    * value-for-value; ScalaTest additionally checks estimates against
+    * exact Jaccard. */
   def llmDedupMinhash(s: SparkSession, dir: String): DataFrame = {
     graft.udx.NGrams.registerAll(s)
     // native expression (graft.udx.MinHashExpression) — same

@@ -18,8 +18,9 @@ object LlmExtra {
 
   /** SimHash near-dup candidates: 64-bit signature per doc (one map
     * pass), pigeonhole banding (4×16 bits) for candidate generation via
-    * equi-join, exact Hamming filter on candidates. Oracle-exempt
-    * (seeded hashes); ScalaTest checks signatures and band recall. */
+    * equi-join, exact Hamming filter on candidates. md5-derived token
+    * hashes make the signature DuckDB-expressible, so this is fully
+    * oracle-checked; ScalaTest additionally checks band recall. */
   def llmDedupSimhash(s: SparkSession, dir: String): DataFrame = {
     // native Catalyst expression (graft.udx.SimHashExpression) — no UDF
     // serialization boundary in the signature map pass
@@ -476,16 +477,18 @@ object LlmExtra {
       .orderBy("bucket")
 
   /** Winnowing fingerprints (rolling char-5-gram hashes, window-4 robust
-    * winnowing) per document: fingerprint count and density. Oracle-
-    * exempt (seeded rolling hash); ScalaTest checks the winnowing
-    * guarantee on constructed near-dup pairs. */
+    * winnowing) per document: fingerprint count and density. md5-derived
+    * gram hashes make the selection DuckDB-expressible, so this is
+    * oracle-checked (window-min + rightmost-tie-break mirrored in SQL);
+    * ScalaTest additionally checks the winnowing guarantee on
+    * constructed near-dup pairs. */
   def llmFingerprint(s: SparkSession, dir: String): DataFrame = {
     val fpUdf = udf((text: String) => Winnowing.fingerprints(text))
     t(s, dir, "documents")
       .filter(col("doc_id") < 500)
       .select(col("doc_id"), length(col("text")).as("n_chars_txt"), fpUdf(col("text")).as("fps"))
       .select(col("doc_id"), col("n_chars_txt"),
-        size(col("fps")).as("n_fps"),
+        size(col("fps")).cast("long").as("n_fps"),
         element_at(col("fps"), 1).as("fp_first"))
       .orderBy("doc_id")
   }

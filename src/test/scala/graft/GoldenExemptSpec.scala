@@ -1,6 +1,6 @@
 package graft
 
-/** Golden-output pins for the 15 oracle-exempt queries at sf0.001: row
+/** Golden-output pins for the 12 oracle-exempt queries at sf0.001: row
   * count + MD5 of the sorted stringified rows. The invariant tests in
   * OracleExemptSpec catch wrong MATH; these catch silent BEHAVIOR drift
   * (a changed seed, band count, stub constant, split boundary) that
@@ -17,9 +17,8 @@ class GoldenExemptSpec extends GraftSpec {
     "agg_count_min_sketch" -> (20, "b9fc61be1864f36d88cb15bf4d8b7716"),
     "agg_hll_union" -> (6, "d3b303c7cd4f4c9a742d313775e5d09f"),
     "stream_watermark_late" -> (868, "10528aeb702d3bf34aa409c859e5658e"),
-    "llm_dedup_minhash" -> (28, "8f3717b6d1337fef7da6a6d66fa2be3a"),
-    "llm_dedup_simhash" -> (100, "9adc9e866211982ea31b13c1bb309f3c"),
-    "llm_fingerprint" -> (500, "2ff81359fbfb6b33067300d21412f3da"),
+    // llm_dedup_minhash / llm_dedup_simhash / llm_fingerprint graduated to
+    // md5-derived hashes + full DuckDB oracles in round 4 — no pin needed
     "llm_sim_lsh_topk" -> (50, "bbb2351d8dd56f78f6feb5c1a91cf931"),
     "llm_sim_ivf_topk" -> (50, "cd60dde04cc5630f1aacf4fd8fad72ce"),
     "llm_pack_sequences" -> (66, "fe50a1f2a60ae216d6fc49714558c77b"),

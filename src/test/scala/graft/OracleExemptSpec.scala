@@ -183,7 +183,7 @@ class OracleExemptSpec extends GraftSpec {
     assert(f1.intersect(f2).nonEmpty) // shared run ≥ K+W−1 = 8 chars
     assert(Winnowing.fingerprints(d1).toSeq == Winnowing.fingerprints(d1).toSeq)
     val q = LlmExtra.llmFingerprint(spark, sfDir).collect()
-    assert(q.nonEmpty && q.forall(_.getInt(2) > 0))
+    assert(q.nonEmpty && q.forall(_.getLong(2) > 0))
   }
 
   test("mm_decode_stub is deterministic and typed") {
