@@ -211,7 +211,8 @@ object SparkEntry {
     "source_text_roundtrip" -> SourceQueries.sourceTextRoundtrip _,
     "sink_codec_roundtrip" -> SourceQueries.sinkCodecRoundtrip _,
     "sink_partitioned_parquet" -> SourceQueries.sinkPartitionedParquet _,
-    "sink_sorted_runs" -> SourceQueries.sinkSortedRuns _
+    "sink_sorted_runs" -> SourceQueries.sinkSortedRuns _,
+    "sink_postgres_copy" -> SinkQueries.sinkPostgresCopy _
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on

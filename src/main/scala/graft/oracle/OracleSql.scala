@@ -1736,6 +1736,20 @@ object OracleSql {
       JOIN nation ON s_nationkey = n_nationkey
       JOIN region ON n_regionkey = r_regionkey
       GROUP BY r_name, n_name
+      ORDER BY r_name, n_name""",
+
+    // Same aggregate as sink_postgres, but the Spark side's rows have
+    // round-tripped through a LIVE PostgreSQL 15 (COPY in, COPY out) —
+    // a hash match here proves the values survived PG's storage and
+    // text I/O bit-for-bit.
+    "sink_postgres_copy" -> """
+      SELECT r_name, n_name,
+             count(*) AS n_suppliers,
+             round(sum(CAST(round(s_acctbal * 100) AS BIGINT)) / 100.0, 2) AS total_bal
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
       ORDER BY r_name, n_name"""
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\n\\s+", "\n") }
 }

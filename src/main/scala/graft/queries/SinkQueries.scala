@@ -60,4 +60,40 @@ object SinkQueries {
       .load()
       .orderBy("r_name", "n_name") // JDBC scan order is unspecified
   }
+
+  /** The LIVE Postgres round-trip (upgrades sink_postgres's Derby
+    * stand-in): the same region × nation supplier rollup is bulk-loaded
+    * into a locally initdb-ed PostgreSQL 15 through `PgSink.writeCopy`
+    * — one `COPY FROM STDIN` pipe per partition, the reference's own
+    * bulk-load transport — then read back out of Postgres via COPY TO
+    * and returned. Every value the oracle hashes has physically
+    * transited the Postgres wire protocol, storage, and text I/O:
+    * DDL type mapping, COPY text escaping, NULL encoding, and
+    * double round-tripping (PG prints shortest-round-trip floats,
+    * Java parses them back to the identical IEEE bits) are all under
+    * the gate. At 100 TB the identical writeCopy call fans out to one
+    * COPY stream per executor partition. */
+  def sinkPostgresCopy(s: SparkSession, dir: String): DataFrame = {
+    import graft.census.{PgSink, ScratchPg}
+    require(ScratchPg.ensure(), "scratch postgres could not be started")
+    val agg = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("n_suppliers"),
+        round(sum(round(col("s_acctbal") * 100).cast("long")) / 100.0, 2).as("total_bal"))
+    ScratchPg.exec(
+      """DROP TABLE IF EXISTS graft_sink_copy;
+        |CREATE TABLE graft_sink_copy(
+        |  r_name TEXT, n_name TEXT, n_suppliers BIGINT,
+        |  total_bal DOUBLE PRECISION)""".stripMargin)
+    PgSink.writeCopy(agg, ScratchPg.dsn, "graft_sink_copy")
+    val back = ScratchPg.copyOut(
+      "SELECT r_name, n_name, n_suppliers, total_bal FROM graft_sink_copy")
+      .map(f => (f(0), f(1), f(2).toLong, f(3).toDouble))
+    import s.implicits._
+    back.toDF("r_name", "n_name", "n_suppliers", "total_bal")
+      .orderBy("r_name", "n_name")
+  }
 }
