@@ -566,49 +566,15 @@ object LlmExtra {
           |  transform(slice(ids, i + 2, size(ids) - i - 1),
           |            y -> struct(x AS src, y AS dst))))""".stripMargin)).as("e"))
       .select(col("e.src"), col("e.dst")).distinct()
-    // the dup graph is orders of magnitude smaller than the corpus (only
-    // docs sharing a key appear): size the LOOP's parallelism to the
-    // measured frontier, not the corpus — with a few hundred edges a
-    // corpus-width shuffle per round is pure job overhead, while at a
-    // billion edges this picks hundreds of partitions. The count is one
-    // action against a cache the loop needs anyway.
-    val edges0 = pp.union(pp.select(col("dst").as("src"), col("src").as("dst"))).cache()
-    val loopParts = math.max(1L, math.min(200L, edges0.count() / 50000L)).toInt
-    val edges = edges0.repartition(loopParts, col("dst")).cache()
-    edges.count() // materialize at loop width, then drop the wide cache
-    edges0.unpersist()
-    var labels = edges.select(col("src").as("node"))
-      .repartition(loopParts, col("node")).distinct()
-      .withColumn("label", col("node")).cache()
-    // labels only ever DECREASE, so Σlabel is a strictly-monotone
-    // convergence signature: one cheap aggregate action per round (which
-    // also materializes the cached round) replaces a join-and-count
-    // against the previous labels — halving the jobs per round
-    var sig = labels.agg(sum("label")).head.getLong(0)
-    var rounds = 0
-    var converged = false
-    while (!converged && rounds < 25) {
-      val prop = edges.join(labels, edges("dst") === labels("node"))
-        .select(edges("src").as("node"), col("label"))
-      // repartition(loopParts, node) before the groupBy: the aggregate
-      // then runs AT frontier width (no 200-partition default shuffle),
-      // and the next round's join sees labels hash-partitioned on node
-      // compatible with edges' dst partitioning — zero extra exchanges
-      val next = labels.select("node", "label").union(prop)
-        .repartition(loopParts, col("node"))
-        .groupBy("node").agg(min("label").as("label")).cache()
-      val nextSig = next.agg(sum("label")).head.getLong(0)
-      labels.unpersist()
-      labels = next
-      converged = nextSig == sig
-      sig = nextSig
-      rounds += 1
-    }
-    val out = labels.groupBy(col("label").as("rep"))
+    // the Pregel-shaped min-label loop lives in operators.Components:
+    // frontier-width parallelism, Σlabel convergence signature, and
+    // periodic localCheckpoint lineage truncation (deep dup graphs would
+    // otherwise grow an O(rounds²) logical plan on the driver)
+    val edges0 = pp.union(pp.select(col("dst").as("src"), col("src").as("dst")))
+    val labels = graft.operators.Components.minLabel(edges0)
+    labels.groupBy(col("label").as("rep"))
       .agg(count(lit(1)).as("n_docs"), max("node").as("max_doc"))
       .orderBy("rep")
-    edges.unpersist()
-    out
   }
 
   /** Staged quality-filter funnel — the drop-accounting every corpus
