@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.util.TypeUtils
@@ -40,6 +40,122 @@ object IntervalJoinStrategy extends SparkStrategy {
   }
 }
 
+object IntervalJoinExec {
+  /** Max band rows held on-heap per partition before the buffer spills a
+    * segment to local disk. Bounds executor memory at (cap × row size)
+    * per task regardless of band occupancy — the one-hot-key hazard at
+    * 100 TB (every right row of one key landing inside one window). */
+  val BandBufferRowsKey = "spark.graft.interval.bandBufferRows"
+  val BandBufferRowsDefault = 1 << 20
+
+  /** Process-wide spill telemetry (test- and debug-visible; local mode
+    * shares the JVM so a plain adder is observable from the driver). */
+  val spilledSegments = new java.util.concurrent.atomic.LongAdder
+}
+
+/** Disk-backed sliding band: an on-heap deque of the newest rows plus a
+  * chain of immutable spilled segments (oldest first). Rights arrive in
+  * time order, so every segment covers a contiguous time range; a
+  * segment is reclaimed wholesale once its max time falls behind the
+  * band start, and emission filters `time >= t` per segment read.
+  * Disk traffic is proportional to emitted output (every surviving
+  * spilled row is about to be joined with the current left), so the
+  * spill path changes the memory bound, not the asymptotic cost. */
+private final class BandBuffer(numFields: Int, limit: Int) {
+  private val mem = new java.util.ArrayDeque[(Long, UnsafeRow)]()
+  private var segments: List[BandSegment] = Nil // oldest first
+  private val writeBuffer = new Array[Byte](4096)
+
+  def add(time: Long, row: UnsafeRow): Unit = {
+    if (mem.size >= limit) spill()
+    mem.addLast((time, row))
+  }
+
+  private def spill(): Unit = {
+    val f = java.io.File.createTempFile("graft-interval-band", ".bin")
+    f.deleteOnExit()
+    val out = new java.io.DataOutputStream(
+      new java.io.BufferedOutputStream(new java.io.FileOutputStream(f), 1 << 16))
+    var maxT = Long.MinValue
+    var n = 0
+    val it = mem.iterator()
+    while (it.hasNext) {
+      val (t, r) = it.next()
+      out.writeLong(t)
+      out.writeInt(r.getSizeInBytes)
+      r.writeToStream(out, writeBuffer)
+      if (t > maxT) maxT = t
+      n += 1
+    }
+    out.close()
+    segments = segments :+ new BandSegment(f, maxT, n)
+    mem.clear()
+    IntervalJoinExec.spilledSegments.increment()
+  }
+
+  /** Drop rows/segments whose time fell behind the band start `t`. */
+  def evictBelow(t: Long): Unit = {
+    while (!mem.isEmpty && mem.peekFirst()._1 < t) mem.removeFirst()
+    val (dead, live) = segments.partition(_.maxTime < t)
+    dead.foreach(_.file.delete())
+    segments = live
+  }
+
+  def nonEmpty: Boolean = !mem.isEmpty || segments.nonEmpty
+
+  /** All band rows with time ≥ t, oldest first. Buffered rows never
+    * exceed t + w (times are pulled in nondecreasing left order), so
+    * only the lower bound needs filtering. */
+  def iterator(t: Long): Iterator[InternalRow] = {
+    val memIt = { // mem is already evicted below t
+      val it = mem.iterator()
+      new Iterator[InternalRow] {
+        override def hasNext: Boolean = it.hasNext
+        override def next(): InternalRow = it.next()._2
+      }
+    }
+    if (segments.isEmpty) memIt // fast path: no spill, zero overhead
+    else segments.iterator.flatMap(_.read(numFields, t)) ++ memIt
+  }
+
+  def clear(): Unit = {
+    mem.clear()
+    segments.foreach(_.file.delete())
+    segments = Nil
+  }
+}
+
+private final class BandSegment(val file: java.io.File, val maxTime: Long, val count: Int) {
+  /** Stream the segment's rows with time ≥ t (arrival = time order). */
+  def read(numFields: Int, t: Long): Iterator[InternalRow] = {
+    val in = new java.io.DataInputStream(
+      new java.io.BufferedInputStream(new java.io.FileInputStream(file), 1 << 16))
+    var remaining = count
+    new Iterator[InternalRow] {
+      private var nextRow: InternalRow = null
+      private def advance(): Unit = {
+        nextRow = null
+        while (nextRow == null && remaining > 0) {
+          val time = in.readLong()
+          val size = in.readInt()
+          val bytes = new Array[Byte](size)
+          in.readFully(bytes)
+          remaining -= 1
+          if (time >= t) {
+            val row = new UnsafeRow(numFields)
+            row.pointTo(bytes, size)
+            nextRow = row
+          }
+        }
+        if (nextRow == null) in.close()
+      }
+      advance()
+      override def hasNext: Boolean = nextRow != null
+      override def next(): InternalRow = { val r = nextRow; advance(); r }
+    }
+  }
+}
+
 final case class IntervalJoinExec(
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
@@ -61,6 +177,9 @@ final case class IntervalJoinExec(
     val lOut = left.output
     val rOut = right.output
     val w = windowUs
+    val bandLimit = conf.getConfString(
+      IntervalJoinExec.BandBufferRowsKey,
+      IntervalJoinExec.BandBufferRowsDefault.toString).toInt
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lkB = BindReferences.bindReference(leftKey, lOut)
       val ltB = BindReferences.bindReference(leftTime, lOut)
@@ -68,17 +187,25 @@ final case class IntervalJoinExec(
       val rtB = BindReferences.bindReference(rightTime, rOut)
       val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
       val resultProj = UnsafeProjection.create(output, output)
+      // sorted-shuffle output rows are UnsafeRows already; this projection
+      // only fires if a future child breaks that, keeping the spill codec
+      // (UnsafeRow.writeToStream) universally applicable
+      val rToUnsafe = UnsafeProjection.create(rOut, rOut)
       val joined = new JoinedRow
 
+      // sliding band state: COPIED right rows of the current key whose
+      // time has not yet fallen behind the current left row; spills to
+      // local-disk segments past `bandLimit` rows (one-hot-key guard)
+      val buf = new BandBuffer(rOut.length, bandLimit)
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => buf.clear()))
+
       new Iterator[InternalRow] {
-        // sliding band state: COPIED right rows of the current key whose
-        // time has not yet fallen behind the current left row
-        private val buf = new java.util.ArrayDeque[(Long, InternalRow)]()
         private var bufKey: Any = null
         private var rHead: InternalRow = null
         private var rHeadKey: Any = null
         // pending emissions for the current left row
-        private var pending: java.util.Iterator[(Long, InternalRow)] = null
+        private var pending: Iterator[InternalRow] = null
         private var curLeft: InternalRow = null
 
         private def advanceLeft(): Unit = {
@@ -105,14 +232,18 @@ final case class IntervalJoinExec(
                   val c = keyOrd.compare(rHeadKey, k)
                   if (c < 0) rHead = null // earlier key: dead, lefts are past it
                   else if (c == 0 && rtB.eval(rHead).asInstanceOf[Long] <= t + w) {
-                    buf.addLast((rtB.eval(rHead).asInstanceOf[Long], rHead.copy()))
+                    val u = rHead match {
+                      case ur: UnsafeRow => ur.copy()
+                      case other => rToUnsafe(other).copy()
+                    }
+                    buf.add(rtB.eval(rHead).asInstanceOf[Long], u)
                     rHead = null
                   } else continue = false // beyond band or later key
                 }
               }
               // evict rights that fell behind the band start
-              while (!buf.isEmpty && buf.peekFirst()._1 < t) buf.removeFirst()
-              if (!buf.isEmpty) pending = buf.iterator()
+              buf.evictBelow(t)
+              if (buf.nonEmpty) pending = buf.iterator(t)
             }
             // null key/time or empty band: inner join → left row drops
           }
@@ -125,7 +256,7 @@ final case class IntervalJoinExec(
         }
 
         override def next(): InternalRow =
-          resultProj(joined(curLeft, pending.next()._2))
+          resultProj(joined(curLeft, pending.next()))
       }
     }
   }

@@ -44,6 +44,45 @@ class IntervalJoinSpec extends GraftSpec {
     assert(got.toSeq == Seq((1L, 100L), (1L, 101L), (2L, 103L)))
   }
 
+  test("pathological one-hot-key band spills to disk and stays correct") {
+    // Adversarial shape: EVERY right row of a single key inside one
+    // window — band occupancy 40k rows, far above the 256-row cap set
+    // here, so memory is bounded at cap × row size no matter how hot
+    // the key gets (the 100 TB skew hazard). Expected output is exact:
+    // each left at time t pairs with rights in [t, t+w].
+    import SparkSpecBase.spark.implicits._
+    val spark2 = SparkSpecBase.spark
+    val nRights = 40000
+    val lefts = (0 until 20).map(i => (i.toLong, 1L, i.toLong * 1000L))
+    val rights = (0 until nRights).map(j => (j.toLong, 1L, j.toLong))
+    val w = nRights.toLong + 20000L // whole right range in band for t=0
+    val before = graft.plans.IntervalJoinExec.spilledSegments.sum()
+    val prev = spark2.conf.getOption(graft.plans.IntervalJoinExec.BandBufferRowsKey)
+    spark2.conf.set(graft.plans.IntervalJoinExec.BandBufferRowsKey, "256")
+    try {
+      val got = IntervalJoinApi.join(
+          lefts.toDF("id", "k", "t"), rights.toDF("rid", "rk", "rt"),
+          "k", "t", "rk", "rt", w)
+        .groupBy("id").agg(count(lit(1)).as("n"), sum("rid").as("s"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      // left i at t=i*1000 sees rights rid in [i*1000, nRights): count and
+      // rid-sum are closed-form
+      val want = (0 until 20).map { i =>
+        val lo = i * 1000L
+        val n = nRights - lo
+        (i.toLong, n, (lo + nRights - 1) * n / 2)
+      }
+      assert(got.toSeq == want)
+      assert(graft.plans.IntervalJoinExec.spilledSegments.sum() > before,
+        "expected the 256-row cap to force at least one disk segment")
+    } finally {
+      prev match {
+        case Some(v) => spark2.conf.set(graft.plans.IntervalJoinExec.BandBufferRowsKey, v)
+        case None => spark2.conf.unset(graft.plans.IntervalJoinExec.BandBufferRowsKey)
+      }
+    }
+  }
+
   test("plan: IntervalJoin exec with one exchange + sort per side, no explode") {
     val ev = graft.tables.Tables.t(spark, sfDir, "events")
     val clicks = ev.filter(col("event_type") === "click")
