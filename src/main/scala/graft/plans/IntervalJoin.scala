@@ -3,11 +3,12 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, BoundReference, Expression, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.util.TypeUtils
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan, SparkStrategy}
 
 /** Banded INTERVAL JOIN as a whole operator (the second custom-Catalyst
   * operator next to [[AsOfJoin]]): emit every (left, right) pair with the
@@ -156,11 +157,89 @@ private final class BandSegment(val file: java.io.File, val maxTime: Long, val c
   }
 }
 
+/** Per-partition sliding-band state machine for [[IntervalJoinExec]] —
+  * single source of truth for interval semantics, shared by the
+  * interpreted `doExecute` and the whole-stage-codegen path (same
+  * contract as [[AsOfScanner]]: the generated loop calls `advance()`
+  * and reads `curLeft`/`curRight`). */
+final class IntervalScanner(
+    lIter: Iterator[InternalRow], rIter: Iterator[InternalRow],
+    lkB: Expression, ltB: Expression, rkB: Expression, rtB: Expression,
+    keyOrd: Ordering[Any], w: Long, rOut: Seq[Attribute], bandLimit: Int) {
+
+  // sliding band: COPIED right rows of the current key whose time has
+  // not yet fallen behind the current left row; spills to local-disk
+  // segments past `bandLimit` rows (one-hot-key guard)
+  private val buf = new BandBuffer(rOut.length, bandLimit)
+  Option(org.apache.spark.TaskContext.get()).foreach(
+    _.addTaskCompletionListener[Unit](_ => buf.clear()))
+  // sorted-shuffle output rows are UnsafeRows already; this projection
+  // only fires if a future child breaks that, keeping the spill codec
+  // (UnsafeRow.writeToStream) universally applicable
+  private val rToUnsafe = UnsafeProjection.create(rOut, rOut)
+
+  private var bufKey: Any = null
+  private var rHead: InternalRow = null
+  private var rHeadKey: Any = null
+  private var pending: Iterator[InternalRow] = null
+
+  var curLeft: InternalRow = null
+  var curRight: InternalRow = null
+
+  private def advanceLeft(): Unit = {
+    pending = null
+    while (pending == null && lIter.hasNext) {
+      curLeft = lIter.next()
+      val k = lkB.eval(curLeft)
+      val tAny = ltB.eval(curLeft)
+      if (k != null && tAny != null) {
+        val t = tAny.asInstanceOf[Long]
+        // new key → band state resets
+        if (bufKey == null || keyOrd.compare(bufKey, k) != 0) { buf.clear(); bufKey = k }
+        // pull rights into the band up to t + w
+        var continue = true
+        while (continue) {
+          if (rHead == null) {
+            if (rIter.hasNext) {
+              rHead = rIter.next()
+              rHeadKey = rkB.eval(rHead)
+              if (rHeadKey == null || rtB.eval(rHead) == null) rHead = null
+            } else continue = false
+          }
+          if (rHead != null) {
+            val c = keyOrd.compare(rHeadKey, k)
+            if (c < 0) rHead = null // earlier key: dead, lefts are past it
+            else if (c == 0 && rtB.eval(rHead).asInstanceOf[Long] <= t + w) {
+              val u = rHead match {
+                case ur: UnsafeRow => ur.copy()
+                case other => rToUnsafe(other).copy()
+              }
+              buf.add(rtB.eval(rHead).asInstanceOf[Long], u)
+              rHead = null
+            } else continue = false // beyond band or later key
+          }
+        }
+        // evict rights that fell behind the band start
+        buf.evictBelow(t)
+        if (buf.nonEmpty) pending = buf.iterator(t)
+      }
+      // null key/time or empty band: inner join → left row drops
+    }
+    if (pending == null) curLeft = null // exhausted
+  }
+
+  def advance(): Boolean = {
+    while ((pending == null || !pending.hasNext) && lIter.hasNext) advanceLeft()
+    if (pending != null && pending.hasNext) { curRight = pending.next(); true }
+    else false
+  }
+}
+
 final case class IntervalJoinExec(
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
     windowUs: Long,
-    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] = left.output ++ right.output
 
@@ -173,92 +252,70 @@ final case class IntervalJoinExec(
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
-  protected override def doExecute(): RDD[InternalRow] = {
-    val lOut = left.output
-    val rOut = right.output
-    val w = windowUs
+  /** Shared by both execution paths (and called from generated Java). */
+  def createScanner(lIter: Iterator[InternalRow], rIter: Iterator[InternalRow]): IntervalScanner = {
     val bandLimit = conf.getConfString(
       IntervalJoinExec.BandBufferRowsKey,
       IntervalJoinExec.BandBufferRowsDefault.toString).toInt
+    new IntervalScanner(
+      lIter, rIter,
+      BindReferences.bindReference(leftKey, left.output),
+      BindReferences.bindReference(leftTime, left.output),
+      BindReferences.bindReference(rightKey, right.output),
+      BindReferences.bindReference(rightTime, right.output),
+      TypeUtils.getInterpretedOrdering(leftKey.dataType),
+      windowUs, right.output, bandLimit)
+  }
+
+  protected override def doExecute(): RDD[InternalRow] = {
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      val lkB = BindReferences.bindReference(leftKey, lOut)
-      val ltB = BindReferences.bindReference(leftTime, lOut)
-      val rkB = BindReferences.bindReference(rightKey, rOut)
-      val rtB = BindReferences.bindReference(rightTime, rOut)
-      val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
-      val resultProj = UnsafeProjection.create(output, output)
-      // sorted-shuffle output rows are UnsafeRows already; this projection
-      // only fires if a future child breaks that, keeping the spill codec
-      // (UnsafeRow.writeToStream) universally applicable
-      val rToUnsafe = UnsafeProjection.create(rOut, rOut)
+      val scanner = createScanner(lIter, rIter)
       val joined = new JoinedRow
-
-      // sliding band state: COPIED right rows of the current key whose
-      // time has not yet fallen behind the current left row; spills to
-      // local-disk segments past `bandLimit` rows (one-hot-key guard)
-      val buf = new BandBuffer(rOut.length, bandLimit)
-      Option(org.apache.spark.TaskContext.get()).foreach(
-        _.addTaskCompletionListener[Unit](_ => buf.clear()))
-
+      val resultProj = UnsafeProjection.create(output, output)
       new Iterator[InternalRow] {
-        private var bufKey: Any = null
-        private var rHead: InternalRow = null
-        private var rHeadKey: Any = null
-        // pending emissions for the current left row
-        private var pending: Iterator[InternalRow] = null
-        private var curLeft: InternalRow = null
-
-        private def advanceLeft(): Unit = {
-          pending = null
-          while (pending == null && lIter.hasNext) {
-            curLeft = lIter.next()
-            val k = lkB.eval(curLeft)
-            val tAny = ltB.eval(curLeft)
-            if (k != null && tAny != null) {
-              val t = tAny.asInstanceOf[Long]
-              // new key → band state resets
-              if (bufKey == null || keyOrd.compare(bufKey, k) != 0) { buf.clear(); bufKey = k }
-              // pull rights into the band up to t + w
-              var continue = true
-              while (continue) {
-                if (rHead == null) {
-                  if (rIter.hasNext) {
-                    rHead = rIter.next()
-                    rHeadKey = rkB.eval(rHead)
-                    if (rHeadKey == null || rtB.eval(rHead) == null) rHead = null
-                  } else continue = false
-                }
-                if (rHead != null) {
-                  val c = keyOrd.compare(rHeadKey, k)
-                  if (c < 0) rHead = null // earlier key: dead, lefts are past it
-                  else if (c == 0 && rtB.eval(rHead).asInstanceOf[Long] <= t + w) {
-                    val u = rHead match {
-                      case ur: UnsafeRow => ur.copy()
-                      case other => rToUnsafe(other).copy()
-                    }
-                    buf.add(rtB.eval(rHead).asInstanceOf[Long], u)
-                    rHead = null
-                  } else continue = false // beyond band or later key
-                }
-              }
-              // evict rights that fell behind the band start
-              buf.evictBelow(t)
-              if (buf.nonEmpty) pending = buf.iterator(t)
-            }
-            // null key/time or empty band: inner join → left row drops
-          }
-          if (pending == null) curLeft = null // exhausted
-        }
-
-        override def hasNext: Boolean = {
-          while ((pending == null || !pending.hasNext) && lIter.hasNext) advanceLeft()
-          pending != null && pending.hasNext
-        }
-
+        override def hasNext: Boolean = scanner.advance()
         override def next(): InternalRow =
-          resultProj(joined(curLeft, pending.next()))
+          resultProj(joined(scanner.curLeft, scanner.curRight))
       }
     }
+  }
+
+  // ---- whole-stage codegen (see AsOfJoinExec: scanner stays compiled,
+  // consumption side fuses into the downstream generated stage)
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.execute() :: right.execute() :: Nil
+
+  override def needCopyResult: Boolean = true
+
+  override protected def doProduce(ctx: CodegenContext): String = {
+    val thisPlan = ctx.addReferenceObj("plan", this)
+    val scanner = ctx.addMutableState("graft.plans.IntervalScanner", "intervalScanner",
+      v => s"$v = ((graft.plans.IntervalJoinExec) $thisPlan).createScanner(inputs[0], inputs[1]);",
+      forceInline = true)
+    val leftRow = ctx.addMutableState("InternalRow", "intervalLeftRow", forceInline = true)
+    val rightRow = ctx.addMutableState("InternalRow", "intervalRightRow", forceInline = true)
+    ctx.currentVars = null
+    ctx.INPUT_ROW = leftRow
+    val leftVars = left.output.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+    ctx.INPUT_ROW = rightRow
+    val rightVars = right.output.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+    val leftVarsCode = evaluateVariables(leftVars)
+    val rightVarsCode = evaluateVariables(rightVars)
+    s"""
+       |while ($scanner.advance()) {
+       |  $leftRow = $scanner.curLeft();
+       |  $rightRow = $scanner.curRight();
+       |  $leftVarsCode
+       |  $rightVarsCode
+       |  ${consume(ctx, leftVars ++ rightVars)}
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin
   }
 
   override protected def withNewChildrenInternal(

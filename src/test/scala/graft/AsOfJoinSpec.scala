@@ -120,5 +120,10 @@ class AsOfJoinSpec extends GraftSpec {
     assert(p.contains("AsOfJoin"), p) // exec node prints without the Exec suffix
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
     assert("Sort ".r.findAllIn(p).size >= 2, p)
+    // whole-stage codegen FUSES the custom exec: the node prints with the
+    // codegen-stage star, i.e. downstream operators consume scanner rows
+    // inside one generated loop, no boundary materialization
+    assert("""\*\(\d+\) AsOfJoin""".r.findFirstIn(p).isDefined,
+      s"AsOfJoin not inside a WholeStageCodegen stage:\n$p")
   }
 }

@@ -96,5 +96,8 @@ class IntervalJoinSpec extends GraftSpec {
     assert(p.contains("IntervalJoin"), p)
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
     assert(!p.contains("Generate") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // codegen fusion pin (see AsOfJoinSpec)
+    assert("""\*\(\d+\) IntervalJoin""".r.findFirstIn(p).isDefined,
+      s"IntervalJoin not inside a WholeStageCodegen stage:\n$p")
   }
 }
