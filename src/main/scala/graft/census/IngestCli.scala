@@ -29,6 +29,9 @@ object IngestCli {
     val out = opts.get("--out")
     val dsn = opts.get("--pg-dsn")
 
+    // reuse an already-active session (e.g. when driven from a test JVM)
+    // and only own the lifecycle of one we created ourselves
+    val hadSession = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession).isDefined
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .config("spark.sql.shuffle.partitions", "4")
@@ -44,11 +47,12 @@ object IngestCli {
     // cell start positions each restart at 7
     val (geo, est, moe) = Ingest.ingestAll(spark, dataDir, year, span, states, metas)
 
-    println(PgSink.createSchemaDdl(schemaName).mkString(";\n"))
-    metas.foreach { m =>
-      println(PgSink.createTableDdl(schemaName, m, moe = false).mkString(";\n"))
-      println(PgSink.createTableDdl(schemaName, m, moe = true).mkString(";\n"))
-    }
+    val ddl = PgSink.createSchemaDdl(schemaName) ++
+      PgSink.geoheaderDdl(schemaName) ++
+      metas.flatMap(m =>
+        PgSink.createTableDdl(schemaName, m, moe = false) ++
+          PgSink.createTableDdl(schemaName, m, moe = true))
+    println(ddl.mkString(";\n"))
 
     val all = Map("geoheader" -> geo) ++ est ++ moe
     out.foreach { dir =>
@@ -58,8 +62,12 @@ object IngestCli {
       }
     }
     dsn.foreach { d =>
+      // A4/A13: execute the idempotent DDL (DROP IF EXISTS + CREATE +
+      // COMMENT ON), then bulk-load every table through the COPY pipe —
+      // the reference's terminal step, end to end
+      PgSink.execSql(d, ddl)
       all.foreach { case (name, df) => PgSink.writeCopy(df, d, s"$schemaName.$name") }
     }
-    spark.stop()
+    if (!hadSession) spark.stop()
   }
 }

@@ -51,6 +51,27 @@ object PgSink {
         s"COMMENT ON COLUMN $schema.$name.${meta.cellName(c.line)} IS '${c.title.replace("'", "''")}'")
   }
 
+  /** CREATE TABLE for the geoheader (declared schema, PK on the same
+    * (stusab, logrecno) join key the ACS tables carry). */
+  def geoheaderDdl(schema: String): Seq[String] = {
+    val cols = graft.census.Metadata.geoheaderSchema.fields
+      .map(f => s"${f.name} ${pgType(f.dataType)}").mkString(", ")
+    Seq(
+      s"DROP TABLE IF EXISTS $schema.geoheader",
+      s"CREATE TABLE $schema.geoheader ($cols, PRIMARY KEY (stusab, logrecno))")
+  }
+
+  /** Execute DDL/SQL statements against a DSN via psql; throws with the
+    * server's error text on failure. */
+  def execSql(dsn: String, statements: Seq[String]): Unit = {
+    import scala.sys.process._
+    val out = new StringBuilder
+    val code = Seq("psql", dsn, "-v", "ON_ERROR_STOP=1",
+      "-c", statements.mkString(";\n")) !
+      ProcessLogger(out.append(_).append('\n'), out.append(_).append('\n'))
+    if (code != 0) sys.error(s"psql DDL failed ($code): $out")
+  }
+
   /** One row in COPY text format: tab-separated, NULL as \N, control
     * chars escaped per the COPY TEXT spec. */
   private[graft] def copyLine(row: org.apache.spark.sql.Row): String =

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.census.ScratchPg
+import graft.queries.CensusQueries
+
+/** End-to-end IngestCli drive (SURVEY §2.A A4–A14 in one pass): the
+  * multi-state fixture (2 states, `_moe` twins, FIXTURES.md §B) goes
+  * CLI → metadata parse → declared-schema scans → slice/coerce/rename →
+  * parquet out AND live-Postgres DDL + COPY — then both sinks are read
+  * back and golden-checked, including the null coercions and the MOE
+  * jam value, and the Postgres side is compared value-for-value against
+  * the parquet side. */
+class CensusE2ESpec extends GraftSpec {
+
+  private val outDir = "/tmp/graft_census_e2e"
+  private val schema = "acs2014_5yr"
+
+  private def psqlOne(sql: String): String = {
+    import scala.sys.process._
+    Seq("psql", ScratchPg.dsn, "-tAc", sql).!!.trim
+  }
+
+  test("IngestCli: fixture -> parquet + live PG COPY, both read back golden") {
+    assume(ScratchPg.ensure(), "scratch postgres could not be started")
+    val spark = SparkSpecBase.spark
+
+    graft.census.IngestCli.main(Array(
+      "--year", "2014", "--span", "5", "--states", "xa,xb",
+      "--data-dir", CensusQueries.fixtureDir,
+      "--lookup", s"${CensusQueries.fixtureDir}/ACS_5yr_Seq_Table_Number_Lookup.txt",
+      "--out", outDir,
+      "--pg-dsn", ScratchPg.dsn))
+
+    // ---- parquet side: golden structure + null/jam semantics
+    val geo = spark.read.parquet(s"$outDir/geoheader")
+    assert(geo.count() == 10) // 5 rows x 2 states (A11 multi-state union)
+    val b1 = spark.read.parquet(s"$outDir/b00001")
+    assert(b1.columns.toSeq == Seq("stusab", "logrecno", "b00001001", "b00001002"))
+    assert(b1.count() == 10)
+    // A8 null coercion: '' at (xa,2), '.' at (xb,3)
+    val nulls = b1.filter(col("b00001002").isNull)
+      .select("stusab", "logrecno").collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(nulls == Set(("xa", 2), ("xb", 3)))
+    // A10 moe twin carries the jam value through as a number
+    val jam = spark.read.parquet(s"$outDir/b00001_moe")
+      .filter(col("stusab") === "xa" && col("logrecno") === 2)
+      .select("b00001002").head.getDouble(0)
+    assert(jam == -555555555.0)
+    val b2moe = spark.read.parquet(s"$outDir/b00002_moe")
+    assert(b2moe.columns.toSeq ==
+      Seq("stusab", "logrecno", "b00002001", "b00002002", "b00002003"))
+
+    // ---- Postgres side: every table landed via DDL + COPY; values match
+    // the parquet side exactly (count, per-column sum, null count)
+    for (tbl <- Seq("geoheader", "b00001", "b00001_moe", "b00002", "b00002_moe")) {
+      assert(psqlOne(s"SELECT count(*) FROM $schema.$tbl") == "10", tbl)
+    }
+    val dfSum = b1.agg(
+      sum("b00001001").cast("long"), sum("b00001002").cast("long"),
+      count(lit(1)) - count(col("b00001002"))).head
+    val pg = psqlOne(
+      s"""SELECT CAST(sum(b00001001) AS BIGINT), CAST(sum(b00001002) AS BIGINT),
+         |count(*) - count(b00001002) FROM $schema.b00001""".stripMargin.replace("\n", " "))
+    assert(pg == s"${dfSum.getLong(0)}|${dfSum.getLong(1)}|${dfSum.getLong(2)}", pg)
+    val pgJam = psqlOne(
+      s"SELECT b00001002 FROM $schema.b00001_moe WHERE stusab='xa' AND logrecno=2")
+    assert(pgJam.toDouble == -555555555.0, pgJam)
+    // A4: COMMENT ON metadata carried into the catalog
+    val cmt = psqlOne(s"SELECT obj_description('$schema.b00001'::regclass)")
+    assert(cmt.nonEmpty && cmt.toLowerCase.contains("population"), s"table comment: '$cmt'")
+
+    // A13 idempotent re-run: the CLI's DROP-IF-EXISTS DDL + fresh COPY
+    // leaves the identical state
+    graft.census.IngestCli.main(Array(
+      "--year", "2014", "--span", "5", "--states", "xa,xb",
+      "--data-dir", CensusQueries.fixtureDir,
+      "--lookup", s"${CensusQueries.fixtureDir}/ACS_5yr_Seq_Table_Number_Lookup.txt",
+      "--pg-dsn", ScratchPg.dsn))
+    assert(psqlOne(s"SELECT count(*) FROM $schema.b00001") == "10")
+    assert(psqlOne(
+      s"""SELECT CAST(sum(b00001001) AS BIGINT) FROM $schema.b00001""") ==
+      dfSum.getLong(0).toString)
+  }
+}
