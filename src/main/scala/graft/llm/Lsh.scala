@@ -19,16 +19,17 @@ object Lsh {
   val BitsPerTable = 8
   val Dim = 64
 
-  /** Deterministic pseudo-gaussian plane components via a fixed LCG:
-    * sum of 4 uniform(-1,1) draws (Irwin–Hall ≈ gaussian shape). */
-  private def lcg(seed: Long): Iterator[Long] =
-    Iterator.iterate(seed)(s => s * 6364136223846793005L + 1442695040888963407L).drop(1)
+  /** Deterministic pseudo-gaussian plane components: sum of 4
+    * uniform(-1,1) draws (Irwin–Hall ≈ gaussian shape), each draw
+    * md5-derived per index — position-independent arithmetic DuckDB can
+    * reproduce exactly, which puts llm_sim_lsh_topk under the full
+    * oracle gate (a sequential LCG would need a 16k-step recurrence in
+    * SQL). (h >>> 11) keeps 53 bits, so the Long→Double conversion is
+    * exact on both engines. */
+  private def u(i: Int): Double =
+    ((Md5Hash.h64(i.toString) >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
 
   val planes: Array[Array[Double]] = {
-    val n = NumTables * BitsPerTable * Dim
-    val u = lcg(0x9E3779B97F4A7C15L)
-      .map(s => ((s >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0)
-      .take(n * 4).toArray
     Array.tabulate(NumTables * BitsPerTable) { pi =>
       Array.tabulate(Dim) { d =>
         val o = (pi * Dim + d) * 4

@@ -1588,6 +1588,130 @@ object OracleSql {
       FROM d JOIN (SELECT * FROM agg UNION ALL SELECT * FROM small) a USING (doc_id)
       ORDER BY doc_id""",
 
+    // Full LSH mirror: the md5-derived Irwin-Hall plane components are
+    // recomputed in SQL (same index arithmetic, same (h>>>11)/2^53
+    // uniform), buckets are the same sign patterns, and the final exact
+    // top-5 ranks on the 4-rounded cosine — value-for-value with the
+    // Spark path.
+    "llm_sim_lsh_topk" -> """
+      WITH uvals AS (
+        SELECT i,
+               ((CAST(('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 16)) AS UBIGINT) >> 11)::DOUBLE
+                / 9007199254740992.0) * 2.0 - 1.0 AS u
+        FROM range(16384) t(i)),
+      comp AS (
+        SELECT c.pi, c.d, u0.u + u1.u + u2.u + u3.u AS v
+        FROM (SELECT pi, d, (pi * 64 + d) * 4 AS o
+              FROM range(64) p(pi), range(64) dd(d)) c
+        JOIN uvals u0 ON u0.i = c.o
+        JOIN uvals u1 ON u1.i = c.o + 1
+        JOIN uvals u2 ON u2.i = c.o + 2
+        JOIN uvals u3 ON u3.i = c.o + 3),
+      plane AS (SELECT pi, list(v ORDER BY d) AS p FROM comp GROUP BY pi),
+      n AS (
+        SELECT vec_id, embedding,
+               sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                     FROM unnest(embedding) AS u(x))) AS nrm
+        FROM embeddings),
+      vb AS (
+        SELECT e.vec_id, pl.pi // 8 AS tb, pl.pi % 8 AS bit,
+               CASE WHEN (SELECT sum(a * b) FROM (
+                            SELECT unnest(pl.p) AS a,
+                                   CAST(unnest(e.embedding) AS DOUBLE) AS b)) >= 0
+                    THEN 1 ELSE 0 END AS s
+        FROM n e CROSS JOIN plane pl),
+      bkts AS (
+        SELECT vec_id, tb, tb * 65536 + CAST(sum(s * (1 << CAST(bit AS INT))) AS BIGINT) AS bkt
+        FROM vb GROUP BY vec_id, tb),
+      cand AS (
+        SELECT DISTINCT p.vec_id AS pid, e.vec_id AS nid
+        FROM bkts p JOIN bkts e ON p.bkt = e.bkt
+        WHERE p.vec_id < 10 AND e.vec_id <> p.vec_id),
+      pairs AS (
+        SELECT cand.pid, cand.nid,
+               round((SELECT sum(a * b) FROM (
+                        SELECT CAST(unnest(pp.embedding) AS DOUBLE) AS a,
+                               CAST(unnest(nn.embedding) AS DOUBLE) AS b))
+                     / (pp.nrm * nn.nrm), 4) AS cos
+        FROM cand JOIN n pp ON pp.vec_id = cand.pid
+                  JOIN n nn ON nn.vec_id = cand.nid)
+      SELECT pid, nid, cos, rnk FROM (
+        SELECT pid, nid, cos,
+               row_number() OVER (PARTITION BY pid ORDER BY cos DESC, nid) AS rnk
+        FROM pairs)
+      WHERE rnk <= 5 ORDER BY pid, rnk""",
+
+    // Full IVF mirror: argmax cell assignment (d desc, cell asc — the
+    // TopKAggregator's exact ordering), 2-probe cells per query, pair
+    // dedup, rounded-cosine top-5.
+    "llm_sim_ivf_topk" -> """
+      WITH n AS (
+        SELECT vec_id, embedding,
+               sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                     FROM unnest(embedding) AS u(x))) AS nrm
+        FROM embeddings),
+      cents AS (SELECT vec_id AS cell, embedding AS cv FROM n WHERE vec_id < 16),
+      scored AS (
+        SELECT e.vec_id, c.cell,
+               (SELECT sum(a * b) FROM (
+                  SELECT CAST(unnest(e.embedding) AS DOUBLE) AS a,
+                         CAST(unnest(c.cv) AS DOUBLE) AS b)) AS d
+        FROM n e CROSS JOIN cents c),
+      assigned AS (
+        SELECT vec_id, cell FROM (
+          SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS r
+          FROM scored) WHERE r = 1),
+      probecells AS (
+        SELECT vec_id AS pid, cell FROM (
+          SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS r
+          FROM scored WHERE vec_id < 10) WHERE r <= 2),
+      cand AS (
+        SELECT DISTINCT p.pid, a.vec_id AS nid
+        FROM assigned a JOIN probecells p ON a.cell = p.cell
+        WHERE a.vec_id <> p.pid),
+      pairs AS (
+        SELECT cand.pid, cand.nid,
+               round((SELECT sum(a * b) FROM (
+                        SELECT CAST(unnest(pp.embedding) AS DOUBLE) AS a,
+                               CAST(unnest(nn.embedding) AS DOUBLE) AS b))
+                     / (pp.nrm * nn.nrm), 4) AS cos
+        FROM cand JOIN n pp ON pp.vec_id = cand.pid
+                  JOIN n nn ON nn.vec_id = cand.nid)
+      SELECT pid, nid, cos, rnk FROM (
+        SELECT pid, nid, cos,
+               row_number() OVER (PARTITION BY pid ORDER BY cos DESC, nid) AS rnk
+        FROM pairs)
+      WHERE rnk <= 5 ORDER BY pid, rnk""",
+
+    // Reference-equivalent ETL under the oracle: DuckDB re-ingests the
+    // SAME fixture CSVs (geoheader declared schema; e-file cell slice
+    // c7/c8 for table B00001 with ''/'.' null coercion) and re-derives
+    // the per-sumlevel rollup — the whole A3-A11 pipeline checked
+    // value-for-value, not only by golden pin.
+    "ingest_census_csv" -> """
+      WITH geo AS (
+        SELECT stusab, sumlevel, logrecno
+        FROM read_csv(['/root/repo/src/main/resources/acs/g20145xa.csv',
+                       '/root/repo/src/main/resources/acs/g20145xb.csv'],
+             header=false,
+             columns={'fileid':'VARCHAR','stusab':'VARCHAR','sumlevel':'VARCHAR',
+                      'component':'VARCHAR','logrecno':'INTEGER','geoid':'VARCHAR','name':'VARCHAR'})),
+      e AS (
+        SELECT c3 AS stusab, CAST(c6 AS INTEGER) AS logrecno,
+               CAST(nullif(nullif(c7, ''), '.') AS DOUBLE) AS b00001001,
+               CAST(nullif(nullif(c8, ''), '.') AS DOUBLE) AS b00001002
+        FROM read_csv(['/root/repo/src/main/resources/acs/e20145xa0001000.txt',
+                       '/root/repo/src/main/resources/acs/e20145xb0001000.txt'],
+             header=false, all_varchar=true,
+             columns={'c1':'VARCHAR','c2':'VARCHAR','c3':'VARCHAR','c4':'VARCHAR','c5':'VARCHAR',
+                      'c6':'VARCHAR','c7':'VARCHAR','c8':'VARCHAR','c9':'VARCHAR','c10':'VARCHAR','c11':'VARCHAR'}))
+      SELECT sumlevel,
+             count(*) AS n_geo,
+             sum(b00001001) AS sum_total,
+             sum(b00001002) AS sum_male
+      FROM e JOIN geo ON e.stusab = geo.stusab AND e.logrecno = geo.logrecno
+      GROUP BY sumlevel ORDER BY sumlevel""",
+
     "llm_hash_embedding" -> """
       WITH tok AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS w

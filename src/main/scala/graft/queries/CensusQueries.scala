@@ -10,8 +10,9 @@ import graft.tables.Tables.t
   * (SURVEY §2.B ingest_census_csv): metadata parse → declared-schema
   * CSV scans → cell slice/coerce/rename → estimates ⋈ geoheader, over
   * the checked-in synthetic ACS fixture (FIXTURES.md §B — the real
-  * census.gov inputs are unreachable, zero egress). Oracle-exempt;
-  * CensusIngestSpec golden-checks every stage.
+  * census.gov inputs are unreachable, zero egress). Oracle-checked since
+  * round 4: DuckDB re-ingests the same fixture CSVs and re-derives the
+  * rollup; CensusIngestSpec additionally golden-checks every stage.
   */
 object CensusQueries {
 

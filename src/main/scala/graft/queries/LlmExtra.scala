@@ -115,8 +115,10 @@ object LlmExtra {
     * 8-bit sign buckets (one map pass), candidates = bucket collisions
     * with a probe (equi-join on (table, bucket)), exact cosine + top-5
     * only on candidates. This is the 100 TB path — the equi-join shuffle
-    * replaces llm_sim_cosine_topk's cross join. Oracle-exempt; ScalaTest
-    * measures recall against the brute-force result. */
+    * replaces llm_sim_cosine_topk's cross join. md5-derived plane
+    * components make the buckets DuckDB-expressible, so this is fully
+    * oracle-checked; ScalaTest additionally measures recall against the
+    * brute-force result. */
   def llmSimLshTopk(s: SparkSession, dir: String): DataFrame = {
     graft.udx.NGrams.registerAll(s)
     val bucketsUdf = udf((v: Seq[Float]) =>
@@ -145,8 +147,9 @@ object LlmExtra {
     * LSH): assign every vector to its nearest of 16 cells, probe only
     * the 2 nearest cells per query vector — cell-key equi-join instead
     * of a cross join. Cell argmax and final top-5 both use the
-    * bounded-heap TopK aggregate. Oracle-exempt; ScalaTest measures
-    * recall vs brute force. */
+    * bounded-heap TopK aggregate, whose (score desc, id asc) order a
+    * SQL row_number mirrors exactly — fully oracle-checked; ScalaTest
+    * additionally measures recall vs brute force. */
   def llmSimIvfTopk(s: SparkSession, dir: String): DataFrame = {
     import graft.llm.Ivf
     graft.udx.NGrams.registerAll(s)

@@ -1,6 +1,6 @@
 package graft
 
-/** Golden-output pins for the 12 oracle-exempt queries at sf0.001: row
+/** Golden-output pins for the 9 oracle-exempt queries at sf0.001: row
   * count + MD5 of the sorted stringified rows. The invariant tests in
   * OracleExemptSpec catch wrong MATH; these catch silent BEHAVIOR drift
   * (a changed seed, band count, stub constant, split boundary) that
@@ -17,15 +17,12 @@ class GoldenExemptSpec extends GraftSpec {
     "agg_count_min_sketch" -> (20, "b9fc61be1864f36d88cb15bf4d8b7716"),
     "agg_hll_union" -> (6, "d3b303c7cd4f4c9a742d313775e5d09f"),
     "stream_watermark_late" -> (868, "10528aeb702d3bf34aa409c859e5658e"),
-    // llm_dedup_minhash / llm_dedup_simhash / llm_fingerprint graduated to
-    // md5-derived hashes + full DuckDB oracles in round 4 — no pin needed
-    "llm_sim_lsh_topk" -> (50, "bbb2351d8dd56f78f6feb5c1a91cf931"),
-    "llm_sim_ivf_topk" -> (50, "cd60dde04cc5630f1aacf4fd8fad72ce"),
+    // minhash/simhash/fingerprint/lsh_topk/ivf_topk/ingest_census_csv
+    // graduated to full DuckDB oracles in round 4 — no pins needed
     "llm_pack_sequences" -> (66, "fe50a1f2a60ae216d6fc49714558c77b"),
     "mm_decode_stub" -> (3, "7628ee041cc19af9ed57537e80f3045a"),
     "mm_frame_sample" -> (166, "46d47d9d3ef01219bee31a9ea68c7420"),
-    "mm_token_budget" -> (3, "5cc1e21858f0bb4d788e46381b3d1f58"),
-    "ingest_census_csv" -> (3, "2e156d557df551b4833370c4df92c7b6"))
+    "mm_token_budget" -> (3, "5cc1e21858f0bb4d788e46381b3d1f58"))
 
   private def digest(rows: Array[String]): String =
     java.security.MessageDigest.getInstance("MD5")
