@@ -216,15 +216,15 @@ object SparkEntry {
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for the 9 non-SQL-expressible ops
+    * the same parquet tables. Omitted for the 8 non-SQL-expressible ops
     * (agg_approx_distinct, agg_approx_percentile, agg_count_min_sketch,
-    * agg_hll_union — engine-specific sketch internals; stream_watermark_late
-    * — not batch-SQL-expressible; llm_pack_sequences — stateful scan;
-    * mm_decode_stub, mm_frame_sample, mm_token_budget — stub decoder) —
-    * those are covered by ScalaTest (incl. golden digests) instead
-    * (SURVEY §5). Round 4 moved llm_dedup_minhash / llm_dedup_simhash /
-    * llm_fingerprint / llm_sim_lsh_topk (md5-derived hashes/planes),
-    * llm_sim_ivf_topk, and ingest_census_csv (DuckDB re-ingests the
-    * fixture CSVs) under full DuckDB mirrors. */
+    * agg_hll_union — engine-specific sketch internals; llm_pack_sequences
+    * — stateful scan; mm_decode_stub, mm_frame_sample, mm_token_budget —
+    * stub decoder) — those are covered by ScalaTest (incl. golden
+    * digests) instead (SURVEY §5). Round 4 moved llm_dedup_minhash /
+    * llm_dedup_simhash / llm_fingerprint / llm_sim_lsh_topk (md5-derived
+    * hashes/planes), llm_sim_ivf_topk, ingest_census_csv (DuckDB
+    * re-ingests the fixture CSVs), and stream_watermark_late (batch
+    * no-op watermark contract) under full DuckDB mirrors. */
   def oracleSql: Map[String, String] = OracleSql.sql
 }

@@ -662,6 +662,14 @@ object OracleSql {
       FROM lineitem JOIN part ON l_partkey = p_partkey
       GROUP BY p_brand ORDER BY p_brand""",
 
+    // The graded batch form: withWatermark is a no-op in batch by Spark's
+    // contract, so the output is the plain hourly rollup — checkable; the
+    // streaming late-drop semantics stay asserted on MemoryStreams in
+    // StreamingSpec.
+    "stream_watermark_late" -> """
+      SELECT epoch_us(date_trunc('hour', ts)) AS win_start_us, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2 ORDER BY win_start_us, event_type""",
+
     "stream_tumbling_count" -> s"""
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
              count(*) AS n, ${N.sumMoney("value")} AS sum_value

@@ -73,10 +73,11 @@ object StreamingQueries {
       .orderBy("user_id")
   }
 
-  /** Watermarked tumbling counts. `withWatermark` is a no-op in batch
-    * (kept so the same plan runs on readStream); the late-row-drop
-    * semantics are asserted in the MemoryStream ScalaTest (oracle-exempt,
-    * SURVEY §2.B). */
+  /** Watermarked tumbling counts. `withWatermark` is a no-op in batch by
+    * Spark's contract (kept so the same plan runs on readStream), so the
+    * batch output is the plain hourly rollup — oracle-checked since
+    * round 4; the late-row-drop semantics are asserted in the
+    * MemoryStream ScalaTest (SURVEY §2.B). */
   def streamWatermarkLate(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .withWatermark("ts", "10 minutes")

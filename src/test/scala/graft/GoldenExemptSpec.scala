@@ -1,6 +1,6 @@
 package graft
 
-/** Golden-output pins for the 9 oracle-exempt queries at sf0.001: row
+/** Golden-output pins for the 8 oracle-exempt queries at sf0.001: row
   * count + MD5 of the sorted stringified rows. The invariant tests in
   * OracleExemptSpec catch wrong MATH; these catch silent BEHAVIOR drift
   * (a changed seed, band count, stub constant, split boundary) that
@@ -16,7 +16,6 @@ class GoldenExemptSpec extends GraftSpec {
     "agg_approx_percentile" -> (5, "812e349bebb023fa3b124cec9fbef536"),
     "agg_count_min_sketch" -> (20, "b9fc61be1864f36d88cb15bf4d8b7716"),
     "agg_hll_union" -> (6, "d3b303c7cd4f4c9a742d313775e5d09f"),
-    "stream_watermark_late" -> (868, "10528aeb702d3bf34aa409c859e5658e"),
     // minhash/simhash/fingerprint/lsh_topk/ivf_topk/ingest_census_csv
     // graduated to full DuckDB oracles in round 4 — no pins needed
     "llm_pack_sequences" -> (66, "fe50a1f2a60ae216d6fc49714558c77b"),
