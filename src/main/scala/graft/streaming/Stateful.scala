@@ -134,7 +134,52 @@ object Stateful {
     events.groupByKey(_.user_id)(Encoders.scalaLong)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(funnelStep)
   }
+
+  /** Streaming AS-OF enrich — the incremental twin of the custom batch
+    * operator (`graft.plans.AsOfJoin`, backward mode): each "left" event
+    * pairs with the most recent "right" event of the same key at-or-
+    * before its time; unmatched lefts emit with the -1 sentinel (the
+    * batch operator's null-extension). State per key is ONE (ts, value)
+    * record — the same O(1) bound the batch merge holds per partition.
+    * Each batch's events are processed in event-time order, rights
+    * before lefts on equal timestamps (the ≤ band). A right that ARRIVES
+    * in a later batch than a left cannot retro-match — the inherent
+    * streaming/batch divergence under disorder; with sources in event-
+    * time order across batches, outputs equal the batch operator's
+    * exactly (asserted in StreamingSpec). */
+  def asofStep(
+      uid: Long,
+      events: Iterator[UserEvent],
+      state: GroupState[AsOfLatest]): Iterator[AsOfMatch] = {
+    var latest = state.getOption.getOrElse(AsOfLatest(uid, -1L, 0.0))
+    val out = scala.collection.mutable.ArrayBuffer.empty[AsOfMatch]
+    events.toArray
+      .sortBy(e => (e.ts.getTime, if (e.event_type == "right") 0 else 1))
+      .foreach { e =>
+        val t = e.ts.getTime
+        if (e.event_type == "right") latest = AsOfLatest(uid, t, e.value)
+        else out += AsOfMatch(uid, t, latest.r_ms,
+          if (latest.r_ms >= 0) latest.r_value else 0.0)
+      }
+    state.update(latest)
+    out.iterator
+  }
+
+  def asofEnrich(events: Dataset[UserEvent]): Dataset[AsOfMatch] = {
+    implicit val outEnc = Encoders.product[AsOfMatch]
+    implicit val stateEnc = Encoders.product[AsOfLatest]
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(asofStep)
+  }
 }
+
+/** Latest right-side event per key (asofEnrich state); r_ms = -1 until
+  * one arrives. Fixed-width primitives for the state store. */
+final case class AsOfLatest(user_id: Long, r_ms: Long, r_value: Double)
+
+/** One as-of match per left event; right_ms = -1 = unmatched. */
+final case class AsOfMatch(user_id: Long, left_ms: Long, right_ms: Long, right_value: Double)
 
 /** Funnel progress per user; -1 = stage not reached (epoch millis
   * otherwise). Kept as primitives so the state-store row stays fixed

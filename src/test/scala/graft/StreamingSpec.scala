@@ -279,6 +279,48 @@ class StreamingSpec extends GraftSpec {
     } finally query.stop()
   }
 
+  test("streaming as-of enrich equals the custom batch AsOfJoin on in-order input") {
+    implicit val sqlCtx = spark.sqlContext
+    import SparkSpecBase.spark.implicits._
+    import graft.streaming.{Stateful, UserEvent}
+    // rights/lefts per user covering: unmatched left (before any right),
+    // equal-ts match (≤ band), latest-of-several-rights, and a
+    // cross-batch match (right in batch 1, left in batch 2)
+    val batch1 = Seq(
+      UserEvent(ts("2024-01-01 09:00:00"), 1, "left", 0.0),   // unmatched
+      UserEvent(ts("2024-01-01 10:00:00"), 1, "right", 10.0),
+      UserEvent(ts("2024-01-01 10:00:00"), 2, "right", 20.0),
+      UserEvent(ts("2024-01-01 10:00:00"), 2, "left", 0.0),   // equal ts → matches 20.0
+      UserEvent(ts("2024-01-01 10:30:00"), 1, "right", 11.0),
+      UserEvent(ts("2024-01-01 11:00:00"), 1, "left", 0.0))   // latest right wins → 11.0
+    val batch2 = Seq(
+      UserEvent(ts("2024-01-01 12:00:00"), 1, "left", 0.0),   // matches batch-1 state → 11.0
+      UserEvent(ts("2024-01-01 12:30:00"), 3, "left", 0.0))   // user never saw a right
+    val in = MemoryStream[UserEvent]
+    val sinkName = s"sink_${System.nanoTime()}"
+    val query = Stateful.asofEnrich(in.toDS()).writeStream
+      .format("memory").queryName(sinkName).outputMode(OutputMode.Append()).start()
+    val got = try {
+      Seq(batch1, batch2).foreach { b => in.addData(b); query.processAllAvailable() }
+      spark.table(sinkName).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sorted
+    } finally query.stop()
+
+    // batch reference: the custom AsOfJoin operator over the same rows
+    val all = batch1 ++ batch2
+    val lefts = all.filter(_.event_type == "left")
+      .map(e => (e.user_id, e.ts)).toDF("user_id", "ts")
+    val rights = all.filter(_.event_type == "right")
+      .map(e => (e.user_id, e.ts, e.value)).toDF("r_user", "rts", "value")
+    val want = graft.plans.AsOf.join(lefts, rights, "user_id", "ts", "r_user", "rts")
+      .collect().map { r =>
+        (r.getLong(0), r.getTimestamp(1).getTime,
+          if (r.isNullAt(3)) -1L else r.getTimestamp(3).getTime,
+          if (r.isNullAt(4)) 0.0 else r.getDouble(4))
+      }.sorted
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("idle-gap sessions split on in-data gaps even when the same user drives the watermark") {
     implicit val sqlCtx = spark.sqlContext
     import SparkSpecBase.spark.implicits._
