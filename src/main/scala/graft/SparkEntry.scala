@@ -213,7 +213,8 @@ object SparkEntry {
     "sink_partitioned_parquet" -> SourceQueries.sinkPartitionedParquet _,
     "sink_sorted_runs" -> SourceQueries.sinkSortedRuns _,
     "sink_postgres_copy" -> SinkQueries.sinkPostgresCopy _,
-    "llm_dedup_pipeline" -> Llm.llmDedupPipeline _
+    "llm_dedup_pipeline" -> Llm.llmDedupPipeline _,
+    "llm_kmeans_train" -> LlmExtra.llmKmeansTrain _
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on

@@ -1655,6 +1655,50 @@ object OracleSql {
       FROM d JOIN (SELECT * FROM agg UNION ALL SELECT * FROM small) a USING (doc_id)
       ORDER BY doc_id""",
 
+    // Lloyd's k-means, 3 unrolled rounds, k=8 — integer-exact mirror:
+    // quantized vectors, Σ(Δq)² distances, (d2, cell) argmin, floor-div
+    // centroid updates. pos labeling differs (0- vs 1-based) but is only
+    // ever a join key within one engine.
+    "llm_kmeans_train" -> """
+      WITH qv AS (
+        SELECT vec_id, pos, CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT) AS xq
+        FROM (SELECT vec_id, unnest(embedding) AS x,
+                     generate_subscripts(embedding, 1) AS pos
+              FROM embeddings)),
+      c0 AS (SELECT vec_id AS cell, pos, xq AS cq FROM qv WHERE vec_id < 8),
+      d1 AS (SELECT q.vec_id, c.cell, CAST(sum((q.xq - c.cq) * (q.xq - c.cq)) AS BIGINT) AS d2
+             FROM qv q JOIN c0 c USING (pos) GROUP BY q.vec_id, c.cell),
+      a1 AS (SELECT vec_id, cell FROM (
+               SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+               FROM d1) WHERE rn = 1),
+      c1 AS (SELECT a.cell, q.pos, CAST(floor(sum(q.xq)::DOUBLE / count(*)) AS BIGINT) AS cq
+             FROM qv q JOIN a1 a USING (vec_id) GROUP BY a.cell, q.pos),
+      d2_ AS (SELECT q.vec_id, c.cell, CAST(sum((q.xq - c.cq) * (q.xq - c.cq)) AS BIGINT) AS d2
+              FROM qv q JOIN c1 c USING (pos) GROUP BY q.vec_id, c.cell),
+      a2 AS (SELECT vec_id, cell FROM (
+               SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+               FROM d2_) WHERE rn = 1),
+      c2 AS (SELECT a.cell, q.pos, CAST(floor(sum(q.xq)::DOUBLE / count(*)) AS BIGINT) AS cq
+             FROM qv q JOIN a2 a USING (vec_id) GROUP BY a.cell, q.pos),
+      d3 AS (SELECT q.vec_id, c.cell, CAST(sum((q.xq - c.cq) * (q.xq - c.cq)) AS BIGINT) AS d2
+             FROM qv q JOIN c2 c USING (pos) GROUP BY q.vec_id, c.cell),
+      a3 AS (SELECT vec_id, cell FROM (
+               SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+               FROM d3) WHERE rn = 1),
+      c3 AS (SELECT a.cell, q.pos, CAST(floor(sum(q.xq)::DOUBLE / count(*)) AS BIGINT) AS cq
+             FROM qv q JOIN a3 a USING (vec_id) GROUP BY a.cell, q.pos),
+      df AS (SELECT q.vec_id, c.cell, CAST(sum((q.xq - c.cq) * (q.xq - c.cq)) AS BIGINT) AS d2
+             FROM qv q JOIN c3 c USING (pos) GROUP BY q.vec_id, c.cell),
+      af AS (SELECT vec_id, cell, d2 FROM (
+               SELECT vec_id, cell, d2, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+               FROM df) WHERE rn = 1),
+      norms AS (SELECT cell, round(sqrt(sum(cq * cq)::DOUBLE) / 10000.0, 4) AS centroid_norm
+                FROM c3 GROUP BY cell)
+      SELECT af.cell, count(*) AS n_vecs, CAST(sum(af.d2) AS BIGINT) AS inertia,
+             any_value(n.centroid_norm) AS centroid_norm
+      FROM af JOIN norms n USING (cell)
+      GROUP BY af.cell ORDER BY af.cell""",
+
     // Full LSH mirror: the md5-derived Irwin-Hall plane components are
     // recomputed in SQL (same index arithmetic, same (h>>>11)/2^53
     // uniform), buckets are the same sign patterns, and the final exact

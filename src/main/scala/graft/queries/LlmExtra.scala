@@ -190,6 +190,50 @@ object LlmExtra {
       .orderBy("pid", "rnk")
   }
 
+  /** K-MEANS TRAINING over the embedding corpus — the offline step the
+    * IVF index ([[graft.llm.Ivf]]) consumes ("at 100 TB k-means runs
+    * once offline and broadcasts its centroid table"). Lloyd's
+    * algorithm, 3 fixed rounds, k=8, deterministic at ANY parallelism
+    * with no floats in the loop: vectors quantize to integer 1e-4 units
+    * (the llm_embed_centroid discipline), distances are exact integer
+    * Σ(Δq)², assignment is a lexicographic (d2, cell) argmin, and the
+    * centroid update is floor(Σxq / n) — IEEE-exact on both engines
+    * because every intermediate fits a double's 53-bit mantissa. Per-
+    * iteration cost is the canonical k·n·d assign join (centroid side
+    * broadcast); output: cluster sizes, exact integer inertia, rounded
+    * centroid norms — all value-for-value under the DuckDB oracle. */
+  def llmKmeansTrain(s: SparkSession, dir: String): DataFrame = {
+    val K = 8
+    val qv = t(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .withColumn("xq", floor(col("x").cast("double") * 10000).cast("long"))
+      .select("vec_id", "pos", "xq")
+    val dd = (col("xq") - col("cq")) * (col("xq") - col("cq"))
+    var cent = qv.filter(col("vec_id") < K)
+      .select(col("vec_id").as("cell"), col("pos"), col("xq").as("cq"))
+    for (_ <- 1 to 3) {
+      val d2 = qv.join(broadcast(cent), "pos")
+        .groupBy("vec_id", "cell").agg(sum(dd).as("d2"))
+      val assign = d2.groupBy("vec_id")
+        .agg(min(struct(col("d2"), col("cell"))).as("m"))
+        .select(col("vec_id"), col("m.cell").as("cell"))
+      cent = qv.join(assign, "vec_id")
+        .groupBy("cell", "pos")
+        .agg(floor(sum(col("xq")) / count(lit(1))).cast("long").as("cq"))
+    }
+    val d2f = qv.join(broadcast(cent), "pos")
+      .groupBy("vec_id", "cell").agg(sum(dd).as("d2"))
+    val af = d2f.groupBy("vec_id")
+      .agg(min(struct(col("d2"), col("cell"))).as("m"))
+      .select(col("vec_id"), col("m.cell").as("cell"), col("m.d2").as("d2"))
+    val norms = cent.groupBy("cell")
+      .agg(round(sqrt(sum(col("cq") * col("cq")).cast("double")) / 10000.0, 4).as("centroid_norm"))
+    af.groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"), sum("d2").as("inertia"))
+      .join(norms, "cell")
+      .orderBy("cell")
+  }
+
   // ------------------------------------------------------- text analysis
 
   /** Character-3-gram language ID, self-trained: per-language top-50 gram
