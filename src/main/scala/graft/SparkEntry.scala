@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CensusQueries, Llm, LlmExtra, MultimodalQueries, Relational, Scalars, SinkQueries, SourceQueries, StreamingQueries, UdxQueries}
+import graft.queries.{CensusQueries, GraphQueries, Llm, LlmExtra, MultimodalQueries, Quality, Relational, Scalars, SinkQueries, SourceQueries, StreamingQueries, UdxQueries}
 import graft.oracle.OracleSql
 
 /** Driver contract — see /root/repo/SURVEY.md §2.B (the declared operator
@@ -84,6 +84,7 @@ object SparkEntry {
     "sql_session_variable" -> Relational.sqlSessionVariable _,
     "sql_tvf_range" -> Relational.sqlTvfRange _,
     "sql_pipe_syntax" -> Relational.sqlPipeSyntax _,
+    "sql_create_function" -> Relational.sqlCreateFunction _,
     // windows
     "window_rank" -> Relational.windowRank _,
     "window_topk_per_group" -> Relational.windowTopkPerGroup _,
@@ -214,19 +215,28 @@ object SparkEntry {
     "sink_sorted_runs" -> SourceQueries.sinkSortedRuns _,
     "sink_postgres_copy" -> SinkQueries.sinkPostgresCopy _,
     "llm_dedup_pipeline" -> Llm.llmDedupPipeline _,
-    "llm_kmeans_train" -> LlmExtra.llmKmeansTrain _
+    "llm_kmeans_train" -> LlmExtra.llmKmeansTrain _,
+    // data-quality / analytics utilities
+    "dq_schema_profile" -> Quality.dqSchemaProfile _,
+    "dq_anomaly_zscore" -> Quality.dqAnomalyZscore _,
+    "event_cohort_retention" -> Quality.eventCohortRetention _,
+    // graph
+    "graph_pagerank" -> GraphQueries.graphPagerank _,
+    // LLM quality signal
+    "llm_dup_ngram_coverage" -> LlmExtra.llmDupNgramCoverage _
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for the 8 non-SQL-expressible ops
+    * the same parquet tables. Omitted for the 4 non-SQL-expressible ops
     * (agg_approx_distinct, agg_approx_percentile, agg_count_min_sketch,
-    * agg_hll_union — engine-specific sketch internals; llm_pack_sequences
-    * — stateful scan; mm_decode_stub, mm_frame_sample, mm_token_budget —
-    * stub decoder) — those are covered by ScalaTest (incl. golden
-    * digests) instead (SURVEY §5). Round 4 moved llm_dedup_minhash /
-    * llm_dedup_simhash / llm_fingerprint / llm_sim_lsh_topk (md5-derived
-    * hashes/planes), llm_sim_ivf_topk, ingest_census_csv (DuckDB
-    * re-ingests the fixture CSVs), and stream_watermark_late (batch
-    * no-op watermark contract) under full DuckDB mirrors. */
+    * agg_hll_union — engine-specific sketch internals) — those are
+    * covered by ScalaTest (incl. golden digests) instead (SURVEY §5).
+    * Round 4 moved llm_dedup_minhash / llm_dedup_simhash /
+    * llm_fingerprint / llm_sim_lsh_topk (md5-derived hashes/planes),
+    * llm_sim_ivf_topk, ingest_census_csv (DuckDB re-ingests the fixture
+    * CSVs), stream_watermark_late (batch no-op watermark contract),
+    * llm_pack_sequences (next-fit recurrence as a recursive CTE), and
+    * the mm_* stubs (decoder now md5-slice arithmetic) under full
+    * DuckDB mirrors. */
   def oracleSql: Map[String, String] = OracleSql.sql
 }

@@ -1,7 +1,5 @@
 package graft.multimodal
 
-import scala.util.hashing.MurmurHash3
-
 /** Multimodal column model: media as opaque `binary` plus typed
   * metadata, mirroring how a 100 TB training pipeline stores images /
   * audio / video next to text (SURVEY north star).
@@ -26,20 +24,25 @@ final case class MediaMeta(
 
 object Media {
 
-  /** Deterministic fake decoder: metadata derived from a content hash.
-    * A real implementation decodes headers here (per partition, so codec
-    * state / native buffers are reused across the batch, which is why
-    * the operator is mapPartitions and not a per-row UDF). */
+  /** Deterministic fake decoder: metadata derived from the md5 of the
+    * payload bytes (hex-slice arithmetic, so a SQL oracle can recompute
+    * every value — the same graduation trick as the minhash/fingerprint
+    * signatures). A real implementation decodes headers here (per
+    * partition, so codec state / native buffers are reused across the
+    * batch, which is why the operator is mapPartitions and not a
+    * per-row UDF). */
   def decodeStub(m: MediaRow): MediaMeta = {
-    val h = MurmurHash3.bytesHash(m.bytes, 0xD0C0DE)
-    val w = 64 + ((h & 0x7FFFFFFF) % 1857)          // 64..1920
-    val ht = 64 + (((h >>> 8) & 0x7FFFFFFF) % 1017) // 64..1080
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(m.bytes).map("%02x".format(_)).mkString
+    def slice(from: Int): Long = java.lang.Long.parseLong(hex.substring(from, from + 8), 16)
+    val w = (64 + slice(0) % 1857).toInt  // 64..1920
+    val ht = (64 + slice(8) % 1017).toInt // 64..1080
     m.kind match {
       case "image" => MediaMeta(m.doc_id, m.kind, m.bytes.length, w, ht, 1, 0)
       case "video" => MediaMeta(m.doc_id, m.kind, m.bytes.length, w, ht,
-        25 * (1 + ((h >>> 16) & 0xFF)), 0)
+        (25 * (1 + slice(16) % 256)).toInt, 0)
       case _       => MediaMeta(m.doc_id, m.kind, m.bytes.length, 0, 0, 0,
-        if ((h & 1) == 0) 44100 else 16000)
+        if ((slice(24) & 1L) == 0L) 44100 else 16000)
     }
   }
 

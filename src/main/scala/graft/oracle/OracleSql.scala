@@ -875,6 +875,97 @@ object OracleSql {
              CAST(ascii(substr(text, 1, 1)) AS INT) AS first_byte
       FROM documents WHERE doc_id < 2000 ORDER BY doc_id""",
 
+    // The stub decoder is md5-hex-slice arithmetic (Media.decodeStub),
+    // so the oracle recomputes width/height/frames/rate from md5(text)
+    // directly — the same exempt-set graduation as minhash/fingerprint.
+    "mm_decode_stub" -> """
+      WITH m AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+               octet_length(encode(text)) AS n_bytes, md5(text) AS hx
+        FROM documents WHERE doc_id < 2000),
+      d AS (
+        SELECT kind, n_bytes,
+          CASE WHEN kind = 'audio' THEN 0
+               ELSE 64 + CAST(('0x' || substr(hx, 1, 8)) AS BIGINT) % 1857 END AS width,
+          CASE WHEN kind = 'image' THEN 1
+               WHEN kind = 'video' THEN 25 * (1 + CAST(('0x' || substr(hx, 17, 8)) AS BIGINT) % 256)
+               ELSE 0 END AS n_frames,
+          CASE WHEN kind = 'audio' THEN
+                 CASE WHEN CAST(('0x' || substr(hx, 25, 8)) AS BIGINT) % 2 = 0
+                      THEN 44100 ELSE 16000 END
+               ELSE 0 END AS sample_rate
+        FROM m)
+      SELECT kind, count(*) AS n, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+             CAST(max(width) AS BIGINT) AS max_width,
+             CAST(max(n_frames) AS BIGINT) AS max_frames,
+             count(DISTINCT sample_rate) AS n_rates
+      FROM d GROUP BY kind ORDER BY kind""",
+
+    "mm_token_budget" -> """
+      WITH m AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+               len(string_split(text, ' ')) AS n_text_tokens, md5(text) AS hx
+        FROM documents WHERE doc_id < 2000),
+      d AS (
+        SELECT kind, n_text_tokens,
+               64 + CAST(('0x' || substr(hx, 1, 8)) AS BIGINT) % 1857 AS width,
+               64 + CAST(('0x' || substr(hx, 9, 8)) AS BIGINT) % 1017 AS height,
+               25 * (1 + CAST(('0x' || substr(hx, 17, 8)) AS BIGINT) % 256) AS vframes
+        FROM m),
+      p AS (
+        SELECT kind, CAST(n_text_tokens AS BIGINT) AS n_text_tokens,
+          CASE WHEN kind = 'image' THEN
+                 CAST(ceil(width / 16.0) AS BIGINT) * CAST(ceil(height / 16.0) AS BIGINT)
+               WHEN kind = 'video' THEN
+                 CAST(ceil(width / 16.0) AS BIGINT) * CAST(ceil(height / 16.0) AS BIGINT)
+                   * CAST(ceil(vframes / 16.0) AS BIGINT)
+               ELSE 1200 END AS media_tokens
+        FROM d)
+      SELECT kind, count(*) AS n_docs,
+             CAST(sum(n_text_tokens) AS BIGINT) AS text_tokens,
+             CAST(sum(media_tokens) AS BIGINT) AS media_tokens,
+             CAST(max(n_text_tokens + media_tokens) AS BIGINT) AS max_budget
+      FROM p GROUP BY kind ORDER BY kind""",
+
+    // every-16th-frame sampling over frames 0..n_frames-1 reduces to
+    // closed-form integer arithmetic on the stub's frame count
+    "mm_frame_sample" -> """
+      WITH v AS (
+        SELECT doc_id,
+               25 * (1 + CAST(('0x' || substr(md5(text), 17, 8)) AS BIGINT) % 256) AS n_frames
+        FROM documents WHERE doc_id < 600 AND doc_id % 3 = 2)
+      SELECT doc_id, (n_frames - 1) // 16 + 1 AS n_sampled,
+             CAST(0 AS BIGINT) AS first_frame,
+             16 * ((n_frames - 1) // 16) AS last_frame
+      FROM v ORDER BY doc_id""",
+
+    // greedy next-fit packing is a sequential scan per source — the
+    // mirror steps the same recurrence with a recursive CTE over the
+    // doc_id-ordered row number (all sources advance in lockstep; depth
+    // = max docs per source)
+    "llm_pack_sequences" -> """
+      WITH RECURSIVE d AS (
+        SELECT source, len(string_split(text, ' ')) AS tok,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM documents),
+      rec AS (
+        SELECT source, rn, tok, CAST(0 AS BIGINT) AS bin_id, tok AS used
+        FROM d WHERE rn = 1
+        UNION ALL
+        SELECT d.source, d.rn, d.tok,
+               CASE WHEN r.used > 0 AND r.used + d.tok > 512
+                    THEN r.bin_id + 1 ELSE r.bin_id END,
+               CASE WHEN r.used > 0 AND r.used + d.tok > 512
+                    THEN d.tok ELSE r.used + d.tok END
+        FROM rec r JOIN d ON d.source = r.source AND d.rn = r.rn + 1)
+      SELECT source, bin_id, count(*) AS n_docs,
+             CAST(sum(tok) AS BIGINT) AS sum_tokens
+      FROM rec GROUP BY source, bin_id ORDER BY source, bin_id""",
+
     "agg_bit_ops" -> """
       SELECT o_orderpriority,
              bit_and(o_orderkey) AS k_and,
@@ -1985,6 +2076,120 @@ object OracleSql {
       JOIN nation ON s_nationkey = n_nationkey
       JOIN region ON n_regionkey = r_regionkey
       GROUP BY r_name, n_name
-      ORDER BY r_name, n_name"""
+      ORDER BY r_name, n_name""",
+
+    // the SQL UDF is inlined by Spark's analyzer; the oracle states the
+    // inlined exact-decimal body directly
+    "sql_create_function" -> """
+      SELECT l_returnflag, count(*) AS n,
+             CAST(sum(
+               CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               - CAST(round(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(3,2)) * 100, 0) AS BIGINT)
+               + CAST(round(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_tax AS DECIMAL(3,2)) * 100, 0) AS BIGINT)
+             ) AS BIGINT) AS net_cents
+      FROM lineitem
+      GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "dq_schema_profile" -> """
+      SELECT * FROM (
+        SELECT 'o_orderkey' AS col_name, count(*) - count(o_orderkey) AS n_nulls,
+               count(DISTINCT o_orderkey) AS n_distinct,
+               CAST(min(o_orderkey) AS VARCHAR) AS min_val, CAST(max(o_orderkey) AS VARCHAR) AS max_val
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey', count(*) - count(o_custkey), count(DISTINCT o_custkey),
+               CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', count(*) - count(o_orderstatus), count(DISTINCT o_orderstatus),
+               min(o_orderstatus), max(o_orderstatus)
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', count(*) - count(o_totalprice), count(DISTINCT o_totalprice),
+               CAST(CAST(min(o_totalprice) AS DECIMAL(12,2)) AS VARCHAR),
+               CAST(CAST(max(o_totalprice) AS DECIMAL(12,2)) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderdate', count(*) - count(o_orderdate),
+               count(DISTINCT CAST(o_orderdate AS DATE)),
+               CAST(min(CAST(o_orderdate AS DATE)) AS VARCHAR),
+               CAST(max(CAST(o_orderdate AS DATE)) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', count(*) - count(o_orderpriority), count(DISTINCT o_orderpriority),
+               min(o_orderpriority), max(o_orderpriority)
+        FROM orders)
+      ORDER BY col_name""",
+
+    "dq_anomaly_zscore" -> """
+      WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, count(*) AS n_events
+        FROM events GROUP BY CAST(ts AS DATE))
+      SELECT day, n_events,
+             round((n_events - avg(n_events) OVER ()) / stddev_samp(n_events) OVER (), 2) AS z,
+             abs(round((n_events - avg(n_events) OVER ()) / stddev_samp(n_events) OVER (), 2)) >= 1.5 AS is_anomaly
+      FROM daily ORDER BY day""",
+
+    "event_cohort_retention" -> """
+      WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events
+                 WHERE event_type = 'purchase'),
+      cohort AS (SELECT user_id, min(d) AS c0 FROM e GROUP BY user_id)
+      SELECT CAST(date_trunc('week', c0) AS DATE) AS cohort_week,
+             datediff('day', c0, d) // 7 AS age_weeks,
+             count(DISTINCT e.user_id) AS n_users
+      FROM e JOIN cohort USING (user_id)
+      GROUP BY 1, 2 ORDER BY cohort_week, age_weeks""",
+
+    // integer-exact PageRank, three unrolled rounds — same 1e-6-unit
+    // arithmetic as the Spark loop, so the hashes match bit-for-bit
+    "graph_pagerank" -> """
+      WITH docs AS (
+        SELECT doc_id AS node, source, n_chars // 100 AS blk
+        FROM documents WHERE doc_id < 1200),
+      edges AS (
+        SELECT a.node AS u, b.node AS v
+        FROM docs a JOIN docs b USING (source, blk)
+        WHERE a.node <> b.node),
+      deg AS (SELECT u, count(*) AS deg FROM edges GROUP BY u),
+      r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM docs),
+      c1 AS (SELECT e.v AS node, CAST(sum(r.r // d.deg) AS BIGINT) AS sc
+             FROM edges e JOIN r0 r ON r.node = e.u JOIN deg d ON d.u = e.u GROUP BY e.v),
+      r1 AS (SELECT docs.node, CAST(150000 + (850 * coalesce(c1.sc, 0)) // 1000 AS BIGINT) AS r
+             FROM docs LEFT JOIN c1 ON c1.node = docs.node),
+      c2 AS (SELECT e.v AS node, CAST(sum(r.r // d.deg) AS BIGINT) AS sc
+             FROM edges e JOIN r1 r ON r.node = e.u JOIN deg d ON d.u = e.u GROUP BY e.v),
+      r2 AS (SELECT docs.node, CAST(150000 + (850 * coalesce(c2.sc, 0)) // 1000 AS BIGINT) AS r
+             FROM docs LEFT JOIN c2 ON c2.node = docs.node),
+      c3 AS (SELECT e.v AS node, CAST(sum(r.r // d.deg) AS BIGINT) AS sc
+             FROM edges e JOIN r2 r ON r.node = e.u JOIN deg d ON d.u = e.u GROUP BY e.v),
+      r3 AS (SELECT docs.node, CAST(150000 + (850 * coalesce(c3.sc, 0)) // 1000 AS BIGINT) AS r
+             FROM docs LEFT JOIN c3 ON c3.node = docs.node)
+      SELECT r3.node, coalesce(deg.deg, 0) AS n_neighbors, r3.r AS rank_micro
+      FROM r3 LEFT JOIN deg ON deg.u = r3.node
+      ORDER BY rank_micro DESC, node LIMIT 25""",
+
+    "llm_dup_ngram_coverage" -> s"""
+      WITH wd AS (
+        SELECT doc_id, source, string_split(text, ' ') AS w
+        FROM documents WHERE doc_id < 800),
+      gs AS (
+        SELECT DISTINCT doc_id, source,
+               array_to_string(w[CAST(i AS INT):CAST(i AS INT)+7], ' ') AS g
+        FROM wd, LATERAL unnest(range(1, greatest(len(w) - 7, 1) + 1)) t(i)),
+      g AS (
+        SELECT doc_id, source,
+               CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS gh
+        FROM gs),
+      pop AS (SELECT gh, count(DISTINCT doc_id) AS nd FROM g GROUP BY gh),
+      perdoc AS (
+        SELECT g.doc_id, g.source, count(*) AS n_grams,
+               CAST(sum(CASE WHEN pop.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+        FROM g JOIN pop ON g.gh = pop.gh
+        GROUP BY g.doc_id, g.source)
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(n_grams) AS BIGINT) AS total_grams,
+             CAST(sum(n_shared) AS BIGINT) AS shared_grams,
+             ${N.ratio("sum(n_shared)", "sum(n_grams)", 4)} AS dup_frac
+      FROM perdoc GROUP BY source ORDER BY source"""
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\n\\s+", "\n") }
 }

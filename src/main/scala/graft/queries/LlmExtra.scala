@@ -360,8 +360,9 @@ object LlmExtra {
     * + sortWithinPartitions keeps each source's run contiguous inside
     * one partition), so bin assignments are deterministic at ANY
     * parallelism and the op scales by adding sources, not by growing a
-    * serial scan. Oracle-exempt (stateful scan isn't one SQL window);
-    * ScalaTest asserts the greedy invariants + partitioning independence. */
+    * serial scan. Oracle-checked: the next-fit recurrence is stepped by
+    * a recursive CTE in the DuckDB mirror; ScalaTest additionally
+    * asserts the greedy invariants + partitioning independence. */
   def llmPackSequences(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val cap = 512
@@ -887,5 +888,36 @@ object LlmExtra {
       .groupBy("pair").agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), asc("pair"))
       .limit(20)
+  }
+
+  /** Duplicated-n-gram-fraction quality signal (the RefinedWeb/Gopher
+    * "fraction of a doc's 8-grams that appear elsewhere" filter): per
+    * source, how much of each doc's distinct-8-gram mass is shared with
+    * at least one OTHER document. The inverted-index shape: explode
+    * distinct grams, hash each to a 60-bit md5-derived key (the shuffle
+    * moves 8-byte keys, never 8-word strings), count distinct docs per
+    * gram key, join back, roll up — two key shuffles, both
+    * output-sensitive in the gram count, nothing corpus-quadratic.
+    * Ratios via exact integer half-up math. */
+  def llmDupNgramCoverage(s: SparkSession, dir: String): DataFrame = {
+    val grams = t(s, dir, "documents")
+      .filter(col("doc_id") < 800)
+      .withColumn("w", split(col("text"), " "))
+      .select(col("doc_id"), col("source"), explode(array_distinct(expr(
+        "transform(sequence(1, greatest(size(w) - 7, 1)), i -> array_join(slice(w, i, 8), ' '))"
+      ))).as("g"))
+      .select(col("doc_id"), col("source"),
+        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("gh"))
+    val popularity = grams.groupBy("gh").agg(countDistinct(col("doc_id")).as("nd"))
+    val perDoc = grams.join(popularity, "gh")
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_grams"), count_if(col("nd") > 1).as("n_shared"))
+    perDoc.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_grams").as("total_grams"),
+        sum("n_shared").as("shared_grams"),
+        Num.ratio(sum("n_shared"), sum("n_grams"), 4).as("dup_frac"))
+      .orderBy("source")
   }
 }

@@ -30,8 +30,8 @@ object MultimodalQueries {
     * Dataset + mapPartitions (the Scala analogue of mapInPandas): the
     * decoder is a deterministic stub (no codec libs in this container,
     * see Media.decodeStub), the plumbing — Encoders, batch shape,
-    * downstream agg — is real. Oracle-exempt; ScalaTest pins the stub's
-    * determinism and schema. */
+    * downstream agg — is real. Oracle-checked: the stub is md5-slice
+    * arithmetic the DuckDB mirror recomputes. */
   def mmDecodeStub(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val rows = t(s, dir, "documents")
@@ -61,7 +61,7 @@ object MultimodalQueries {
     * stub) joined back to the text token counts on doc_id, rolled up per
     * kind. At scale the decode and the text pass share the scan (carry
     * the text length through the typed row); the join shape here keeps
-    * the stub pluggable. Oracle-exempt (stub hash); golden-pinned. */
+    * the stub pluggable. Oracle-checked (stub is md5 arithmetic). */
   def mmTokenBudget(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val d = t(s, dir, "documents").filter(col("doc_id") < 2000)

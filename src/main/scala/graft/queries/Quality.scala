@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables.t
+
+/** Data-quality / warehouse-utility operators (SURVEY §2.B dq_* and
+  * event_* rows): the profiling, anomaly-flagging, and cohort readouts
+  * every production table pipeline runs next to its queries.
+  */
+object Quality {
+
+  /** One-pass schema profile of the orders table: per column, null
+    * count, exact distinct count, and min/max (rendered to strings so
+    * heterogeneous columns share one output schema; numerics go through
+    * native-typed min/max FIRST, then format — a string-typed min would
+    * sort lexicographically and be wrong). Single wide aggregate then a
+    * `stack` unpivot: the whole profile is ONE scan + one 1-row shuffle
+    * regardless of table width, which is why this shape survives a
+    * 100 TB table where per-column probe queries would mean N scans. */
+  def dqSchemaProfile(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    // (name, native column for count/distinct/min/max, string renderer)
+    val specs: Seq[(String, org.apache.spark.sql.Column, org.apache.spark.sql.Column => org.apache.spark.sql.Column)] = Seq(
+      ("o_orderkey", col("o_orderkey"), (c: org.apache.spark.sql.Column) => c.cast("string")),
+      ("o_custkey", col("o_custkey"), (c: org.apache.spark.sql.Column) => c.cast("string")),
+      ("o_orderstatus", col("o_orderstatus"), (c: org.apache.spark.sql.Column) => c),
+      // exact 2-decimal money: format via decimal so both engines print
+      // identical '123.40' strings (raw double rendering differs)
+      ("o_totalprice", col("o_totalprice"), (c: org.apache.spark.sql.Column) => c.cast("decimal(12,2)").cast("string")),
+      ("o_orderdate", col("o_orderdate").cast("date"), (c: org.apache.spark.sql.Column) => c.cast("string")),
+      ("o_orderpriority", col("o_orderpriority"), (c: org.apache.spark.sql.Column) => c))
+    val aggs = specs.flatMap { case (n, c, str) =>
+      Seq(count(c).as(s"cnt_$n"), countDistinct(c).as(s"nd_$n"),
+        str(min(c)).as(s"min_$n"), str(max(c)).as(s"max_$n"))
+    }
+    val stackArgs = specs.map { case (n, _, _) =>
+      s"'$n', n_rows - cnt_$n, nd_$n, min_$n, max_$n"
+    }.mkString(", ")
+    o.agg(count(lit(1)).as("n_rows"), aggs: _*)
+      .selectExpr(s"stack(${specs.length}, $stackArgs) AS (col_name, n_nulls, n_distinct, min_val, max_val)")
+      .orderBy("col_name")
+  }
+
+  /** Daily-volume anomaly flags over the events stream: per day, event
+    * count, a z-score against the whole series (sample stddev), and an
+    * |z| ≥ 1.5 flag — the monitoring query a pipeline health dashboard
+    * runs. Two tiny aggregates (the daily rollup is one shuffle; the
+    * z-normalization runs over the ~30-row daily series via an
+    * unpartitioned window, which is safe precisely because the series
+    * length is days, not rows — the 100 TB of raw events never passes
+    * through the global window). */
+  def dqAnomalyZscore(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy()
+    daily
+      .withColumn("z", round(
+        (col("n_events") - avg("n_events").over(w)) / stddev_samp("n_events").over(w), 2))
+      .withColumn("is_anomaly", abs(col("z")) >= 1.5)
+      .select("day", "n_events", "z", "is_anomaly")
+      .orderBy("day")
+  }
+
+  /** Weekly cohort retention over the events stream: users are cohorted
+    * by the week of their first purchase; each (cohort week ×
+    * weeks-since) cell counts the distinct users still purchasing — the
+    * classic triangular retention matrix. Shapes: first-seen is one
+    * groupBy on user_id; the join back is on the same key (the exchange
+    * is reused, no second full shuffle of events); the output is
+    * bounded by weeks², never by users. */
+  def eventCohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val cohort = e.groupBy("user_id").agg(min(col("d")).as("c0"))
+    e.join(cohort, "user_id")
+      .select(
+        date_trunc("week", col("c0")).cast("date").as("cohort_week"),
+        call_function("div", datediff(col("d"), col("c0")), lit(7)).as("age_weeks"),
+        col("user_id"))
+      .groupBy("cohort_week", "age_weeks")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_week", "age_weeks")
+  }
+}

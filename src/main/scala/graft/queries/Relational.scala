@@ -704,6 +704,27 @@ object Relational {
       |> ORDER BY l_returnflag""")
   }
 
+  /** SQL-defined scalar functions (Spark 4 `CREATE FUNCTION ... RETURN
+    * expr`): the function body is inlined into the plan at analysis
+    * time (`ResolveSQLFunctions`), so a SQL UDF costs NOTHING at
+    * runtime — it stays inside whole-stage codegen, unlike a JVM
+    * closure UDF. The oracle states the inlined expression directly. */
+  def sqlCreateFunction(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("graft_li_fn")
+    // exact decimal arithmetic inside the body (Num discipline): the
+    // 2dp×2dp products round HALF_UP on exact decimals in both engines
+    s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_net_cents(p DOUBLE, d DOUBLE, t DOUBLE)
+             RETURNS BIGINT
+             RETURN CAST(CAST(p AS DECIMAL(12,2)) * 100 AS BIGINT)
+                    - CAST(round(CAST(p AS DECIMAL(12,2)) * CAST(d AS DECIMAL(3,2)) * 100, 0) AS BIGINT)
+                    + CAST(round(CAST(p AS DECIMAL(12,2)) * CAST(t AS DECIMAL(3,2)) * 100, 0) AS BIGINT)""")
+    s.sql("""
+      SELECT l_returnflag, count(*) AS n,
+             CAST(sum(graft_net_cents(l_extendedprice, l_discount, l_tax)) AS BIGINT) AS net_cents
+      FROM graft_li_fn
+      GROUP BY l_returnflag ORDER BY l_returnflag""")
+  }
+
   /** Table-valued functions in FROM: `range()` joined laterally with
     * `explode()` over a per-row array — generator TVFs as relations,
     * the SQL-surface twin of the DataFrame-side generators. */

@@ -1,6 +1,6 @@
 package graft
 
-/** Golden-output pins for the 8 oracle-exempt queries at sf0.001: row
+/** Golden-output pins for the 4 oracle-exempt queries at sf0.001: row
   * count + MD5 of the sorted stringified rows. The invariant tests in
   * OracleExemptSpec catch wrong MATH; these catch silent BEHAVIOR drift
   * (a changed seed, band count, stub constant, split boundary) that
@@ -15,13 +15,11 @@ class GoldenExemptSpec extends GraftSpec {
     "agg_approx_distinct" -> (5, "9773b0398f23e85c7b167f9f5f1d2268"),
     "agg_approx_percentile" -> (5, "812e349bebb023fa3b124cec9fbef536"),
     "agg_count_min_sketch" -> (20, "b9fc61be1864f36d88cb15bf4d8b7716"),
-    "agg_hll_union" -> (6, "d3b303c7cd4f4c9a742d313775e5d09f"),
     // minhash/simhash/fingerprint/lsh_topk/ivf_topk/ingest_census_csv
-    // graduated to full DuckDB oracles in round 4 — no pins needed
-    "llm_pack_sequences" -> (66, "fe50a1f2a60ae216d6fc49714558c77b"),
-    "mm_decode_stub" -> (3, "7628ee041cc19af9ed57537e80f3045a"),
-    "mm_frame_sample" -> (166, "46d47d9d3ef01219bee31a9ea68c7420"),
-    "mm_token_budget" -> (3, "5cc1e21858f0bb4d788e46381b3d1f58"))
+    // (and later llm_pack_sequences + the mm_* stubs, once the stub
+    // decoder moved to md5-slice arithmetic) graduated to full DuckDB
+    // oracles in round 4 — no pins needed
+    "agg_hll_union" -> (6, "d3b303c7cd4f4c9a742d313775e5d09f"))
 
   private def digest(rows: Array[String]): String =
     java.security.MessageDigest.getInstance("MD5")

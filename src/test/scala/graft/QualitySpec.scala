@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{GraphQueries, LlmExtra, Quality, Relational}
+
+/** Invariant coverage for the round-4 data-quality / analytics / graph
+  * operators (each is also fully DuckDB-oracle-checked; these assert
+  * the semantic properties the hash compare can't express). */
+class QualitySpec extends GraftSpec {
+
+  test("dq_schema_profile: one row per profiled column, stats bounded by row count") {
+    val rows = Quality.dqSchemaProfile(spark, sfDir).collect()
+    assert(rows.length == 6)
+    val nRows = graft.tables.Tables.t(spark, sfDir, "orders").count()
+    rows.foreach { r =>
+      val (nulls, distinct) = (r.getLong(1), r.getLong(2))
+      assert(nulls >= 0 && nulls <= nRows)
+      assert(distinct >= 1 && distinct + nulls <= nRows + 1)
+      assert(r.getString(3) <= r.getString(4) || r.getString(0) == "o_totalprice" ||
+        r.getString(0) == "o_orderkey" || r.getString(0) == "o_custkey",
+        s"${r.getString(0)}: min/max string order")
+    }
+    // orderstatus is a tiny enum; orderkey is unique
+    val byName = rows.map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(byName("o_orderstatus") <= 3)
+    assert(byName("o_orderkey") == nRows)
+  }
+
+  test("dq_anomaly_zscore: flags agree with z, z-scores centre on zero") {
+    val rows = Quality.dqAnomalyZscore(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(3) == (math.abs(r.getDouble(2)) >= 1.5))
+    }
+    val meanZ = rows.map(_.getDouble(2)).sum / rows.length
+    assert(math.abs(meanZ) < 0.1, s"z mean $meanZ should be ~0")
+  }
+
+  test("event_cohort_retention: week-0 cell is the cohort maximum (triangular decay bound)") {
+    val rows = Quality.eventCohortRetention(spark, sfDir).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (wk, cells) =>
+      val byAge = cells.map(c => c._2 -> c._3).toMap
+      assert(byAge.contains(0L), s"cohort $wk missing week-0 cell")
+      assert(cells.forall(_._3 <= byAge(0L)),
+        s"cohort $wk: a later week exceeds the week-0 user count")
+    }
+  }
+
+  test("graph_pagerank: ranks bounded, isolated nodes at the 0.15 floor, mass conserved-ish") {
+    val rows = GraphQueries.graphPagerank(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 25)
+    rows.foreach { case (_, deg, rank) =>
+      assert(rank >= 150000L, s"rank below damping floor")
+      if (deg == 0) assert(rank == 150000L, "isolated node must sit exactly at the floor")
+    }
+    // sorted output contract
+    assert(rows.map(_._3).toSeq == rows.map(_._3).sortBy(-_).toSeq)
+  }
+
+  test("llm_dup_ngram_coverage: shared never exceeds total, fraction in [0,1]") {
+    val rows = LlmExtra.llmDupNgramCoverage(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (total, shared, frac) = (r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(shared <= total)
+      assert(frac >= 0.0 && frac <= 1.0)
+    }
+  }
+
+  test("sql_create_function: SQL UDF result matches the DataFrame-side exact-decimal net") {
+    import graft.tables.Tables.t
+    val got = Relational.sqlCreateFunction(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exp = t(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum(
+        (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long")
+          - round(col("l_extendedprice").cast("decimal(12,2)") * col("l_discount").cast("decimal(3,2)") * 100, 0).cast("long")
+          + round(col("l_extendedprice").cast("decimal(12,2)") * col("l_tax").cast("decimal(3,2)") * 100, 0).cast("long")
+      ).as("net_cents"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == exp)
+  }
+}
