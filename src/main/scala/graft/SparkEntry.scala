@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CensusQueries, GraphQueries, Llm, LlmExtra, MultimodalQueries, Quality, Relational, Scalars, SinkQueries, SourceQueries, StreamingQueries, UdxQueries}
+import graft.queries.{CensusQueries, GraphQueries, Llm, LlmExtra, MultimodalQueries, Quality, Relational, Scalars, SinkQueries, SourceQueries, StreamingQueries, TimeSeries, UdxQueries}
 import graft.oracle.OracleSql
 
 /** Driver contract — see /root/repo/SURVEY.md §2.B (the declared operator
@@ -219,11 +219,20 @@ object SparkEntry {
     // data-quality / analytics utilities
     "dq_schema_profile" -> Quality.dqSchemaProfile _,
     "dq_anomaly_zscore" -> Quality.dqAnomalyZscore _,
+    "dq_fk_orphans" -> Quality.dqFkOrphans _,
+    "dq_value_rules" -> Quality.dqValueRules _,
     "event_cohort_retention" -> Quality.eventCohortRetention _,
     // graph
     "graph_pagerank" -> GraphQueries.graphPagerank _,
+    "graph_triangle_count" -> GraphQueries.graphTriangleCount _,
+    "graph_bfs_hops" -> GraphQueries.graphBfsHops _,
+    // time series
+    "ts_gap_fill_interpolate" -> TimeSeries.tsGapFillInterpolate _,
+    "ts_resample_ohlc" -> TimeSeries.tsResampleOhlc _,
     // LLM quality signal
-    "llm_dup_ngram_coverage" -> LlmExtra.llmDupNgramCoverage _
+    "llm_dup_ngram_coverage" -> LlmExtra.llmDupNgramCoverage _,
+    // exact weighted quantile
+    "agg_weighted_median" -> Relational.aggWeightedMedian _
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on

@@ -2190,6 +2190,153 @@ object OracleSql {
              CAST(sum(n_grams) AS BIGINT) AS total_grams,
              CAST(sum(n_shared) AS BIGINT) AS shared_grams,
              ${N.ratio("sum(n_shared)", "sum(n_grams)", 4)} AS dup_frac
-      FROM perdoc GROUP BY source ORDER BY source"""
+      FROM perdoc GROUP BY source ORDER BY source""",
+
+    "ts_gap_fill_interpolate" -> """
+      WITH daily AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        FROM events WHERE user_id < 12 AND event_type = 'purchase' GROUP BY 1, 2),
+      cal AS (
+        SELECT user_id, CAST(unnest(generate_series(min(day), max(day), INTERVAL 1 DAY)) AS DATE) AS day
+        FROM daily GROUP BY user_id),
+      j AS (
+        SELECT c.user_id, c.day, d.cents,
+          last_value(d.cents IGNORE NULLS) OVER wb AS pc,
+          last_value(CASE WHEN d.cents IS NOT NULL THEN c.day END IGNORE NULLS) OVER wb AS pd,
+          first_value(d.cents IGNORE NULLS) OVER wf AS nc,
+          first_value(CASE WHEN d.cents IS NOT NULL THEN c.day END IGNORE NULLS) OVER wf AS nd
+        FROM cal c LEFT JOIN daily d USING (user_id, day)
+        WINDOW wb AS (PARTITION BY c.user_id ORDER BY c.day),
+               wf AS (PARTITION BY c.user_id ORDER BY c.day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      SELECT user_id, day, cents IS NULL AS is_interpolated,
+        CAST(coalesce(cents,
+          pc + CAST(sign(nc - pc) AS BIGINT) *
+               ((abs(nc - pc) * date_diff('day', pd, day)) // date_diff('day', pd, nd))
+        ) AS DOUBLE) / 100 AS value_filled
+      FROM j ORDER BY user_id, day""",
+
+    "ts_resample_ohlc" -> """
+      WITH e AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour, ts, event_id,
+               CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        FROM events WHERE ts < TIMESTAMP '2024-01-04'),
+      r AS (
+        SELECT *,
+          row_number() OVER (PARTITION BY event_type, hour ORDER BY ts, event_id) AS rn_o,
+          row_number() OVER (PARTITION BY event_type, hour ORDER BY ts DESC, event_id DESC) AS rn_c
+        FROM e)
+      SELECT event_type, hour, count(*) AS n_events,
+        CAST(max(CASE WHEN rn_o = 1 THEN cents END) AS DOUBLE) / 100 AS open,
+        CAST(max(cents) AS DOUBLE) / 100 AS high,
+        CAST(min(cents) AS DOUBLE) / 100 AS low,
+        CAST(max(CASE WHEN rn_c = 1 THEN cents END) AS DOUBLE) / 100 AS close
+      FROM r GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "graph_triangle_count" -> """
+      WITH docs AS (SELECT doc_id, source, lang, n_chars FROM documents WHERE doc_id < 1200),
+      blocks AS (
+        SELECT doc_id AS u, concat_ws('|', 's', source, CAST(n_chars // 100 AS VARCHAR)) AS bk FROM docs
+        UNION ALL
+        SELECT doc_id AS u, concat_ws('|', 'l', lang, CAST(n_chars // 50 AS VARCHAR)) AS bk FROM docs),
+      edges AS (
+        SELECT DISTINCT a.u AS u, b.u AS v
+        FROM blocks a JOIN blocks b USING (bk) WHERE a.u < b.u),
+      wedges AS (SELECT a.u AS x, a.v AS y, b.v AS z FROM edges a JOIN edges b ON a.v = b.u),
+      tri AS (SELECT x, y, z FROM wedges w JOIN edges c ON w.x = c.u AND w.z = c.v),
+      corners AS (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri)
+      SELECT node, count(*) AS n_triangles FROM corners GROUP BY 1
+      ORDER BY n_triangles DESC, node LIMIT 25""",
+
+    "graph_bfs_hops" -> """
+      WITH docs AS (SELECT doc_id, source, lang, n_chars FROM documents WHERE doc_id < 1200),
+      blocks AS (
+        SELECT doc_id AS u, concat_ws('|', 's', source, CAST(n_chars // 100 AS VARCHAR)) AS bk FROM docs
+        UNION ALL
+        SELECT doc_id AS u, concat_ws('|', 'l', lang, CAST(n_chars // 50 AS VARCHAR)) AS bk FROM docs),
+      edges AS (
+        SELECT DISTINCT a.u AS u, b.u AS v
+        FROM blocks a JOIN blocks b USING (bk) WHERE a.u < b.u),
+      adj AS (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+      nodes AS (SELECT DISTINCT u AS node FROM adj),
+      r0 AS (SELECT node, CAST(0 AS BIGINT) AS hop FROM nodes WHERE node % 101 = 0),
+      r1 AS (SELECT node, min(hop) AS hop FROM (
+        SELECT node, hop FROM r0
+        UNION ALL SELECT a.v AS node, r.hop + 1 AS hop FROM adj a JOIN r0 r ON a.u = r.node) GROUP BY 1),
+      r2 AS (SELECT node, min(hop) AS hop FROM (
+        SELECT node, hop FROM r1
+        UNION ALL SELECT a.v AS node, r.hop + 1 AS hop FROM adj a JOIN r1 r ON a.u = r.node) GROUP BY 1),
+      r3 AS (SELECT node, min(hop) AS hop FROM (
+        SELECT node, hop FROM r2
+        UNION ALL SELECT a.v AS node, r.hop + 1 AS hop FROM adj a JOIN r2 r ON a.u = r.node) GROUP BY 1)
+      SELECT coalesce(r.hop, -1) AS hops, count(*) AS n_nodes
+      FROM nodes n LEFT JOIN r3 r ON n.node = r.node
+      GROUP BY 1 ORDER BY 1""",
+
+    "dq_fk_orphans" -> """
+      WITH c1 AS (
+        SELECT 'orders.custkey->customer' AS fk_check, count(*) AS n_child_rows,
+               count(*) FILTER (WHERE hit IS NULL) AS n_orphans,
+               count(DISTINCT CASE WHEN hit IS NULL THEN k END) AS n_orphan_keys
+        FROM (SELECT o_custkey AS k FROM orders) c
+        LEFT JOIN (SELECT DISTINCT c_custkey AS k, 1 AS hit FROM customer) p USING (k)),
+      c2 AS (
+        SELECT 'lineitem.orderkey->orders' AS fk_check, count(*) AS n_child_rows,
+               count(*) FILTER (WHERE hit IS NULL) AS n_orphans,
+               count(DISTINCT CASE WHEN hit IS NULL THEN k END) AS n_orphan_keys
+        FROM (SELECT l_orderkey AS k FROM lineitem) c
+        LEFT JOIN (SELECT DISTINCT o_orderkey AS k, 1 AS hit FROM orders) p USING (k)),
+      c3 AS (
+        SELECT 'lineitem.partkey->part' AS fk_check, count(*) AS n_child_rows,
+               count(*) FILTER (WHERE hit IS NULL) AS n_orphans,
+               count(DISTINCT CASE WHEN hit IS NULL THEN k END) AS n_orphan_keys
+        FROM (SELECT l_partkey AS k FROM lineitem) c
+        LEFT JOIN (SELECT DISTINCT p_partkey AS k, 1 AS hit FROM part) p USING (k)),
+      c4 AS (
+        SELECT 'lineitem.suppkey->supplier' AS fk_check, count(*) AS n_child_rows,
+               count(*) FILTER (WHERE hit IS NULL) AS n_orphans,
+               count(DISTINCT CASE WHEN hit IS NULL THEN k END) AS n_orphan_keys
+        FROM (SELECT l_suppkey AS k FROM lineitem) c
+        LEFT JOIN (SELECT DISTINCT s_suppkey AS k, 1 AS hit FROM supplier) p USING (k))
+      SELECT * FROM c1 UNION ALL SELECT * FROM c2
+      UNION ALL SELECT * FROM c3 UNION ALL SELECT * FROM c4
+      ORDER BY fk_check""",
+
+    "dq_value_rules" -> s"""
+      WITH a AS (
+        SELECT count(*) AS n_rows,
+          count(*) FILTER (WHERE o_orderdate >= TIMESTAMP '2000-01-01') AS v_date,
+          count(*) FILTER (WHERE o_custkey IS NULL) AS v_null,
+          count(*) FILTER (WHERE o_totalprice > 400000.0) AS v_p400,
+          count(*) FILTER (WHERE o_totalprice <= 0.0) AS v_nonpos,
+          count(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F', 'P')) AS v_status
+        FROM orders),
+      u AS (
+        SELECT 'date_after_1999' AS rule_name, v_date AS n_violations, n_rows FROM a
+        UNION ALL SELECT 'null_custkey', v_null, n_rows FROM a
+        UNION ALL SELECT 'price_gt_400k', v_p400, n_rows FROM a
+        UNION ALL SELECT 'price_nonpositive', v_nonpos, n_rows FROM a
+        UNION ALL SELECT 'status_unknown', v_status, n_rows FROM a)
+      SELECT rule_name, n_violations,
+             ${N.ratio("n_violations", "n_rows", 4)} AS violation_rate
+      FROM u ORDER BY rule_name""",
+
+    "agg_weighted_median" -> """
+      WITH li AS (
+        SELECT l_returnflag,
+               CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS pc,
+               CAST(l_quantity AS BIGINT) AS q
+        FROM lineitem),
+      w AS (
+        SELECT l_returnflag, pc, q,
+          SUM(q) OVER (PARTITION BY l_returnflag ORDER BY pc) AS cw,
+          SUM(q) OVER (PARTITION BY l_returnflag) AS tw
+        FROM li)
+      SELECT l_returnflag, CAST(min(pc) AS DOUBLE) / 100 AS weighted_median,
+             CAST(max(tw) AS BIGINT) AS total_weight
+      FROM w WHERE cw * 2 >= tw GROUP BY 1 ORDER BY 1"""
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\n\\s+", "\n") }
 }

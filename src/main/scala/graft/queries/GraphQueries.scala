@@ -58,4 +58,72 @@ object GraphQueries {
       .orderBy(desc("rank_micro"), col("node"))
       .limit(25)
   }
+
+  /** Canonical (u < v) edge list of the TWO-BLOCKING similarity graph:
+    * docs sharing a (source × 100-char bucket) block OR a (lang ×
+    * 50-char bucket) block. Two overlapping cliquings — docs bridging
+    * both give the graph real diameter (paths of length 2–3), unlike a
+    * single blocking's disjoint cliques. The self-join per blocking is
+    * an equi-join on the block key (candidate generation, never
+    * all-pairs); per-block fan-out is bounded by block occupancy. */
+  private def simEdges(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("doc_id") < 1200)
+    val blocks = docs.select(col("doc_id").as("u"),
+        concat_ws("|", lit("s"), col("source"),
+          call_function("div", col("n_chars"), lit(100L))).as("bk"))
+      .union(docs.select(col("doc_id").as("u"),
+        concat_ws("|", lit("l"), col("lang"),
+          call_function("div", col("n_chars"), lit(50L))).as("bk")))
+    blocks.join(blocks.withColumnRenamed("u", "v"), "bk")
+      .filter(col("u") < col("v"))
+      .select("u", "v").distinct()
+  }
+
+  /** Per-node triangle counts over the similarity graph — the local
+    * clustering signal (a doc in a dense near-dup neighborhood sits in
+    * many triangles; a bridge doc in few). The standard two-join
+    * enumeration on canonical u<v<w edges: edges⋈edges extends each
+    * wedge, edges⋈wedges closes it — every step an equi-join on node
+    * keys, output-sensitive in the wedge count (per-block degree is
+    * occupancy-bounded, so no quadratic blowup; the same shape runs
+    * compact-first at 100 TB by counting within LSH buckets). */
+  def graphTriangleCount(s: SparkSession, dir: String): DataFrame = {
+    val e = simEdges(s, dir)
+    val wedges = e.as("a").join(e.as("b"), col("a.v") === col("b.u"))
+      .select(col("a.u").as("x"), col("a.v").as("y"), col("b.v").as("z"))
+    val tri = wedges.join(e.as("c"),
+      col("x") === col("c.u") && col("z") === col("c.v"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+      .orderBy(desc("n_triangles"), col("node"))
+      .limit(25)
+  }
+
+  /** BFS hop histogram from a seed set (doc_id ≡ 0 mod 101): how much
+    * of the similarity graph is within 3 hops of the seeds — the
+    * contamination-radius readout (if a benchmark doc seeds the graph,
+    * hop k is the k-th ring of transitively-similar docs). Three
+    * unrolled frontier rounds, each `reached ∪ (adj ⋈ reached)` then
+    * `min(hop)` — the Pregel step as relational algebra, like
+    * `graphPagerank`; at unbounded depth this is
+    * `operators.Components.minLabel`'s loop with hop+1 in place of
+    * min-label. Unreached nodes report hop −1 via the final left join,
+    * never traffic in the rounds. */
+  def graphBfsHops(s: SparkSession, dir: String): DataFrame = {
+    val e = simEdges(s, dir)
+    val adj = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val nodes = adj.select(col("u").as("node")).distinct()
+    var reach = nodes.filter(col("node") % 101 === 0)
+      .select(col("node"), lit(0L).as("hop"))
+    for (_ <- 1 to 3) {
+      reach = reach.union(
+          adj.join(reach, adj("u") === reach("node"))
+            .select(adj("v").as("node"), (col("hop") + 1).as("hop")))
+        .groupBy("node").agg(min("hop").as("hop"))
+    }
+    nodes.join(reach, Seq("node"), "left")
+      .select(coalesce(col("hop"), lit(-1L)).as("hops"))
+      .groupBy("hops").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("hops")
+  }
 }

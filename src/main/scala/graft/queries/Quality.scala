@@ -85,4 +85,57 @@ object Quality {
       .agg(countDistinct(col("user_id")).as("n_users"))
       .orderBy("cohort_week", "age_weeks")
   }
+
+  /** Referential-integrity audit: for each declared FK edge of the
+    * star schema, how many child rows point at a missing parent. Each
+    * check is one left join against the DISTINCT parent keys (the dims
+    * broadcast; the fact side streams map-only) + one count_if — so
+    * the whole audit is a scan per fact table, no matter how many
+    * million parent keys, and a 100 TB fact table audits in one pass.
+    * A healthy warehouse reports all-zero orphans; the row counts
+    * prove the checks actually ran. */
+  def dqFkOrphans(s: SparkSession, dir: String): DataFrame = {
+    def check(name: String, child: DataFrame, ck: String,
+              parent: DataFrame, pk: String): DataFrame =
+      child.select(col(ck).as("k"))
+        .join(parent.select(col(pk).as("k")).distinct()
+          .withColumn("hit", lit(1)), Seq("k"), "left")
+        .agg(count(lit(1)).as("n_child_rows"),
+          count_if(col("hit").isNull).as("n_orphans"),
+          countDistinct(when(col("hit").isNull, col("k"))).as("n_orphan_keys"))
+        .select(lit(name).as("fk_check"), col("n_child_rows"),
+          col("n_orphans"), col("n_orphan_keys"))
+    val (c, o, l, p, su) = (t(s, dir, "customer"), t(s, dir, "orders"),
+      t(s, dir, "lineitem"), t(s, dir, "part"), t(s, dir, "supplier"))
+    check("orders.custkey->customer", o, "o_custkey", c, "c_custkey")
+      .union(check("lineitem.orderkey->orders", l, "l_orderkey", o, "o_orderkey"))
+      .union(check("lineitem.partkey->part", l, "l_partkey", p, "p_partkey"))
+      .union(check("lineitem.suppkey->supplier", l, "l_suppkey", su, "s_suppkey"))
+      .orderBy("fk_check")
+  }
+
+  /** Declarative row-rule audit over orders: each rule is a predicate,
+    * the report is per-rule violation count + rate. ALL rules evaluate
+    * in ONE scan (a count_if per rule inside a single aggregate, then
+    * `stack` to rows) — adding a rule costs zero extra I/O, which is
+    * the property that matters when the table is 100 TB. Rates via
+    * exact integer half-up math. Zero AND nonzero rules are both
+    * present on purpose: all-zero output can't prove the predicates
+    * ever fired. */
+  def dqValueRules(s: SparkSession, dir: String): DataFrame = {
+    val rules: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      ("date_after_1999", col("o_orderdate") >= lit("2000-01-01").cast("timestamp")),
+      ("null_custkey", col("o_custkey").isNull),
+      ("price_gt_400k", col("o_totalprice") > 400000.0),
+      ("price_nonpositive", col("o_totalprice") <= 0.0),
+      ("status_unknown", !col("o_orderstatus").isin("O", "F", "P")))
+    val aggs = rules.map { case (n, p) => count_if(p).as(s"v_$n") }
+    val stackArgs = rules.map { case (n, _) => s"'$n', v_$n" }.mkString(", ")
+    t(s, dir, "orders")
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+      .selectExpr("n_rows", s"stack(${rules.length}, $stackArgs) AS (rule_name, n_violations)")
+      .select(col("rule_name"), col("n_violations"),
+        Num.ratio(col("n_violations"), col("n_rows"), 4).as("violation_rate"))
+      .orderBy("rule_name")
+  }
 }

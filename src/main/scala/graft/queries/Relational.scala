@@ -1258,4 +1258,29 @@ object Relational {
       .select(lit("ALL").as("o_orderpriority"), col("apx_custs"), col("n_orders"))
     per.union(all).orderBy("o_orderpriority")
   }
+
+  /** Exact weighted median: per return flag, the smallest price whose
+    * cumulative quantity-weight reaches half the group's total. Prices
+    * move as integer cents; the cumulative weight uses the default
+    * RANGE frame (ORDER BY price), so tied prices share one cumulative
+    * value and the selected price is identical under ANY intra-tie
+    * ordering — partition-order independent by construction, no
+    * (price, rowid) tiebreak column needed. One window pass + one
+    * aggregate; the quantile never materializes a sorted array the way
+    * `percentile` does, so group size is unbounded. */
+  def aggWeightedMedian(s: SparkSession, dir: String): DataFrame = {
+    val cum = Window.partitionBy("l_returnflag").orderBy("pc")
+    val tot = Window.partitionBy("l_returnflag")
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag"),
+        (Num.money(col("l_extendedprice")) * 100).cast("long").as("pc"),
+        col("l_quantity").cast("long").as("q"))
+      .withColumn("cw", sum("q").over(cum))
+      .withColumn("tw", sum("q").over(tot))
+      .filter(col("cw") * 2 >= col("tw"))
+      .groupBy("l_returnflag")
+      .agg((min("pc").cast("double") / 100).as("weighted_median"),
+        max("tw").as("total_weight"))
+      .orderBy("l_returnflag")
+  }
 }
