@@ -9,7 +9,7 @@ object TimeR3 {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.1"
     try SparkEntry.queries("scan_parquet_project")(spark, dir).count() catch { case _: Throwable => () }
-    val qs = Seq("llm_dedup_components", "llm_lang_id")
+    val qs = if (args.nonEmpty) args.toSeq else Seq("llm_dedup_components", "llm_lang_id")
     for (_ <- 1 to 2; q <- qs) {
       val t0 = System.nanoTime()
       SparkEntry.queries(q)(spark, dir).count()

@@ -789,14 +789,15 @@ object OracleSql {
       WHERE inter >= 1 ORDER BY doc_a, doc_b""",
 
     "llm_decontaminate" -> """
-      WITH g AS (
+      WITH gs AS (
         SELECT doc_id,
                unnest(list_distinct([array_to_string(w[CAST(i AS INT):CAST(i AS INT)+7], ' ')
                                      FOR i IN range(1, greatest(len(w)-7, 1)+1)])) AS g
         FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
-           bench AS (SELECT DISTINCT g FROM g WHERE doc_id < 10)
-      SELECT doc_id, count(DISTINCT g.g) AS n_hits
-      FROM g JOIN bench ON g.g = bench.g
+      g AS (SELECT doc_id, CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS gh FROM gs),
+           bench AS (SELECT DISTINCT gh FROM g WHERE doc_id < 10)
+      SELECT doc_id, count(DISTINCT g.gh) AS n_hits
+      FROM g JOIN bench ON g.gh = bench.gh
       WHERE doc_id >= 10
       GROUP BY doc_id ORDER BY doc_id""",
 

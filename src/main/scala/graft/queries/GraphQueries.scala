@@ -30,12 +30,15 @@ object GraphQueries {
       .filter(col("doc_id") < 1200)
       .select(col("doc_id").as("node"), col("source"),
         call_function("div", col("n_chars"), lit(100L)).as("blk"))
+    // edges and deg are read every round of the loop — persist both so
+    // the blocking self-join runs once, not once per PageRank round
     val edges = docs.select(col("node").as("u"), col("source"), col("blk"))
       .join(docs.select(col("node").as("v"), col("source"), col("blk")),
         Seq("source", "blk"))
       .filter(col("u") =!= col("v"))
       .select("u", "v")
-    val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
+      .persist()
+    val deg = edges.groupBy("u").agg(count(lit(1)).as("deg")).persist()
     val nodes = docs.select("node")
     var rank = nodes.select(col("node"), lit(1000000L).as("r"))
     for (_ <- 1 to 3) {
@@ -77,6 +80,9 @@ object GraphQueries {
     blocks.join(blocks.withColumnRenamed("u", "v"), "bk")
       .filter(col("u") < col("v"))
       .select("u", "v").distinct()
+      // not persisted here: triangle counting's three references share
+      // the distinct's exchange via AQE reuse (measured faster than the
+      // columnar cache); BFS persists its own adj expansion instead
   }
 
   /** Per-node triangle counts over the similarity graph — the local
@@ -111,15 +117,18 @@ object GraphQueries {
     * never traffic in the rounds. */
   def graphBfsHops(s: SparkSession, dir: String): DataFrame = {
     val e = simEdges(s, dir)
-    val adj = e.union(e.select(col("v").as("u"), col("u").as("v")))
-    val nodes = adj.select(col("u").as("node")).distinct()
+    val adj = e.union(e.select(col("v").as("u"), col("u").as("v"))).persist()
+    val nodes = adj.select(col("u").as("node")).distinct().persist()
     var reach = nodes.filter(col("node") % 101 === 0)
       .select(col("node"), lit(0L).as("hop"))
     for (_ <- 1 to 3) {
+      // cache each round: the union references `reach` twice, so an
+      // uncached loop doubles the plan every round (2^rounds scans)
       reach = reach.union(
           adj.join(reach, adj("u") === reach("node"))
             .select(adj("v").as("node"), (col("hop") + 1).as("hop")))
         .groupBy("node").agg(min("hop").as("hop"))
+        .cache()
     }
     nodes.join(reach, Seq("node"), "left")
       .select(coalesce(col("hop"), lit(-1L)).as("hops"))

@@ -51,8 +51,15 @@ object Llm {
     // native expression (graft.udx.MinHashExpression) — same
     // MinHash.signature kernel the UDF called, without the per-row
     // Scala-UDF conversion boundary
+    // persist: `sigs` feeds the band explode AND both per-pair join-backs
+    // — unpersisted, the 64-hash text pass runs up to four times (the
+    // self-join sides don't canonicalize to a reused exchange). The
+    // signature table is ~520 bytes/doc vs multi-KB text, so caching it
+    // is the 100 TB design too: signatures are a derived table you
+    // compute once.
     val sigs = t(s, dir, "documents")
       .select(col("doc_id"), expr("graft_minhash(text)").as("sig"))
+      .persist()
     val bandStructs = array((0 until MinHash.Bands).map { i =>
       struct(lit(i).as("band"),
         xxhash64(lit(i), slice(col("sig"), i * MinHash.RowsPerBand + 1, MinHash.RowsPerBand)).as("bkey"))
@@ -93,7 +100,13 @@ object Llm {
   def llmDedupPipeline(s: SparkSession, dir: String): DataFrame = {
     graft.udx.NGrams.registerAll(s)
     val d = t(s, dir, "documents")
+    // persist both forks: `sigs` feeds the band explode and two per-pair
+    // join-backs; `simPairs` below feeds both directions of the edge
+    // union. Unpersisted, each downstream reference re-runs the 64-hash
+    // text pass — multiplicatively through the union (observed ~350
+    // document scans in the built plan).
     val sigs = d.select(col("doc_id"), expr("graft_minhash(text)").as("sig"))
+      .persist()
     val bandStructs = array((0 until MinHash.Bands).map { i =>
       struct(lit(i).as("band"),
         xxhash64(lit(i), slice(col("sig"), i * MinHash.RowsPerBand + 1, MinHash.RowsPerBand)).as("bkey"))
@@ -111,6 +124,7 @@ object Llm {
       .join(sigs.select(col("doc_id").as("dst"), col("sig").as("sig_b")), "dst")
       .filter(expr("graft_lmatch(sig_a, sig_b)") >= lit(MinHash.NumPerm / 2))
       .select("src", "dst")
+      .persist()
     val edges = simPairs.union(simPairs.select(col("dst").as("src"), col("src").as("dst")))
     val labels = graft.operators.Components.minLabel(edges)
     labels.join(d.select(col("doc_id").as("node"), col("n_chars")), "node")

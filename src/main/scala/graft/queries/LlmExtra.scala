@@ -25,8 +25,15 @@ object LlmExtra {
     // native Catalyst expression (graft.udx.SimHashExpression) — no UDF
     // serialization boundary in the signature map pass
     graft.udx.NGrams.registerAll(s)
+    // persist the signature table: 16 bytes/doc vs the multi-KB text it
+    // derives from. Without it the band self-join recomputes the full
+    // tokenize+hash pass once PER SIDE (no exchange reuse — the sides
+    // differ post-alias); with it the expensive text scan runs exactly
+    // once and both sides read the cached (doc_id, sig) rows. At 100 TB
+    // the cached table is ~0.1% of the input — MEMORY_AND_DISK absorbs it.
     val sigs = t(s, dir, "documents")
       .select(col("doc_id"), expr("graft_simhash(text)").as("sig"))
+      .persist()
     val bandStructs = array((0 until SimHash.Bands).map { b =>
       struct(lit(b).as("band"),
         shiftrightunsigned(col("sig"), b * SimHash.BandBits).bitwiseAND(lit(0xFFFFL)).as("bkey"))
@@ -123,10 +130,13 @@ object LlmExtra {
     graft.udx.NGrams.registerAll(s)
     val bucketsUdf = udf((v: Seq[Float]) =>
       Lsh.buckets(v.map(_.toDouble).toArray).map { case (tb, bk) => tb * 65536 + bk })
+    // persisted: probes fork off emb, so the bucket UDF otherwise runs
+    // twice over every embedding
     val emb = t(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", graft.llm.Vectors.fnorm(col("v")))
       .withColumn("bkt", explode(bucketsUdf(col("v"))))
+      .persist()
     val probes = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("pid"), col("v").as("pv"), col("nrm").as("pnorm"), col("bkt"))
     val cands = emb.join(probes, "bkt")
@@ -153,9 +163,12 @@ object LlmExtra {
   def llmSimIvfTopk(s: SparkSession, dir: String): DataFrame = {
     import graft.llm.Ivf
     graft.udx.NGrams.registerAll(s)
+    // persisted: emb feeds the centroid slice, the scored cross join,
+    // and both per-pair vector join-backs
     val emb = t(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", graft.llm.Vectors.fnorm(col("v")))
+      .persist()
     val cents = emb.filter(col("vec_id") < Ivf.NCells)
       .select(col("vec_id").cast("long").as("cell"), col("v").as("cv"))
     val scored = emb.crossJoin(broadcast(cents))
@@ -204,10 +217,15 @@ object LlmExtra {
     * centroid norms — all value-for-value under the DuckDB oracle. */
   def llmKmeansTrain(s: SparkSession, dir: String): DataFrame = {
     val K = 8
+    // qv (the 64× posexplode of every embedding) is read twice per
+    // Lloyd's round plus the final assignment — persist it once; cent is
+    // K×64 rows, cached per round so each broadcast doesn't re-run the
+    // whole preceding round chain
     val qv = t(s, dir, "embeddings")
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .withColumn("xq", floor(col("x").cast("double") * 10000).cast("long"))
       .select("vec_id", "pos", "xq")
+      .persist()
     val dd = (col("xq") - col("cq")) * (col("xq") - col("cq"))
     var cent = qv.filter(col("vec_id") < K)
       .select(col("vec_id").as("cell"), col("pos"), col("xq").as("cq"))
@@ -220,6 +238,7 @@ object LlmExtra {
       cent = qv.join(assign, "vec_id")
         .groupBy("cell", "pos")
         .agg(floor(sum(col("xq")) / count(lit(1))).cast("long").as("cq"))
+        .cache()
     }
     val d2f = qv.join(broadcast(cent), "pos")
       .groupBy("vec_id", "cell").agg(sum(dd).as("d2"))
@@ -338,17 +357,24 @@ object LlmExtra {
     * which is what lets this run over 100 TB of pretraining text. */
   def llmDecontaminate(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
+    // grams move as 60-bit md5-derived hashes from the explode on: the
+    // shuffle keys, the broadcast benchmark set, and the countDistinct
+    // all carry 8-byte longs instead of ~50-byte 8-word strings (the
+    // llm_dup_ngram_coverage trick). The md5 arithmetic is identical in
+    // DuckDB, so distinct-hash counts hash-match the oracle exactly.
     def grams(df: org.apache.spark.sql.DataFrame) = df
       .withColumn("w", split(col("text"), " "))
       .select(col("doc_id"), explode(array_distinct(expr(
         "transform(sequence(1, greatest(size(w) - 7, 1)), i -> array_join(slice(w, i, 8), ' '))"
       ))).as("g"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("gh"))
     val bench = grams(docs.filter(col("doc_id") < 10))
-      .select(col("g")).distinct()
+      .select(col("gh")).distinct()
     grams(docs.filter(col("doc_id") >= 10))
-      .join(broadcast(bench), "g")
+      .join(broadcast(bench), "gh")
       .groupBy("doc_id")
-      .agg(countDistinct(col("g")).as("n_hits"))
+      .agg(countDistinct(col("gh")).as("n_hits"))
       .orderBy("doc_id")
   }
 
@@ -764,6 +790,12 @@ object LlmExtra {
       .agg(graft.udx.TopKAggregator.topk(1)(col("d"), col("cell")).as("tk"),
         first(col("v")).as("v"))
       .select(col("vec_id"), col("v"), col("tk.items")(0).getField("_2").as("cell"))
+    // deliberately NOT persisted: both sides of the within-cell pair
+    // join recompute the assignment, but each recompute is a map-only
+    // parquet pass + broadcast fdot — cheaper than round-tripping the
+    // float arrays through the columnar cache (measured 2.4× faster
+    // uncached at sf0.1), and at scale two map passes beat shuffling
+    // vectors into and out of cache as well
     val a = assigned.select(col("cell"), col("vec_id").as("id_a"), col("v").as("va"))
     val b = assigned.select(col("cell"), col("vec_id").as("id_b"), col("v").as("vb"))
     val pairs = a.join(b, Seq("cell"))

@@ -95,22 +95,38 @@ object Quality {
     * A healthy warehouse reports all-zero orphans; the row counts
     * prove the checks actually ran. */
   def dqFkOrphans(s: SparkSession, dir: String): DataFrame = {
-    def check(name: String, child: DataFrame, ck: String,
-              parent: DataFrame, pk: String): DataFrame =
-      child.select(col(ck).as("k"))
-        .join(parent.select(col(pk).as("k")).distinct()
-          .withColumn("hit", lit(1)), Seq("k"), "left")
-        .agg(count(lit(1)).as("n_child_rows"),
-          count_if(col("hit").isNull).as("n_orphans"),
-          countDistinct(when(col("hit").isNull, col("k"))).as("n_orphan_keys"))
-        .select(lit(name).as("fk_check"), col("n_child_rows"),
-          col("n_orphans"), col("n_orphan_keys"))
+    // One scan per FACT TABLE, not per FK: all of a fact's checks chain
+    // as left joins against the distinct parent keys on that one scan
+    // (small dims broadcast; the orders-keys join is the single shuffle),
+    // then ONE aggregate computes every check's counters and `stack`
+    // unpivots them to per-check rows. lineitem — the 100 TB table —
+    // is read exactly once for its three FK edges.
+    def audit(child: DataFrame, fks: Seq[(String, String, DataFrame, String)]): DataFrame = {
+      var df = child.select(fks.map { case (_, ck, _, _) => col(ck) }.distinct: _*)
+      fks.zipWithIndex.foreach { case ((_, ck, parent, pk), i) =>
+        df = df.join(
+          parent.select(col(pk).as(s"__p$i")).distinct(),
+          col(ck) === col(s"__p$i"), "left")
+      }
+      val counters = fks.zipWithIndex.flatMap { case ((_, ck, _, _), i) => Seq(
+        count_if(col(s"__p$i").isNull).as(s"__o$i"),
+        countDistinct(when(col(s"__p$i").isNull, col(ck))).as(s"__k$i"))
+      }
+      val stackArgs = fks.zipWithIndex
+        .map { case ((name, _, _, _), i) => s"'$name', __o$i, __k$i" }
+        .mkString(", ")
+      df.agg(count(lit(1)).as("n_child_rows"), counters: _*)
+        .selectExpr("n_child_rows",
+          s"stack(${fks.length}, $stackArgs) AS (fk_check, n_orphans, n_orphan_keys)")
+        .select("fk_check", "n_child_rows", "n_orphans", "n_orphan_keys")
+    }
     val (c, o, l, p, su) = (t(s, dir, "customer"), t(s, dir, "orders"),
       t(s, dir, "lineitem"), t(s, dir, "part"), t(s, dir, "supplier"))
-    check("orders.custkey->customer", o, "o_custkey", c, "c_custkey")
-      .union(check("lineitem.orderkey->orders", l, "l_orderkey", o, "o_orderkey"))
-      .union(check("lineitem.partkey->part", l, "l_partkey", p, "p_partkey"))
-      .union(check("lineitem.suppkey->supplier", l, "l_suppkey", su, "s_suppkey"))
+    audit(o, Seq(("orders.custkey->customer", "o_custkey", c, "c_custkey")))
+      .union(audit(l, Seq(
+        ("lineitem.orderkey->orders", "l_orderkey", o, "o_orderkey"),
+        ("lineitem.partkey->part", "l_partkey", p, "p_partkey"),
+        ("lineitem.suppkey->supplier", "l_suppkey", su, "s_suppkey"))))
       .orderBy("fk_check")
   }
 
