@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CensusQueries, GraphQueries, Llm, LlmExtra, MultimodalQueries, Quality, Relational, Scalars, SinkQueries, SourceQueries, StreamingQueries, TimeSeries, UdxQueries}
+import graft.queries.{CensusQueries, GeoQueries, GraphQueries, Llm, LlmExtra, MultimodalQueries, Quality, Relational, Scalars, SinkQueries, SourceQueries, StreamingQueries, TimeSeries, UdxQueries}
 import graft.oracle.OracleSql
 
 /** Driver contract — see /root/repo/SURVEY.md §2.B (the declared operator
@@ -232,7 +232,30 @@ object SparkEntry {
     // LLM quality signal
     "llm_dup_ngram_coverage" -> LlmExtra.llmDupNgramCoverage _,
     // exact weighted quantile
-    "agg_weighted_median" -> Relational.aggWeightedMedian _
+    "agg_weighted_median" -> Relational.aggWeightedMedian _,
+    // sketch-then-confirm exact heavy hitters (mergeable Misra-Gries UDAF)
+    "agg_heavy_hitters" -> UdxQueries.aggHeavyHitters _,
+    // co-located join via bucketed storage (zero query-time exchange)
+    "sink_bucketed_join" -> SinkQueries.sinkBucketedJoin _,
+    // time series: smoothing / rolling / interval consolidation
+    "ts_ewma" -> TimeSeries.tsEwma _,
+    "ts_rolling_quantile" -> TimeSeries.tsRollingQuantile _,
+    "ts_interval_merge" -> TimeSeries.tsIntervalMerge _,
+    // spatial joins via grid bucketing (the TIGER-module shape, A15)
+    "geo_grid_distance_join" -> GeoQueries.geoGridDistanceJoin _,
+    "geo_bbox_contain" -> GeoQueries.geoBboxContain _,
+    // cross-corpus screening + corpus diagnostics
+    "llm_dedup_cross_corpus" -> Llm.llmDedupCrossCorpus _,
+    "llm_zipf_fit" -> LlmExtra.llmZipfFit _,
+    // exact moment arithmetic + algebraic re-aggregation
+    "agg_skew_kurtosis" -> Relational.aggSkewKurtosis _,
+    "agg_reaggregate_partials" -> Relational.aggReaggregatePartials _,
+    // warehouse dimension build
+    "dim_scd2_build" -> Quality.dimScd2Build _,
+    // multimodal container detection
+    "mm_mime_detect" -> MultimodalQueries.mmMimeDetect _,
+    // z-order layout + zone-map readout
+    "layout_zorder_zonemap" -> Relational.layoutZorderZonemap _
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on

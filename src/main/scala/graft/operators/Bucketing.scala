@@ -24,10 +24,21 @@ object Bucketing {
 
   /** Write `df` as a bucketed+sorted catalog table. `saveAsTable` is
     * required: the bucket spec lives in catalog metadata, not in the
-    * parquet files (a plain `.parquet(path)` write silently drops it). */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    * parquet files (a plain `.parquet(path)` write silently drops it).
+    * Drops both the catalog entry AND any orphaned warehouse directory
+    * first — `mode("overwrite")` only replaces tables the CURRENT
+    * session's catalog knows about, and errors on a stale location left
+    * by an earlier session ([LOCATION_ALREADY_EXISTS]). */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    val s = df.sparkSession
+    s.sql(s"DROP TABLE IF EXISTS `$table`")
+    val wh = java.net.URI.create(s.conf.get("spark.sql.warehouse.dir")).getPath
+    val loc = new java.io.File(wh, table)
+    if (loc.exists())
+      org.apache.spark.network.util.JavaUtils.deleteRecursively(loc)
     df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key)
       .sortBy(key)
       .saveAsTable(table)
+  }
 }

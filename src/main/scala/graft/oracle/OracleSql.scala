@@ -2338,6 +2338,264 @@ object OracleSql {
         FROM li)
       SELECT l_returnflag, CAST(min(pc) AS DOUBLE) / 100 AS weighted_median,
              CAST(max(tw) AS BIGINT) AS total_weight
-      FROM w WHERE cw * 2 >= tw GROUP BY 1 ORDER BY 1"""
+      FROM w WHERE cw * 2 >= tw GROUP BY 1 ORDER BY 1""",
+
+    "agg_heavy_hitters" -> """
+      WITH src AS (
+        SELECT 10000 // (1 + (CAST(('0x' || substr(md5(
+                 CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)
+               ), 1, 15)) AS BIGINT) % 10000)) AS hk
+        FROM lineitem),
+      tot AS (SELECT count(*) AS n FROM src)
+      SELECT hk, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(count(*) * 10000 // n AS BIGINT) AS bp
+      FROM src, tot
+      GROUP BY hk, n
+      HAVING count(*) * 100 > n
+      ORDER BY cnt DESC, hk""",
+
+    "sink_bucketed_join" -> """
+      SELECT c_mktsegment,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""",
+
+    "ts_ewma" -> """
+      WITH RECURSIVE daily AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        FROM events WHERE user_id < 12 AND event_type = 'purchase' GROUP BY 1, 2),
+      r AS (
+        SELECT user_id, day, cents,
+               row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+        FROM daily),
+      e AS (
+        SELECT user_id, day, cents, rn, cents AS ew
+        FROM r WHERE rn = 1
+        UNION ALL
+        SELECT r.user_id, r.day, r.cents, r.rn,
+               (r.cents + 3 * e.ew) // 4
+        FROM r JOIN e ON r.user_id = e.user_id AND r.rn = e.rn + 1)
+      SELECT user_id, day, cents, CAST(ew AS DOUBLE) / 100 AS ewma
+      FROM e ORDER BY user_id, day""",
+
+    "ts_rolling_quantile" -> """
+      WITH daily AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        FROM events WHERE user_id < 12 AND event_type = 'purchase' GROUP BY 1, 2)
+      SELECT user_id, day, cents,
+             round(quantile_cont(cents, 0.5) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) / 100, 4) AS roll_med
+      FROM daily ORDER BY user_id, day""",
+
+    "ts_interval_merge" -> """
+      WITH iv AS (
+        SELECT user_id, event_id, ts AS s0,
+               ts + (CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) % 180) * INTERVAL 1 MINUTE AS e0
+        FROM events WHERE user_id < 8 AND event_type = 'click'),
+      m AS (
+        SELECT user_id, s0, e0,
+               max(e0) OVER (PARTITION BY user_id ORDER BY s0, e0, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        FROM iv),
+      f AS (
+        SELECT user_id, s0, e0,
+               CASE WHEN pm IS NULL OR s0 > pm THEN 1 ELSE 0 END AS ni
+        FROM m),
+      g AS (
+        SELECT user_id, s0, e0,
+               SUM(ni) OVER (PARTITION BY user_id ORDER BY s0, e0 ROWS UNBOUNDED PRECEDING) AS island
+        FROM f)
+      SELECT user_id, min(s0) AS s, max(e0) AS e,
+             CAST(count(*) AS BIGINT) AS n_merged
+      FROM g GROUP BY user_id, island ORDER BY user_id, s""",
+
+    "geo_grid_distance_join" -> """
+      WITH p AS (
+        SELECT c_custkey AS id,
+               CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || 'x'), 1, 15)) AS BIGINT) % 500 AS x,
+               CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || 'y'), 1, 15)) AS BIGINT) % 500 AS y
+        FROM customer WHERE c_custkey < 3000)
+      SELECT a.id AS id_a, b.id AS id_b,
+             CAST((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS BIGINT) AS d2
+      FROM p a JOIN p b ON a.id < b.id
+      WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 625
+      ORDER BY id_a, id_b""",
+
+    "geo_bbox_contain" -> """
+      WITH p AS (
+        SELECT c_custkey AS id,
+               CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || 'x'), 1, 15)) AS BIGINT) % 500 AS x,
+               CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || 'y'), 1, 15)) AS BIGINT) % 500 AS y
+        FROM customer WHERE c_custkey < 3000),
+      r AS (
+        SELECT n_nationkey AS rid,
+               (n_nationkey * 137) % 500 AS cxr, (n_nationkey * 211) % 500 AS cyr,
+               60 + (n_nationkey % 4) * 20 AS hw
+        FROM nation)
+      SELECT rid,
+             CAST(count(p.id) AS BIGINT) AS n_pts,
+             CAST(coalesce(sum(p.id), 0) AS BIGINT) AS sum_ids
+      FROM r LEFT JOIN p
+        ON p.x BETWEEN r.cxr - r.hw AND r.cxr + r.hw
+       AND p.y BETWEEN r.cyr - r.hw AND r.cyr + r.hw
+      GROUP BY rid ORDER BY rid""",
+
+    // same signature arithmetic as llm_dedup_minhash; band join crosses
+    // the even/odd corpus split instead of self-joining
+    "llm_dedup_cross_corpus" -> """
+      WITH wd AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+               CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                    ELSE list_distinct(list_transform(range(1, len(w) - 1), i ->
+                         array_to_string(w[i:i+2], ' '))) END AS shs
+        FROM wd),
+      hs AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) & 2147483647 AS h
+        FROM (SELECT doc_id, unnest(shs) AS g FROM sh)),
+      perm AS (
+        SELECT i,
+               1 + (1664525 * (i + 1) + 1013904223) % 2147483646 AS a,
+               (22695477 * (i + 1) + 1) % 2147483647 AS b
+        FROM range(64) t(i)),
+      sig AS (
+        SELECT doc_id, i, min((a * h + b) % 2147483647) AS v
+        FROM hs CROSS JOIN perm GROUP BY doc_id, i),
+      bands AS (
+        SELECT doc_id, i // 4 AS band,
+               string_agg(CAST(v AS VARCHAR), ',' ORDER BY i) AS bkey
+        FROM sig GROUP BY doc_id, i // 4),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+        WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1),
+      sigv AS (SELECT doc_id, list(v ORDER BY i) AS sig FROM sig GROUP BY doc_id),
+      m AS (
+        SELECT c.doc_a, c.doc_b,
+               len(list_filter(range(1, 65), j -> sa.sig[j] = sb.sig[j])) AS m
+        FROM cand c
+        JOIN sigv sa ON sa.doc_id = c.doc_a
+        JOIN sigv sb ON sb.doc_id = c.doc_b)
+      SELECT doc_b, CAST(count(DISTINCT doc_a) AS BIGINT) AS n_ref_dups,
+             CAST(max(m) AS BIGINT) AS best_match
+      FROM m WHERE m >= 13
+      GROUP BY doc_b ORDER BY doc_b""",
+
+    "llm_zipf_fit" -> """
+      WITH w AS (
+        SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        FROM documents),
+      f AS (SELECT w, count(*) AS cnt FROM w GROUP BY w ORDER BY cnt DESC, w LIMIT 100),
+      r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rank FROM f)
+      SELECT round(regr_slope(ln(cnt), ln(rank)), 4) AS slope,
+             round(regr_intercept(ln(cnt), ln(rank)), 4) AS intercept,
+             round(regr_r2(ln(cnt), ln(rank)), 4) AS r2,
+             CAST(count(*) AS BIGINT) AS n_terms
+      FROM r""",
+
+    "agg_skew_kurtosis" -> """
+      WITH a AS (
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(q) AS BIGINT) AS s1, CAST(sum(q*q) AS BIGINT) AS s2,
+               CAST(sum(q*q*q) AS BIGINT) AS s3, CAST(sum(q*q*q*q) AS BIGINT) AS s4
+        FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q FROM lineitem)
+        GROUP BY l_returnflag),
+      mo AS (
+        SELECT l_returnflag, n,
+               s1 / CAST(n AS DOUBLE) AS m,
+               s2 / CAST(n AS DOUBLE) AS e2,
+               s3 / CAST(n AS DOUBLE) AS e3,
+               s4 / CAST(n AS DOUBLE) AS e4
+        FROM a),
+      cm AS (
+        SELECT l_returnflag, n,
+               e2 - m*m AS m2,
+               e3 - 3.0*m*e2 + 2.0*m*m*m AS m3,
+               e4 - 4.0*m*e3 + 6.0*m*m*e2 - 3.0*m*m*m*m AS m4
+        FROM mo)
+      SELECT l_returnflag, n,
+             round(m3 / pow(m2, 1.5), 4) AS skew_pop,
+             round(m4 / (m2 * m2) - 3.0, 4) AS kurt_excess
+      FROM cm ORDER BY l_returnflag""",
+
+    "agg_reaggregate_partials" -> """
+      WITH daily AS (
+        SELECT l_shipdate AS day,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS p_cents,
+               CAST(count(*) AS BIGINT) AS p_n,
+               CAST(min(CAST(l_quantity AS BIGINT)) AS BIGINT) AS p_min_q,
+               CAST(max(CAST(l_quantity AS BIGINT)) AS BIGINT) AS p_max_q
+        FROM lineitem GROUP BY 1)
+      SELECT CAST(date_trunc('month', day) AS DATE) AS month,
+             CAST(sum(p_cents) AS DOUBLE) / 100 AS revenue,
+             CAST(sum(p_n) AS BIGINT) AS n_items,
+             CAST(min(p_min_q) AS BIGINT) AS min_qty,
+             CAST(max(p_max_q) AS BIGINT) AS max_qty,
+             CAST(count(*) AS BIGINT) AS n_days
+      FROM daily GROUP BY 1 ORDER BY 1""",
+
+    "dim_scd2_build" -> """
+      WITH obs AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority AS attr,
+               lag(o_orderpriority) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey) AS prev_attr
+        FROM orders WHERE o_custkey < 300),
+      chg AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, attr
+        FROM obs WHERE prev_attr IS NULL OR attr <> prev_attr)
+      SELECT o_custkey, attr, o_orderdate AS valid_from,
+             lead(o_orderdate) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS valid_to,
+             lead(o_orderdate) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current,
+             o_orderkey AS obs_orderkey
+      FROM chg ORDER BY o_custkey, valid_from, obs_orderkey""",
+
+    "mm_mime_detect" -> """
+      WITH mm AS (
+        SELECT * FROM (VALUES
+          (0, 'image/png'), (1, 'image/jpeg'), (2, 'image/gif'),
+          (3, 'application/pdf'), (4, 'audio/wav'), (5, 'application/zip'),
+          (6, 'application/octet-stream')) m(i, mime)),
+      b AS (
+        SELECT doc_id, CAST(doc_id % 7 AS INT) AS i,
+               4 + octet_length(encode(text)) AS nb
+        FROM documents WHERE doc_id < 2000)
+      SELECT mime, CAST(count(*) AS BIGINT) AS n_blobs,
+             CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+             CAST(sum(nb) AS BIGINT) AS sum_bytes
+      FROM b JOIN mm ON b.i = mm.i
+      GROUP BY mime ORDER BY mime""",
+
+    "layout_zorder_zonemap" -> """
+      WITH p AS (
+        SELECT (l_partkey * 7919) % 1024 AS x, (l_suppkey * 104729) % 1024 AS y
+        FROM lineitem),
+      z AS (
+        SELECT x, y,
+          (((x >> 0) & 1) << 0) | (((y >> 0) & 1) << 1) |
+          (((x >> 1) & 1) << 2) | (((y >> 1) & 1) << 3) |
+          (((x >> 2) & 1) << 4) | (((y >> 2) & 1) << 5) |
+          (((x >> 3) & 1) << 6) | (((y >> 3) & 1) << 7) |
+          (((x >> 4) & 1) << 8) | (((y >> 4) & 1) << 9) |
+          (((x >> 5) & 1) << 10) | (((y >> 5) & 1) << 11) |
+          (((x >> 6) & 1) << 12) | (((y >> 6) & 1) << 13) |
+          (((x >> 7) & 1) << 14) | (((y >> 7) & 1) << 15) |
+          (((x >> 8) & 1) << 16) | (((y >> 8) & 1) << 17) |
+          (((x >> 9) & 1) << 18) | (((y >> 9) & 1) << 19) AS z
+        FROM p)
+      SELECT z >> 16 AS bucket, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(min(x) AS BIGINT) AS x_min, CAST(max(x) AS BIGINT) AS x_max,
+             CAST(min(y) AS BIGINT) AS y_min, CAST(max(y) AS BIGINT) AS y_max
+      FROM z GROUP BY 1 ORDER BY 1"""
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\n\\s+", "\n") }
 }

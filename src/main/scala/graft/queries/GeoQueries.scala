@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables.t
+
+/** Planar spatial joins via grid bucketing — the Spark-first shape of
+  * the reference's TIGER/PostGIS geometry module (SURVEY §2.A A15,
+  * `upstream:censuspgsql/tiger2pgsql.py` [U]): PostGIS answers
+  * point/polygon predicates with an R-tree; a distributed engine gets
+  * the same output-sensitive cost by snapping geometry to a grid and
+  * turning every spatial predicate into a cell equi-join + residual
+  * exact filter. No geometry library exists in this container, so
+  * coordinates derive deterministically from keys — the JOIN SHAPE is
+  * the product; the coordinates are stand-ins.
+  *
+  * The grid rule for distance-r self-joins: cell size ≥ r, replicate
+  * ONE side to its 3×3 cell neighborhood, equi-join on the cell, then
+  * the exact predicate. Each qualifying pair meets in exactly one cell
+  * (the un-replicated side's), so no post-join dedup is needed. Cost is
+  * 9× one side's rows — output-sensitive, never O(n²).
+  */
+object GeoQueries {
+
+  /** Deterministic point cloud: one point per customer, scattered over
+    * a 500×500 plane by md5 (key-derived — both engines reproduce it
+    * arithmetically; a multiplicative lattice would keep every pair
+    * ≥ its lattice constant apart and defeat the distance join). */
+  private def points(s: SparkSession, dir: String): DataFrame = {
+    def coord(salt: String) =
+      conv(substring(md5(concat(col("c_custkey").cast("string"), lit(salt))), 1, 15), 16, 10)
+        .cast("long") % 500L
+    t(s, dir, "customer")
+      .filter(col("c_custkey") < 3000)
+      .select(col("c_custkey").as("id"), coord("x").as("x"), coord("y").as("y"))
+  }
+
+  /** All point pairs within Euclidean distance 25 — grid-bucketed:
+    * side A keyed by its own cell, side B replicated to the 3×3
+    * neighborhood, one cell equi-join, exact integer d² residual.
+    * Oracle: the naive O(n²) distance self-join (identical rows). */
+  def geoGridDistanceJoin(s: SparkSession, dir: String): DataFrame = {
+    val R = 25L
+    val pts = points(s, dir)
+    val a = pts.select(col("id").as("id_a"), col("x").as("xa"), col("y").as("ya"),
+      call_function("div", col("x"), lit(R)).as("cx"),
+      call_function("div", col("y"), lit(R)).as("cy"))
+    val nbr = array((-1 to 1).map(i => lit(i.toLong)): _*)
+    val b = pts.select(col("id").as("id_b"), col("x").as("xb"), col("y").as("yb"))
+      .withColumn("dx", explode(nbr))
+      .withColumn("dy", explode(nbr))
+      .select(col("id_b"), col("xb"), col("yb"),
+        (call_function("div", col("xb"), lit(R)) + col("dx")).as("cx"),
+        (call_function("div", col("yb"), lit(R)) + col("dy")).as("cy"))
+    val d2 = (col("xa") - col("xb")) * (col("xa") - col("xb")) +
+      (col("ya") - col("yb")) * (col("ya") - col("yb"))
+    a.join(b, Seq("cx", "cy"))
+      .filter(col("id_a") < col("id_b") && d2 <= lit(R * R))
+      .select(col("id_a"), col("id_b"), d2.as("d2"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Point-in-rectangle containment join (the point-in-polygon shape):
+    * 25 key-derived, overlapping rectangles (one per nation) explode to
+    * every 100-unit grid cell they COVER (`sequence` over the cell
+    * range — a rectangle's fan-out is its area in cells, not the point
+    * count), points key by their single cell, equi-join + exact BETWEEN
+    * residual, then per-rectangle containment stats. A LEFT join back
+    * to the rectangle table keeps empty rectangles at zero. Replaces
+    * the O(points × rects) nested loop with an output-sensitive
+    * equi-join — the same plan PostGIS reaches via its R-tree, spelled
+    * as shuffle-friendly relational ops. */
+  def geoBboxContain(s: SparkSession, dir: String): DataFrame = {
+    val rects = t(s, dir, "nation").select(
+        col("n_nationkey").as("rid"),
+        pmod(col("n_nationkey") * 137, lit(500L)).as("cxr"),
+        pmod(col("n_nationkey") * 211, lit(500L)).as("cyr"),
+        (lit(60L) + pmod(col("n_nationkey"), lit(4L)) * 20L).as("hw"))
+      .select(col("rid"),
+        (col("cxr") - col("hw")).as("x0"), (col("cxr") + col("hw")).as("x1"),
+        (col("cyr") - col("hw")).as("y0"), (col("cyr") + col("hw")).as("y1"))
+    val rcells = rects
+      .withColumn("cx", explode(expr("sequence(x0 div 100, x1 div 100)")))
+      .withColumn("cy", explode(expr("sequence(y0 div 100, y1 div 100)")))
+    val pts = points(s, dir)
+      .withColumn("cx", call_function("div", col("x"), lit(100L)))
+      .withColumn("cy", call_function("div", col("y"), lit(100L)))
+    val contained = pts.join(rcells, Seq("cx", "cy"))
+      .filter(col("x").between(col("x0"), col("x1")) &&
+        col("y").between(col("y0"), col("y1")))
+      .groupBy("rid")
+      .agg(count(lit(1)).as("n_pts"), sum(col("id")).as("sum_ids"))
+    rects.join(contained, Seq("rid"), "left")
+      .select(col("rid"),
+        coalesce(col("n_pts"), lit(0L)).as("n_pts"),
+        coalesce(col("sum_ids"), lit(0L)).as("sum_ids"))
+      .orderBy("rid")
+  }
+}

@@ -85,6 +85,45 @@ object Llm {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Cross-corpus near-dup detection — the doc-level twin of
+    * `llm_decontaminate`: flag every TARGET-side document (odd doc_id)
+    * whose MinHash signature collides with any REFERENCE-side document
+    * (even doc_id) in ≥1 LSH band and matches ≥13/64 rows
+    * (est-Jaccard ≥ 0.2). This is how a training corpus is screened
+    * against a benchmark/eval corpus at document granularity: signatures
+    * once (one map pass, persisted), band equi-join ACROSS the two
+    * sides only — never within a side, never all-pairs — then exact
+    * row-match confirm per candidate pair. At 100 TB the reference side
+    * is typically small enough that its banded signatures broadcast;
+    * here both sides shuffle on (band, bkey), which is the general
+    * form. */
+  def llmDedupCrossCorpus(s: SparkSession, dir: String): DataFrame = {
+    graft.udx.NGrams.registerAll(s)
+    val sigs = t(s, dir, "documents")
+      .select(col("doc_id"), expr("graft_minhash(text)").as("sig"))
+      .persist()
+    val bandStructs = array((0 until MinHash.Bands).map { i =>
+      struct(lit(i).as("band"),
+        xxhash64(lit(i), slice(col("sig"), i * MinHash.RowsPerBand + 1, MinHash.RowsPerBand)).as("bkey"))
+    }: _*)
+    val bands = sigs.select(col("doc_id"), explode(bandStructs).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
+    val ref = bands.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
+    val tgt = bands.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id").as("doc_b"), col("band"), col("bkey"))
+    val cands = ref.join(tgt, Seq("band", "bkey"))
+      .select("doc_a", "doc_b").distinct()
+    cands
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .withColumn("m", expr("graft_lmatch(sig_a, sig_b)").cast("long"))
+      .filter(col("m") >= 13)
+      .groupBy("doc_b")
+      .agg(countDistinct(col("doc_a")).as("n_ref_dups"), max("m").as("best_match"))
+      .orderBy("doc_b")
+  }
+
   /** The COMPLETE near-dup dedup pipeline, end to end — what a corpus
     * cleaning job actually runs, composed from the graded pieces:
     * MinHash signatures (native expression, one map pass) → LSH band

@@ -952,4 +952,28 @@ object LlmExtra {
         Num.ratio(sum("n_shared"), sum("n_grams"), 4).as("dup_frac"))
       .orderBy("source")
   }
+
+  /** Zipf-law fit over the corpus vocabulary: OLS of ln(freq) on
+    * ln(rank) for the top-100 terms — the standard corpus-health
+    * diagnostic (natural text slopes ≈ −1; synthetic/templated text
+    * drifts shallow or steep). One count shuffle over the token
+    * explode, a 100-row global top-k, then the co-moment regression
+    * aggregates on those 100 rows — the model side is O(1) no matter
+    * the corpus size, same bounded-model pattern as `llm_lang_id`.
+    * Exact integer counts feed `ln`; both engines round the identical
+    * regression to 4 decimals. */
+  def llmZipfFit(s: SparkSession, dir: String): DataFrame = {
+    val freq = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val top = freq.orderBy(col("cnt").desc, col("w")).limit(100)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("w"))))
+    top.agg(
+      round(expr("regr_slope(ln(cnt), ln(rank))"), 4).as("slope"),
+      round(expr("regr_intercept(ln(cnt), ln(rank))"), 4).as("intercept"),
+      round(expr("regr_r2(ln(cnt), ln(rank))"), 4).as("r2"),
+      count(lit(1)).as("n_terms"))
+  }
 }

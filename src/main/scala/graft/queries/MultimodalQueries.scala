@@ -118,4 +118,43 @@ object MultimodalQueries {
         max("frame_idx").cast("long").as("last_frame"))
       .orderBy("doc_id")
   }
+
+  /** Container-format detection by MAGIC BYTES over the binary column —
+    * the first step of any multimodal ingest (route each blob to the
+    * right decoder without trusting extensions/metadata). Payloads get
+    * a deterministic key-derived magic prefix (no real media in this
+    * container); detection itself is genuine byte-level work: a tiny
+    * magic table broadcast, equi-join on the blob's first 4 bytes,
+    * unmatched blobs fall back to octet-stream via left join. Pure
+    * map-side work at any scale — the scan reads 4 bytes of each blob
+    * for the join key. */
+  def mmMimeDetect(s: SparkSession, dir: String): DataFrame = {
+    val magics = Seq(
+      ("89504E47", "image/png"), ("FFD8FFE0", "image/jpeg"),
+      ("47494638", "image/gif"), ("25504446", "application/pdf"),
+      ("52494646", "audio/wav"), ("504B0304", "application/zip"))
+    import s.implicits._
+    val mtab = magics.toDF("hex", "mime")
+      .select(unhex(col("hex")).as("prefix4"), col("mime"))
+    // every 7th blob gets an unknown prefix — exercises the
+    // octet-stream fallback branch of the left join
+    val hexes = array((magics.map(m => lit(m._1)) :+ lit("00000000")): _*)
+    val blobs = t(s, dir, "documents")
+      .filter(col("doc_id") < 2000)
+      .select(col("doc_id"),
+        concat(
+          unhex(element_at(hexes, (pmod(col("doc_id"), lit(7L)) + 1).cast("int"))),
+          col("text").cast("binary")).as("payload"))
+    blobs
+      .select(col("doc_id"), substring(col("payload"), 1, 4).as("prefix4"),
+        octet_length(col("payload")).as("n_bytes"))
+      .join(broadcast(mtab), Seq("prefix4"), "left")
+      .select(col("doc_id"),
+        coalesce(col("mime"), lit("application/octet-stream")).as("mime"),
+        col("n_bytes"))
+      .groupBy("mime")
+      .agg(count(lit(1)).as("n_blobs"), sum("doc_id").as("sum_ids"),
+        sum("n_bytes").as("sum_bytes"))
+      .orderBy("mime")
+  }
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.tables.Tables.t
 
@@ -153,5 +154,32 @@ object Quality {
       .select(col("rule_name"), col("n_violations"),
         Num.ratio(col("n_violations"), col("n_rows"), 4).as("violation_rate"))
       .orderBy("rule_name")
+  }
+
+  /** Build a slowly-changing-dimension TYPE 2 history from an event
+    * log: each customer's order-priority observations collapse to
+    * validity intervals [valid_from, valid_to) — consecutive repeats of
+    * the same value merge (lag comparison), each change closes the
+    * prior interval (lead), the last interval stays open
+    * (valid_to = NULL, is_current = true). Two window passes over one
+    * (custkey) shuffle, no self-join — the standard warehouse
+    * dimension-build, and at 100 TB the per-key history is bounded so
+    * every window frame stays small. Ties inside a day break on
+    * orderkey for a deterministic history. */
+  def dimScd2Build(s: SparkSession, dir: String): DataFrame = {
+    val byKey = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val obs = t(s, dir, "orders")
+      .filter(col("o_custkey") < 300)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        col("o_orderpriority").as("attr"))
+      .withColumn("prev_attr", lag("attr", 1).over(byKey))
+      .filter(col("prev_attr").isNull || col("attr") =!= col("prev_attr"))
+    val chg = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    obs.withColumn("valid_to", lead("o_orderdate", 1).over(chg))
+      .select(col("o_custkey"), col("attr"),
+        col("o_orderdate").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"),
+        col("o_orderkey").as("obs_orderkey"))
+      .orderBy("o_custkey", "valid_from", "obs_orderkey")
   }
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.tables.Tables.t
@@ -1282,5 +1282,90 @@ object Relational {
       .agg((min("pc").cast("double") / 100).as("weighted_median"),
         max("tw").as("total_weight"))
       .orderBy("l_returnflag")
+  }
+
+  /** Population skewness + excess kurtosis of l_quantity per return
+    * flag, computed from EXACT integer power sums (Σx..Σx⁴ — quantity
+    * is a small int, so Σx⁴ fits a long with huge headroom) and only
+    * entering floating point in the final central-moment formulas.
+    * Built-in `skewness`/`kurtosis` stream partial doubles whose
+    * accumulation order varies with partitioning; the power-sum form is
+    * bit-identical at ANY partitioning and ANY engine — and it is the
+    * re-aggregatable form: power sums merge along any rollup axis
+    * (day→month→year) without touching raw data, the moment-sketch
+    * pattern for 100 TB profiling. */
+  def aggSkewKurtosis(s: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity").cast("long")
+    val agg = t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum(x).as("s1"), sum(x * x).as("s2"),
+        sum(x * x * x).as("s3"), sum(x * x * x * x).as("s4"))
+    val n = col("n").cast("double")
+    val m = col("s1") / n
+    val m2 = col("s2") / n - m * m
+    val m3 = col("s3") / n - lit(3.0) * m * (col("s2") / n) + lit(2.0) * m * m * m
+    val m4 = col("s4") / n - lit(4.0) * m * (col("s3") / n) +
+      lit(6.0) * m * m * (col("s2") / n) - lit(3.0) * m * m * m * m
+    agg.select(col("l_returnflag"), col("n"),
+        round(m3 / pow(m2, 1.5), 4).as("skew_pop"),
+        round(m4 / (m2 * m2) - 3.0, 4).as("kurt_excess"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Algebraic re-aggregation of partial states — the incremental-
+    * rollup contract: daily partial aggregates (sum/count/min/max per
+    * ship-day) merge into monthly finals WITHOUT touching base rows
+    * again, and the merged result provably equals aggregating the base
+    * directly (the oracle computes the direct form). This is the shape
+    * every incremental 100 TB pipeline relies on: yesterday's partials
+    * are immutable, today appends one day, the monthly rollup reads
+    * 30 partial rows instead of re-scanning a month of raw data. */
+  def aggReaggregatePartials(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "lineitem")
+      .groupBy(col("l_shipdate").as("day"))
+      .agg(
+        sum((Num.money(col("l_extendedprice")) * 100).cast("long")).as("p_cents"),
+        count(lit(1)).as("p_n"),
+        min(col("l_quantity").cast("long")).as("p_min_q"),
+        max(col("l_quantity").cast("long")).as("p_max_q"))
+    daily.groupBy(date_trunc("month", col("day")).cast("date").as("month"))
+      .agg(
+        (sum("p_cents").cast("double") / 100).as("revenue"),
+        sum("p_n").as("n_items"),
+        min("p_min_q").as("min_qty"),
+        max("p_max_q").as("max_qty"),
+        count(lit(1)).as("n_days"))
+      .orderBy("month")
+  }
+
+  /** Z-ORDER data layout + zone-map readout: interleave the bits of two
+    * query dimensions (partkey, suppkey → 10 bits each) into a Morton
+    * code, bucket rows by FIXED-WIDTH z-ranges (high bits of z — no
+    * global window, fully parallel), and report each bucket's bounding
+    * box in both dimensions. The payoff a reader can verify in the
+    * output: every bucket covers a SMALL rectangle in (x, y) space, so
+    * a scan filtered on either dimension can skip most buckets on
+    * min/max zone maps alone — single-column sorting gives this for one
+    * dimension only. This is the layout step a 100 TB table runs before
+    * `sink_partitioned_parquet`-style writes; the Morton arithmetic is
+    * pure bit math, identical in the oracle. */
+  def layoutZorderZonemap(s: SparkSession, dir: String): DataFrame = {
+    def morton(xc: Column, yc: Column): Column =
+      (0 until 10).map { i =>
+        shiftleft(shiftrightunsigned(xc, i).bitwiseAND(lit(1L)), 2 * i)
+          .bitwiseOR(shiftleft(shiftrightunsigned(yc, i).bitwiseAND(lit(1L)), 2 * i + 1))
+      }.reduce(_ bitwiseOR _)
+    // odd multipliers spread the keys across the full 10-bit range at
+    // every scale factor (raw keys at small sf cluster near zero and
+    // collapse every row into one z-bucket)
+    t(s, dir, "lineitem")
+      .select(pmod(col("l_partkey") * 7919L, lit(1024L)).as("x"),
+        pmod(col("l_suppkey") * 104729L, lit(1024L)).as("y"))
+      .withColumn("z", morton(col("x"), col("y")))
+      .groupBy(shiftrightunsigned(col("z"), 16).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min("x").as("x_min"), max("x").as("x_max"),
+        min("y").as("y_min"), max("y").as("y_max"))
+      .orderBy("bucket")
   }
 }

@@ -96,4 +96,33 @@ object SinkQueries {
     back.toDF("r_name", "n_name", "n_suppliers", "total_bal")
       .orderBy("r_name", "n_name")
   }
+
+  /** Co-located join through BUCKETED storage, end to end under the
+    * hash gate: write orders and customer as 8-bucket catalog tables
+    * hash-partitioned on custkey (`bucketBy` + `sortBy` + `saveAsTable`
+    * — the one write-time shuffle), then join and aggregate the two
+    * bucketed tables WITHOUT any query-time Exchange (BucketingSpec
+    * pins the no-Exchange plan; this query grades the values).
+    *
+    * This is the recurring-join answer at 100 TB: every nightly
+    * orders⋈customer pays zero shuffle forever after one bucketed
+    * write, and the same spec holds for lineitem⋈orders at ~1024
+    * buckets. Results are byte-identical to the plain join — the
+    * oracle IS the unbucketed join. */
+  def sinkBucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    graft.operators.Bucketing.writeBucketed(
+      t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+      "graft_bj_orders", "o_custkey", 8)
+    graft.operators.Bucketing.writeBucketed(
+      t(s, dir, "customer").select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+      "graft_bj_customer", "o_custkey", 8)
+    s.table("graft_bj_orders")
+      .join(s.table("graft_bj_customer"), "o_custkey")
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_custs"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .orderBy("c_mktsegment")
+  }
 }

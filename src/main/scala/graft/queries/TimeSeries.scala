@@ -76,4 +76,82 @@ object TimeSeries {
         dollars(max_by(col("cents"), ord)).as("close"))
       .orderBy("event_type", "hour")
   }
+
+  /** Daily purchase cents per user (shared base for the smoothing /
+    * rolling ops below) — exact integer cents. */
+  private def dailyCents(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(col("user_id") < 12 && col("event_type") === "purchase")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(sum((Num.money(col("value")) * 100).cast("long")).as("cents"))
+
+  /** Exponentially weighted moving average (α = 1/4, e₀ = x₀) of each
+    * user's daily purchase series, QUANTIZED to integer cents: the
+    * recurrence is `e = (x + 3·e_prev) div 4` — exact integer
+    * arithmetic, so there is no float-rounding boundary for the two
+    * engines to disagree on (a double recurrence lands values exactly
+    * on .xxxx5 boundaries where Spark's string-based round and
+    * DuckDB's binary round split). The recurrence is inherently
+    * sequential PER KEY, so it runs as a typed `flatMapGroups`: each
+    * user's (small) daily series sorts in executor memory and folds
+    * once — users parallelize across executors, which is the only
+    * parallelism a per-key recurrence admits. At 100 TB the shuffle is
+    * one (user_id) exchange of pre-aggregated daily rows. */
+  def tsEwma(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = dailyCents(s, dir)
+      .select(col("user_id"), col("day").cast("string"), col("cents"))
+      .as[(Long, String, Long)]
+    rows.groupByKey(_._1)
+      .flatMapGroups { (uid: Long, it: Iterator[(Long, String, Long)]) =>
+        val days = it.toArray.sortBy(_._2)
+        var e = 0L
+        days.iterator.zipWithIndex.map { case ((_, d, c), i) =>
+          e = if (i == 0) c else (c + 3 * e) / 4
+          (uid, d, c, e)
+        }
+      }
+      .toDF("user_id", "day", "cents", "ew")
+      .select(col("user_id"), col("day").cast("date").as("day"), col("cents"),
+        (col("ew").cast("double") / 100).as("ewma"))
+      .orderBy("user_id", "day")
+  }
+
+  /** Trailing-7-row EXACT rolling median of each user's daily purchase
+    * cents — the windowed holistic aggregate (`percentile` over a rows
+    * frame). Exact medians of integer cents interpolate to halves, so
+    * the doubles are identical across engines. Scale: one (user_id)
+    * shuffle + per-partition sort; each frame holds ≤ 7 values so the
+    * holistic recompute is O(7) per row — no corpus-sized state. */
+  def tsRollingQuantile(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("day").rowsBetween(-6, 0)
+    dailyCents(s, dir)
+      .withColumn("roll_med", round(expr("percentile(cents, 0.5)").over(w) / 100, 4))
+      .select(col("user_id"), col("day"), col("cents"), col("roll_med"))
+      .orderBy("user_id", "day")
+  }
+
+  /** Merge overlapping/touching time intervals per user (the classic
+    * calendar-consolidation op): intervals derived deterministically
+    * from events (start = ts, duration = value-derived minutes), then
+    * the gaps-and-islands pattern — a running `max(end)` over all
+    * PRIOR rows marks island starts, a running sum of the marks labels
+    * islands, one aggregate merges each island. Two windows + one
+    * aggregate over a single (user_id) shuffle; nothing quadratic, no
+    * interval self-join. */
+  def tsIntervalMerge(s: SparkSession, dir: String): DataFrame = {
+    val iv = t(s, dir, "events")
+      .filter(col("user_id") < 8 && col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts").as("start"),
+        expr("timestampadd(MINUTE, CAST(pmod(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT), 180) AS INT), ts)").as("end"))
+    val ord = Window.partitionBy("user_id").orderBy("start", "end", "event_id")
+    val prevMax = max("end").over(ord.rowsBetween(Window.unboundedPreceding, -1))
+    iv.withColumn("new_island",
+        when(prevMax.isNull || col("start") > prevMax, 1L).otherwise(0L))
+      .withColumn("island", sum("new_island").over(ord))
+      .groupBy("user_id", "island")
+      .agg(min("start").as("s"), max("end").as("e"), count(lit(1)).as("n_merged"))
+      .select("user_id", "s", "e", "n_merged")
+      .orderBy("user_id", "s")
+  }
 }

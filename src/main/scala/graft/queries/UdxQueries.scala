@@ -60,4 +60,37 @@ object UdxQueries {
       .toDF("user_id", "n_events", "max_gap_min", "min_gap_min")
       .orderBy("user_id")
   }
+
+  /** Exact heavy hitters (frequency > 1% of rows) over a
+    * high-cardinality skewed key, found in two passes: a mergeable
+    * Misra–Gries sketch (128 counters — candidate set provably ⊇ every
+    * key above n/129) reduces each partition to ≤ 128 counters before
+    * any shuffle, then one broadcast semi-join pass counts ONLY the
+    * candidates exactly and applies the threshold. The sketch can
+    * over-generate but never lose a true heavy hitter, so the final
+    * answer is exact — the oracle is the plain GROUP BY + HAVING.
+    *
+    * Scale story: the naive form shuffles one row per DISTINCT key
+    * (billions at 100 TB); this shuffles ≤ 128 counters for the sketch
+    * plus candidate-only rows for the confirm. The skewed key is
+    * Zipf-like by construction — `10000 div (1 + md5-uniform[0,10000))`
+    * makes key 1 cover ~half the rows — and md5-derived, so DuckDB
+    * reproduces it arithmetically. */
+  def aggHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val u = conv(substring(md5(concat(col("l_orderkey").cast("string"),
+        lit("-"), col("l_linenumber").cast("string"))), 1, 15), 16, 10)
+      .cast("long") % 10000L
+    def src = t(s, dir, "lineitem")
+      .select(call_function("div", lit(10000L), lit(1L) + u).as("hk"))
+    val cands = src.agg(graft.udx.MisraGries.mg(128)(col("hk")).as("mg"))
+      .select(explode(map_keys(col("mg.keys"))).as("hk"))
+    val tot = src.agg(count(lit(1)).as("n"))
+    src.join(broadcast(cands), "hk")
+      .groupBy("hk").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(tot))
+      .filter(col("cnt") * 100 > col("n"))
+      .select(col("hk"), col("cnt"),
+        call_function("div", col("cnt") * 10000L, col("n")).as("bp"))
+      .orderBy(col("cnt").desc, col("hk"))
+  }
 }

@@ -119,4 +119,47 @@ class UdxSpec extends GraftSpec {
       assert(r.getDouble(2) == r.getDouble(3), s"fnorm ${r.getDouble(2)} != ${r.getDouble(3)}")
     }
   }
+
+  test("Misra-Gries candidates contain every true heavy hitter at any partitioning") {
+    import SparkSpecBase.spark.implicits._
+    val k = 16
+    // zipf-ish synthetic stream with planted heavies + noise tail
+    val rnd = new scala.util.Random(11)
+    val data: Seq[Long] = (0 until 5000).map { _ =>
+      val u = rnd.nextInt(1000)
+      (200L / (1 + u)) // key 200..0, heavily skewed toward small u → large key
+    }
+    val exact = data.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = data.size.toLong
+    val trueHeavy = exact.filter { case (_, c) => c > n / (k + 1) }.keySet
+    for (parts <- Seq(1, 3, 32)) {
+      val cands = data.toDF("x").repartition(parts)
+        .agg(graft.udx.MisraGries.mg(k)(col("x")).as("mg"))
+        .select(explode(map_keys(col("mg.keys"))).as("hk"))
+        .collect().map(_.getLong(0)).toSet
+      assert(cands.size <= k, s"parts=$parts buffer exceeded k")
+      assert(trueHeavy.subsetOf(cands),
+        s"parts=$parts lost heavy hitters: ${trueHeavy -- cands}")
+    }
+  }
+
+  test("agg_heavy_hitters equals the naive exact groupBy+threshold form") {
+    val got = graft.queries.UdxQueries.aggHeavyHitters(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // naive: full exact counts, no sketch
+    val u = conv(substring(md5(concat(col("l_orderkey").cast("string"),
+        lit("-"), col("l_linenumber").cast("string"))), 1, 15), 16, 10)
+      .cast("long") % 10000L
+    val src = graft.tables.Tables.t(spark, sfDir, "lineitem")
+      .select(call_function("div", lit(10000L), lit(1L) + u).as("hk"))
+    val tot = src.count()
+    val want = src.groupBy("hk").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * 100 > lit(tot))
+      .select(col("hk"), col("cnt"),
+        call_function("div", col("cnt") * 10000L, lit(tot)).as("bp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(x => (-x._2, x._1))
+    assert(got.toSeq == want.toSeq)
+    assert(got.nonEmpty, "skew construction should yield at least one heavy hitter")
+  }
 }
