@@ -255,7 +255,9 @@ object SparkEntry {
     // multimodal container detection
     "mm_mime_detect" -> MultimodalQueries.mmMimeDetect _,
     // z-order layout + zone-map readout
-    "layout_zorder_zonemap" -> Relational.layoutZorderZonemap _
+    "layout_zorder_zonemap" -> Relational.layoutZorderZonemap _,
+    // bounded-state streaming dedup (batch form; twin: StreamOps.dedupBounded)
+    "stream_dedup_bounded" -> StreamingQueries.streamDedupBounded _
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on

@@ -2596,6 +2596,18 @@ object OracleSql {
       SELECT z >> 16 AS bucket, CAST(count(*) AS BIGINT) AS n_rows,
              CAST(min(x) AS BIGINT) AS x_min, CAST(max(x) AS BIGINT) AS x_max,
              CAST(min(y) AS BIGINT) AS y_min, CAST(max(y) AS BIGINT) AS y_max
-      FROM z GROUP BY 1 ORDER BY 1"""
+      FROM z GROUP BY 1 ORDER BY 1""",
+
+    "stream_dedup_bounded" -> """
+      WITH h AS (
+        SELECT user_id, event_type, date_trunc('hour', ts) AS hour,
+               event_id, ts,
+               row_number() OVER (PARTITION BY user_id, event_type, date_trunc('hour', ts)
+                 ORDER BY ts, event_id) AS rn
+        FROM events WHERE user_id < 40)
+      SELECT user_id, event_type, hour,
+             event_id AS first_event_id, epoch_us(ts) AS first_ts_us
+      FROM h WHERE rn = 1
+      ORDER BY user_id, event_type, hour"""
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\n\\s+", "\n") }
 }

@@ -80,14 +80,21 @@ object UdxQueries {
     val u = conv(substring(md5(concat(col("l_orderkey").cast("string"),
         lit("-"), col("l_linenumber").cast("string"))), 1, 15), 16, 10)
       .cast("long") % 10000L
-    def src = t(s, dir, "lineitem")
+    // persist the derived key column: 8 bytes/row vs three full md5+
+    // string passes (sketch, total, confirm all read it); the sketch
+    // and the exact total also share ONE aggregate, so the table is
+    // scanned twice, hashed once
+    val src = t(s, dir, "lineitem")
       .select(call_function("div", lit(10000L), lit(1L) + u).as("hk"))
-    val cands = src.agg(graft.udx.MisraGries.mg(128)(col("hk")).as("mg"))
-      .select(explode(map_keys(col("mg.keys"))).as("hk"))
-    val tot = src.agg(count(lit(1)).as("n"))
+      .persist()
+    // one-row result, cached: candidate explode AND the total both read
+    // it — uncached, each reference re-runs the sketch aggregation
+    val sketch = src.agg(graft.udx.MisraGries.mg(128)(col("hk")).as("mg"),
+      count(lit(1)).as("n")).persist()
+    val cands = sketch.select(explode(map_keys(col("mg.keys"))).as("hk"))
     src.join(broadcast(cands), "hk")
       .groupBy("hk").agg(count(lit(1)).as("cnt"))
-      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(sketch.select(col("n"))))
       .filter(col("cnt") * 100 > col("n"))
       .select(col("hk"), col("cnt"),
         call_function("div", col("cnt") * 10000L, col("n")).as("bp"))

@@ -58,6 +58,21 @@ object StreamOps {
       .withWatermark("ts", "1 hour")
       .dropDuplicates("user_id", "event_type")
 
+  /** Bounded-state dedup (stream_dedup_bounded): one row per
+    * (user, type, HOUR bucket) via `dropDuplicatesWithinWatermark` —
+    * the state store evicts every key once the watermark passes it,
+    * so state size is bounded by keys-per-2-hours FOREVER, where plain
+    * `dropDuplicates` state grows with lifetime-distinct keys (the
+    * difference between a job that runs for a day and one that runs
+    * for a year on a 100 TB/day feed). The hour column makes the
+    * bounded semantics exact: a key recurring in a LATER hour is a new
+    * row by definition, not an eviction artifact. */
+  def dedupBounded(events: DataFrame): DataFrame =
+    events
+      .withColumn("hour", date_trunc("hour", col("ts")))
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "hour")
+
   /** Stream-stream interval join (stream_interval_join): clicks ⋈
     * purchases of the same user with the purchase inside (click_ts,
     * click_ts + 1h]. Both sides carry watermarks and the join condition

@@ -54,6 +54,26 @@ class StreamingSpec extends GraftSpec {
     assert(got.length == 2)
   }
 
+  test("bounded dedup drops within-hour repeats but admits the key again next hour") {
+    val got = runBatches(StreamOps.dedupBounded, OutputMode.Append(), Seq(
+      Seq( // hour 01: duplicate (1, click) collapses to one row
+        TestEvent(ts("2024-01-01 01:00:00"), 1, "click", 1.0),
+        TestEvent(ts("2024-01-01 01:05:00"), 1, "click", 99.0)),
+      Seq( // hour 02: same (user, type) is a NEW hour-bucketed key —
+        // admitted even though the state store evicted nothing yet
+        TestEvent(ts("2024-01-01 02:10:00"), 1, "click", 2.0)),
+      Seq( // advance the watermark far past hour 02 (evicts its state),
+        // then a LATE duplicate of hour 01 arrives: dropped only if the
+        // engine's within-watermark contract held; a late row BEHIND
+        // the watermark never reaches the operator in append mode
+        TestEvent(ts("2024-01-01 09:00:00"), 2, "view", 3.0))))
+    val keys = got.map(r => (r.getLong(1), r.getString(2),
+      r.getTimestamp(4).toString)).sorted
+    assert(keys.length == 3, keys.mkString(", "))
+    assert(keys.count { case (u, t2, _) => u == 1L && t2 == "click" } == 2,
+      "expected (1, click) once per hour bucket")
+  }
+
   test("streaming dedup is arrival-order: first-ARRIVED row wins on out-of-order input") {
     // The ts=01:05 row arrives in batch 1; the event-time-earlier 01:00
     // row arrives in batch 2. dropDuplicates keeps the batch-1 arrival
