@@ -257,7 +257,13 @@ object SparkEntry {
     // z-order layout + zone-map readout
     "layout_zorder_zonemap" -> Relational.layoutZorderZonemap _,
     // bounded-state streaming dedup (batch form; twin: StreamOps.dedupBounded)
-    "stream_dedup_bounded" -> StreamingQueries.streamDedupBounded _
+    "stream_dedup_bounded" -> StreamingQueries.streamDedupBounded _,
+    // community detection via synchronous label propagation
+    "graph_label_propagation" -> GraphQueries.graphLabelPropagation _,
+    // paragraph-level exact dedup (C4/CCNet line-dedup shape)
+    "llm_dedup_paragraph" -> LlmExtra.llmDedupParagraph _,
+    // parallel + pushed-down JDBC source read
+    "source_jdbc_pushdown" -> SourceQueries.sourceJdbcPushdown _
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on

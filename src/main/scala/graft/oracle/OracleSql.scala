@@ -2608,6 +2608,58 @@ object OracleSql {
       SELECT user_id, event_type, hour,
              event_id AS first_event_id, epoch_us(ts) AS first_ts_us
       FROM h WHERE rn = 1
-      ORDER BY user_id, event_type, hour"""
+      ORDER BY user_id, event_type, hour""",
+
+    "graph_label_propagation" -> """
+      WITH docs AS (SELECT doc_id, source, lang, n_chars FROM documents WHERE doc_id < 1200),
+      blocks AS (
+        SELECT doc_id AS u, concat_ws('|', 's', source, CAST(n_chars // 100 AS VARCHAR)) AS bk FROM docs
+        UNION ALL
+        SELECT doc_id AS u, concat_ws('|', 'l', lang, CAST(n_chars // 50 AS VARCHAR)) AS bk FROM docs),
+      edges AS (
+        SELECT DISTINCT a.u AS u, b.u AS v
+        FROM blocks a JOIN blocks b USING (bk) WHERE a.u < b.u),
+      adj AS (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+      l0 AS (SELECT DISTINCT u AS node, u AS label FROM adj),
+      n1 AS (SELECT a.u AS node, l.label, count(*) AS c
+             FROM adj a JOIN l0 l ON a.v = l.node GROUP BY 1, 2),
+      l1 AS (SELECT node, label FROM (
+               SELECT node, label, row_number() OVER (PARTITION BY node
+                 ORDER BY c DESC, label) AS rn FROM n1) WHERE rn = 1),
+      n2 AS (SELECT a.u AS node, l.label, count(*) AS c
+             FROM adj a JOIN l1 l ON a.v = l.node GROUP BY 1, 2),
+      l2 AS (SELECT node, label FROM (
+               SELECT node, label, row_number() OVER (PARTITION BY node
+                 ORDER BY c DESC, label) AS rn FROM n2) WHERE rn = 1),
+      n3 AS (SELECT a.u AS node, l.label, count(*) AS c
+             FROM adj a JOIN l2 l ON a.v = l.node GROUP BY 1, 2),
+      l3 AS (SELECT node, label FROM (
+               SELECT node, label, row_number() OVER (PARTITION BY node
+                 ORDER BY c DESC, label) AS rn FROM n3) WHERE rn = 1)
+      SELECT node, label FROM l3 ORDER BY node""",
+
+    "llm_dedup_paragraph" -> """
+      WITH ch AS (
+        SELECT doc_id, generate_subscripts(cs, 1) - 1 AS pos, unnest(cs) AS chunk
+        FROM (SELECT doc_id, string_split(text, '. ') AS cs FROM documents)),
+      ne AS (
+        SELECT doc_id, chunk,
+               CAST(('0x' || substr(md5(chunk), 1, 15)) AS BIGINT) AS h,
+               doc_id * 100000 + pos AS ord
+        FROM ch WHERE chunk <> ''),
+      f AS (SELECT h, min(ord) AS keep_ord FROM ne GROUP BY h)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(count(*) FILTER (WHERE ord <> keep_ord) AS BIGINT) AS n_removed,
+             CAST(coalesce(sum(length(chunk)) FILTER (WHERE ord <> keep_ord), 0) AS BIGINT) AS chars_removed
+      FROM ne JOIN f USING (h)
+      GROUP BY doc_id ORDER BY doc_id""",
+
+    "source_jdbc_pushdown" -> """
+      SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders
+      WHERE o_custkey < 500 AND o_orderstatus = 'O' AND o_totalprice > 50000
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\n\\s+", "\n") }
 }

@@ -135,4 +135,32 @@ object GraphQueries {
       .groupBy("hops").agg(count(lit(1)).as("n_nodes"))
       .orderBy("hops")
   }
+
+  /** Synchronous label propagation (3 rounds) over the similarity
+    * graph — community detection: every node starts as its own label
+    * and each round adopts the MAJORITY label among its neighbors
+    * (count desc, label asc tiebreak — fully deterministic, no
+    * async/ordering dependence). Per round: one adjacency⋈labels
+    * equi-join, one (node, label) count, one per-node top-1 window —
+    * all shuffles keyed on node, nothing global. Labels cache per
+    * round (each round reads the previous one twice through the
+    * count+window chain); the fixed round count keeps the oracle
+    * expressible as three chained CTEs. */
+  def graphLabelPropagation(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = simEdges(s, dir)
+    val adj = e.union(e.select(col("v").as("u"), col("u").as("v"))).persist()
+    var lab = adj.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    for (_ <- 1 to 3) {
+      val nb = adj.join(lab.withColumnRenamed("node", "v"), "v")
+        .select(col("u").as("node"), col("label"))
+      val cnt = nb.groupBy("node", "label").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("node").orderBy(col("c").desc, col("label"))
+      lab = cnt.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select("node", "label")
+        .cache()
+    }
+    lab.orderBy("node")
+  }
 }

@@ -953,6 +953,32 @@ object LlmExtra {
       .orderBy("source")
   }
 
+  /** Paragraph-level exact dedup (the C4/CCNet line-dedup shape):
+    * split each document into sentence chunks, hash every chunk, keep
+    * only the GLOBALLY FIRST occurrence of each hash (min packed
+    * (doc, pos) key — deterministic, no partition-order dependence),
+    * and report per-document removal stats. One explode + one hash
+    * groupBy + one join back: the shuffle carries 8-byte chunk hashes,
+    * and the first-occurrence rule is a pure min aggregate — this is
+    * the within- and cross-document boilerplate remover that runs
+    * before doc-level near-dup at 100 TB. */
+  def llmDedupParagraph(s: SparkSession, dir: String): DataFrame = {
+    val ch = t(s, dir, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), "\\. ")).as(Seq("pos", "chunk")))
+      .filter(col("chunk") =!= "")
+      .withColumn("h", conv(substring(md5(col("chunk")), 1, 15), 16, 10).cast("long"))
+      .withColumn("ord", col("doc_id") * 100000L + col("pos"))
+    val first = ch.groupBy("h").agg(min("ord").as("keep_ord"))
+    ch.join(first, "h")
+      .withColumn("kept", col("ord") === col("keep_ord"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        count_if(!col("kept")).as("n_removed"),
+        coalesce(sum(when(!col("kept"), length(col("chunk")))), lit(0L))
+          .cast("long").as("chars_removed"))
+      .orderBy("doc_id")
+  }
+
   /** Zipf-law fit over the corpus vocabulary: OLS of ln(freq) on
     * ln(rank) for the top-100 terms — the standard corpus-health
     * diagnostic (natural text slopes ≈ −1; synthetic/templated text

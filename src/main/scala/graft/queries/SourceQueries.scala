@@ -178,4 +178,41 @@ object SourceQueries {
         countDistinct(col("c_nationkey")).as("n_nations"))
       .orderBy("c_mktsegment")
   }
+
+  /** PARALLEL + PUSHED-DOWN JDBC read: an orders slice is staged into
+    * embedded Derby once, then read back through the JDBC source with
+    * (a) `partitionColumn/numPartitions` — Spark issues 4 concurrent
+    * range-bounded SELECTs, the only way a JDBC scan parallelizes on a
+    * 1000-executor cluster — and (b) filters that reach the database as
+    * WHERE clauses (`PushedFilters` pinned in SourcesSpec), so the
+    * warehouse never ships rows the query drops. Bounds need not be
+    * exact (rows outside land in the edge partitions); the oracle is
+    * the same aggregate straight off parquet. */
+  def sourceJdbcPushdown(s: SparkSession, dir: String): DataFrame = {
+    val url = {
+      val d = s"${sys.props("java.io.tmpdir")}/graft_jdbc_src_${ProcessHandle.current().pid()}"
+      s"jdbc:derby:$d;create=true"
+    }
+    t(s, dir, "orders")
+      .filter(col("o_custkey") < 500)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+      .write.format("jdbc")
+      .option("url", url).option("dbtable", "graft_src")
+      // Derby's default string mapping is CLOB, which its SQL layer
+      // refuses to compare — the pushed WHERE needs VARCHAR columns
+      .option("createTableColumnTypes",
+        "o_orderstatus VARCHAR(2), o_orderpriority VARCHAR(20)")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).save()
+    s.read.format("jdbc")
+      .option("url", url).option("dbtable", "graft_src")
+      .option("partitionColumn", "o_orderkey")
+      .option("lowerBound", "0").option("upperBound", "6000000")
+      .option("numPartitions", "4")
+      .load()
+      .filter(col("o_orderstatus") === "O" && col("o_totalprice") > 50000.0)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .orderBy("o_orderpriority")
+  }
 }

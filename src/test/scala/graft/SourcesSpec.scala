@@ -92,4 +92,26 @@ class SourcesSpec extends GraftSpec {
       case _ => ()
     }
   }
+
+  test("JDBC source pushes filters into the database and reads 4 range partitions") {
+    // stage + build the same read sourceJdbcPushdown performs, then pin
+    // the plan: the status/price predicates must appear as PushedFilters
+    // on the JDBCRelation (shipped as WHERE to the database), and the
+    // scan RDD must have numPartitions range slices
+    graft.queries.SourceQueries.sourceJdbcPushdown(spark, sfDir).collect()
+    val url = s"jdbc:derby:${System.getProperty("java.io.tmpdir")}/graft_jdbc_src_${ProcessHandle.current().pid()}"
+    val read = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "graft_src")
+      .option("partitionColumn", "o_orderkey")
+      .option("lowerBound", "0").option("upperBound", "6000000")
+      .option("numPartitions", "4")
+      .load()
+      .filter(col("o_orderstatus") === "O" && col("o_totalprice") > 50000.0)
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"), plan)
+    assert(plan.contains("o_orderstatus") && plan.contains("o_totalprice"),
+      s"filters not pushed:\n$plan")
+    assert(read.rdd.getNumPartitions == 4,
+      s"expected 4 JDBC range partitions, got ${read.rdd.getNumPartitions}")
+  }
 }

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.queries.{GraphQueries, Quality, Relational, TimeSeries}
+import graft.tables.Tables.t
 
 /** Invariant coverage for the time-series / graph / audit operators
   * (each is also DuckDB-oracle-checked; these assert the semantic
@@ -104,5 +105,73 @@ class TimeSeriesGraphSpec extends GraftSpec {
       assert(below * 2 < tw, s"$flag: too much weight strictly below $m")
       assert(through * 2 >= tw, s"$flag: weight through $m does not reach half")
     }
+  }
+
+  test("geo grid distance join equals the naive O(n^2) reference on random points") {
+    import SparkSpecBase.spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val R = 25L
+    // include coordinated clusters so near pairs certainly exist, plus
+    // exact-boundary pairs (d == R) to pin the <= semantics
+    val pts = (0 until 300).map(i => (i.toLong, rnd.nextInt(400).toLong, rnd.nextInt(400).toLong)) ++
+      Seq((1000L, 50L, 50L), (1001L, 75L, 50L), (1002L, 50L, 75L)) // d = 25 exactly
+    val df = pts.toDF("id", "x", "y")
+    val a = df.select(col("id").as("id_a"), col("x").as("xa"), col("y").as("ya"),
+      call_function("div", col("x"), lit(R)).as("cx"),
+      call_function("div", col("y"), lit(R)).as("cy"))
+    val nbr = array((-1 to 1).map(i => lit(i.toLong)): _*)
+    val b = df.select(col("id").as("id_b"), col("x").as("xb"), col("y").as("yb"))
+      .withColumn("dx", explode(nbr)).withColumn("dy", explode(nbr))
+      .select(col("id_b"), col("xb"), col("yb"),
+        (call_function("div", col("xb"), lit(R)) + col("dx")).as("cx"),
+        (call_function("div", col("yb"), lit(R)) + col("dy")).as("cy"))
+    val d2 = (col("xa") - col("xb")) * (col("xa") - col("xb")) +
+      (col("ya") - col("yb")) * (col("ya") - col("yb"))
+    val grid = a.join(b, Seq("cx", "cy"))
+      .filter(col("id_a") < col("id_b") && d2 <= lit(R * R))
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = (for {
+      (i, xi, yi) <- pts; (j, xj, yj) <- pts
+      if i < j && (xi - xj) * (xi - xj) + (yi - yj) * (yi - yj) <= R * R
+    } yield (i, j)).toSet
+    assert(grid == naive, s"missing=${naive -- grid} extra=${grid -- naive}")
+    assert(naive.contains((1000L, 1001L)) && naive.contains((1000L, 1002L)),
+      "boundary pairs must be present in the reference")
+  }
+
+  test("ts_interval_merge: merged intervals are disjoint, ordered, and cover all input") {
+    val got = graft.queries.TimeSeries.tsIntervalMerge(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    got.groupBy(_._1).foreach { case (u, ivs) =>
+      val sorted = ivs.sortBy(_._2.getTime)
+      sorted.foreach { case (_, s0, e0, n) =>
+        assert(!e0.before(s0), s"user $u: interval ends before start")
+        assert(n >= 1)
+      }
+      sorted.sliding(2).foreach {
+        case Array((_, _, e1, _), (_, s2, _, _)) =>
+          assert(e1.before(s2), s"user $u: merged intervals overlap/touch: $e1 !< $s2")
+        case _ => ()
+      }
+    }
+    // count conservation: merged interval counts sum to the input rows
+    val nInput = t(spark, sfDir, "events")
+      .filter(col("user_id") < 8 && col("event_type") === "click").count()
+    assert(got.map(_._4).sum == nInput)
+  }
+
+  test("label propagation: labels are node ids from the same component, rounds deterministic") {
+    val lab = graft.queries.GraphQueries.graphLabelPropagation(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(lab.nonEmpty)
+    val nodes = lab.map(_._1).toSet
+    assert(lab.forall { case (_, l) => nodes.contains(l) },
+      "every label must be an existing node id")
+    // determinism across two builds (same session — catches unordered
+    // tie-breaks and partition-dependent majority resolution)
+    val again = graft.queries.GraphQueries.graphLabelPropagation(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(lab.sameElements(again))
   }
 }
