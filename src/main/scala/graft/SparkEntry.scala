@@ -263,7 +263,11 @@ object SparkEntry {
     // paragraph-level exact dedup (C4/CCNet line-dedup shape)
     "llm_dedup_paragraph" -> LlmExtra.llmDedupParagraph _,
     // parallel + pushed-down JDBC source read
-    "source_jdbc_pushdown" -> SourceQueries.sourceJdbcPushdown _
+    "source_jdbc_pushdown" -> SourceQueries.sourceJdbcPushdown _,
+    // multi-touch attribution (first/last/linear, exact integer credit)
+    "event_funnel_attribution" -> Quality.eventFunnelAttribution _,
+    // exact discrete percentiles, one window pass
+    "agg_percentile_disc" -> Relational.aggPercentileDisc _
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on

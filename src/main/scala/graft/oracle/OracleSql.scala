@@ -2660,6 +2660,47 @@ object OracleSql {
       FROM orders
       WHERE o_custkey < 500 AND o_orderstatus = 'O' AND o_totalprice > 50000
       GROUP BY o_orderpriority
-      ORDER BY o_orderpriority"""
+      ORDER BY o_orderpriority""",
+
+    "event_funnel_attribution" -> """
+      WITH p AS (
+        SELECT user_id, ts AS p_ts, event_id AS p_id
+        FROM events WHERE user_id < 100 AND event_type = 'purchase'),
+      c AS (
+        SELECT user_id, ts AS c_ts, event_id AS c_id,
+               'ch' || CAST(event_id % 4 AS VARCHAR) AS channel
+        FROM events WHERE user_id < 100 AND event_type = 'click'),
+      j AS (
+        SELECT p.p_id, c.c_ts, c.c_id, c.channel
+        FROM p JOIN c ON p.user_id = c.user_id
+         AND c.c_ts <= p.p_ts AND c.c_ts > p.p_ts - INTERVAL 7 DAY),
+      r AS (
+        SELECT p_id, channel,
+               row_number() OVER (PARTITION BY p_id ORDER BY c_ts, c_id) AS rn,
+               count(*) OVER (PARTITION BY p_id) AS n
+        FROM j)
+      SELECT channel,
+             CAST(count(*) AS BIGINT) AS n_touches,
+             CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_first,
+             CAST(count(*) FILTER (WHERE rn = n) AS BIGINT) AS n_last,
+             CAST(sum(10000 // n + CASE WHEN rn <= 10000 % n THEN 1 ELSE 0 END) AS BIGINT) AS linear_bp
+      FROM r GROUP BY channel ORDER BY channel""",
+
+    "agg_percentile_disc" -> """
+      WITH li AS (
+        SELECT l_returnflag,
+               CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS pc
+        FROM lineitem),
+      w AS (
+        SELECT l_returnflag, pc,
+               count(*) OVER (PARTITION BY l_returnflag ORDER BY pc) AS cw,
+               count(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM li)
+      SELECT l_returnflag,
+             CAST(min(CASE WHEN cw * 4 >= n THEN pc END) AS DOUBLE) / 100 AS p25,
+             CAST(min(CASE WHEN cw * 2 >= n THEN pc END) AS DOUBLE) / 100 AS p50,
+             CAST(min(CASE WHEN cw * 10 >= n * 9 THEN pc END) AS DOUBLE) / 100 AS p90,
+             CAST(max(n) AS BIGINT) AS n_rows
+      FROM w GROUP BY l_returnflag ORDER BY l_returnflag"""
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\n\\s+", "\n") }
 }

@@ -966,15 +966,20 @@ object LlmExtra {
     val ch = t(s, dir, "documents")
       .select(col("doc_id"), posexplode(split(col("text"), "\\. ")).as(Seq("pos", "chunk")))
       .filter(col("chunk") =!= "")
-      .withColumn("h", conv(substring(md5(col("chunk")), 1, 15), 16, 10).cast("long"))
-      .withColumn("ord", col("doc_id") * 100000L + col("pos"))
-    val first = ch.groupBy("h").agg(min("ord").as("keep_ord"))
-    ch.join(first, "h")
-      .withColumn("kept", col("ord") === col("keep_ord"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("chunk")), 1, 15), 16, 10).cast("long").as("h"),
+        (col("doc_id") * 100000L + col("pos")).as("ord"),
+        length(col("chunk")).as("len"))
+    // single pass: a min-over-hash window marks the keeper directly —
+    // the groupBy(h)+join-back form re-ran the whole explode+md5 scan
+    // on the join's probe side; this shuffles the (8-byte h, ord, len)
+    // triple once and never touches the text again
+    val keepOrd = min("ord").over(Window.partitionBy("h"))
+    ch.withColumn("kept", col("ord") === keepOrd)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_chunks"),
         count_if(!col("kept")).as("n_removed"),
-        coalesce(sum(when(!col("kept"), length(col("chunk")))), lit(0L))
+        coalesce(sum(when(!col("kept"), col("len"))), lit(0L))
           .cast("long").as("chars_removed"))
       .orderBy("doc_id")
   }

@@ -182,4 +182,40 @@ object Quality {
         col("o_orderkey").as("obs_orderkey"))
       .orderBy("o_custkey", "valid_from", "obs_orderkey")
   }
+
+  /** Multi-touch marketing attribution over the event stream: for each
+    * purchase, every same-user click in the prior 7 days is a touch;
+    * credit is assigned under three models at once — first-touch,
+    * last-touch, and linear — and rolled up per channel. Linear credit
+    * uses EXACT integer basis points (`10000 div n`, remainder to the
+    * earliest touches), so each conversion distributes exactly 10000 bp
+    * and the result is engine- and partition-independent — a float
+    * 1/n·10000 sum would drift. One user-keyed equi-join with a time-
+    * band residual (the stream_interval_join shape), one window per
+    * conversion, one channel rollup. */
+  def eventFunnelAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").filter(col("user_id") < 100)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+    val touches = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("c_id"),
+        concat(lit("ch"), pmod(col("event_id"), lit(4L))).as("channel"))
+    val joined = purchases.join(touches,
+      purchases("user_id") === touches("user_id") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") > col("p_ts") - expr("INTERVAL 7 DAYS"))
+    val w = Window.partitionBy("p_id").orderBy("c_ts", "c_id")
+    joined
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("p_id")))
+      .withColumn("linear_bp",
+        call_function("div", lit(10000L), col("n")) +
+          when(col("rn") <= pmod(lit(10000L), col("n")), 1L).otherwise(0L))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_touches"),
+        count_if(col("rn") === 1).as("n_first"),
+        count_if(col("rn") === col("n")).as("n_last"),
+        sum("linear_bp").as("linear_bp"))
+      .orderBy("channel")
+  }
 }

@@ -1338,6 +1338,33 @@ object Relational {
       .orderBy("month")
   }
 
+  /** Exact DISCRETE percentiles (p25/p50/p90) of price cents per return
+    * flag — `percentile_disc` semantics (smallest actual value whose
+    * cumulative count reaches ⌈p·n⌉) spelled as one cumulative-count
+    * window plus conditional `min` aggregates, the same
+    * sorted-array-free shape as `agg_weighted_median`: group size is
+    * unbounded because nothing materializes a per-group list, and all
+    * three percentiles ride ONE window pass. Thresholds compare in
+    * exact integer cross-multiples (cw·4 ≥ n, cw·2 ≥ n, cw·10 ≥ 9n) —
+    * no float p·n boundary. */
+  def aggPercentileDisc(s: SparkSession, dir: String): DataFrame = {
+    val cum = Window.partitionBy("l_returnflag").orderBy("pc")
+    val tot = Window.partitionBy("l_returnflag")
+    def dollars(c: Column): Column = (c.cast("double") / 100)
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag"),
+        (Num.money(col("l_extendedprice")) * 100).cast("long").as("pc"))
+      .withColumn("cw", count(lit(1)).over(cum))
+      .withColumn("n", count(lit(1)).over(tot))
+      .groupBy("l_returnflag")
+      .agg(
+        dollars(min(when(col("cw") * 4 >= col("n"), col("pc")))).as("p25"),
+        dollars(min(when(col("cw") * 2 >= col("n"), col("pc")))).as("p50"),
+        dollars(min(when(col("cw") * 10 >= col("n") * 9, col("pc")))).as("p90"),
+        max("n").as("n_rows"))
+      .orderBy("l_returnflag")
+  }
+
   /** Z-ORDER data layout + zone-map readout: interleave the bits of two
     * query dimensions (partkey, suppkey → 10 bits each) into a Morton
     * code, bucket rows by FIXED-WIDTH z-ranges (high bits of z — no

@@ -116,4 +116,28 @@ class PlanShapeSpec extends GraftSpec {
     val p = plan(df)
     assert(p.contains("isFinalPlan=true") && p.contains("*("), p)
   }
+
+  test("sink_bucketed_join: the graded join itself plans zero Exchange") {
+    // the query's only shuffle may be the final mktsegment rollup —
+    // the custkey join must ride the bucket spec. Count Exchanges in
+    // the finalized plan: 1 (the aggregate's), never 2+.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.queries.SinkQueries.sinkBucketedJoin(spark, sfDir)
+      df.collect()
+      val p = plan(df)
+      // the rollup/distinct/sort above the join shuffle legitimately; the
+      // JOIN SUBTREE (printed below the SortMergeJoin line) must not —
+      // both inputs arrive pre-partitioned by the bucket spec
+      // drop AQE's appended "== Initial Plan ==" echo (pre-finalization
+      // plan, still shows the speculative exchanges)
+      val finalOnly = p.split("== Initial Plan ==")(0)
+      val i = finalOnly.indexOf("SortMergeJoin")
+      assert(i >= 0, finalOnly.take(3000))
+      val subtree = finalOnly.substring(i)
+      assert(!subtree.contains("Exchange"),
+        s"bucketed join inputs still shuffle:\n${subtree.take(4000)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
