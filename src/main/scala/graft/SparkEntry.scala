@@ -267,7 +267,11 @@ object SparkEntry {
     // multi-touch attribution (first/last/linear, exact integer credit)
     "event_funnel_attribution" -> Quality.eventFunnelAttribution _,
     // exact discrete percentiles, one window pass
-    "agg_percentile_disc" -> Relational.aggPercentileDisc _
+    "agg_percentile_disc" -> Relational.aggPercentileDisc _,
+    // geo scalar math + forecast baseline + freshness SLO audit
+    "geo_haversine" -> GeoQueries.geoHaversine _,
+    "ts_seasonal_naive" -> TimeSeries.tsSeasonalNaive _,
+    "dq_freshness" -> Quality.dqFreshness _
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on

@@ -2701,6 +2701,53 @@ object OracleSql {
              CAST(min(CASE WHEN cw * 2 >= n THEN pc END) AS DOUBLE) / 100 AS p50,
              CAST(min(CASE WHEN cw * 10 >= n * 9 THEN pc END) AS DOUBLE) / 100 AS p90,
              CAST(max(n) AS BIGINT) AS n_rows
-      FROM w GROUP BY l_returnflag ORDER BY l_returnflag"""
+      FROM w GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "geo_haversine" -> """
+      WITH p AS (
+        SELECT c_custkey AS id,
+               (CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || 'x'), 1, 15)) AS BIGINT) % 500) * 0.36 - 90 AS lat,
+               (CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || 'y'), 1, 15)) AS BIGINT) % 500) * 0.72 - 180 AS lon
+        FROM customer WHERE c_custkey < 1000),
+      q AS (
+        SELECT id, lat, lon,
+               lag(lat) OVER (ORDER BY id) AS plat,
+               lag(lon) OVER (ORDER BY id) AS plon
+        FROM p)
+      SELECT id,
+             CAST(round(2 * 6371.0 * asin(sqrt(
+               sin(radians(lat - plat) / 2) * sin(radians(lat - plat) / 2) +
+               cos(radians(plat)) * cos(radians(lat)) *
+               sin(radians(lon - plon) / 2) * sin(radians(lon - plon) / 2))), 0) AS BIGINT) AS km_from_prev
+      FROM q WHERE plat IS NOT NULL
+      ORDER BY id""",
+
+    "ts_seasonal_naive" -> s"""
+      WITH daily AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        FROM events WHERE user_id < 12 AND event_type = 'purchase' GROUP BY 1, 2),
+      f AS (
+        SELECT user_id, cents,
+               lag(cents, 7) OVER (PARTITION BY user_id ORDER BY day) AS fc
+        FROM daily)
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_forecasts,
+             ${N.ratio("sum(abs(cents - fc))", "count(*) * 100", 4)} AS mae_dollars
+      FROM f WHERE fc IS NOT NULL
+      GROUP BY user_id ORDER BY user_id""",
+
+    "dq_freshness" -> """
+      WITH g AS (SELECT max(ts) AS g_latest FROM events),
+      pt AS (
+        SELECT event_type, max(ts) AS latest, CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1),
+      ld AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_last_day
+        FROM events, g WHERE ts > g_latest - INTERVAL 24 HOUR GROUP BY 1)
+      SELECT pt.event_type, pt.latest,
+             (epoch_us(g.g_latest) - epoch_us(pt.latest)) // 60000000 AS lag_minutes,
+             pt.n_events, coalesce(ld.n_last_day, 0) AS n_last_day
+      FROM pt CROSS JOIN g LEFT JOIN ld ON pt.event_type = ld.event_type
+      ORDER BY pt.event_type"""
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\n\\s+", "\n") }
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.tables.Tables.t
 
@@ -58,6 +59,34 @@ object GeoQueries {
       .filter(col("id_a") < col("id_b") && d2 <= lit(R * R))
       .select(col("id_a"), col("id_b"), d2.as("d2"))
       .orderBy("id_a", "id_b")
+  }
+
+  /** Great-circle (haversine) distances along the customer point
+    * sequence: each point's distance to the PREVIOUS customer's point
+    * (lag window — no join), coordinates mapped onto lat/lon from the
+    * md5 plane. Pure codegen'd math (sin/cos/asin/sqrt); rounded to
+    * whole km so libm ulp differences between engines can't flip a
+    * digit. The scalar itself is what a TIGER-style geocoder computes
+    * per row at 100 TB — map-only, no shuffle beyond the one lag
+    * window. */
+  def geoHaversine(s: SparkSession, dir: String): DataFrame = {
+    val pts = points(s, dir).filter(col("id") < 1000)
+      .select(col("id"),
+        (col("x").cast("double") * 0.36 - 90).as("lat"),
+        (col("y").cast("double") * 0.72 - 180).as("lon"))
+    val w = Window.orderBy("id")
+    val withPrev = pts
+      .withColumn("plat", lag("lat", 1).over(w))
+      .withColumn("plon", lag("lon", 1).over(w))
+      .filter(col("plat").isNotNull)
+    val dlat = radians(col("lat") - col("plat")) / 2
+    val dlon = radians(col("lon") - col("plon")) / 2
+    val a = sin(dlat) * sin(dlat) +
+      cos(radians(col("plat"))) * cos(radians(col("lat"))) * sin(dlon) * sin(dlon)
+    withPrev
+      .select(col("id"),
+        round(lit(2 * 6371.0) * asin(sqrt(a)), 0).cast("long").as("km_from_prev"))
+      .orderBy("id")
   }
 
   /** Point-in-rectangle containment join (the point-in-polygon shape):

@@ -183,6 +183,33 @@ object Quality {
       .orderBy("o_custkey", "valid_from", "obs_orderkey")
   }
 
+  /** Data-freshness audit per event type: latest event time, lag in
+    * minutes behind the freshest type in the table, and the event count
+    * inside the final 24 h of the stream — the staleness dashboard a
+    * pipeline SLO monitor reads. Per-type aggregate + a ONE-ROW global
+    * max attached via broadcast cross join (the single-row-scalar
+    * pattern, whitelisted in PlanLintSpec); the conditional last-day
+    * count rides the same aggregate pass, so the table is scanned
+    * once per side at any scale. */
+  def dqFreshness(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val perType = ev.groupBy("event_type")
+      .agg(max("ts").as("latest"), count(lit(1)).as("n_events"))
+    val global = ev.agg(max("ts").as("g_latest"))
+    val lastDay = ev.crossJoin(broadcast(global))
+      .filter(col("ts") > col("g_latest") - expr("INTERVAL 24 HOURS"))
+      .groupBy("event_type").agg(count(lit(1)).as("n_last_day"))
+    perType.crossJoin(broadcast(global))
+      .join(lastDay, Seq("event_type"), "left")
+      .select(col("event_type"), col("latest"),
+        call_function("div",
+          unix_micros(col("g_latest")) - unix_micros(col("latest")),
+          lit(60000000L)).as("lag_minutes"),
+        col("n_events"),
+        coalesce(col("n_last_day"), lit(0L)).as("n_last_day"))
+      .orderBy("event_type")
+  }
+
   /** Multi-touch marketing attribution over the event stream: for each
     * purchase, every same-user click in the prior 7 days is a touch;
     * credit is assigned under three models at once — first-touch,

@@ -131,6 +131,26 @@ object TimeSeries {
       .orderBy("user_id", "day")
   }
 
+  /** Seasonal-naive forecast backtest: forecast each user-day as the
+    * value 7 days EARLIER in that user's calendar (`lag(7)` over the
+    * gap-filled daily series would be the production form; here the
+    * observed series), then score per user — forecast count and mean
+    * absolute error in exact 4-decimal dollars (`Num.ratio`, integer
+    * half-up — no float accumulation). The baseline every real
+    * forecasting pipeline is judged against; one (user) shuffle, one
+    * lag window, one rollup. */
+  def tsSeasonalNaive(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("day")
+    dailyCents(s, dir)
+      .withColumn("fc", lag("cents", 7).over(w))
+      .filter(col("fc").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_forecasts"),
+        Num.ratio(sum(abs(col("cents") - col("fc"))), count(lit(1)) * 100, 4)
+          .as("mae_dollars"))
+      .orderBy("user_id")
+  }
+
   /** Merge overlapping/touching time intervals per user (the classic
     * calendar-consolidation op): intervals derived deterministically
     * from events (start = ts, duration = value-derived minutes), then

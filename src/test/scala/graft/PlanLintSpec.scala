@@ -22,7 +22,8 @@ class PlanLintSpec extends GraftSpec {
     "llm_sim_cosine_topk", "llm_dedup_embed_cosine", "llm_sim_ivf_topk",
     "llm_perplexity_score", "llm_tfidf_top_terms",
     "llm_semdedup", // centroid assignment crossJoin — NCells=16, broadcast
-    "agg_heavy_hitters") // single-row corpus total attached via broadcast cross join
+    "agg_heavy_hitters", // single-row corpus total attached via broadcast cross join
+    "dq_freshness") // single-row global-max timestamp attached via broadcast cross join
 
   test("no query plans an unexpected cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
