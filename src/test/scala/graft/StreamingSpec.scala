@@ -241,6 +241,38 @@ class StreamingSpec extends GraftSpec {
     } finally query.stop()
   }
 
+  test("incremental EWMA state is batch-boundary invariant and matches the direct fold") {
+    implicit val sqlCtx = spark.sqlContext
+    import SparkSpecBase.spark.implicits._
+    import graft.streaming.{Stateful, UserEvent}
+    val events = Seq(
+      UserEvent(ts("2024-01-01 01:00:00"), 1, "purchase", 100.00),
+      UserEvent(ts("2024-01-01 02:00:00"), 1, "purchase", 200.00),
+      UserEvent(ts("2024-01-01 03:00:00"), 1, "purchase", 50.00),
+      UserEvent(ts("2024-01-01 04:00:00"), 1, "purchase", 300.00),
+      UserEvent(ts("2024-01-01 01:30:00"), 2, "purchase", 10.00))
+    // direct fold of the quantized recurrence, in event-time order
+    def fold(xs: Seq[Long]): Long = xs.tail.foldLeft(xs.head)((e, c) => (c + 3 * e) / 4)
+    val want1 = fold(Seq(10000L, 20000L, 5000L, 30000L))
+    def run(batches: Seq[Seq[UserEvent]]): Set[(Long, Long, Long)] = {
+      val in = MemoryStream[UserEvent]
+      val sinkName = s"ewma_sink_${System.nanoTime()}"
+      val query = Stateful.runningEwma(in.toDS()).writeStream
+        .format("memory").queryName(sinkName).outputMode(Stateful.outputMode).start()
+      try {
+        batches.foreach { b => in.addData(b); query.processAllAvailable() }
+        spark.table(sinkName).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .groupBy(_._1).map { case (_, rs) => rs.maxBy(_._3) }.toSet
+      } finally query.stop()
+    }
+    val oneBatch = run(Seq(events))
+    val threeBatches = run(Seq(events.take(2), events.slice(2, 4), events.drop(4)))
+    assert(oneBatch == threeBatches, s"$oneBatch != $threeBatches")
+    assert(oneBatch.contains((1L, want1, 4L)), s"user 1 EWMA mismatch: $oneBatch want $want1")
+    assert(oneBatch.contains((2L, 1000L, 1L)))
+  }
+
   test("incremental funnel state matches the batch funnel counts on the events table") {
     implicit val sqlCtx = spark.sqlContext
     import SparkSpecBase.spark.implicits._
