@@ -271,7 +271,12 @@ object SparkEntry {
     // geo scalar math + forecast baseline + freshness SLO audit
     "geo_haversine" -> GeoQueries.geoHaversine _,
     "ts_seasonal_naive" -> TimeSeries.tsSeasonalNaive _,
-    "dq_freshness" -> Quality.dqFreshness _
+    "dq_freshness" -> Quality.dqFreshness _,
+    // ordered time-bounded pattern + containment dedup + drift + degrees
+    "event_pattern_funnel" -> Quality.eventPatternFunnel _,
+    "llm_dedup_containment" -> LlmExtra.llmDedupContainment _,
+    "ts_cusum_changepoint" -> TimeSeries.tsCusumChangepoint _,
+    "graph_degree_stats" -> GraphQueries.graphDegreeStats _
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on

@@ -2748,6 +2748,79 @@ object OracleSql {
              (epoch_us(g.g_latest) - epoch_us(pt.latest)) // 60000000 AS lag_minutes,
              pt.n_events, coalesce(ld.n_last_day, 0) AS n_last_day
       FROM pt CROSS JOIN g LEFT JOIN ld ON pt.event_type = ld.event_type
-      ORDER BY pt.event_type"""
+      ORDER BY pt.event_type""",
+
+    "event_pattern_funnel" -> """
+      WITH ev AS (SELECT user_id, event_type, ts FROM events WHERE user_id < 200),
+      v AS (SELECT user_id, min(ts) AS v_ts FROM ev WHERE event_type = 'view' GROUP BY 1),
+      c AS (
+        SELECT e.user_id, v.v_ts, min(e.ts) AS c_ts
+        FROM ev e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.v_ts
+          AND e.ts <= v.v_ts + INTERVAL 48 HOUR
+        GROUP BY 1, 2),
+      p AS (
+        SELECT e.user_id, c.v_ts, c.c_ts, min(e.ts) AS p_ts
+        FROM ev e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+          AND e.ts <= c.c_ts + INTERVAL 48 HOUR
+        GROUP BY 1, 2, 3)
+      SELECT user_id, v_ts, c_ts, p_ts,
+             (epoch_us(p_ts) - epoch_us(v_ts)) // 60000000 AS mins_to_convert
+      FROM p ORDER BY user_id""",
+
+    "llm_dedup_containment" -> s"""
+      WITH d AS (
+        SELECT doc_id, source,
+               list_distinct([array_to_string(w[CAST(i AS INT):CAST(i AS INT)+2], ' ')
+                              FOR i IN range(1, greatest(len(w)-2, 1)+1)]) AS sh
+        FROM (SELECT doc_id, source, string_split(text, ' ') AS w
+              FROM documents WHERE doc_id < 2000))
+      SELECT doc_a, doc_b, ${N.ratio("inter", "mn", 4)} AS containment FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               len(list_intersect(a.sh, b.sh)) AS inter,
+               least(len(a.sh), len(b.sh)) AS mn
+        FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
+      WHERE ${N.ratio("inter", "mn", 4)} >= 0.1
+      ORDER BY doc_a, doc_b""",
+
+    "ts_cusum_changepoint" -> """
+      WITH daily AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        FROM events WHERE user_id < 12 AND event_type = 'purchase' GROUP BY 1, 2),
+      w AS (
+        SELECT user_id, day, cents,
+               count(*) OVER (PARTITION BY user_id) AS n,
+               sum(cents) OVER (PARTITION BY user_id) AS total
+        FROM daily),
+      cu AS (
+        SELECT user_id, day, n,
+               sum(cents * n - total) OVER (PARTITION BY user_id ORDER BY day) AS cusum
+        FROM w),
+      r AS (
+        SELECT user_id, n, day, abs(cusum) AS ac,
+               row_number() OVER (PARTITION BY user_id ORDER BY abs(cusum) DESC, day) AS rn
+        FROM cu)
+      SELECT user_id, CAST(n AS BIGINT) AS n_days, day AS cp_day,
+             CAST(ac AS BIGINT) AS max_abs_cusum
+      FROM r WHERE rn = 1 ORDER BY user_id""",
+
+    "graph_degree_stats" -> """
+      WITH docs AS (SELECT doc_id, source, lang, n_chars FROM documents WHERE doc_id < 1200),
+      blocks AS (
+        SELECT doc_id AS u, concat_ws('|', 's', source, CAST(n_chars // 100 AS VARCHAR)) AS bk FROM docs
+        UNION ALL
+        SELECT doc_id AS u, concat_ws('|', 'l', lang, CAST(n_chars // 50 AS VARCHAR)) AS bk FROM docs),
+      edges AS (
+        SELECT DISTINCT a.u AS u, b.u AS v
+        FROM blocks a JOIN blocks b USING (bk) WHERE a.u < b.u),
+      adj AS (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+      d1 AS (SELECT u, count(*) AS deg FROM adj GROUP BY u),
+      nm AS (SELECT a.u, sum(d.deg) AS nbr_deg_sum FROM adj a JOIN d1 d ON a.v = d.u GROUP BY a.u)
+      SELECT d1.deg, CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(nm.nbr_deg_sum) AS BIGINT) AS nbr_deg_mass
+      FROM d1 JOIN nm ON d1.u = nm.u
+      GROUP BY d1.deg ORDER BY d1.deg"""
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\n\\s+", "\n") }
 }

@@ -136,6 +136,26 @@ object GraphQueries {
       .orderBy("hops")
   }
 
+  /** Degree distribution + neighbor-degree mass of the similarity
+    * graph: per degree value, how many nodes have it and the total
+    * degree mass of their neighborhoods (the assortativity numerator)
+    * — all exact integers. One degree aggregate, one adjacency⋈degree
+    * join to attach neighbor degrees, two rollups; every shuffle keyed
+    * on node or degree. The histogram is the first thing to read
+    * before running LPA/PageRank at scale — a power-law tail predicts
+    * hot keys. */
+  def graphDegreeStats(s: SparkSession, dir: String): DataFrame = {
+    val e = simEdges(s, dir)
+    val adj = e.union(e.select(col("v").as("u"), col("u").as("v"))).persist()
+    val deg = adj.groupBy("u").agg(count(lit(1)).as("deg")).persist()
+    val nbrMass = adj.join(deg.withColumnRenamed("u", "v").withColumnRenamed("deg", "vdeg"), "v")
+      .groupBy("u").agg(sum("vdeg").as("nbr_deg_sum"))
+    deg.join(nbrMass, "u")
+      .groupBy("deg")
+      .agg(count(lit(1)).as("n_nodes"), sum("nbr_deg_sum").as("nbr_deg_mass"))
+      .orderBy("deg")
+  }
+
   /** Synchronous label propagation (3 rounds) over the similarity
     * graph — community detection: every node starts as its own label
     * and each round adopts the MAJORITY label among its neighbors

@@ -953,6 +953,33 @@ object LlmExtra {
       .orderBy("source")
   }
 
+  /** Asymmetric CONTAINMENT near-dup detection: |A∩B| / min(|A|,|B|)
+    * over hashed word-3-shingle sets — catches a short document that is
+    * a near-subset (quote, excerpt, boilerplate wrapper) of a longer
+    * one, which symmetric Jaccard under-scores precisely because the
+    * union is dominated by the longer side. Same output-sensitive
+    * inverted-index postings join as `llm_dedup_ngram_jaccard` (only
+    * pairs sharing a shingle materialize; 8-byte keys in the shuffle);
+    * the metric is exact integer half-up. */
+  def llmDedupContainment(s: SparkSession, dir: String): DataFrame = {
+    graft.udx.NGrams.registerAll(s)
+    val d = t(s, dir, "documents")
+      .filter(col("doc_id") < 2000)
+      .select(col("doc_id"), col("source"), expr("graft_shingles64(text)").as("sh"))
+    val postings = d.select(col("doc_id"), col("source"),
+      size(col("sh")).as("n_sh"), explode(col("sh")).as("g"))
+    postings.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"), col("source"), col("g"))
+      .join(postings.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"), col("source"), col("g")),
+        Seq("source", "g"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"), max("n_a").as("n_a"), max("n_b").as("n_b"))
+      .select(col("doc_a"), col("doc_b"),
+        Num.ratio(col("inter"), least(col("n_a"), col("n_b")), 4).as("containment"))
+      .filter(col("containment") >= 0.1)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Paragraph-level exact dedup (the C4/CCNet line-dedup shape):
     * split each document into sentence chunks, hash every chunk, keep
     * only the GLOBALLY FIRST occurrence of each hash (min packed

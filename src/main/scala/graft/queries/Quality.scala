@@ -183,6 +183,35 @@ object Quality {
       .orderBy("o_custkey", "valid_from", "obs_orderkey")
   }
 
+  /** Time-bounded ordered pattern match (anchored-first semantics —
+    * documented subset of full MATCH_RECOGNIZE): per user, the first
+    * view, then the first click within 48 h AFTER that view, then the
+    * first purchase within 48 h after that click. Each step is one
+    * per-user min-aggregate plus one user-keyed join with a time-band
+    * residual — never a per-user sort of the whole event history, so
+    * a user with 10⁹ events costs the same joins as one with 10.
+    * Output: converting users with step timestamps and total minutes
+    * to convert. */
+  def eventPatternFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").filter(col("user_id") < 200)
+    def step(prev: DataFrame, prevTs: String, typ: String, outTs: String) =
+      ev.filter(col("event_type") === typ)
+        .join(prev, "user_id")
+        .filter(col("ts") > col(prevTs) &&
+          col("ts") <= col(prevTs) + expr("INTERVAL 48 HOURS"))
+        .groupBy(prev.columns.map(col): _*) // prev carries user_id + prior step times
+        .agg(min("ts").as(outTs))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("v_ts"))
+    val c = step(v, "v_ts", "click", "c_ts")
+    val p = step(c, "c_ts", "purchase", "p_ts")
+    p.select(col("user_id"), col("v_ts"), col("c_ts"), col("p_ts"),
+        call_function("div",
+          unix_micros(col("p_ts")) - unix_micros(col("v_ts")),
+          lit(60000000L)).as("mins_to_convert"))
+      .orderBy("user_id")
+  }
+
   /** Data-freshness audit per event type: latest event time, lag in
     * minutes behind the freshest type in the table, and the event count
     * inside the final 24 h of the stream — the staleness dashboard a

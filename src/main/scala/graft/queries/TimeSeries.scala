@@ -151,6 +151,30 @@ object TimeSeries {
       .orderBy("user_id")
   }
 
+  /** CUSUM change-point detection on each user's daily purchase
+    * series, in EXACT integer arithmetic: the deviation of day i is
+    * `cents_i·n − total` (the mean-deviation scaled by n — no float
+    * mean), the CUSUM is its running sum, and the change-point
+    * candidate is the day of maximum |CUSUM| (abs desc, day asc
+    * tiebreak). Two windows over one (user) shuffle plus a per-user
+    * top-1 — the standard drift monitor, partition-order independent
+    * because every quantity is an exact integer. */
+  def tsCusumChangepoint(s: SparkSession, dir: String): DataFrame = {
+    val per = Window.partitionBy("user_id")
+    val cum = per.orderBy("day")
+    val ranked = dailyCents(s, dir)
+      .withColumn("n", count(lit(1)).over(per))
+      .withColumn("total", sum("cents").over(per))
+      .withColumn("cusum",
+        sum(col("cents") * col("n") - col("total")).over(cum))
+      .withColumn("rn", row_number().over(
+        per.orderBy(abs(col("cusum")).desc, col("day"))))
+    ranked.filter(col("rn") === 1)
+      .select(col("user_id"), col("n").as("n_days"),
+        col("day").as("cp_day"), abs(col("cusum")).as("max_abs_cusum"))
+      .orderBy("user_id")
+  }
+
   /** Merge overlapping/touching time intervals per user (the classic
     * calendar-consolidation op): intervals derived deterministically
     * from events (start = ts, duration = value-derived minutes), then
