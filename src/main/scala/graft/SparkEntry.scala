@@ -276,7 +276,9 @@ object SparkEntry {
     "event_pattern_funnel" -> Quality.eventPatternFunnel _,
     "llm_dedup_containment" -> LlmExtra.llmDedupContainment _,
     "ts_cusum_changepoint" -> TimeSeries.tsCusumChangepoint _,
-    "graph_degree_stats" -> GraphQueries.graphDegreeStats _
+    "graph_degree_stats" -> GraphQueries.graphDegreeStats _,
+    // corrupt-record quarantine on CSV ingest (PERMISSIVE mode)
+    "source_csv_permissive" -> SourceQueries.sourceCsvPermissive _
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on

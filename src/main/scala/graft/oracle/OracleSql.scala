@@ -2821,6 +2821,16 @@ object OracleSql {
       SELECT d1.deg, CAST(count(*) AS BIGINT) AS n_nodes,
              CAST(sum(nm.nbr_deg_sum) AS BIGINT) AS nbr_deg_mass
       FROM d1 JOIN nm ON d1.u = nm.u
-      GROUP BY d1.deg ORDER BY d1.deg"""
+      GROUP BY d1.deg ORDER BY d1.deg""",
+
+    "source_csv_permissive" -> """
+      WITH c AS (SELECT * FROM customer WHERE c_custkey < 2000)
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(*) FILTER (WHERE c_custkey % 10 = 0) AS BIGINT) AS n_corrupt,
+             CAST(count(*) FILTER (WHERE c_custkey % 10 <> 0) AS BIGINT) AS n_good,
+             CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                  FILTER (WHERE c_custkey % 10 <> 0) AS BIGINT) AS good_cents,
+             CAST(max(c_custkey) FILTER (WHERE c_custkey % 10 <> 0) AS BIGINT) AS max_good_key
+      FROM c"""
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\n\\s+", "\n") }
 }

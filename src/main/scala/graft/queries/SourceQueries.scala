@@ -179,6 +179,39 @@ object SourceQueries {
       .orderBy("c_mktsegment")
   }
 
+  /** Corrupt-record RECOVERY on ingest: a CSV staged with a
+    * deterministic 10% of malformed lines (wrong arity + unparseable
+    * key) is read back in PERMISSIVE mode with an explicit
+    * `_corrupt_record` column — the production posture for 100 TB of
+    * third-party data, where FAILFAST would kill the job on row one
+    * and DROPMALFORMED would silently lose data. The report proves the
+    * engine kept every good row, quarantined every bad one, and lost
+    * nothing: counts + exact sums over the good rows, corrupt count
+    * equal to the planted 10%. Oracle recomputes the expectation
+    * arithmetically from the same construction. */
+  def sourceCsvPermissive(s: SparkSession, dir: String): DataFrame = {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_src_${ProcessHandle.current().pid()}/customer_corrupt_csv"
+    val base = t(s, dir, "customer").filter(col("c_custkey") < 2000)
+    base.select(
+        when(pmod(col("c_custkey"), lit(10L)) === 0,
+          concat(lit("oops,"), col("c_custkey").cast("string")))
+          .otherwise(concat_ws(",", col("c_custkey"), col("c_name"),
+            round(col("c_acctbal") * 100).cast("long")))
+          .as("value"))
+      .write.mode("overwrite").text(path)
+    val schema = "c_custkey LONG, c_name STRING, bal_cents LONG, _corrupt_record STRING"
+    s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("_corrupt_record")).as("n_corrupt"),
+        count(when(col("_corrupt_record").isNull, 1)).as("n_good"),
+        sum(when(col("_corrupt_record").isNull, col("bal_cents"))).as("good_cents"),
+        max(when(col("_corrupt_record").isNull, col("c_custkey"))).as("max_good_key"))
+  }
+
   /** PARALLEL + PUSHED-DOWN JDBC read: an orders slice is staged into
     * embedded Derby once, then read back through the JDBC source with
     * (a) `partitionColumn/numPartitions` — Spark issues 4 concurrent
