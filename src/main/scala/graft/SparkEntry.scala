@@ -278,7 +278,10 @@ object SparkEntry {
     "ts_cusum_changepoint" -> TimeSeries.tsCusumChangepoint _,
     "graph_degree_stats" -> GraphQueries.graphDegreeStats _,
     // corrupt-record quarantine on CSV ingest (PERMISSIVE mode)
-    "source_csv_permissive" -> SourceQueries.sourceCsvPermissive _
+    "source_csv_permissive" -> SourceQueries.sourceCsvPermissive _,
+    // ACS data-user statistics: reliability class + significance test
+    "census_moe_cv" -> CensusQueries.censusMoeCv _,
+    "census_moe_sig" -> CensusQueries.censusMoeSig _
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on

@@ -2831,6 +2831,52 @@ object OracleSql {
              CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
                   FILTER (WHERE c_custkey % 10 <> 0) AS BIGINT) AS good_cents,
              CAST(max(c_custkey) FILTER (WHERE c_custkey % 10 <> 0) AS BIGINT) AS max_good_key
-      FROM c"""
+      FROM c""",
+
+    "census_moe_cv" -> """
+      WITH c AS (
+        SELECT n_name, c_mktsegment,
+               CAST(round((c_acctbal + 1000) * 100) AS BIGINT) AS cents
+        FROM customer JOIN nation ON c_nationkey = n_nationkey),
+      a AS (
+        SELECT n_name, c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
+               sum(cents) AS estC,
+               sum(CAST(cents AS HUGEINT) * cents) AS m2C
+        FROM c GROUP BY 1, 2),
+      m AS (
+        SELECT n_name, c_mktsegment, n_cust,
+               CAST(estC AS DOUBLE) / 100.0 AS est,
+               (sqrt(CAST(m2C AS DOUBLE) / 10000.0) / 1.645)
+                 / (CAST(estC AS DOUBLE) / 100.0) * 100 AS cv
+        FROM a)
+      SELECT n_name, c_mktsegment, n_cust,
+             round(est, 2) AS estimate, round(cv, 4) AS cv_pct,
+             CASE WHEN cv < 15 THEN 'high' WHEN cv < 30 THEN 'medium'
+                  ELSE 'low' END AS reliability
+      FROM m ORDER BY n_name, c_mktsegment""",
+
+    "census_moe_sig" -> """
+      WITH c AS (
+        SELECT n_name, CAST(round((c_acctbal + 1000) * 100) AS BIGINT) AS cents
+        FROM customer JOIN nation ON c_nationkey = n_nationkey),
+      a AS (
+        SELECT n_name, sum(cents) AS estC,
+               sum(CAST(cents AS HUGEINT) * cents) AS m2C
+        FROM c GROUP BY 1),
+      p AS (
+        SELECT n_name, estC, m2C,
+               lag(n_name) OVER (ORDER BY n_name) AS p_name,
+               lag(estC) OVER (ORDER BY n_name) AS p_estC,
+               lag(m2C) OVER (ORDER BY n_name) AS p_m2C
+        FROM a),
+      z AS (
+        SELECT p_name AS nation_a, n_name AS nation_b,
+               CAST(estC AS DOUBLE) / 100.0 - CAST(p_estC AS DOUBLE) / 100.0 AS diff,
+               abs(CAST(estC AS DOUBLE) / 100.0 - CAST(p_estC AS DOUBLE) / 100.0)
+                 / sqrt((CAST(m2C AS DOUBLE) + CAST(p_m2C AS DOUBLE)) / 1000000.0) AS zv
+        FROM p WHERE p_name IS NOT NULL)
+      SELECT nation_a, nation_b, round(diff, 2) AS diff, round(zv, 4) AS z,
+             zv > 1.645 AS significant_90
+      FROM z ORDER BY nation_b"""
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\n\\s+", "\n") }
 }

@@ -91,6 +91,64 @@ object CensusQueries {
       .orderBy("n_name")
   }
 
+  /** Coefficient of variation + reliability class per (nation,
+    * segment) — the published ACS data-user guidance for judging an
+    * estimate: SE = MOE/1.645, CV = 100·SE/estimate, flagged
+    * high (<15), medium (15–30), low (>30) reliability. Group sizes
+    * vary enough that all three classes appear. Estimates are exact
+    * integer cents (nonnegative shifted balance), per-item
+    * MOE = est_i so Σ and Σ² stay exact; the double math afterwards
+    * is the same expression tree on both engines, and the class
+    * comparisons run on those identical doubles. */
+  def censusMoeCv(s: SparkSession, dir: String): DataFrame = {
+    val cents = round((col("c_acctbal") + 1000) * 100).cast("long")
+    val c2 = (cents * cents).cast("decimal(38,0)")
+    val est = col("estC").cast("double") / 100.0
+    val moe = sqrt(col("m2C").cast("double") / 10000.0)
+    val cv = (moe / lit(1.645)) / est * 100
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name", "c_mktsegment")
+      .agg(count(lit(1)).as("n_cust"), sum(cents).as("estC"), sum(c2).as("m2C"))
+      .select(col("n_name"), col("c_mktsegment"), col("n_cust"),
+        round(est, 2).as("estimate"),
+        round(cv, 4).as("cv_pct"),
+        when(cv < 15, "high").when(cv < 30, "medium").otherwise("low").as("reliability"))
+      .orderBy("n_name", "c_mktsegment")
+  }
+
+  /** Statistical-difference test between CONSECUTIVE nations'
+    * estimate totals — the published ACS two-estimate significance
+    * rule: Z = |e₁−e₂| / √(MOE₁²+MOE₂²), significant at 90% when
+    * Z > 1.645. Nation aggregates are exact integer sums; the pairing
+    * is one lag window over the 25-row aggregate table (the raw
+    * customer table never passes through a global window). */
+  def censusMoeSig(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = round((col("c_acctbal") + 1000) * 100).cast("long")
+    val c2 = (cents * cents).cast("decimal(38,0)")
+    val agg = t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(cents).as("estC"), sum(c2).as("m2C"))
+    val w = Window.orderBy("n_name")
+    val withPrev = agg
+      .withColumn("p_name", lag("n_name", 1).over(w))
+      .withColumn("p_estC", lag("estC", 1).over(w))
+      .withColumn("p_m2C", lag("m2C", 1).over(w))
+      .filter(col("p_name").isNotNull)
+    val e1 = col("estC").cast("double") / 100.0
+    val e2 = col("p_estC").cast("double") / 100.0
+    // moe_i = est_i/10 ⇒ MOE² = Σest_i²/100 (cents² → dollars²: /10⁶)
+    val z = abs(e1 - e2) /
+      sqrt((col("m2C").cast("double") + col("p_m2C").cast("double")) / 1000000.0)
+    withPrev.select(col("p_name").as("nation_a"), col("n_name").as("nation_b"),
+        round(e1 - e2, 2).as("diff"),
+        round(z, 4).as("z"),
+        (z > 1.645).as("significant_90"))
+      .orderBy("nation_b")
+  }
+
   /** geoheader ⋈ b00001 estimates, aggregated per summary level — the
     * canonical consumer query shape of the reference's output database
     * (SURVEY §3.3). */
