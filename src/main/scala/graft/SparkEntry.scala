@@ -281,7 +281,9 @@ object SparkEntry {
     "source_csv_permissive" -> SourceQueries.sourceCsvPermissive _,
     // ACS data-user statistics: reliability class + significance test
     "census_moe_cv" -> CensusQueries.censusMoeCv _,
-    "census_moe_sig" -> CensusQueries.censusMoeSig _
+    "census_moe_sig" -> CensusQueries.censusMoeSig _,
+    // temperature-based domain mixture resampling
+    "llm_mixture_resample" -> LlmExtra.llmMixtureResample _
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on

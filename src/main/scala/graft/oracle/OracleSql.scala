@@ -2877,6 +2877,21 @@ object OracleSql {
         FROM p WHERE p_name IS NOT NULL)
       SELECT nation_a, nation_b, round(diff, 2) AS diff, round(zv, 4) AS z,
              zv > 1.645 AS significant_90
-      FROM z ORDER BY nation_b"""
+      FROM z ORDER BY nation_b""",
+
+    "llm_mixture_resample" -> """
+      WITH st AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+      w AS (SELECT source, n_docs,
+                   sqrt(CAST(n_docs AS DOUBLE)) / n_docs AS r FROM st),
+      p AS (SELECT source, n_docs,
+                   CAST(floor(r / max(r) OVER () * 10000) AS BIGINT) AS p_bp FROM w),
+      d AS (SELECT doc_id, source,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-mix'), 1, 15)) AS BIGINT) % 10000 AS u
+            FROM documents)
+      SELECT p.source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(max(p.p_bp) AS BIGINT) AS p_bp,
+             CAST(count(*) FILTER (WHERE d.u < p.p_bp) AS BIGINT) AS n_kept
+      FROM d JOIN p ON d.source = p.source
+      GROUP BY 1 ORDER BY 1"""
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\n\\s+", "\n") }
 }

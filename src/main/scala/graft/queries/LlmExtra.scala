@@ -1011,6 +1011,36 @@ object LlmExtra {
       .orderBy("doc_id")
   }
 
+  /** Temperature-based mixture resampling (α = 0.5): re-weight the
+    * corpus so the post-sample source distribution follows n_s^α —
+    * the standard multilingual/domain rebalancing step (upsamples the
+    * tail, downsamples the head). Keep probability per source is
+    * p_s ∝ n_s^(α−1), normalized so the LARGEST source's probability
+    * anchors the scale (max p = 1 ⇒ heads keep everything they're
+    * allowed, tails keep proportionally more). Membership is the
+    * deterministic md5-basis-point draw (`llm_hash_split`'s trick), so
+    * the sampled counts are exact and partition-independent. The
+    * source stats are a 5-row aggregate + window; the corpus pass is
+    * one map-side hash compare. */
+  def llmMixtureResample(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val stats = d.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", sqrt(col("n_docs").cast("double")))
+      .withColumn("p_keep",
+        col("w") / col("n_docs") /
+          max(col("w") / col("n_docs")).over(Window.partitionBy()))
+      .withColumn("p_bp", floor(col("p_keep") * 10000).cast("long"))
+    val drawn = d.select(col("doc_id"), col("source"),
+      (conv(substring(md5(concat(col("doc_id").cast("string"), lit("-mix"))), 1, 15), 16, 10)
+        .cast("long") % 10000L).as("u"))
+    drawn.join(broadcast(stats), "source")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        max("p_bp").as("p_bp"),
+        count_if(col("u") < col("p_bp")).as("n_kept"))
+      .orderBy("source")
+  }
+
   /** Zipf-law fit over the corpus vocabulary: OLS of ln(freq) on
     * ln(rank) for the top-100 terms — the standard corpus-health
     * diagnostic (natural text slopes ≈ −1; synthetic/templated text

@@ -139,6 +139,33 @@ class TimeSeriesGraphSpec extends GraftSpec {
       "boundary pairs must be present in the reference")
   }
 
+  test("geo bbox containment equals the naive reference on random points and rects") {
+    import SparkSpecBase.spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val pts = (0 until 400).map(i => (i.toLong, rnd.nextInt(500).toLong, rnd.nextInt(500).toLong))
+    // rects deliberately include cell-boundary-aligned and out-of-plane edges
+    val rects = (0 until 20).map { r =>
+      val cx = rnd.nextInt(600) - 50L; val cy = rnd.nextInt(600) - 50L
+      val hw = Seq(60L, 80L, 100L, 120L)(rnd.nextInt(4))
+      (r.toLong, cx - hw, cx + hw, cy - hw, cy + hw)
+    }
+    val p = pts.toDF("id", "x", "y")
+      .withColumn("cx", call_function("div", col("x"), lit(100L)))
+      .withColumn("cy", call_function("div", col("y"), lit(100L)))
+    val rcells = rects.toDF("rid", "x0", "x1", "y0", "y1")
+      .withColumn("cx", explode(expr("sequence(x0 div 100, x1 div 100)")))
+      .withColumn("cy", explode(expr("sequence(y0 div 100, y1 div 100)")))
+    val grid = p.join(rcells, Seq("cx", "cy"))
+      .filter(col("x").between(col("x0"), col("x1")) && col("y").between(col("y0"), col("y1")))
+      .select("rid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = (for {
+      (rid, x0, x1, y0, y1) <- rects; (i, x, y) <- pts
+      if x >= x0 && x <= x1 && y >= y0 && y <= y1
+    } yield (rid, i)).toSet
+    assert(grid == naive, s"missing=${naive -- grid} extra=${grid -- naive}")
+    assert(naive.nonEmpty)
+  }
+
   test("ts_interval_merge: merged intervals are disjoint, ordered, and cover all input") {
     val got = graft.queries.TimeSeries.tsIntervalMerge(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
