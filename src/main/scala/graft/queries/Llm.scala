@@ -221,14 +221,22 @@ object Llm {
     val words = docs
       .select(col("lang"), col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .filter(length(col("term")) > 0)
-    // One explode, one shuffle: tf and the per-(lang,term) distinct doc
-    // count come out of the same aggregation; since every doc has exactly
-    // one lang, document frequency is the SUM of those distinct counts
-    // over langs — a window over the already-aggregated (lang,term) rows,
-    // not a second pass over the exploded corpus. The old two-branch form
-    // exploded the corpus twice and shuffled it three times.
-    val perLang = words.groupBy("lang", "term")
-      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("dfl"))
+    // One explode, two CASCADED aggregations: per-(lang,term,doc_id)
+    // token counts first (map-side combine collapses repeated terms
+    // within a doc before anything shuffles), then tf = Σ per-doc counts
+    // and document frequency = row count per (lang,term) over the
+    // already-collapsed rows. The single-aggregation form with a mixed
+    // count/countDistinct forces Catalyst's distinct-rewrite Expand,
+    // which DOUBLES the exploded corpus ahead of the shuffle — at 100 TB
+    // that Expand is the bottleneck; the cascade's second shuffle moves
+    // only (lang,term,doc) triples. Since every doc has exactly one
+    // lang, corpus-wide df is the SUM of per-lang dfl over langs — a
+    // window over the tiny aggregated vocabulary, not a second corpus
+    // pass.
+    val perDoc = words.groupBy("lang", "term", "doc_id")
+      .agg(count(lit(1)).as("tfd"))
+    val perLang = perDoc.groupBy("lang", "term")
+      .agg(sum("tfd").as("tf"), count(lit(1)).as("dfl"))
     val withDf = perLang.withColumn("df", sum(col("dfl")).over(Window.partitionBy("term")))
     val nTotal = docs.agg(count(lit(1)).as("n_total"))
     val scored = withDf.crossJoin(broadcast(nTotal))

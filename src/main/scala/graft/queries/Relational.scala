@@ -1261,22 +1261,41 @@ object Relational {
 
   /** Exact weighted median: per return flag, the smallest price whose
     * cumulative quantity-weight reaches half the group's total. Prices
-    * move as integer cents; the cumulative weight uses the default
-    * RANGE frame (ORDER BY price), so tied prices share one cumulative
-    * value and the selected price is identical under ANY intra-tie
-    * ordering — partition-order independent by construction, no
-    * (price, rowid) tiebreak column needed. One window pass + one
-    * aggregate; the quantile never materializes a sorted array the way
-    * `percentile` does, so group size is unbounded. */
+    * move as integer cents. Two-phase bucketed form: a 64Ki-cent bucket
+    * histogram (groupBy on ~480 (flag, bucket) keys — map-side combine
+    * makes the shuffle a few KB) locates each flag's median bucket and
+    * the exact weight below it; only that one bucket's rows (~1/160 of
+    * the table) then shuffle into the per-flag cumulative window. The
+    * naive form — window PARTITION BY flag over the whole table — sorts
+    * the entire corpus in #flags(=3) tasks, a parallelism ceiling that
+    * turns fatal at 100 TB; here the only #flags-wide work is over one
+    * bucket's distinct prices. Cumulative weights collapse tied prices
+    * (groupBy value first), matching the oracle's RANGE-frame ties, so
+    * the result is identical to the one-window form at any bucketing. */
   def aggWeightedMedian(s: SparkSession, dir: String): DataFrame = {
-    val cum = Window.partitionBy("l_returnflag").orderBy("pc")
-    val tot = Window.partitionBy("l_returnflag")
-    t(s, dir, "lineitem")
+    val li = t(s, dir, "lineitem")
       .select(col("l_returnflag"),
         (Num.money(col("l_extendedprice")) * 100).cast("long").as("pc"),
         col("l_quantity").cast("long").as("q"))
-      .withColumn("cw", sum("q").over(cum))
-      .withColumn("tw", sum("q").over(tot))
+    val wb = Window.partitionBy("l_returnflag").orderBy("b")
+    val target = li
+      .groupBy(col("l_returnflag"), shiftright(col("pc"), 16).as("b"))
+      .agg(sum("q").as("bw"))
+      .withColumn("cum", sum("bw").over(wb))
+      .withColumn("tw", sum("bw").over(Window.partitionBy("l_returnflag")))
+      .filter(col("cum") * 2 >= col("tw"))
+      .groupBy("l_returnflag")
+      .agg(min_by(
+        struct(col("b"), (col("cum") - col("bw")).as("below"), col("tw")),
+        col("b")).as("t"))
+      .select(col("l_returnflag"), col("t.b").as("b"),
+        col("t.below").as("below"), col("t.tw").as("tw"))
+    val wv = Window.partitionBy("l_returnflag").orderBy("pc")
+    li.join(broadcast(target), "l_returnflag")
+      .filter(shiftright(col("pc"), 16) === col("b"))
+      .groupBy("l_returnflag", "pc", "below", "tw")
+      .agg(sum("q").as("w"))
+      .withColumn("cw", col("below") + sum("w").over(wv))
       .filter(col("cw") * 2 >= col("tw"))
       .groupBy("l_returnflag")
       .agg((min("pc").cast("double") / 100).as("weighted_median"),
