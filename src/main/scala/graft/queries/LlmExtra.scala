@@ -357,24 +357,27 @@ object LlmExtra {
     * which is what lets this run over 100 TB of pretraining text. */
   def llmDecontaminate(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    // grams move as 60-bit md5-derived hashes from the explode on: the
-    // shuffle keys, the broadcast benchmark set, and the countDistinct
-    // all carry 8-byte longs instead of ~50-byte 8-word strings (the
-    // llm_dup_ngram_coverage trick). The md5 arithmetic is identical in
-    // DuckDB, so distinct-hash counts hash-match the oracle exactly.
+    // The corpus side probes RAW gram strings against the broadcast
+    // benchmark set — no per-gram hashing: the benchmark set is tiny by
+    // construction (an eval suite, not the corpus), so the broadcast map
+    // carries full strings and the 100 TB side pays only the gram
+    // construction + one hash-probe each. Nothing here shuffles corpus
+    // data at all (hits alone reach the per-doc countDistinct), so there
+    // is no wide-key-through-the-exchange concern to compress away. The
+    // DuckDB mirror counts distinct 60-bit md5 truncations of the same
+    // grams — injective at any realistic gram count (collision odds
+    // ~n²/2^61), so the per-doc hit counts are identical.
     def grams(df: org.apache.spark.sql.DataFrame) = df
       .withColumn("w", split(col("text"), " "))
       .select(col("doc_id"), explode(array_distinct(expr(
         "transform(sequence(1, greatest(size(w) - 7, 1)), i -> array_join(slice(w, i, 8), ' '))"
       ))).as("g"))
-      .select(col("doc_id"),
-        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("gh"))
     val bench = grams(docs.filter(col("doc_id") < 10))
-      .select(col("gh")).distinct()
+      .select(col("g")).distinct()
     grams(docs.filter(col("doc_id") >= 10))
-      .join(broadcast(bench), "gh")
+      .join(broadcast(bench), "g")
       .groupBy("doc_id")
-      .agg(countDistinct(col("gh")).as("n_hits"))
+      .agg(countDistinct(col("g")).as("n_hits"))
       .orderBy("doc_id")
   }
 

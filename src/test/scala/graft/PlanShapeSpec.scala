@@ -140,4 +140,47 @@ class PlanShapeSpec extends GraftSpec {
         s"bucketed join inputs still shuffle:\n${subtree.take(4000)}")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("agg_weighted_median: no whole-table window — only bucket rows are windowed") {
+    // the r4 rework's contract: the full lineitem scan must NOT feed a
+    // Window directly (that was the 3-task parallelism ceiling). Every
+    // Window sits above either the ~480-row bucket histogram aggregate
+    // or the broadcast-joined single-bucket slice.
+    val p = plan(Relational.aggWeightedMedian(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), s"target-bucket join not broadcast:\n${p.take(3000)}")
+    // windows appear only downstream of a HashAggregate (histogram or
+    // per-value collapse) — a Window whose child subtree lacks any
+    // aggregate would mean the raw table is being sorted per flag again
+    val lines = p.linesIterator.toSeq
+    val winIdx = lines.zipWithIndex.filter(_._1.contains("Window")).map(_._2)
+    assert(winIdx.nonEmpty)
+    winIdx.foreach { i =>
+      assert(lines.drop(i).exists(_.contains("HashAggregate")),
+        s"Window over un-aggregated input at line $i:\n${p.take(3000)}")
+    }
+  }
+
+  test("llm_tfidf_top_terms: cascaded aggs, no distinct-rewrite Expand") {
+    // the mixed count/countDistinct form doubles the exploded token
+    // stream through an Expand before the shuffle — the cascade must
+    // keep the plan Expand-free
+    val p = plan(graft.queries.Llm.llmTfidfTopTerms(spark, sfDir))
+    assert(!p.contains("Expand"), s"distinct-rewrite Expand is back:\n${p.take(3000)}")
+  }
+
+  test("llm_decontaminate: corpus side joins the bench set by broadcast, no corpus shuffle below the join") {
+    val p = plan(graft.queries.LlmExtra.llmDecontaminate(spark, sfDir))
+    val finalOnly = p.split("== Initial Plan ==")(0)
+    val i = finalOnly.indexOf("BroadcastHashJoin")
+    assert(i >= 0, finalOnly.take(3000))
+    // the STREAMED (corpus) branch prints between the join line and the
+    // build side's BroadcastExchange — it must contain no Exchange at
+    // all (the bench set's own distinct may shuffle; it is tiny by
+    // construction)
+    val j = finalOnly.indexOf("BroadcastExchange", i)
+    assert(j > i, finalOnly.take(3000))
+    val corpusBranch = finalOnly.substring(i + "BroadcastHashJoin".length, j)
+    assert(!corpusBranch.contains("Exchange"),
+      s"corpus grams shuffle before the bench probe:\n${corpusBranch.take(4000)}")
+  }
 }
