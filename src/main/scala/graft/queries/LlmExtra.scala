@@ -20,7 +20,22 @@ object LlmExtra {
     * pass), pigeonhole banding (4×16 bits) for candidate generation via
     * equi-join, exact Hamming filter on candidates. md5-derived token
     * hashes make the signature DuckDB-expressible, so this is fully
-    * oracle-checked; ScalaTest additionally checks band recall. */
+    * oracle-checked; ScalaTest additionally checks band recall.
+    *
+    * SCALE NOTE — the one banding family whose keyspace is FIXED: band
+    * keys here are literal 16-bit signature segments, so expected bucket
+    * occupancy is 4N/2^16 and candidate pairs grow as ~4·(N²/2^17) —
+    * corpus-quadratic once N outgrows the 65536-bucket keyspace (unlike
+    * MinHash/LSH, whose xxhash64 band keys give occupancy driven by
+    * duplicate density, not corpus size; see llm_dedup_minhash). The
+    * measured sf0.1→sf1 ratio (9-10× on 10× docs) is exactly this
+    * N²/buckets term. The scale dials, in preference order: (a) longer
+    * fingerprints (128-bit sig → 4×32-bit bands restores a hash-sized
+    * keyspace), (b) prefix-blocking the band key with a cheap doc
+    * attribute (source/lang) to shard the keyspace, (c) requiring 2-of-4
+    * band agreement (join on concatenated band pairs → 32-bit keys,
+    * trading recall at the high-Hamming edge). All three keep the
+    * equi-join shape; none is needed below ~10M docs per shard. */
   def llmDedupSimhash(s: SparkSession, dir: String): DataFrame = {
     // native Catalyst expression (graft.udx.SimHashExpression) — no UDF
     // serialization boundary in the signature map pass
