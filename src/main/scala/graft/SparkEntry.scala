@@ -201,6 +201,9 @@ object SparkEntry {
     "census_moe_agg" -> CensusQueries.censusMoeAgg _,
     "census_moe_ratio" -> CensusQueries.censusMoeRatio _,
     "ingest_census_csv" -> CensusQueries.ingestCensusCsv _,
+    // TIGER shapefile decode (SURVEY §2.A A15): native .shp/.dbf codec
+    // round-trip, per-file-pair task parallelism
+    "ingest_tiger_shapefile" -> CensusQueries.ingestTigerShapefile _,
     // sink: JDBC round-trip (embedded Derby stands in for Postgres —
     // identical DataFrameWriter path; see SinkQueries scaladoc)
     "sink_postgres" -> SinkQueries.sinkPostgres _,

@@ -1891,6 +1891,20 @@ object OracleSql {
     // c7/c8 for table B00001 with ''/'.' null coercion) and re-derives
     // the per-sumlevel rollup — the whole A3-A11 pipeline checked
     // value-for-value, not only by golden pin.
+    // the Spark side derives every value from bytes that round-tripped
+    // through the .shp/.dbf codec; the oracle recomputes them from the
+    // nation dim directly — codec bugs surface as hash mismatches
+    "ingest_tiger_shapefile" -> """
+      SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+             n_name,
+             CAST(5 AS BIGINT) AS num_points,
+             CAST(4 * n_nationkey AS BIGINT) AS min_x,
+             CAST(3 * n_regionkey AS BIGINT) AS min_y,
+             CAST(4 * n_nationkey + 2 AS BIGINT) AS max_x,
+             CAST(3 * n_regionkey + 2 AS BIGINT) AS max_y,
+             CAST(n_nationkey * 1000 + n_regionkey AS BIGINT) AS pop
+      FROM nation ORDER BY n_nationkey""",
+
     "ingest_census_csv" -> """
       WITH geo AS (
         SELECT stusab, sumlevel, logrecno

@@ -164,4 +164,52 @@ object CensusQueries {
         sum(col("b00001002")).as("sum_male"))
       .orderBy("sumlevel")
   }
+
+  /** TIGER shapefile round-trip (SURVEY §2.A A15, the one reference
+    * module previously documented-only): build a per-region set of
+    * .shp/.dbf pairs from the nation dim — one square Polygon ring per
+    * nation at (4·nationkey, 3·regionkey), attributes in dBase fields —
+    * then scan them back through the distributed `Tiger.read` decoder
+    * and re-derive every value from the PARSED bytes (geometry extrema
+    * from the coordinate arrays, attributes from the .dbf row). The
+    * DuckDB oracle recomputes the same values straight from `nation`,
+    * so any codec bug — endianness, record framing, field padding —
+    * breaks the hash gate. The fixture writer collects the 25-row
+    * nation dim (bounded by construction: it is a dimension table);
+    * the decode side is task-parallel per file pair, TIGER's real unit
+    * of scale (one county = one pair; see census/Tiger.scala). */
+  def ingestTigerShapefile(s: SparkSession, dir: String): DataFrame = {
+    val shpDir = new java.io.File("/tmp/graft_tiger")
+    shpDir.mkdirs()
+    shpDir.listFiles().foreach(_.delete()) // idempotent re-run
+    val fields = Seq(graft.census.Shapefile.Field("NATIONKEY", 'N', 4),
+      graft.census.Shapefile.Field("NAME", 'C', 25),
+      graft.census.Shapefile.Field("POP", 'N', 10))
+    val nations = t(s, dir, "nation")
+      .select(col("n_nationkey").cast("long"), col("n_regionkey").cast("long"),
+        col("n_name"))
+      .collect() // 25-row dimension table: bounded by construction
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    nations.groupBy(_._2).foreach { case (regionKey, ns) =>
+      val rows = ns.sortBy(_._1).toSeq.map { case (nk, rk, name) =>
+        val (x0, y0) = (4.0 * nk, 3.0 * rk)
+        (5, Array(0),
+          Array(x0, x0 + 2, x0 + 2, x0, x0),
+          Array(y0, y0, y0 + 2, y0 + 2, y0),
+          Seq(nk.toString, name, (nk * 1000 + rk).toString))
+      }
+      graft.census.Shapefile.write(s"${shpDir.getPath}/region$regionKey", fields, rows)
+    }
+    graft.census.Tiger.read(s, shpDir.getPath)
+      .select(
+        element_at(col("attrs"), "NATIONKEY").cast("long").as("n_nationkey"),
+        element_at(col("attrs"), "NAME").as("n_name"),
+        size(col("xs")).cast("long").as("num_points"),
+        array_min(col("xs")).cast("long").as("min_x"),
+        array_min(col("ys")).cast("long").as("min_y"),
+        array_max(col("xs")).cast("long").as("max_x"),
+        array_max(col("ys")).cast("long").as("max_y"),
+        element_at(col("attrs"), "POP").cast("long").as("pop"))
+      .orderBy("n_nationkey")
+  }
 }
