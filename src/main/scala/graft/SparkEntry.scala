@@ -286,7 +286,13 @@ object SparkEntry {
     "census_moe_cv" -> CensusQueries.censusMoeCv _,
     "census_moe_sig" -> CensusQueries.censusMoeSig _,
     // temperature-based domain mixture resampling
-    "llm_mixture_resample" -> LlmExtra.llmMixtureResample _
+    "llm_mixture_resample" -> LlmExtra.llmMixtureResample _,
+    // TIGER consumers (A15): WKT export (the shp2pgsql emission), a
+    // generic ray-cast point-in-polygon join over decoded geometry, and
+    // the full tiger2pgsql mirror into live PostgreSQL 15
+    "tiger_wkt_export" -> CensusQueries.tigerWktExport _,
+    "tiger_point_in_polygon" -> CensusQueries.tigerPointInPolygon _,
+    "sink_tiger_postgres" -> CensusQueries.sinkTigerPostgres _
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on

@@ -1905,6 +1905,58 @@ object OracleSql {
              CAST(n_nationkey * 1000 + n_regionkey AS BIGINT) AS pop
       FROM nation ORDER BY n_nationkey""",
 
+    // WKT assembled from parsed .shp bytes on the Spark side; the oracle
+    // rebuilds the identical POLYGON text arithmetically from nation —
+    // geometry decode AND text assembly both under the gate
+    "tiger_wkt_export" -> """
+      SELECT CAST(n_nationkey AS BIGINT) AS gid,
+             n_name AS name,
+             CAST(n_nationkey * 1000 + n_regionkey AS BIGINT) AS pop,
+             'POLYGON((' ||
+               (4*n_nationkey)   || ' ' || (3*n_regionkey)   || ',' ||
+               (4*n_nationkey+2) || ' ' || (3*n_regionkey)   || ',' ||
+               (4*n_nationkey+2) || ' ' || (3*n_regionkey+2) || ',' ||
+               (4*n_nationkey)   || ' ' || (3*n_regionkey+2) || ',' ||
+               (4*n_nationkey)   || ' ' || (3*n_regionkey)   || '))' AS geom_wkt
+      FROM nation ORDER BY gid""",
+
+    // the Spark side runs a GENERIC even-odd ray cast over the decoded
+    // ring arrays; the oracle exploits the known fixture geometry
+    // (axis-aligned squares) via strict BETWEEN — the general algorithm
+    // must agree with the closed form on every polygon. Points are
+    // half-integers so boundary semantics cannot diverge.
+    "tiger_point_in_polygon" -> """
+      WITH p AS (
+        SELECT c_custkey AS id,
+               CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || 'tx'), 1, 15)) AS BIGINT) % 100 + 0.5 AS px,
+               CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || 'ty'), 1, 15)) AS BIGINT) % 15 + 0.5 AS py
+        FROM customer WHERE c_custkey < 3000),
+      n AS (
+        SELECT CAST(n_nationkey AS BIGINT) AS gid,
+               4*n_nationkey AS x0, 3*n_regionkey AS y0
+        FROM nation)
+      SELECT gid,
+             CAST(count(p.id) AS BIGINT) AS n_pts,
+             CAST(coalesce(sum(p.id), 0) AS BIGINT) AS sum_ids
+      FROM n LEFT JOIN p
+        ON p.px > n.x0 AND p.px < n.x0 + 2
+       AND p.py > n.y0 AND p.py < n.y0 + 2
+      GROUP BY gid ORDER BY gid""",
+
+    // read back out of live Postgres; values identical to the WKT
+    // export — the COPY round-trip must be lossless
+    "sink_tiger_postgres" -> """
+      SELECT CAST(n_nationkey AS BIGINT) AS gid,
+             n_name AS name,
+             CAST(n_nationkey * 1000 + n_regionkey AS BIGINT) AS pop,
+             'POLYGON((' ||
+               (4*n_nationkey)   || ' ' || (3*n_regionkey)   || ',' ||
+               (4*n_nationkey+2) || ' ' || (3*n_regionkey)   || ',' ||
+               (4*n_nationkey+2) || ' ' || (3*n_regionkey+2) || ',' ||
+               (4*n_nationkey)   || ' ' || (3*n_regionkey+2) || ',' ||
+               (4*n_nationkey)   || ' ' || (3*n_regionkey)   || '))' AS geom_wkt
+      FROM nation ORDER BY gid""",
+
     "ingest_census_csv" -> """
       WITH geo AS (
         SELECT stusab, sumlevel, logrecno
