@@ -42,24 +42,62 @@ object Bench {
     // back-to-back repeats of one query sit inside the same stall, so the
     // passes run the full suite twice instead — a stall lands on
     // different queries each pass and the per-query min heals it
-    def pass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    // a failed query must NOT masquerade as a fast success: its timing is
+    // analysis-exception time, not work. Track the failure and surface it
+    // as value -1.0 plus an "errors" key — a benchmark that can't
+    // distinguish "fast" from "crashed" masks exactly the regression it
+    // exists to catch.
+    def pass(): Map[String, (Double, Option[String])] =
+      SparkEntry.queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val err = try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable =>
+          Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(160)}")
+        }
+        name -> (((System.nanoTime() - t0) / 1e9, err))
+      }
     val p1 = pass(); val p2 = pass()
-    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val errors: Map[String, String] = p1.flatMap { case (k, (_, e1)) =>
+      // transient single-pass failure (host stall, OOM blip) with a clean
+      // other pass keeps the clean timing; both-pass failure is an error
+      (e1, p2(k)._2) match {
+        case (Some(m), Some(_)) => Some(k -> m)
+        case _                  => None
+      }
+    }
+    val results = p1.map { case (k, (t1, e1)) =>
+      val (t2, e2) = p2(k)
+      k -> ((e1, e2) match {
+        case (Some(_), Some(_)) => -1.0 // broken both passes: marker, not a timing
+        case (Some(_), None)    => t2
+        case (None, Some(_))    => t1
+        case (None, None)       => math.min(t1, t2)
+      })
+    }
+    val total = results.values.filter(_ >= 0).sum
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
     def entry(kv: (String, Double)): String = "\"" + kv._1 + "\":" + fmt(kv._2)
-    def line(qs: Seq[(String, Double)], omitted: Int): String = {
+    // full error messages go in the durable artifact; the tail-budgeted
+    // stdout line carries count + names only so 38 errors can't truncate it
+    val errFull =
+      if (errors.isEmpty) ""
+      else s""","errors":${errors.toSeq.sortBy(_._1).map { case (k, m) => s"${jstr(k)}:${jstr(m)}" }.mkString("{", ",", "}")}"""
+    val errNames =
+      if (errors.isEmpty) ""
+      else s""","error_queries":${errors.keys.toSeq.sorted.take(40).map(jstr).mkString("[", ",", "]")}"""
+    def line(qs: Seq[(String, Double)], omitted: Int, errPart: String): String = {
       val extra = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qs.map(entry).mkString("{", ",", "}")}$extra,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qs.map(entry).mkString("{", ",", "}")}$extra,"error_count":${errors.size}$errPart,"sf":"$sfDir"}"""
     }
     val all = results.toSeq.sortBy { case (_, v) => -v } // slowest first
     // durable full artifact (cwd = repo root under sbt)
     try {
       val w = new java.io.PrintWriter("BENCH_LOCAL.json")
-      try w.println(line(all, 0)) finally w.close()
+      try w.println(line(all, 0, errFull)) finally w.close()
     } catch { case _: Throwable => () }
     // short per-query chunk lines: each stays far below the 2000-byte
     // tail capture, so the trailing chunks + final line survive intact
@@ -69,14 +107,14 @@ object Bench {
     }
     // final canonical line, trimmed to the tail budget if needed
     val budget = 1600 // leave room for sbt's trailing "[success]" line
-    val full = line(all, 0)
+    val full = line(all, 0, errNames)
     println(
       if (full.length <= budget) full
       else {
         var kept = all
-        while (kept.nonEmpty && line(kept, all.size - kept.size).length > budget)
+        while (kept.nonEmpty && line(kept, all.size - kept.size, errNames).length > budget)
           kept = kept.dropRight(1)
-        line(kept, all.size - kept.size)
+        line(kept, all.size - kept.size, errNames)
       })
     spark.stop()
   }

@@ -42,11 +42,21 @@ object Verify {
     val selected = only.fold(SparkEntry.queries)(f => SparkEntry.queries.view.filterKeys(f).toMap)
     Files.writeString(Paths.get(s"$outDir/queries.json"),
       selected.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
+    // durable per-query failure record alongside the stderr echo — a
+    // thrown query writes no output dir, and a consumer diffing parquet
+    // dirs against queries.json needs the WHY, not just the absence.
+    // Rewritten after every failure so a later hang can't lose it.
+    val errs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def writeErrs(): Unit = Files.writeString(Paths.get(s"$outDir/errors.json"),
+      errs.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    writeErrs()
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errs(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(300)}"
+        writeErrs()
       }
     }
     spark.stop()
