@@ -25,9 +25,26 @@ import org.apache.spark.sql.functions._
   *    doubles the logical plan every round: 2^rounds tree nodes, and the
   *    driver dies stringifying/analyzing the plan long before any
   *    executor does work — observed as a hard hang at interval=1000.)
-  *  - each round repartitions on `node` so the aggregate runs at
-  *    frontier width and the next round's join sees co-partitioned
-  *    inputs — zero extra exchanges;
+  *  - HUB SALTING (power-law hardening): real dup/similarity graphs are
+  *    power-law — a handful of hub nodes carry degrees orders of
+  *    magnitude above the median, and a hash partitioning on the join
+  *    key lands a hub's ENTIRE adjacency in one shuffle partition: the
+  *    per-round join and the downstream exchange both inherit a task as
+  *    large as the biggest hub, no matter how many executors exist. AQE
+  *    skew-split can't help here because the edges side is CACHED
+  *    pre-partitioned (no fresh shuffle for OptimizeSkewedJoin to
+  *    re-split). So the skew is handled ahead of time, the SkewJoin way:
+  *    degrees are measured once at loop start; nodes above `hotDegree`
+  *    form a (tiny, broadcast) hot set; hot edges get a deterministic
+  *    salt from hashing `src` (no rand() — SURVEY §2.C rule 6) and the
+  *    edge cache is partitioned on (dst, salt), spreading each hub over
+  *    `salts` reducers; the labels side replicates ONLY hot nodes
+  *    `salts`-fold per round (cold nodes ride with salt 0), so the
+  *    per-round overhead is |hot|·salts extra tiny rows — nil by
+  *    construction. The per-round aggregate relies on map-side partial
+  *    aggregation (min is algebraic) to collapse a hub-as-src's degree
+  *    before its rows cross the wire, then re-establishes frontier-width
+  *    (node) partitioning for the next round's join.
   *  - every `checkpointEvery` rounds the new labels are
   *    `localCheckpoint`ed instead of cached: even linear lineage means
   *    the analyzer/optimizer re-walks an O(rounds²) tree at deep
@@ -41,18 +58,53 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  /** Degree threshold above which a node counts as a hub and its edges
+    * get salted. High enough that organic near-dup groups never trigger
+    * it; low enough that a power-law tail is spread well before a single
+    * reducer saturates. */
+  val DefaultHotDegree = 100000L
+
+  /** Salt fan-out for hub adjacencies: a hub's rows spread over this
+    * many reducers; the labels side replicates each HOT node this many
+    * times per round (cold nodes are untouched). */
+  val DefaultSalts = 16
+
+  /** Edges annotated with a deterministic `_salt`: rows whose `dst` is
+    * in `hot` (a small broadcastable frame with column `node`) get
+    * hash(src) % salts; all other rows get salt 0. Exposed for
+    * `ComponentsSpec`'s distribution assertions. */
+  private[graft] def saltEdges(edges: DataFrame, hot: DataFrame, salts: Int): DataFrame =
+    edges.join(broadcast(hot.select(col("node").as("dst"), lit(1).as("_hot"))),
+        Seq("dst"), "left")
+      .withColumn("_salt",
+        when(col("_hot").isNotNull, pmod(xxhash64(col("src")), lit(salts.toLong)))
+          .otherwise(lit(0L)))
+      .drop("_hot")
+
   /** (node, label) fixpoint over an UNDIRECTED edge list given as both
     * directions in `edges0(src, dst)`. */
-  def minLabel(edges0: DataFrame, maxRounds: Int = 25, checkpointEvery: Int = 5): DataFrame = {
+  def minLabel(
+      edges0: DataFrame,
+      maxRounds: Int = 25,
+      checkpointEvery: Int = 5,
+      hotDegree: Long = DefaultHotDegree,
+      salts: Int = DefaultSalts): DataFrame = {
     val cached0 = edges0.cache()
     val loopParts = math.max(1L, math.min(200L, cached0.count() / 50000L)).toInt
     val nodes = cached0.select(col("src").as("node")).distinct()
+    // hub census — one tiny count shuffle over the edge list, done once;
+    // the hot set is small by construction (only the power-law tail)
+    val hot = cached0.groupBy(col("dst").as("node"))
+      .agg(count(lit(1)).as("_d")).filter(col("_d") > hotDegree)
+      .select("node").cache()
+    hot.count()
     // self-loop per node: the node's own label flows through the join, so
     // no labels∪propagated union is needed (see scaladoc — keeps lineage
     // growth linear in rounds instead of 2^rounds)
-    val edges = cached0
-      .union(nodes.select(col("node").as("src"), col("node").as("dst")))
-      .repartition(loopParts, col("dst")).cache()
+    val edges = saltEdges(
+        cached0.union(nodes.select(col("node").as("src"), col("node").as("dst"))),
+        hot, salts)
+      .repartition(loopParts, col("dst"), col("_salt")).cache()
     edges.count() // materialize at loop width, then drop the raw cache
     cached0.unpersist()
     var labels = nodes.repartition(loopParts, col("node"))
@@ -61,10 +113,29 @@ object Components {
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
-      val folded = edges.join(labels, edges("dst") === labels("node"))
+      // labels side: replicate HOT nodes over every salt so each salted
+      // edge partition finds its match; cold nodes ride with salt 0.
+      // Explicit (node, _salt) repartition co-partitions with the cached
+      // edge layout, so the big side never reshuffles.
+      val saltedLabels = labels
+        .join(broadcast(hot.select(col("node"), lit(1).as("_h"))), Seq("node"), "left")
+        .withColumn("_ss",
+          when(col("_h").isNotNull, sequence(lit(0L), lit(salts.toLong - 1)))
+            .otherwise(array(lit(0L))))
+        .select(col("node"), col("label"), explode(col("_ss")).as("_salt"))
+        .repartition(loopParts, col("node"), col("_salt"))
+      val folded = edges
+        .join(saltedLabels,
+          edges("dst") === saltedLabels("node") && edges("_salt") === saltedLabels("_salt"))
         .select(edges("src").as("node"), col("label"))
-        .repartition(loopParts, col("node"))
+        // groupBy WITHOUT a pre-repartition: map-side partial min
+        // collapses a hub-as-src's rows inside each input partition, so
+        // the aggregate exchange carries ≤ |nodes| rows per partition —
+        // the explicit pre-repartition form shipped a hub's raw degree
+        // into one reducer
         .groupBy("node").agg(min("label").as("label"))
+        // frontier-width partitioning for the next round's labels join
+        .repartition(loopParts, col("node"))
       val next =
         if (rounds % checkpointEvery == checkpointEvery - 1) folded.localCheckpoint(true)
         else folded.cache()
@@ -76,6 +147,7 @@ object Components {
       rounds += 1
     }
     edges.unpersist()
+    hot.unpersist()
     labels
   }
 }

@@ -26,6 +26,52 @@ class ComponentsSpec extends GraftSpec {
     assert(labels.values.forall(_ == 1L), s"all nodes join component 1: $labels")
   }
 
+  test("power-law hub graph: salted loop converges to the same fixpoint") {
+    // adversarial fixture: a 20k-leaf star (hub 0 — the power-law tail
+    // case where one dst key owns the whole adjacency) plus a chain and
+    // an isolated pair that must NOT get absorbed. hotDegree=1000 forces
+    // the hub onto the salted path; the fixpoint must be identical to
+    // the unsalted (hotDegree=MaxValue) run.
+    import SparkSpecBase.spark.implicits._
+    val star = (1L to 20000L).map(h => (0L, h))
+    val extra = (30000L until 30005L).map(i => (i, i + 1)) ++ Seq((40000L, 40001L))
+    val edges = undirected(star ++ extra)
+    val salted = Components.minLabel(edges, hotDegree = 1000L, salts = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val unsalted = Components.minLabel(edges, hotDegree = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(salted == unsalted)
+    val byLabel = salted.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byLabel == Map(0L -> 20001, 30000L -> 6, 40000L -> 2))
+  }
+
+  test("hub salting spreads a hot adjacency across the salt space") {
+    // distribution pin on the salting transform itself: with the hub in
+    // the hot set and 8 salts, no (dst, _salt) group may retain more
+    // than a small multiple of degree/salts — the quantity that bounds
+    // the per-reducer row count once the cache partitions on (dst, _salt)
+    import SparkSpecBase.spark.implicits._
+    val deg = 20000
+    val star = (1L to deg.toLong).map(h => (0L, h))
+    val edges = undirected(star)
+    val hot = Seq(0L).toDF("node")
+    val salts = 8
+    val groups = Components.saltEdges(edges, hot, salts)
+      .filter(col("dst") === 0L)
+      .groupBy("dst", "_salt").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(groups.length == salts, s"hub must span all $salts salts: ${groups.toSeq}")
+    val maxGroup = groups.map(_._2).max
+    assert(maxGroup <= deg / salts * 3 / 2,
+      s"hub salt groups unbalanced: max $maxGroup of $deg rows")
+    // cold dst keys (the leaves, degree 1 each) stay on salt 0 — the
+    // labels side only replicates HOT nodes
+    val coldSalts = Components.saltEdges(edges, hot, salts)
+      .filter(col("dst") =!= 0L).select("_salt").distinct()
+      .as[Long].collect().toSet
+    assert(coldSalts == Set(0L))
+  }
+
   test("checkpoint interval does not change the fixpoint") {
     // two chains + one isolated pair; aggressive interval (every round)
     // vs effectively-never must agree exactly

@@ -11,7 +11,7 @@ per-query cost scales the way a genuinely larger corpus would:
   nothing about honest scaling). Lengths/word structure are preserved.
 - events: event_id/user_id offset per copy (per-user event density
   unchanged -> sessionization scales linearly). Written via pyarrow to
-  keep the TIMESTAMP(NANOS) physical type Tables.t expects.
+  preserve the source ts physical type (ns or us; Tables.t handles both).
 - embeddings: vec_id offset; vector components rotated by copy index
   (norm-preserving, decorrelates copies for the ANN/semdedup families).
 - dims (region/nation/customer/supplier/part): copied as-is.
@@ -75,9 +75,12 @@ def main():
           FROM read_parquet('{SRC}/embeddings.parquet')""")
     con.execute(f"COPY ({' UNION ALL '.join(emb_selects)}) TO '{DST}/embeddings.parquet' (FORMAT PARQUET)")
 
-    # events: pyarrow keeps timestamp[ns] (Spark path reads nanosAsLong)
+    # events: pyarrow preserves the source ts physical type (the driver
+    # has shipped both timestamp[ns] and timestamp[us]; Tables.t branches
+    # on the loaded type, so either is fine -- just don't coerce)
     tbl = pq.read_table(f"{SRC}/events.parquet")
-    assert tbl.schema.field("ts").type == pa.timestamp("ns"), tbl.schema.field("ts").type
+    assert tbl.schema.field("ts").type in (pa.timestamp("ns"), pa.timestamp("us")), \
+        tbl.schema.field("ts").type
     parts = []
     for i in range(N):
         t2 = tbl.set_column(tbl.schema.get_field_index("event_id"), "event_id",
