@@ -296,10 +296,15 @@ object SparkEntry {
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for the 4 non-SQL-expressible ops
-    * (agg_approx_distinct, agg_approx_percentile, agg_count_min_sketch,
-    * agg_hll_union — engine-specific sketch internals) — those are
-    * covered by ScalaTest (incl. golden digests) instead (SURVEY §5).
+    * the same parquet tables — one entry per query, no exemptions.
+    * Round 7 closed the last 4 (agg_approx_distinct,
+    * agg_approx_percentile, agg_count_min_sketch, agg_hll_union): the
+    * sketch estimates themselves are engine-specific, so the graded
+    * output carries exact counts plus boolean VERDICT columns stating
+    * each sketch's accuracy contract (est ⊇ exact + eps·N bound for
+    * CMS, GK rank bound for approx_percentile, relative-error bands for
+    * HLL), which DuckDB mirrors as recomputed exacts + literal TRUE.
+    * Raw estimate accuracy stays ScalaTest-checked (OracleExemptSpec).
     * Round 4 moved llm_dedup_minhash / llm_dedup_simhash /
     * llm_fingerprint / llm_sim_lsh_topk (md5-derived hashes/planes),
     * llm_sim_ivf_topk, ingest_census_csv (DuckDB re-ingests the fixture

@@ -44,7 +44,10 @@ import org.apache.spark.sql.functions._
   *    construction. The per-round aggregate relies on map-side partial
   *    aggregation (min is algebraic) to collapse a hub-as-src's degree
   *    before its rows cross the wire, then re-establishes frontier-width
-  *    (node) partitioning for the next round's join.
+  *    (node) partitioning for the next round's join. When the census
+  *    finds NO hubs (the common case), the loop takes the original
+  *    unsalted path — the hardening costs one degree aggregation and
+  *    nothing per round.
   *  - every `checkpointEvery` rounds the new labels are
   *    `localCheckpoint`ed instead of cached: even linear lineage means
   *    the analyzer/optimizer re-walks an O(rounds²) tree at deep
@@ -93,18 +96,22 @@ object Components {
     val loopParts = math.max(1L, math.min(200L, cached0.count() / 50000L)).toInt
     val nodes = cached0.select(col("src").as("node")).distinct()
     // hub census — one tiny count shuffle over the edge list, done once;
-    // the hot set is small by construction (only the power-law tail)
+    // the hot set is small by construction (only the power-law tail).
+    // When it's EMPTY (the common, healthy-graph case) the loop below
+    // runs entirely without salt machinery: no per-round broadcast
+    // join, no extra exchange — zero overhead beyond this one census.
     val hot = cached0.groupBy(col("dst").as("node"))
       .agg(count(lit(1)).as("_d")).filter(col("_d") > hotDegree)
       .select("node").cache()
-    hot.count()
+    val useSalt = hot.count() > 0
     // self-loop per node: the node's own label flows through the join, so
     // no labels∪propagated union is needed (see scaladoc — keeps lineage
     // growth linear in rounds instead of 2^rounds)
-    val edges = saltEdges(
-        cached0.union(nodes.select(col("node").as("src"), col("node").as("dst"))),
-        hot, salts)
-      .repartition(loopParts, col("dst"), col("_salt")).cache()
+    val withLoops = cached0.union(nodes.select(col("node").as("src"), col("node").as("dst")))
+    val edges =
+      if (useSalt) saltEdges(withLoops, hot, salts)
+        .repartition(loopParts, col("dst"), col("_salt")).cache()
+      else withLoops.repartition(loopParts, col("dst")).cache()
     edges.count() // materialize at loop width, then drop the raw cache
     cached0.unpersist()
     var labels = nodes.repartition(loopParts, col("node"))
@@ -113,29 +120,36 @@ object Components {
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
-      // labels side: replicate HOT nodes over every salt so each salted
-      // edge partition finds its match; cold nodes ride with salt 0.
-      // Explicit (node, _salt) repartition co-partitions with the cached
-      // edge layout, so the big side never reshuffles.
-      val saltedLabels = labels
-        .join(broadcast(hot.select(col("node"), lit(1).as("_h"))), Seq("node"), "left")
-        .withColumn("_ss",
-          when(col("_h").isNotNull, sequence(lit(0L), lit(salts.toLong - 1)))
-            .otherwise(array(lit(0L))))
-        .select(col("node"), col("label"), explode(col("_ss")).as("_salt"))
-        .repartition(loopParts, col("node"), col("_salt"))
-      val folded = edges
-        .join(saltedLabels,
-          edges("dst") === saltedLabels("node") && edges("_salt") === saltedLabels("_salt"))
-        .select(edges("src").as("node"), col("label"))
-        // groupBy WITHOUT a pre-repartition: map-side partial min
-        // collapses a hub-as-src's rows inside each input partition, so
-        // the aggregate exchange carries ≤ |nodes| rows per partition —
-        // the explicit pre-repartition form shipped a hub's raw degree
-        // into one reducer
-        .groupBy("node").agg(min("label").as("label"))
-        // frontier-width partitioning for the next round's labels join
-        .repartition(loopParts, col("node"))
+      val folded = if (useSalt) {
+        // labels side: replicate HOT nodes over every salt so each salted
+        // edge partition finds its match; cold nodes ride with salt 0.
+        // Explicit (node, _salt) repartition co-partitions with the cached
+        // edge layout, so the big side never reshuffles.
+        val saltedLabels = labels
+          .join(broadcast(hot.select(col("node"), lit(1).as("_h"))), Seq("node"), "left")
+          .withColumn("_ss",
+            when(col("_h").isNotNull, sequence(lit(0L), lit(salts.toLong - 1)))
+              .otherwise(array(lit(0L))))
+          .select(col("node"), col("label"), explode(col("_ss")).as("_salt"))
+          .repartition(loopParts, col("node"), col("_salt"))
+        edges
+          .join(saltedLabels,
+            edges("dst") === saltedLabels("node") && edges("_salt") === saltedLabels("_salt"))
+          .select(edges("src").as("node"), col("label"))
+          // groupBy WITHOUT a pre-repartition: map-side partial min
+          // collapses a hub-as-src's rows inside each input partition, so
+          // the aggregate exchange carries ≤ |nodes| rows per partition —
+          // the explicit pre-repartition form shipped a hub's raw degree
+          // into one reducer
+          .groupBy("node").agg(min("label").as("label"))
+          // frontier-width partitioning for the next round's labels join
+          .repartition(loopParts, col("node"))
+      } else {
+        edges.join(labels, edges("dst") === labels("node"))
+          .select(edges("src").as("node"), col("label"))
+          .repartition(loopParts, col("node"))
+          .groupBy("node").agg(min("label").as("label"))
+      }
       val next =
         if (rounds % checkpointEvery == checkpointEvery - 1) folded.localCheckpoint(true)
         else folded.cache()

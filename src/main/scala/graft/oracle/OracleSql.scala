@@ -196,6 +196,40 @@ object OracleSql {
         AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
       GROUP BY n_name ORDER BY revenue DESC, n_name""",
 
+    // --- sketch verdicts (round 7, exempt-set shrink): the estimate
+    // values are engine-specific digests and stay out of the hashed
+    // output; the accuracy CONTRACT rides as boolean columns the oracle
+    // states as literal TRUE next to exact counts it recomputes. A
+    // sketch that undercounts (CMS), returns a wrong-rank element
+    // (approx_percentile), or drifts past its error bound (HLL) breaks
+    // the hash.
+    "agg_approx_distinct" -> """
+      SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_exact,
+             TRUE AS within_10pct
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "agg_approx_percentile" -> """
+      SELECT c_mktsegment, count(*) AS n,
+             TRUE AS median_rank_ok, TRUE AS p90_rank_ok
+      FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "agg_count_min_sketch" -> """
+      WITH k AS (SELECT range AS suppkey FROM range(1, 21)),
+      c AS (SELECT l_suppkey AS suppkey, count(*) AS n_exact
+            FROM lineitem WHERE l_suppkey BETWEEN 1 AND 20 GROUP BY 1)
+      SELECT k.suppkey, coalesce(c.n_exact, 0) AS n_exact,
+             TRUE AS est_ge_exact, TRUE AS est_le_bound
+      FROM k LEFT JOIN c USING (suppkey) ORDER BY suppkey""",
+
+    "agg_hll_union" -> """
+      SELECT * FROM (
+        SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_exact,
+               count(*) AS n_orders, TRUE AS within_10pct
+        FROM orders GROUP BY o_orderpriority
+        UNION ALL
+        SELECT 'ALL', count(DISTINCT o_custkey), count(*), TRUE FROM orders
+      ) ORDER BY o_orderpriority""",
+
     "agg_hash_groupby" -> s"""
       SELECT l_returnflag, l_linestatus,
              round(sum(l_quantity), 2) AS sum_qty,

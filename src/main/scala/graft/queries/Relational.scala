@@ -381,13 +381,26 @@ object Relational {
       .agg(countDistinct(col("o_custkey")).as("n_cust"), count(lit(1)).as("n_orders"))
       .orderBy("c_mktsegment")
 
-  /** HLL sketch distinct — oracle-exempt (sketches differ across engines);
-    * ScalaTest asserts ±5% of exact. At 100 TB this is the only sane
-    * distinct: fixed-size partial state, no Expand blow-up. */
+  /** HLL sketch distinct, graded through a VERDICT column (round 7 —
+    * the exempt-set shrink): the estimate itself is engine-specific and
+    * can't be hashed against DuckDB, but the accuracy CONTRACT can be —
+    * the output carries the exact distinct count plus a boolean
+    * `within_10pct` (|apx − exact| ≤ 10%·exact; rsd is 2%, so 10% is a
+    * 5σ bound that never trips on honest sketches yet fails loudly on
+    * wiring bugs — wrong column, broken merge, garbage estimate). The
+    * DuckDB oracle recomputes the exact count and states the verdict as
+    * literal TRUE, putting the sketch's accuracy under the hash gate.
+    * ScalaTest (`OracleExemptSpec`) still pins the tighter 5% band on
+    * the raw estimates. At 100 TB the sketch is the only sane distinct:
+    * fixed-size partial state, no Expand blow-up. */
   def aggApproxDistinct(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
       .groupBy("o_orderpriority")
-      .agg(approx_count_distinct(col("o_custkey"), 0.02).as("n_approx"))
+      .agg(
+        approx_count_distinct(col("o_custkey"), 0.02).as("apx"),
+        countDistinct(col("o_custkey")).as("n_exact"))
+      .select(col("o_orderpriority"), col("n_exact"),
+        (abs(col("apx") - col("n_exact")) <= col("n_exact") * 0.10).as("within_10pct"))
       .orderBy("o_orderpriority")
 
   /** GROUPING SETS with grouping_id (bitmask identical to DuckDB GROUPING). */
@@ -489,19 +502,43 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("o_orderstatus")
 
-  /** Sketch order statistics: approx_percentile (positional error ≤
-    * 1/accuracy of the rank, single pass, fixed memory) — the 100 TB
-    * swap-in for agg_median_percentile's exact sort-based form.
-    * Oracle-exempt (sketch internals differ across engines); ScalaTest
-    * bounds it against the exact percentile. */
-  def aggApproxPercentile(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "customer")
+  /** Sketch order statistics graded through RANK-VERDICT columns
+    * (round 7 — the exempt-set shrink): approx_percentile's
+    * Greenwald–Khanna digest carries a DETERMINISTIC guarantee — the
+    * returned value is an actual element whose rank is within
+    * n/accuracy of the target rank — and that guarantee is expressible
+    * as a boolean both engines can hash: join the per-segment sketch
+    * values back to the rows, count how many fall strictly below /
+    * at-or-below each returned value, and check the target rank p·n
+    * lies inside [#(<v) − err, #(≤v) + err] with err = n/accuracy + 1.
+    * The DuckDB oracle states the verdicts as literal TRUE (plus the
+    * exact n), so a sketch returning a wrong-rank element breaks the
+    * hash. The estimate VALUES stay out of the hashed output (engine-
+    * specific digests); `OracleExemptSpec` still rank-checks them
+    * directly. The join-back is one broadcast of a 5-row aggregate —
+    * verification costs a second scan, not a shuffle. Single pass,
+    * fixed memory at 100 TB where the exact sort-based form can't run. */
+  def aggApproxPercentile(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select("c_mktsegment", "c_acctbal")
+    val sk = c.groupBy("c_mktsegment")
+      .agg(
+        approx_percentile(col("c_acctbal"), lit(0.5), lit(10000)).as("apx_med"),
+        approx_percentile(col("c_acctbal"), lit(0.9), lit(10000)).as("apx_p90"))
+    c.join(broadcast(sk), "c_mktsegment")
       .groupBy("c_mktsegment")
       .agg(
-        round(approx_percentile(col("c_acctbal"), lit(0.5), lit(10000)), 4).as("apx_median"),
-        round(approx_percentile(col("c_acctbal"), lit(0.9), lit(10000)), 4).as("apx_p90"),
-        count(lit(1)).as("n"))
+        count(lit(1)).as("n"),
+        count_if(col("c_acctbal") < col("apx_med")).as("lt_med"),
+        count_if(col("c_acctbal") <= col("apx_med")).as("le_med"),
+        count_if(col("c_acctbal") < col("apx_p90")).as("lt_p90"),
+        count_if(col("c_acctbal") <= col("apx_p90")).as("le_p90"))
+      .select(col("c_mktsegment"), col("n"),
+        ((col("lt_med") <= col("n") * 0.5 + (col("n") / 10000.0 + 1)) &&
+          (col("le_med") >= col("n") * 0.5 - (col("n") / 10000.0 + 1))).as("median_rank_ok"),
+        ((col("lt_p90") <= col("n") * 0.9 + (col("n") / 10000.0 + 1)) &&
+          (col("le_p90") >= col("n") * 0.9 - (col("n") / 10000.0 + 1))).as("p90_rank_ok"))
       .orderBy("c_mktsegment")
+  }
 
   /** Bivariate statistics per return flag: correlation + sample/population
     * covariance — single-pass co-moment aggregates (partial+final), no
@@ -1078,18 +1115,34 @@ object Relational {
   /** Count-min sketch — fixed-memory heavy-hitter frequency estimation,
     * the mergeable-sketch scale path for "how often does key k occur"
     * over 100 TB (exact per-key counts need a full shuffle; the sketch
-    * is one treeAggregate into a few KB). Deterministic for a fixed
-    * seed; estimates are upper bounds within eps·N with the configured
-    * confidence, asserted against exact counts in ScalaTest
-    * (oracle-exempt: sketch internals are engine-specific). */
+    * is one treeAggregate into a few KB). Graded through VERDICT
+    * columns (round 7 — the exempt-set shrink): CMS's defining
+    * guarantees are (a) est ≥ exact ALWAYS (counters only overcount on
+    * collision — deterministic) and (b) est ≤ exact + eps·N at the
+    * configured confidence (deterministic for a fixed seed and fixed
+    * data). Both are hashable booleans next to the exact per-key count,
+    * which DuckDB recomputes with TRUE verdicts — a sketch that
+    * undercounts, or collides catastrophically, breaks the hash. The
+    * estimate VALUES stay out of the hashed output (hash-function
+    * internals are engine-specific); `OracleExemptSpec` checks them
+    * directly. */
   def aggCountMinSketch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val li = t(s, dir, "lineitem")
     val sketch = li.stat.countMinSketch(col("l_suppkey"), eps = 0.001, confidence = 0.99, seed = 42)
+    val bound = math.ceil(1e-3 * sketch.totalCount).toLong
     val keys = (1L to 20L).toDF("suppkey")
+    val exact = li.filter(col("l_suppkey").between(1, 20))
+      .groupBy(col("l_suppkey").as("suppkey"))
+      .agg(count(lit(1)).as("n_exact"))
     val skB = s.sparkContext.broadcast(sketch)
     val est = udf((k: Long) => skB.value.estimateCount(k))
-    keys.select(col("suppkey"), est(col("suppkey")).as("est_count")).orderBy("suppkey")
+    keys.join(exact, Seq("suppkey"), "left")
+      .select(col("suppkey"), coalesce(col("n_exact"), lit(0L)).as("n_exact"))
+      .select(col("suppkey"), col("n_exact"),
+        (est(col("suppkey")) >= col("n_exact")).as("est_ge_exact"),
+        (est(col("suppkey")) <= col("n_exact") + lit(bound)).as("est_le_bound"))
+      .orderBy("suppkey")
   }
 
   /** Banded range join — the 100 TB scale path for interval/point range
@@ -1241,21 +1294,34 @@ object Relational {
     * pattern that makes distinct counting reaggregatable at 100 TB:
     * sketches built once per partition/group/day can be merged along
     * any rollup axis without touching raw data again, which an exact
-    * `count(DISTINCT)` fundamentally cannot. Estimates are
-    * deterministic for fixed input (no RNG in HLL), but the sketch
-    * algorithm differs from DuckDB's — oracle-exempt, accuracy pinned
-    * vs exact counts in ScalaTest. */
+    * `count(DISTINCT)` fundamentally cannot. Graded through a VERDICT
+    * column (round 7 — the exempt-set shrink): per group AND for the
+    * merged union row, the output carries the exact distinct count and
+    * a boolean `within_10pct` (lgK=14 → σ ≈ 0.8%, so 10% is a >10σ
+    * bound with a small-group absolute floor of 16); DuckDB recomputes
+    * the exact counts — including the union row's, which is the
+    * distinct count of the UNION, far below the sum of the groups —
+    * and states TRUE verdicts, putting both the per-group sketches and
+    * the merge under the hash gate. Raw estimates stay test-checked at
+    * 5% in `OracleExemptSpec`. */
   def aggHllUnion(s: SparkSession, dir: String): DataFrame = {
-    val sk = t(s, dir, "orders")
-      .groupBy("o_orderpriority")
+    val o = t(s, dir, "orders")
+    val sk = o.groupBy("o_orderpriority")
       .agg(hll_sketch_agg(col("o_custkey"), lit(14)).as("sk"),
+        countDistinct(col("o_custkey")).as("n_exact"),
         count(lit(1)).as("n_orders"))
-    val per = sk.select(col("o_orderpriority"),
-      hll_sketch_estimate(col("sk")).as("apx_custs"), col("n_orders"))
+    def verdict(apx: Column, exact: Column): Column =
+      abs(apx - exact) <= greatest(exact * 0.10, lit(16.0))
+    val per = sk.select(col("o_orderpriority"), col("n_exact"), col("n_orders"),
+      verdict(hll_sketch_estimate(col("sk")), col("n_exact")).as("within_10pct"))
+    val allExact = o.agg(countDistinct(col("o_custkey")).as("n_exact_all"))
     val all = sk.agg(
-        hll_sketch_estimate(hll_union_agg(col("sk"))).as("apx_custs"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("apx"),
         sum("n_orders").as("n_orders"))
-      .select(lit("ALL").as("o_orderpriority"), col("apx_custs"), col("n_orders"))
+      .crossJoin(broadcast(allExact))
+      .select(lit("ALL").as("o_orderpriority"),
+        col("n_exact_all").as("n_exact"), col("n_orders"),
+        verdict(col("apx"), col("n_exact_all")).as("within_10pct"))
     per.union(all).orderBy("o_orderpriority")
   }
 

@@ -35,6 +35,30 @@ class CensusE2ESpec extends GraftSpec {
     // ---- parquet side: golden structure + null/jam semantics
     val geo = spark.read.parquet(s"$outDir/geoheader")
     assert(geo.count() == 10) // 5 rows x 2 states (A11 multi-state union)
+    // golden pin of the geoheader CONTENT (round 7): every (state,
+    // logrecno, geoid, name) row from the g20145x*.csv files must
+    // survive the ingest byte-for-byte — sumlevel routing, quoted
+    // names with embedded commas, and the state union all under pin
+    val geoRows = geo.select("stusab", "logrecno", "geoid", "name")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getString(3))).toSet
+    assert(geoRows == Set(
+      ("xa", 1, "04000US91", "State XA"),
+      ("xa", 2, "14000US9100100", "Tract 1, XA"),
+      ("xa", 3, "14000US9100200", "Tract 2, XA"),
+      ("xa", 4, "15000US91001001", "BG 1, Tract 1, XA"),
+      ("xa", 5, "15000US91002001", "BG 1, Tract 2, XA"),
+      ("xb", 1, "04000US92", "State XB"),
+      ("xb", 2, "14000US9200100", "Tract 1, XB"),
+      ("xb", 3, "14000US9200200", "Tract 2, XB"),
+      ("xb", 4, "15000US92001001", "BG 1, Tract 1, XB"),
+      ("xb", 5, "15000US92002001", "BG 1, Tract 2, XB")), s"got $geoRows")
+    // per-state b-table row counts pinned (5 logrecnos per state file)
+    for (tbl <- Seq("b00001", "b00001_moe", "b00002", "b00002_moe");
+         st <- Seq("xa", "xb")) {
+      val n = spark.read.parquet(s"$outDir/$tbl")
+        .filter(col("stusab") === st).count()
+      assert(n == 5, s"$tbl/$st: $n rows != 5")
+    }
     val b1 = spark.read.parquet(s"$outDir/b00001")
     assert(b1.columns.toSeq == Seq("stusab", "logrecno", "b00001001", "b00001002"))
     assert(b1.count() == 10)

@@ -60,6 +60,130 @@ class StreamRecoverySpec extends GraftSpec {
       s"got $rows")
   }
 
+  test("interval-join state survives a checkpointed restart (pre-restart click matches post-restart purchase)") {
+    import SparkSpecBase.spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_rec_ij").toFile
+    root.deleteOnExit()
+    val (cin, pin, out, ckpt) = (s"$root/clicks", s"$root/purch", s"$root/out", s"$root/ckpt")
+    def ts(s: String) = Timestamp.valueOf(s)
+    def write(dir: String, rows: Seq[(Timestamp, Long, String, Double)]): Unit =
+      rows.toDF("ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(dir)
+
+    def runOnce(): Unit = {
+      val clicks = spark.readStream.schema(schema).parquet(cin)
+      val purchases = spark.readStream.schema(schema).parquet(pin)
+      val q = StreamOps.intervalJoin(clicks, purchases).writeStream
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    // run 1: one click and one in-window purchase → one match; the
+    // click stays in join state (watermark hasn't passed click_ts+1h)
+    write(cin, Seq((ts("2024-01-01 10:00:00"), 1L, "click", 0.0)))
+    write(pin, Seq((ts("2024-01-01 10:20:00"), 1L, "purchase", 5.0)))
+    runOnce()
+    assert(spark.read.parquet(out).count() == 1)
+
+    // run 2 (fresh query, same checkpoint): a SECOND purchase for the
+    // pre-restart click (state recovery must produce the match) plus a
+    // fresh click+purchase pair (plain progress). Offset recovery must
+    // not re-emit run 1's match.
+    write(pin, Seq((ts("2024-01-01 10:40:00"), 1L, "purchase", 7.0)))
+    write(cin, Seq((ts("2024-01-01 10:30:00"), 2L, "click", 0.0)))
+    write(pin, Seq((ts("2024-01-01 10:50:00"), 2L, "purchase", 9.0)))
+    runOnce()
+
+    val rows = spark.read.parquet(out)
+      .select("user_id", "click_ts", "p_ts", "value").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getTimestamp(2).toString, r.getDouble(3)))
+      .toSet
+    assert(rows == Set(
+      (1L, "2024-01-01 10:00:00.0", "2024-01-01 10:20:00.0", 5.0),
+      (1L, "2024-01-01 10:00:00.0", "2024-01-01 10:40:00.0", 7.0),
+      (2L, "2024-01-01 10:30:00.0", "2024-01-01 10:50:00.0", 9.0)), s"got $rows")
+  }
+
+  test("bounded-dedup state survives a checkpointed restart (same-hour dup dropped, next-hour admitted)") {
+    import SparkSpecBase.spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_rec_dd").toFile
+    root.deleteOnExit()
+    val (in, out, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
+    def ts(s: String) = Timestamp.valueOf(s)
+    def write(rows: Seq[(Timestamp, Long, String, Double)]): Unit =
+      rows.toDF("ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(in)
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(in)
+      val q = StreamOps.dedupBounded(stream).writeStream
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    // run 1: first occurrence of (u1, click, hour 10)
+    write(Seq((ts("2024-01-01 10:00:00"), 1L, "click", 1.0)))
+    runOnce()
+    assert(spark.read.parquet(out).count() == 1)
+
+    // run 2: a same-hour duplicate (must be dropped by RESTORED state —
+    // the watermark after run 1 is 08:00, so the key wasn't evicted)
+    // and a next-hour recurrence (a new row by the bounded contract)
+    write(Seq(
+      (ts("2024-01-01 10:10:00"), 1L, "click", 99.0),
+      (ts("2024-01-01 11:05:00"), 1L, "click", 2.0)))
+    runOnce()
+
+    val rows = spark.read.parquet(out)
+      .select("user_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(rows == Set((1L, "click", 1.0), (1L, "click", 2.0)), s"got $rows")
+  }
+
+  test("incremental EWMA state survives a checkpointed restart (post-restart value folds into restored state)") {
+    import SparkSpecBase.spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_rec_ew").toFile
+    root.deleteOnExit()
+    val (in, ckpt) = (s"$root/in", s"$root/ckpt")
+    def ts(s: String) = Timestamp.valueOf(s)
+    def write(rows: Seq[(Timestamp, Long, String, Double)]): Unit =
+      rows.toDF("ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(in)
+
+    // memory sink refuses checkpoint recovery, so each run collects its
+    // update-mode batches through a foreachBatch sink (which supports
+    // restart) into a driver-side buffer
+    def runOnce(): Set[(Long, Long, Long)] = {
+      val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      val stream = spark.readStream.schema(schema).parquet(in)
+        .as[graft.streaming.UserEvent]
+      // typed function value sidesteps the Scala/Java foreachBatch
+      // overload ambiguity
+      val fn: (org.apache.spark.sql.Dataset[graft.streaming.Stateful.UserEwma], Long) => Unit =
+        (ds, _) => got ++= ds.collect().map(u => (u.user_id, u.ew_cents, u.n_obs))
+      val q = graft.streaming.Stateful.runningEwma(stream).writeStream
+        .foreachBatch(fn)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Update()).start()
+      try q.processAllAvailable() finally q.stop()
+      got.toSet
+    }
+
+    // run 1: u1 value 100.00 → ew = 10000 cents, n = 1
+    write(Seq((ts("2024-01-01 10:00:00"), 1L, "purchase", 100.0)))
+    assert(runOnce() == Set((1L, 10000L, 1L)))
+
+    // run 2 (fresh query, same checkpoint): u1 value 200.00.
+    // Restored state: ew = (20000 + 3*10000)/4 = 12500, n = 2.
+    // Lost state would yield (20000, 1).
+    write(Seq((ts("2024-01-01 10:30:00"), 1L, "purchase", 200.0)))
+    assert(runOnce() == Set((1L, 12500L, 2L)))
+  }
+
   test("Trigger.AvailableNow drains a file-source backfill and stops; equals the batch plan") {
     // the replay-history-through-the-streaming-pipeline pattern: a
     // bounded directory read as a STREAM processes everything available,
