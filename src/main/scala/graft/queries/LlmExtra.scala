@@ -53,8 +53,18 @@ object LlmExtra {
       struct(lit(b).as("band"),
         shiftrightunsigned(col("sig"), b * SimHash.BandBits).bitwiseAND(lit(0xFFFFL)).as("bkey"))
     }: _*)
-    val bands = sigs.select(col("doc_id"), col("sig"), explode(bandStructs).as("bs"))
+    val bandsRaw = sigs.select(col("doc_id"), col("sig"), explode(bandStructs).as("bs"))
       .select(col("doc_id"), col("sig"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
+    // hot-bucket cap (operators.HotKeys, round 7): guards the classic
+    // simhash pathology — a degenerate bucket (e.g. sig 0 from
+    // near-empty documents) whose members all collide in every band,
+    // contributing |bucket|²/2 pairs no partitioning can absorb. NOTE
+    // the cap addresses the degenerate-bucket tail only; the 16-bit
+    // band keyspace's STRUCTURAL occupancy term (~N²·Bands/2^17 random
+    // collisions as N grows past ~10⁷) is a design dial — widen
+    // BandBits / lengthen the signature — documented in docs/SCALE.md.
+    val bands = graft.operators.HotKeys.dropOverCap(
+      bandsRaw, Seq("band", "bkey"), graft.operators.HotKeys.DefaultCap)
     val a = bands.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("band"), col("bkey"))
     val b = bands.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("band"), col("bkey"))
     a.join(b, Seq("band", "bkey"))
