@@ -84,4 +84,15 @@ class HotKeySpec extends GraftSpec {
     // the genuine pair — df²/2 growth is exactly what the cap bounds
     assert(n == 60L * 59 / 2 + 1)
   }
+
+  test("cap guard plans a BROADCAST anti join, not a shuffled one") {
+    // the guard's cost model depends on the hot list staying broadcast:
+    // a refactor that loses the broadcast hint would put a full shuffle
+    // of the payload frame in front of every capped candidate join
+    val df = (1 to 100).map(i => ("k" + (i % 10), i)).toDF("k", "v")
+    val p = HotKeys.dropOverCap(df, Seq("k"), 5)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
