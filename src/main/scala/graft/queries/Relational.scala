@@ -394,11 +394,19 @@ object Relational {
     * the raw estimates. At 100 TB the sketch is the only sane distinct:
     * fixed-size partial state, no Expand blow-up. */
   def aggApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    // cascaded (tfidf discipline): collapse to distinct (priority,
+    // custkey) pairs first — one hash shuffle with map-side combine —
+    // then COUNT rows for the exact and sketch the collapsed column for
+    // the estimate. HLL is duplicate-insensitive, so the estimate is
+    // identical to sketching the raw column; mixing countDistinct with
+    // the sketch in ONE aggregate would trigger Catalyst's
+    // distinct-rewrite Expand and double the scanned rows at 100 TB.
     t(s, dir, "orders")
+      .groupBy("o_orderpriority", "o_custkey").agg(count(lit(1)).as("_n"))
       .groupBy("o_orderpriority")
       .agg(
         approx_count_distinct(col("o_custkey"), 0.02).as("apx"),
-        countDistinct(col("o_custkey")).as("n_exact"))
+        count(lit(1)).as("n_exact"))
       .select(col("o_orderpriority"), col("n_exact"),
         (abs(col("apx") - col("n_exact")) <= col("n_exact") * 0.10).as("within_10pct"))
       .orderBy("o_orderpriority")
@@ -1306,15 +1314,23 @@ object Relational {
     * 5% in `OracleExemptSpec`. */
   def aggHllUnion(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
-    val sk = o.groupBy("o_orderpriority")
+    // cascaded (tfidf discipline): pre-collapse to (priority, custkey)
+    // with a per-pair order count, so the exact distinct is a plain row
+    // COUNT, n_orders a SUM, and the sketch sees the collapsed column
+    // (HLL is duplicate-insensitive — identical estimate) — no
+    // distinct-rewrite Expand doubling the scan
+    val pairs = o.groupBy("o_orderpriority", "o_custkey")
+      .agg(count(lit(1)).as("_n"))
+    val sk = pairs.groupBy("o_orderpriority")
       .agg(hll_sketch_agg(col("o_custkey"), lit(14)).as("sk"),
-        countDistinct(col("o_custkey")).as("n_exact"),
-        count(lit(1)).as("n_orders"))
+        count(lit(1)).as("n_exact"),
+        sum("_n").as("n_orders"))
     def verdict(apx: Column, exact: Column): Column =
       abs(apx - exact) <= greatest(exact * 0.10, lit(16.0))
     val per = sk.select(col("o_orderpriority"), col("n_exact"), col("n_orders"),
       verdict(hll_sketch_estimate(col("sk")), col("n_exact")).as("within_10pct"))
-    val allExact = o.agg(countDistinct(col("o_custkey")).as("n_exact_all"))
+    val allExact = pairs.select("o_custkey").distinct()
+      .agg(count(lit(1)).as("n_exact_all"))
     val all = sk.agg(
         hll_sketch_estimate(hll_union_agg(col("sk"))).as("apx"),
         sum("n_orders").as("n_orders"))
