@@ -146,6 +146,7 @@ object SparkEntry {
     "stream_window_topk" -> StreamingQueries.streamWindowTopk _,
     "stream_funnel" -> StreamingQueries.streamFunnel _,
     "stream_left_outer_join" -> StreamingQueries.streamLeftOuterJoin _,
+    "stream_tws_user_totals" -> StreamingQueries.streamTwsUserTotals _,
     // custom UDX
     "udaf_weighted_avg" -> UdxQueries.udafWeightedAvg _,
     "udtf_ngrams" -> UdxQueries.udtfNgrams _,

@@ -1248,6 +1248,12 @@ object OracleSql {
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
+    "stream_tws_user_totals" -> """
+      SELECT user_id, count(*) AS n_events,
+             CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS total_cents,
+             max(epoch_us(ts)) AS last_us
+      FROM events GROUP BY user_id ORDER BY user_id""",
+
     "stream_funnel" -> s"""
       WITH v AS (
         SELECT user_id, min(ts) AS v_ts FROM events

@@ -181,4 +181,23 @@ object StreamingQueries {
         Num.sumMoney(col("value")).as("attributed_value"))
       .orderBy("user_decile")
   }
+
+  /** Spark 4 `transformWithState` running per-user totals
+    * (stream_tws_user_totals): the modern stateful-processing API —
+    * named ValueState + TTL + timers — executed here in its BATCH mode
+    * (TimeMode.None) so the actual processor runs under the DuckDB hash
+    * gate; `TwsSpec` drives the same class as a RocksDB-backed stream
+    * with cumulative Update-mode emission. No float enters the stateful
+    * path: cents arrive as exact decimal-cast longs and event time as
+    * unix micros (§2.C), so the fold is order-independent and mirrors a
+    * plain GROUP BY exactly. */
+  def streamTwsUserTotals(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events").select(
+        col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+      .as[graft.streaming.Tws.CentEvent]
+    graft.streaming.Tws.userTotals(ev).toDF().orderBy("user_id")
+  }
 }

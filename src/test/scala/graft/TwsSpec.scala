@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.apache.spark.sql.types._
+import graft.streaming.Tws
+import graft.streaming.Tws.{CentEvent, UserTotals}
+
+/** Spark 4 `transformWithState` coverage: the batch run (the graded
+  * path, DuckDB-mirrored) must equal a plain aggregation, and the SAME
+  * `StatefulProcessor` class must run as a RocksDB-backed stream whose
+  * ValueState carries across micro-batches AND across a checkpointed
+  * restart. The streaming runs use TimeMode.None + Trigger.AvailableNow
+  * (drain and stop): ProcessingTime mode — the production TTL posture —
+  * keeps scheduling timer micro-batches, so AvailableNow never
+  * self-terminates under it (see Tws.userTotalsStream scaladoc). */
+class TwsSpec extends GraftSpec {
+  import SparkSpecBase.spark.implicits._
+
+  test("batch transformWithState equals the plain groupBy aggregation") {
+    val ev = Seq(
+      CentEvent(1L, 1000L, 250L), CentEvent(1L, 3000L, 100L),
+      CentEvent(2L, 2000L, 999L), CentEvent(3L, 500L, 1L),
+      CentEvent(1L, 2000L, 50L)).toDS()
+    val got = Tws.userTotals(ev).collect()
+      .map(u => (u.user_id, u.n_events, u.total_cents, u.last_us)).toSet
+    assert(got == Set((1L, 3L, 400L, 3000L), (2L, 1L, 999L, 2000L), (3L, 1L, 1L, 500L)))
+  }
+
+  test("streaming transformWithState: state survives micro-batches and a checkpointed restart (RocksDB)") {
+    val spark = SparkSpecBase.spark
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    // transformWithState streams only on the RocksDB provider
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val root = java.nio.file.Files.createTempDirectory("graft_tws").toFile
+      root.deleteOnExit()
+      val (in, ckpt) = (s"$root/in", s"$root/ckpt")
+      val schema = StructType(Seq(
+        StructField("user_id", LongType), StructField("us", LongType),
+        StructField("cents", LongType)))
+      def write(rows: Seq[CentEvent]): Unit =
+        rows.toDF().coalesce(1).write.mode("append").parquet(in)
+
+      def runOnce(): Set[(Long, Long, Long, Long)] = {
+        val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+        val stream = spark.readStream.schema(schema).parquet(in).as[CentEvent]
+        val fn: (org.apache.spark.sql.Dataset[UserTotals], Long) => Unit =
+          (ds, _) => got ++= ds.collect().map(u => (u.user_id, u.n_events, u.total_cents, u.last_us))
+        val q = Tws.userTotalsStream(stream, None)
+          .writeStream.foreachBatch(fn)
+          .option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Update())
+          .trigger(Trigger.AvailableNow()).start()
+        assert(q.awaitTermination(120000), "AvailableNow query did not drain and stop")
+        got.toSet
+      }
+
+      // run 1: two users, one event each
+      write(Seq(CentEvent(1L, 1000L, 250L), CentEvent(2L, 2000L, 999L)))
+      assert(runOnce() == Set((1L, 1L, 250L, 1000L), (2L, 1L, 999L, 2000L)))
+
+      // run 2 (fresh query, same checkpoint): u1 recurs — the emission
+      // must fold into the RESTORED ValueState, not restart from zero;
+      // u2 is untouched this run and must not re-emit in Update mode
+      write(Seq(CentEvent(1L, 5000L, 150L)))
+      assert(runOnce() == Set((1L, 2L, 400L, 5000L)))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+}
