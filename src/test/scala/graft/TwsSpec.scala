@@ -66,6 +66,20 @@ class TwsSpec extends GraftSpec {
       // u2 is untouched this run and must not re-emit in Update mode
       write(Seq(CentEvent(1L, 5000L, 150L)))
       assert(runOnce() == Set((1L, 2L, 400L, 5000L)))
+
+      // Spark 4 state-reader data source: the checkpoint's ValueState is
+      // itself queryable as a DataFrame — the operational debugging
+      // surface for production state (what is user X's state right now?)
+      val state = spark.read.format("statestore")
+        .option("path", ckpt)
+        .option("stateVarName", "totals")
+        .load()
+        .select(col("key.value").as("user_id"),
+          col("value.n").as("n"), col("value.cents").as("cents"),
+          col("value.lastUs").as("last_us"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(state == Set((1L, 2L, 400L, 5000L), (2L, 1L, 999L, 2000L)),
+        s"state reader returned $state")
     } finally prev match {
       case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
       case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
