@@ -82,6 +82,7 @@ object SparkEntry {
     "sql_exists_subquery" -> Relational.sqlExistsSubquery _,
     "sql_merge_upsert" -> Relational.sqlMergeUpsert _,
     "sql_session_variable" -> Relational.sqlSessionVariable _,
+    "sql_scripting" -> Relational.sqlScripting _,
     "sql_tvf_range" -> Relational.sqlTvfRange _,
     "sql_pipe_syntax" -> Relational.sqlPipeSyntax _,
     "sql_create_function" -> Relational.sqlCreateFunction _,

@@ -2074,6 +2074,14 @@ object OracleSql {
       FROM tot LEFT JOIN novel USING (lang) ORDER BY lang""",
 
     // the variable/EXECUTE IMMEDIATE machinery constant-folds — static mirror
+    // compound-script control flow runs driver-side; the loop's fixed
+    // point (threshold 50.0) constant-folds into the static mirror
+    "sql_scripting" -> """
+      SELECT l_returnflag, count(*) AS n,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem WHERE l_quantity > 42.0
+      GROUP BY l_returnflag ORDER BY l_returnflag""",
+
     "sql_session_variable" -> """
       SELECT l_returnflag, count(*) AS n,
              CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents

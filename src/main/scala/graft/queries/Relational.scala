@@ -735,6 +735,34 @@ object Relational {
        GROUP BY l_returnflag ORDER BY l_returnflag'""")
   }
 
+  /** Spark 4 SQL scripting (sql_scripting): a COMPOUND BEGIN…END block
+    * — DECLARE'd locals mutated by a WHILE loop, then a final SELECT
+    * that uses the computed value — the procedural control-flow surface
+    * (ANSI SQL/PSM shape) that replaces driver-side glue code for
+    * multi-statement logic. The loop runs ON the driver (control flow
+    * is not distributed — only the terminal SELECT touches data), so
+    * the script's cost at 100 TB is exactly its final query. The loop
+    * result is deterministic (4 iterations of +8 → threshold 42.0), so
+    * the oracle is the constant-folded static mirror. */
+  def sqlScripting(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("graft_li_script")
+    s.conf.set("spark.sql.scripting.enabled", "true")
+    s.sql("""
+      BEGIN
+        DECLARE thr DOUBLE DEFAULT 10.0;
+        DECLARE i INT DEFAULT 0;
+        WHILE i < 4 DO
+          SET thr = thr + 8.0;
+          SET i = i + 1;
+        END WHILE;
+        SELECT l_returnflag, count(*) AS n,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM graft_li_script
+        WHERE l_quantity > thr
+        GROUP BY l_returnflag ORDER BY l_returnflag;
+      END""")
+  }
+
   /** SQL pipe syntax (Spark 4): the same filter→aggregate→sort stated
     * as a left-to-right `|>` pipeline — sugar over the identical plan,
     * so the oracle is the classic form. */
