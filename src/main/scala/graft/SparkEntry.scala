@@ -136,6 +136,7 @@ object SparkEntry {
     "fn_url" -> Scalars.fnUrl _,
     "fn_json_variant" -> Scalars.fnJsonVariant _,
     "fn_csv_struct" -> Scalars.fnCsvStruct _,
+    "fn_xml" -> Scalars.fnXml _,
     "fn_stable_id" -> Scalars.fnStableId _,
     // streaming-shaped (batch forms; streaming twins in graft.streaming)
     "stream_tumbling_count" -> StreamingQueries.streamTumblingCount _,

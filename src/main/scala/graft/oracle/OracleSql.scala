@@ -1596,6 +1596,15 @@ object OracleSql {
              CAST(coalesce(sum(cents), 0) AS BIGINT) AS cents
       FROM u GROUP BY from_v2 ORDER BY from_v2""",
 
+    // XML codec roundtrip: the serialized text stays out of the hash
+    // (layout is engine-specific); parsed-back values mirror the direct
+    // computation, entity escaping included
+    "fn_xml" -> """
+      SELECT c_custkey, c_custkey AS k,
+             c_mktsegment || ' & <co>' AS seg,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer WHERE c_custkey <= 500 ORDER BY c_custkey""",
+
     "fn_csv_struct" -> """
       WITH c AS (
         SELECT c_custkey, c_mktsegment AS seg,

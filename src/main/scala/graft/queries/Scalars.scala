@@ -451,6 +451,37 @@ object Scalars {
       .orderBy("c_custkey")
   }
 
+  /** Spark 4 native XML codec (fn_xml): struct → `to_xml` text →
+    * `from_xml` back to a typed struct, with an XML-special payload
+    * (`& < >`) planted in the string field so entity escaping runs in
+    * BOTH directions. The serialized text itself stays out of the
+    * hashed output (whitespace/layout is engine-specific); the
+    * PARSED-BACK values are the contract — any mangling in serialize,
+    * escape, or parse breaks the hash against the oracle's direct
+    * computation from the source columns. Per-row codegen'd map work;
+    * at 100 TB this is the third-party-feed codec path next to the
+    * CSV/JSON roundtrips. */
+  def fnXml(s: SparkSession, dir: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("seg", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("cents", org.apache.spark.sql.types.LongType)))
+    graft.tables.Tables.t(s, dir, "customer")
+      .filter(col("c_custkey") <= 500)
+      .withColumn("payload", struct(
+        col("c_custkey").as("k"),
+        concat(col("c_mktsegment"), lit(" & <co>")).as("seg"),
+        round(col("c_acctbal") * 100).cast("long").as("cents")))
+      .withColumn("x", to_xml(col("payload")))
+      .withColumn("p", from_xml(col("x"), schema))
+      .select(
+        col("c_custkey"),
+        col("p.k").as("k"),
+        col("p.seg").as("seg"),
+        col("p.cents").as("cents"))
+      .orderBy("c_custkey")
+  }
+
   /** Spark 4 VARIANT over semi-structured data: `parse_json` lifts the
     * events.props JSON string into the binary VARIANT encoding once,
     * `variant_get` then extracts typed fields without re-parsing text
