@@ -75,6 +75,16 @@ object Bench {
       })
     }
     val total = results.values.filter(_ >= 0).sum
+    // host-weather readout: p50 of the per-query two-pass ratio
+    // (slower/faster). ≈1.0 = quiet host; the shared VM's bursty
+    // contention shows up as a fat ratio median, letting the driver
+    // tell an engine regression from host weather (convention in
+    // BASELINE.md "Bench noise"). Only both-pass-clean queries count.
+    val ratios = p1.toSeq.collect {
+      case (k, (t1, None)) if p2(k)._2.isEmpty && math.min(t1, p2(k)._1) > 1e-9 =>
+        math.max(t1, p2(k)._1) / math.min(t1, p2(k)._1)
+    }.sorted
+    val noise = if (ratios.isEmpty) 1.0 else ratios(ratios.size / 2)
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case '\r' => "\\r"; case '\t' => "\\t"
@@ -88,10 +98,20 @@ object Bench {
       else s""","errors":${errors.toSeq.sortBy(_._1).map { case (k, m) => s"${jstr(k)}:${jstr(m)}" }.mkString("{", ",", "}")}"""
     val errNames =
       if (errors.isEmpty) ""
-      else s""","error_queries":${errors.keys.toSeq.sorted.take(40).map(jstr).mkString("[", ",", "]")}"""
+      else {
+        // 40-name cap keeps the tail line bounded; the sentinel records
+        // how many were cut so a 40+-error round reads as truncated, not
+        // as exactly 40 errors
+        val names = errors.keys.toSeq.sorted
+        val kept = names.take(40)
+        val trunc =
+          if (names.size > kept.size) s""","error_queries_truncated":${names.size - kept.size}"""
+          else ""
+        s""","error_queries":${kept.map(jstr).mkString("[", ",", "]")}$trunc"""
+      }
     def line(qs: Seq[(String, Double)], omitted: Int, errPart: String): String = {
       val extra = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qs.map(entry).mkString("{", ",", "}")}$extra,"error_count":${errors.size}$errPart,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qs.map(entry).mkString("{", ",", "}")}$extra,"error_count":${errors.size},"noise":${fmt(noise)}$errPart,"sf":"$sfDir"}"""
     }
     val all = results.toSeq.sortBy { case (_, v) => -v } // slowest first
     // durable full artifact (cwd = repo root under sbt)
@@ -114,7 +134,14 @@ object Bench {
         var kept = all
         while (kept.nonEmpty && line(kept, all.size - kept.size, errNames).length > budget)
           kept = kept.dropRight(1)
-        line(kept, all.size - kept.size, errNames)
+        val candidate = line(kept, all.size - kept.size, errNames)
+        if (candidate.length <= budget) candidate
+        else
+          // pathological 40+-error case: the name list alone blows the
+          // budget even with zero query timings — drop the names, keep
+          // the counts (full names live in BENCH_LOCAL.json regardless)
+          line(kept, all.size - kept.size,
+            s""","error_queries":[],"error_queries_truncated":${errors.size}""")
       })
     spark.stop()
   }

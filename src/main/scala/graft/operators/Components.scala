@@ -72,6 +72,20 @@ object Components {
     * times per round (cold nodes are untouched). */
   val DefaultSalts = 16
 
+  /** Target edge rows per loop partition when sizing iterative joins. */
+  val RowsPerPartition = 50000L
+
+  /** Loop width for an iterative join over `rows` edge rows: at least
+    * the cluster's scheduling width (every executor core gets work even
+    * on a small frontier), growing linearly with the measured edge count
+    * so a billion-edge graph gets ~20k partitions (≈50k edges each), not
+    * a constant that leaves multi-million-row partitions at scale. Pure
+    * function of (parallelism, rows) so the sizing policy is unit-
+    * testable without spoofing a SparkContext. */
+  private[graft] def loopWidth(defaultParallelism: Int, rows: Long): Int =
+    math.max(math.max(1, defaultParallelism).toLong,
+      math.max(1L, rows / RowsPerPartition)).toInt
+
   /** Edges annotated with a deterministic `_salt`: rows whose `dst` is
     * in `hot` (a small broadcastable frame with column `node`) get
     * hash(src) % salts; all other rows get salt 0. Exposed for
@@ -93,7 +107,8 @@ object Components {
       hotDegree: Long = DefaultHotDegree,
       salts: Int = DefaultSalts): DataFrame = {
     val cached0 = edges0.cache()
-    val loopParts = math.max(1L, math.min(200L, cached0.count() / 50000L)).toInt
+    val loopParts =
+      loopWidth(edges0.sparkSession.sparkContext.defaultParallelism, cached0.count())
     val nodes = cached0.select(col("src").as("node")).distinct()
     // hub census — one tiny count shuffle over the edge list, done once;
     // the hot set is small by construction (only the power-law tail).

@@ -42,13 +42,28 @@ object HotKeys {
     * organic near-dup family sizes. */
   val DefaultCap = 4096
 
+  /** Hot-list size above which the anti join falls back from broadcast
+    * to shuffle. "Small by construction" is a heuristic, not a law: a
+    * corpus with millions of moderately-over-cap keys (many mid-size
+    * boilerplate families) would OOM the driver on the broadcast. A
+    * million narrow key rows is well inside the default broadcast
+    * budget; beyond it the shuffled left_anti is the safe plan. */
+  val MaxBroadcastHotKeys = 1000000L
+
   /** Drop every row whose `keys`-group has more than `cap` rows.
-    * Returns the input unchanged (same schema) minus over-cap groups. */
+    * Returns the input unchanged (same schema) minus over-cap groups.
+    *
+    * The hot list is counted (one small extra job — the aggregate is
+    * map-side combined, so the count shuffle carries key cardinality,
+    * not row count) before the broadcast hint is applied; an over-budget
+    * hot list takes a shuffled anti join instead of OOMing the driver. */
   def dropOverCap(df: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
     val hot = df.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("_hk_n"))
       .filter(col("_hk_n") > cap)
       .select(keys.map(col): _*)
-    df.join(broadcast(hot), keys, "left_anti")
+    val nHot = hot.limit((MaxBroadcastHotKeys + 1).toInt).count()
+    if (nHot <= MaxBroadcastHotKeys) df.join(broadcast(hot), keys, "left_anti")
+    else df.join(hot, keys, "left_anti")
   }
 }

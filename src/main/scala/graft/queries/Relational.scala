@@ -1166,7 +1166,14 @@ object Relational {
     import s.implicits._
     val li = t(s, dir, "lineitem")
     val sketch = li.stat.countMinSketch(col("l_suppkey"), eps = 0.001, confidence = 0.99, seed = 42)
-    val bound = math.ceil(1e-3 * sketch.totalCount).toLong
+    // graded verdict uses 4× the eps·N guarantee: the tight bound holds
+    // only with 99% confidence PER KEY (20 keys ≈ 18% chance of one
+    // legit breach under a fresh seed/data), so hashing it as a
+    // literal-TRUE oracle verdict would let a testdata regeneration fail
+    // an honest sketch. The tight eps·N accuracy stays pinned in
+    // OracleExemptSpec; this widened bound grades "not catastrophically
+    // colliding", which a correct CMS satisfies with overwhelming margin.
+    val bound = 4L * math.ceil(1e-3 * sketch.totalCount).toLong
     val keys = (1L to 20L).toDF("suppkey")
     val exact = li.filter(col("l_suppkey").between(1, 20))
       .groupBy(col("l_suppkey").as("suppkey"))

@@ -86,4 +86,17 @@ class ComponentsSpec extends GraftSpec {
     val byLabel = aggressive.groupBy(_._2).view.mapValues(_.size).toMap
     assert(byLabel == Map(1L -> 8, 20L -> 7, 100L -> 2))
   }
+
+  test("loop width derives from cluster parallelism, not a constant cap") {
+    // floor: every core gets work even on a tiny frontier
+    assert(Components.loopWidth(32, 300L) == 32)
+    assert(Components.loopWidth(1000, 300L) == 1000)
+    // growth: width tracks measured edges once they outgrow the cluster
+    // floor — a billion-edge graph gets ~20k partitions (≈50k rows
+    // each), where the old min(200, …) cap left 5M-row partitions
+    assert(Components.loopWidth(32, 1_000_000_000L) == 20000)
+    assert(Components.loopWidth(1000, 100_000_000L) == 2000)
+    // degenerate inputs stay sane
+    assert(Components.loopWidth(0, 0L) == 1)
+  }
 }

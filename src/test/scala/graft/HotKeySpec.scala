@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.operators.HotKeys
-import graft.queries.{Llm, LlmExtra}
+import graft.queries.{GraphQueries, Llm, LlmExtra}
 
 /** Adversarial planted-hot-key tests for the two documented 100 TB
   * candidate-join hazards (docs/PLANS.md): the LSH hot band bucket and
@@ -83,6 +83,77 @@ class HotKeySpec extends GraftSpec {
     // every one of the C(60,2) boilerplate pairs shares a shingle, plus
     // the genuine pair — df²/2 growth is exactly what the cap bounds
     assert(n == 60L * 59 / 2 + 1)
+  }
+
+  // ---- round-8 sites: editdist prefix blocks, semdedup cells, graph blocks ----
+
+  // 300 docs sharing a 20-char boilerplate prefix (the license-header
+  // blocking failure: one (source, prefix) block, |block|²/2 pairs) plus
+  // one organic near-dup pair in its own size-2 block.
+  private def editdistDocs = {
+    val boiler = "LICENSE HEADER v2.0 " // exactly 20 chars → one block
+    val family = (1 to 300).map(i =>
+      (i.toLong, "web", boiler + s"all rights reserved worldwide forever doc $i"))
+    val pair = Seq(
+      (9001L, "web", "arctic tern migratio" + "n covers both hemispheres every single year"),
+      (9002L, "web", "arctic tern migratio" + "n covers both hemispheres every single week"))
+    (family ++ pair).toDF("doc_id", "source", "text")
+  }
+
+  test("editdist block cap: boilerplate prefix block dropped, organic pair kept") {
+    val out = LlmExtra.llmDedupEditdistBlocks(editdistDocs, blockCap = 50)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(out == Set((9001L, 9002L)))
+  }
+
+  test("editdist block cap: inert below threshold") {
+    val n = LlmExtra.llmDedupEditdistBlocks(editdistDocs, blockCap = 4096).count()
+    assert(n == 300L * 299 / 2 + 1)
+  }
+
+  // 60 vectors collapsed onto centroid 0 (the saturated SemDeDup cell —
+  // exactly the near-duplicate-heavy distribution the operator targets)
+  // vs a 3-member cold cell on centroid 1. Unit-norm 2-d vectors.
+  private def plantedEmb = {
+    val c0 = Array(1f, 0f)
+    val c1 = Array(0f, 1f)
+    val hot = (100 to 159).map(i => (i.toLong, c0))
+    val cold = Seq((1000L, c1), (1001L, c1))
+    (Seq((0L, c0), (1L, c1)) ++ hot ++ cold).toDF("vec_id", "v")
+  }
+
+  test("semdedup hot-cell cap: saturated cell dropped, cold cell kept") {
+    val out = LlmExtra.llmSemdedupCells(plantedEmb, cellCap = 50)
+      .select("cell", "n_pairs").as[(Long, Long)].collect().toMap
+    // cell 0 (61 members → C(61,2)=1830 pairs uncapped) is gone; cell 1
+    // (centroid + 2 members) keeps its 3 pairs
+    assert(out == Map(1L -> 3L))
+  }
+
+  test("semdedup hot-cell cap: inert below threshold") {
+    val out = LlmExtra.llmSemdedupCells(plantedEmb, cellCap = 4096)
+      .select("cell", "n_pairs").as[(Long, Long)].collect().toMap
+    assert(out == Map(0L -> 61L * 60 / 2, 1L -> 3L))
+  }
+
+  // 300 template docs landing in one (source × length-bucket) block
+  // (unique langs keep their l-blocks singleton) + an organic pair
+  // sharing both its s-block and l-block.
+  private def plantedGraphDocs = {
+    val family = (1 to 300).map(i => (i.toLong, "tpl", s"zz$i", 150L))
+    val pair = Seq((5000L, "web2", "en", 320L), (5001L, "web2", "en", 330L))
+    (family ++ pair).toDF("doc_id", "source", "lang", "n_chars")
+  }
+
+  test("graph block cap: hot similarity block dropped, organic edge kept") {
+    val out = GraphQueries.simEdgesCapped(plantedGraphDocs, blockCap = 50)
+      .as[(Long, Long)].collect().toSet
+    assert(out == Set((5000L, 5001L)))
+  }
+
+  test("graph block cap: inert below threshold") {
+    val n = GraphQueries.simEdgesCapped(plantedGraphDocs, blockCap = 4096).count()
+    assert(n == 300L * 299 / 2 + 1)
   }
 
   test("cap guard plans a BROADCAST anti join, not a shuffled one") {

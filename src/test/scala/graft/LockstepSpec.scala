@@ -20,7 +20,10 @@ class LockstepSpec extends GraftSpec {
     // §2.B table rows: "| `name` | ..." between the §2.B heading and the
     // count line
     val start = survey.indexOf("### §2.B")
-    val sec = survey.substring(start, survey.indexOf("Count: ", start))
+    assert(start >= 0, "SURVEY.md: '### §2.B' heading not found (renamed?)")
+    val end = survey.indexOf("Count: ", start)
+    assert(end > start, "SURVEY.md: 'Count: ' line not found after §2.B heading")
+    val sec = survey.substring(start, end)
     val rows = "(?m)^\\|\\s*`([a-z0-9_]+)`\\s*\\|".r
       .findAllMatchIn(sec).map(_.group(1)).toSet
     val q = SparkEntry.queries.keySet
