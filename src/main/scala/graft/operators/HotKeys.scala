@@ -53,15 +53,18 @@ object HotKeys {
   /** Drop every row whose `keys`-group has more than `cap` rows.
     * Returns the input unchanged (same schema) minus over-cap groups.
     *
-    * The hot list is counted (one small extra job — the aggregate is
-    * map-side combined, so the count shuffle carries key cardinality,
-    * not row count) before the broadcast hint is applied; an over-budget
-    * hot list takes a shuffled anti join instead of OOMing the driver. */
+    * The hot list is counted before the broadcast hint is applied; an
+    * over-budget hot list takes a shuffled anti join instead of OOMing
+    * the driver. The hot list is CACHED so the guard count and the anti
+    * join share one aggregation pass — the count job itself is the only
+    * added work over the unguarded form, and the cache entry is
+    * near-empty by construction (only pathological keys survive). */
   def dropOverCap(df: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
     val hot = df.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("_hk_n"))
       .filter(col("_hk_n") > cap)
       .select(keys.map(col): _*)
+      .cache()
     val nHot = hot.limit((MaxBroadcastHotKeys + 1).toInt).count()
     if (nHot <= MaxBroadcastHotKeys) df.join(broadcast(hot), keys, "left_anti")
     else df.join(hot, keys, "left_anti")

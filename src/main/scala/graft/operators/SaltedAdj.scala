@@ -35,7 +35,8 @@ import org.apache.spark.sql.functions._
   */
 final class SaltedAdj private (
     private[graft] val edges: DataFrame,
-    private[graft] val hot: DataFrame,
+    hot: DataFrame,
+    degs: DataFrame,
     salts: Int,
     private[graft] val useSalt: Boolean,
     width: Int) {
@@ -65,7 +66,7 @@ final class SaltedAdj private (
 
   def unpersist(): Unit = {
     edges.unpersist()
-    hot.unpersist()
+    degs.unpersist()
   }
 }
 
@@ -79,13 +80,21 @@ object SaltedAdj {
       hotDegree: Long = Components.DefaultHotDegree,
       salts: Int = Components.DefaultSalts): SaltedAdj = {
     val adj = adj0.cache()
-    val n = adj.count()
+    // ONE census aggregation yields everything the setup needs: total
+    // edge rows (Σ degree → loop width) and the max degree (hub
+    // presence) come from one action; the hot list itself is a lazy
+    // filter over the CACHED census, so no separate count job runs.
+    // The census cache is one row per distinct u — small, and it backs
+    // the per-round broadcast of the hot set when salting is on.
+    val degs = adj.groupBy(col("u").as("node"))
+      .agg(count(lit(1)).as("_d")).cache()
+    val stats = degs.agg(
+      coalesce(sum("_d"), lit(0L)), coalesce(max("_d"), lit(0L))).head
+    val n = stats.getLong(0)
+    val useSalt = stats.getLong(1) > hotDegree
     val width = Components.loopWidth(
       adj0.sparkSession.sparkContext.defaultParallelism, n)
-    val hot = adj.groupBy(col("u").as("node"))
-      .agg(count(lit(1)).as("_d")).filter(col("_d") > hotDegree)
-      .select("node").cache()
-    val useSalt = hot.count() > 0
+    val hot = degs.filter(col("_d") > hotDegree).select("node")
     val edges =
       if (useSalt)
         adj.join(broadcast(hot.select(col("node").as("u"), lit(1).as("_hot"))),
@@ -98,6 +107,6 @@ object SaltedAdj {
       else adj.repartition(width, col("u")).cache()
     edges.count() // materialize at loop width, then drop the raw cache
     adj.unpersist()
-    new SaltedAdj(edges, hot, salts, useSalt, width)
+    new SaltedAdj(edges, hot, degs, salts, useSalt, width)
   }
 }

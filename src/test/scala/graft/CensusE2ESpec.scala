@@ -52,8 +52,11 @@ class CensusE2ESpec extends GraftSpec {
       ("xb", 3, "14000US9200200", "Tract 2, XB"),
       ("xb", 4, "15000US92001001", "BG 1, Tract 1, XB"),
       ("xb", 5, "15000US92002001", "BG 1, Tract 2, XB")), s"got $geoRows")
-    // per-state b-table row counts pinned (5 logrecnos per state file)
-    for (tbl <- Seq("b00001", "b00001_moe", "b00002", "b00002_moe");
+    // per-state b-table row counts pinned (5 logrecnos per state file);
+    // b00003 arrives from the SECOND sequence file pair (seq 2), so its
+    // presence pins the multi-sequence ingest path end-to-end
+    for (tbl <- Seq("b00001", "b00001_moe", "b00002", "b00002_moe",
+                    "b00003", "b00003_moe");
          st <- Seq("xa", "xb")) {
       val n = spark.read.parquet(s"$outDir/$tbl")
         .filter(col("stusab") === st).count()
@@ -74,10 +77,27 @@ class CensusE2ESpec extends GraftSpec {
     val b2moe = spark.read.parquet(s"$outDir/b00002_moe")
     assert(b2moe.columns.toSeq ==
       Seq("stusab", "logrecno", "b00002001", "b00002002", "b00002003"))
+    // ---- sequence-2 table (B00003): schema from its own metadata, cell
+    // range restarting at 7 in the seq-2 file, null coercion + jam value
+    // working there exactly as in sequence 1
+    val b3 = spark.read.parquet(s"$outDir/b00003")
+    assert(b3.columns.toSeq == Seq("stusab", "logrecno", "b00003001", "b00003002"))
+    assert(b3.count() == 10)
+    val b3nulls = b3.filter(col("b00003001").isNull || col("b00003002").isNull)
+      .select("stusab", "logrecno").collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(b3nulls == Set(("xa", 2), ("xb", 3)), s"got $b3nulls") // '.' and '' cells
+    val b3head = b3.filter(col("stusab") === "xa" && col("logrecno") === 1)
+      .select("b00003001", "b00003002").head
+    assert((b3head.getDouble(0), b3head.getDouble(1)) == ((52000.0, 41000.0)))
+    val b3jam = spark.read.parquet(s"$outDir/b00003_moe")
+      .filter(col("stusab") === "xa" && col("logrecno") === 2)
+      .select("b00003001").head.getDouble(0)
+    assert(b3jam == -555555555.0)
 
     // ---- Postgres side: every table landed via DDL + COPY; values match
     // the parquet side exactly (count, per-column sum, null count)
-    for (tbl <- Seq("geoheader", "b00001", "b00001_moe", "b00002", "b00002_moe")) {
+    for (tbl <- Seq("geoheader", "b00001", "b00001_moe", "b00002", "b00002_moe",
+                    "b00003", "b00003_moe")) {
       assert(psqlOne(s"SELECT count(*) FROM $schema.$tbl") == "10", tbl)
     }
     val dfSum = b1.agg(

@@ -12,26 +12,35 @@ class CensusIngestSpec extends GraftSpec {
   private lazy val metas = CensusQueries.fixtureMetas
   private lazy val dir = CensusQueries.fixtureDir
   private lazy val pipeline =
-    Ingest.ingestSequence(spark, dir, 2014, 5, Seq("xa", "xb"), metas)
+    Ingest.ingestSequence(spark, dir, 2014, 5, Seq("xa", "xb"),
+      metas.filter(_.sequence == 1))
 
   test("lookup parse: tables, cells, universe, cell titles (A3)") {
-    assert(metas.map(_.tableId) == Seq("B00001", "B00002"))
+    assert(metas.map(_.tableId) == Seq("B00001", "B00002", "B00003"))
     val b1 = metas.head
     assert(b1.cells == 2 && b1.startPos == 7 && b1.sequence == 1)
     assert(b1.title == "POPULATION, TOTAL") // quoted-comma CSV field
     assert(b1.universe == "Universe:  Total population") // 0.5 row skipped as cell
     assert(b1.cellTitles.map(_.title) == Seq("Total:", "Male:"))
     assert(metas(1).cells == 3 && metas(1).startPos == 9)
+    // seq-2 table: its start position restarts at 7 in its OWN file
+    assert(metas(2).tableId == "B00003" && metas(2).sequence == 2 &&
+      metas(2).cells == 2 && metas(2).startPos == 7)
   }
 
   test("metadata-derived schema (A4)") {
     val sch = metas.head.schema
     assert(sch.fieldNames.toSeq == Seq("stusab", "logrecno", "b00001001", "b00001002"))
     assert(sch("b00001001").dataType == DoubleType)
-    val seqSch = Metadata.sequenceSchema(metas)
+    // schema is PER SEQUENCE — feeding multi-sequence metas here would
+    // interleave cell ranges (both sequences restart at position 7),
+    // which is exactly what ingestSequence's require guards against
+    val seqSch = Metadata.sequenceSchema(metas.filter(_.sequence == 1))
     assert(seqSch.fieldNames.length == 6 + 5)
     assert(seqSch.fieldNames.slice(6, 11).toSeq ==
       Seq("b00001001", "b00001002", "b00002001", "b00002002", "b00002003"))
+    val seq2Sch = Metadata.sequenceSchema(metas.filter(_.sequence == 2))
+    assert(seq2Sch.fieldNames.slice(6, 8).toSeq == Seq("b00003001", "b00003002"))
   }
 
   test("geoheader ingest: 10 rows, PK-unique, declared schema (A5)") {

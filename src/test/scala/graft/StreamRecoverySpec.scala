@@ -144,6 +144,69 @@ class StreamRecoverySpec extends GraftSpec {
     assert(rows == Set((1L, "click", 1.0), (1L, "click", 2.0)), s"got $rows")
   }
 
+  test("left-outer interval-join state survives a checkpointed restart (restored click matches late purchase; unmatched click null-emits post-restart)") {
+    import SparkSpecBase.spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_rec_loj").toFile
+    root.deleteOnExit()
+    val (cin, pin, out, ckpt) = (s"$root/clicks", s"$root/purch", s"$root/out", s"$root/ckpt")
+    def ts(s: String) = Timestamp.valueOf(s)
+    def write(dir: String, rows: Seq[(Timestamp, Long, String, Double)]): Unit =
+      rows.toDF("ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(dir)
+
+    def runOnce(): Unit = {
+      val clicks = spark.readStream.schema(schema).parquet(cin)
+      val purchases = spark.readStream.schema(schema).parquet(pin)
+      val q = StreamOps.leftOuterIntervalJoin(clicks, purchases).writeStream
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    // run 1: u2 click+purchase (inner match emits immediately); u1 click
+    // with no purchase yet — it must stay in join state across the
+    // restart (its null row is not emittable: watermark is 10:00, well
+    // short of click_ts + 30min)
+    write(cin, Seq(
+      (ts("2024-01-01 10:00:00"), 1L, "click", 0.0),
+      (ts("2024-01-01 10:00:00"), 2L, "click", 0.0)))
+    write(pin, Seq((ts("2024-01-01 10:10:00"), 2L, "purchase", 5.0)))
+    runOnce()
+    assert(spark.read.parquet(out).count() == 1)
+
+    // run 2 (fresh query, same checkpoint): a late purchase for the
+    // pre-restart u1 click (state recovery must produce the match), a
+    // u4 click that will never match, and a u3 pair far enough ahead to
+    // push the global watermark (min over both inputs) past
+    // u4.click_ts + 30min so u4's null row becomes emittable
+    write(pin, Seq((ts("2024-01-01 10:25:00"), 1L, "purchase", 7.0)))
+    write(cin, Seq((ts("2024-01-01 10:40:00"), 4L, "click", 0.0)))
+    write(cin, Seq((ts("2024-01-01 11:30:00"), 3L, "click", 0.0)))
+    write(pin, Seq((ts("2024-01-01 11:40:00"), 3L, "purchase", 9.0)))
+    runOnce()
+    // run 3 (second restart): one more watermark nudge on BOTH inputs
+    // (distinct users — no new matches) in case u4's null emission
+    // needed a data batch after the watermark commit; exactly-once
+    // means nothing already written may re-emit
+    write(cin, Seq((ts("2024-01-01 12:30:00"), 6L, "click", 0.0)))
+    write(pin, Seq((ts("2024-01-01 12:30:00"), 5L, "purchase", 1.0)))
+    runOnce()
+
+    val rows = spark.read.parquet(out)
+      .select("user_id", "click_ts", "p_ts", "value").collect()
+      .map(r => (r.getLong(0),
+        Option(r.getTimestamp(1)).map(_.toString).orNull,
+        Option(r.getTimestamp(2)).map(_.toString).orNull,
+        if (r.isNullAt(3)) null else r.getDouble(3).toString))
+      .toSet
+    assert(rows == Set(
+      (2L, "2024-01-01 10:00:00.0", "2024-01-01 10:10:00.0", "5.0"),
+      (1L, "2024-01-01 10:00:00.0", "2024-01-01 10:25:00.0", "7.0"),
+      (3L, "2024-01-01 11:30:00.0", "2024-01-01 11:40:00.0", "9.0"),
+      (4L, "2024-01-01 10:40:00.0", null, null)), s"got $rows")
+  }
+
   test("incremental EWMA state survives a checkpointed restart (post-restart value folds into restored state)") {
     import SparkSpecBase.spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_rec_ew").toFile

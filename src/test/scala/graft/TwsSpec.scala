@@ -85,4 +85,61 @@ class TwsSpec extends GraftSpec {
       case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("streaming transformWithState under TTL (ProcessingTime): state survives a checkpointed restart") {
+    // the production posture for unbounded key spaces: per-state TTL in
+    // ProcessingTime mode. The restart contract must hold THERE too —
+    // a generous TTL (1h ≫ test duration) keeps keys alive across the
+    // kill-and-restore, so the post-restart emission folds into the
+    // restored ValueState exactly as in TimeMode.None
+    val spark = SparkSpecBase.spark
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val root = java.nio.file.Files.createTempDirectory("graft_tws_ttl").toFile
+      root.deleteOnExit()
+      val (in, ckpt) = (s"$root/in", s"$root/ckpt")
+      val schema = StructType(Seq(
+        StructField("user_id", LongType), StructField("us", LongType),
+        StructField("cents", LongType)))
+      def write(rows: Seq[CentEvent]): Unit =
+        rows.toDF().coalesce(1).write.mode("append").parquet(in)
+
+      // ProcessingTime mode keeps scheduling timer micro-batches, so
+      // neither AvailableNow nor processAllAvailable ever sees
+      // quiescence (Tws scaladoc) — poll the sink buffer for the
+      // expected emission count, then stop explicitly
+      def runOnce(expect: Int): Set[(Long, Long, Long, Long)] = {
+        val got = java.util.concurrent.ConcurrentHashMap
+          .newKeySet[(Long, Long, Long, Long)]()
+        val stream = spark.readStream.schema(schema).parquet(in).as[CentEvent]
+        val fn: (org.apache.spark.sql.Dataset[UserTotals], Long) => Unit =
+          (ds, _) => ds.collect().foreach(u =>
+            got.add((u.user_id, u.n_events, u.total_cents, u.last_us)))
+        val q = Tws.userTotalsStream(stream, Some(java.time.Duration.ofHours(1)))
+          .writeStream.foreachBatch(fn)
+          .option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Update()).start()
+        try {
+          val deadline = System.currentTimeMillis() + 120000
+          while (got.size < expect && System.currentTimeMillis() < deadline)
+            Thread.sleep(200)
+        } finally q.stop()
+        import scala.jdk.CollectionConverters._
+        got.asScala.toSet
+      }
+
+      write(Seq(CentEvent(1L, 1000L, 250L), CentEvent(2L, 2000L, 999L)))
+      assert(runOnce(2) == Set((1L, 1L, 250L, 1000L), (2L, 1L, 999L, 2000L)))
+
+      // kill-and-restore: u1 folds into restored state (lost state
+      // would read (1, 150)); u2 must not re-emit in Update mode
+      write(Seq(CentEvent(1L, 5000L, 150L)))
+      assert(runOnce(1) == Set((1L, 2L, 400L, 5000L)))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
