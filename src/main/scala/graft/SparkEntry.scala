@@ -283,6 +283,8 @@ object SparkEntry {
     "llm_dedup_containment" -> LlmExtra.llmDedupContainment _,
     "ts_cusum_changepoint" -> TimeSeries.tsCusumChangepoint _,
     "graph_degree_stats" -> GraphQueries.graphDegreeStats _,
+    "graph_components" -> GraphQueries.graphComponents _,
+    "llm_semdedup_adaptive" -> LlmExtra.llmSemdedupAdaptive _,
     // corrupt-record quarantine on CSV ingest (PERMISSIVE mode)
     "source_csv_permissive" -> SourceQueries.sourceCsvPermissive _,
     // ACS data-user statistics: reliability class + significance test

@@ -2066,6 +2066,27 @@ object OracleSql {
              max(cos) AS max_cos
       FROM p GROUP BY cell ORDER BY cell""",
 
+    // same assignment/pair mirror as llm_semdedup but the centroid
+    // budget is data-derived: greatest(16, ceil(sqrt(n))) — the 16
+    // floor matches Ivf.NCells and the Spark side's max()
+    "llm_semdedup_adaptive" -> """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      nc AS (SELECT greatest(16, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS k FROM e),
+      c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < (SELECT k FROM nc)),
+      sc AS (SELECT e.vec_id, c.cell, list_dot_product(e.v, c.cv) AS d
+             FROM e CROSS JOIN c),
+      a AS (SELECT vec_id, cell FROM (
+              SELECT vec_id, cell,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS rk
+              FROM sc) WHERE rk = 1),
+      av AS (SELECT a.vec_id, a.cell, e.v FROM a JOIN e USING (vec_id)),
+      p AS (SELECT x.cell, round(list_dot_product(x.v, y.v), 4) AS cos
+            FROM av x JOIN av y ON x.cell = y.cell AND x.vec_id < y.vec_id)
+      SELECT cell, count(*) AS n_pairs,
+             CAST(count_if(cos >= 0.30) AS BIGINT) AS n_dups,
+             max(cos) AS max_cos
+      FROM p GROUP BY cell ORDER BY cell""",
+
     "llm_ngram_novelty" -> s"""
       WITH grams AS (
         SELECT doc_id, lang, unnest([substr(text, CAST(i AS INT), 8)
@@ -2375,6 +2396,29 @@ object OracleSql {
         UNION ALL SELECT z FROM tri)
       SELECT node, count(*) AS n_triangles FROM corners GROUP BY 1
       ORDER BY n_triangles DESC, node LIMIT 25""",
+
+    // min-label fixpoint ≡ transitive reachability to the minimum
+    // member — the recursive CTE IS the fixpoint the salted Spark loop
+    // converges to (same mirror shape as llm_dedup_components)
+    "graph_components" -> """
+      WITH docs AS (SELECT doc_id, source, lang, n_chars FROM documents WHERE doc_id < 1200),
+      blocks AS (
+        SELECT doc_id AS u, concat_ws('|', 's', source, CAST(n_chars // 100 AS VARCHAR)) AS bk FROM docs
+        UNION ALL
+        SELECT doc_id AS u, concat_ws('|', 'l', lang, CAST(n_chars // 50 AS VARCHAR)) AS bk FROM docs),
+      edges0 AS (
+        SELECT DISTINCT a.u AS u, b.u AS v
+        FROM blocks a JOIN blocks b USING (bk) WHERE a.u < b.u),
+      e AS (SELECT u AS s, v AS d FROM edges0 UNION SELECT v, u FROM edges0),
+      nodes AS (SELECT DISTINCT s AS n FROM e),
+      r AS (
+        WITH RECURSIVE reach(n, m) AS (
+          SELECT n, n FROM nodes
+          UNION
+          SELECT e.s, reach.m FROM e JOIN reach ON e.d = reach.n)
+        SELECT n, min(m) AS component FROM reach GROUP BY n)
+      SELECT component, count(*) AS n_nodes, CAST(max(n) AS BIGINT) AS max_node
+      FROM r GROUP BY 1 ORDER BY 1""",
 
     "graph_bfs_hops" -> """
       WITH docs AS (SELECT doc_id, source, lang, n_chars FROM documents WHERE doc_id < 1200),

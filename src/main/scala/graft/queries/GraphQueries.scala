@@ -163,6 +163,26 @@ object GraphQueries {
       .orderBy("hops")
   }
 
+  /** Connected components of the similarity graph — the full hub-salted
+    * min-label fixpoint (`operators.Components.minLabel`: self-loop
+    * linear lineage, localCheckpoint every 5 rounds, measured loop
+    * width, degree-census hub salting) exposed over the graph family's
+    * own edge set, not just the dedup graph. Per component: size and
+    * max member. The oracle mirrors the fixpoint with a recursive CTE —
+    * label propagation to a fixpoint is exactly transitive reachability
+    * to the minimum member. Runs to convergence (≤ diameter rounds),
+    * unlike the fixed-round pagerank/LPA/BFS siblings. */
+  def graphComponents(s: SparkSession, dir: String): DataFrame = {
+    val e = simEdges(s, dir)
+    val edges = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      .select(col("u").as("src"), col("v").as("dst"))
+    graft.operators.Components.minLabel(edges)
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_nodes"), max("node").as("max_node"))
+      .select(col("label").as("component"), col("n_nodes"), col("max_node"))
+      .orderBy("component")
+  }
+
   /** Degree distribution + neighbor-degree mass of the similarity
     * graph: per degree value, how many nodes have it and the total
     * degree mass of their neighborhoods (the assortativity numerator)

@@ -847,12 +847,31 @@ object LlmExtra {
     llmSemdedupCells(emb, graft.operators.HotKeys.DefaultCap)
   }
 
+  /** SemDeDup with an ADAPTIVE quantizer: nCells = max(16, ⌈√n⌉) from
+    * the measured corpus, so per-cell occupancy stays ≈√n instead of
+    * n/16 — the production re-quantization posture the fixed-cell form
+    * saturates out of (at sf10 the 16-cell quantizer puts ~12.5k
+    * vectors in every cell and the hot-cell cap rightly drops them
+    * all; √n cells keep occupancy bounded at any corpus size). One
+    * count action picks the cell budget; everything downstream is the
+    * same two-shuffle assign-then-pair plan, and the oracle computes
+    * the identical ⌈√count⌉ in SQL. */
+  def llmSemdedupAdaptive(s: SparkSession, dir: String): DataFrame = {
+    graft.udx.NGrams.registerAll(s)
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").as("v"))
+    val nCells = math.max(graft.llm.Ivf.NCells.toLong,
+      math.ceil(math.sqrt(emb.count().toDouble)).toLong)
+    llmSemdedupCells(emb, graft.operators.HotKeys.DefaultCap, nCells)
+  }
+
   /** Body of llm_semdedup with an injectable hot-cell cap (HotKeySpec
-    * plants a saturated cell at a small cap). `emb` must be (vec_id,
-    * v: array<float>) with unit-norm vectors. */
-  private[graft] def llmSemdedupCells(emb: DataFrame, cellCap: Int): DataFrame = {
-    import graft.llm.Ivf
-    val cents = emb.filter(col("vec_id") < Ivf.NCells)
+    * plants a saturated cell at a small cap) and cell budget. `emb`
+    * must be (vec_id, v: array<float>) with unit-norm vectors. */
+  private[graft] def llmSemdedupCells(
+      emb: DataFrame, cellCap: Int,
+      nCells: Long = graft.llm.Ivf.NCells.toLong): DataFrame = {
+    val cents = emb.filter(col("vec_id") < nCells)
       .select(col("vec_id").cast("long").as("cell"), col("v").as("cv"))
     val assigned = emb.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("v"), col("cell"),

@@ -22,6 +22,7 @@ class PlanLintSpec extends GraftSpec {
     "llm_sim_cosine_topk", "llm_dedup_embed_cosine", "llm_sim_ivf_topk",
     "llm_perplexity_score", "llm_tfidf_top_terms",
     "llm_semdedup", // centroid assignment crossJoin — NCells=16, broadcast
+    "llm_semdedup_adaptive", // same assignment crossJoin — ⌈√n⌉ centroids, broadcast
     "agg_heavy_hitters", // single-row corpus total attached via broadcast cross join
     "agg_hll_union", // single-row exact-distinct verdict input attached via broadcast cross join (round 7)
     "dq_freshness") // single-row global-max timestamp attached via broadcast cross join

@@ -201,4 +201,36 @@ class TimeSeriesGraphSpec extends GraftSpec {
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(lab.sameElements(again))
   }
+
+  test("graph_components: partition of the node set, representative is the min member") {
+    val comps = GraphQueries.graphComponents(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(comps.nonEmpty)
+    // representative (min label) <= max member, sizes positive
+    assert(comps.forall { case (c, n, mx) => c <= mx && n > 0 })
+    // components partition the LPA graph's node set exactly (same
+    // simEdges adjacency underneath)
+    val nLpa = GraphQueries.graphLabelPropagation(spark, sfDir).count()
+    assert(comps.map(_._2).sum == nLpa,
+      s"component sizes sum ${comps.map(_._2).sum} != node count $nLpa")
+    // components are coarser than (or equal to) 3-round LPA communities:
+    // every LPA label pair in one component — spot-check determinism
+    val again = GraphQueries.graphComponents(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(comps.sameElements(again))
+  }
+
+  test("llm_semdedup_adaptive: cell budget is max(16, ceil(sqrt(n))) and cells stay within it") {
+    val emb = t(spark, sfDir, "embeddings")
+    val n = emb.count()
+    val k = math.max(16L, math.ceil(math.sqrt(n.toDouble)).toLong)
+    val out = graft.queries.LlmExtra.llmSemdedupAdaptive(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    // every populated cell id is a valid centroid index under the budget
+    assert(out.forall(r => r.getLong(0) >= 0 && r.getLong(0) < k),
+      s"cell id outside [0, $k)")
+    // more cells than the fixed-16 form can address once n > 256
+    if (n > 256) assert(out.map(_.getLong(0)).max >= 16,
+      "adaptive budget did not widen past the fixed quantizer")
+  }
 }
