@@ -57,4 +57,24 @@ class SaltedAdjSpec extends GraftSpec {
     assert(!sadj.edges.columns.contains("_salt"))
     sadj.unpersist()
   }
+
+  test("big unsalted graph takes the pre-partitioned layout at measured loop width") {
+    // 300k edges with max degree 50 (no hubs): crosses the
+    // RowsPerPartition-per-core threshold, so the adjacency must be
+    // cached AT loop width on the join key — the layout the per-round
+    // join reuses without re-exchanging the big side. Small graphs
+    // (starAdj above) skip this; their cached partition count is
+    // whatever the union produced, not the loop width.
+    val spark = SparkSpecBase.spark
+    import spark.implicits._
+    val big = spark.range(300000L)
+      .select((col("id") / 50L).as("u"), (col("id") % 6000L + 1000000L).as("v"))
+    val sadj = SaltedAdj(big, hotDegree = 100000L)
+    assert(!sadj.useSalt)
+    val width = graft.operators.Components.loopWidth(
+      spark.sparkContext.defaultParallelism, 300000L)
+    assert(sadj.edges.rdd.getNumPartitions == width,
+      s"cached adjacency has ${sadj.edges.rdd.getNumPartitions} partitions, want $width")
+    sadj.unpersist()
+  }
 }
