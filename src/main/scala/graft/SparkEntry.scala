@@ -285,6 +285,8 @@ object SparkEntry {
     "graph_degree_stats" -> GraphQueries.graphDegreeStats _,
     "graph_components" -> GraphQueries.graphComponents _,
     "llm_semdedup_adaptive" -> LlmExtra.llmSemdedupAdaptive _,
+    "llm_split_overlap" -> LlmExtra.llmSplitOverlap _,
+    "dq_benford" -> Quality.dqBenford _,
     // corrupt-record quarantine on CSV ingest (PERMISSIVE mode)
     "source_csv_permissive" -> SourceQueries.sourceCsvPermissive _,
     // ACS data-user statistics: reliability class + significance test

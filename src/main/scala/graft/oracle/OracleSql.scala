@@ -2087,6 +2087,28 @@ object OracleSql {
              max(cos) AS max_cos
       FROM p GROUP BY cell ORDER BY cell""",
 
+    // same md5-nibble split rule as llm_hash_split; same substr gram
+    // expansion as llm_ngram_novelty
+    "llm_split_overlap" -> s"""
+      WITH sp AS (
+        SELECT text,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e','f') THEN 'test'
+                    ELSE 'train' END AS split
+        FROM documents),
+      grams AS (
+        SELECT DISTINCT split, unnest([substr(text, CAST(i AS INT), 8)
+                                       FOR i IN range(1, greatest(length(text)-7, 1)+1)]) AS g
+        FROM sp),
+      ov AS (
+        SELECT a.split AS split_a, b.split AS split_b, count(*) AS n_overlap
+        FROM grams a JOIN grams b USING (g)
+        WHERE a.split <> b.split GROUP BY 1, 2),
+      sz AS (SELECT split AS split_b, count(*) AS n_b_grams FROM grams GROUP BY 1)
+      SELECT split_a, split_b, n_b_grams, n_overlap,
+             ${N.ratio("n_overlap", "n_b_grams", 4)} AS contamination
+      FROM ov JOIN sz USING (split_b) ORDER BY split_a, split_b""",
+
     "llm_ngram_novelty" -> s"""
       WITH grams AS (
         SELECT doc_id, lang, unnest([substr(text, CAST(i AS INT), 8)
@@ -2903,6 +2925,21 @@ object OracleSql {
              ${N.ratio("sum(abs(cents - fc))", "count(*) * 100", 4)} AS mae_dollars
       FROM f WHERE fc IS NOT NULL
       GROUP BY user_id ORDER BY user_id""",
+
+    // digits from exact integer cents; expectation computed with the
+    // same log10 expression the engine uses (values sit far from 4-dp
+    // rounding boundaries, so a libm ulp cannot flip the verdict)
+    "dq_benford" -> s"""
+      WITH d AS (
+        SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+        FROM orders),
+      g AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY 1),
+      tt AS (SELECT sum(n_obs) AS n_total FROM g)
+      SELECT digit, n_obs,
+             ${N.ratio("n_obs", "(SELECT n_total FROM tt)", 4)} AS obs_freq,
+             round(log10(1.0 + 1.0 / digit), 4) AS exp_freq,
+             round(abs(${N.ratio("n_obs", "(SELECT n_total FROM tt)", 4)} - round(log10(1.0 + 1.0 / digit), 4)), 4) AS abs_dev
+      FROM g ORDER BY digit""",
 
     "dq_freshness" -> """
       WITH g AS (SELECT max(ts) AS g_latest FROM events),

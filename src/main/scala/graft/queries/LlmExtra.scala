@@ -486,6 +486,37 @@ object LlmExtra {
       .orderBy("lang", "split")
   }
 
+  /** Cross-split contamination matrix: for every ordered split pair
+    * (a, b) of the deterministic md5 train/val/test split (same nibble
+    * rule as llm_hash_split), what fraction of b's distinct 8-grams
+    * also occur in a — the leakage readout run before training (val/
+    * test rows contaminated by train, and vice versa, in one matrix).
+    * Shape: distinct (split, gram) pairs, one equi-join on the gram
+    * key — fan-out per gram is bounded by the split count (≤3), so the
+    * join is output-linear at any corpus size; at 100 TB the exact
+    * join swaps for a per-split bloom filter probe at a bounded FP
+    * rate, with this exact form as the reference. */
+  def llmSplitOverlap(s: SparkSession, dir: String): DataFrame = {
+    graft.udx.NGrams.registerAll(s)
+    val nib = substring(md5(col("doc_id").cast("string")), 1, 1)
+    val grams = t(s, dir, "documents")
+      .withColumn("split",
+        when(nib.isin("c", "d"), "val")
+          .when(nib.isin("e", "f"), "test")
+          .otherwise("train"))
+      .select(col("split"), expr("graft_ngrams(text, 8)").as("g"))
+      .distinct()
+    val overlap = grams.select(col("split").as("split_a"), col("g"))
+      .join(grams.select(col("split").as("split_b"), col("g")), "g")
+      .filter(col("split_a") =!= col("split_b"))
+      .groupBy("split_a", "split_b").agg(count(lit(1)).as("n_overlap"))
+    val sizes = grams.groupBy(col("split").as("split_b")).agg(count(lit(1)).as("n_b_grams"))
+    overlap.join(sizes, "split_b")
+      .select(col("split_a"), col("split_b"), col("n_b_grams"), col("n_overlap"),
+        Num.ratio(col("n_overlap"), col("n_b_grams"), 4).as("contamination"))
+      .orderBy("split_a", "split_b")
+  }
+
   /** Deterministic stratified sampling: within every language stratum,
     * keep docs whose id-md5 starts with 0/1/2 (a fixed 3/16 ≈ 18.75%
     * rate). Hash-gated sampling keeps the sample reproducible at any

@@ -283,4 +283,29 @@ object Quality {
         sum("linear_bp").as("linear_bp"))
       .orderBy("channel")
   }
+
+  /** Benford first-significant-digit screen over order totals — the
+    * standard fabricated-data / unit-mixup detector for monetary
+    * columns: natural multi-magnitude amounts follow
+    * P(d) = log10(1 + 1/d); a synthetic or truncated column doesn't.
+    * Digits come from exact integer cents (no float formatting
+    * ambiguity), observed frequencies are exact half-up integer
+    * ratios (`Num.ratio`), and the expectation is computed (not
+    * tabulated) so the oracle mirrors the same log10 expression.
+    * One map-side-combined aggregation over a single pruned column;
+    * the 9-row share-of-total window is driver-trivial. */
+  def dqBenford(s: SparkSession, dir: String): DataFrame = {
+    val digits = t(s, dir, "orders")
+      .select(substring(round(col("o_totalprice") * 100).cast("long").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+    val byDigit = digits.groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val w = Window.partitionBy()
+    byDigit
+      .withColumn("n_total", sum("n_obs").over(w))
+      .select(col("digit"), col("n_obs"),
+        Num.ratio(col("n_obs"), col("n_total"), 4).as("obs_freq"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 4).as("exp_freq"))
+      .withColumn("abs_dev", round(abs(col("obs_freq") - col("exp_freq")), 4))
+      .orderBy("digit")
+  }
 }

@@ -220,6 +220,38 @@ class TimeSeriesGraphSpec extends GraftSpec {
     assert(comps.sameElements(again))
   }
 
+  test("dq_benford: digits 1-9, frequencies sum to ~1, expectation is the Benford curve") {
+    val rows = Quality.dqBenford(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.map(_._1).toSeq == (1 to 9))
+    val freqSum = rows.map(_._3).sum
+    assert(math.abs(freqSum - 1.0) < 0.001, s"obs frequencies sum to $freqSum")
+    // expectation column must be the computed Benford curve
+    for ((d, _, _, exp, dev) <- rows) {
+      assert(math.abs(exp - math.log10(1.0 + 1.0 / d)) < 0.0001)
+      assert(dev >= 0.0 && dev <= 1.0)
+    }
+  }
+
+  test("llm_split_overlap: full ordered matrix, ratios in [0,1], sizes consistent") {
+    val rows = graft.queries.LlmExtra.llmSplitOverlap(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    // all 6 ordered pairs of {train, val, test} present (every split
+    // shares at least one 8-gram with every other on this corpus)
+    val splits = Set("train", "val", "test")
+    assert(rows.keySet == (for (a <- splits; b <- splits if a != b) yield (a, b)))
+    for (((_, _), (nb, nov, c)) <- rows) {
+      assert(nov <= nb, "overlap cannot exceed the split's gram count")
+      assert(c >= 0.0 && c <= 1.0)
+    }
+    // n_b_grams depends only on split_b
+    for (b <- splits) {
+      val sizes = rows.collect { case ((_, `b`), (nb, _, _)) => nb }.toSet
+      assert(sizes.size == 1, s"inconsistent n_b_grams for $b: $sizes")
+    }
+  }
+
   test("llm_semdedup_adaptive: cell budget is max(16, ceil(sqrt(n))) and cells stay within it") {
     val emb = t(spark, sfDir, "embeddings")
     val n = emb.count()
