@@ -287,6 +287,13 @@ object SparkEntry {
     "llm_semdedup_adaptive" -> LlmExtra.llmSemdedupAdaptive _,
     "llm_split_overlap" -> LlmExtra.llmSplitOverlap _,
     "dq_benford" -> Quality.dqBenford _,
+    // round 8: batch sessionization, trend-aware smoothing, tile pyramid,
+    // duplicated-span localization, binaryFile multimodal entry path
+    "event_sessionize" -> Quality.eventSessionize _,
+    "ts_holt_linear" -> TimeSeries.tsHoltLinear _,
+    "geo_tile_rollup" -> GeoQueries.geoTileRollup _,
+    "llm_dup_span" -> LlmExtra.llmDupSpan _,
+    "source_binaryfile" -> SourceQueries.sourceBinaryfile _,
     // corrupt-record quarantine on CSV ingest (PERMISSIVE mode)
     "source_csv_permissive" -> SourceQueries.sourceCsvPermissive _,
     // ACS data-user statistics: reliability class + significance test

@@ -3097,6 +3097,114 @@ object OracleSql {
              CAST(max(p.p_bp) AS BIGINT) AS p_bp,
              CAST(count(*) FILTER (WHERE d.u < p.p_bp) AS BIGINT) AS n_kept
       FROM d JOIN p ON d.source = p.source
-      GROUP BY 1 ORDER BY 1"""
+      GROUP BY 1 ORDER BY 1""",
+
+    // gap rule: epoch µs difference, identical lag/sum windows, tie-broken
+    // by event_id (unique) so both engines label identically
+    "event_sessionize" -> s"""
+      WITH e AS (
+        SELECT user_id, event_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events),
+      f AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN prev_ts IS NULL
+                      OR epoch_us(ts) - epoch_us(prev_ts) > 28800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM e),
+      g AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+        FROM f),
+      sess AS (
+        SELECT user_id, session_id, count(*) AS n_events,
+               min(ts) AS s_start, max(ts) AS s_end
+        FROM g GROUP BY 1, 2)
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+             CAST(sum(n_events) AS BIGINT) AS n_events,
+             ${N.ratio("sum(n_events)", "count(*)", 2)} AS avg_events,
+             max(epoch_us(s_end) - epoch_us(s_start)) // 60000000 AS max_span_min
+      FROM sess GROUP BY 1 ORDER BY user_id""",
+
+    // integer-cent Holt recursion — DuckDB // and Scala / both truncate
+    // toward zero, so the negative trend divisions agree exactly
+    "ts_holt_linear" -> """
+      WITH RECURSIVE daily AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        FROM events WHERE user_id < 12 AND event_type = 'purchase' GROUP BY 1, 2),
+      r AS (
+        SELECT user_id, day, cents,
+               row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+        FROM daily),
+      h AS (
+        SELECT user_id, day, cents, rn, cents AS l, CAST(0 AS BIGINT) AS b
+        FROM r WHERE rn = 1
+        UNION ALL
+        SELECT r.user_id, r.day, r.cents, r.rn,
+               (r.cents + h.l + h.b) // 2,
+               (((r.cents + h.l + h.b) // 2) - h.l + h.b) // 2
+        FROM r JOIN h ON r.user_id = h.user_id AND r.rn = h.rn + 1)
+      SELECT user_id, day, cents,
+             CAST(l AS DOUBLE) / 100 AS level,
+             CAST(b AS DOUBLE) / 100 AS trend,
+             CAST(l + b AS DOUBLE) / 100 AS forecast
+      FROM h ORDER BY user_id, day""",
+
+    // same md5 point derivation as geo_grid_distance_join; quadkey digits
+    // are pure integer div/mod; ROLLUP nulls mark the zoom level
+    "geo_tile_rollup" -> """
+      WITH pts AS (
+        SELECT c_custkey AS id,
+               CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || 'x'), 1, 15)) AS BIGINT) % 500 AS x,
+               CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || 'y'), 1, 15)) AS BIGINT) % 500 AS y
+        FROM customer WHERE c_custkey < 3000),
+      q AS (SELECT id, x // 64 AS qx, y // 64 AS qy FROM pts),
+      dg AS (
+        SELECT id,
+               (qy // 4) * 2 + (qx // 4) AS d1,
+               ((qy // 2) % 2) * 2 + ((qx // 2) % 2) AS d2,
+               (qy % 2) * 2 + (qx % 2) AS d3
+        FROM q)
+      SELECT CASE WHEN d3 IS NOT NULL THEN 3 WHEN d2 IS NOT NULL THEN 2
+                  WHEN d1 IS NOT NULL THEN 1 ELSE 0 END AS zoom,
+             concat_ws('', d1, d2, d3) AS quadkey,
+             CAST(count(*) AS BIGINT) AS n_pts, CAST(sum(id) AS BIGINT) AS sum_ids
+      FROM dg GROUP BY ROLLUP (d1, d2, d3)
+      ORDER BY zoom, quadkey""",
+
+    // positional 40-gram spans via struct unnest (range() can't be
+    // lateral in DuckDB 1.0); identical raw-gram join key as the engine
+    "llm_dup_span" -> s"""
+      WITH raw AS (
+        SELECT doc_id,
+               unnest([{'pos': CAST(i AS INT), 'gram': substr(text, CAST(i AS INT), 40)}
+                       FOR i IN range(1, greatest(length(text) - 39, 0) + 1)]) AS u
+        FROM documents),
+      g AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM raw),
+      d AS (SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1) WHERE nd >= 2),
+      f AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM d)),
+      i AS (SELECT doc_id, pos,
+                   pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+            FROM f),
+      runs AS (SELECT doc_id, isl, count(*) AS run FROM i GROUP BY 1, 2),
+      p AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_runs,
+                   CAST(sum(run) AS BIGINT) AS n_dup_grams,
+                   CAST(max(run) AS BIGINT) AS max_run
+            FROM runs GROUP BY 1),
+      sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM g GROUP BY 1)
+      SELECT p.doc_id, sz.n_grams, p.n_dup_grams, p.n_runs,
+             p.max_run + 39 AS max_span_chars,
+             ${N.ratio("n_dup_grams", "n_grams", 4)} AS dup_frac
+      FROM p JOIN sz USING (doc_id) ORDER BY p.doc_id""",
+
+    // parquet-side truth of the binary round-trip: if any byte diverges
+    // in transit the engine's verdict counts fall below count(*)
+    "source_binaryfile" -> """
+      SELECT CAST(count(*) AS BIGINT) AS n_files,
+             CAST(count(*) AS BIGINT) AS n_len_ok,
+             CAST(count(*) AS BIGINT) AS n_content_ok,
+             CAST(sum(strlen(text)) AS BIGINT) AS total_bytes
+      FROM documents WHERE doc_id < 100"""
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\n\\s+", "\n") }
 }

@@ -125,4 +125,43 @@ object GeoQueries {
         coalesce(col("sum_ids"), lit(0L)).as("sum_ids"))
       .orderBy("rid")
   }
+
+  /** Hierarchical map-tile aggregation: every point is assigned a
+    * 3-level quadkey (the Bing-maps tile addressing scheme — digit i
+    * interleaves the i-th bits of the tile x/y), then ONE rollup
+    * produces the per-tile counts at every zoom level 0–3 in a single
+    * aggregation — the tile-pyramid build every map-rendering pipeline
+    * runs. Digits are pure integer div/mod arithmetic on the grid
+    * coordinates (no trig, no floating tile math — a mercator ln/tan
+    * would sit on libm ulp boundaries between engines).
+    *
+    * Scale: map-only digit derivation, then one Expand(4 rollup
+    * groupings)+hash-aggregate — partial aggregation collapses each
+    * executor's points to ≤ (tiles × 4) rows before the wire, so the
+    * shuffle carries tile cardinality, not point cardinality. The same
+    * single-pass pyramid holds at any zoom depth; deeper pyramids
+    * (z ≤ 20) just widen the Expand factor, which is why production
+    * tilers batch zoom RANGES exactly like this. */
+  def geoTileRollup(s: SparkSession, dir: String): DataFrame = {
+    def dv(c: org.apache.spark.sql.Column, k: Long) = call_function("div", c, lit(k))
+    val q = points(s, dir)
+      .withColumn("qx", dv(col("x"), 64L))
+      .withColumn("qy", dv(col("y"), 64L))
+      .withColumn("d1", dv(col("qy"), 4L) * 2 + dv(col("qx"), 4L))
+      .withColumn("d2", pmod(dv(col("qy"), 2L), lit(2L)) * 2 + pmod(dv(col("qx"), 2L), lit(2L)))
+      .withColumn("d3", pmod(col("qy"), lit(2L)) * 2 + pmod(col("qx"), lit(2L)))
+    q.rollup("d1", "d2", "d3")
+      .agg(count(lit(1)).as("n_pts"), sum("id").as("sum_ids"))
+      .select(
+        // organic digits are never null, so rollup nulls are unambiguous
+        // zoom markers — CASE beats grouping() here because both engines
+        // evaluate the identical expression
+        when(col("d3").isNotNull, 3)
+          .when(col("d2").isNotNull, 2)
+          .when(col("d1").isNotNull, 1)
+          .otherwise(0).as("zoom"),
+        concat_ws("", col("d1"), col("d2"), col("d3")).as("quadkey"),
+        col("n_pts"), col("sum_ids"))
+      .orderBy("zoom", "quadkey")
+  }
 }

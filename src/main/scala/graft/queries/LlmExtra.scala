@@ -1206,4 +1206,51 @@ object LlmExtra {
       round(expr("regr_r2(ln(cnt), ln(rank))"), 4).as("r2"),
       count(lit(1)).as("n_terms"))
   }
+
+  /** Exact duplicated-SPAN localization — the positional readout of
+    * suffix-array substring dedup (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better"), re-expressed relationally: a
+    * 40-char gram occurring in ≥ 2 documents marks its start position
+    * as duplicated; consecutive duplicated positions chain into runs
+    * (gaps-and-islands over the position sequence), and the longest run
+    * localizes the longest verbatim-copied substring per document
+    * (`max_run + 39` chars). Doc-level near-dup metrics (jaccard,
+    * coverage) say "how similar"; this says WHERE the copy is — the
+    * input a span-removal pass needs.
+    *
+    * Scale: the gram table is generate+project (no shuffle); the
+    * duplicated-gram set is one map-side-combined count keyed by the
+    * gram; the mark-back is a LEFT SEMI equi-join whose per-key fan-out
+    * is each doc's own positions — output-linear, never all-pairs (at
+    * 100 TB the join key becomes xxhash64(gram), trading the string
+    * shuffle for 8-byte keys at a negligible collision rate — kept as
+    * raw grams here so the DuckDB mirror shares the exact key). The
+    * islands pass is one (doc_id) window over only the duplicated
+    * positions. */
+  def llmDupSpan(s: SparkSession, dir: String): DataFrame = {
+    val K = 40
+    val grams = t(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .withColumn("pos", explode(expr(
+        s"IF(length(text) >= $K, sequence(1, length(text) - ${K - 1}), array_repeat(1, 0))")))
+      .select(col("doc_id"), col("pos"), expr(s"substr(text, pos, $K)").as("gram"))
+    val dupg = grams.groupBy("gram")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2)
+      .select("gram")
+    val ord = Window.partitionBy("doc_id").orderBy("pos")
+    val runs = grams.join(dupg, Seq("gram"), "left_semi")
+      .withColumn("isl", col("pos") - row_number().over(ord))
+      .groupBy("doc_id", "isl").agg(count(lit(1)).as("run"))
+    val perDoc = runs.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_runs"),
+        sum("run").as("n_dup_grams"),
+        max("run").as("max_run"))
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    perDoc.join(sizes, "doc_id")
+      .select(col("doc_id"), col("n_grams"), col("n_dup_grams"), col("n_runs"),
+        (col("max_run") + lit(K - 1)).as("max_span_chars"),
+        Num.ratio(col("n_dup_grams"), col("n_grams"), 4).as("dup_frac"))
+      .orderBy("doc_id")
+  }
 }

@@ -308,4 +308,42 @@ object Quality {
       .withColumn("abs_dev", round(abs(col("obs_freq") - col("exp_freq")), 4))
       .orderBy("digit")
   }
+
+  /** Batch sessionization of the event stream — the gap rule (a session
+    * breaks after > 8 h of user inactivity) as two windows and two
+    * aggregates: lag marks boundaries, a running sum of the marks labels
+    * sessions, one (user, session) rollup sizes them, one per-user rollup
+    * reads out session count / events-per-session / longest span. The
+    * batch twin of `stream_session_window`, and the canonical feature-
+    * engineering step before funnel or retention work.
+    *
+    * Scale: everything after the single (user_id) exchange is per-key
+    * sequential — sort + two windows + map-side-combined aggregates in
+    * one stage. Gap flags are tie-safe: equal timestamps give gap 0
+    * regardless of their order, and event_id breaks residual ordering
+    * ties, so the labeling is deterministic at any parallelism. */
+  def eventSessionize(s: SparkSession, dir: String): DataFrame = {
+    val gapUs = 8L * 3600L * 1000000L
+    val ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val flagged = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("prev_ts", lag("ts", 1).over(ord))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum("new_session").over(ord))
+    val sessions = flagged.groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts").as("s_start"), max("ts").as("s_end"))
+    sessions.groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum("n_events").as("n_events"),
+        Num.ratio(sum("n_events"), count(lit(1)), 2).as("avg_events"),
+        call_function("div",
+          max(unix_micros(col("s_end")) - unix_micros(col("s_start"))),
+          lit(60000000L)).as("max_span_min"))
+      .orderBy("user_id")
+  }
 }

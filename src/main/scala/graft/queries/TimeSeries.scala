@@ -198,4 +198,47 @@ object TimeSeries {
       .select("user_id", "s", "e", "n_merged")
       .orderBy("user_id", "s")
   }
+
+  /** Holt's linear (double-exponential) smoothing of each user's daily
+    * purchase cents — the trend-aware upgrade of `ts_ewma`, and the
+    * simplest forecaster that extrapolates instead of lagging. α = β =
+    * 1/2 quantized to integer cents: `l = (y + l' + b') div 2`,
+    * `b = (l − l' + b') div 2`, seeded `l₁ = y₁, b₁ = 0`; the one-step
+    * forecast is `l + b`. Integer arithmetic keeps both engines on the
+    * identical value sequence (a double recurrence drifts into rounding-
+    * boundary territory within a few steps), and both Scala `/` and
+    * DuckDB `//` truncate toward zero, so the NEGATIVE trend values a
+    * declining series produces divide identically too.
+    *
+    * Scale: the recurrence is sequential per key, so it runs as a typed
+    * `flatMapGroups` over the pre-aggregated daily rows — one (user_id)
+    * exchange, per-user in-memory fold, users parallelize across
+    * executors (same discipline as ts_ewma). */
+  def tsHoltLinear(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = dailyCents(s, dir)
+      .select(col("user_id"), col("day").cast("string"), col("cents"))
+      .as[(Long, String, Long)]
+    rows.groupByKey(_._1)
+      .flatMapGroups { (uid: Long, it: Iterator[(Long, String, Long)]) =>
+        val days = it.toArray.sortBy(_._2)
+        var l = 0L
+        var b = 0L
+        days.iterator.zipWithIndex.map { case ((_, d, c), i) =>
+          if (i == 0) { l = c; b = 0L }
+          else {
+            val lp = l
+            l = (c + l + b) / 2
+            b = (l - lp + b) / 2
+          }
+          (uid, d, c, l, b, l + b)
+        }
+      }
+      .toDF("user_id", "day", "cents", "l", "b", "f")
+      .select(col("user_id"), col("day").cast("date").as("day"), col("cents"),
+        (col("l").cast("double") / 100).as("level"),
+        (col("b").cast("double") / 100).as("trend"),
+        (col("f").cast("double") / 100).as("forecast"))
+      .orderBy("user_id", "day")
+  }
 }

@@ -84,4 +84,31 @@ class QualitySpec extends GraftSpec {
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got == exp)
   }
+
+  test("event_sessionize: equals a naive per-user fold under the same 8h gap rule") {
+    val got = Quality.eventSessionize(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    val gapUs = 8L * 3600L * 1000000L
+    val raw = graft.tables.Tables.t(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val exp = raw.groupBy(_._1).map { case (uid, evs) =>
+      val ts = evs.sortBy(e => (e._3, e._2)).map(_._3)
+      // fold into session (count, start, end) triples
+      val sessions = ts.foldLeft(List.empty[(Long, Long, Long)]) {
+        case (Nil, t0) => List((1L, t0, t0))
+        case ((n, s0, e0) :: rest, t0) =>
+          if (t0 - e0 > gapUs) (1L, t0, t0) :: (n, s0, e0) :: rest
+          else (n + 1, s0, t0) :: rest
+      }
+      val nS = sessions.size.toLong
+      val nE = sessions.map(_._1).sum
+      val avg = ((nE * 100 * 2 + nS) / (nS * 2)).toDouble / 100 // half-up, matches Num.ratio
+      val maxSpan = sessions.map(s => (s._3 - s._2) / 60000000L).max
+      uid -> ((nS, nE, avg, maxSpan))
+    }
+    assert(got.keySet == exp.keySet)
+    exp.foreach { case (uid, e) => assert(got(uid) == e, s"user $uid: got ${got(uid)}, expected $e") }
+    assert(got.values.map(_._2).sum == raw.length, "session events must cover every event")
+  }
 }

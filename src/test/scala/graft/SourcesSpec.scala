@@ -114,4 +114,18 @@ class SourcesSpec extends GraftSpec {
     assert(read.rdd.getNumPartitions == 4,
       s"expected 4 JDBC range partitions, got ${read.rdd.getNumPartitions}")
   }
+
+  test("binaryFile round-trip: every sampled doc survives byte-for-byte") {
+    val r = graft.queries.SourceQueries.sourceBinaryfile(spark, sfDir).collect()
+    assert(r.length == 1)
+    val (nFiles, nLenOk, nContentOk, totalBytes) =
+      (r(0).getLong(0), r(0).getLong(1), r(0).getLong(2), r(0).getLong(3))
+    val expected = graft.tables.Tables.t(spark, sfDir, "documents")
+      .filter(col("doc_id") < 100)
+      .agg(count(lit(1)), sum(octet_length(col("text")))).collect()(0)
+    assert(nFiles == expected.getLong(0), "one file per sampled doc")
+    assert(nLenOk == nFiles, "every byte length must match the source text")
+    assert(nContentOk == nFiles, "every content blob must equal the UTF-8 text")
+    assert(totalBytes == expected.getLong(1), "byte total must match parquet truth")
+  }
 }

@@ -107,6 +107,79 @@ class TimeSeriesGraphSpec extends GraftSpec {
     }
   }
 
+  test("ts_holt_linear: seed row is (level=y, trend=0), forecast=level+trend, recursion replays exactly") {
+    val rows = TimeSeries.tsHoltLinear(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (uid, series) =>
+      val s = series.sortBy(_._2)
+      // seed
+      assert(s.head._4 == s.head._3.toDouble / 100, s"user $uid seed level")
+      assert(s.head._5 == 0.0, s"user $uid seed trend")
+      // replay the integer recurrence against the emitted doubles
+      var l = 0L; var b = 0L
+      s.zipWithIndex.foreach { case ((_, _, c, lev, tr, fc), i) =>
+        if (i == 0) { l = c; b = 0L }
+        else { val lp = l; l = (c + l + b) / 2; b = (l - lp + b) / 2 }
+        assert(lev == l.toDouble / 100, s"user $uid step $i level")
+        assert(tr == b.toDouble / 100, s"user $uid step $i trend")
+        assert(math.abs(fc - (lev + tr)) < 1e-9, s"user $uid step $i forecast != level+trend")
+      }
+    }
+  }
+
+  test("geo_tile_rollup: pyramid is consistent — children sum to parents, zoom-0 is the point total") {
+    val rows = graft.queries.GeoQueries.geoTileRollup(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val byZoom = rows.groupBy(_._1)
+    assert(byZoom.keySet == Set(0, 1, 2, 3))
+    val total = byZoom(0).head._3
+    // every quadkey has exactly `zoom` digits, all in 0..3
+    rows.foreach { case (z, qk, _, _) =>
+      assert(qk.length == z && qk.forall(c => c >= '0' && c <= '3'), s"quadkey $qk at zoom $z")
+    }
+    // each level partitions the full point set
+    (1 to 3).foreach { z =>
+      assert(byZoom(z).map(_._3).sum == total, s"zoom $z count sum")
+      assert(byZoom(z).map(_._4).sum == byZoom(0).head._4, s"zoom $z id sum")
+    }
+    // each child rolls up into its prefix parent
+    (1 to 3).foreach { z =>
+      val parents = byZoom(z - 1).map(r => r._2 -> (r._3, r._4)).toMap
+      byZoom(z).groupBy(_._2.dropRight(1)).foreach { case (pfx, kids) =>
+        assert(parents(pfx) == ((kids.map(_._3).sum, kids.map(_._4).sum)),
+          s"children of $pfx do not sum to parent")
+      }
+    }
+  }
+
+  test("llm_dup_span: spans bounded by doc size, planted 60-char verbatim copy localized") {
+    import SparkSpecBase.spark.implicits._
+    val rows = graft.queries.LlmExtra.llmDupSpan(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(rows.nonEmpty, "fixture corpus must contain cross-doc 40-char dup spans")
+    rows.foreach { case (id, nGrams, nDup, nRuns, maxSpan, frac) =>
+      assert(nDup >= 1 && nDup <= nGrams, s"doc $id dup count bounds")
+      assert(nRuns >= 1 && nRuns <= nDup, s"doc $id run count bounds")
+      assert(maxSpan >= 40 && maxSpan <= nGrams + 39, s"doc $id span bounds")
+      assert(frac > 0.0 && frac <= 1.0, s"doc $id dup_frac range")
+    }
+    // planted fixture: two synthetic docs sharing one exact 60-char span,
+    // the rest unique — the island must be exactly 21 grams = 60 chars
+    val pad1 = ("u1" * 40).take(80)
+    val pad2 = ("v2" * 40).take(80)
+    val span = ("the quick brown fox jumps over the lazy dog again and again" + " " * 60).take(60)
+    val tmp = java.nio.file.Files.createTempDirectory("dupspan").toString
+    Seq((1L, pad1 + span, "en", "s", 0L), (2L, span + pad2, "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val planted = graft.queries.LlmExtra.llmDupSpan(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(4))).toMap
+    assert(planted.keySet == Set(1L, 2L))
+    assert(planted(1L) == 60 && planted(2L) == 60,
+      s"planted 60-char span must be localized exactly, got $planted")
+  }
+
   test("geo grid distance join equals the naive O(n^2) reference on random points") {
     import SparkSpecBase.spark.implicits._
     val rnd = new scala.util.Random(23)
