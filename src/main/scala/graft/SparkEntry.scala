@@ -294,6 +294,9 @@ object SparkEntry {
     "geo_tile_rollup" -> GeoQueries.geoTileRollup _,
     "llm_dup_span" -> LlmExtra.llmDupSpan _,
     "source_binaryfile" -> SourceQueries.sourceBinaryfile _,
+    "event_rfm" -> Quality.eventRfm _,
+    "ts_seasonal_decompose" -> TimeSeries.tsSeasonalDecompose _,
+    "graph_jaccard_neighbors" -> GraphQueries.graphJaccardNeighbors _,
     // corrupt-record quarantine on CSV ingest (PERMISSIVE mode)
     "source_csv_permissive" -> SourceQueries.sourceCsvPermissive _,
     // ACS data-user statistics: reliability class + significance test

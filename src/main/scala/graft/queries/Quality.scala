@@ -346,4 +346,48 @@ object Quality {
           lit(60000000L)).as("max_span_min"))
       .orderBy("user_id")
   }
+
+  /** RFM (recency / frequency / monetary) customer segmentation — the
+    * standard CRM scoring: per purchasing user, days since last
+    * purchase (vs the corpus's freshest purchase), purchase count, and
+    * exact total cents; each dimension quintiled with `ntile(5)` under
+    * a TOTAL order (value, then user_id) so bucket assignment is
+    * deterministic in both engines, then a rule segment
+    * (champion / loyal / at_risk / new / regular).
+    *
+    * Scale: one (user_id) aggregation collapses the event stream to one
+    * row per user before anything global happens; the global max
+    * timestamp is a one-row broadcast cross join (the whitelisted
+    * single-row-scalar pattern, as in `dq_freshness`); the ntile
+    * windows are unpartitioned BUT run over the aggregated user
+    * dimension, not the event stream — at 100 TB that's the customer
+    * count, and a production run swaps ntile for percentile cutpoints
+    * computed once and broadcast (same output, no global sort). */
+  def eventRfm(s: SparkSession, dir: String): DataFrame = {
+    val purchases = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), (Num.money(col("value")) * 100).cast("long").as("cents"))
+    val perUser = purchases.groupBy("user_id")
+      .agg(max("ts").as("last_ts"), count(lit(1)).as("f"), sum("cents").as("m_cents"))
+    val globalMax = purchases.agg(max("ts").as("g_latest"))
+    def w(cs: org.apache.spark.sql.Column*) = Window.orderBy(cs: _*)
+    val scored = perUser.crossJoin(broadcast(globalMax))
+      .select(col("user_id"),
+        call_function("div",
+          unix_micros(col("g_latest")) - unix_micros(col("last_ts")),
+          lit(86400000000L)).as("r_days"),
+        col("f"), col("m_cents"))
+      .withColumn("r_q", ntile(5).over(w(col("r_days").desc, col("user_id").desc)))
+      .withColumn("f_q", ntile(5).over(w(col("f").asc, col("user_id").asc)))
+      .withColumn("m_q", ntile(5).over(w(col("m_cents").asc, col("user_id").asc)))
+    scored.select(col("user_id"), col("r_days"), col("f"),
+        (col("m_cents").cast("double") / 100).as("monetary"),
+        col("r_q"), col("f_q"), col("m_q"),
+        when(col("r_q") >= 4 && col("f_q") >= 4 && col("m_q") >= 4, "champion")
+          .when(col("f_q") >= 4 && col("m_q") >= 3, "loyal")
+          .when(col("r_q") <= 2 && col("f_q") >= 4, "at_risk")
+          .when(col("r_q") >= 4 && col("f_q") <= 2, "new")
+          .otherwise("regular").as("segment"))
+      .orderBy("user_id")
+  }
 }

@@ -241,4 +241,42 @@ object TimeSeries {
         (col("f").cast("double") / 100).as("forecast"))
       .orderBy("user_id", "day")
   }
+
+  /** Classical seasonal decomposition (the moving-average core of STL)
+    * of the GLOBAL daily purchase series: trend = centered 7-day moving
+    * average (full windows only — edges stay null), weekday seasonal =
+    * per-weekday mean of the detrended values, residual = what's left.
+    * All integer-cent arithmetic — floor-div moving average, truncating
+    * per-weekday mean (negative detrended values divide identically in
+    * Scala and DuckDB, both toward zero) — so the three components are
+    * bit-identical across engines and re-add exactly to the input where
+    * the trend is defined.
+    *
+    * Scale: the event stream collapses to one row per day FIRST (one
+    * map-side-combined aggregation — the only pass over the raw data);
+    * the windows then run over the daily series, whose length is the
+    * calendar, not the corpus (3 years of data = ~1100 rows at any
+    * corpus size). The unpartitioned window is safe for exactly that
+    * reason, same justification as `dq_anomaly_zscore`. */
+  def tsSeasonalDecompose(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum((Num.money(col("value")) * 100).cast("long")).as("cents"))
+    val w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn("trend_cents",
+        when(count(lit(1)).over(w7) === 7,
+          call_function("div", sum("cents").over(w7), lit(7L))))
+      .withColumn("detrended", col("cents") - col("trend_cents"))
+      .withColumn("wd", weekday(col("day")))
+    val seasonal = trended.filter(col("detrended").isNotNull)
+      .groupBy("wd")
+      .agg(call_function("div", sum("detrended"), count(lit(1))).as("seasonal_cents"))
+    trended.join(broadcast(seasonal), Seq("wd"), "left")
+      .select(col("day"), col("wd"), col("cents"), col("trend_cents"),
+        when(col("trend_cents").isNotNull, col("seasonal_cents")).as("seasonal_cents"),
+        (col("detrended") - col("seasonal_cents")).as("residual_cents"))
+      .orderBy("day")
+  }
 }

@@ -111,4 +111,37 @@ class QualitySpec extends GraftSpec {
     exp.foreach { case (uid, e) => assert(got(uid) == e, s"user $uid: got ${got(uid)}, expected $e") }
     assert(got.values.map(_._2).sum == raw.length, "session events must cover every event")
   }
+
+  test("event_rfm: balanced quintiles, monotone bucket boundaries, rule-consistent segments") {
+    val rows = Quality.eventRfm(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getInt(4), r.getInt(5), r.getInt(6), r.getString(7)))
+    assert(rows.nonEmpty)
+    // quintile sizes differ by at most one in every dimension
+    Seq[((Long, Long, Long, Double, Int, Int, Int, String)) => Int](_._5, _._6, _._7).foreach { qOf =>
+      val sizes = rows.groupBy(qOf).view.mapValues(_.length).values.toSeq
+      assert(sizes.max - sizes.min <= 1, s"unbalanced quintiles: $sizes")
+    }
+    // bucket value ranges are monotone: higher f_q never holds a smaller
+    // frequency than a lower bucket's maximum (ties may straddle)
+    val byFq = rows.groupBy(_._6).view.mapValues(g => (g.map(_._3).min, g.map(_._3).max)).toMap
+    byFq.keys.toSeq.sorted.sliding(2).foreach {
+      case Seq(lo, hi) => assert(byFq(lo)._2 <= byFq(hi)._1 ||
+        byFq(lo)._2 == byFq(hi)._1, s"f quintile order $lo->$hi")
+      case _ =>
+    }
+    // recency quintile 5 is the most recent cohort
+    val byRq = rows.groupBy(_._5).view.mapValues(g => g.map(_._2).max).toMap
+    assert(byRq(5) <= byRq(1), "r_q=5 must hold the most recent users")
+    // segment rules replay exactly
+    rows.foreach { case (uid, _, _, _, rq, fq, mq, seg) =>
+      val expect =
+        if (rq >= 4 && fq >= 4 && mq >= 4) "champion"
+        else if (fq >= 4 && mq >= 3) "loyal"
+        else if (rq <= 2 && fq >= 4) "at_risk"
+        else if (rq >= 4 && fq <= 2) "new"
+        else "regular"
+      assert(seg == expect, s"user $uid segment")
+    }
+  }
 }

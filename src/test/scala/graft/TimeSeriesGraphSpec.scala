@@ -180,6 +180,59 @@ class TimeSeriesGraphSpec extends GraftSpec {
       s"planted 60-char span must be localized exactly, got $planted")
   }
 
+  test("ts_seasonal_decompose: components re-add exactly, edges null, seasonal constant per weekday") {
+    val rows = TimeSeries.tsSeasonalDecompose(spark, sfDir).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getInt(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5))))
+    assert(rows.nonEmpty)
+    val sorted = rows.sortBy(_._1.toEpochDay)
+    // first/last 3 rows have no full centered window
+    (sorted.take(3) ++ sorted.takeRight(3)).foreach { r =>
+      assert(r._4.isEmpty && r._5.isEmpty && r._6.isEmpty, s"edge row ${r._1} must be null")
+    }
+    sorted.drop(3).dropRight(3).foreach { case (day, wd, cents, t, sSea, res) =>
+      assert(t.isDefined && sSea.isDefined && res.isDefined, s"interior row $day")
+      assert(t.get + sSea.get + res.get == cents, s"$day components must re-add to cents")
+      assert(wd == ((day.getDayOfWeek.getValue + 6) % 7), s"$day weekday code")
+    }
+    // one seasonal value per weekday
+    val perWd = rows.filter(_._5.isDefined).groupBy(_._2).view.mapValues(_.map(_._5.get).toSet)
+    perWd.foreach { case (wd, vals) => assert(vals.size == 1, s"weekday $wd seasonal not constant") }
+  }
+
+  test("graph_jaccard_neighbors: equals brute-force neighbor-set jaccard on the same edges") {
+    val rows = graft.queries.GraphQueries.graphJaccardNeighbors(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+    assert(rows.nonEmpty)
+    // rebuild the same edge set (identical blocking, cap inert at this SF)
+    val docs = t(spark, sfDir, "documents").filter(col("doc_id") < 1200)
+      .select("doc_id", "source", "lang", "n_chars")
+    val edges = graft.queries.GraphQueries.simEdgesCapped(docs, graft.operators.HotKeys.DefaultCap)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nbrs = scala.collection.mutable.Map.empty[Long, Set[Long]].withDefaultValue(Set.empty)
+    edges.foreach { case (u, v) => nbrs(u) += v; nbrs(v) += u }
+    rows.foreach { case ((a, b), (da, db, nc, jac)) =>
+      assert(da == nbrs(a).size && db == nbrs(b).size, s"($a,$b) degrees")
+      val common = (nbrs(a) intersect nbrs(b)).size.toLong
+      assert(nc == common, s"($a,$b) common-neighbor count")
+      val den = da + db - nc
+      val expJac = ((nc * 10000 * 2 + den) / (den * 2)).toDouble / 10000
+      assert(jac == expJac, s"($a,$b) jaccard half-up")
+    }
+    // the returned 50 are the global top under (jaccard desc, a, b)
+    val all = (for {
+      a <- nbrs.keys; b <- nbrs.keys if a < b
+      c = (nbrs(a) intersect nbrs(b)).size if c >= 2
+    } yield {
+      val den = nbrs(a).size + nbrs(b).size - c
+      ((a, b), ((c * 10000L * 2 + den) / (den * 2)).toDouble / 10000)
+    }).toSeq
+    val top = all.sortBy { case ((a, b), j) => (-j, a, b) }.take(50).map(_._1).toSet
+    assert(rows.map(_._1).toSet == top, "top-50 must match brute force")
+  }
+
   test("geo grid distance join equals the naive O(n^2) reference on random points") {
     import SparkSpecBase.spark.implicits._
     val rnd = new scala.util.Random(23)
