@@ -297,6 +297,9 @@ object SparkEntry {
     "event_rfm" -> Quality.eventRfm _,
     "ts_seasonal_decompose" -> TimeSeries.tsSeasonalDecompose _,
     "graph_jaccard_neighbors" -> GraphQueries.graphJaccardNeighbors _,
+    "ts_autocorrelation" -> TimeSeries.tsAutocorrelation _,
+    "event_markov_chain" -> Quality.eventMarkovChain _,
+    "dq_reconcile_totals" -> Quality.dqReconcileTotals _,
     // corrupt-record quarantine on CSV ingest (PERMISSIVE mode)
     "source_csv_permissive" -> SourceQueries.sourceCsvPermissive _,
     // ACS data-user statistics: reliability class + significance test

@@ -3275,6 +3275,67 @@ object OracleSql {
       FROM co c JOIN deg da ON c.a = da.a JOIN deg db ON c.b = db.a
       ORDER BY jaccard DESC, c.a, c.b LIMIT 50""",
 
+    // n-scaled deviations keep the co-moments in exact BIGINT; the
+    // rn-difference self-join is the SQL form of the 7-lag window pass
+    "ts_autocorrelation" -> s"""
+      WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      idx AS (
+        SELECT cents, row_number() OVER (ORDER BY day) AS rn,
+               count(*) OVER () AS n, sum(cents) OVER () AS total
+        FROM daily),
+      d AS (SELECT rn, CAST(cents * n - total AS BIGINT) AS d FROM idx),
+      den AS (SELECT CAST(sum(d * d) AS BIGINT) AS den FROM d),
+      ks AS (SELECT CAST(unnest(range(1, 8)) AS INT) AS k),
+      pairs AS (
+        SELECT ks.k, a.d * b.d AS prod
+        FROM ks, d a, d b WHERE a.rn = b.rn + ks.k),
+      num AS (
+        SELECT k, CAST(sum(prod) AS BIGINT) AS num, CAST(count(*) AS BIGINT) AS n_pairs
+        FROM pairs GROUP BY 1)
+      SELECT k, n_pairs,
+             (CASE WHEN num < 0 THEN -1.0 ELSE 1.0 END) *
+               ${N.ratio("abs(num)", "(SELECT den FROM den)", 4)} AS acf
+      FROM num ORDER BY k""",
+
+    // the lead window runs over the unique (ts, event_id) total order,
+    // so the successor relation is identical in both engines
+    "event_markov_chain" -> s"""
+      WITH tr AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        FROM events),
+      c AS (
+        SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM c GROUP BY 1)
+      SELECT c.from_type, c.to_type, c.n, tot.n_from,
+             ${N.ratio("c.n", "tot.n_from", 4)} AS p
+      FROM c JOIN tot USING (from_type)
+      ORDER BY c.from_type, c.to_type""",
+
+    // per-line exact-cent net (the repo's standard decimal recipe),
+    // header-vs-detail diff in BIGINT cents end-to-end
+    "dq_reconcile_totals" -> """
+      WITH l AS (
+        SELECT l_orderkey AS o_orderkey,
+               CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                    - CAST(round(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(3,2)) * 100, 0) AS BIGINT)
+                    + CAST(round(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_tax AS DECIMAL(3,2)) * 100, 0) AS BIGINT)) AS BIGINT) AS line_cents
+        FROM lineitem GROUP BY 1),
+      j AS (
+        SELECT o.o_orderstatus, l.line_cents,
+               CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) - l.line_cents AS diff
+        FROM orders o LEFT JOIN l USING (o_orderkey))
+      SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(count(line_cents) AS BIGINT) AS n_with_lines,
+             CAST(count(*) FILTER (WHERE diff = 0) AS BIGINT) AS n_exact,
+             max(abs(diff)) AS max_abs_diff_cents,
+             CAST(sum(abs(diff)) AS BIGINT) // NULLIF(count(line_cents), 0) AS mean_abs_diff_cents
+      FROM j GROUP BY 1 ORDER BY o_orderstatus""",
+
     // parquet-side truth of the binary round-trip: if any byte diverges
     // in transit the engine's verdict counts fall below count(*)
     "source_binaryfile" -> """

@@ -390,4 +390,70 @@ object Quality {
           .otherwise("regular").as("segment"))
       .orderBy("user_id")
   }
+
+  /** First-order Markov transition matrix of the user journey: for each
+    * ordered (event_type → next event_type) step inside a user's
+    * timeline, the transition count and conditional probability — the
+    * user-flow model behind next-action prediction and funnel design.
+    * One lead window over (ts, event_id) — a unique total order, so the
+    * successor relation is deterministic at any parallelism — then two
+    * tiny aggregates; probabilities are exact half-up ratios.
+    *
+    * Scale: one (user_id) exchange + per-key sort carries the lead
+    * window; the transition rollup is map-side combined down to
+    * |types|² rows before the wire, and the per-source totals join is
+    * a broadcast of at most |types| rows. */
+  def eventMarkovChain(s: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val tr = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("to_type", lead("event_type", 1).over(ord))
+      .filter(col("to_type").isNotNull)
+    val cnt = tr.groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy("from_type").agg(sum("n").as("n_from"))
+    cnt.join(broadcast(tot), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+        Num.ratio(col("n"), col("n_from"), 4).as("p"))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** Cross-table money reconciliation — the warehouse audit that
+    * catches silent value drift between a header table and its detail
+    * lines: per order, the exact-cent net of its lineitems
+    * (`price − round(price·disc) + round(price·tax)` per line, the
+    * repo's standard exact-decimal recipe) against the header's
+    * `o_totalprice`, rolled up per order status as match counts and
+    * diff magnitudes. On this synthetic star the header totals do NOT
+    * derive from the lines (0 exact matches) — which is precisely what
+    * the audit is for: the readout quantifies the drift instead of
+    * assuming it away. `dq_fk_orphans` checks key integrity; this
+    * checks VALUE integrity.
+    *
+    * Scale: the detail side collapses to one row per order in a
+    * map-side-combined aggregate before the join; the join is
+    * orderkey-to-orderkey (1:1), and the final rollup is |statuses|
+    * rows. Integer cents end-to-end — no float drift in the thing
+    * auditing for drift. */
+  def dqReconcileTotals(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val price = Num.money(col("l_extendedprice"))
+    val lineCents = (price * 100).cast("long") -
+      round(price * Num.rate(col("l_discount")) * 100, 0).cast("long") +
+      round(price * Num.rate(col("l_tax")) * 100, 0).cast("long")
+    val perOrder = li.groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(sum(lineCents).as("line_cents"))
+    val diff = (Num.money(col("o_totalprice")) * 100).cast("long") - col("line_cents")
+    t(s, dir, "orders")
+      .join(perOrder, Seq("o_orderkey"), "left")
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        count(col("line_cents")).as("n_with_lines"),
+        count_if(diff === 0).as("n_exact"),
+        max(abs(diff)).as("max_abs_diff_cents"),
+        call_function("div", sum(abs(diff)), count(col("line_cents")))
+          .as("mean_abs_diff_cents"))
+      .orderBy("o_orderstatus")
+  }
 }

@@ -279,4 +279,44 @@ object TimeSeries {
         (col("detrended") - col("seasonal_cents")).as("residual_cents"))
       .orderBy("day")
   }
+
+  /** Sample autocorrelation function (lags 1–7) of the global daily
+    * purchase series — the pre-ARIMA diagnostic that finds the cycle
+    * length (`ts_seasonal_decompose` assumes weekly; ACF measures it).
+    * EXACT integer co-moments: deviations are n-scaled (`d = cents·n −
+    * total`, so no mean division), products and sums stay in BIGINT,
+    * and only the final acf emits a signed half-up 4-decimal ratio —
+    * associative integer sums, bit-identical at any parallelism.
+    *
+    * Scale: the raw stream collapses to the calendar-sized daily rollup
+    * first (same justification as `ts_seasonal_decompose`); all seven
+    * lag products come from ONE window pass (7 lag expressions over one
+    * ordered window — one sort, not seven), and the global denominator
+    * attaches via the whitelisted single-row broadcast cross join. */
+  def tsAutocorrelation(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum((Num.money(col("value")) * 100).cast("long")).as("cents"))
+    val wAll = Window.partitionBy()
+    val d = daily
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("total", sum("cents").over(wAll))
+      .select(col("day"), (col("cents") * col("n") - col("total")).as("d"))
+    val wOrd = Window.orderBy("day")
+    val lagged = d.select((1 to 7).map(k =>
+      (col("d") * lag("d", k).over(wOrd)).as(s"p$k")): _*)
+    val pairs = lagged
+      .select(explode(array((1 to 7).map(k =>
+        struct(lit(k).as("k"), col(s"p$k").as("prod"))): _*)).as("s"))
+      .select(col("s.k").as("k"), col("s.prod").as("prod"))
+      .filter(col("prod").isNotNull)
+    val den = d.agg(sum(col("d") * col("d")).as("den"))
+    pairs.groupBy("k").agg(sum("prod").as("num"), count(lit(1)).as("n_pairs"))
+      .crossJoin(broadcast(den))
+      .select(col("k"), col("n_pairs"),
+        (when(col("num") < 0, -1.0).otherwise(1.0) *
+          Num.ratio(abs(col("num")), col("den"), 4)).as("acf"))
+      .orderBy("k")
+  }
 }

@@ -26,7 +26,8 @@ class PlanLintSpec extends GraftSpec {
     "agg_heavy_hitters", // single-row corpus total attached via broadcast cross join
     "agg_hll_union", // single-row exact-distinct verdict input attached via broadcast cross join (round 7)
     "dq_freshness", // single-row global-max timestamp attached via broadcast cross join
-    "event_rfm") // single-row global-max purchase ts attached via broadcast cross join (round 8)
+    "event_rfm", // single-row global-max purchase ts attached via broadcast cross join (round 8)
+    "ts_autocorrelation") // single-row ACF denominator attached via broadcast cross join (round 8)
 
   test("no query plans an unexpected cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -144,4 +144,35 @@ class QualitySpec extends GraftSpec {
       assert(seg == expect, s"user $uid segment")
     }
   }
+
+  test("event_markov_chain: row-stochastic matrix, transition total = events minus users") {
+    val rows = Quality.eventMarkovChain(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val ev = graft.tables.Tables.t(spark, sfDir, "events")
+    val nEvents = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+    assert(rows.map(_._3).sum == nEvents - nUsers,
+      "every user contributes (events - 1) transitions")
+    rows.groupBy(_._1).foreach { case (from, grp) =>
+      assert(grp.map(_._3).sum == grp.head._4, s"$from: counts must sum to n_from")
+      val pSum = grp.map(_._5).sum
+      // half-up per-cell rounding drifts the row sum by < 1e-4 per cell
+      assert(math.abs(pSum - 1.0) <= 1e-4 * grp.length, s"$from: row sum $pSum")
+    }
+  }
+
+  test("dq_reconcile_totals: status partition covers all orders, bounds are consistent") {
+    val rows = Quality.dqReconcileTotals(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val orders = graft.tables.Tables.t(spark, sfDir, "orders")
+    assert(rows.map(_._2).sum == orders.count(), "statuses must partition the order set")
+    assert(rows.map(_._1).toSet ==
+      orders.select("o_orderstatus").distinct().collect().map(_.getString(0)).toSet)
+    rows.foreach { case (st, nOrders, nLines, nExact, maxAbs, meanAbs) =>
+      assert(nExact <= nLines && nLines <= nOrders, s"$st count ordering")
+      assert(meanAbs <= maxAbs, s"$st mean > max")
+      assert(maxAbs >= 0 && meanAbs >= 0, s"$st negative magnitudes")
+    }
+  }
 }

@@ -202,6 +202,29 @@ class TimeSeriesGraphSpec extends GraftSpec {
     perWd.foreach { case (wd, vals) => assert(vals.size == 1, s"weekday $wd seasonal not constant") }
   }
 
+  test("ts_autocorrelation: |acf| <= 1, pair counts correct, replays the exact integer co-moments") {
+    val rows = TimeSeries.tsAutocorrelation(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq == (1 to 7))
+    val daily = t(spark, sfDir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum((col("value").cast("decimal(12,2)") * 100).cast("long")).as("cents"))
+      .orderBy("day").collect().map(_.getLong(1))
+    val n = daily.length
+    val total = daily.sum
+    val d = daily.map(_ * n - total)
+    val den = d.map(x => x * x).sum
+    rows.foreach { case (k, nPairs, acf) =>
+      assert(nPairs == n - k, s"lag $k pair count")
+      assert(math.abs(acf) <= 1.0, s"lag $k acf out of range")
+      val num = (k until n).map(t0 => d(t0) * d(t0 - k)).sum
+      val expected = (if (num < 0) -1.0 else 1.0) *
+        ((math.abs(num) * 10000 * 2 + den) / (den * 2)).toDouble / 10000
+      assert(acf == expected, s"lag $k: got $acf expected $expected")
+    }
+  }
+
   test("graph_jaccard_neighbors: equals brute-force neighbor-set jaccard on the same edges") {
     val rows = graft.queries.GraphQueries.graphJaccardNeighbors(spark, sfDir).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
