@@ -300,6 +300,11 @@ object SparkEntry {
     "ts_autocorrelation" -> TimeSeries.tsAutocorrelation _,
     "event_markov_chain" -> Quality.eventMarkovChain _,
     "dq_reconcile_totals" -> Quality.dqReconcileTotals _,
+    // round 8 continued: cohort TVD drift, DAU/WAU engagement,
+    // interval-concurrency sweep line
+    "dq_distribution_drift" -> Quality.dqDistributionDrift _,
+    "event_active_users" -> Quality.eventActiveUsers _,
+    "ts_interval_sweep" -> TimeSeries.tsIntervalSweep _,
     // corrupt-record quarantine on CSV ingest (PERMISSIVE mode)
     "source_csv_permissive" -> SourceQueries.sourceCsvPermissive _,
     // ACS data-user statistics: reliability class + significance test

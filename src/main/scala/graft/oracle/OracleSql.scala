@@ -3343,6 +3343,61 @@ object OracleSql {
              CAST(count(*) AS BIGINT) AS n_len_ok,
              CAST(count(*) AS BIGINT) AS n_content_ok,
              CAST(sum(strlen(text)) AS BIGINT) AS total_bytes
-      FROM documents WHERE doc_id < 100"""
+      FROM documents WHERE doc_id < 100""",
+
+    // shares are the exact half-up 6-decimal ratios of both engines;
+    // the gap subtracts two bit-identical doubles
+    "dq_distribution_drift" -> s"""
+      WITH cells AS (
+        SELECT event_type,
+               CAST(count_if(user_id % 2 = 0) AS BIGINT) AS n_a,
+               CAST(count_if(user_id % 2 = 1) AS BIGINT) AS n_b
+        FROM events GROUP BY 1),
+      tot AS (SELECT CAST(sum(n_a) AS BIGINT) AS tot_a,
+                     CAST(sum(n_b) AS BIGINT) AS tot_b FROM cells)
+      SELECT event_type, n_a, n_b,
+             ${N.ratio("n_a", "tot_a", 6)} AS share_a,
+             ${N.ratio("n_b", "tot_b", 6)} AS share_b,
+             abs(${N.ratio("n_a", "tot_a", 6)} - ${N.ratio("n_b", "tot_b", 6)}) AS share_gap
+      FROM cells, tot ORDER BY event_type""",
+
+    // distinct (user, day) first, then the 7-day fan-out re-distinct —
+    // identical set algebra in both engines
+    "event_active_users" -> s"""
+      WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
+      wau AS (
+        SELECT day, CAST(count(*) AS BIGINT) AS wau FROM (
+          SELECT DISTINCT ud.day + CAST(i.i AS INTEGER) AS day, ud.user_id
+          FROM ud, (SELECT unnest(range(0, 7)) AS i) i)
+        GROUP BY 1)
+      SELECT dau.day, dau.dau, wau.wau,
+             ${N.ratio("dau.dau", "wau.wau", 4)} AS stickiness
+      FROM dau JOIN wau USING (day) ORDER BY dau.day""",
+
+    // +1 at start, −1 the day after the inclusive end; running sum over
+    // the unique day axis (default window frame agrees in both engines)
+    "ts_interval_sweep" -> """
+      WITH ends AS (
+        SELECT l_orderkey AS o_orderkey, max(CAST(l_shipdate AS DATE)) AS ship_end
+        FROM lineitem GROUP BY 1),
+      spans AS (
+        SELECT CAST(o.o_orderdate AS DATE) AS start_day,
+               greatest(CAST(o.o_orderdate AS DATE), e.ship_end) AS end_day
+        FROM orders o JOIN ends e USING (o_orderkey)),
+      deltas AS (
+        SELECT day, CAST(sum(d) AS BIGINT) AS net FROM (
+          SELECT start_day AS day, 1 AS d FROM spans
+          UNION ALL
+          SELECT end_day + 1 AS day, -1 AS d FROM spans)
+        GROUP BY 1),
+      open_d AS (
+        SELECT day, CAST(sum(net) OVER (ORDER BY day) AS BIGINT) AS open_eod
+        FROM deltas)
+      SELECT CAST(date_trunc('month', day) AS DATE) AS month,
+             max(open_eod) AS peak_open,
+             arg_max(open_eod, day) AS month_end_open,
+             CAST(count(*) AS BIGINT) AS n_delta_days
+      FROM open_d GROUP BY 1 ORDER BY month"""
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\n\\s+", "\n") }
 }

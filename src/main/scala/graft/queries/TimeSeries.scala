@@ -319,4 +319,44 @@ object TimeSeries {
           Num.ratio(abs(col("num")), col("den"), 4)).as("acf"))
       .orderBy("k")
   }
+
+  /** Interval-concurrency sweep line — "how many orders were open at
+    * once": each order is an interval [orderdate, last shipdate]
+    * (inclusive), the sweep emits +1 at the start day and −1 the day
+    * AFTER the end, and the running sum of the day-granular net deltas
+    * is the end-of-day open count. Per month: the peak open count, the
+    * month-end open count (arg-max by day — day is unique per group,
+    * so no tie rule needed), and the count of delta days observed.
+    * Open count is constant between delta days, so the per-month max
+    * over delta days IS the true max — the classic sweep-line
+    * argument.
+    *
+    * Scale: the detail stream collapses to one end-day per order
+    * (map-side-combined max), deltas collapse to the CALENDAR-sized
+    * daily net before the single global running-sum window — same
+    * bounded-window justification as `ts_seasonal_decompose`. The
+    * month rollup is |months| rows. */
+  def tsIntervalSweep(s: SparkSession, dir: String): DataFrame = {
+    val ends = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(max(to_date(col("l_shipdate"))).as("ship_end"))
+    val spans = t(s, dir, "orders")
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("start_day"))
+      .join(ends, "o_orderkey")
+      // the synthetic ship dates are uncorrelated with order dates, so
+      // ~20% of intervals would end before they start; clamp to the
+      // well-formed [start, max(start, end)] an ops dashboard would use
+      .select(col("start_day"), greatest(col("start_day"), col("ship_end")).as("end_day"))
+    val deltas = spans.select(col("start_day").as("day"), lit(1L).as("d"))
+      .unionAll(spans.select(date_add(col("end_day"), 1).as("day"), lit(-1L).as("d")))
+      .groupBy("day").agg(sum("d").as("net"))
+    val open = deltas
+      .withColumn("open_eod", sum("net").over(Window.orderBy("day")))
+    open.groupBy(date_trunc("month", col("day")).cast("date").as("month"))
+      .agg(
+        max("open_eod").as("peak_open"),
+        max_by(col("open_eod"), col("day")).as("month_end_open"),
+        count(lit(1)).as("n_delta_days"))
+      .orderBy("month")
+  }
 }

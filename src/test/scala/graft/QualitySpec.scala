@@ -162,6 +162,43 @@ class QualitySpec extends GraftSpec {
     }
   }
 
+  test("dq_distribution_drift: cohorts partition the stream, shares sum to ~1, gap is |a-b|") {
+    val rows = Quality.dqDistributionDrift(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    val nEvents = graft.tables.Tables.t(spark, sfDir, "events").count()
+    assert(rows.map(r => r._2 + r._3).sum == nEvents, "cohort cells must partition the stream")
+    // half-up per-cell rounding drifts each share column's sum by < 1e-6/cell
+    assert(math.abs(rows.map(_._4).sum - 1.0) <= 1e-6 * rows.length, "share_a sums to 1")
+    assert(math.abs(rows.map(_._5).sum - 1.0) <= 1e-6 * rows.length, "share_b sums to 1")
+    rows.foreach { case (t, _, _, a, b, gap) =>
+      assert(math.abs(gap - math.abs(a - b)) < 1e-12, s"$t gap replay")
+    }
+  }
+
+  test("event_active_users: wau >= dau, wau bounded by trailing-7-day replay") {
+    val rows = Quality.eventActiveUsers(spark, sfDir).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val dauByDay = rows.map(r => r._1 -> r._2).toMap
+    rows.foreach { case (day, dau, wau, stick) =>
+      assert(wau >= dau, s"$day: wau < dau")
+      assert(stick <= 1.0 + 1e-9 && stick >= 0, s"$day stickiness range")
+      // wau can't exceed the sum of the 7 contributing DAUs
+      val bound = (0L to 6L).map(i => dauByDay.getOrElse(day.minusDays(i), 0L)).sum
+      assert(wau <= bound, s"$day: wau $wau over union bound $bound")
+    }
+    // replay one mid-stream day exactly
+    val ud = graft.tables.Tables.t(spark, sfDir, "events")
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val mid = rows(rows.length / 2)._1
+    val exact = ud.filter(col("day").between(
+        java.sql.Date.valueOf(mid.minusDays(6)), java.sql.Date.valueOf(mid)))
+      .select("user_id").distinct().count()
+    assert(rows(rows.length / 2)._3 == exact, s"$mid wau replay")
+  }
+
   test("dq_reconcile_totals: status partition covers all orders, bounds are consistent") {
     val rows = Quality.dqReconcileTotals(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))

@@ -414,4 +414,32 @@ class TimeSeriesGraphSpec extends GraftSpec {
     if (n > 256) assert(out.map(_.getLong(0)).max >= 16,
       "adaptive budget did not widen past the fixed quantizer")
   }
+
+  test("ts_interval_sweep: deltas conserve, peak bounds month-end, replay one month") {
+    val rows = graft.queries.TimeSeries.tsIntervalSweep(spark, sfDir).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (m, peak, endOpen, nDays) =>
+      assert(peak >= endOpen, s"$m: peak < month-end")
+      assert(nDays >= 1, s"$m: empty month emitted")
+    }
+    // the sweep must end with every interval closed: last month-end open = 0
+    assert(rows.last._3 == 0, "sweep does not return to zero after the last end day")
+    // replay: peak over the whole series equals max open orders computed directly
+    import org.apache.spark.sql.functions._
+    val ends = graft.tables.Tables.t(spark, sfDir, "lineitem")
+      .groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(max(to_date(col("l_shipdate"))).as("e"))
+    val spans = graft.tables.Tables.t(spark, sfDir, "orders")
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("s"))
+      .join(ends, "o_orderkey").select("s", "e").collect()
+      .map { r =>
+        val s0 = r.getDate(0).toLocalDate
+        val e0 = r.getDate(1).toLocalDate
+        (s0, if (e0.isBefore(s0)) s0 else e0) // same clamp as the operator
+      }
+    val days = spans.map(_._1).distinct
+    val bruteMax = days.map(d => spans.count(p => !d.isBefore(p._1) && !d.isAfter(p._2))).max
+    assert(rows.map(_._2).max == bruteMax, "global peak diverges from brute-force sweep")
+  }
 }
