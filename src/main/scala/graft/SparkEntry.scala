@@ -305,6 +305,9 @@ object SparkEntry {
     "dq_distribution_drift" -> Quality.dqDistributionDrift _,
     "event_active_users" -> Quality.eventActiveUsers _,
     "ts_interval_sweep" -> TimeSeries.tsIntervalSweep _,
+    // bounded k-core peel + lift-ranked collocation mining
+    "graph_k_core" -> GraphQueries.graphKCore _,
+    "llm_pmi_collocations" -> LlmExtra.llmPmiCollocations _,
     // corrupt-record quarantine on CSV ingest (PERMISSIVE mode)
     "source_csv_permissive" -> SourceQueries.sourceCsvPermissive _,
     // ACS data-user statistics: reliability class + significance test

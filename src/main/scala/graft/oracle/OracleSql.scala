@@ -3398,6 +3398,48 @@ object OracleSql {
              max(open_eod) AS peak_open,
              arg_max(open_eod, day) AS month_end_open,
              CAST(count(*) AS BIGINT) AS n_delta_days
-      FROM open_d GROUP BY 1 ORDER BY month"""
+      FROM open_d GROUP BY 1 ORDER BY month""",
+
+    // three chained peel CTEs — same bounded-round convention as the
+    // pagerank/LPA/BFS mirrors over the same two-blocking edge set
+    "graph_k_core" -> """
+      WITH docs AS (SELECT doc_id, source, lang, n_chars FROM documents WHERE doc_id < 1200),
+      blocks AS (
+        SELECT doc_id AS u, concat_ws('|', 's', source, CAST(n_chars // 100 AS VARCHAR)) AS bk FROM docs
+        UNION ALL
+        SELECT doc_id AS u, concat_ws('|', 'l', lang, CAST(n_chars // 50 AS VARCHAR)) AS bk FROM docs),
+      edges0 AS (
+        SELECT DISTINCT a.u AS u, b.u AS v
+        FROM blocks a JOIN blocks b USING (bk) WHERE a.u < b.u),
+      e0 AS (SELECT u, v FROM edges0 UNION ALL SELECT v, u FROM edges0),
+      a1 AS (SELECT u FROM e0 GROUP BY u HAVING count(*) >= 3),
+      e1 AS (SELECT e0.u, e0.v FROM e0
+             JOIN a1 x ON e0.u = x.u JOIN a1 y ON e0.v = y.u),
+      a2 AS (SELECT u FROM e1 GROUP BY u HAVING count(*) >= 3),
+      e2 AS (SELECT e1.u, e1.v FROM e1
+             JOIN a2 x ON e1.u = x.u JOIN a2 y ON e1.v = y.u),
+      a3 AS (SELECT u FROM e2 GROUP BY u HAVING count(*) >= 3),
+      e3 AS (SELECT e2.u, e2.v FROM e2
+             JOIN a3 x ON e2.u = x.u JOIN a3 y ON e2.v = y.u)
+      SELECT u AS node, CAST(count(*) AS BIGINT) AS core_deg
+      FROM e3 GROUP BY 1 ORDER BY core_deg DESC, node LIMIT 50""",
+
+    // identical bigram census + marginals; lift is the same scaled
+    // BIGINT ratio (monotone in PMI), so the top-50 ranking matches
+    "llm_pmi_collocations" -> s"""
+      WITH b AS (
+        SELECT unnest(list_transform(range(1, len(w)),
+                      i -> {'w1': w[i], 'w2': w[i+1]})) AS p
+        FROM (SELECT string_split(text, ' ') AS w FROM documents WHERE doc_id < 2000)),
+      c AS (SELECT p.w1 AS w1, p.w2 AS w2, CAST(count(*) AS BIGINT) AS n_pair
+            FROM b GROUP BY 1, 2),
+      l AS (SELECT w1, CAST(sum(n_pair) AS BIGINT) AS n_left FROM c GROUP BY 1),
+      r AS (SELECT w2, CAST(sum(n_pair) AS BIGINT) AS n_right FROM c GROUP BY 1),
+      tot AS (SELECT CAST(sum(n_pair) AS BIGINT) AS n_total FROM c)
+      SELECT c.w1, c.w2, c.n_pair, l.n_left, r.n_right,
+             ${N.ratio("c.n_pair * tot.n_total", "l.n_left * r.n_right", 4)} AS lift
+      FROM c JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN tot
+      WHERE c.n_pair >= 5
+      ORDER BY lift DESC, c.n_pair DESC, c.w1, c.w2 LIMIT 50"""
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\n\\s+", "\n") }
 }

@@ -274,4 +274,34 @@ object GraphQueries {
       .orderBy(desc("jaccard"), col("a"), col("b"))
       .limit(50)
   }
+
+  /** Bounded k-core peel (k=3, 3 rounds) of the similarity graph — the
+    * dense-core extractor: each round drops every node with degree < 3
+    * and the edges that touched it, so peripheral chains and bridge
+    * docs fall away and the near-dup clique cores remain. Three rounds
+    * is the bounded-round convention of the pagerank/LPA/BFS siblings
+    * (keeps the oracle three chained CTEs; full convergence is the
+    * `Components.minLabel`-style loop with this round as the body).
+    * Output: the surviving nodes' in-core degrees, top-50 under the
+    * (degree, node) total order.
+    *
+    * Scale: each peel is one map-side-combined degree aggregation plus
+    * two LEFT SEMI joins keyed on the endpoint — no candidate
+    * generation, output only shrinks. The adjacency persists per round
+    * (the two semi joins would otherwise re-derive it twice per
+    * round, doubling the plan each iteration). */
+  def graphKCore(s: SparkSession, dir: String): DataFrame = {
+    val e = simEdges(s, dir)
+    var adj = e.union(e.select(col("v").as("u"), col("u").as("v"))).persist()
+    for (_ <- 1 to 3) {
+      val alive = adj.groupBy("u").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= 3).select("u")
+      adj = adj.join(alive, Seq("u"), "left_semi")
+        .join(alive.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
+        .select("u", "v").persist()
+    }
+    adj.groupBy(col("u").as("node")).agg(count(lit(1)).as("core_deg"))
+      .orderBy(desc("core_deg"), col("node"))
+      .limit(50)
+  }
 }

