@@ -308,6 +308,10 @@ object SparkEntry {
     // bounded k-core peel + lift-ranked collocation mining
     "graph_k_core" -> GraphQueries.graphKCore _,
     "llm_pmi_collocations" -> LlmExtra.llmPmiCollocations _,
+    // interarrival latency profile, equi-width histogram, grid DBSCAN
+    "event_interarrival" -> Quality.eventInterarrival _,
+    "agg_histogram" -> Relational.aggHistogram _,
+    "geo_grid_dbscan" -> GeoQueries.geoGridDbscan _,
     // corrupt-record quarantine on CSV ingest (PERMISSIVE mode)
     "source_csv_permissive" -> SourceQueries.sourceCsvPermissive _,
     // ACS data-user statistics: reliability class + significance test

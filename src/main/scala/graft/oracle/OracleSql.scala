@@ -3440,6 +3440,72 @@ object OracleSql {
              ${N.ratio("c.n_pair * tot.n_total", "l.n_left * r.n_right", 4)} AS lift
       FROM c JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN tot
       WHERE c.n_pair >= 5
-      ORDER BY lift DESC, c.n_pair DESC, c.w1, c.w2 LIMIT 50"""
+      ORDER BY lift DESC, c.n_pair DESC, c.w1, c.w2 LIMIT 50""",
+
+    // same (ts, event_id) total order as event_markov_chain; the
+    // default RANGE frame groups gap ties identically in both engines
+    "event_interarrival" -> """
+      WITH g AS (
+        SELECT event_type,
+               (epoch_us(ts) - lag(epoch_us(ts))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id)) // 1000000 AS gap_s
+        FROM events),
+      f AS (SELECT event_type, CAST(gap_s AS BIGINT) AS gap_s FROM g WHERE gap_s IS NOT NULL),
+      c AS (SELECT event_type, gap_s,
+                   count(*) OVER (PARTITION BY event_type ORDER BY gap_s) AS cw,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM f)
+      SELECT event_type,
+             CAST(max(n) AS BIGINT) AS n_gaps,
+             min(gap_s) AS min_s,
+             min(CASE WHEN cw * 2 >= n THEN gap_s END) AS p50_s,
+             min(CASE WHEN cw * 10 >= n * 9 THEN gap_s END) AS p90_s,
+             max(gap_s) AS max_s,
+             CAST(sum(gap_s) // count(*) AS BIGINT) AS mean_s
+      FROM c GROUP BY event_type ORDER BY event_type""",
+
+    // identical integer-cent floor-division bucketing; top bucket
+    // open-ended via least()
+    "agg_histogram" -> s"""
+      WITH h AS (
+        SELECT least(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) // 5000000, 10) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               min(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS min_cents,
+               max(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS max_cents
+        FROM orders GROUP BY 1),
+      tot AS (SELECT CAST(sum(n_orders) AS BIGINT) AS n_total FROM h)
+      SELECT bucket, bucket * 50000 AS lo_dollars, n_orders, min_cents, max_cents,
+             ${N.ratio("n_orders", "tot.n_total", 4)} AS share
+      FROM h CROSS JOIN tot ORDER BY bucket""",
+
+    // dense 20x20 cells (>= 4 points), 8-neighborhood reachability to
+    // the minimum cell id — recursive CTE mirror of the component
+    // fixpoint, same convention as graph_components
+    "geo_grid_dbscan" -> """
+      WITH p AS (
+        SELECT c_custkey AS id,
+               CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || 'x'), 1, 15)) AS BIGINT) % 500 AS x,
+               CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || 'y'), 1, 15)) AS BIGINT) % 500 AS y
+        FROM customer WHERE c_custkey < 3000),
+      dense AS (
+        SELECT x // 20 AS cx, y // 20 AS cy, CAST(count(*) AS BIGINT) AS n_pts
+        FROM p GROUP BY 1, 2 HAVING count(*) >= 4),
+      e AS (
+        SELECT a.cx * 1000 + a.cy AS s, b.cx * 1000 + b.cy AS d
+        FROM dense a JOIN dense b
+          ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1),
+      r AS (
+        WITH RECURSIVE reach(n, m) AS (
+          SELECT s, s FROM e
+          UNION
+          SELECT e.s, reach.m FROM e JOIN reach ON e.d = reach.n)
+        SELECT n, min(m) AS label FROM reach GROUP BY n)
+      SELECT r.label AS cluster,
+             CAST(count(*) AS BIGINT) AS n_cells,
+             CAST(sum(dense.n_pts) AS BIGINT) AS n_points,
+             min(dense.cx) AS cx_min, max(dense.cx) AS cx_max,
+             min(dense.cy) AS cy_min, max(dense.cy) AS cy_max
+      FROM r JOIN dense ON dense.cx * 1000 + dense.cy = r.n
+      GROUP BY 1 ORDER BY cluster"""
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\n\\s+", "\n") }
 }

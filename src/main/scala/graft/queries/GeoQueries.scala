@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.tables.Tables.t
@@ -163,5 +163,48 @@ object GeoQueries {
         concat_ws("", col("d1"), col("d2"), col("d3")).as("quadkey"),
         col("n_pts"), col("sum_ids"))
       .orderBy("zoom", "quadkey")
+  }
+
+  /** Grid-density clustering — the distributed DBSCAN shape: snap
+    * points to 20×20 cells, keep cells with ≥ 4 points (density
+    * threshold), connect dense cells through their 3×3 neighborhood
+    * (the grid analogue of ε-reachability), and label the connected
+    * components. Per cluster: dense-cell count, point count, bounding
+    * box in cell space. This is how production engines run DBSCAN at
+    * scale — exact point-level ε-graphs are quadratic, but the
+    * cell-granular version needs one map-side-combined cell census
+    * (corpus collapses to ≤ grid² rows), one 9×-replicated equi-join
+    * over DENSE CELLS ONLY (grid-bounded, corpus-independent), and a
+    * component fixpoint on a graph no larger than the grid. The (0,0)
+    * offset keeps singleton dense cells as their own clusters.
+    * Components run through the full hub-salted `Components.minLabel`
+    * machinery (overkill at grid size, but it's the engine's one CC
+    * primitive). */
+  def geoGridDbscan(s: SparkSession, dir: String): DataFrame = {
+    val cellId = (cx: Column, cy: Column) => cx * 1000L + cy
+    val dense = points(s, dir)
+      .groupBy(call_function("div", col("x"), lit(20L)).as("cx"),
+        call_function("div", col("y"), lit(20L)).as("cy"))
+      .agg(count(lit(1)).as("n_pts"))
+      .filter(col("n_pts") >= 4)
+      .persist()
+    val nbr = array((-1 to 1).map(i => lit(i.toLong)): _*)
+    val probe = dense
+      .withColumn("dx", explode(nbr)).withColumn("dy", explode(nbr))
+      .select((col("cx") + col("dx")).as("cx"), (col("cy") + col("dy")).as("cy"),
+        cellId(col("cx") + col("dx"), col("cy") + col("dy")).as("src_probe"),
+        cellId(col("cx"), col("cy")).as("dst"))
+    val edges = dense.select(col("cx"), col("cy"), cellId(col("cx"), col("cy")).as("src"))
+      .join(probe, Seq("cx", "cy"))
+      .select(col("src"), col("dst"))
+    graft.operators.Components.minLabel(edges)
+      .withColumnRenamed("node", "cell")
+      .join(dense.select(cellId(col("cx"), col("cy")).as("cell"),
+        col("cx"), col("cy"), col("n_pts")), "cell")
+      .groupBy(col("label").as("cluster"))
+      .agg(count(lit(1)).as("n_cells"), sum("n_pts").as("n_points"),
+        min("cx").as("cx_min"), max("cx").as("cx_max"),
+        min("cy").as("cy_min"), max("cy").as("cy_max"))
+      .orderBy("cluster")
   }
 }

@@ -487,6 +487,47 @@ object Quality {
       .orderBy("event_type")
   }
 
+  /** Inter-arrival-time profile — the latency distribution of user
+    * behavior: per event type (typed by the LATER event of each
+    * consecutive within-user pair), the exact discrete percentiles of
+    * the gap in whole seconds, plus min/max/mean. The gap source is
+    * one lag window over the unique (ts, event_id) per-user total
+    * order (same ordering contract as `event_markov_chain`); seconds
+    * are floor-divided epoch-µs differences, and the percentiles are
+    * the exact cumulative-count form of `agg_percentile_disc` — the
+    * default RANGE window frame groups ties identically in both
+    * engines, so p50/p90 are bit-stable.
+    *
+    * Scale: the lag pass is one (user_id) exchange; the percentile
+    * pass re-sorts only the GAPS (one row per event, minus one per
+    * user) within each type partition — the same n·log n per-group
+    * sort `agg_percentile_disc` accepts; at 100 TB the sketch path is
+    * `agg_approx_percentile`. */
+  def eventInterarrival(s: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gaps = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(ord))
+      .filter(col("prev_us").isNotNull)
+      .select(col("event_type"),
+        call_function("div",
+          unix_micros(col("ts")) - col("prev_us"), lit(1000000L)).as("gap_s"))
+    val cum = Window.partitionBy("event_type").orderBy("gap_s")
+    val tot = Window.partitionBy("event_type")
+    gaps
+      .withColumn("cw", count(lit(1)).over(cum))
+      .withColumn("n", count(lit(1)).over(tot))
+      .groupBy("event_type")
+      .agg(
+        max("n").as("n_gaps"),
+        min("gap_s").as("min_s"),
+        min(when(col("cw") * 2 >= col("n"), col("gap_s"))).as("p50_s"),
+        min(when(col("cw") * 10 >= col("n") * 9, col("gap_s"))).as("p90_s"),
+        max("gap_s").as("max_s"),
+        call_function("div", sum("gap_s"), count(lit(1))).as("mean_s"))
+      .orderBy("event_type")
+  }
+
   /** Daily/weekly active users and stickiness — the engagement
     * headline every product dashboard leads with: per day, the exact
     * distinct users active that day (DAU), active in the trailing 7

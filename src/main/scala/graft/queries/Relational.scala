@@ -1531,4 +1531,31 @@ object Relational {
         min("y").as("y_min"), max("y").as("y_max"))
       .orderBy("bucket")
   }
+
+  /** Equi-width histogram of order totals — the profiling primitive
+    * behind every "distribution of X" dashboard panel: fixed $50k
+    * buckets over [0, $550k), integer-cent floor-division bucketing
+    * (the top bucket is open-ended via least()), per-bucket count,
+    * exact-cent min/max, and share of total as the half-up ratio.
+    * width_bucket() exists in both engines but with differing edge
+    * conventions; explicit div/least arithmetic is the same expression
+    * everywhere.
+    *
+    * Scale: map-only bucket derivation, one map-side-combined
+    * aggregation to ≤ 12 rows, totals via the whitelisted single-row
+    * broadcast. The shuffle carries bucket cardinality, not rows. */
+  def aggHistogram(s: SparkSession, dir: String): DataFrame = {
+    val cents = (Num.money(col("o_totalprice")) * 100).cast("long")
+    val widthCents = 5000000L // $50k
+    val hist = t(s, dir, "orders")
+      .groupBy(least(call_function("div", cents, lit(widthCents)), lit(10L)).as("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(cents).as("min_cents"), max(cents).as("max_cents"))
+    val tot = hist.agg(sum("n_orders").as("n_total"))
+    hist.crossJoin(broadcast(tot))
+      .select(col("bucket"), (col("bucket") * 50000L).as("lo_dollars"),
+        col("n_orders"), col("min_cents"), col("max_cents"),
+        Num.ratio(col("n_orders"), col("n_total"), 4).as("share"))
+      .orderBy("bucket")
+  }
 }

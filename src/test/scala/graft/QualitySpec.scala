@@ -199,6 +199,22 @@ class QualitySpec extends GraftSpec {
     assert(rows(rows.length / 2)._3 == exact, s"$mid wau replay")
   }
 
+  test("event_interarrival: percentile ordering, gap conservation vs markov transitions") {
+    val rows = Quality.eventInterarrival(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, n, mn, p50, p90, mx, mean) =>
+      assert(n > 0, s"$t empty")
+      assert(mn <= p50 && p50 <= p90 && p90 <= mx, s"$t percentile ordering")
+      assert(mean >= mn && mean <= mx, s"$t mean outside range")
+    }
+    // one gap per consecutive pair = events - users, same conservation
+    // law the markov transition matrix obeys
+    val ev = graft.tables.Tables.t(spark, sfDir, "events")
+    assert(rows.map(_._2).sum == ev.count() - ev.select("user_id").distinct().count())
+  }
+
   test("dq_reconcile_totals: status partition covers all orders, bounds are consistent") {
     val rows = Quality.dqReconcileTotals(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))

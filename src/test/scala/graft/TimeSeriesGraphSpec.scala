@@ -454,6 +454,55 @@ class TimeSeriesGraphSpec extends GraftSpec {
       "rows not sorted by lift desc")
   }
 
+  test("agg_histogram: buckets partition the orders, shares sum to ~1, bounds nest") {
+    val rows = graft.queries.Relational.aggHistogram(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    val nOrders = graft.tables.Tables.t(spark, sfDir, "orders").count()
+    assert(rows.map(_._3).sum == nOrders, "buckets must partition the table")
+    assert(math.abs(rows.map(_._6).sum - 1.0) <= 1e-4 * rows.length, "shares sum to 1")
+    rows.foreach { case (b, lo, _, mn, mx, _) =>
+      assert(b >= 0 && b <= 10, s"bucket $b out of range")
+      assert(mn <= mx, s"bucket $b min > max")
+      assert(mn >= lo * 100, s"bucket $b min below lower edge")
+      if (b < 10) assert(mx < (lo + 50000L) * 100, s"bucket $b max over upper edge")
+    }
+  }
+
+  test("geo_grid_dbscan: clusters are disjoint dense cells, points and density check out") {
+    // sf0.001 has no dense cells (the point cloud thins with the table);
+    // drive the structural check at sf0.01, the driver's own t2 scale
+    val dir01 = "/root/testdata/sf0.01"
+    val rows = graft.queries.GeoQueries.geoGridDbscan(spark, dir01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty, "no clusters at sf0.01 — density threshold broken?")
+    rows.foreach { case (c, nCells, nPts, cxMin, cxMax, cyMin, cyMax) =>
+      assert(nPts >= 4L * nCells, s"cluster $c under density floor")
+      assert(cxMin <= cxMax && cyMin <= cyMax, s"cluster $c bbox inverted")
+      // a connected component of k cells fits inside a bbox of area >= k
+      assert((cxMax - cxMin + 1) * (cyMax - cyMin + 1) >= nCells, s"cluster $c bbox too small")
+    }
+    // cluster labels are distinct min-cell-ids; cells are disjoint, so
+    // summed cells equal the dense-cell census
+    import org.apache.spark.sql.functions._
+    val dense = graft.tables.Tables.t(spark, dir01, "customer")
+      .filter(col("c_custkey") < 3000)
+      .select(col("c_custkey").cast("string").as("k"))
+      .select(
+        (conv(substring(md5(concat(col("k"), lit("x"))), 1, 15), 16, 10).cast("long") % 500L)
+          .as("x"),
+        (conv(substring(md5(concat(col("k"), lit("y"))), 1, 15), 16, 10).cast("long") % 500L)
+          .as("y"))
+      .groupBy(expr("x div 20").as("cx"), expr("y div 20").as("cy"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 4)
+    assert(rows.map(_._2).sum == dense.count(), "clusters must partition the dense cells")
+    assert(rows.map(_._3).sum == dense.agg(sum("n")).head().getLong(0),
+      "cluster points must sum to dense-cell occupancy")
+  }
+
   test("ts_interval_sweep: deltas conserve, peak bounds month-end, replay one month") {
     val rows = graft.queries.TimeSeries.tsIntervalSweep(spark, sfDir).collect()
       .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2), r.getLong(3)))
