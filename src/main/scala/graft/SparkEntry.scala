@@ -312,6 +312,10 @@ object SparkEntry {
     "event_interarrival" -> Quality.eventInterarrival _,
     "agg_histogram" -> Relational.aggHistogram _,
     "geo_grid_dbscan" -> GeoQueries.geoGridDbscan _,
+    // snapshot diff, journey paths, GROUP BY ALL surface
+    "dim_snapshot_compare" -> Quality.dimSnapshotCompare _,
+    "event_top_paths" -> Quality.eventTopPaths _,
+    "sql_groupby_all" -> Relational.sqlGroupByAll _,
     // corrupt-record quarantine on CSV ingest (PERMISSIVE mode)
     "source_csv_permissive" -> SourceQueries.sourceCsvPermissive _,
     // ACS data-user statistics: reliability class + significance test

@@ -3506,6 +3506,56 @@ object OracleSql {
              min(dense.cx) AS cx_min, max(dense.cx) AS cx_max,
              min(dense.cy) AS cy_min, max(dense.cy) AS cy_max
       FROM r JOIN dense ON dense.cx * 1000 + dense.cy = r.n
-      GROUP BY 1 ORDER BY cluster"""
+      GROUP BY 1 ORDER BY cluster""",
+
+    // both snapshots from ONE conditional-sum pass; append-only shipping
+    // means 'removed' cannot occur (its absence is the audit)
+    "dim_snapshot_compare" -> """
+      WITH snap AS (
+        SELECT l_orderkey AS o_orderkey,
+               CAST(sum(CASE WHEN CAST(l_shipdate AS DATE) <= DATE '1998-01-01'
+                        THEN CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS v_old,
+               CAST(sum(CASE WHEN CAST(l_shipdate AS DATE) <= DATE '2000-01-01'
+                        THEN CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS v_new
+        FROM lineitem GROUP BY 1),
+      d AS (
+        SELECT o.o_orderstatus,
+               CASE WHEN s.o_orderkey IS NULL THEN 'absent'
+                    WHEN s.v_old = 0 AND s.v_new = 0 THEN 'absent'
+                    WHEN s.v_old = 0 THEN 'added'
+                    WHEN s.v_old = s.v_new THEN 'unchanged'
+                    ELSE 'changed' END AS change_class,
+               coalesce(s.v_new - s.v_old, 0) AS delta_cents
+        FROM orders o LEFT JOIN snap s USING (o_orderkey))
+      SELECT o_orderstatus, change_class,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(delta_cents) AS BIGINT) AS delta_cents,
+             max(delta_cents) AS max_delta_cents
+      FROM d GROUP BY 1, 2 ORDER BY o_orderstatus, change_class""",
+
+    // path = first five event types under the unique (ts, event_id)
+    // total order; list slice and join are identical in both engines
+    "event_top_paths" -> s"""
+      WITH p AS (
+        SELECT array_to_string(
+                 (list(event_type ORDER BY ts, event_id))[1:5], '>') AS path
+        FROM events GROUP BY user_id),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM p),
+      c AS (SELECT path, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1)
+      SELECT c.path, c.n,
+             contains(c.path, 'purchase') AS has_purchase,
+             ${N.ratio("c.n", "tot.n_users", 4)} AS user_share
+      FROM c CROSS JOIN tot
+      ORDER BY c.n DESC, c.path LIMIT 20""",
+
+    "sql_groupby_all" -> """
+      SELECT o_orderstatus, o_orderpriority,
+             count(*) AS n,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+      FROM orders
+      GROUP BY ALL
+      ORDER BY ALL"""
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\n\\s+", "\n") }
 }

@@ -487,6 +487,80 @@ object Quality {
       .orderBy("event_type")
   }
 
+  /** Snapshot-over-snapshot diff — the incremental-load audit: the
+    * per-order shipped value as of 1998-01-01 (yesterday's load)
+    * versus as of 2000-01-01 (today's), every order classified
+    * added / changed / unchanged / absent, rolled up per order status
+    * with exact-cent deltas. Shipping is append-only, so 'removed'
+    * cannot occur — the audit proves it by construction (a removed
+    * class appearing would be the corruption signal). This is the
+    * generic two-snapshot data-diff every warehouse runs after a
+    * backfill; `dim_scd2_build` tracks history, this one verifies it.
+    *
+    * Scale: each snapshot is one filtered map-side-combined per-order
+    * aggregate (conditional sums in a SINGLE pass over lineitem — not
+    * two scans), the diff is a 1:1 orderkey join with the header, and
+    * the rollup is |status × class| rows. */
+  def dimSnapshotCompare(s: SparkSession, dir: String): DataFrame = {
+    val price = Num.money(col("l_extendedprice"))
+    val cents = (price * 100).cast("long")
+    val shipped = (cut: String) =>
+      sum(when(to_date(col("l_shipdate")) <= lit(cut).cast("date"), cents)
+        .otherwise(lit(0L)))
+    val snap = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(shipped("1998-01-01").as("v_old"), shipped("2000-01-01").as("v_new"))
+    // the null branch must come FIRST: an unmatched order's null v_old
+    // nulls every comparison and would fall through to otherwise()
+    val cls = when(col("v_old").isNull, "absent")
+      .when(col("v_old") === 0 && col("v_new") === 0, "absent")
+      .when(col("v_old") === 0, "added")
+      .when(col("v_old") === col("v_new"), "unchanged")
+      .otherwise("changed")
+    t(s, dir, "orders")
+      .join(snap, Seq("o_orderkey"), "left")
+      .select(col("o_orderstatus"),
+        cls.as("change_class"),
+        coalesce(col("v_new") - col("v_old"), lit(0L)).as("delta_cents"))
+      .groupBy("o_orderstatus", "change_class")
+      .agg(count(lit(1)).as("n_orders"),
+        sum("delta_cents").as("delta_cents"),
+        max("delta_cents").as("max_delta_cents"))
+      .orderBy("o_orderstatus", "change_class")
+  }
+
+  /** Top converting paths — the "what journeys end in a purchase"
+    * readout: each user's first five event types in (ts, event_id)
+    * order joined into a path string, counted, top-20 paths with their
+    * purchase-containing share. Path assembly is one per-user sorted
+    * aggregation (array_agg over the unique total order, sliced to 5);
+    * the census is map-side combined to distinct-path cardinality.
+    *
+    * Scale: one (user_id) exchange builds paths; the path census
+    * shuffles |distinct paths| rows, and the top-20 is a total-order
+    * limit. Five-event truncation bounds the path alphabet — the
+    * standard guard against the path-explosion this analysis is
+    * famous for. */
+  def eventTopPaths(s: SparkSession, dir: String): DataFrame = {
+    val paths = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        struct(col("ts"), col("event_id")).as("ord"))
+      .groupBy("user_id")
+      .agg(slice(array_sort(collect_list(struct(col("ord"), col("event_type")))), 1, 5)
+        .as("first5"))
+      .select(
+        concat_ws(">", transform(col("first5"), e => e.getField("event_type"))).as("path"))
+    val tot = paths.agg(count(lit(1)).as("n_users"))
+    paths.groupBy("path")
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(tot))
+      .select(col("path"), col("n"),
+        col("path").contains("purchase").as("has_purchase"),
+        Num.ratio(col("n"), col("n_users"), 4).as("user_share"))
+      .orderBy(desc("n"), col("path"))
+      .limit(20)
+  }
+
   /** Inter-arrival-time profile — the latency distribution of user
     * behavior: per event type (typed by the LATER event of each
     * consecutive within-user pair), the exact discrete percentiles of

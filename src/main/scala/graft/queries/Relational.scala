@@ -1558,4 +1558,22 @@ object Relational {
         Num.ratio(col("n_orders"), col("n_total"), 4).as("share"))
       .orderBy("bucket")
   }
+
+  /** GROUP BY ALL / ORDER BY ALL (Spark 4 & DuckDB share the same
+    * semantics: group by every non-aggregate select item, order by
+    * every select item left-to-right) — the analyst-ergonomics SQL
+    * surface, worth a contract row because the engines must agree on
+    * WHICH items are grouping items when expressions mix aggregates
+    * and scalars. Plans identically to the explicit GROUP BY — purely
+    * an analysis-time rewrite, zero runtime cost. */
+  def sqlGroupByAll(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("graft_ord_gba")
+    s.sql("""
+      SELECT o_orderstatus, o_orderpriority,
+             count(*) AS n,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+      FROM graft_ord_gba
+      GROUP BY ALL
+      ORDER BY ALL""")
+  }
 }

@@ -215,6 +215,40 @@ class QualitySpec extends GraftSpec {
     assert(rows.map(_._2).sum == ev.count() - ev.select("user_id").distinct().count())
   }
 
+  test("dim_snapshot_compare: classes partition orders, append-only law holds") {
+    val rows = Quality.dimSnapshotCompare(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._3).sum == graft.tables.Tables.t(spark, sfDir, "orders").count(),
+      "status x class cells must partition the order set")
+    assert(rows.map(_._2).toSet.subsetOf(Set("absent", "added", "changed", "unchanged")),
+      "unexpected change class (a 'removed' here would mean value regressed)")
+    rows.foreach { case (st, cls, _, delta, maxDelta) =>
+      // shipping is append-only, so snapshot value never decreases
+      assert(delta >= 0 && maxDelta >= 0, s"$st/$cls negative delta in append-only diff")
+      if (cls == "unchanged" || cls == "absent")
+        assert(delta == 0, s"$st/$cls nonzero delta")
+      if (cls == "added" || cls == "changed")
+        assert(delta > 0, s"$st/$cls zero total delta")
+    }
+  }
+
+  test("event_top_paths: path shares bounded, counts cover at most all users") {
+    val rows = Quality.eventTopPaths(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2), r.getDouble(3)))
+    assert(rows.nonEmpty && rows.length <= 20)
+    val nUsers = graft.tables.Tables.t(spark, sfDir, "events")
+      .select("user_id").distinct().count()
+    assert(rows.map(_._2).sum <= nUsers, "top-20 path counts exceed the user population")
+    rows.foreach { case (path, n, hasP, share) =>
+      assert(n >= 1 && share > 0 && share <= 1.0)
+      assert(path.split(">").length <= 5, s"path '$path' over the 5-event truncation")
+      assert(hasP == path.contains("purchase"), s"purchase flag mismatch for '$path'")
+    }
+    // counts are descending under the declared order
+    assert(rows.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+  }
+
   test("dq_reconcile_totals: status partition covers all orders, bounds are consistent") {
     val rows = Quality.dqReconcileTotals(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))

@@ -13,6 +13,19 @@ class Round3OpsSpec extends GraftSpec {
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  test("sql_groupby_all resolves to the explicit GROUP BY result") {
+    val all = Relational.sqlGroupByAll(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val explicit = t(spark, sfDir, "orders")
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum((col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")).as("cents"))
+      .orderBy("o_orderstatus", "o_orderpriority", "n", "cents")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(all.sorted.sameElements(explicit.sorted), "GROUP BY ALL diverges from explicit")
+  }
+
   test("join_range_bucket plans an equi-join, not BroadcastNestedLoopJoin") {
     val p = plan(Relational.joinRangeBucket(spark, sfDir))
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
