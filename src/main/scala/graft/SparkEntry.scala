@@ -316,6 +316,10 @@ object SparkEntry {
     "dim_snapshot_compare" -> Quality.dimSnapshotCompare _,
     "event_top_paths" -> Quality.eventTopPaths _,
     "sql_groupby_all" -> Relational.sqlGroupByAll _,
+    // schema evolution read, IQR outlier screen, ROUGE-2 eval
+    "source_schema_merge" -> SourceQueries.sourceSchemaMerge _,
+    "dq_outlier_iqr" -> Quality.dqOutlierIqr _,
+    "llm_rouge_recall" -> LlmExtra.llmRougeRecall _,
     // corrupt-record quarantine on CSV ingest (PERMISSIVE mode)
     "source_csv_permissive" -> SourceQueries.sourceCsvPermissive _,
     // ACS data-user statistics: reliability class + significance test

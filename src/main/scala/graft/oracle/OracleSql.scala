@@ -3556,6 +3556,69 @@ object OracleSql {
              CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
       FROM orders
       GROUP BY ALL
-      ORDER BY ALL"""
+      ORDER BY ALL""",
+
+    // expected union recomputed from the source table: even ids = old
+    // generation (no n_chars), odd = new — a mergeSchema read that
+    // mis-nulls or drops the evolved column hash-fails
+    "source_schema_merge" -> """
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count_if(doc_id % 2 = 0) AS BIGINT) AS n_pre_evolution,
+             CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_post
+      FROM documents WHERE doc_id < 3000
+      GROUP BY 1 ORDER BY lang""",
+
+    // same cumulative-count discrete quartiles as event_interarrival;
+    // fences floor-divide 1.5*IQR identically in both engines
+    "dq_outlier_iqr" -> """
+      WITH b AS (
+        SELECT event_type, CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+        FROM events),
+      q AS (
+        SELECT event_type,
+               min(CASE WHEN cw * 4 >= n THEN c END) AS q1_cents,
+               min(CASE WHEN cw * 4 >= n * 3 THEN c END) AS q3_cents
+        FROM (SELECT event_type, c,
+                     count(*) OVER (PARTITION BY event_type ORDER BY c) AS cw,
+                     count(*) OVER (PARTITION BY event_type) AS n
+              FROM b)
+        GROUP BY 1),
+      f AS (
+        SELECT event_type, q1_cents, q3_cents,
+               q1_cents - ((q3_cents - q1_cents) * 3) // 2 AS lo_fence,
+               q3_cents + ((q3_cents - q1_cents) * 3) // 2 AS hi_fence
+        FROM q)
+      SELECT b.event_type,
+             max(f.q1_cents) AS q1_cents, max(f.q3_cents) AS q3_cents,
+             max(f.lo_fence) AS lo_fence, max(f.hi_fence) AS hi_fence,
+             CAST(count_if(b.c < f.lo_fence) AS BIGINT) AS n_below,
+             CAST(count_if(b.c > f.hi_fence) AS BIGINT) AS n_above,
+             CAST(count(*) AS BIGINT) AS n
+      FROM b JOIN f USING (event_type)
+      GROUP BY 1 ORDER BY b.event_type""",
+
+    // identical distinct-2gram set algebra; micro recall is the ratio
+    // of sums, so aggregation order cannot drift it
+    "llm_rouge_recall" -> s"""
+      WITH g AS (
+        SELECT DISTINCT doc_id, lang,
+               unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
+        FROM (SELECT doc_id, lang, string_split(text, ' ') AS w
+              FROM documents WHERE doc_id < 500)),
+      cand AS (SELECT doc_id, lang, g FROM g WHERE doc_id < 250),
+      ref AS (SELECT doc_id - 250 AS doc_id, g FROM g WHERE doc_id >= 250),
+      refn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ref FROM ref GROUP BY 1),
+      ovl AS (SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+              FROM cand c JOIN ref r ON c.doc_id = r.doc_id AND c.g = r.g
+              GROUP BY 1),
+      langs AS (SELECT DISTINCT doc_id, lang FROM cand)
+      SELECT l.lang,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(coalesce(o.n_overlap, 0)) AS BIGINT) AS sum_overlap,
+             CAST(sum(rn.n_ref) AS BIGINT) AS sum_ref,
+             ${N.ratio("sum(coalesce(o.n_overlap, 0))", "sum(rn.n_ref)", 4)} AS micro_recall
+      FROM langs l JOIN refn rn USING (doc_id) LEFT JOIN ovl o USING (doc_id)
+      GROUP BY 1 ORDER BY l.lang"""
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\n\\s+", "\n") }
 }

@@ -1301,4 +1301,45 @@ object LlmExtra {
       .orderBy(desc("lift"), desc("n_pair"), col("w1"), col("w2"))
       .limit(50)
   }
+
+  /** ROUGE-2 set recall between paired documents — the eval-harness
+    * primitive behind summarization/overlap scoring: candidate doc i
+    * is scored against reference doc i+250 as |distinct-2gram ∩| /
+    * |distinct-2gram(ref)|, micro-averaged per candidate language
+    * (ratio of SUMS — exactly aggregatable integers, unlike a mean of
+    * per-pair floats). Set (not clipped-multiset) counts, documented:
+    * distinct-gram recall is the common retrieval-eval variant and
+    * keeps both engines in pure set algebra.
+    *
+    * Scale: grams are (doc, gram)-distinct map-side; the overlap is
+    * ONE (doc_id, gram) equi-join between candidate and shifted
+    * reference grams — output-linear (a gram matches only its own
+    * pair), never corpus×corpus. */
+  def llmRougeRecall(s: SparkSession, dir: String): DataFrame = {
+    val grams = t(s, dir, "documents")
+      .filter(col("doc_id") < 500)
+      .withColumn("w", split(col("text"), " "))
+      .select(col("doc_id"), col("lang"), explode(zip_with(
+        slice(col("w"), lit(1), size(col("w")) - 1),
+        slice(col("w"), lit(2), size(col("w")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("g"))
+      .distinct()
+      .persist()
+    val cand = grams.filter(col("doc_id") < 250)
+    val ref = grams.filter(col("doc_id") >= 250)
+      .select((col("doc_id") - 250).as("doc_id"), col("g"))
+    val refN = ref.groupBy("doc_id").agg(count(lit(1)).as("n_ref"))
+    val ovl = cand.select("doc_id", "g").join(ref, Seq("doc_id", "g"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    val langs = cand.select("doc_id", "lang").distinct()
+    langs.join(refN, "doc_id")
+      .join(ovl, Seq("doc_id"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("n_overlap"), lit(0L))).as("sum_overlap"),
+        sum("n_ref").as("sum_ref"))
+      .select(col("lang"), col("n_pairs"), col("sum_overlap"), col("sum_ref"),
+        Num.ratio(col("sum_overlap"), col("sum_ref"), 4).as("micro_recall"))
+      .orderBy("lang")
+  }
 }

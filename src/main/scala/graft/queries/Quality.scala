@@ -487,6 +487,42 @@ object Quality {
       .orderBy("event_type")
   }
 
+  /** Robust outlier screen — Tukey's IQR fences next to
+    * `dq_anomaly_zscore`'s parametric screen (the z-score breaks under
+    * the heavy tails it is supposed to flag; quartiles don't): per
+    * event type, exact discrete Q1/Q3 of the value in cents, fences at
+    * Q1/Q3 ∓ floor(1.5·IQR) (floor-divided — identical integer in both
+    * engines), and the count of values beyond each fence. Two passes:
+    * the quartile pass is the cumulative-count discrete-percentile
+    * form shared with `event_interarrival`; the recount pass joins the
+    * |types|-row fence table back via broadcast and conditionally
+    * counts — map-only against the stream. */
+  def dqOutlierIqr(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "events")
+      .select(col("event_type"), (Num.money(col("value")) * 100).cast("long").as("c"))
+    val cum = Window.partitionBy("event_type").orderBy("c")
+    val tot = Window.partitionBy("event_type")
+    val iqr15 = call_function("div", (col("q3_cents") - col("q1_cents")) * 3, lit(2L))
+    val fences = base
+      .withColumn("cw", count(lit(1)).over(cum))
+      .withColumn("n", count(lit(1)).over(tot))
+      .groupBy("event_type")
+      .agg(
+        min(when(col("cw") * 4 >= col("n"), col("c"))).as("q1_cents"),
+        min(when(col("cw") * 4 >= col("n") * 3, col("c"))).as("q3_cents"))
+      .select(col("event_type"), col("q1_cents"), col("q3_cents"),
+        (col("q1_cents") - iqr15).as("lo_fence"), (col("q3_cents") + iqr15).as("hi_fence"))
+    base.join(broadcast(fences), "event_type")
+      .groupBy("event_type")
+      .agg(
+        max("q1_cents").as("q1_cents"), max("q3_cents").as("q3_cents"),
+        max("lo_fence").as("lo_fence"), max("hi_fence").as("hi_fence"),
+        count_if(col("c") < col("lo_fence")).as("n_below"),
+        count_if(col("c") > col("hi_fence")).as("n_above"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
   /** Snapshot-over-snapshot diff — the incremental-load audit: the
     * per-order shipped value as of 1998-01-01 (yesterday's load)
     * versus as of 2000-01-01 (today's), every order classified

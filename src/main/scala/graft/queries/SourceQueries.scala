@@ -291,4 +291,35 @@ object SourceQueries {
         count_if(col("content") === encode(col("text"), "UTF-8")).as("n_content_ok"),
         sum(col("length")).as("total_bytes"))
   }
+
+  /** Parquet schema evolution (`mergeSchema`) — the long-lived-dataset
+    * reality: yesterday's files carry (doc_id, lang), today's add
+    * n_chars; one mergeSchema read presents the union schema with
+    * nulls where an older file lacks the column. The aggregate pins
+    * BOTH the union-schema shape (per-generation null counts) and
+    * value fidelity. Production note: mergeSchema reads every file
+    * footer (a 100 TB listing cost) — real tables pin the merged
+    * schema in a catalog and pass it explicitly; the read below is the
+    * catalog-miss fallback path.
+    *
+    * The oracle recomputes the expected union from the source table
+    * (even ids = old generation, null n_chars; odd = new), so a
+    * mergeSchema read that mis-nulls or drops a column hash-fails. */
+  def sourceSchemaMerge(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("doc_id") < 3000)
+    val path = s"$scratch/docs_evolving"
+    docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("lang"))
+      .write.mode("overwrite").parquet(s"$path/gen=old")
+    docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$path/gen=new")
+    s.read.option("mergeSchema", "true").parquet(s"$path/gen=old", s"$path/gen=new")
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count_if(col("n_chars").isNull).as("n_pre_evolution"),
+        sum(coalesce(col("n_chars"), lit(0L))).as("chars_post"))
+      .orderBy("lang")
+  }
 }

@@ -215,6 +215,21 @@ class QualitySpec extends GraftSpec {
     assert(rows.map(_._2).sum == ev.count() - ev.select("user_id").distinct().count())
   }
 
+  test("dq_outlier_iqr: fences ordered, outliers bounded, totals conserve") {
+    val rows = Quality.dqOutlierIqr(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(rows.nonEmpty)
+    val nEvents = graft.tables.Tables.t(spark, sfDir, "events").count()
+    assert(rows.map(_._8).sum == nEvents, "types must partition the stream")
+    rows.foreach { case (t, q1, q3, lo, hi, nb, na, n) =>
+      assert(q1 <= q3, s"$t quartile order")
+      assert(lo <= q1 && hi >= q3, s"$t fences inside quartiles")
+      // by construction <=25% of points sit below Q1, so below-fence is bounded
+      assert(nb * 4 <= n && na * 4 <= n, s"$t fence counts exceed quartile mass")
+    }
+  }
+
   test("dim_snapshot_compare: classes partition orders, append-only law holds") {
     val rows = Quality.dimSnapshotCompare(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))

@@ -13,6 +13,20 @@ class Round3OpsSpec extends GraftSpec {
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  test("llm_rouge_recall: recall bounded, identical-pair sanity, micro-average replays") {
+    val rows = LlmExtra.llmRougeRecall(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, nPairs, ov, ref, rec) =>
+      assert(nPairs > 0 && ref > 0, s"$lang empty")
+      assert(ov <= ref, s"$lang overlap exceeds reference mass")
+      assert(rec >= 0 && rec <= 1.0, s"$lang recall out of [0,1]")
+      // micro recall replays from the integer sums (half-up, 4 decimals)
+      val expect = ((2 * ov * 10000L + ref) / (2 * ref)).toDouble / 10000.0
+      assert(math.abs(rec - expect) < 1e-12, s"$lang micro-average replay")
+    }
+  }
+
   test("sql_groupby_all resolves to the explicit GROUP BY result") {
     val all = Relational.sqlGroupByAll(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))

@@ -128,4 +128,19 @@ class SourcesSpec extends GraftSpec {
     assert(nContentOk == nFiles, "every content blob must equal the UTF-8 text")
     assert(totalBytes == expected.getLong(1), "byte total must match parquet truth")
   }
+
+  test("schema-merge read presents the union schema with generation-true nulls") {
+    val rows = graft.queries.SourceQueries.sourceSchemaMerge(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val docs = graft.tables.Tables.t(spark, sfDir, "documents").filter(col("doc_id") < 3000)
+    assert(rows.map(_._2).sum == docs.count(), "merged read must cover both generations")
+    // nulls appear EXACTLY on the old generation (even ids)
+    assert(rows.map(_._3).sum == docs.filter(col("doc_id") % 2 === 0).count(),
+      "pre-evolution null count must equal the old generation size")
+    // evolved-column values survive exactly for the new generation
+    assert(rows.map(_._4).sum ==
+      docs.filter(col("doc_id") % 2 === 1).agg(sum("n_chars")).head.getLong(0),
+      "post-evolution char sum must match the source")
+  }
 }
