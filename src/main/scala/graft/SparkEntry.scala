@@ -320,6 +320,9 @@ object SparkEntry {
     "source_schema_merge" -> SourceQueries.sourceSchemaMerge _,
     "dq_outlier_iqr" -> Quality.dqOutlierIqr _,
     "llm_rouge_recall" -> LlmExtra.llmRougeRecall _,
+    // robust trend + exact apportionment
+    "ts_theil_sen" -> TimeSeries.tsTheilSen _,
+    "agg_largest_remainder" -> Relational.aggLargestRemainder _,
     // corrupt-record quarantine on CSV ingest (PERMISSIVE mode)
     "source_csv_permissive" -> SourceQueries.sourceCsvPermissive _,
     // ACS data-user statistics: reliability class + significance test

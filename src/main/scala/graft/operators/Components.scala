@@ -131,7 +131,10 @@ object Components {
     cached0.unpersist()
     var labels = nodes.repartition(loopParts, col("node"))
       .withColumn("label", col("node")).cache()
-    var sig = labels.agg(sum("label")).head.getLong(0)
+    // coalesce: an EMPTY edge set (legal — e.g. a density filter that
+    // matched nothing) sums to NULL, which must read as the stable 0
+    // signature instead of throwing at getLong
+    var sig = labels.agg(coalesce(sum("label"), lit(0L))).head.getLong(0)
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
@@ -168,7 +171,7 @@ object Components {
       val next =
         if (rounds % checkpointEvery == checkpointEvery - 1) folded.localCheckpoint(true)
         else folded.cache()
-      val nextSig = next.agg(sum("label")).head.getLong(0)
+      val nextSig = next.agg(coalesce(sum("label"), lit(0L))).head.getLong(0)
       labels.unpersist()
       labels = next
       converged = nextSig == sig

@@ -3619,6 +3619,50 @@ object OracleSql {
              CAST(sum(rn.n_ref) AS BIGINT) AS sum_ref,
              ${N.ratio("sum(coalesce(o.n_overlap, 0))", "sum(rn.n_ref)", 4)} AS micro_recall
       FROM langs l JOIN refn rn USING (doc_id) LEFT JOIN ovl o USING (doc_id)
-      GROUP BY 1 ORDER BY l.lang"""
+      GROUP BY 1 ORDER BY l.lang""",
+
+    // daily rollup first; slopes truncate identically (both engines'
+    // integer division truncates toward zero); discrete median
+    "ts_theil_sen" -> """
+      WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      d AS (SELECT cents, row_number() OVER (ORDER BY day) AS i FROM daily),
+      s AS (
+        SELECT CAST((b.cents - a.cents) * 1000000 // (b.i - a.i) AS BIGINT) AS slope_micro
+        FROM d a JOIN d b ON b.i > a.i),
+      c AS (SELECT slope_micro,
+                   count(*) OVER (ORDER BY slope_micro) AS cw,
+                   count(*) OVER () AS n
+            FROM s)
+      SELECT CAST(max(n) AS BIGINT) AS n_pairs,
+             min(slope_micro) AS min_slope_micro,
+             min(CASE WHEN cw * 2 >= n THEN slope_micro END) AS median_slope_micro,
+             max(slope_micro) AS max_slope_micro
+      FROM c""",
+
+    // quota = B*n div N, leftovers to the largest remainders, nation-key
+    // tiebreak — conserves B exactly in both engines
+    "agg_largest_remainder" -> """
+      WITH cnt AS (
+        SELECT c.c_nationkey, n.n_name, CAST(count(*) AS BIGINT) AS n_cust
+        FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY 1, 2),
+      q AS (
+        SELECT n_name, c_nationkey, n_cust,
+               sum(n_cust) OVER () AS n_total,
+               CAST(10000 * n_cust // sum(n_cust) OVER () AS BIGINT) AS quota
+        FROM cnt),
+      r AS (
+        SELECT n_name, c_nationkey, n_cust, quota,
+               CAST(10000 * n_cust - quota * n_total AS BIGINT) AS remainder,
+               CAST(10000 - sum(quota) OVER () AS BIGINT) AS leftover,
+               row_number() OVER (ORDER BY 10000 * n_cust - quota * n_total DESC, c_nationkey) AS rk
+        FROM q)
+      SELECT n_name, n_cust, quota, remainder,
+             CAST(CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS extra,
+             quota + CAST(CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS seats
+      FROM r ORDER BY n_name"""
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\n\\s+", "\n") }
 }

@@ -1559,6 +1559,38 @@ object Relational {
       .orderBy("bucket")
   }
 
+  /** Largest-remainder (Hamilton) apportionment — the exact-integer
+    * allocation primitive behind budget splits, sample quotas, and
+    * seat apportionment: 10,000 units distributed across nations
+    * proportional to customer counts. quota = B·nᵢ div N, then the
+    * B − Σquota leftover units go to the largest remainders (B·nᵢ mod
+    * N), ties broken by nation key — fully deterministic, conserves B
+    * exactly by construction (the float-share-then-round version
+    * loses or invents units; this never can).
+    *
+    * Scale: one map-side-combined count per nation (the corpus
+    * collapses to |nations| rows), dimension name via broadcast, and
+    * the quota/rank windows run over the 25-row nation frame — the
+    * unpartitioned windows are safe for exactly that reason. */
+  def aggLargestRemainder(s: SparkSession, dir: String): DataFrame = {
+    val B = 10000L
+    val counts = t(s, dir, "customer")
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n_cust"))
+      .join(broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nationkey"), col("n_name"))), "c_nationkey")
+    val all = Window.partitionBy()
+    val rk = Window.orderBy(desc("remainder"), col("c_nationkey"))
+    counts
+      .withColumn("n_total", sum("n_cust").over(all))
+      .withColumn("quota", call_function("div", lit(B) * col("n_cust"), col("n_total")))
+      .withColumn("remainder", lit(B) * col("n_cust") - col("quota") * col("n_total"))
+      .withColumn("leftover", lit(B) - sum("quota").over(all))
+      .withColumn("extra", when(row_number().over(rk) <= col("leftover"), 1L).otherwise(0L))
+      .select(col("n_name"), col("n_cust"), col("quota"), col("remainder"),
+        col("extra"), (col("quota") + col("extra")).as("seats"))
+      .orderBy("n_name")
+  }
+
   /** GROUP BY ALL / ORDER BY ALL (Spark 4 & DuckDB share the same
     * semantics: group by every non-aggregate select item, order by
     * every select item left-to-right) — the analyst-ergonomics SQL

@@ -320,6 +320,40 @@ object TimeSeries {
       .orderBy("k")
   }
 
+  /** Theil–Sen robust trend — the median of all pairwise slopes of the
+    * global daily purchase series (the estimator that shrugs off the
+    * outlier days that wreck least-squares): slopes in micro-cents/day
+    * via truncating division (identical integer in both engines), median by
+    * the cumulative-count discrete form. O(days²) pairs by definition —
+    * and 'days' is the CALENDAR, not the corpus, so the pair count is
+    * bounded at any scale (3 years ≈ 1100 days ≈ 600k pairs — one
+    * task's work); the corpus itself collapses to the daily rollup
+    * first, same as every global-series op here.
+    *
+    * The pair join is a rn-keyed self-theta-join on the tiny daily
+    * frame; the median window sorts the slope list once. */
+  def tsTheilSen(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum((Num.money(col("value")) * 100).cast("long")).as("cents"))
+      .withColumn("i", row_number().over(Window.orderBy("day")))
+    val slopes = daily.as("a").join(daily.as("b"), col("b.i") > col("a.i"))
+      .select(call_function("div",
+        (col("b.cents") - col("a.cents")) * 1000000L,
+        col("b.i") - col("a.i")).as("slope_micro"))
+    val cum = Window.orderBy("slope_micro")
+    val tot = Window.partitionBy()
+    slopes
+      .withColumn("cw", count(lit(1)).over(cum))
+      .withColumn("n", count(lit(1)).over(tot))
+      .agg(
+        max("n").as("n_pairs"),
+        min("slope_micro").as("min_slope_micro"),
+        min(when(col("cw") * 2 >= col("n"), col("slope_micro"))).as("median_slope_micro"),
+        max("slope_micro").as("max_slope_micro"))
+  }
+
   /** Interval-concurrency sweep line — "how many orders were open at
     * once": each order is an interval [orderdate, last shipdate]
     * (inclusive), the sweep emits +1 at the start day and −1 the day

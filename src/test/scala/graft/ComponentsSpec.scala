@@ -99,4 +99,13 @@ class ComponentsSpec extends GraftSpec {
     // degenerate inputs stay sane
     assert(Components.loopWidth(0, 0L) == 1)
   }
+
+  test("minLabel on an EMPTY edge set returns empty instead of throwing") {
+    // a density/filter stage can legally produce zero edges (e.g.
+    // geo_grid_dbscan at sf0.001); the null label-sum signature must
+    // read as 0, not crash getLong
+    import SparkSpecBase.spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Components.minLabel(empty).count() == 0)
+  }
 }

@@ -27,7 +27,12 @@ class PlanLintSpec extends GraftSpec {
     "agg_hll_union", // single-row exact-distinct verdict input attached via broadcast cross join (round 7)
     "dq_freshness", // single-row global-max timestamp attached via broadcast cross join
     "event_rfm", // single-row global-max purchase ts attached via broadcast cross join (round 8)
-    "ts_autocorrelation") // single-row ACF denominator attached via broadcast cross join (round 8)
+    "ts_autocorrelation", // single-row ACF denominator attached via broadcast cross join (round 8)
+    "dq_distribution_drift", // single-row cohort totals via broadcast cross join (round 8)
+    "agg_histogram", // single-row histogram total via broadcast cross join (round 8)
+    "event_top_paths", // single-row user population via broadcast cross join (round 8)
+    "llm_pmi_collocations", // single-row bigram total via broadcast cross join (round 8)
+    "ts_theil_sen") // calendar-bounded pairwise-slope theta self-join (round 8)
 
   test("no query plans an unexpected cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -454,6 +454,38 @@ class TimeSeriesGraphSpec extends GraftSpec {
       "rows not sorted by lift desc")
   }
 
+  test("ts_theil_sen: pair count matches the calendar, median inside the slope range") {
+    val r = graft.queries.TimeSeries.tsTheilSen(spark, sfDir).collect()
+    assert(r.length == 1)
+    val (nPairs, mn, med, mx) =
+      (r(0).getLong(0), r(0).getLong(1), r(0).getLong(2), r(0).getLong(3))
+    val days = graft.tables.Tables.t(spark, sfDir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(to_date(col("ts"))).distinct().count()
+    assert(nPairs == days * (days - 1) / 2, "pair count must be C(days, 2)")
+    assert(mn <= med && med <= mx, "median outside slope range")
+  }
+
+  test("agg_largest_remainder: seats conserve the budget exactly, quota law holds") {
+    val rows = graft.queries.Relational.aggLargestRemainder(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._6).sum == 10000L, "apportionment must conserve the budget")
+    val nTotal = rows.map(_._2).sum
+    rows.foreach { case (nm, nc, quota, rem, extra, seats) =>
+      assert(quota == 10000L * nc / nTotal, s"$nm quota law")
+      assert(rem == 10000L * nc % nTotal, s"$nm remainder law")
+      assert(extra == 0L || extra == 1L, s"$nm extra out of {0,1}")
+      assert(seats == quota + extra, s"$nm seats law")
+    }
+    // every nation granted an extra unit has remainder >= every nation denied one
+    val granted = rows.filter(_._5 == 1).map(_._4)
+    val denied = rows.filter(_._5 == 0).map(_._4)
+    if (granted.nonEmpty && denied.nonEmpty)
+      assert(granted.min >= denied.max, "largest-remainder order violated")
+  }
+
   test("agg_histogram: buckets partition the orders, shares sum to ~1, bounds nest") {
     val rows = graft.queries.Relational.aggHistogram(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
