@@ -323,6 +323,10 @@ object SparkEntry {
     // robust trend + exact apportionment
     "ts_theil_sen" -> TimeSeries.tsTheilSen _,
     "agg_largest_remainder" -> Relational.aggLargestRemainder _,
+    // LTTB decimation, IVF purity, degree-mixing moments
+    "ts_lttb_downsample" -> TimeSeries.tsLttbDownsample _,
+    "llm_cluster_purity" -> LlmExtra.llmClusterPurity _,
+    "graph_degree_mixing" -> GraphQueries.graphDegreeMixing _,
     // corrupt-record quarantine on CSV ingest (PERMISSIVE mode)
     "source_csv_permissive" -> SourceQueries.sourceCsvPermissive _,
     // ACS data-user statistics: reliability class + significance test

@@ -3642,6 +3642,89 @@ object OracleSql {
              max(slope_micro) AS max_slope_micro
       FROM c""",
 
+    // same broadcast-argmax assignment mirror as llm_semdedup, then a
+    // deterministic (count desc, label asc) majority per cell
+    "llm_cluster_purity" -> s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+      c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 16),
+      sc AS (SELECT e.vec_id, e.label, c.cell, list_dot_product(e.v, c.cv) AS d
+             FROM e CROSS JOIN c),
+      a AS (SELECT vec_id, label, cell FROM (
+              SELECT vec_id, label, cell,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS rk
+              FROM sc) WHERE rk = 1),
+      cen AS (SELECT cell, label, CAST(count(*) AS BIGINT) AS nl FROM a GROUP BY 1, 2),
+      m AS (SELECT cell, label, nl,
+                   row_number() OVER (PARTITION BY cell ORDER BY nl DESC, label) AS rk,
+                   CAST(sum(nl) OVER (PARTITION BY cell) AS BIGINT) AS n_vecs
+            FROM cen)
+      SELECT cell, n_vecs, label AS majority_label, nl AS n_majority,
+             ${N.ratio("nl", "n_vecs", 4)} AS purity
+      FROM m WHERE rk = 1 ORDER BY cell""",
+
+    // same two-blocking edge CTE as graph_components; exact integer
+    // co-moments, the one sqrt left to the reader
+    "graph_degree_mixing" -> """
+      WITH docs AS (SELECT doc_id, source, lang, n_chars FROM documents WHERE doc_id < 1200),
+      blocks AS (
+        SELECT doc_id AS u, concat_ws('|', 's', source, CAST(n_chars // 100 AS VARCHAR)) AS bk FROM docs
+        UNION ALL
+        SELECT doc_id AS u, concat_ws('|', 'l', lang, CAST(n_chars // 50 AS VARCHAR)) AS bk FROM docs),
+      edges0 AS (
+        SELECT DISTINCT a.u AS u, b.u AS v
+        FROM blocks a JOIN blocks b USING (bk) WHERE a.u < b.u),
+      adj AS (SELECT u, v FROM edges0 UNION ALL SELECT v, u FROM edges0),
+      deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY u)
+      SELECT CAST(count(*) AS BIGINT) AS n_edges,
+             CAST(sum(dx.deg) AS BIGINT) AS sum_x,
+             CAST(sum(dy.deg) AS BIGINT) AS sum_y,
+             CAST(sum(dx.deg * dy.deg) AS BIGINT) AS sum_xy,
+             CAST(sum(dx.deg * dx.deg) AS BIGINT) AS sum_x2,
+             CAST(sum(dy.deg * dy.deg) AS BIGINT) AS sum_y2
+      FROM adj JOIN deg dx ON dx.u = adj.u JOIN deg dy ON dy.u = adj.v""",
+
+    // transition-table + recursive pointer walk (the Viterbi form of
+    // the sequential LTTB fold); identical BIGINT area arithmetic and
+    // rank-encoded tiebreak
+    "ts_lttb_downsample" -> """
+      WITH RECURSIVE daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      d AS (SELECT day, v, row_number() OVER (ORDER BY day) AS i,
+                   count(*) OVER () AS n
+            FROM daily),
+      pts AS (SELECT i, v, day, n,
+                CASE WHEN i = 1 THEN CAST(0 AS BIGINT)
+                     WHEN i = n THEN (n - 3) // 3 + 2
+                     ELSE (i - 2) // 3 + 1 END AS b
+              FROM d),
+      kmax AS (SELECT max(b) - 1 AS K FROM pts),
+      cent AS (SELECT b, CAST(sum(i) AS BIGINT) AS si, CAST(sum(v) AS BIGINT) AS sv,
+                      CAST(count(*) AS BIGINT) AS m
+               FROM pts GROUP BY b),
+      trans AS (
+        SELECT c.b AS k, p.i AS prev_i,
+               max_by(c.i,
+                 abs((c.i - p.i) * (nx.sv - nx.m * p.v) - (nx.si - nx.m * p.i) * (c.v - p.v))
+                   * 100000 + (100000 - c.i)) AS sel_i
+        FROM pts c
+        JOIN pts p ON p.b = c.b - 1
+        JOIN cent nx ON nx.b = c.b + 1
+        WHERE c.b >= 1 AND c.b <= (SELECT K FROM kmax)
+        GROUP BY c.b, p.i),
+      walk(k, sel_i) AS (
+        SELECT CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+        UNION ALL
+        SELECT t.k, t.sel_i FROM walk w JOIN trans t ON t.k = w.k + 1 AND t.prev_i = w.sel_i
+      )
+      SELECT CAST(w.k AS BIGINT) AS k, p.i, p.day, p.v
+      FROM walk w JOIN pts p ON p.i = w.sel_i
+      UNION ALL
+      SELECT CAST((SELECT max(b) FROM pts) AS BIGINT) AS k, i, day, v
+      FROM pts WHERE i = n
+      ORDER BY k""",
+
     // quota = B*n div N, leftovers to the largest remainders, nation-key
     // tiebreak — conserves B exactly in both engines
     "agg_largest_remainder" -> """

@@ -275,6 +275,35 @@ object GraphQueries {
       .limit(50)
   }
 
+  /** Degree-mixing co-moments — the assortativity readout as EXACT
+    * integers: over every directed edge of the similarity graph, the
+    * endpoint-degree co-moment table (n, Σx, Σy, Σxy, Σx², Σy² with
+    * x = source degree, y = target degree). The Pearson r these yield
+    * needs a sqrt, so the engine emits the integer sufficient
+    * statistics and leaves the one float to the reader — the same
+    * emit-the-moments discipline as `agg_regression`. Positive mixing
+    * (hubs link hubs) predicts hot-key pressure in every downstream
+    * graph loop; this is the cheap pre-flight before LPA/PageRank at
+    * scale, next to `graph_degree_stats`' histogram.
+    *
+    * Scale: one degree aggregate, two broadcast-sized joins keyed on
+    * the endpoints, one single-row co-moment aggregate — every shuffle
+    * keyed on node id, output is one row. */
+  def graphDegreeMixing(s: SparkSession, dir: String): DataFrame = {
+    val e = simEdges(s, dir)
+    val adj = e.union(e.select(col("v").as("u"), col("u").as("v"))).persist()
+    val deg = adj.groupBy("u").agg(count(lit(1)).as("deg")).persist()
+    adj
+      .join(deg, "u")
+      .join(deg.select(col("u").as("v"), col("deg").as("deg_v")), "v")
+      .agg(
+        count(lit(1)).as("n_edges"),
+        sum("deg").as("sum_x"), sum("deg_v").as("sum_y"),
+        sum(col("deg") * col("deg_v")).as("sum_xy"),
+        sum(col("deg") * col("deg")).as("sum_x2"),
+        sum(col("deg_v") * col("deg_v")).as("sum_y2"))
+  }
+
   /** Bounded k-core peel (k=3, 3 rounds) of the similarity graph — the
     * dense-core extractor: each round drops every node with degree < 3
     * and the edges that touched it, so peripheral chains and bridge

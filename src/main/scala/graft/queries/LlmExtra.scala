@@ -1302,6 +1302,43 @@ object LlmExtra {
       .limit(50)
   }
 
+  /** Cluster purity — the unsupervised-quality readout for the IVF
+    * quantizer the ANN family ships: every embedding assigned to its
+    * nearest of the 16 coarse centroids (same broadcast-fdot argmax as
+    * `llm_semdedup`, same deterministic (score, cell) tiebreak), then
+    * per cell the majority ground-truth label (count desc, label asc —
+    * deterministic), its mass, and purity as the half-up ratio. Low
+    * purity = the quantizer splits label manifolds = degraded ANN
+    * recall; this is the check you run BEFORE trusting `llm_sim_ivf_topk`.
+    *
+    * Scale: assignment is the map-only broadcast pattern (no vector
+    * shuffle); the label census collapses map-side to ≤ cells×labels
+    * rows; the majority window runs on that census, not the corpus. */
+  def llmClusterPurity(s: SparkSession, dir: String): DataFrame = {
+    graft.udx.NGrams.registerAll(s)
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").as("v"), col("label"))
+    val cents = emb.filter(col("vec_id") < graft.llm.Ivf.NCells)
+      .select(col("vec_id").cast("long").as("cell"), col("v").as("cv"))
+    val assigned = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("cell"),
+        graft.llm.Vectors.fdot(col("v"), col("cv")).as("d"))
+      .groupBy("vec_id")
+      .agg(graft.udx.TopKAggregator.topk(1)(col("d"), col("cell")).as("tk"),
+        first(col("label")).as("label"))
+      .select(col("tk.items")(0).getField("_2").as("cell"), col("label"))
+    val census = assigned.groupBy("cell", "label").agg(count(lit(1)).as("nl"))
+    val w = Window.partitionBy("cell").orderBy(desc("nl"), col("label"))
+    census
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_vecs", sum("nl").over(Window.partitionBy("cell")))
+      .filter(col("rk") === 1)
+      .select(col("cell"), col("n_vecs"), col("label").as("majority_label"),
+        col("nl").as("n_majority"),
+        Num.ratio(col("nl"), col("n_vecs"), 4).as("purity"))
+      .orderBy("cell")
+  }
+
   /** ROUGE-2 set recall between paired documents — the eval-harness
     * primitive behind summarization/overlap scoring: candidate doc i
     * is scored against reference doc i+250 as |distinct-2gram ∩| /

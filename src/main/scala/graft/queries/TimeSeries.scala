@@ -354,6 +354,67 @@ object TimeSeries {
         max("slope_micro").as("max_slope_micro"))
   }
 
+  /** Largest-Triangle-Three-Buckets downsampling of the global daily
+    * purchase series — the canonical dashboard decimator (keep the
+    * visually-significant extremes, drop the filler): first/last
+    * points pinned, interior width-3 rank buckets, each bucket keeps
+    * the point maximizing the triangle area against the PREVIOUS
+    * SELECTED point and the NEXT bucket's centroid. The sequential
+    * dependence is the interesting part at engine level: rather than a
+    * driver-side fold, the selection factors into (a) a TRANSITION
+    * TABLE — for every (bucket, possible-previous-point) pair the
+    * arg-max candidate, a plain windowless aggregate over ≤ 9 rows per
+    * bucket — and (b) a RECURSIVE-CTE pointer walk through it, the
+    * Viterbi decomposition of the fold. All area arithmetic is exact
+    * BIGINT (n-scaled centroids, |cross product|, rank-encoded
+    * tiebreak to the smallest index).
+    *
+    * Scale: the corpus collapses to the calendar-sized daily rollup
+    * first (the only pass over raw data); buckets, transitions, and
+    * the walk are all calendar-bounded. Both engines run the SAME
+    * statement modulo dialect. */
+  def tsLttbDownsample(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "events").createOrReplaceTempView("graft_ev_lttb")
+    s.sql("""
+      WITH RECURSIVE daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+        FROM graft_ev_lttb WHERE event_type = 'purchase' GROUP BY 1),
+      d AS (SELECT day, v, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+                   CAST(count(*) OVER () AS BIGINT) AS n
+            FROM daily),
+      pts AS (SELECT i, v, day, n,
+                CASE WHEN i = 1 THEN CAST(0 AS BIGINT)
+                     WHEN i = n THEN (n - 3) div 3 + 2
+                     ELSE (i - 2) div 3 + 1 END AS b
+              FROM d),
+      kmax AS (SELECT max(b) - 1 AS K FROM pts),
+      cent AS (SELECT b, CAST(sum(i) AS BIGINT) AS si, CAST(sum(v) AS BIGINT) AS sv,
+                      CAST(count(*) AS BIGINT) AS m
+               FROM pts GROUP BY b),
+      trans AS (
+        SELECT c.b AS k, p.i AS prev_i,
+               max_by(c.i,
+                 abs((c.i - p.i) * (nx.sv - nx.m * p.v) - (nx.si - nx.m * p.i) * (c.v - p.v))
+                   * 100000 + (100000 - c.i)) AS sel_i
+        FROM pts c
+        JOIN pts p ON p.b = c.b - 1
+        JOIN cent nx ON nx.b = c.b + 1
+        WHERE c.b >= 1 AND c.b <= (SELECT K FROM kmax)
+        GROUP BY c.b, p.i),
+      walk(k, sel_i) AS (
+        SELECT CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+        UNION ALL
+        SELECT t.k, t.sel_i FROM walk w JOIN trans t ON t.k = w.k + 1 AND t.prev_i = w.sel_i
+      )
+      SELECT CAST(w.k AS BIGINT) AS k, p.i, p.day, p.v
+      FROM walk w JOIN pts p ON p.i = w.sel_i
+      UNION ALL
+      SELECT CAST((SELECT max(b) FROM pts) AS BIGINT) AS k, i, day, v
+      FROM pts WHERE i = n
+      ORDER BY k""")
+  }
+
   /** Interval-concurrency sweep line — "how many orders were open at
     * once": each order is an interval [orderdate, last shipdate]
     * (inclusive), the sweep emits +1 at the start day and −1 the day

@@ -13,6 +13,20 @@ class Round3OpsSpec extends GraftSpec {
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  test("llm_cluster_purity: cells partition the corpus, majority law holds") {
+    val rows = LlmExtra.llmClusterPurity(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val nVecs = t(spark, sfDir, "embeddings").count()
+    assert(rows.map(_._2).sum == nVecs, "cells must partition the embedding corpus")
+    rows.foreach { case (cell, n, _, nMaj, purity) =>
+      assert(nMaj >= 1 && nMaj <= n, s"cell $cell majority mass out of range")
+      assert(purity > 0 && purity <= 1.0, s"cell $cell purity out of (0,1]")
+      // the majority is at least an equal share of the label count
+      assert(nMaj * 10 >= n, s"cell $cell majority below the 10-label floor")
+    }
+  }
+
   test("llm_rouge_recall: recall bounded, identical-pair sanity, micro-average replays") {
     val rows = LlmExtra.llmRougeRecall(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))

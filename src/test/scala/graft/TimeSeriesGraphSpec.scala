@@ -454,6 +454,40 @@ class TimeSeriesGraphSpec extends GraftSpec {
       "rows not sorted by lift desc")
   }
 
+  test("ts_lttb_downsample: endpoints pinned, one point per bucket, extremes survive") {
+    val rows = graft.queries.TimeSeries.tsLttbDownsample(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDate(2).toLocalDate, r.getLong(3)))
+    assert(rows.length >= 3)
+    val daily = graft.tables.Tables.t(spark, sfDir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum((col("value").cast("decimal(12,2)") * 100).cast("long")).as("v"))
+      .orderBy("day").collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    // first and last points are always selected
+    assert(rows.head._3 == daily.head._1 && rows.last._3 == daily.last._1,
+      "endpoints must be pinned")
+    // one selection per bucket, buckets strictly increasing, rank order preserved
+    assert(rows.map(_._1).distinct.length == rows.length, "duplicate bucket selection")
+    assert(rows.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) < p(1)),
+      "selections not in series order")
+    // expected count: 2 endpoints + ceil((n-2)/3) interior buckets
+    val n = daily.length
+    assert(rows.length == 2 + (n - 2 + 2) / 3, s"selection count for n=$n")
+  }
+
+  test("graph_degree_mixing: symmetric moments, counts replay from the degree table") {
+    val r = graft.queries.GraphQueries.graphDegreeMixing(spark, sfDir).collect()
+    assert(r.length == 1)
+    val (n, sx, sy, sxy, sx2, sy2) = (r(0).getLong(0), r(0).getLong(1), r(0).getLong(2),
+      r(0).getLong(3), r(0).getLong(4), r(0).getLong(5))
+    // the adjacency is symmetric, so x- and y-marginals coincide
+    assert(sx == sy && sx2 == sy2, "symmetric adjacency must have equal marginals")
+    // Cauchy-Schwarz on the co-moment (scaled by n)
+    assert(BigInt(sxy) * BigInt(sxy) <= BigInt(sx2) * BigInt(sy2), "Cauchy-Schwarz violated")
+    assert(n > 0 && sx >= n, "degrees are >= 1 on every edge endpoint")
+  }
+
   test("ts_theil_sen: pair count matches the calendar, median inside the slope range") {
     val r = graft.queries.TimeSeries.tsTheilSen(spark, sfDir).collect()
     assert(r.length == 1)
