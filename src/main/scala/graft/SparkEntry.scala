@@ -323,6 +323,8 @@ object SparkEntry {
     // robust trend + exact apportionment
     "ts_theil_sen" -> TimeSeries.tsTheilSen _,
     "agg_largest_remainder" -> Relational.aggLargestRemainder _,
+    // shard-manifest planning for dataloaders
+    "llm_shard_manifest" -> LlmExtra.llmShardManifest _,
     // LTTB decimation, IVF purity, degree-mixing moments
     "ts_lttb_downsample" -> TimeSeries.tsLttbDownsample _,
     "llm_cluster_purity" -> LlmExtra.llmClusterPurity _,

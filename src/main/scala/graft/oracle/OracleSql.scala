@@ -3642,6 +3642,23 @@ object OracleSql {
              max(slope_micro) AS max_slope_micro
       FROM c""",
 
+    // exclusive-prefix byte sum per source; a doc belongs to the shard
+    // its starting offset falls in (overfill-tolerant, both engines)
+    "llm_shard_manifest" -> """
+      WITH b AS (
+        SELECT source, doc_id, CAST(strlen(text) AS BIGINT) AS bytes
+        FROM documents),
+      c AS (
+        SELECT source, doc_id, bytes,
+               coalesce(sum(bytes) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        FROM b)
+      SELECT source, CAST(cum_before // 16384 AS BIGINT) AS shard,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(bytes) AS BIGINT) AS shard_bytes,
+             min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM c GROUP BY 1, 2 ORDER BY source, shard""",
+
     // same broadcast-argmax assignment mirror as llm_semdedup, then a
     // deterministic (count desc, label asc) majority per cell
     "llm_cluster_purity" -> s"""

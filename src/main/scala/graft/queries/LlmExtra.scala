@@ -1302,6 +1302,35 @@ object LlmExtra {
       .limit(50)
   }
 
+  /** Shard-manifest planning — the WebDataset/tar-shard layout step
+    * every training dataloader needs: within each source, docs are
+    * packed greedily in doc_id order into ~16 KiB shards (a doc
+    * belongs to the shard its STARTING byte offset falls in — the
+    * standard overfill-tolerant rule), and the manifest reports per
+    * shard the doc count, byte size, and id range. Exact byte
+    * arithmetic (octet length, BIGINT cumulative sums).
+    *
+    * Scale: ONE per-source ordered window (the exclusive-prefix byte
+    * sum) — keyed on source, so the sort is per-partition, never
+    * global — then a map-side-combined rollup to shard cardinality.
+    * At 100 TB the same plan holds with multi-GB targets; the window
+    * key is whatever the shard locality key is (source, lang,
+    * crawl). */
+  def llmShardManifest(s: SparkSession, dir: String): DataFrame = {
+    val target = 16384L
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t(s, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        octet_length(col("text")).cast("long").as("bytes"))
+      .withColumn("cum_before", coalesce(sum("bytes").over(w), lit(0L)))
+      .groupBy(col("source"),
+        call_function("div", col("cum_before"), lit(target)).as("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum("bytes").as("shard_bytes"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("source", "shard")
+  }
+
   /** Cluster purity — the unsupervised-quality readout for the IVF
     * quantizer the ANN family ships: every embedding assigned to its
     * nearest of the 16 coarse centroids (same broadcast-fdot argmax as

@@ -13,6 +13,31 @@ class Round3OpsSpec extends GraftSpec {
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  test("llm_shard_manifest: shards partition each source, byte conservation holds") {
+    val rows = LlmExtra.llmShardManifest(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val docs = t(spark, sfDir, "documents")
+    assert(rows.map(_._3).sum == docs.count(), "shards must partition the corpus")
+    assert(rows.map(_._4).sum ==
+      docs.agg(sum(octet_length(col("text")))).head.getLong(0), "byte conservation")
+    rows.groupBy(_._1).foreach { case (src, shards) =>
+      val sorted = shards.sortBy(_._2)
+      // shard ids dense from 0, id ranges non-overlapping and ordered
+      assert(sorted.map(_._2).zipWithIndex.forall { case (s0, i) => s0 == i },
+        s"$src shard ids not dense")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._6 < b._5, s"$src shard ranges overlap")
+        case _ =>
+      }
+      // every shard except possibly the last STARTS under the target
+      sorted.dropRight(1).foreach { case (_, sh, _, bytes, _, _) =>
+        assert(bytes > 0, s"$src shard $sh empty")
+      }
+    }
+  }
+
   test("llm_cluster_purity: cells partition the corpus, majority law holds") {
     val rows = LlmExtra.llmClusterPurity(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getDouble(4)))
