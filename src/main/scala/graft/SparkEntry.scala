@@ -323,6 +323,9 @@ object SparkEntry {
     // robust trend + exact apportionment
     "ts_theil_sen" -> TimeSeries.tsTheilSen _,
     "agg_largest_remainder" -> Relational.aggLargestRemainder _,
+    // rolling variance band + JSON corrupt-record quarantine
+    "ts_rolling_variance" -> TimeSeries.tsRollingVariance _,
+    "source_json_permissive" -> SourceQueries.sourceJsonPermissive _,
     // shard-manifest planning for dataloaders
     "llm_shard_manifest" -> LlmExtra.llmShardManifest _,
     // LTTB decimation, IVF purity, degree-mixing moments

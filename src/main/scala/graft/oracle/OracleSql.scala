@@ -3642,6 +3642,35 @@ object OracleSql {
              max(slope_micro) AS max_slope_micro
       FROM c""",
 
+    // n²-scaled integer variance numerator — associative BIGINT sums,
+    // full trailing windows only
+    "ts_rolling_variance" -> """
+      WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      w AS (
+        SELECT day, cents,
+               count(*) OVER w7 AS n7,
+               CAST(sum(cents) OVER w7 AS BIGINT) AS sum7,
+               CAST(sum(cents * cents) OVER w7 AS BIGINT) AS sumsq7
+        FROM daily
+        WINDOW w7 AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+      SELECT day, cents, sum7 // 7 AS mean7_cents,
+             7 * sumsq7 - sum7 * sum7 AS var7_num
+      FROM w WHERE n7 = 7 ORDER BY day""",
+
+    // expectation recomputed from the construction rule: every 10th
+    // order key is staged as a truncated JSON object
+    "source_json_permissive" -> """
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count_if(o_orderkey % 10 = 0) AS BIGINT) AS n_corrupt,
+             CAST(count_if(o_orderkey % 10 <> 0) AS BIGINT) AS n_good,
+             CAST(sum(CASE WHEN o_orderkey % 10 <> 0
+                      THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) END) AS BIGINT) AS good_cents,
+             max(CASE WHEN o_orderkey % 10 <> 0 THEN o_orderkey END) AS max_good_key
+      FROM orders WHERE o_orderkey < 4000""",
+
     // exclusive-prefix byte sum per source; a doc belongs to the shard
     // its starting offset falls in (overfill-tolerant, both engines)
     "llm_shard_manifest" -> """

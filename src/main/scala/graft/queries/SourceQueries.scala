@@ -212,6 +212,36 @@ object SourceQueries {
         max(when(col("_corrupt_record").isNull, col("c_custkey"))).as("max_good_key"))
   }
 
+  /** JSON-lines twin of the CSV quarantine: 10% of the staged lines are
+    * truncated mid-object (the classic upstream-writer-crashed corpus
+    * wound), read back PERMISSIVE with `_corrupt_record`. One JSON
+    * subtlety the CSV path doesn't have: PERMISSIVE may retain fields
+    * parsed BEFORE the failure point on a corrupt row, so every good-row
+    * statistic filters on `_corrupt_record IS NULL`, never on a field
+    * being non-null. Oracle recomputes the expectation arithmetically
+    * from the same construction rule. */
+  def sourceJsonPermissive(s: SparkSession, dir: String): DataFrame = {
+    val path = s"$scratch/orders_corrupt_json"
+    t(s, dir, "orders").filter(col("o_orderkey") < 4000)
+      .select(
+        when(pmod(col("o_orderkey"), lit(10L)) === 0, lit("{\"o_orderkey\":"))
+          .otherwise(to_json(struct(col("o_orderkey"), col("o_orderstatus"),
+            (Num.money(col("o_totalprice")) * 100).cast("long").as("cents"))))
+          .as("value"))
+      .write.mode("overwrite").text(path)
+    val schema = "o_orderkey LONG, o_orderstatus STRING, cents LONG, _corrupt_record STRING"
+    s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("_corrupt_record")).as("n_corrupt"),
+        count(when(col("_corrupt_record").isNull, 1)).as("n_good"),
+        sum(when(col("_corrupt_record").isNull, col("cents"))).as("good_cents"),
+        max(when(col("_corrupt_record").isNull, col("o_orderkey"))).as("max_good_key"))
+  }
+
   /** PARALLEL + PUSHED-DOWN JDBC read: an orders slice is staged into
     * embedded Derby once, then read back through the JDBC source with
     * (a) `partitionColumn/numPartitions` — Spark issues 4 concurrent

@@ -320,6 +320,35 @@ object TimeSeries {
       .orderBy("k")
   }
 
+  /** Trailing 7-day rolling variance of the global daily series — the
+    * volatility band every Bollinger-style monitor draws, held in
+    * EXACT integers: the n²-scaled variance numerator 7·Σx² − (Σx)²
+    * (true variance × 49; associative BIGINT sums, no mean
+    * subtraction, no float). Full windows only. BIGINT headroom: daily
+    * cents ≈ 3.6·10⁸ at sf10 → 7·Σx² ≈ 6·10¹⁸, inside the 9.2·10¹⁸
+    * BIGINT cap; the next decade moves the power sums to DECIMAL(38),
+    * shape unchanged.
+    *
+    * Scale: corpus → calendar-sized daily rollup map-side, then one
+    * ordered window over the day axis (same bounded-window
+    * justification as `ts_seasonal_decompose`). */
+  def tsRollingVariance(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum((Num.money(col("value")) * 100).cast("long")).as("cents"))
+    val w7 = Window.orderBy("day").rowsBetween(-6, 0)
+    daily
+      .withColumn("n7", count(lit(1)).over(w7))
+      .withColumn("sum7", sum("cents").over(w7))
+      .withColumn("sumsq7", sum(col("cents") * col("cents")).over(w7))
+      .filter(col("n7") === 7)
+      .select(col("day"), col("cents"),
+        call_function("div", col("sum7"), lit(7L)).as("mean7_cents"),
+        (lit(7L) * col("sumsq7") - col("sum7") * col("sum7")).as("var7_num"))
+      .orderBy("day")
+  }
+
   /** Theil–Sen robust trend — the median of all pairwise slopes of the
     * global daily purchase series (the estimator that shrugs off the
     * outlier days that wreck least-squares): slopes in micro-cents/day

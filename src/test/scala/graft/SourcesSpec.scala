@@ -129,6 +129,17 @@ class SourcesSpec extends GraftSpec {
     assert(totalBytes == expected.getLong(1), "byte total must match parquet truth")
   }
 
+  test("json permissive quarantine: nothing lost, corrupt rows exactly the planted 10%") {
+    val r = graft.queries.SourceQueries.sourceJsonPermissive(spark, sfDir).collect()
+    assert(r.length == 1)
+    val (nRows, nCorrupt, nGood) = (r(0).getLong(0), r(0).getLong(1), r(0).getLong(2))
+    val base = graft.tables.Tables.t(spark, sfDir, "orders").filter(col("o_orderkey") < 4000)
+    assert(nRows == base.count(), "quarantine must keep every staged line")
+    assert(nCorrupt == base.filter(col("o_orderkey") % 10 === 0).count(),
+      "corrupt count must equal the planted lines")
+    assert(nGood + nCorrupt == nRows, "good + corrupt must cover the file")
+  }
+
   test("schema-merge read presents the union schema with generation-true nulls") {
     val rows = graft.queries.SourceQueries.sourceSchemaMerge(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))

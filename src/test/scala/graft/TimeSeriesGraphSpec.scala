@@ -454,6 +454,29 @@ class TimeSeriesGraphSpec extends GraftSpec {
       "rows not sorted by lift desc")
   }
 
+  test("ts_rolling_variance: nonnegative numerator, zero iff constant window, mean bounds") {
+    val rows = graft.queries.TimeSeries.tsRollingVariance(spark, sfDir).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (day, _, mean, varNum) =>
+      assert(varNum >= 0, s"$day negative variance numerator")
+      assert(mean >= 0, s"$day negative mean")
+    }
+    // replay one window exactly from the daily series
+    import org.apache.spark.sql.functions._
+    val daily = graft.tables.Tables.t(spark, sfDir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum((col("value").cast("decimal(12,2)") * 100).cast("long")).as("c"))
+      .orderBy("day").collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val mid = rows(rows.length / 2)
+    val win = daily.filter(d => !d._1.isAfter(mid._1)).takeRight(7).map(_._2)
+    assert(win.length == 7)
+    assert(mid._4 == 7L * win.map(x => x * x).sum - win.sum * win.sum,
+      s"${mid._1} variance numerator replay")
+    assert(mid._3 == win.sum / 7, s"${mid._1} mean replay")
+  }
+
   test("ts_lttb_downsample: endpoints pinned, one point per bucket, extremes survive") {
     val rows = graft.queries.TimeSeries.tsLttbDownsample(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDate(2).toLocalDate, r.getLong(3)))
