@@ -323,6 +323,9 @@ object SparkEntry {
     // robust trend + exact apportionment
     "ts_theil_sen" -> TimeSeries.tsTheilSen _,
     "agg_largest_remainder" -> Relational.aggLargestRemainder _,
+    // LPA quality score + seasonal-strength diagnostic
+    "graph_modularity" -> GraphQueries.graphModularity _,
+    "ts_seasonal_strength" -> TimeSeries.tsSeasonalStrength _,
     // rolling variance band + JSON corrupt-record quarantine
     "ts_rolling_variance" -> TimeSeries.tsRollingVariance _,
     "source_json_permissive" -> SourceQueries.sourceJsonPermissive _,

@@ -3642,6 +3642,83 @@ object OracleSql {
              max(slope_micro) AS max_slope_micro
       FROM c""",
 
+    // same LPA 3-round chain as graph_label_propagation, extended with
+    // the per-community in-edge/degree censuses; signed half-up ratio
+    "graph_modularity" -> s"""
+      WITH docs AS (SELECT doc_id, source, lang, n_chars FROM documents WHERE doc_id < 1200),
+      blocks AS (
+        SELECT doc_id AS u, concat_ws('|', 's', source, CAST(n_chars // 100 AS VARCHAR)) AS bk FROM docs
+        UNION ALL
+        SELECT doc_id AS u, concat_ws('|', 'l', lang, CAST(n_chars // 50 AS VARCHAR)) AS bk FROM docs),
+      edges AS (
+        SELECT DISTINCT a.u AS u, b.u AS v
+        FROM blocks a JOIN blocks b USING (bk) WHERE a.u < b.u),
+      adj AS (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+      l0 AS (SELECT DISTINCT u AS node, u AS label FROM adj),
+      n1 AS (SELECT a.u AS node, l.label, count(*) AS c
+             FROM adj a JOIN l0 l ON a.v = l.node GROUP BY 1, 2),
+      l1 AS (SELECT node, label FROM (
+               SELECT node, label, row_number() OVER (PARTITION BY node
+                 ORDER BY c DESC, label) AS rn FROM n1) WHERE rn = 1),
+      n2 AS (SELECT a.u AS node, l.label, count(*) AS c
+             FROM adj a JOIN l1 l ON a.v = l.node GROUP BY 1, 2),
+      l2 AS (SELECT node, label FROM (
+               SELECT node, label, row_number() OVER (PARTITION BY node
+                 ORDER BY c DESC, label) AS rn FROM n2) WHERE rn = 1),
+      n3 AS (SELECT a.u AS node, l.label, count(*) AS c
+             FROM adj a JOIN l2 l ON a.v = l.node GROUP BY 1, 2),
+      l3 AS (SELECT node, label FROM (
+               SELECT node, label, row_number() OVER (PARTITION BY node
+                 ORDER BY c DESC, label) AS rn FROM n3) WHERE rn = 1),
+      wl AS (SELECT a.u, a.v, lu.label AS lu, lv.label AS lv
+             FROM adj a JOIN l3 lu ON a.u = lu.node JOIN l3 lv ON a.v = lv.node),
+      twom AS (SELECT CAST(count(*) AS BIGINT) AS twom FROM wl),
+      inc AS (SELECT lu AS community, CAST(count(*) AS BIGINT) AS in_edges
+              FROM wl WHERE lu = lv GROUP BY 1),
+      degc AS (SELECT lu AS community, CAST(count(*) AS BIGINT) AS deg_sum FROM wl GROUP BY 1),
+      nodc AS (SELECT label AS community, CAST(count(*) AS BIGINT) AS n_nodes FROM l3 GROUP BY 1)
+      SELECT n.community, n.n_nodes, coalesce(i.in_edges, 0) AS in_edges, d.deg_sum,
+             (CASE WHEN t.twom * coalesce(i.in_edges, 0) - d.deg_sum * d.deg_sum < 0
+                   THEN -1.0 ELSE 1.0 END) *
+               ${N.ratio("abs(t.twom * coalesce(i.in_edges, 0) - d.deg_sum * d.deg_sum)",
+                 "t.twom * t.twom", 6)} AS q_contrib
+      FROM nodc n JOIN degc d USING (community)
+      LEFT JOIN inc i USING (community) CROSS JOIN twom t
+      ORDER BY n.community""",
+
+    // decompose chain re-derived, then exact n-scaled variance
+    // numerators in HUGEINT; only the final ratio is float (round 6)
+    "ts_seasonal_strength" -> """
+      WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      t AS (
+        SELECT day, cents,
+               CASE WHEN count(*) OVER w = 7
+                    THEN sum(cents) OVER w // 7 END AS trend_cents,
+               CAST(date_part('isodow', day) - 1 AS INT) AS wd
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      d AS (SELECT *, cents - trend_cents AS detrended FROM t),
+      sea AS (
+        SELECT wd, CAST(sum(detrended) // count(*) AS BIGINT) AS seasonal_cents
+        FROM d WHERE detrended IS NOT NULL GROUP BY 1),
+      comp AS (
+        SELECT d.detrended AS detr, d.detrended - sea.seasonal_cents AS res
+        FROM d LEFT JOIN sea USING (wd) WHERE d.trend_cents IS NOT NULL),
+      v AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_days,
+               count(*)::HUGEINT * sum(detr::HUGEINT * detr::HUGEINT)
+                 - sum(detr::HUGEINT) * sum(detr::HUGEINT) AS vd,
+               count(*)::HUGEINT * sum(res::HUGEINT * res::HUGEINT)
+                 - sum(res::HUGEINT) * sum(res::HUGEINT) AS vr
+        FROM comp)
+      SELECT n_days,
+             round(CAST(vr AS DOUBLE) / CAST(vd AS DOUBLE), 6) AS var_ratio,
+             round(1.0 - CAST(vr AS DOUBLE) / CAST(vd AS DOUBLE), 6) AS strength
+      FROM v""",
+
     // n²-scaled integer variance numerator — associative BIGINT sums,
     // full trailing windows only
     "ts_rolling_variance" -> """

@@ -275,6 +275,46 @@ object GraphQueries {
       .limit(50)
   }
 
+  /** Modularity of the LPA communities — the quality score for
+    * `graph_label_propagation`'s output, in EXACT integers: per
+    * community c, the directed within-edges in_c and degree mass d_c,
+    * and the modularity contribution (2m·in_c − d_c²)/(2m)² as a
+    * signed half-up ratio (sign split out, `ts_autocorrelation`
+    * style). Σ contributions = Newman's Q; communities worse than the
+    * random-graph null show negative rows — the readout that tells
+    * you whether 3 LPA rounds actually found structure.
+    *
+    * Scale: two label-attach equi-joins over the adjacency (node-
+    * keyed), map-combined censuses to |communities| rows, and the
+    * single-row 2m total via broadcast — nothing beyond the LPA
+    * rounds themselves. */
+  def graphModularity(s: SparkSession, dir: String): DataFrame = {
+    val e = simEdges(s, dir)
+    val adj = e.union(e.select(col("v").as("u"), col("u").as("v"))).persist()
+    val lab = graphLabelPropagation(s, dir).select(col("node"), col("label"))
+    val withLabels = adj
+      .join(lab.select(col("node").as("u"), col("label").as("lu")), "u")
+      .join(lab.select(col("node").as("v"), col("label").as("lv")), "v")
+      .persist()
+    val twoM = withLabels.agg(count(lit(1)).as("twom"))
+    val inC = withLabels.filter(col("lu") === col("lv"))
+      .groupBy(col("lu").as("community")).agg(count(lit(1)).as("in_edges"))
+    val degC = withLabels.groupBy(col("lu").as("community"))
+      .agg(count(lit(1)).as("deg_sum"))
+    val nodesC = lab.groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_nodes"))
+    val num = col("twom") * col("in_edges") - col("deg_sum") * col("deg_sum")
+    nodesC
+      .join(degC, "community")
+      .join(inC, Seq("community"), "left")
+      .na.fill(0L, Seq("in_edges"))
+      .crossJoin(broadcast(twoM))
+      .select(col("community"), col("n_nodes"), col("in_edges"), col("deg_sum"),
+        (when(num < 0, -1.0).otherwise(1.0) *
+          Num.ratio(abs(num), col("twom") * col("twom"), 6)).as("q_contrib"))
+      .orderBy("community")
+  }
+
   /** Degree-mixing co-moments — the assortativity readout as EXACT
     * integers: over every directed edge of the similarity graph, the
     * endpoint-degree co-moment table (n, Σx, Σy, Σxy, Σx², Σy² with

@@ -320,6 +320,33 @@ object TimeSeries {
       .orderBy("k")
   }
 
+  /** Seasonal-strength diagnostic — "did the weekly profile explain
+    * anything": 1 − Var(residual)/Var(detrended) over
+    * `ts_seasonal_decompose`'s own components (built by calling it —
+    * one definition, two readouts). Variances are the n-scaled integer
+    * numerators n·Σx² − (Σx)² held in DECIMAL(38,0) (Σx² over a
+    * multi-year calendar overflows BIGINT at sf10 daily magnitudes);
+    * the two final 6-decimal doubles follow the census family's
+    * round-after-exact convention. Strength ≈ 1 → strong weekly
+    * seasonality; ≤ 0 → the profile explained nothing.
+    *
+    * Scale: everything after the decompose's daily rollup is
+    * calendar-sized; this adds one aggregate over that frame. */
+  def tsSeasonalStrength(s: SparkSession, dir: String): DataFrame = {
+    val d = tsSeasonalDecompose(s, dir)
+      .filter(col("trend_cents").isNotNull)
+      .select((col("cents") - col("trend_cents")).as("detr"), col("residual_cents").as("res"))
+    def varNum(c: Column) = {
+      val x2 = (c.cast("decimal(38,0)") * c.cast("decimal(38,0)"))
+      count(lit(1)) * sum(x2) - (sum(c.cast("decimal(38,0)")) * sum(c.cast("decimal(38,0)")))
+    }
+    d.agg(count(lit(1)).as("n_days"),
+        varNum(col("detr")).as("vd"), varNum(col("res")).as("vr"))
+      .select(col("n_days"),
+        round(col("vr").cast("double") / col("vd").cast("double"), 6).as("var_ratio"),
+        round(lit(1.0) - col("vr").cast("double") / col("vd").cast("double"), 6).as("strength"))
+  }
+
   /** Trailing 7-day rolling variance of the global daily series — the
     * volatility band every Bollinger-style monitor draws, held in
     * EXACT integers: the n²-scaled variance numerator 7·Σx² − (Σx)²

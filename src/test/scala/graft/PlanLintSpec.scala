@@ -33,7 +33,8 @@ class PlanLintSpec extends GraftSpec {
     "event_top_paths", // single-row user population via broadcast cross join (round 8)
     "llm_pmi_collocations", // single-row bigram total via broadcast cross join (round 8)
     "ts_theil_sen", // calendar-bounded pairwise-slope theta self-join (round 8)
-    "llm_cluster_purity") // centroid-assignment crossJoin — 16 broadcast centroids (round 8)
+    "llm_cluster_purity", // centroid-assignment crossJoin — 16 broadcast centroids (round 8)
+    "graph_modularity") // single-row 2m total via broadcast cross join (round 8)
 
   test("no query plans an unexpected cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

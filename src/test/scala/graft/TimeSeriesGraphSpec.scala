@@ -499,6 +499,33 @@ class TimeSeriesGraphSpec extends GraftSpec {
     assert(rows.length == 2 + (n - 2 + 2) / 3, s"selection count for n=$n")
   }
 
+  test("graph_modularity: contributions bounded, censuses conserve the adjacency") {
+    val rows = graft.queries.GraphQueries.graphModularity(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val q = rows.map(_._5).sum
+    assert(q > -1.0 - 1e-6 && q < 1.0 + 1e-6, s"total modularity $q outside (-1, 1)")
+    // degree masses sum to 2m = total directed edges; in-edges never exceed degree mass
+    val twoM = rows.map(_._4).sum
+    rows.foreach { case (c, n, in, d, _) =>
+      assert(in <= d, s"community $c in-edges exceed degree mass")
+      assert(n >= 1, s"community $c empty")
+    }
+    assert(twoM % 2 == 0, "directed edge count must be even (symmetric adjacency)")
+  }
+
+  test("ts_seasonal_strength: ratio and strength are complements, both finite") {
+    val r = graft.queries.TimeSeries.tsSeasonalStrength(spark, sfDir).collect()
+    assert(r.length == 1)
+    val (n, ratio, strength) = (r(0).getLong(0), r(0).getDouble(1), r(0).getDouble(2))
+    assert(n > 0)
+    assert(ratio >= 0, "variance ratio negative")
+    assert(math.abs((1.0 - ratio) - strength) <= 2e-6, "ratio/strength not complements")
+    // a pure-noise weekly profile cannot INCREASE residual variance beyond
+    // a rounding hair over the detrended variance plus the removed seasonal
+    assert(ratio < 2.0, s"residual variance ratio $ratio implausible")
+  }
+
   test("graph_degree_mixing: symmetric moments, counts replay from the degree table") {
     val r = graft.queries.GraphQueries.graphDegreeMixing(spark, sfDir).collect()
     assert(r.length == 1)
