@@ -323,6 +323,10 @@ object SparkEntry {
     // robust trend + exact apportionment
     "ts_theil_sen" -> TimeSeries.tsTheilSen _,
     "agg_largest_remainder" -> Relational.aggLargestRemainder _,
+    // hard-negative mining, max drawdown, key-gap audit
+    "llm_hard_negatives" -> LlmExtra.llmHardNegatives _,
+    "ts_max_drawdown" -> TimeSeries.tsMaxDrawdown _,
+    "dq_sequence_gaps" -> Quality.dqSequenceGaps _,
     // LPA quality score + seasonal-strength diagnostic
     "graph_modularity" -> GraphQueries.graphModularity _,
     "ts_seasonal_strength" -> TimeSeries.tsSeasonalStrength _,

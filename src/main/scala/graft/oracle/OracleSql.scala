@@ -3642,6 +3642,66 @@ object OracleSql {
              max(slope_micro) AS max_slope_micro
       FROM c""",
 
+    // same bounded-probe mirror as llm_sim_cosine_topk plus the
+    // different-label filter and negative-label join
+    "llm_hard_negatives" -> """
+      WITH n AS (
+        SELECT vec_id, embedding, label,
+               sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                     FROM unnest(embedding) AS u(x))) AS nrm
+        FROM embeddings),
+      p AS (SELECT vec_id AS pid, embedding AS pe, nrm AS pnorm, label AS probe_label
+            FROM n WHERE vec_id < 10),
+      pairs AS (
+        SELECT p.pid, p.probe_label, c.vec_id AS nid, c.label AS neg_label,
+               round((SELECT sum(a * b) FROM (
+                        SELECT CAST(unnest(p.pe) AS DOUBLE) AS a,
+                               CAST(unnest(c.embedding) AS DOUBLE) AS b))
+                     / (p.pnorm * c.nrm), 4) AS cos
+        FROM p CROSS JOIN n c
+        WHERE c.vec_id <> p.pid AND c.label <> p.probe_label)
+      SELECT pid, probe_label, rnk, nid, neg_label, cos FROM (
+        SELECT pid, probe_label, nid, neg_label, cos,
+               row_number() OVER (PARTITION BY pid ORDER BY cos DESC, nid) AS rnk
+        FROM pairs)
+      WHERE rnk <= 5 ORDER BY pid, rnk""",
+
+    // running max + rank-encoded earliest-trough arg-max; exact cents
+    "ts_max_drawdown" -> s"""
+      WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      d AS (
+        SELECT day, cents,
+               CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn,
+               CAST(max(cents) OVER (ORDER BY day) AS BIGINT) AS peak
+        FROM daily),
+      x AS (SELECT day, rn, peak, peak - cents AS dd FROM d),
+      a AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_days,
+               max(dd) AS max_dd_cents,
+               arg_max(day, dd * 100000 + (100000 - rn)) AS trough_day,
+               arg_max(peak, dd * 100000 + (100000 - rn)) AS peak_cents
+        FROM x)
+      SELECT n_days, max_dd_cents, trough_day, peak_cents,
+             ${N.ratio("max_dd_cents", "peak_cents", 4)} AS dd_ratio
+      FROM a""",
+
+    // the oracle uses the simple global-lag form; the engine's
+    // two-level bucketed form must agree on every adjacent pair
+    "dq_sequence_gaps" -> """
+      WITH k AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+      d AS (SELECT k, lag(k) OVER (ORDER BY k) AS p FROM k),
+      g AS (
+        SELECT CAST(count_if(k - p > 1) AS BIGINT) AS n_gaps,
+               CAST(coalesce(max(CASE WHEN k - p > 1 THEN k - p - 1 END), 0) AS BIGINT) AS max_gap_len,
+               CAST(coalesce(sum(CASE WHEN k - p > 1 THEN k - p - 1 END), 0) AS BIGINT) AS missing_total
+        FROM d WHERE p IS NOT NULL),
+      t AS (SELECT CAST(count(*) AS BIGINT) AS n_keys, min(k) AS key_min, max(k) AS key_max FROM k)
+      SELECT t.n_keys, t.key_min, t.key_max, g.n_gaps, g.missing_total, g.max_gap_len
+      FROM t CROSS JOIN g""",
+
     // same LPA 3-round chain as graph_label_propagation, extended with
     // the per-community in-edge/degree censuses; signed half-up ratio
     "graph_modularity" -> s"""

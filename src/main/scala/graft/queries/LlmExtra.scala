@@ -1302,6 +1302,43 @@ object LlmExtra {
       .limit(50)
   }
 
+  /** Hard-negative mining — the contrastive-training curation step
+    * (the best negatives are the most-similar items of a DIFFERENT
+    * class): for each of 10 probe vectors, the top-5 cosine neighbors
+    * whose ground-truth label differs, via the same bounded-probe
+    * broadcast + bounded-heap TopK aggregate as `llm_sim_cosine_topk`
+    * (each partition reduces to ≤5 rows per probe pre-shuffle — no
+    * global sort). Negative labels re-attach through one id-keyed
+    * equi-join on the tiny result.
+    *
+    * Scale: linear per probe; the production fan-out swaps the
+    * brute-force scan for the LSH/IVF candidate paths, filter and
+    * heap unchanged. */
+  def llmHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    graft.udx.NGrams.registerAll(s)
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").as("v"), col("label"))
+      .withColumn("nrm", graft.llm.Vectors.fnorm(col("v")))
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("pid"), col("v").as("pv"),
+        col("nrm").as("pnorm"), col("label").as("probe_label"))
+    val pairs = emb.crossJoin(broadcast(probes))
+      .filter(col("pid") =!= col("vec_id") && col("label") =!= col("probe_label"))
+      .select(col("pid"), col("probe_label"), col("vec_id").as("nid"),
+        round(graft.llm.Vectors.cosineWithNorms(
+          graft.llm.Vectors.fdot(col("pv"), col("v")), col("pnorm"), col("nrm")), 4).as("cos"))
+    pairs.groupBy("pid")
+      .agg(graft.udx.TopKAggregator.topk(5)(col("cos"), col("nid")).as("tk"),
+        first(col("probe_label")).as("probe_label"))
+      .select(col("pid"), col("probe_label"), posexplode(col("tk.items")))
+      .select(col("pid"), col("probe_label"), col("col._2").as("nid"),
+        col("col._1").as("cos"), (col("pos") + 1).cast("long").as("rnk"))
+      .join(emb.select(col("vec_id").as("nid"), col("label").as("neg_label")), "nid")
+      .select(col("pid"), col("probe_label"), col("rnk"), col("nid"),
+        col("neg_label"), col("cos"))
+      .orderBy("pid", "rnk")
+  }
+
   /** Shard-manifest planning — the WebDataset/tar-shard layout step
     * every training dataloader needs: within each source, docs are
     * packed greedily in doc_id order into ~16 KiB shards (a doc

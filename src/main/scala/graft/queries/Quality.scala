@@ -487,6 +487,47 @@ object Quality {
       .orderBy("event_type")
   }
 
+  /** Surrogate-key gap audit — "is the id sequence really dense":
+    * gap count, worst gap, and missing total over the distinct order
+    * keys. The SCALE point is the two-level shape: adjacent-key gaps
+    * are found with a window partitioned by key-BUCKET (k div 1024 —
+    * bounded partitions, never a global sort), and the bucket-boundary
+    * pairs are covered by a second window over the TINY bucket-summary
+    * frame; together they see every adjacent pair, so the result is
+    * identical to the oracle's simple global-lag form. Zero gaps on
+    * healthy synthetic keys is the expected answer — the audit exists
+    * for the day an ingest drops a batch.
+    *
+    * The three single-row combine joins are broadcast cross joins
+    * (whitelisted class). */
+  def dqSequenceGaps(s: SparkSession, dir: String): DataFrame = {
+    val keys = t(s, dir, "orders").select(col("o_orderkey").as("k")).distinct()
+      .withColumn("b", call_function("div", col("k"), lit(1024L)))
+      .persist()
+    val gapLen = col("k") - col("prev") - 1
+    val wIn = Window.partitionBy("b").orderBy("k")
+    val inner = keys.withColumn("prev", lag("k", 1).over(wIn))
+      .filter(col("prev").isNotNull && gapLen > 0)
+      .agg(count(lit(1)).as("g_in"),
+        coalesce(max(gapLen), lit(0L)).as("mx_in"),
+        coalesce(sum(gapLen), lit(0L)).as("miss_in"))
+    val bsum = keys.groupBy("b").agg(min("k").as("bmin"), max("k").as("bmax"))
+    val wB = Window.orderBy("b")
+    val crossGap = col("bmin") - col("prev") - 1
+    val boundary = bsum.withColumn("prev", lag("bmax", 1).over(wB))
+      .filter(col("prev").isNotNull && crossGap > 0)
+      .agg(count(lit(1)).as("g_x"),
+        coalesce(max(crossGap), lit(0L)).as("mx_x"),
+        coalesce(sum(crossGap), lit(0L)).as("miss_x"))
+    val tot = keys.agg(count(lit(1)).as("n_keys"),
+      min("k").as("key_min"), max("k").as("key_max"))
+    tot.crossJoin(broadcast(inner)).crossJoin(broadcast(boundary))
+      .select(col("n_keys"), col("key_min"), col("key_max"),
+        (col("g_in") + col("g_x")).as("n_gaps"),
+        (col("miss_in") + col("miss_x")).as("missing_total"),
+        greatest(col("mx_in"), col("mx_x")).as("max_gap_len"))
+  }
+
   /** Robust outlier screen — Tukey's IQR fences next to
     * `dq_anomaly_zscore`'s parametric screen (the z-score breaks under
     * the heavy tails it is supposed to flag; quartiles don't): per

@@ -320,6 +320,37 @@ object TimeSeries {
       .orderBy("k")
   }
 
+  /** Maximum drawdown of the global daily series — the worst
+    * peak-to-trough slide, the risk statistic every monitoring
+    * dashboard tracks next to the trend: running peak via an ordered
+    * running-max window, drawdown = peak − value, and the maximum
+    * localized to its EARLIEST day by the rank-encoded arg-max
+    * (dd·10⁵ + (10⁵ − rn) — same deterministic-tiebreak encode as
+    * `ts_lttb_downsample`). Exact integer cents end-to-end; the
+    * drawdown ratio is the half-up 4-decimal ratio against the peak.
+    *
+    * Scale: corpus → calendar-sized daily rollup map-side; the
+    * running-max and rank windows run over the day axis (bounded-
+    * window justification as the rest of the global-series family). */
+  def tsMaxDrawdown(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum((Num.money(col("value")) * 100).cast("long")).as("cents"))
+    val ord = Window.orderBy("day")
+    val dd = daily
+      .withColumn("rn", row_number().over(ord).cast("long"))
+      .withColumn("peak", max("cents").over(ord))
+      .withColumn("dd", col("peak") - col("cents"))
+    dd.agg(
+        count(lit(1)).as("n_days"),
+        max("dd").as("max_dd_cents"),
+        max_by(col("day"), col("dd") * 100000L + (lit(100000L) - col("rn"))).as("trough_day"),
+        max_by(col("peak"), col("dd") * 100000L + (lit(100000L) - col("rn"))).as("peak_cents"))
+      .select(col("n_days"), col("max_dd_cents"), col("trough_day"), col("peak_cents"),
+        Num.ratio(col("max_dd_cents"), col("peak_cents"), 4).as("dd_ratio"))
+  }
+
   /** Seasonal-strength diagnostic — "did the weekly profile explain
     * anything": 1 − Var(residual)/Var(detrended) over
     * `ts_seasonal_decompose`'s own components (built by calling it —

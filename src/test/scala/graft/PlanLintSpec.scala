@@ -34,7 +34,9 @@ class PlanLintSpec extends GraftSpec {
     "llm_pmi_collocations", // single-row bigram total via broadcast cross join (round 8)
     "ts_theil_sen", // calendar-bounded pairwise-slope theta self-join (round 8)
     "llm_cluster_purity", // centroid-assignment crossJoin — 16 broadcast centroids (round 8)
-    "graph_modularity") // single-row 2m total via broadcast cross join (round 8)
+    "graph_modularity", // single-row 2m total via broadcast cross join (round 8)
+    "llm_hard_negatives", // bounded-probe broadcast crossJoin, as llm_sim_cosine_topk (round 8)
+    "dq_sequence_gaps") // three single-row gap/total frames combined via broadcast cross joins (round 8)
 
   test("no query plans an unexpected cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

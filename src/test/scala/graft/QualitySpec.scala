@@ -215,6 +215,19 @@ class QualitySpec extends GraftSpec {
     assert(rows.map(_._2).sum == ev.count() - ev.select("user_id").distinct().count())
   }
 
+  test("dq_sequence_gaps: gap algebra conserves (missing = range - keys)") {
+    val r = Quality.dqSequenceGaps(spark, sfDir).collect()
+    assert(r.length == 1)
+    val (nKeys, kMin, kMax, nGaps, missing, maxGap) =
+      (r(0).getLong(0), r(0).getLong(1), r(0).getLong(2),
+        r(0).getLong(3), r(0).getLong(4), r(0).getLong(5))
+    // the two-level decomposition must reproduce the closed-form total
+    assert(missing == (kMax - kMin + 1) - nKeys, "missing != range - keys")
+    assert(maxGap <= missing, "max gap exceeds missing total")
+    assert((nGaps == 0) == (missing == 0), "gap count and missing total disagree on zero")
+    if (nGaps > 0) assert(maxGap >= 1 && missing >= nGaps, "gap bounds")
+  }
+
   test("dq_outlier_iqr: fences ordered, outliers bounded, totals conserve") {
     val rows = Quality.dqOutlierIqr(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),

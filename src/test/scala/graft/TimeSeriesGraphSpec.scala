@@ -499,6 +499,49 @@ class TimeSeriesGraphSpec extends GraftSpec {
     assert(rows.length == 2 + (n - 2 + 2) / 3, s"selection count for n=$n")
   }
 
+  test("ts_max_drawdown: drawdown replays from the brute-force running max") {
+    val r = graft.queries.TimeSeries.tsMaxDrawdown(spark, sfDir).collect()
+    assert(r.length == 1)
+    val (nDays, maxDd, troughDay, peakAt) =
+      (r(0).getLong(0), r(0).getLong(1), r(0).getDate(2).toLocalDate, r(0).getLong(3))
+    import org.apache.spark.sql.functions._
+    val daily = graft.tables.Tables.t(spark, sfDir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum((col("value").cast("decimal(12,2)") * 100).cast("long")).as("c"))
+      .orderBy("day").collect().map(x => (x.getDate(0).toLocalDate, x.getLong(1)))
+    assert(nDays == daily.length)
+    var peak = Long.MinValue; var best = 0L; var bestDay = daily.head._1; var bestPeak = 0L
+    daily.foreach { case (day, c) =>
+      peak = math.max(peak, c)
+      val dd = peak - c
+      if (dd > best) { best = dd; bestDay = day; bestPeak = peak }
+    }
+    assert(maxDd == best, "max drawdown replay")
+    if (best > 0) {
+      assert(troughDay == bestDay, "earliest-trough day replay")
+      assert(peakAt == bestPeak, "peak at trough replay")
+    }
+  }
+
+  test("llm_hard_negatives: labels always differ, scores descend, k bounded") {
+    val rows = graft.queries.LlmExtra.llmHardNegatives(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (pid, pl, rnk, nid, nl, cos) =>
+      assert(pl != nl, s"probe $pid: negative $nid shares the label")
+      assert(nid != pid, s"probe $pid returned itself")
+      assert(rnk >= 1 && rnk <= 5, s"probe $pid rank $rnk")
+      assert(cos >= -1.0001 && cos <= 1.0001, s"probe $pid cosine $cos")
+    }
+    rows.groupBy(_._1).foreach { case (pid, g) =>
+      val byRank = g.sortBy(_._3)
+      assert(byRank.map(_._6).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)),
+        s"probe $pid scores not descending")
+    }
+  }
+
   test("graph_modularity: contributions bounded, censuses conserve the adjacency") {
     val rows = graft.queries.GraphQueries.graphModularity(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
