@@ -323,6 +323,9 @@ object SparkEntry {
     // robust trend + exact apportionment
     "ts_theil_sen" -> TimeSeries.tsTheilSen _,
     "agg_largest_remainder" -> Relational.aggLargestRemainder _,
+    // interpolated quantiles + lifecycle census
+    "agg_percentile_cont" -> Relational.aggPercentileCont _,
+    "event_lifecycle" -> Quality.eventLifecycle _,
     // hard-negative mining, max drawdown, key-gap audit
     "llm_hard_negatives" -> LlmExtra.llmHardNegatives _,
     "ts_max_drawdown" -> TimeSeries.tsMaxDrawdown _,

@@ -3642,6 +3642,35 @@ object OracleSql {
              max(slope_micro) AS max_slope_micro
       FROM c""",
 
+    // type-7 interpolation on exact integer cents with dyadic
+    // fractions — the one float op is IEEE-identical in both engines
+    "agg_percentile_cont" -> """
+      SELECT l_returnflag,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             quantile_cont(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT), 0.25) AS p25_cents,
+             quantile_cont(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT), 0.5) AS p50_cents,
+             quantile_cont(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT), 0.75) AS p75_cents
+      FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
+
+    // per-user horizon distances in exact epoch-us day arithmetic
+    "event_lifecycle" -> s"""
+      WITH pu AS (
+        SELECT user_id, max(ts) AS last_ts, min(ts) AS first_ts,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1),
+      h AS (SELECT max(last_ts) AS h FROM pu),
+      c AS (
+        SELECT user_id, n_events,
+               (epoch_us(last_ts) - epoch_us(first_ts)) // 86400000000 AS span_days,
+               CASE WHEN (epoch_us(h.h) - epoch_us(last_ts)) // 86400000000 < 7 THEN 'active'
+                    WHEN (epoch_us(h.h) - epoch_us(last_ts)) // 86400000000 < 14 THEN 'lapsing'
+                    ELSE 'churned' END AS state
+        FROM pu CROSS JOIN h)
+      SELECT state, CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(n_events) AS BIGINT) AS n_events,
+             ${N.avgInt("span_days", 2)} AS avg_span_days
+      FROM c GROUP BY 1 ORDER BY state""",
+
     // same bounded-probe mirror as llm_sim_cosine_topk plus the
     // different-label filter and negative-label join
     "llm_hard_negatives" -> """

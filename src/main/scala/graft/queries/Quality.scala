@@ -487,6 +487,39 @@ object Quality {
       .orderBy("event_type")
   }
 
+  /** User-lifecycle state census — the growth-accounting rollup every
+    * product review starts with: each user classified against the
+    * corpus horizon (the global max event time, attached via the
+    * whitelisted single-row broadcast) as active (seen in the last 7
+    * days), lapsing (7–14), or churned (older), with the user's span
+    * and event count summarized per state. Day arithmetic is exact
+    * epoch-µs floor division.
+    *
+    * Scale: one map-combined per-user aggregate (corpus → |users|
+    * rows), one broadcast horizon, one |states| rollup. */
+  def eventLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val perUser = t(s, dir, "events")
+      .groupBy("user_id")
+      .agg(max("ts").as("last_ts"), min("ts").as("first_ts"),
+        count(lit(1)).as("n_events"))
+    val horizon = perUser.agg(max("last_ts").as("h"))
+    val idleDays = call_function("div",
+      unix_micros(col("h")) - unix_micros(col("last_ts")), lit(86400000000L))
+    perUser.crossJoin(broadcast(horizon))
+      .select(col("user_id"), col("n_events"),
+        call_function("div",
+          unix_micros(col("last_ts")) - unix_micros(col("first_ts")),
+          lit(86400000000L)).as("span_days"),
+        when(idleDays < 7, "active")
+          .when(idleDays < 14, "lapsing")
+          .otherwise("churned").as("state"))
+      .groupBy("state")
+      .agg(count(lit(1)).as("n_users"),
+        sum("n_events").as("n_events"),
+        Num.avgInt(col("span_days"), 2).as("avg_span_days"))
+      .orderBy("state")
+  }
+
   /** Surrogate-key gap audit — "is the id sequence really dense":
     * gap count, worst gap, and missing total over the distinct order
     * keys. The SCALE point is the two-level shape: adjacent-key gaps

@@ -1559,6 +1559,32 @@ object Relational {
       .orderBy("bucket")
   }
 
+  /** Continuous (type-7 interpolated) percentiles via the NATIVE exact
+    * `percentile` aggregate — the contrast row to
+    * `agg_percentile_disc`'s discrete form: lo + (hi−lo)·frac, where
+    * the inputs are exact integer cents and frac is an exact binary
+    * fraction (quartile positions are multiples of 1/4), so the one
+    * float operation is IEEE-identical in both engines
+    * (`quantile_cont` in DuckDB computes the same expression). This is
+    * the determinism boundary worth pinning: interpolation is safe
+    * EXACTLY when values are integers ≤ 2⁵³ and the fraction is
+    * dyadic; arbitrary-p interpolation on raw doubles would not be.
+    *
+    * Scale: Spark's exact percentile collects a per-group sorted
+    * digest — same n·log n per-group cost class as the window form;
+    * the sketch path remains `agg_approx_percentile`. */
+  def aggPercentileCont(s: SparkSession, dir: String): DataFrame = {
+    val cents = (Num.money(col("l_extendedprice")) * 100).cast("long")
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        percentile(cents, lit(0.25)).as("p25_cents"),
+        percentile(cents, lit(0.5)).as("p50_cents"),
+        percentile(cents, lit(0.75)).as("p75_cents"))
+      .orderBy("l_returnflag")
+  }
+
   /** Largest-remainder (Hamilton) apportionment — the exact-integer
     * allocation primitive behind budget splits, sample quotas, and
     * seat apportionment: 10,000 units distributed across nations

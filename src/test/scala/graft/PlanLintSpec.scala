@@ -36,7 +36,8 @@ class PlanLintSpec extends GraftSpec {
     "llm_cluster_purity", // centroid-assignment crossJoin — 16 broadcast centroids (round 8)
     "graph_modularity", // single-row 2m total via broadcast cross join (round 8)
     "llm_hard_negatives", // bounded-probe broadcast crossJoin, as llm_sim_cosine_topk (round 8)
-    "dq_sequence_gaps") // three single-row gap/total frames combined via broadcast cross joins (round 8)
+    "dq_sequence_gaps", // three single-row gap/total frames combined via broadcast cross joins (round 8)
+    "event_lifecycle") // single-row corpus horizon via broadcast cross join (round 8)
 
   test("no query plans an unexpected cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

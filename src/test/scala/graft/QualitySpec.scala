@@ -215,6 +215,21 @@ class QualitySpec extends GraftSpec {
     assert(rows.map(_._2).sum == ev.count() - ev.select("user_id").distinct().count())
   }
 
+  test("event_lifecycle: states partition the users, events conserve") {
+    val rows = Quality.eventLifecycle(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val ev = graft.tables.Tables.t(spark, sfDir, "events")
+    assert(rows.map(_._2).sum == ev.select("user_id").distinct().count(),
+      "states must partition the user base")
+    assert(rows.map(_._3).sum == ev.count(), "event totals must conserve")
+    assert(rows.map(_._1).toSet.subsetOf(Set("active", "lapsing", "churned")))
+    rows.foreach { case (st, nu, nev, span) =>
+      assert(nev >= nu, s"$st fewer events than users")
+      assert(span >= 0, s"$st negative span")
+    }
+  }
+
   test("dq_sequence_gaps: gap algebra conserves (missing = range - keys)") {
     val r = Quality.dqSequenceGaps(spark, sfDir).collect()
     assert(r.length == 1)

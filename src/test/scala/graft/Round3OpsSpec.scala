@@ -13,6 +13,24 @@ class Round3OpsSpec extends GraftSpec {
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  test("agg_percentile_cont: quartiles bracket the discrete order stats") {
+    val rows = Relational.aggPercentileCont(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (f, n, p25, p50, p75) =>
+      assert(n > 0)
+      assert(p25 <= p50 && p50 <= p75, s"$f quartile ordering")
+      // interpolated values sit between adjacent integer order stats,
+      // so each quartile is within 1 cent of an integer lattice point
+      Seq(p25, p50, p75).foreach { q =>
+        assert(q >= 0, s"$f negative quantile")
+        val frac = q - math.floor(q)
+        assert(Set(0.0, 0.25, 0.5, 0.75).exists(d => math.abs(frac - d) < 1e-9),
+          s"$f quantile $q not on the dyadic quartile lattice")
+      }
+    }
+  }
+
   test("llm_shard_manifest: shards partition each source, byte conservation holds") {
     val rows = LlmExtra.llmShardManifest(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
