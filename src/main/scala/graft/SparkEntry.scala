@@ -323,6 +323,8 @@ object SparkEntry {
     // robust trend + exact apportionment
     "ts_theil_sen" -> TimeSeries.tsTheilSen _,
     "agg_largest_remainder" -> Relational.aggLargestRemainder _,
+    // ViT resize/patch planning over the stub decode
+    "mm_resize_plan" -> MultimodalQueries.mmResizePlan _,
     // interpolated quantiles + lifecycle census
     "agg_percentile_cont" -> Relational.aggPercentileCont _,
     "event_lifecycle" -> Quality.eventLifecycle _,

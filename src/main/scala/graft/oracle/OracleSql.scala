@@ -3642,6 +3642,29 @@ object OracleSql {
              max(slope_micro) AS max_slope_micro
       FROM c""",
 
+    // identical md5-slice stub decode (images only) + the same integer
+    // fit/letterbox/patch arithmetic
+    "mm_resize_plan" -> """
+      WITH m AS (
+        SELECT doc_id, md5(text) AS hx
+        FROM documents WHERE doc_id < 2000 AND doc_id % 3 = 0),
+      d AS (
+        SELECT doc_id,
+               64 + CAST(('0x' || substr(hx, 1, 8)) AS BIGINT) % 1857 AS w,
+               64 + CAST(('0x' || substr(hx, 9, 8)) AS BIGINT) % 1017 AS h
+        FROM m),
+      f AS (
+        SELECT doc_id, w, h,
+               CASE WHEN greatest(w, h) <= 224 THEN w
+                    ELSE (w * 224) // greatest(w, h) END AS out_w,
+               CASE WHEN greatest(w, h) <= 224 THEN h
+                    ELSE (h * 224) // greatest(w, h) END AS out_h
+        FROM d)
+      SELECT doc_id, w, h, out_w, out_h,
+             224 - out_w AS pad_x, 224 - out_h AS pad_y,
+             ((out_w + 15) // 16) * ((out_h + 15) // 16) AS n_patches
+      FROM f ORDER BY doc_id""",
+
     // type-7 interpolation on exact integer cents with dyadic
     // fractions — the one float op is IEEE-identical in both engines
     "agg_percentile_cont" -> """

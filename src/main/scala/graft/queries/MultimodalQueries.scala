@@ -157,4 +157,39 @@ object MultimodalQueries {
         sum("n_bytes").as("sum_bytes"))
       .orderBy("mime")
   }
+
+  /** Resize planning — the missing-from-the-family preprocessing
+    * arithmetic of a vision pipeline (decode → RESIZE → patchify):
+    * every image fit inside a 224×224 ViT canvas preserving aspect
+    * (downscale only), letterbox padding to square, and the post-resize
+    * 16-px patch count. ALL integer arithmetic — floor-divided scale,
+    * ceil-divided patches — so the plan (the thing schedulers budget
+    * by) is bit-identical in both engines; the pixel work itself is
+    * the stubbed decode step. One mapPartitions decode pass (codec
+    * state amortized per batch) + codegen'd arithmetic; map-only, no
+    * shuffle before the ordered output. */
+  def mmResizePlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = t(s, dir, "documents")
+      .filter(col("doc_id") < 2000 && col("doc_id") % 3 === 0)
+      .select(col("doc_id"), lit("image").as("kind"),
+        col("text").cast("binary").as("bytes"))
+      .as[MediaRow]
+    val T = 224L
+    val P = 16L
+    val metas = rows.mapPartitions(_.map(Media.decodeStub)).toDF()
+    val m = greatest(col("width"), col("height")).cast("long")
+    val ow = when(m <= T, col("width").cast("long"))
+      .otherwise(call_function("div", col("width").cast("long") * T, m))
+    val oh = when(m <= T, col("height").cast("long"))
+      .otherwise(call_function("div", col("height").cast("long") * T, m))
+    metas.select(col("doc_id"),
+        col("width").cast("long").as("w"), col("height").cast("long").as("h"),
+        ow.as("out_w"), oh.as("out_h"))
+      .select(col("doc_id"), col("w"), col("h"), col("out_w"), col("out_h"),
+        (lit(T) - col("out_w")).as("pad_x"), (lit(T) - col("out_h")).as("pad_y"),
+        (call_function("div", col("out_w") + (P - 1), lit(P)) *
+          call_function("div", col("out_h") + (P - 1), lit(P))).as("n_patches"))
+      .orderBy("doc_id")
+  }
 }

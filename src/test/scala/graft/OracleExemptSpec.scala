@@ -261,4 +261,22 @@ class OracleExemptSpec extends GraftSpec {
         s"doc $id: ($n,$first,$last) vs ${expected.length} frames")
     }
   }
+
+  test("mm_resize_plan: fit law, aspect preservation, patch bounds") {
+    val rows = graft.queries.MultimodalQueries.mmResizePlan(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, w, h, ow, oh, px, py, np) =>
+      assert(ow <= 224 && oh <= 224, s"doc $id output exceeds the canvas")
+      assert(px == 224 - ow && py == 224 - oh, s"doc $id letterbox arithmetic")
+      if (math.max(w, h) > 224)
+        assert(math.max(ow, oh) == 224, s"doc $id long side must hit the canvas")
+      else assert(ow == w && oh == h, s"doc $id must not upscale")
+      // floor-divided fit distorts aspect by at most one output pixel row
+      assert(math.abs(ow * h - oh * w) <= math.max(w, h), s"doc $id aspect drift")
+      assert(np >= 1 && np <= 14 * 14, s"doc $id patch count $np out of ViT range")
+      assert(np == ((ow + 15) / 16) * ((oh + 15) / 16), s"doc $id patch replay")
+    }
+  }
 }
