@@ -323,6 +323,9 @@ object SparkEntry {
     // robust trend + exact apportionment
     "ts_theil_sen" -> TimeSeries.tsTheilSen _,
     "agg_largest_remainder" -> Relational.aggLargestRemainder _,
+    // AES column encryption + IDENTIFIER clause surfaces
+    "fn_crypto_roundtrip" -> Scalars.fnCryptoRoundtrip _,
+    "sql_identifier" -> Scalars.sqlIdentifier _,
     // ViT resize/patch planning over the stub decode
     "mm_resize_plan" -> MultimodalQueries.mmResizePlan _,
     // interpolated quantiles + lifecycle census

@@ -3642,6 +3642,22 @@ object OracleSql {
              max(slope_micro) AS max_slope_micro
       FROM c""",
 
+    // DuckDB has no AES; the gate holds through the roundtrip and
+    // ECB-determinism invariants, which the mirror states exactly
+    "fn_crypto_roundtrip" -> """
+      SELECT o_orderstatus,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_roundtrip_ok,
+             CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_distinct_cipher,
+             CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_distinct_plain
+      FROM orders WHERE o_orderkey < 4000
+      GROUP BY 1 ORDER BY o_orderstatus""",
+
+    "sql_identifier" -> """
+      SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
     // identical md5-slice stub decode (images only) + the same integer
     // fit/letterbox/patch arithmetic
     "mm_resize_plan" -> """

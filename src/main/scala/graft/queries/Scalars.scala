@@ -519,4 +519,44 @@ object Scalars {
         expr("parse_url(url, 'QUERY')").as("query"),
         expr("parse_url(url, 'QUERY', 'lang')").as("q_lang"))
       .orderBy("doc_id")
+
+  /** Column-level encryption surface (`aes_encrypt`/`aes_decrypt`) —
+    * the at-rest-PII posture a warehouse actually ships: ECB mode
+    * deliberately, because determinism is the point here (GCM's random
+    * IV would make every run's ciphertext differ and the gate
+    * meaningless; real deployments trade that determinism back for
+    * semantic security unless they need encrypted equi-joins — exactly
+    * the trade this operator documents). The gate is real despite
+    * DuckDB lacking AES: `n_roundtrip_ok` must equal the row count
+    * (any decrypt(encrypt(x)) ≠ x collapses it) and
+    * `n_distinct_cipher` must equal the plaintext distinct count (the
+    * ECB determinism property itself). */
+  def fnCryptoRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val enc = expr("aes_encrypt(cast(o_orderpriority AS BINARY), '0123456789abcdef', 'ECB')")
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") < 4000)
+      .withColumn("cipher", enc)
+      .withColumn("plain",
+        expr("cast(aes_decrypt(cipher, '0123456789abcdef', 'ECB') AS STRING)"))
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count_if(col("plain") === col("o_orderpriority")).as("n_roundtrip_ok"),
+        countDistinct(col("cipher")).as("n_distinct_cipher"),
+        countDistinct(col("o_orderpriority")).as("n_distinct_plain"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Spark 4 `IDENTIFIER()` clause — templated SQL over a dynamic
+    * table name without string-concatenated SQL injection; the oracle
+    * reads the same table statically, so resolution through the
+    * clause is what the gate checks. */
+  def sqlIdentifier(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("graft_ident_orders")
+    s.sql("""
+      SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+      FROM IDENTIFIER('graft_ident_orders')
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+  }
 }

@@ -13,6 +13,16 @@ class Round3OpsSpec extends GraftSpec {
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  test("fn_crypto_roundtrip: every row survives the AES roundtrip, ECB is deterministic") {
+    val rows = Scalars.fnCryptoRoundtrip(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (st, n, ok, dc, dp) =>
+      assert(ok == n, s"$st: ${n - ok} rows failed decrypt(encrypt(x)) == x")
+      assert(dc == dp, s"$st: ECB cipher cardinality $dc != plaintext cardinality $dp")
+    }
+  }
+
   test("agg_percentile_cont: quartiles bracket the discrete order stats") {
     val rows = Relational.aggPercentileCont(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
