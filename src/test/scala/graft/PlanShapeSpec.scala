@@ -183,4 +183,28 @@ class PlanShapeSpec extends GraftSpec {
     assert(!corpusBranch.contains("Exchange"),
       s"corpus grams shuffle before the bench probe:\n${corpusBranch.take(4000)}")
   }
+
+  test("llm_shard_manifest: the window is keyed on source, never a global sort") {
+    val p = plan(graft.queries.LlmExtra.llmShardManifest(spark, sfDir))
+    assert(p.contains("Window"), p.take(2000))
+    // the exclusive-prefix sum must run under a hash partitioning on the
+    // shard locality key — a SinglePartition exchange here would be the
+    // global-sort anti-pattern this operator exists to avoid
+    assert(p.contains("hashpartitioning(source"), p.take(3000))
+    assert(!p.contains("SinglePartition"), s"global exchange in shard manifest:\n${p.take(3000)}")
+  }
+
+  test("agg_histogram: two-phase aggregation, shuffle carries buckets not rows") {
+    val p = plan(graft.queries.Relational.aggHistogram(spark, sfDir))
+    // partial_count before the exchange = map-side combine to bucket
+    // cardinality; the broadcast total must not shuffle the hist side
+    assert(p.contains("partial_count") || p.contains("partial count"), p.take(3000))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000)) // the 1-row total attach
+  }
+
+  test("dq_outlier_iqr: the recount pass joins the fence table by broadcast") {
+    val p = plan(graft.queries.Quality.dqOutlierIqr(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"fence join must broadcast, not shuffle the stream:\n${p.take(3000)}")
+  }
 }
