@@ -323,6 +323,8 @@ object SparkEntry {
     // robust trend + exact apportionment
     "ts_theil_sen" -> TimeSeries.tsTheilSen _,
     "agg_largest_remainder" -> Relational.aggLargestRemainder _,
+    // deterministic per-epoch shard shuffle for training loaders
+    "llm_epoch_shuffle" -> LlmExtra.llmEpochShuffle _,
     // AES column encryption + IDENTIFIER clause surfaces
     "fn_crypto_roundtrip" -> Scalars.fnCryptoRoundtrip _,
     "sql_identifier" -> Scalars.sqlIdentifier _,

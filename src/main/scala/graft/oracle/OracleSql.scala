@@ -3642,6 +3642,27 @@ object OracleSql {
              max(slope_micro) AS max_slope_micro
       FROM c""",
 
+    // identical md5 draw, nibble shard, and position-weighted order
+    // checksum — any order divergence hash-fails
+    "llm_epoch_shuffle" -> """
+      WITH pe AS (
+        SELECT CAST(e.e AS BIGINT) AS epoch, d.doc_id,
+               md5('epoch' || CAST(e.e AS VARCHAR) || '|' || CAST(d.doc_id AS VARCHAR)) AS draw
+        FROM documents d CROSS JOIN (SELECT unnest([0, 1]) AS e) e),
+      sh AS (
+        SELECT epoch, doc_id, draw,
+               CAST(('0x' || substr(draw, 1, 1)) AS BIGINT) AS shard,
+               CAST(row_number() OVER (
+                 PARTITION BY epoch, CAST(('0x' || substr(draw, 1, 1)) AS BIGINT)
+                 ORDER BY draw) AS BIGINT) AS pos
+        FROM pe)
+      SELECT epoch, shard,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             arg_min(doc_id, draw) AS first_doc,
+             arg_max(doc_id, draw) AS last_doc,
+             CAST(sum(pos * doc_id) AS BIGINT) AS order_checksum
+      FROM sh GROUP BY 1, 2 ORDER BY epoch, shard""",
+
     // DuckDB has no AES; the gate holds through the roundtrip and
     // ECB-determinism invariants, which the mirror states exactly
     "fn_crypto_roundtrip" -> """

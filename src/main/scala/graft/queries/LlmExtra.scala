@@ -1302,6 +1302,41 @@ object LlmExtra {
       .limit(50)
   }
 
+  /** Deterministic epoch shuffle — the data-ordering step of a
+    * training run: each epoch permutes the corpus by md5(epoch ‖ id)
+    * (reproducible on any cluster, re-derivable by any worker — the
+    * property `rand()` can never give), docs land in 16 md5-nibble
+    * shards, and the within-shard position is a rank over the draw.
+    * The readout summarizes each (epoch, shard): size, first/last doc
+    * under the draw order, and the draw-order head — enough to verify
+    * two epochs produce genuinely different orders from one rule.
+    *
+    * Scale: the permutation is embarrassingly parallel (a hash per
+    * row); ranking is a per-(epoch, shard) keyed window — 32 bounded
+    * partitions here, the shard count at scale — never a global sort.
+    * This is exactly how production loaders shard-shuffle: global
+    * order is sacrificed for per-shard order plus shard interleave. */
+  def llmEpochShuffle(s: SparkSession, dir: String): DataFrame = {
+    val epochs = Seq(0, 1)
+    val perEpoch = epochs.map { e =>
+      t(s, dir, "documents")
+        .select(lit(e.toLong).as("epoch"), col("doc_id"),
+          md5(concat(lit(s"epoch$e|"), col("doc_id").cast("string"))).as("draw"))
+    }.reduce(_ unionAll _)
+      .withColumn("shard", conv(substring(col("draw"), 1, 1), 16, 10).cast("long"))
+    val w = Window.partitionBy("epoch", "shard").orderBy("draw")
+    perEpoch
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .groupBy("epoch", "shard")
+      .agg(count(lit(1)).as("n_docs"),
+        min_by(col("doc_id"), col("draw")).as("first_doc"),
+        max_by(col("doc_id"), col("draw")).as("last_doc"),
+        // position-weighted checksum: sensitive to the ENTIRE order, so
+        // a worker replaying the shard in any other order hash-fails
+        sum(col("pos") * col("doc_id")).as("order_checksum"))
+      .orderBy("epoch", "shard")
+  }
+
   /** Hard-negative mining — the contrastive-training curation step
     * (the best negatives are the most-similar items of a DIFFERENT
     * class): for each of 10 probe vectors, the top-5 cosine neighbors

@@ -41,6 +41,26 @@ class Round3OpsSpec extends GraftSpec {
     }
   }
 
+  test("llm_epoch_shuffle: epochs cover the corpus, orders genuinely differ") {
+    val rows = LlmExtra.llmEpochShuffle(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val nDocs = t(spark, sfDir, "documents").count()
+    Seq(0L, 1L).foreach { e =>
+      val shards = rows.filter(_._1 == e)
+      assert(shards.map(_._3).sum == nDocs, s"epoch $e shards must cover the corpus")
+      assert(shards.map(_._2).toSet.subsetOf((0L to 15L).toSet), s"epoch $e shard range")
+    }
+    // the two epochs must produce different orders from the same rule:
+    // at least one shard-level checksum differs
+    val by = rows.groupBy(_._2)
+    assert(by.exists { case (_, g) =>
+      g.map(x => (x._1, x._6)).toMap.values.toSet.size > 1 ||
+        g.map(x => (x._1, x._3)).toMap.values.toSet.size > 1
+    }, "epoch 0 and 1 produced identical shard contents and orders")
+  }
+
   test("llm_shard_manifest: shards partition each source, byte conservation holds") {
     val rows = LlmExtra.llmShardManifest(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
