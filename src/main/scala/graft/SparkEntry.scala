@@ -323,6 +323,9 @@ object SparkEntry {
     // robust trend + exact apportionment
     "ts_theil_sen" -> TimeSeries.tsTheilSen _,
     "agg_largest_remainder" -> Relational.aggLargestRemainder _,
+    // WoW growth + 2-D Pareto skyline
+    "ts_week_over_week" -> TimeSeries.tsWeekOverWeek _,
+    "agg_skyline_2d" -> Relational.aggSkyline2d _,
     // deterministic per-epoch shard shuffle for training loaders
     "llm_epoch_shuffle" -> LlmExtra.llmEpochShuffle _,
     // AES column encryption + IDENTIFIER clause surfaces

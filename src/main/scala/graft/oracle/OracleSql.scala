@@ -3642,6 +3642,43 @@ object OracleSql {
              max(slope_micro) AS max_slope_micro
       FROM c""",
 
+    // ISO (isoyear, week) rollup; lag + signed half-up growth ratio
+    "ts_week_over_week" -> s"""
+      WITH wk AS (
+        SELECT CAST(date_part('isoyear', ts) AS INT) AS iso_year,
+               CAST(date_part('week', ts) AS INT) AS iso_week,
+               CAST(count(*) AS BIGINT) AS n_purchases,
+               CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      l AS (
+        SELECT *, lag(cents) OVER (ORDER BY iso_year, iso_week) AS prev_cents
+        FROM wk)
+      SELECT iso_year, iso_week, n_purchases, cents,
+             cents - prev_cents AS delta_cents,
+             CASE WHEN prev_cents IS NULL THEN NULL
+                  ELSE (CASE WHEN cents < prev_cents THEN -1.0 ELSE 1.0 END) *
+                       ${N.ratio("abs(cents - prev_cents)", "prev_cents", 4)} END AS wow_growth
+      FROM l ORDER BY iso_year, iso_week""",
+
+    // the SFS sort-scan: survives iff the date strictly exceeds every
+    // strictly-better prefix row's running max date
+    "agg_skyline_2d" -> """
+      WITH o AS (
+        SELECT o_orderstatus, o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+               CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d_day
+        FROM orders),
+      w AS (
+        SELECT *, max(d_day) OVER (PARTITION BY o_orderstatus
+                 ORDER BY cents DESC, d_day DESC, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mp
+        FROM o)
+      SELECT o_orderstatus, o_orderkey,
+             CAST(cents AS DOUBLE) / 100 AS totalprice,
+             d_day AS order_epoch_day
+      FROM w WHERE mp IS NULL OR d_day > mp
+      ORDER BY o_orderstatus, o_orderkey""",
+
     // identical md5 draw, nibble shard, and position-weighted order
     // checksum — any order divergence hash-fails
     "llm_epoch_shuffle" -> """

@@ -1559,6 +1559,38 @@ object Relational {
       .orderBy("bucket")
   }
 
+  /** 2-D skyline (Pareto frontier) — the classic multi-criteria OLAP
+    * operator the relational core lacks a keyword for: per order
+    * status, the orders not STRICTLY dominated on (totalprice,
+    * orderdate) — "no other order is both more valuable and more
+    * recent". The textbook sort-scan: one keyed window ordered by
+    * (price desc, date desc, key), a row survives iff its date
+    * strictly exceeds the running max date of every strictly-higher-
+    * priced prefix row (ties ride the deterministic total order).
+    * Exact integer cents and epoch-µs.
+    *
+    * Scale: dominance never crosses the partition key, so the sort is
+    * per-status, not global; the frontier is output-sensitive (skyline
+    * of n random 2-D points ≈ ln n rows). The same single-pass scan is
+    * how the SKYLINE literature's SFS algorithm works. */
+  def aggSkyline2d(s: SparkSession, dir: String): DataFrame = {
+    val cents = (Num.money(col("o_totalprice")) * 100).cast("long")
+    // epoch DAY, not unix_micros: o_orderdate ships as TIMESTAMP_NTZ,
+    // and date arithmetic sidesteps the tz-interpretation cast entirely
+    val dDay = datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date")).cast("long")
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("cents").desc, col("d_day").desc, col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t(s, dir, "orders")
+      .select(col("o_orderstatus"), col("o_orderkey"), cents.as("cents"), dDay.as("d_day"))
+      .withColumn("max_prev_date", max("d_day").over(w))
+      .filter(col("max_prev_date").isNull || col("d_day") > col("max_prev_date"))
+      .select(col("o_orderstatus"), col("o_orderkey"),
+        (col("cents").cast("double") / 100).as("totalprice"),
+        col("d_day").as("order_epoch_day"))
+      .orderBy("o_orderstatus", "o_orderkey")
+  }
+
   /** Continuous (type-7 interpolated) percentiles via the NATIVE exact
     * `percentile` aggregate — the contrast row to
     * `agg_percentile_disc`'s discrete form: lo + (hi−lo)·frac, where

@@ -320,6 +320,35 @@ object TimeSeries {
       .orderBy("k")
   }
 
+  /** Week-over-week growth — the headline movement metric: ISO-week
+    * purchase totals in exact cents, each week's absolute delta and
+    * signed half-up growth ratio vs the previous week (lag window over
+    * the week axis). weekofyear/ISO semantics agree between the
+    * engines; the rollup key is (iso_year, iso_week) so year
+    * boundaries can't fold distinct weeks together.
+    *
+    * Scale: corpus → \|weeks\| rows map-side; one ordered lag over the
+    * calendar-sized week frame. */
+  def tsWeekOverWeek(s: SparkSession, dir: String): DataFrame = {
+    val weekly = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(expr("extract(YEAROFWEEK FROM ts)").as("iso_year"),
+        weekofyear(col("ts")).as("iso_week"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum((Num.money(col("value")) * 100).cast("long")).as("cents"))
+    val ord = Window.orderBy("iso_year", "iso_week")
+    weekly
+      .withColumn("prev_cents", lag("cents", 1).over(ord))
+      .select(col("iso_year"), col("iso_week"), col("n_purchases"), col("cents"),
+        (col("cents") - col("prev_cents")).as("delta_cents"),
+        when(col("prev_cents").isNull, lit(null).cast("double"))
+          .otherwise(
+            when(col("cents") < col("prev_cents"), -1.0).otherwise(1.0) *
+              Num.ratio(abs(col("cents") - col("prev_cents")), col("prev_cents"), 4))
+          .as("wow_growth"))
+      .orderBy("iso_year", "iso_week")
+  }
+
   /** Maximum drawdown of the global daily series — the worst
     * peak-to-trough slide, the risk statistic every monitoring
     * dashboard tracks next to the trend: running peak via an ordered

@@ -499,6 +499,42 @@ class TimeSeriesGraphSpec extends GraftSpec {
     assert(rows.length == 2 + (n - 2 + 2) / 3, s"selection count for n=$n")
   }
 
+  test("ts_week_over_week: weeks conserve the stream, growth replays from deltas") {
+    val rows = graft.queries.TimeSeries.tsWeekOverWeek(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+    assert(rows.nonEmpty)
+    val nP = graft.tables.Tables.t(spark, sfDir, "events")
+      .filter(col("event_type") === "purchase").count()
+    assert(rows.map(_._3).sum == nP, "weeks must partition the purchase stream")
+    assert(rows.head._5.isEmpty && rows.head._6.isEmpty, "first week has no predecessor")
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b._5.contains(b._4 - a._4), s"week ${b._2} delta replay")
+        assert(b._6.isDefined && (b._6.get >= 0) == (b._4 >= a._4),
+          s"week ${b._2} growth sign")
+      case _ =>
+    }
+  }
+
+  test("agg_skyline_2d: no frontier point dominates another; dominated points exist") {
+    val rows = graft.queries.Relational.aggSkyline2d(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (st, pts) =>
+      // pairwise non-dominance within each status frontier
+      for (a <- pts; b <- pts if a._2 != b._2) {
+        val dominates = a._3 >= b._3 && a._4 >= b._4 && (a._3 > b._3 || a._4 > b._4)
+        assert(!dominates, s"$st: ${a._2} dominates frontier member ${b._2}")
+      }
+      // the frontier is a proper subset (orders were actually filtered)
+      val n = graft.tables.Tables.t(spark, sfDir, "orders")
+        .filter(col("o_orderstatus") === st).count()
+      assert(pts.length < n, s"$st frontier not output-sensitive")
+    }
+  }
+
   test("ts_max_drawdown: drawdown replays from the brute-force running max") {
     val r = graft.queries.TimeSeries.tsMaxDrawdown(spark, sfDir).collect()
     assert(r.length == 1)
