@@ -323,6 +323,9 @@ object SparkEntry {
     // robust trend + exact apportionment
     "ts_theil_sen" -> TimeSeries.tsTheilSen _,
     "agg_largest_remainder" -> Relational.aggLargestRemainder _,
+    // Lorenz concentration + char-diversity screen
+    "event_concentration" -> Quality.eventConcentration _,
+    "llm_char_diversity" -> LlmExtra.llmCharDiversity _,
     // WoW growth + 2-D Pareto skyline
     "ts_week_over_week" -> TimeSeries.tsWeekOverWeek _,
     "agg_skyline_2d" -> Relational.aggSkyline2d _,

@@ -3642,6 +3642,38 @@ object OracleSql {
              max(slope_micro) AS max_slope_micro
       FROM c""",
 
+    // deterministic (count desc, user) decile ranks on the aggregated
+    // user dimension; exact share ratios
+    "event_concentration" -> s"""
+      WITH pu AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+                  FROM events GROUP BY 1),
+      d AS (SELECT n_events,
+                   CAST(ntile(10) OVER (ORDER BY n_events DESC, user_id) AS INT) AS decile
+            FROM pu),
+      tot AS (SELECT CAST(sum(n_events) AS BIGINT) AS n_total FROM d)
+      SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(n_events) AS BIGINT) AS n_events,
+             ${N.ratio("sum(n_events)", "tot.n_total", 4)} AS event_share
+      FROM d CROSS JOIN tot GROUP BY decile, tot.n_total ORDER BY decile""",
+
+    // per-char census via positional substr expansion; exact
+    // Gini-Simpson ratio (n^2 - sum c^2) / n^2
+    "llm_char_diversity" -> s"""
+      WITH ch AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, length(text) + 1),
+                      i -> substr(text, CAST(i AS INT), 1))) AS ch
+        FROM documents WHERE doc_id < 1000),
+      c AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+            FROM ch WHERE ch <> '' GROUP BY 1, 2),
+      a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
+                   CAST(count(*) AS BIGINT) AS n_distinct_chars,
+                   CAST(sum(c * c) AS BIGINT) AS sum_c2
+            FROM c GROUP BY 1)
+      SELECT doc_id, n_chars, n_distinct_chars,
+             ${N.ratio("n_chars * n_chars - sum_c2", "n_chars * n_chars", 4)} AS gini_simpson
+      FROM a ORDER BY doc_id""",
+
     // ISO (isoyear, week) rollup; lag + signed half-up growth ratio
     "ts_week_over_week" -> s"""
       WITH wk AS (

@@ -1302,6 +1302,35 @@ object LlmExtra {
       .limit(50)
   }
 
+  /** Character-diversity screen — the gibberish/binary-junk detector
+    * of the quality family: per doc, the Gini–Simpson index of the
+    * character distribution, 1 − Σcᵢ²/n², as an EXACT half-up ratio
+    * (n² − Σcᵢ² over n² — a repeated-single-character page scores ~0,
+    * healthy prose ~0.9; log-entropy would say the same thing but put
+    * libm in the gate). Complements `llm_repetition_score` (word-bigram
+    * level) and `llm_quality_score` (heuristic rules) at the character
+    * level.
+    *
+    * Scale: the per-doc census collapses (doc, char) map-side — the
+    * explode is corpus-linear in characters and immediately combined;
+    * nothing ever pairs. Bounded probe slice keeps n² in BIGINT with
+    * the 10⁴ ratio scale. */
+  def llmCharDiversity(s: SparkSession, dir: String): DataFrame = {
+    val census = t(s, dir, "documents")
+      .filter(col("doc_id") < 1000)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+    census.groupBy("doc_id")
+      .agg(sum("c").as("n_chars"),
+        count(lit(1)).as("n_distinct_chars"),
+        sum(col("c") * col("c")).as("sum_c2"))
+      .select(col("doc_id"), col("n_chars"), col("n_distinct_chars"),
+        Num.ratio(col("n_chars") * col("n_chars") - col("sum_c2"),
+          col("n_chars") * col("n_chars"), 4).as("gini_simpson"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic epoch shuffle — the data-ordering step of a
     * training run: each epoch permutes the corpus by md5(epoch ‖ id)
     * (reproducible on any cluster, re-derivable by any worker — the

@@ -487,6 +487,32 @@ object Quality {
       .orderBy("event_type")
   }
 
+  /** Activity-concentration (Lorenz) readout — "how top-heavy is the
+    * user base": users ranked into activity deciles under the
+    * deterministic (event count desc, user_id) total order, each
+    * decile's user count, event mass, and exact half-up share of all
+    * events. Decile 1's share is the "top-10% concentration" headline;
+    * the full curve is the Lorenz table a Gini computation integrates.
+    * Exact integers end-to-end — ntile over the AGGREGATED user
+    * dimension (same posture as `event_rfm`), never the raw stream.
+    *
+    * Scale: corpus → \|users\| rows map-side; the ntile runs on the
+    * user dimension; totals attach via the whitelisted single-row
+    * broadcast. */
+  def eventConcentration(s: SparkSession, dir: String): DataFrame = {
+    val perUser = t(s, dir, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+    val w = Window.orderBy(col("n_events").desc, col("user_id"))
+    val deciled = perUser.withColumn("decile", ntile(10).over(w))
+    val tot = deciled.agg(sum("n_events").as("n_total"))
+    deciled.groupBy("decile")
+      .agg(count(lit(1)).as("n_users"), sum("n_events").as("n_events"))
+      .crossJoin(broadcast(tot))
+      .select(col("decile"), col("n_users"), col("n_events"),
+        Num.ratio(col("n_events"), col("n_total"), 4).as("event_share"))
+      .orderBy("decile")
+  }
+
   /** User-lifecycle state census — the growth-accounting rollup every
     * product review starts with: each user classified against the
     * corpus horizon (the global max event time, attached via the

@@ -215,6 +215,20 @@ class QualitySpec extends GraftSpec {
     assert(rows.map(_._2).sum == ev.count() - ev.select("user_id").distinct().count())
   }
 
+  test("event_concentration: deciles partition users, shares sum to 1, Lorenz monotone") {
+    val rows = Quality.eventConcentration(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val ev = graft.tables.Tables.t(spark, sfDir, "events")
+    assert(rows.map(_._2).sum == ev.select("user_id").distinct().count())
+    assert(rows.map(_._3).sum == ev.count())
+    assert(math.abs(rows.map(_._4).sum - 1.0) <= 1e-4 * rows.length, "shares sum to 1")
+    // deciles ranked by activity: per-user average mass never increases
+    val perUser = rows.map(r => (r._1, r._3.toDouble / r._2)).sortBy(_._1)
+    assert(perUser.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) >= p(1) + -1e-9),
+      "later deciles must not out-average earlier ones")
+  }
+
   test("event_lifecycle: states partition the users, events conserve") {
     val rows = Quality.eventLifecycle(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))

@@ -41,6 +41,27 @@ class Round3OpsSpec extends GraftSpec {
     }
   }
 
+  test("llm_char_diversity: index in [0,1), counts conserve, replay one doc") {
+    val rows = LlmExtra.llmCharDiversity(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, d, g) =>
+      assert(d >= 1 && d <= n, s"doc $id distinct-char bounds")
+      assert(g >= 0 && g < 1.0, s"doc $id gini out of range")
+      if (d == 1) assert(g == 0.0, s"doc $id single-char page must score 0")
+    }
+    // replay one doc exactly
+    val mid = rows(rows.length / 2)
+    val text = graft.tables.Tables.t(spark, sfDir, "documents")
+      .filter(col("doc_id") === mid._1).select("text").head.getString(0)
+    val counts = text.toSeq.groupBy(identity).map(_._2.size.toLong)
+    val n = counts.sum
+    assert(mid._2 == n && mid._3 == counts.size, s"doc ${mid._1} census replay")
+    val num = n * n - counts.map(c => c * c).sum
+    val expect = ((2 * num * 10000L + n * n) / (2 * n * n)).toDouble / 10000.0
+    assert(math.abs(mid._4 - expect) < 1e-12, s"doc ${mid._1} gini replay")
+  }
+
   test("llm_epoch_shuffle: epochs cover the corpus, orders genuinely differ") {
     val rows = LlmExtra.llmEpochShuffle(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
