@@ -323,6 +323,8 @@ object SparkEntry {
     // robust trend + exact apportionment
     "ts_theil_sen" -> TimeSeries.tsTheilSen _,
     "agg_largest_remainder" -> Relational.aggLargestRemainder _,
+    // SCD2 point-in-time resolution (the lookup dim_scd2_build exists for)
+    "join_scd2_asof" -> Quality.joinScd2Asof _,
     // Lorenz concentration + char-diversity screen
     "event_concentration" -> Quality.eventConcentration _,
     "llm_char_diversity" -> LlmExtra.llmCharDiversity _,

@@ -3642,6 +3642,36 @@ object OracleSql {
              max(slope_micro) AS max_slope_micro
       FROM c""",
 
+    // dim_scd2_build's history re-derived, then the half-open
+    // point-in-time resolution and per-attr rollup
+    "join_scd2_asof" -> """
+      WITH obs AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority AS attr,
+               lag(o_orderpriority) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey) AS prev_attr
+        FROM orders WHERE o_custkey < 300),
+      chg AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, attr
+        FROM obs WHERE prev_attr IS NULL OR attr <> prev_attr),
+      dim AS (
+        SELECT o_custkey, attr, o_orderdate AS valid_from,
+               lead(o_orderdate) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey) AS valid_to
+        FROM chg),
+      f AS (
+        SELECT o_custkey, o_orderdate,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        FROM orders WHERE o_custkey < 300)
+      SELECT d.attr,
+             CAST(count(*) AS BIGINT) AS n_facts,
+             CAST(count(DISTINCT f.o_custkey) AS BIGINT) AS n_keys,
+             CAST(sum(f.cents) AS BIGINT) AS cents
+      FROM f JOIN dim d
+        ON f.o_custkey = d.o_custkey
+       AND f.o_orderdate >= d.valid_from
+       AND (d.valid_to IS NULL OR f.o_orderdate < d.valid_to)
+      GROUP BY 1 ORDER BY d.attr""",
+
     // deterministic (count desc, user) decile ranks on the aggregated
     // user dimension; exact share ratios
     "event_concentration" -> s"""

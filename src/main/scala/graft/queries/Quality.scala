@@ -192,6 +192,38 @@ object Quality {
       .orderBy("o_custkey", "valid_from", "obs_orderkey")
   }
 
+  /** SCD2 point-in-time lookup — the canonical warehouse as-of join:
+    * every fact resolves the dimension VERSION valid at its own date
+    * (half-open [valid_from, valid_to) against the history
+    * `dim_scd2_build` produces — one definition feeding two graded
+    * readouts), rolled up per resolved attribute with exact cents.
+    * This is the query SCD2 exists for; `dim_scd2_build` proves the
+    * history builds, this proves it RESOLVES.
+    *
+    * Scale: the join is an EQUI-join on the dimension key with the
+    * date-band as a residual filter (hash join, no range-join
+    * explosion — per-key version chains are short by construction, so
+    * the residual scans a handful of versions per fact); the rollup
+    * is |attrs| rows. The spec asserts exactly-one-version coverage —
+    * the invariant that makes the half-open convention correct. */
+  def joinScd2Asof(s: SparkSession, dir: String): DataFrame = {
+    val dim = dimScd2Build(s, dir)
+      .select(col("o_custkey"), col("attr"), col("valid_from"), col("valid_to"))
+    val facts = t(s, dir, "orders")
+      .filter(col("o_custkey") < 300)
+      .select(col("o_custkey"), col("o_orderdate"),
+        (Num.money(col("o_totalprice")) * 100).cast("long").as("cents"))
+    facts.join(dim,
+        facts("o_custkey") === dim("o_custkey") &&
+          facts("o_orderdate") >= dim("valid_from") &&
+          (dim("valid_to").isNull || facts("o_orderdate") < dim("valid_to")))
+      .groupBy("attr")
+      .agg(count(lit(1)).as("n_facts"),
+        countDistinct(facts("o_custkey")).as("n_keys"),
+        sum("cents").as("cents"))
+      .orderBy("attr")
+  }
+
   /** Time-bounded ordered pattern match (anchored-first semantics —
     * documented subset of full MATCH_RECOGNIZE): per user, the first
     * view, then the first click within 48 h AFTER that view, then the

@@ -215,6 +215,21 @@ class QualitySpec extends GraftSpec {
     assert(rows.map(_._2).sum == ev.count() - ev.select("user_id").distinct().count())
   }
 
+  test("join_scd2_asof: every fact resolves EXACTLY one dimension version") {
+    val rows = Quality.joinScd2Asof(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val facts = graft.tables.Tables.t(spark, sfDir, "orders")
+      .filter(col("o_custkey") < 300)
+    // exactly-one coverage: matched fact count equals the fact count —
+    // a gap (zero matches) or an overlap (double match) both break it
+    assert(rows.map(_._2).sum == facts.count(),
+      "half-open version chain must cover each fact exactly once")
+    val cents = facts
+      .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100).cast("long"))).head.getLong(0)
+    assert(rows.map(_._4).sum == cents, "resolved cents must conserve the fact mass")
+  }
+
   test("event_concentration: deciles partition users, shares sum to 1, Lorenz monotone") {
     val rows = Quality.eventConcentration(spark, sfDir).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
