@@ -9,6 +9,17 @@ import graft.oracle.OracleSql
   * in `queries`; every oracle=yes row has the matching DuckDB SQL in
   * `oracleSql` (names and rounding aligned — the driver compare sorts
   * columns by name and hashes values).
+  *
+  * Cache lifecycle convention: a `queries` entry returns a LAZY frame the
+  * caller materializes, so a query whose plan persists an intermediate
+  * referenced more than once (dq_sequence_gaps' key table, k-core's
+  * per-peel adjacency, modularity's labeled edges, the DBSCAN grid, the
+  * graph family's shared memo) cannot unpersist it before returning —
+  * the blocks stay cached and are reclaimed by the block manager's LRU
+  * under memory pressure (storage is MEMORY_AND_DISK; eviction is safe,
+  * lineage rebuilds). A long-lived session embedding this library can
+  * call `spark.catalog.clearCache()` between query batches if it wants
+  * deterministic cache pressure instead.
   */
 object SparkEntry {
 

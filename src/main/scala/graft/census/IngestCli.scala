@@ -11,11 +11,15 @@ import scala.io.Source
   *     --data-dir src/main/resources/acs \
   *     --lookup src/main/resources/acs/ACS_5yr_Seq_Table_Number_Lookup.txt \
   *     --out /tmp/acs_out            # parquet output dir
+  *     [--zip-dir /path/to/archives]      # A2: unzip *.zip first, use as data dir
   *     [--pg-dsn "host=... dbname=..."]   # optional COPY-pipe sink
   *
-  * The HTTP download / unzip stages (A1/A2) are out of scope at runtime
-  * (zero egress): the CLI starts from a local data dir, exactly as the
-  * driver's testdata pipeline does.
+  * The HTTP download stage (A1) is out of scope at runtime (zero
+  * egress); archives arrive out-of-band. `--zip-dir` runs the A2
+  * extraction (`Unzip.stageZipDir` — the reference's zipfile
+  * extractall) and overrides `--data-dir`; without it the CLI starts
+  * from an already-extracted local data dir, exactly as the driver's
+  * testdata pipeline does.
   */
 object IngestCli {
 
@@ -24,7 +28,10 @@ object IngestCli {
     val year = opts.getOrElse("--year", "2014").toInt
     val span = opts.getOrElse("--span", "5").toInt
     val states = opts.getOrElse("--states", "xa,xb").split(",").toSeq
-    val dataDir = opts("--data-dir")
+    val dataDir = opts.get("--zip-dir") match {
+      case Some(zd) => Unzip.stageZipDir(zd) // A2: extract, then ingest from the staging dir
+      case None     => opts("--data-dir")
+    }
     val lookup = opts("--lookup")
     val out = opts.get("--out")
     val dsn = opts.get("--pg-dsn")

@@ -107,18 +107,26 @@ object Components {
       hotDegree: Long = DefaultHotDegree,
       salts: Int = DefaultSalts): DataFrame = {
     val cached0 = edges0.cache()
+    // FUSED setup census (SaltedAdj-style): one aggregation action
+    // yields both the total edge count (→ loop width) and the max
+    // degree (→ hub presence) — the separate count() + hot-count()
+    // actions cost two extra job rounds at every scale. The hot list
+    // itself is a lazy filter over the cached census, read only when
+    // salting is actually on.
+    val degs = cached0.groupBy(col("dst").as("node"))
+      .agg(count(lit(1)).as("_d")).cache()
+    // the census row also yields Σnode — the INITIAL label signature
+    // (labels₀ = node per node, and the input contract is an undirected
+    // both-directions list, so the dst node set IS the node set): one
+    // more job saved before the loop
+    val stats = degs.agg(
+      coalesce(sum("_d"), lit(0L)), coalesce(max("_d"), lit(0L)),
+      coalesce(sum("node"), lit(0L))).head
     val loopParts =
-      loopWidth(edges0.sparkSession.sparkContext.defaultParallelism, cached0.count())
+      loopWidth(edges0.sparkSession.sparkContext.defaultParallelism, stats.getLong(0))
     val nodes = cached0.select(col("src").as("node")).distinct()
-    // hub census — one tiny count shuffle over the edge list, done once;
-    // the hot set is small by construction (only the power-law tail).
-    // When it's EMPTY (the common, healthy-graph case) the loop below
-    // runs entirely without salt machinery: no per-round broadcast
-    // join, no extra exchange — zero overhead beyond this one census.
-    val hot = cached0.groupBy(col("dst").as("node"))
-      .agg(count(lit(1)).as("_d")).filter(col("_d") > hotDegree)
-      .select("node").cache()
-    val useSalt = hot.count() > 0
+    val hot = degs.filter(col("_d") > hotDegree).select("node")
+    val useSalt = stats.getLong(1) > hotDegree
     // self-loop per node: the node's own label flows through the join, so
     // no labels∪propagated union is needed (see scaladoc — keeps lineage
     // growth linear in rounds instead of 2^rounds)
@@ -127,23 +135,27 @@ object Components {
       if (useSalt) saltEdges(withLoops, hot, salts)
         .repartition(loopParts, col("dst"), col("_salt")).cache()
       else withLoops.repartition(loopParts, col("dst")).cache()
-    edges.count() // materialize at loop width, then drop the raw cache
-    cached0.unpersist()
+    // eager materialize-then-drop-raw only pays when the raw edge cache
+    // is big enough for double-caching to hurt; on a small graph the
+    // extra count() action is one more round of pure job scheduling
+    if (stats.getLong(0) >= RowsPerPartition * math.max(1, loopParts)) {
+      edges.count() // materialize at loop width, then drop the raw cache
+      cached0.unpersist()
+    }
     var labels = nodes.repartition(loopParts, col("node"))
       .withColumn("label", col("node")).cache()
-    // coalesce: an EMPTY edge set (legal — e.g. a density filter that
-    // matched nothing) sums to NULL, which must read as the stable 0
-    // signature instead of throwing at getLong
-    var sig = labels.agg(coalesce(sum("label"), lit(0L))).head.getLong(0)
-    var rounds = 0
-    var converged = false
-    while (!converged && rounds < maxRounds) {
-      val folded = if (useSalt) {
+    // initial signature from the fused census above (coalesce there: an
+    // EMPTY edge set — legal, e.g. a density filter that matched
+    // nothing — must read as the stable 0 signature, not a null deref)
+    var sig = stats.getLong(2)
+    // one min-label propagation step, as a pure plan transform
+    def fold(lbl: DataFrame): DataFrame =
+      if (useSalt) {
         // labels side: replicate HOT nodes over every salt so each salted
         // edge partition finds its match; cold nodes ride with salt 0.
         // Explicit (node, _salt) repartition co-partitions with the cached
         // edge layout, so the big side never reshuffles.
-        val saltedLabels = labels
+        val saltedLabels = lbl
           .join(broadcast(hot.select(col("node"), lit(1).as("_h"))), Seq("node"), "left")
           .withColumn("_ss",
             when(col("_h").isNotNull, sequence(lit(0L), lit(salts.toLong - 1)))
@@ -163,23 +175,51 @@ object Components {
           // frontier-width partitioning for the next round's labels join
           .repartition(loopParts, col("node"))
       } else {
-        edges.join(labels, edges("dst") === labels("node"))
+        val aggd = edges.join(lbl, edges("dst") === lbl("node"))
           .select(edges("src").as("node"), col("label"))
-          .repartition(loopParts, col("node"))
           .groupBy("node").agg(min("label").as("label"))
+        // the aggregate's own exchange already hash-partitions on node;
+        // re-partition only when loop width differs from the session
+        // shuffle width — at matching widths the extra exchange was one
+        // full stage of pure scheduling PER FOLD
+        if (loopParts == lbl.sparkSession.sessionState.conf.numShufflePartitions) aggd
+        else aggd.repartition(loopParts, col("node"))
       }
+    // BATCHED rounds: several folds chain as one plan between actions,
+    // so the fixed per-round cost (job scheduling + cache materialize +
+    // the signature action — what actually dominates the loop at every
+    // measured SF, the work per round being frontier-bounded) is paid
+    // once per BATCH of label hops. Convergence still detects via the
+    // monotone Σlabel signature (sig(a)==sig(b) for consecutive checks ⟹
+    // some intermediate fold changed nothing ⟹ fixpoint); the price is
+    // up to batch−1 redundant folds after convergence. The batch size is
+    // therefore scheduling-aware: a graph small enough to fit one task's
+    // rows per partition is pure per-job overhead → batch 4; at scale a
+    // wasted fold is a real edges⋈labels join → batch 2. Lineage stays
+    // linear — each fold references the previous exactly once — and the
+    // checkpoint cadence counts FOLDS so plan depth between truncations
+    // is bounded.
+    val batch =
+      if (stats.getLong(0) < RowsPerPartition * math.max(1, loopParts)) 4 else 2
+    var folds = 0
+    var converged = false
+    while (!converged && folds < maxRounds) {
+      val folded = Iterator.iterate(labels)(fold).drop(batch).next()
+      folds += batch
       val next =
-        if (rounds % checkpointEvery == checkpointEvery - 1) folded.localCheckpoint(true)
+        // truncate lineage whenever the batch crossed a multiple of
+        // checkpointEvery folds (batch ≤ checkpointEvery by construction)
+        if (folds % checkpointEvery < batch) folded.localCheckpoint(true)
         else folded.cache()
       val nextSig = next.agg(coalesce(sum("label"), lit(0L))).head.getLong(0)
       labels.unpersist()
       labels = next
       converged = nextSig == sig
       sig = nextSig
-      rounds += 1
     }
     edges.unpersist()
-    hot.unpersist()
+    degs.unpersist()
+    cached0.unpersist() // no-op when the big-graph path dropped it early
     labels
   }
 }

@@ -41,16 +41,20 @@ final class SaltedAdj private (
     private[graft] val useSalt: Boolean,
     width: Int) {
 
-  /** One propagation round: rows `(node ← v, payload…)` for every edge
-    * `(u, v)` whose `u` matched a `values(node, payload…)` row. The
-    * caller aggregates (the aggregate's map-side combine is what
-    * collapses a hub-as-v's fan-in before the shuffle — do NOT
-    * pre-repartition the result by node before aggregating). */
+  /** One propagation round: rows `(node ← v, payload…, edge extras…)`
+    * for every edge `(u, v)` whose `u` matched a `values(node, payload…)`
+    * row. Any adjacency column beyond (u, v, _salt) — e.g. a per-edge
+    * hop weight — rides along, so self-loop/weighted loops (BFS) share
+    * this code path. The caller aggregates (the aggregate's map-side
+    * combine is what collapses a hub-as-v's fan-in before the shuffle —
+    * do NOT pre-repartition the result by node before aggregating). */
   def propagate(values: DataFrame): DataFrame = {
     val payload = values.columns.filterNot(_ == "node").toSeq
+    val extras = edges.columns.filterNot(Set("u", "v", "_salt")).toSeq
     if (!useSalt) {
       val j = edges.join(values, edges("u") === values("node"))
-      j.select(edges("v").as("node") +: payload.map(values(_)): _*)
+      j.select(edges("v").as("node") +:
+        (payload.map(values(_)) ++ extras.map(edges(_))): _*)
     } else {
       val sv = values
         .join(broadcast(hot.select(col("node"), lit(1).as("_h"))), Seq("node"), "left")
@@ -60,7 +64,8 @@ final class SaltedAdj private (
         .select(col("node") +: payload.map(col) :+ explode(col("_ss")).as("_salt"): _*)
         .repartition(width, col("node"), col("_salt"))
       edges.join(sv, edges("u") === sv("node") && edges("_salt") === sv("_salt"))
-        .select(edges("v").as("node") +: payload.map(sv(_)): _*)
+        .select(edges("v").as("node") +:
+          (payload.map(sv(_)) ++ extras.map(edges(_))): _*)
     }
   }
 

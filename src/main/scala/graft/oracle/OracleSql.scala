@@ -2066,19 +2066,34 @@ object OracleSql {
              max(cos) AS max_cos
       FROM p GROUP BY cell ORDER BY cell""",
 
-    // same assignment/pair mirror as llm_semdedup but the centroid
-    // budget is data-derived: greatest(16, ceil(sqrt(n))) — the 16
-    // floor matches Ivf.NCells and the Spark side's max()
+    // same pair/rollup mirror as llm_semdedup but the centroid budget is
+    // data-derived — greatest(16, ceil(sqrt(n))), the 16 floor matching
+    // Ivf.NCells — and the assignment is the engine's TWO-LEVEL
+    // quantizer: coarse reps = first greatest(4, ceil(sqrt(k))) vectors;
+    // centroid→coarse and vector→coarse argmax, then the exact argmax
+    // over only the coarse group's centroids. Identical (d DESC, id ASC)
+    // tie rule at every level.
     "llm_semdedup_adaptive" -> """
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       nc AS (SELECT greatest(16, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS k FROM e),
-      c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < (SELECT k FROM nc)),
-      sc AS (SELECT e.vec_id, c.cell, list_dot_product(e.v, c.cv) AS d
-             FROM e CROSS JOIN c),
+      ncc AS (SELECT k, greatest(4, CAST(ceil(sqrt(k)) AS BIGINT)) AS kc FROM nc),
+      r AS (SELECT vec_id AS crs, v AS rv FROM e WHERE vec_id < (SELECT kc FROM ncc)),
+      c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < (SELECT k FROM ncc)),
+      c2 AS (SELECT crs, cell, cv FROM (
+              SELECT r.crs, c.cell, c.cv,
+                     row_number() OVER (PARTITION BY c.cell
+                       ORDER BY list_dot_product(c.cv, r.rv) DESC, r.crs) AS rk
+              FROM c CROSS JOIN r) WHERE rk = 1),
+      vc AS (SELECT vec_id, v, crs FROM (
+              SELECT e.vec_id, e.v, r.crs,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_dot_product(e.v, r.rv) DESC, r.crs) AS rk
+              FROM e CROSS JOIN r) WHERE rk = 1),
       a AS (SELECT vec_id, cell FROM (
-              SELECT vec_id, cell,
-                     row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS rk
-              FROM sc) WHERE rk = 1),
+              SELECT vc.vec_id, c2.cell,
+                     row_number() OVER (PARTITION BY vc.vec_id
+                       ORDER BY list_dot_product(vc.v, c2.cv) DESC, c2.cell) AS rk
+              FROM vc JOIN c2 USING (crs)) WHERE rk = 1),
       av AS (SELECT a.vec_id, a.cell, e.v FROM a JOIN e USING (vec_id)),
       p AS (SELECT x.cell, round(list_dot_product(x.v, y.v), 4) AS cos
             FROM av x JOIN av y ON x.cell = y.cell AND x.vec_id < y.vec_id)
@@ -3722,8 +3737,10 @@ object OracleSql {
                        ${N.ratio("abs(cents - prev_cents)", "prev_cents", 4)} END AS wow_growth
       FROM l ORDER BY iso_year, iso_week""",
 
-    // the SFS sort-scan: survives iff the date strictly exceeds every
-    // strictly-better prefix row's running max date
+    // the SFS sort-scan under STANDARD (non-strict) dominance: the
+    // (price desc, date desc, key) prefix holds every ≥-priced row, so
+    // a row survives iff its date strictly exceeds the prefix's running
+    // max date — price-tied rows with older dates are dominated too
     "agg_skyline_2d" -> """
       WITH o AS (
         SELECT o_orderstatus, o_orderkey,

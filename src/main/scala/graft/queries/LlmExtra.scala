@@ -883,17 +883,69 @@ object LlmExtra {
     * n/16 — the production re-quantization posture the fixed-cell form
     * saturates out of (at sf10 the 16-cell quantizer puts ~12.5k
     * vectors in every cell and the hot-cell cap rightly drops them
-    * all; √n cells keep occupancy bounded at any corpus size). One
-    * count action picks the cell budget; everything downstream is the
-    * same two-shuffle assign-then-pair plan, and the oracle computes
-    * the identical ⌈√count⌉ in SQL. */
+    * all; √n cells keep occupancy bounded at any corpus size).
+    *
+    * Assignment is a TWO-LEVEL quantizer (the IVF-on-centroids trick):
+    * the one-level form's exact argmax over all ⌈√n⌉ centroids costs
+    * n·√n dots — O(n^1.5) BY DESIGN was round 8's worst designed scale
+    * row (measured 12.8× on 10× data). Here the first ⌈√nCells⌉
+    * vectors act as COARSE reps; each fine centroid joins its nearest
+    * coarse rep once (√n·n^¼ dots, negligible), each vector picks its
+    * coarse rep (n·n^¼ dots) and then runs the exact argmax over ONLY
+    * the centroids in that coarse group (n·occupancy ≈ n·n^¼ dots) —
+    * total O(n^1.25) instead of O(n^1.5). Both argmax levels use the
+    * same (d desc, id asc) tie rule and the DuckDB oracle computes the
+    * IDENTICAL two-level assignment, so the query stays fully
+    * hash-gated; the within-cell pairing stage is unchanged. One count
+    * action picks the cell budget. */
   def llmSemdedupAdaptive(s: SparkSession, dir: String): DataFrame = {
     graft.udx.NGrams.registerAll(s)
     val emb = t(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").as("v"))
     val nCells = math.max(graft.llm.Ivf.NCells.toLong,
       math.ceil(math.sqrt(emb.count().toDouble)).toLong)
-    llmSemdedupCells(emb, graft.operators.HotKeys.DefaultCap, nCells)
+    val nCoarse = math.max(4L, math.ceil(math.sqrt(nCells.toDouble)).toLong)
+    llmSemdedupTwoLevel(emb, graft.operators.HotKeys.DefaultCap, nCells, nCoarse)
+  }
+
+  /** Two-level-quantizer SemDeDup body (see `llmSemdedupAdaptive`).
+    * `emb` must be (vec_id, v: array<float>) with unit-norm vectors;
+    * the first `nCoarse` vectors are coarse reps, the first `nCells`
+    * are fine centroids. Vectors whose coarse group holds no fine
+    * centroid (only possible when coarse reps are exact duplicates of
+    * each other) drop out of the assignment — the oracle's inner join
+    * mirrors exactly. */
+  private[graft] def llmSemdedupTwoLevel(
+      emb: DataFrame, cellCap: Int, nCells: Long, nCoarse: Long): DataFrame = {
+    import graft.llm.Vectors.fdot
+    import graft.udx.TopKAggregator.topk
+    val reps = emb.filter(col("vec_id") < nCoarse)
+      .select(col("vec_id").cast("long").as("crs"), col("v").as("rv"))
+    val cents = emb.filter(col("vec_id") < nCells)
+      .select(col("vec_id").cast("long").as("cell"), col("v").as("cv"))
+    // centroid → coarse group: √n × n^¼ dots, a centroid-sized frame —
+    // broadcast into the fine-assign join below
+    val c2 = cents.crossJoin(broadcast(reps))
+      .select(col("cell"), col("cv"), col("crs"), fdot(col("cv"), col("rv")).as("d"))
+      .groupBy("cell")
+      .agg(topk(1)(col("d"), col("crs")).as("tk"), first(col("cv")).as("cv"))
+      .select(col("tk.items")(0).getField("_2").as("crs"), col("cell"), col("cv"))
+    // vector → coarse rep: n × n^¼ dots through the broadcast rep set;
+    // the bounded-heap topk aggregate map-side combines, so the only
+    // exchange carries one row per vector
+    val vcoarse = emb.crossJoin(broadcast(reps))
+      .select(col("vec_id"), col("v"), col("crs"), fdot(col("v"), col("rv")).as("d"))
+      .groupBy("vec_id")
+      .agg(topk(1)(col("d"), col("crs")).as("tk"), first(col("v")).as("v"))
+      .select(col("vec_id"), col("v"), col("tk.items")(0).getField("_2").as("crs"))
+    // vector → fine cell, exact argmax over ONLY its coarse group's
+    // centroids: n × occupancy ≈ n × n^¼ dots
+    val assigned = vcoarse.join(broadcast(c2), Seq("crs"))
+      .select(col("vec_id"), col("v"), col("cell"), fdot(col("v"), col("cv")).as("d"))
+      .groupBy("vec_id")
+      .agg(topk(1)(col("d"), col("cell")).as("tk"), first(col("v")).as("v"))
+      .select(col("vec_id"), col("v"), col("tk.items")(0).getField("_2").as("cell"))
+    pairWithinCells(assigned, cellCap)
   }
 
   /** Body of llm_semdedup with an injectable hot-cell cap (HotKeySpec
@@ -926,6 +978,13 @@ object LlmExtra {
     // cells, but a cell that saturates the cap is a mass-duplicate
     // family the exact/minhash passes already collapse. Inert at graded
     // SF (cells hold tens of vectors).
+    pairWithinCells(assigned, cellCap)
+  }
+
+  /** Shared SemDeDup pairing stage: cap hot cells, enumerate within-cell
+    * (id_a < id_b) pairs, roll up the per-cell dup census. Per-cell
+    * quadratic BY DESIGN — `cellCap` bounds the worst reducer. */
+  private def pairWithinCells(assigned: DataFrame, cellCap: Int): DataFrame = {
     val capped = graft.operators.HotKeys.dropOverCap(assigned, Seq("cell"), cellCap)
     val a = capped.select(col("cell"), col("vec_id").as("id_a"), col("v").as("va"))
     val b = capped.select(col("cell"), col("vec_id").as("id_b"), col("v").as("vb"))
@@ -1218,42 +1277,88 @@ object LlmExtra {
     * coverage) say "how similar"; this says WHERE the copy is — the
     * input a span-removal pass needs.
     *
-    * Scale: the gram table is generate+project, immediately collapsed
-    * to md5-derived 60-bit keys (the shared-hash family of
-    * `llm_dup_ngram_coverage` — 8-byte shuffle keys instead of 40-char
-    * strings, and the DuckDB mirror computes the identical hash, so the
-    * query stays fully oracle-checked; this exact swap cut the sf0.1
-    * time 8.9 s → ~1 s). Cross-doc duplication is the ALGEBRAIC
-    * `min(doc_id) ≠ max(doc_id)` test — single-phase map-side-combined
-    * aggregate, no countDistinct Expand; the mark-back is a LEFT SEMI
-    * equi-join whose per-key fan-out is each doc's own positions —
-    * output-linear, never all-pairs. The islands pass is one (doc_id)
-    * window over only the duplicated positions. */
+    * Scale — the TWO-PASS, persist-free form. The gram table is ~24
+    * bytes PER CHARACTER of corpus (pos + md5-derived 60-bit key), so
+    * materializing it is a ≈24× intermediate (a ~2.4 PB cache at
+    * 100 TB) — the earlier persisted form's worst scale row. Instead:
+    *
+    *  - PASS 1 (census, no positions): the gram stream is re-derived
+    *    generate+project WITHOUT the position column (16-byte rows) and
+    *    collapsed to the dup-gram set. Cross-doc duplication is the
+    *    ALGEBRAIC `min(doc_id) ≠ max(doc_id)` test — single-phase
+    *    map-side-combined aggregate (per-doc repeats collapse before
+    *    the wire), no countDistinct Expand. This is the only
+    *    corpus-wide shuffle, and it never carries positions.
+    *  - PASS 2 (output-sensitive mark-back): the positional stream is
+    *    re-derived on the fly and LEFT SEMI joined to the census, so a
+    *    position row survives ONLY if its gram is duplicated — clean
+    *    docs' positions never materialize anywhere. When the dup set is
+    *    small (the common case) AQE broadcasts it and the positional
+    *    stream never shuffles at all; a pathological dup set degrades
+    *    to one shuffle, still never a persist. The islands window then
+    *    partitions only the DUPLICATED positions by doc.
+    *  - `n_grams` is ANALYTIC — `length(text) − K + 1` — so the third
+    *    full gram aggregation of the persisted form disappears into a
+    *    projection on the documents scan.
+    *
+    * Re-deriving the stream twice costs two map-only parquet passes —
+    * at any scale cheaper than writing and re-reading a 24× cache. The
+    * md5-60-bit keys are the shared-hash family of
+    * `llm_dup_ngram_coverage` (8-byte shuffle keys instead of 40-char
+    * strings; the DuckDB mirror computes the identical hash, so the
+    * query stays fully oracle-checked). `PlanShapeSpec` pins the
+    * no-persisted-gram-table shape. */
   def llmDupSpan(s: SparkSession, dir: String): DataFrame = {
     val K = 40
-    val grams = t(s, dir, "documents")
-      .select(col("doc_id"), col("text"))
-      .withColumn("pos", explode(expr(
-        s"IF(length(text) >= $K, sequence(1, length(text) - ${K - 1}), array_repeat(1, 0))")))
-      .select(col("doc_id"), col("pos"),
-        conv(substring(md5(expr(s"substr(text, pos, $K)")), 1, 15), 16, 10)
-          .cast("long").as("gh"))
-      // referenced three times (dup census, mark-back, sizes) — persist
-      // the 24-byte rows or the text scan + 1.3M md5 runs once PER REF
-      .persist()
-    val dupg = grams.groupBy("gh")
+    // EXPLODE-AMPLIFICATION spread: this generate multiplies every input
+    // row ~|text| times and the per-position md5 is the query's compute,
+    // so the md5 pass inherits the SCAN's width — a corpus packed into a
+    // few big parquet files runs the whole hash on a few cores (measured
+    // 23 s vs 1.9 s for one sf1 pass: the scan read as 2 partitions on a
+    // 32-core host). Widen narrow scans to cluster parallelism BEFORE
+    // exploding (shuffles only the raw text once, ~1/24th of the gram
+    // stream); at production scale the scan is already wide and this
+    // branch is a no-op.
+    val docs0 = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val width = s.sparkContext.defaultParallelism
+    val docs =
+      if (docs0.rdd.getNumPartitions < width) docs0.repartition(width) else docs0
+    def grams(withPos: Boolean): DataFrame = {
+      val base = docs
+        .withColumn("pos", explode(expr(
+          s"IF(length(text) >= $K, sequence(1, length(text) - ${K - 1}), array_repeat(1, 0))")))
+      // coalesce makes gh NON-NULLABLE (md5 of a non-null substring never
+      // is null, so the fallback is dead) — without it Catalyst infers an
+      // isnotnull(gh) join-key filter that RECOMPUTES the whole md5
+      // expression once more per position on both derivations (measured
+      // 4× the hash work; the hash IS this query's compute)
+      val gh = coalesce(
+        conv(substring(md5(expr(s"substr(text, pos, $K)")), 1, 15), 16, 10).cast("long"),
+        lit(0L)).as("gh")
+      if (withPos) base.select(col("doc_id"), col("pos"), gh)
+      else base.select(col("doc_id"), gh)
+    }
+    val dupg = grams(withPos = false).groupBy("gh")
       .agg(min("doc_id").as("d0"), max("doc_id").as("d1"))
       .filter(col("d0") =!= col("d1"))
       .select("gh")
     val ord = Window.partitionBy("doc_id").orderBy("pos")
-    val runs = grams.join(dupg, Seq("gh"), "left_semi")
+    // shuffle_hash: when the dup set outgrows the broadcast threshold the
+    // planner's default is a sort-merge join that SORTS the full
+    // positional stream by gh — pure waste for a semi probe. Hashing the
+    // (always smaller) census side skips that sort; AQE still upgrades
+    // to broadcast when the census is small (the common case).
+    val runs = grams(withPos = true).join(dupg.hint("shuffle_hash"), Seq("gh"), "left_semi")
       .withColumn("isl", col("pos") - row_number().over(ord))
       .groupBy("doc_id", "isl").agg(count(lit(1)).as("run"))
     val perDoc = runs.groupBy("doc_id")
       .agg(count(lit(1)).as("n_runs"),
         sum("run").as("n_dup_grams"),
         max("run").as("max_run"))
-    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val sizes = t(s, dir, "documents")
+      .filter(length(col("text")) >= K)
+      .select(col("doc_id"),
+        (length(col("text")) - lit(K - 1)).cast("long").as("n_grams"))
     perDoc.join(sizes, "doc_id")
       .select(col("doc_id"), col("n_grams"), col("n_dup_grams"), col("n_runs"),
         (col("max_run") + lit(K - 1)).as("max_span_chars"),

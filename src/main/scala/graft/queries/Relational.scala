@@ -1533,10 +1533,12 @@ object Relational {
   }
 
   /** Equi-width histogram of order totals — the profiling primitive
-    * behind every "distribution of X" dashboard panel: fixed $50k
-    * buckets over [0, $550k), integer-cent floor-division bucketing
-    * (the top bucket is open-ended via least()), per-bucket count,
-    * exact-cent min/max, and share of total as the half-up ratio.
+    * behind every "distribution of X" dashboard panel: ten fixed $50k
+    * buckets over [0, $500k) plus an open-ended 11th bucket for
+    * ≥ $500k (integer-cent floor-division bucketing, clamped via
+    * least() — so the open bucket's lo_dollars=500000 is its LOWER
+    * edge, not a range), per-bucket count, exact-cent min/max, and
+    * share of total as the half-up ratio.
     * width_bucket() exists in both engines but with differing edge
     * conventions; explicit div/least arithmetic is the same expression
     * everywhere.
@@ -1561,13 +1563,19 @@ object Relational {
 
   /** 2-D skyline (Pareto frontier) — the classic multi-criteria OLAP
     * operator the relational core lacks a keyword for: per order
-    * status, the orders not STRICTLY dominated on (totalprice,
-    * orderdate) — "no other order is both more valuable and more
-    * recent". The textbook sort-scan: one keyed window ordered by
-    * (price desc, date desc, key), a row survives iff its date
-    * strictly exceeds the running max date of every strictly-higher-
-    * priced prefix row (ties ride the deterministic total order).
-    * Exact integer cents and epoch-µs.
+    * status, the orders not dominated on (totalprice, orderdate)
+    * under the STANDARD dominance rule — another order is ≥ on both
+    * dimensions and > on at least one (so a price-TIED row with a
+    * strictly older date is dominated and removed too). The textbook
+    * sort-scan: one keyed window ordered by (price desc, date desc,
+    * key), a row survives iff its date strictly exceeds the running
+    * max date over the preceding prefix — the prefix holds every row
+    * with ≥ price, which is exactly the standard rule's dominator
+    * candidates. One deliberate edge: rows tied on BOTH dimensions
+    * (which neither dominates) collapse to the first under the
+    * (price, date, key) total order — the scan's determinism beats
+    * keeping interchangeable duplicates. Exact integer cents and
+    * epoch-µs; the oracle runs the identical scan.
     *
     * Scale: dominance never crosses the partition key, so the sort is
     * per-status, not global; the frontier is output-sensitive (skyline

@@ -502,6 +502,16 @@ object TimeSeries {
       s"tsLttbDownsample: ${daily.length} days exceed the calendar bound — " +
         "a series this long needs the windowed-bucket form, not the driver fold")
     val n = daily.length.toLong
+    // degenerate series (n < 3): no interior bucket exists and LTTB is
+    // the identity — short-circuit BEFORE the fold (an empty series
+    // would deref pts.head; n=2 makes bucket(n)=2 while bucket 1 is
+    // empty, so byBucket(1) would throw)
+    if (n < 3) {
+      import s.implicits._
+      return daily.zipWithIndex
+        .map { case ((day, v), idx) => (idx.toLong, idx + 1L, day, v) }
+        .toSeq.toDF("k", "i", "day", "v").orderBy("k")
+    }
     def bucket(i: Long): Long =
       if (i == 1) 0L else if (i == n) (n - 3) / 3 + 2 else (i - 2) / 3 + 1
     val pts = daily.zipWithIndex.map { case ((day, v), idx) =>

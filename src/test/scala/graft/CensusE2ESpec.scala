@@ -126,4 +126,62 @@ class CensusE2ESpec extends GraftSpec {
       s"""SELECT CAST(sum(b00001001) AS BIGINT) FROM $schema.b00001""") ==
       dfSum.getLong(0).toString)
   }
+
+  test("IngestCli --zip-dir: A2 unzip -> ingest -> rollup matches the direct path") {
+    val spark = SparkSpecBase.spark
+    import java.io.{File, FileOutputStream}
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    // build the upstream shape: ONE archive PER STATE holding that
+    // state's g/e/m files (acs2pgsql.py downloads per-state zips)
+    val fixture = new File(CensusQueries.fixtureDir)
+    val zipDir = java.nio.file.Files.createTempDirectory("acs_zips").toFile
+    for (st <- Seq("xa", "xb")) {
+      val zos = new ZipOutputStream(new FileOutputStream(new File(zipDir, s"state_$st.zip")))
+      try fixture.listFiles().filter(_.getName.contains(st)).sortBy(_.getName).foreach { f =>
+        zos.putNextEntry(new ZipEntry(f.getName))
+        java.nio.file.Files.copy(f.toPath, zos)
+        zos.closeEntry()
+      } finally zos.close()
+    }
+    val zipOut = "/tmp/graft_census_e2e_zip"
+    graft.census.IngestCli.main(Array(
+      "--year", "2014", "--span", "5", "--states", "xa,xb",
+      "--zip-dir", zipDir.getAbsolutePath,
+      "--lookup", s"${CensusQueries.fixtureDir}/ACS_5yr_Seq_Table_Number_Lookup.txt",
+      "--out", zipOut))
+    // rollup through the unzip path = rollup through the direct path
+    val geo = spark.read.parquet(s"$zipOut/geoheader")
+    assert(geo.count() == 10, "geoheader rows through the zip path")
+    val b1 = spark.read.parquet(s"$zipOut/b00001")
+    val roll = b1.groupBy("stusab")
+      .agg(sum("b00001001").cast("long").as("s1"),
+        (count(lit(1)) - count(col("b00001002"))).as("nulls"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // self-sufficient direct-path reference (the PG test above may be
+    // canceled on hosts without initdb — don't depend on its output)
+    val directOut = "/tmp/graft_census_e2e_direct"
+    graft.census.IngestCli.main(Array(
+      "--year", "2014", "--span", "5", "--states", "xa,xb",
+      "--data-dir", CensusQueries.fixtureDir,
+      "--lookup", s"${CensusQueries.fixtureDir}/ACS_5yr_Seq_Table_Number_Lookup.txt",
+      "--out", directOut))
+    val direct = spark.read.parquet(s"$directOut/b00001")
+      .groupBy("stusab")
+      .agg(sum("b00001001").cast("long").as("s1"),
+        (count(lit(1)) - count(col("b00001002"))).as("nulls"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(roll == direct, s"zip-path rollup $roll != direct-path $direct")
+    // zip-slip guard actually guards
+    val evil = new File(zipDir, "evil.zip")
+    val zos = new ZipOutputStream(new FileOutputStream(evil))
+    try {
+      zos.putNextEntry(new ZipEntry("../escape.txt"))
+      zos.write("x".getBytes)
+      zos.closeEntry()
+    } finally zos.close()
+    val dest = java.nio.file.Files.createTempDirectory("acs_slip").toFile
+    intercept[IllegalArgumentException] {
+      graft.census.Unzip.extractAll(evil, dest)
+    }
+  }
 }

@@ -207,4 +207,17 @@ class PlanShapeSpec extends GraftSpec {
     assert(p.contains("BroadcastHashJoin"),
       s"fence join must broadcast, not shuffle the stream:\n${p.take(3000)}")
   }
+
+  test("llm_dup_span: no persisted per-character gram table in the plan") {
+    val df = graft.queries.LlmExtra.llmDupSpan(spark, sfDir)
+    // the positional gram stream is ~24 bytes per CHARACTER of corpus —
+    // a cache of it is a ≈24× intermediate at 100 TB. The two-pass form
+    // re-derives the stream per pass (map-only); nothing may persist.
+    val p = plan(df)
+    assert(!p.contains("InMemoryTableScan") && !p.contains("InMemoryRelation"),
+      s"llm_dup_span must not cache the gram table:\n${p.take(3000)}")
+    // the mark-back must be a LEFT SEMI join (output-sensitive: clean
+    // docs' positions die at the join, never downstream)
+    assert(p.contains("LeftSemi"), s"positional mark-back must be a semi join:\n${p.take(3000)}")
+  }
 }
