@@ -235,7 +235,10 @@ object Llm {
     * windowed top-k; N is a 1-row broadcast, never a collect. */
   def llmTfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val words = docs
+    // tokenization is spread (Tables.spread): the explode multiplies
+    // every doc by its word count, so a narrow scan caps the whole pass
+    val words = graft.tables.Tables.spread(s,
+        docs.select(col("lang"), col("doc_id"), col("text")))
       .select(col("lang"), col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .filter(length(col("term")) > 0)
     // One explode, two CASCADED aggregations: per-(lang,term,doc_id)

@@ -46,7 +46,10 @@ object LlmExtra {
     // differ post-alias); with it the expensive text scan runs exactly
     // once and both sides read the cached (doc_id, sig) rows. At 100 TB
     // the cached table is ~0.1% of the input — MEMORY_AND_DISK absorbs it.
-    val sigs = t(s, dir, "documents")
+    // The signature pass is spread first (Tables.spread): a narrow scan
+    // otherwise runs every graft_simhash on a few cores.
+    val sigs = graft.tables.Tables.spread(s,
+        t(s, dir, "documents").select(col("doc_id"), col("text")))
       .select(col("doc_id"), expr("graft_simhash(text)").as("sig"))
       .persist()
     val bandStructs = array((0 until SimHash.Bands).map { b =>
@@ -423,7 +426,12 @@ object LlmExtra {
       ))).as("g"))
     val bench = grams(docs.filter(col("doc_id") < 10))
       .select(col("g")).distinct()
-    grams(docs.filter(col("doc_id") >= 10))
+    // the corpus side's gram construction is spread (Tables.spread) —
+    // the round-robin widening of the raw docs is the ONE exchange this
+    // branch tolerates (PlanShapeSpec pins: no hash exchange, i.e. the
+    // gram stream itself still never shuffles before the broadcast probe)
+    grams(graft.tables.Tables.spread(s,
+        docs.filter(col("doc_id") >= 10).select(col("doc_id"), col("text"))))
       .join(broadcast(bench), "g")
       .groupBy("doc_id")
       .agg(countDistinct(col("g")).as("n_hits"))
@@ -499,7 +507,10 @@ object LlmExtra {
   def llmSplitOverlap(s: SparkSession, dir: String): DataFrame = {
     graft.udx.NGrams.registerAll(s)
     val nib = substring(md5(col("doc_id").cast("string")), 1, 1)
-    val grams = t(s, dir, "documents")
+    // spread the gram generation (Tables.spread): graft_ngrams multiplies
+    // every doc into |text| grams, so a narrow scan caps the whole pass
+    val grams = graft.tables.Tables.spread(s,
+        t(s, dir, "documents").select(col("doc_id"), col("text")))
       .withColumn("split",
         when(nib.isin("c", "d"), "val")
           .when(nib.isin("e", "f"), "test")
@@ -1310,19 +1321,11 @@ object LlmExtra {
     * no-persisted-gram-table shape. */
   def llmDupSpan(s: SparkSession, dir: String): DataFrame = {
     val K = 40
-    // EXPLODE-AMPLIFICATION spread: this generate multiplies every input
-    // row ~|text| times and the per-position md5 is the query's compute,
-    // so the md5 pass inherits the SCAN's width — a corpus packed into a
-    // few big parquet files runs the whole hash on a few cores (measured
-    // 23 s vs 1.9 s for one sf1 pass: the scan read as 2 partitions on a
-    // 32-core host). Widen narrow scans to cluster parallelism BEFORE
-    // exploding (shuffles only the raw text once, ~1/24th of the gram
-    // stream); at production scale the scan is already wide and this
-    // branch is a no-op.
-    val docs0 = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    val width = s.sparkContext.defaultParallelism
-    val docs =
-      if (docs0.rdd.getNumPartitions < width) docs0.repartition(width) else docs0
+    // explode-amplification spread (Tables.spread — measured there): the
+    // per-position md5 is this query's compute and inherits the scan's
+    // width; widen narrow scans BEFORE exploding
+    val docs = graft.tables.Tables.spread(s,
+      t(s, dir, "documents").select(col("doc_id"), col("text")))
     def grams(withPos: Boolean): DataFrame = {
       val base = docs
         .withColumn("pos", explode(expr(

@@ -39,4 +39,21 @@ object Tables {
       }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
+
+  /** Widen a NARROW scan to cluster parallelism before explode-amplified
+    * work. Token/gram generation multiplies every input row ~|text|
+    * times, and the expensive downstream compute (md5/simhash/tokenize)
+    * inherits the SCAN's width — a corpus packed into a few big parquet
+    * files runs its whole hash pass on a few cores no matter how many
+    * exist (measured on the sf1 bench input, which reads as 2
+    * partitions: one 13M-gram md5 pass = 23 s narrow vs 1.9 s spread).
+    * The round-robin exchange moves only the raw pre-explode rows —
+    * a small fraction of the gram stream it unlocks — and at production
+    * scale the scan is already wide, making this a no-op branch.
+    * Project the needed columns BEFORE spreading so the shuffle carries
+    * no dead weight. */
+  def spread(spark: SparkSession, df: DataFrame): DataFrame = {
+    val width = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < width) df.repartition(width) else df
+  }
 }

@@ -81,6 +81,14 @@ def main(sf_dir, out_dir):
         flag = "  " if v.startswith(("OK", "NO_ORACLE")) else "**"
         print(f"{flag} {k:28s} {v}")
     print(f"\n{ok} OK, {noor} no-oracle, {len(results) - ok - noor} FAILING of {len(results)}")
+    # optional committed-artifact form (e.g. CORRECTNESS_SF01.json):
+    # the same per-query verdicts, machine-readable
+    if len(sys.argv) > 3:
+        with open(sys.argv[3], "w") as f:
+            json.dump({"sf_dir": sf_dir, "n": len(results), "ok": ok,
+                       "failing": len(results) - ok - noor,
+                       "results": dict(sorted(results.items()))}, f, indent=1)
+        print(f"wrote {sys.argv[3]}")
     return 0 if ok + noor == len(results) else 1
 
 if __name__ == "__main__":
