@@ -26,6 +26,22 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // SPARK_GRAFT_ONLY=a,b,c restricts the run to the named queries —
+    // the sf100-lite probe times just the slowest sf10 rows without
+    // paying a 282-query pass at 100x data. Unset (the driver's mode)
+    // runs the full inventory; unknown names fail loudly rather than
+    // silently shrinking the probe.
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.toSeq.sorted.mkString(",")}")
+    }
+    val selected: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+      only match {
+        case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
+        case None        => SparkEntry.queries
+      }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -48,7 +64,7 @@ object Bench {
     // distinguish "fast" from "crashed" masks exactly the regression it
     // exists to catch.
     def pass(): Map[String, (Double, Option[String])] =
-      SparkEntry.queries.map { case (name, fn) =>
+      selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val err = try { fn(spark, sfDir).count(); None }
         catch { case e: Throwable =>
@@ -114,9 +130,12 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qs.map(entry).mkString("{", ",", "}")}$extra,"error_count":${errors.size},"noise":${fmt(noise)}$errPart,"sf":"$sfDir"}"""
     }
     val all = results.toSeq.sortBy { case (_, v) => -v } // slowest first
-    // durable full artifact (cwd = repo root under sbt)
+    // durable full artifact (cwd = repo root under sbt); a filtered probe
+    // run must not clobber the full-inventory artifact, so it lands in
+    // BENCH_PROBE.json instead
+    val artifact = if (only.isDefined) "BENCH_PROBE.json" else "BENCH_LOCAL.json"
     try {
-      val w = new java.io.PrintWriter("BENCH_LOCAL.json")
+      val w = new java.io.PrintWriter(artifact)
       try w.println(line(all, 0, errFull)) finally w.close()
     } catch { case _: Throwable => () }
     // short per-query chunk lines: each stays far below the 2000-byte
