@@ -9,10 +9,12 @@ import org.apache.spark.sql.functions._
   *
   * Every node starts as its own label; each round labels flow across
   * edges and every node keeps the minimum seen; fixpoint in ≤ diameter
-  * rounds. Labels only ever decrease, so Σlabel is a strictly-monotone
-  * convergence signature — one scalar action per round (which also
-  * materializes that round's cache) instead of a join-and-count against
-  * the previous labels.
+  * rounds. Labels only ever decrease, and each fold carries the node's
+  * PREVIOUS label alongside the new one (recovered from the flagged
+  * self-loop contribution inside the same aggregate), so convergence is
+  * one `count(label < old)` scalar action per batch — it materializes
+  * that batch's cache too, and detects the fixpoint on the batch's own
+  * last fold with no signature history and no extra join.
   *
   * Scale discipline:
   *  - loop parallelism is sized to the MEASURED edge count, not the
@@ -115,22 +117,25 @@ object Components {
     // salting is actually on.
     val degs = cached0.groupBy(col("dst").as("node"))
       .agg(count(lit(1)).as("_d")).cache()
-    // the census row also yields Σnode — the INITIAL label signature
-    // (labels₀ = node per node, and the input contract is an undirected
-    // both-directions list, so the dst node set IS the node set): one
-    // more job saved before the loop
     val stats = degs.agg(
-      coalesce(sum("_d"), lit(0L)), coalesce(max("_d"), lit(0L)),
-      coalesce(sum("node"), lit(0L))).head
+      coalesce(sum("_d"), lit(0L)), coalesce(max("_d"), lit(0L))).head
     val loopParts =
       loopWidth(edges0.sparkSession.sparkContext.defaultParallelism, stats.getLong(0))
     val nodes = cached0.select(col("src").as("node")).distinct()
     val hot = degs.filter(col("_d") > hotDegree).select("node")
     val useSalt = stats.getLong(1) > hotDegree
-    // self-loop per node: the node's own label flows through the join, so
-    // no labels∪propagated union is needed (see scaladoc — keeps lineage
-    // growth linear in rounds instead of 2^rounds)
-    val withLoops = cached0.union(nodes.select(col("node").as("src"), col("node").as("dst")))
+    // self-loop per node, FLAGGED (`_self`): the node's own label flows
+    // through the join (no labels∪propagated union — keeps lineage
+    // growth linear in rounds instead of 2^rounds), and because the
+    // self-loop contribution IS the node's previous label, each fold can
+    // emit (new label, previous label) side by side. Convergence then
+    // reads directly off the batch's LAST fold — `count(label < old) ==
+    // 0` ⟺ that fold changed nothing ⟺ fixpoint — with no signature
+    // history, no recomputed branch, and in-batch detection: a
+    // diameter-d graph converges in ⌈(d+1)/batch⌉ actions, not the
+    // ⌈d/batch⌉+1 the cross-batch Σlabel signature compare needed.
+    val withLoops = cached0.withColumn("_self", lit(0))
+      .union(nodes.select(col("node").as("src"), col("node").as("dst"), lit(1).as("_self")))
     val edges =
       if (useSalt) saltEdges(withLoops, hot, salts)
         .repartition(loopParts, col("dst"), col("_salt")).cache()
@@ -144,11 +149,11 @@ object Components {
     }
     var labels = nodes.repartition(loopParts, col("node"))
       .withColumn("label", col("node")).cache()
-    // initial signature from the fused census above (coalesce there: an
-    // EMPTY edge set — legal, e.g. a density filter that matched
-    // nothing — must read as the stable 0 signature, not a null deref)
-    var sig = stats.getLong(2)
-    // one min-label propagation step, as a pure plan transform
+    // one min-label propagation step, as a pure plan transform. Output
+    // schema (node, label, old): `old` is the node's own PREVIOUS label,
+    // recovered from the flagged self-loop row inside the same aggregate
+    // (max-of-one-row; every node has exactly one self-loop) — the
+    // convergence readout rides the fold for free.
     def fold(lbl: DataFrame): DataFrame =
       if (useSalt) {
         // labels side: replicate HOT nodes over every salt so each salted
@@ -156,6 +161,7 @@ object Components {
         // Explicit (node, _salt) repartition co-partitions with the cached
         // edge layout, so the big side never reshuffles.
         val saltedLabels = lbl
+          .select(col("node"), col("label"))
           .join(broadcast(hot.select(col("node"), lit(1).as("_h"))), Seq("node"), "left")
           .withColumn("_ss",
             when(col("_h").isNotNull, sequence(lit(0L), lit(salts.toLong - 1)))
@@ -165,19 +171,22 @@ object Components {
         edges
           .join(saltedLabels,
             edges("dst") === saltedLabels("node") && edges("_salt") === saltedLabels("_salt"))
-          .select(edges("src").as("node"), col("label"))
+          .select(edges("src").as("node"), col("label"), edges("_self"))
           // groupBy WITHOUT a pre-repartition: map-side partial min
           // collapses a hub-as-src's rows inside each input partition, so
           // the aggregate exchange carries ≤ |nodes| rows per partition —
           // the explicit pre-repartition form shipped a hub's raw degree
           // into one reducer
-          .groupBy("node").agg(min("label").as("label"))
+          .groupBy("node").agg(min("label").as("label"),
+            max(when(col("_self") === 1, col("label"))).as("old"))
           // frontier-width partitioning for the next round's labels join
           .repartition(loopParts, col("node"))
       } else {
-        val aggd = edges.join(lbl, edges("dst") === lbl("node"))
-          .select(edges("src").as("node"), col("label"))
-          .groupBy("node").agg(min("label").as("label"))
+        val aggd = edges.join(lbl.select(col("node"), col("label")),
+            edges("dst") === col("node"))
+          .select(edges("src").as("node"), col("label"), edges("_self"))
+          .groupBy("node").agg(min("label").as("label"),
+            max(when(col("_self") === 1, col("label"))).as("old"))
         // the aggregate's own exchange already hash-partitions on node;
         // re-partition only when loop width differs from the session
         // shuffle width — at matching widths the extra exchange was one
@@ -187,20 +196,24 @@ object Components {
       }
     // BATCHED rounds: several folds chain as one plan between actions,
     // so the fixed per-round cost (job scheduling + cache materialize +
-    // the signature action — what actually dominates the loop at every
+    // the convergence action — what actually dominates the loop at every
     // measured SF, the work per round being frontier-bounded) is paid
-    // once per BATCH of label hops. Convergence still detects via the
-    // monotone Σlabel signature (sig(a)==sig(b) for consecutive checks ⟹
-    // some intermediate fold changed nothing ⟹ fixpoint); the price is
-    // up to batch−1 redundant folds after convergence. The batch size is
-    // therefore scheduling-aware: a graph small enough to fit one task's
-    // rows per partition is pure per-job overhead → batch 4; at scale a
-    // wasted fold is a real edges⋈labels join → batch 2. Lineage stays
-    // linear — each fold references the previous exactly once — and the
-    // checkpoint cadence counts FOLDS so plan depth between truncations
-    // is bounded.
+    // once per BATCH of label hops. Convergence reads the batch's LAST
+    // fold directly: `count(label < old) == 0` ⟺ that fold changed
+    // nothing ⟺ fixpoint (labels are monotone non-increasing). Detection
+    // is IN-batch — a diameter-d graph pays ⌈(d+1)/batch⌉ actions and at
+    // most batch−1 redundant folds; the earlier cross-batch Σlabel
+    // signature compare needed two whole batches to agree. Batch size is
+    // scheduling-aware: a graph small enough to fit one task's rows per
+    // partition is pure per-job overhead → batch 5 (= checkpointEvery,
+    // so lineage truncates once per batch); at scale a wasted fold is a
+    // real edges⋈labels join → batch 2. Lineage stays linear — each fold
+    // references the previous exactly once — and the checkpoint cadence
+    // counts FOLDS so plan depth between truncations is bounded.
     val batch =
-      if (stats.getLong(0) < RowsPerPartition * math.max(1, loopParts)) 4 else 2
+      if (stats.getLong(0) < RowsPerPartition * math.max(1, loopParts))
+        math.min(5, checkpointEvery)
+      else 2
     var folds = 0
     var converged = false
     while (!converged && folds < maxRounds) {
@@ -211,15 +224,20 @@ object Components {
         // checkpointEvery folds (batch ≤ checkpointEvery by construction)
         if (folds % checkpointEvery < batch) folded.localCheckpoint(true)
         else folded.cache()
-      val nextSig = next.agg(coalesce(sum("label"), lit(0L))).head.getLong(0)
+      // one action: materializes the batch AND reads the last fold's
+      // change count (coalesce: an EMPTY edge set — legal, e.g. a
+      // density filter that matched nothing — must read as converged,
+      // not a null deref)
+      val changed = next
+        .agg(coalesce(count(when(col("label") < col("old"), 1)), lit(0L)))
+        .head.getLong(0)
       labels.unpersist()
       labels = next
-      converged = nextSig == sig
-      sig = nextSig
+      converged = changed == 0L
     }
     edges.unpersist()
     degs.unpersist()
     cached0.unpersist() // no-op when the big-graph path dropped it early
-    labels
+    labels.select(col("node"), col("label"))
   }
 }

@@ -433,18 +433,51 @@ object GraphQueries {
     * (degree, node) total order.
     *
     * Scale: each peel is one map-side-combined degree aggregation plus
-    * two LEFT SEMI joins keyed on the endpoint — no candidate
-    * generation, output only shrinks. The adjacency persists per round
-    * (the two semi joins would otherwise re-derive it twice per
-    * round, doubling the plan each iteration). */
+    * two BROADCAST LEFT SEMI joins keyed on the endpoint — no candidate
+    * generation, output only shrinks. What persists per round is the
+    * ALIVE set (≤|V| rows — node ids only, eagerly materialized so the
+    * two semi joins and the next round's census all read one tiny
+    * cache), NOT the surviving adjacency: the round-8 form cached the
+    * full edge set three times per invocation, which both repaid the
+    * whole peel under cache eviction at bench scale (~6 s flat at every
+    * SF) and would cache 3× the edge bytes at 100 TB. With alive-set
+    * persists the adjacency stays a linear lineage over the
+    * family-shared `symAdj` cache — round k re-scans it through k
+    * broadcast semi filters, all inside one codegen stage, so the whole
+    * 3-round peel is 3 tiny-set jobs + one final census and the big
+    * frame is never shuffled or cached again. At a real 100 TB |V| the
+    * alive set broadcasts while it fits and AQE falls back to a shuffled
+    * semi join when it doesn't — the plan degrades to exactly the
+    * round-8 shape, never worse. The peel also EXITS at its fixpoint
+    * (standard k-core termination: a round that drops no node proves all
+    * later rounds identity), so a graph whose 3-core stabilizes in round
+    * one pays one census, not three. */
   def graphKCore(s: SparkSession, dir: String): DataFrame = {
     var adj = symAdj(s, dir)
-    for (_ <- 1 to 3) {
+    // fixpoint early-exit: `nUpper` is an upper bound on |nodes(adj)|
+    // (exact before the first peel via the shared node-set cache; after a
+    // peel, the alive count bounds it — a node can survive the degree
+    // test yet lose all its edges). alive ⊆ nodes(adj), so |alive| ==
+    // upper bound forces alive == nodes(adj): nothing peeled, every later
+    // round is identity, and the final census runs on the CURRENT
+    // adjacency. The bound being conservative can only miss an exit
+    // (extra round), never take one wrongly — output is bit-identical to
+    // the unrolled 3 rounds, so the oracle's three chained CTEs stand.
+    var nUpper = symNodes(s, dir).count()
+    var r = 0
+    var fixed = false
+    while (r < 3 && !fixed) {
       val alive = adj.groupBy("u").agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= 3).select("u")
-      adj = adj.join(alive, Seq("u"), "left_semi")
-        .join(alive.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
-        .select("u", "v").persist()
+        .filter(col("deg") >= 3).select("u").persist()
+      val nAlive = alive.count() // ≤|V| rows; eager, both broadcasts read the cache
+      if (nAlive == nUpper) fixed = true
+      else {
+        adj = adj.join(broadcast(alive), Seq("u"), "left_semi")
+          .join(broadcast(alive.withColumnRenamed("u", "v")), Seq("v"), "left_semi")
+          .select("u", "v")
+        nUpper = nAlive
+      }
+      r += 1
     }
     adj.groupBy(col("u").as("node")).agg(count(lit(1)).as("core_deg"))
       .orderBy(desc("core_deg"), col("node"))
