@@ -160,6 +160,7 @@ object SparkEntry {
     "stream_funnel" -> StreamingQueries.streamFunnel _,
     "stream_left_outer_join" -> StreamingQueries.streamLeftOuterJoin _,
     "stream_tws_user_totals" -> StreamingQueries.streamTwsUserTotals _,
+    "stream_cdc_apply" -> StreamingQueries.streamCdcApply _,
     // custom UDX
     "udaf_weighted_avg" -> UdxQueries.udafWeightedAvg _,
     "udtf_ngrams" -> UdxQueries.udtfNgrams _,
@@ -302,6 +303,7 @@ object SparkEntry {
     // duplicated-span localization, binaryFile multimodal entry path
     "event_sessionize" -> Quality.eventSessionize _,
     "ts_holt_linear" -> TimeSeries.tsHoltLinear _,
+    "ts_alpha_beta_filter" -> TimeSeries.tsAlphaBetaFilter _,
     "geo_tile_rollup" -> GeoQueries.geoTileRollup _,
     "llm_dup_span" -> LlmExtra.llmDupSpan _,
     "source_binaryfile" -> SourceQueries.sourceBinaryfile _,
@@ -346,6 +348,7 @@ object SparkEntry {
     "llm_epoch_shuffle" -> LlmExtra.llmEpochShuffle _,
     // AES column encryption + IDENTIFIER clause surfaces
     "fn_crypto_roundtrip" -> Scalars.fnCryptoRoundtrip _,
+    "fn_collation" -> Scalars.fnCollation _,
     "sql_identifier" -> Scalars.sqlIdentifier _,
     // ViT resize/patch planning over the stub decode
     "mm_resize_plan" -> MultimodalQueries.mmResizePlan _,

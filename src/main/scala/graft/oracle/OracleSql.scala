@@ -4134,6 +4134,66 @@ object OracleSql {
       SELECT n_name, n_cust, quota, remainder,
              CAST(CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS extra,
              quota + CAST(CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS seats
-      FROM r ORDER BY n_name"""
+      FROM r ORDER BY n_name""",
+
+    // UTF8_LCASE modeled as lower() at every comparison point — the
+    // collation's definition for the ASCII nation names; binary
+    // distinctness and the case-insensitive contains probe stay inside
+    // the lcase groups
+    "fn_collation" -> """
+      WITH mixed AS (
+        SELECT n_name AS x FROM nation
+        UNION ALL SELECT lower(n_name) FROM nation
+        UNION ALL SELECT
+          list_aggr(list_transform(string_split(lower(n_name), ' '),
+            w -> upper(w[1]) || w[2:]), 'string_agg', ' ')
+        FROM nation)
+      SELECT lower(min(x)) AS name_lower,
+             CAST(count(*) AS BIGINT) AS n_variants,
+             CAST(count(DISTINCT x) AS BIGINT) AS n_distinct_binary,
+             CAST(sum(CASE WHEN contains(lower(x), 'tion_1') THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_contains_probe
+      FROM mixed GROUP BY lower(x) ORDER BY name_lower""",
+
+    // same (ts, event_id) total order; the delete filter runs AFTER the
+    // last-writer reduction so a tombstone only wins if truly last
+    "stream_cdc_apply" -> """
+      WITH c AS (
+        SELECT user_id, event_type,
+               CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+               epoch_us(ts) AS us,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+               CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_changes
+        FROM events)
+      SELECT user_id, cents AS last_cents, us AS last_ts_us, n_changes
+      FROM c WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id""",
+
+    // identical integer recurrence; // truncates toward zero in DuckDB
+    // exactly as Scala / does (probed: -7 // 2 = -3), so negative
+    // innovations agree bit-for-bit
+    "ts_alpha_beta_filter" -> """
+      WITH RECURSIVE daily AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        FROM events WHERE user_id < 12 AND event_type = 'purchase' GROUP BY 1, 2),
+      r AS (
+        SELECT user_id, day, cents,
+               row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+        FROM daily),
+      f AS (
+        SELECT user_id, day, cents, rn,
+               CAST(0 AS BIGINT) AS innov, cents AS l, CAST(0 AS BIGINT) AS b
+        FROM r WHERE rn = 1
+        UNION ALL
+        SELECT r.user_id, r.day, r.cents, r.rn,
+               r.cents - (f.l + f.b),
+               (f.l + f.b) + (r.cents - (f.l + f.b)) // 2,
+               f.b + (r.cents - (f.l + f.b)) // 4
+        FROM r JOIN f ON r.user_id = f.user_id AND r.rn = f.rn + 1)
+      SELECT user_id, day, cents,
+             CAST(innov AS DOUBLE) / 100 AS innovation,
+             CAST(l AS DOUBLE) / 100 AS level,
+             CAST(b AS DOUBLE) / 100 AS trend
+      FROM f ORDER BY user_id, day"""
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\n\\s+", "\n") }
 }

@@ -708,13 +708,20 @@ object Quality {
     * shuffles |distinct paths| rows, and the top-20 is a total-order
     * limit. Five-event truncation bounds the path alphabet — the
     * standard guard against the path-explosion this analysis is
-    * famous for. */
+    * famous for. The truncation happens BEFORE the collect (row_number
+    * ≤ 5 over the same total order): the aggregation buffer then holds
+    * five structs per user instead of the user's whole history — the
+    * earlier collect-everything-slice-later form spilled its sort
+    * buffers at sf100 (13× on 10× data) and would OOM on a hub user. */
   def eventTopPaths(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val paths = t(s, dir, "events")
       .select(col("user_id"), col("event_type"),
-        struct(col("ts"), col("event_id")).as("ord"))
+        struct(col("ts"), col("event_id")).as("ord"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 5)
       .groupBy("user_id")
-      .agg(slice(array_sort(collect_list(struct(col("ord"), col("event_type")))), 1, 5)
+      .agg(array_sort(collect_list(struct(col("ord"), col("event_type"))))
         .as("first5"))
       .select(
         concat_ws(">", transform(col("first5"), e => e.getField("event_type"))).as("path"))

@@ -559,4 +559,37 @@ object Scalars {
       FROM IDENTIFIER('graft_ident_orders')
       GROUP BY o_orderstatus ORDER BY o_orderstatus""")
   }
+
+  /** Spark 4 COLLATION semantics (fn_collation): grouping, distinct
+    * counting, and substring match under the UTF8_LCASE collation vs
+    * binary. Three deterministic case-variants of every nation name
+    * (UPPER as shipped, lower, Initcap) collapse to ONE group under the
+    * case-insensitive collation while staying 3 binary-distinct inside
+    * it — the collation applies at the COMPARISON, not as a stored
+    * transform, which is the point of the feature (indexes/stats keep
+    * the original bytes). Output avoids emitting a collated column
+    * (schema stays plain STRING for the gate): the group key re-derives
+    * as lower(min(variant)). The DuckDB mirror models UTF8_LCASE as
+    * lower() at every comparison point — exactly the collation's
+    * definition for ASCII names.
+    *
+    * Scale: collation-aware grouping hashes the collation key — same
+    * shuffle shape as any groupBy; 3·|nation| input rows here. */
+  def fnCollation(s: SparkSession, dir: String): DataFrame = {
+    val names = t(s, dir, "nation").select(col("n_name"))
+    val mixed = names.select(col("n_name").as("x"))
+      .unionAll(names.select(lower(col("n_name")).as("x")))
+      .unionAll(names.select(initcap(lower(col("n_name"))).as("x")))
+    mixed
+      .groupBy(collate(col("x"), "UTF8_LCASE").as("k"))
+      .agg(
+        count(lit(1)).as("n_variants"),
+        countDistinct(col("x")).as("n_distinct_binary"),
+        lower(min(col("x"))).as("name_lower"),
+        sum(when(contains(collate(col("x"), "UTF8_LCASE"), lit("TION_1")), 1L)
+          .otherwise(0L)).as("n_contains_probe"))
+      .select(col("name_lower"), col("n_variants"),
+        col("n_distinct_binary"), col("n_contains_probe"))
+      .orderBy("name_lower")
+  }
 }

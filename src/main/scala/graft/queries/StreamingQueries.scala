@@ -200,4 +200,40 @@ object StreamingQueries {
       .as[graft.streaming.Tws.CentEvent]
     graft.streaming.Tws.userTotals(ev).toDF().orderBy("user_id")
   }
+
+  /** CDC apply (stream_cdc_apply): materialize the CURRENT state of a
+    * keyed table from a change feed — the change-data-capture consumer
+    * every warehouse mirror runs. The events table reads as the feed:
+    * key = user_id, op = DELETE when event_type = 'error' else UPSERT
+    * carrying (cents, ts); last writer wins under the (ts, event_id)
+    * total order, and a key whose final op is a delete leaves the table.
+    * Batch form = ONE map-side-combined `max_by` aggregate (the combine
+    * keeps a single candidate row per key per partition — no window
+    * sort over the feed, no Expand), then the delete filter. The
+    * incremental twin is `StreamOps.cdcApply`: the same aggregate in
+    * Update mode feeding a foreachBatch MERGE (upsert + delete) into a
+    * JDBC mirror — per-microbatch state is the same one-row-per-key
+    * reduction, so replaying the feed in any prefix order converges to
+    * this batch answer.
+    *
+    * Scale: shuffle carries one candidate row per (partition, key) —
+    * feed-volume-independent after the combine; the mirror table is
+    * live-keys-sized. The delete filter runs AFTER the reduction, which
+    * is what makes tombstones exact: a delete only wins if it is truly
+    * last. */
+  def streamCdcApply(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        (Num.money(col("value")) * 100).cast("long").as("cents"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .groupBy("user_id")
+      .agg(
+        max_by(
+          struct(col("event_type"), col("cents"), col("us")),
+          struct(col("us"), col("event_id"))).as("last"),
+        count(lit(1)).as("n_changes"))
+      .filter(col("last.event_type") =!= "error")
+      .select(col("user_id"), col("last.cents").as("last_cents"),
+        col("last.us").as("last_ts_us"), col("n_changes"))
+      .orderBy("user_id")
 }

@@ -579,4 +579,50 @@ object TimeSeries {
         count(lit(1)).as("n_delta_days"))
       .orderBy("month")
   }
+
+  /** α-β tracking filter (α=1/2, β=1/4) over each user's daily purchase
+    * series — the classical constant-gain state observer (the radar-
+    * tracking staple): predict `pred = l' + b'`, measure the innovation
+    * `r = c − pred`, correct level `l = pred + r div 2` and trend
+    * `b = b' + r div 4`. Distinct from `ts_holt_linear`: Holt smooths
+    * level and trend with coupled recurrences on the VALUE; α-β corrects
+    * a PREDICTION with the measured innovation, and the innovation
+    * stream itself is the filter's anomaly signal (a well-tracked series
+    * has innovations near zero) — so it's emitted as a column. Dyadic
+    * gains quantize exactly to integer cents; Scala `/` and DuckDB `//`
+    * both truncate toward zero (probed: −7 // 2 = −3), so negative
+    * innovations agree bit-for-bit.
+    *
+    * Scale: the recurrence is sequential PER KEY — typed flatMapGroups
+    * over pre-aggregated daily rows, keys parallelize across executors,
+    * one (user_id) exchange of day-level (not event-level) rows; the
+    * same shape as ewma/holt. */
+  def tsAlphaBetaFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = dailyCents(s, dir)
+      .select(col("user_id"), col("day").cast("string"), col("cents"))
+      .as[(Long, String, Long)]
+    rows.groupByKey(_._1)
+      .flatMapGroups { (uid: Long, it: Iterator[(Long, String, Long)]) =>
+        val days = it.toArray.sortBy(_._2)
+        var l = 0L
+        var b = 0L
+        days.iterator.zipWithIndex.map { case ((_, d, c), i) =>
+          if (i == 0) { l = c; b = 0L; (uid, d, c, 0L, l, b) }
+          else {
+            val pred = l + b
+            val r = c - pred
+            l = pred + r / 2
+            b = b + r / 4
+            (uid, d, c, r, l, b)
+          }
+        }
+      }
+      .toDF("user_id", "day", "cents", "innov", "l", "b")
+      .select(col("user_id"), col("day").cast("date").as("day"), col("cents"),
+        (col("innov").cast("double") / 100).as("innovation"),
+        (col("l").cast("double") / 100).as("level"),
+        (col("b").cast("double") / 100).as("trend"))
+      .orderBy("user_id", "day")
+  }
 }

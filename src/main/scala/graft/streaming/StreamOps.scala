@@ -173,4 +173,56 @@ object StreamOps {
         } finally conn.close()
       }
   }
+
+  /** CDC apply to a JDBC mirror (stream_cdc_apply's incremental twin):
+    * the SAME one-row-per-key `max_by` last-writer reduction as the
+    * batch form (`StreamingQueries.streamCdcApply`) runs in UPDATE
+    * mode — state is one candidate row per key, and `max_by` over the
+    * (us, event_id) total order is arrival-order-INDEPENDENT, so any
+    * micro-batch slicing of the feed converges to the batch answer —
+    * and each micro-batch's changed keys MERGE into the mirror: DELETE
+    * then re-INSERT when the key's current last op is an upsert, DELETE
+    * alone when a tombstone ('error') is last. The keyed merge is
+    * idempotent under micro-batch replay (the at-least-once sink
+    * requirement). The mirror only ever sees live-key-sized deltas.
+    * Input columns: (user_id, event_type, cents, us, event_id). */
+  def cdcApply(changes: DataFrame, url: String, table: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    changes
+      .groupBy(col("user_id"))
+      .agg(max_by(
+        struct(col("event_type"), col("cents"), col("us")),
+        struct(col("us"), col("event_id"))).as("last"))
+      .select(col("user_id"), col("last.event_type").as("op_type"),
+        col("last.cents").as("cents"), col("last.us").as("us"))
+      .writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows = batch.collect() // bounded: only keys whose state changed
+        val conn = java.sql.DriverManager.getConnection(url)
+        try {
+          conn.setAutoCommit(false)
+          val st = conn.createStatement()
+          try st.execute(
+            s"""CREATE TABLE $table (user_id BIGINT PRIMARY KEY,
+               |  last_cents BIGINT, last_ts_us BIGINT)""".stripMargin)
+          catch {
+            // swallow ONLY Derby's table-already-exists (SQLState X0Y32)
+            case e: java.sql.SQLException if e.getSQLState == "X0Y32" => ()
+          } finally st.close()
+          val del = conn.prepareStatement(s"DELETE FROM $table WHERE user_id = ?")
+          val ins = conn.prepareStatement(s"INSERT INTO $table VALUES (?, ?, ?)")
+          try rows.foreach { r =>
+            del.setLong(1, r.getLong(0)); del.executeUpdate()
+            if (r.getString(1) != "error") {
+              ins.setLong(1, r.getLong(0))
+              ins.setLong(2, r.getLong(2))
+              ins.setLong(3, r.getLong(3))
+              ins.executeUpdate()
+            }
+          } finally { del.close(); ins.close() }
+          conn.commit()
+        } finally conn.close()
+      }
+  }
 }

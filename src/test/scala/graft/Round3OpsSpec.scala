@@ -23,6 +23,19 @@ class Round3OpsSpec extends GraftSpec {
     }
   }
 
+  test("fn_collation: UTF8_LCASE collapses case-variants that stay binary-distinct") {
+    val rows = Scalars.fnCollation(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 25, s"expected 25 lcase nation groups, got ${rows.length}")
+    rows.foreach { case (name, nv, ndb, ncu) =>
+      assert(name == name.toLowerCase, s"$name: group key not lowercased")
+      assert(nv == 3, s"$name: expected 3 case variants, got $nv")
+      assert(ndb == 3, s"$name: variants must stay binary-distinct, got $ndb")
+      val expected = if (name.contains("tion_1")) 3L else 0L
+      assert(ncu == expected, s"$name: case-insensitive contains('TION_1') = $ncu")
+    }
+  }
+
   test("agg_percentile_cont: quartiles bracket the discrete order stats") {
     val rows = Relational.aggPercentileCont(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))

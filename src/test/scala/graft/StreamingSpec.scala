@@ -7,6 +7,7 @@ import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.StreamOps
 
 case class TestEvent(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+case class CdcChange(user_id: Long, event_type: String, cents: Long, us: Long, event_id: Long)
 
 /** Structured-Streaming twins of the stream_* operators, driven through
   * MemoryStream micro-batches (SURVEY §5.2: mandatory coverage for
@@ -424,5 +425,45 @@ class StreamingSpec extends GraftSpec {
     // 10:30 click did not resurrect or grow the finalized window.
     assert(got.contains(("2024-01-01 10:00:00.0", "click", 2L)), s"got $got")
     assert(!got.exists { case (w, t, n) => w == "2024-01-01 10:00:00.0" && t == "click" && n != 2L })
+  }
+
+  test("cdc apply: last-writer-wins mirror honors tombstones, out-of-order, and re-insert") {
+    implicit val sqlCtx = spark.sqlContext
+    import SparkSpecBase.spark.implicits._
+    val url = s"jdbc:derby:${System.getProperty("java.io.tmpdir")}/graft_cdc_sink_${System.nanoTime()};create=true"
+    val in = MemoryStream[CdcChange]
+    val query = StreamOps.cdcApply(in.toDF(), url, "cdc_mirror")
+      .option("checkpointLocation",
+        s"${System.getProperty("java.io.tmpdir")}/graft_ckpt_${System.nanoTime()}")
+      .start()
+    def mirror(): Map[Long, (Long, Long)] = {
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val rs = conn.createStatement().executeQuery(
+          "SELECT user_id, last_cents, last_ts_us FROM cdc_mirror")
+        val b = scala.collection.mutable.Map[Long, (Long, Long)]()
+        while (rs.next()) b += rs.getLong(1) -> (rs.getLong(2), rs.getLong(3))
+        b.toMap
+      } finally conn.close()
+    }
+    try {
+      // batch 1: two upserts
+      in.addData(
+        CdcChange(1L, "purchase", 100L, 1000L, 1L),
+        CdcChange(2L, "view", 200L, 1001L, 2L))
+      query.processAllAvailable()
+      assert(mirror() == Map(1L -> (100L, 1000L), 2L -> (200L, 1001L)))
+      // batch 2: tombstone for user 1, and an OUT-OF-ORDER (older) change
+      // for user 2 that must NOT override the newer state
+      in.addData(
+        CdcChange(1L, "error", 0L, 2000L, 3L),
+        CdcChange(2L, "click", 999L, 500L, 0L))
+      query.processAllAvailable()
+      assert(mirror() == Map(2L -> (200L, 1001L)), s"got ${mirror()}")
+      // batch 3: user 1 re-inserts after the delete — newer upsert wins
+      in.addData(CdcChange(1L, "purchase", 300L, 3000L, 4L))
+      query.processAllAvailable()
+      assert(mirror() == Map(1L -> (300L, 3000L), 2L -> (200L, 1001L)))
+    } finally query.stop()
   }
 }

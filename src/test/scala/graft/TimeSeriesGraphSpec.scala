@@ -128,6 +128,32 @@ class TimeSeriesGraphSpec extends GraftSpec {
     }
   }
 
+  test("ts_alpha_beta_filter: seed is (innov=0, level=y, trend=0) and the integer recurrence replays") {
+    val rows = TimeSeries.tsAlphaBetaFilter(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (uid, series) =>
+      val s = series.sortBy(_._2)
+      assert(s.head._4 == 0.0, s"user $uid seed innovation")
+      assert(s.head._5 == s.head._3.toDouble / 100, s"user $uid seed level")
+      assert(s.head._6 == 0.0, s"user $uid seed trend")
+      var l = 0L; var b = 0L
+      s.zipWithIndex.foreach { case ((_, _, c, innov, lev, tr), i) =>
+        if (i == 0) { l = c; b = 0L; assert(innov == 0.0) }
+        else {
+          val pred = l + b
+          val r = c - pred
+          l = pred + r / 2
+          b = b + r / 4
+          assert(innov == r.toDouble / 100, s"user $uid step $i innovation")
+        }
+        assert(lev == l.toDouble / 100, s"user $uid step $i level")
+        assert(tr == b.toDouble / 100, s"user $uid step $i trend")
+      }
+    }
+  }
+
   test("geo_tile_rollup: pyramid is consistent — children sum to parents, zoom-0 is the point total") {
     val rows = graft.queries.GeoQueries.geoTileRollup(spark, sfDir).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
