@@ -272,6 +272,7 @@ object SparkEntry {
     "dim_scd2_build" -> Quality.dimScd2Build _,
     // multimodal container detection
     "mm_mime_detect" -> MultimodalQueries.mmMimeDetect _,
+    "mm_phash_dedup" -> MultimodalQueries.mmPhashDedup _,
     // z-order layout + zone-map readout
     "layout_zorder_zonemap" -> Relational.layoutZorderZonemap _,
     // bounded-state streaming dedup (batch form; twin: StreamOps.dedupBounded)

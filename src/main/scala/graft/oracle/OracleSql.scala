@@ -4168,6 +4168,31 @@ object OracleSql {
       SELECT user_id, cents AS last_cents, us AS last_ts_us, n_changes
       FROM c WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id""",
 
+    // brute-force all-pairs mirror — safe because the engine's 4x2-byte
+    // band LSH is EXACT for the <=2-differing-blocks threshold
+    // (pigeonhole: 2 diffs touch at most 2 bands, so 2 stay intact);
+    // identical quantized-intensity arithmetic (ord == ascii)
+    "mm_phash_dedup" -> """
+      WITH d AS (
+        SELECT doc_id, text, length(text) AS len FROM documents
+        WHERE doc_id < 2000 AND length(text) >= 8),
+      h AS (
+        SELECT doc_id,
+          (list_sum(list_transform(string_split(substr(text, 1 + (len * 0) // 8, (len * 1) // 8 - (len * 0) // 8), ''), c -> ord(c))) // 128) % 256 AS b0,
+          (list_sum(list_transform(string_split(substr(text, 1 + (len * 1) // 8, (len * 2) // 8 - (len * 1) // 8), ''), c -> ord(c))) // 128) % 256 AS b1,
+          (list_sum(list_transform(string_split(substr(text, 1 + (len * 2) // 8, (len * 3) // 8 - (len * 2) // 8), ''), c -> ord(c))) // 128) % 256 AS b2,
+          (list_sum(list_transform(string_split(substr(text, 1 + (len * 3) // 8, (len * 4) // 8 - (len * 3) // 8), ''), c -> ord(c))) // 128) % 256 AS b3,
+          (list_sum(list_transform(string_split(substr(text, 1 + (len * 4) // 8, (len * 5) // 8 - (len * 4) // 8), ''), c -> ord(c))) // 128) % 256 AS b4,
+          (list_sum(list_transform(string_split(substr(text, 1 + (len * 5) // 8, (len * 6) // 8 - (len * 5) // 8), ''), c -> ord(c))) // 128) % 256 AS b5,
+          (list_sum(list_transform(string_split(substr(text, 1 + (len * 6) // 8, (len * 7) // 8 - (len * 6) // 8), ''), c -> ord(c))) // 128) % 256 AS b6,
+          (list_sum(list_transform(string_split(substr(text, 1 + (len * 7) // 8, (len * 8) // 8 - (len * 7) // 8), ''), c -> ord(c))) // 128) % 256 AS b7
+        FROM d)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST((CASE WHEN a.b0 <> b.b0 THEN 1 ELSE 0 END) + (CASE WHEN a.b1 <> b.b1 THEN 1 ELSE 0 END) + (CASE WHEN a.b2 <> b.b2 THEN 1 ELSE 0 END) + (CASE WHEN a.b3 <> b.b3 THEN 1 ELSE 0 END) + (CASE WHEN a.b4 <> b.b4 THEN 1 ELSE 0 END) + (CASE WHEN a.b5 <> b.b5 THEN 1 ELSE 0 END) + (CASE WHEN a.b6 <> b.b6 THEN 1 ELSE 0 END) + (CASE WHEN a.b7 <> b.b7 THEN 1 ELSE 0 END) AS BIGINT) AS n_diff_blocks
+      FROM h a JOIN h b ON a.doc_id < b.doc_id
+      WHERE (CASE WHEN a.b0 <> b.b0 THEN 1 ELSE 0 END) + (CASE WHEN a.b1 <> b.b1 THEN 1 ELSE 0 END) + (CASE WHEN a.b2 <> b.b2 THEN 1 ELSE 0 END) + (CASE WHEN a.b3 <> b.b3 THEN 1 ELSE 0 END) + (CASE WHEN a.b4 <> b.b4 THEN 1 ELSE 0 END) + (CASE WHEN a.b5 <> b.b5 THEN 1 ELSE 0 END) + (CASE WHEN a.b6 <> b.b6 THEN 1 ELSE 0 END) + (CASE WHEN a.b7 <> b.b7 THEN 1 ELSE 0 END) <= 2
+      ORDER BY n_diff_blocks, doc_a, doc_b LIMIT 100""",
+
     // identical integer recurrence; // truncates toward zero in DuckDB
     // exactly as Scala / does (probed: -7 // 2 = -3), so negative
     // innovations agree bit-for-bit

