@@ -14,6 +14,13 @@ import graft.llm.{Lsh, SimHash, Winnowing}
   */
 object LlmExtra {
 
+  /** Bucket-slice caches of the LAST llm_dup_span invocation (the
+    * scratch-budgeted B>1 path only) — held so the NEXT invocation can
+    * unpersist them before building identical plans; see the comment at
+    * the use site. */
+  private val dupSpanParts =
+    new java.util.concurrent.atomic.AtomicReference[Seq[DataFrame]](Nil)
+
   // ---------------------------------------------------------------- dedup
 
   /** SimHash near-dup candidates: 64-bit signature per doc (one map
@@ -1379,6 +1386,12 @@ object LlmExtra {
       if (nBuckets <= 1)
         dupPositions(grams(withPos = true), censusOf(grams(withPos = false)))
       else {
+        // a previous invocation's bucket caches would otherwise be
+        // substituted by the plan-matching CacheManager into THIS run's
+        // identical subplans, silently turning a re-measurement into a
+        // cache read (observed: 940 s pass then a 3 s "pass") — drop
+        // them first so every invocation pays its real cost
+        LlmExtra.dupSpanParts.getAndSet(Nil).foreach(_.unpersist())
         val parts = (0 until nBuckets).map { b =>
           val slice = dupPositions(
             grams(withPos = true).filter(pmod(col("gh"), lit(nBuckets.toLong)) === b.toLong),
@@ -1392,6 +1405,7 @@ object LlmExtra {
           System.gc()
           slice
         }
+        LlmExtra.dupSpanParts.set(parts)
         parts.reduce(_ unionAll _)
       }
     val runs = marked
