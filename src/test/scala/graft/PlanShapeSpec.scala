@@ -222,4 +222,21 @@ class PlanShapeSpec extends GraftSpec {
     // docs' positions die at the join, never downstream)
     assert(p.contains("LeftSemi"), s"positional mark-back must be a semi join:\n${p.take(3000)}")
   }
+
+  test("agg_skyline_2d: the census prefilter reaches the plan — broadcast join feeds a filter BEFORE the 3-key window") {
+    val df = graft.queries.Relational.aggSkyline2d(spark, sfDir)
+    val p = plan(df)
+    // the o_orderstatus window has ~3 partitions, so at scale it must
+    // sort only prefilter SURVIVORS: the per-(status, price-bucket)
+    // max-date census has to attach by broadcast and its dominance
+    // filter has to sit below the window sort in the plan
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"bucket census must broadcast back:\n${p.take(3000)}")
+    val winAt = p.indexOf("Window")
+    val joinAt = p.indexOf("BroadcastHashJoin",
+      math.max(0, winAt)) // physical plans print top-down: the window's
+    // INPUT (the prefilter join) must appear BELOW (after) it
+    assert(winAt >= 0 && joinAt > winAt,
+      s"prefilter join must feed the window, not follow it:\n${p.take(3000)}")
+  }
 }
