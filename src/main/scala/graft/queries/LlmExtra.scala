@@ -1326,7 +1326,15 @@ object LlmExtra {
     * strings; the DuckDB mirror computes the identical hash, so the
     * query stays fully oracle-checked). `PlanShapeSpec` pins the
     * no-persisted-gram-table shape. */
-  def llmDupSpan(s: SparkSession, dir: String): DataFrame = {
+  def llmDupSpan(s: SparkSession, dir: String): DataFrame =
+    llmDupSpanImpl(s, dir, None)
+
+  /** Implementation with an injectable bucket count so the spec can run
+    * the scratch-budgeted B>1 path (normally reachable only when the
+    * input outgrows SPARK_GRAFT_SHUFFLE_BUDGET) at test scale and assert
+    * bit-equality with the single-pass plan. */
+  private[graft] def llmDupSpanImpl(
+      s: SparkSession, dir: String, forcedBuckets: Option[Int]): DataFrame = {
     val K = 40
     // explode-amplification spread (Tables.spread — measured there): the
     // per-position md5 is this query's compute and inherits the scan's
@@ -1372,7 +1380,8 @@ object LlmExtra {
       docs.inputFiles.map(f => fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
     }
     val budget = sys.env.get("SPARK_GRAFT_SHUFFLE_BUDGET").map(_.toLong).getOrElse(24L << 30)
-    val nBuckets = math.max(1L, math.min(16L, (docBytes * 3 * 40 + budget - 1) / budget)).toInt
+    val nBuckets = forcedBuckets.getOrElse(
+      math.max(1L, math.min(16L, (docBytes * 3 * 40 + budget - 1) / budget)).toInt)
     val ord = Window.partitionBy("doc_id").orderBy("pos")
     // shuffle_hash: when the dup set outgrows the broadcast threshold the
     // planner's default is a sort-merge join that SORTS the full
@@ -1398,17 +1407,24 @@ object LlmExtra {
           try d.unpersist() catch { case _: Throwable => () }
         }
         val parts = (0 until nBuckets).map { b =>
-          val slice = dupPositions(
-            grams(withPos = true).filter(pmod(col("gh"), lit(nBuckets.toLong)) === b.toLong),
-            censusOf(grams(withPos = false)
-              .filter(pmod(col("gh"), lit(nBuckets.toLong)) === b.toLong)))
+          // persist THIS bucket's positional gram slice ONCE: census and
+          // probe both read it, halving the bucketed mode's hash passes
+          // (the md5 over the full stream is its dominant cost — the
+          // mod-B filter discards rows AFTER hashing regardless). The
+          // cache is ~24 B/char/B, inside the same scratch budget, and
+          // is dropped as soon as the bucket's dup positions materialize.
+          val slice = grams(withPos = true)
+            .filter(pmod(col("gh"), lit(nBuckets.toLong)) === b.toLong)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          slice.count() // materialize THIS bucket's shuffles before the next starts
+          val marked = dupPositions(slice, censusOf(slice.select("doc_id", "gh")))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          marked.count() // materialize THIS bucket before the next starts
+          slice.unpersist()
           // hint the ContextCleaner to drop the finished bucket's shuffle
           // files — without it all B buckets' scratch coexists and the
           // bucketing buys nothing
           System.gc()
-          slice
+          marked
         }
         LlmExtra.dupSpanParts.set(parts)
         parts.reduce(_ unionAll _)

@@ -441,6 +441,19 @@ class TimeSeriesGraphSpec extends GraftSpec {
       "adaptive budget did not widen past the fixed quantizer")
   }
 
+  test("llm_dup_span: the scratch-budgeted bucketed path is bit-identical to the single-pass plan") {
+    // the B>1 path normally only runs when the corpus outgrows
+    // SPARK_GRAFT_SHUFFLE_BUDGET (sf100) — force it here and assert
+    // exact equality with the default plan, row for row
+    val single = graft.queries.LlmExtra.llmDupSpanImpl(spark, sfDir, Some(1))
+      .collect().map(_.toSeq).toSeq
+    val bucketed = graft.queries.LlmExtra.llmDupSpanImpl(spark, sfDir, Some(3))
+      .collect().map(_.toSeq).toSeq
+    assert(single.nonEmpty, "dup_span must find duplicated spans in the near-dup corpus")
+    assert(bucketed == single,
+      s"bucketed (B=3) diverges from single-pass: ${bucketed.length} vs ${single.length} rows")
+  }
+
   test("graph_k_core: survivors have core_deg >= 3 and sit inside the degree-3 subgraph") {
     val rows = graft.queries.GraphQueries.graphKCore(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
