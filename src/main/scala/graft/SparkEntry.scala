@@ -321,6 +321,7 @@ object SparkEntry {
     "ts_interval_sweep" -> TimeSeries.tsIntervalSweep _,
     // bounded k-core peel + lift-ranked collocation mining
     "graph_k_core" -> GraphQueries.graphKCore _,
+    "graph_core_decomposition" -> GraphQueries.graphCoreDecomposition _,
     "llm_pmi_collocations" -> LlmExtra.llmPmiCollocations _,
     // interarrival latency profile, equi-width histogram, grid DBSCAN
     "event_interarrival" -> Quality.eventInterarrival _,

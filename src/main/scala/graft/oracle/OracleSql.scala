@@ -4168,6 +4168,39 @@ object OracleSql {
       SELECT user_id, cents AS last_cents, us AS last_ts_us, n_changes
       FROM c WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id""",
 
+    // four independent always-4-round peels (the engine's fixpoint early
+    // exit is output-identical: post-fixpoint rounds are identity); same
+    // two-blocking edge set as graph_k_core
+    "graph_core_decomposition" -> {
+      val peels = (1 to 4).map { k =>
+        s"e${k}_0 AS (SELECT u, v FROM e0),\n" +
+          (1 to 4).map { r =>
+            s"""a${k}_$r AS (SELECT u FROM e${k}_${r - 1} GROUP BY u HAVING count(*) >= $k),
+               |e${k}_$r AS (SELECT e.u, e.v FROM e${k}_${r - 1} e
+               |  JOIN a${k}_$r x ON e.u = x.u JOIN a${k}_$r y ON e.v = y.u)""".stripMargin
+          }.mkString(",\n")
+      }.mkString(",\n")
+      val survivors = (1 to 4).map { k =>
+        s"SELECT DISTINCT u AS node, CAST($k AS BIGINT) AS core_ge FROM e${k}_4"
+      }.mkString("\nUNION ALL ")
+      s"""
+      WITH docs AS (SELECT doc_id, source, lang, n_chars FROM documents WHERE doc_id < 1200),
+      blocks AS (
+        SELECT doc_id AS u, concat_ws('|', 's', source, CAST(n_chars // 100 AS VARCHAR)) AS bk FROM docs
+        UNION ALL
+        SELECT doc_id AS u, concat_ws('|', 'l', lang, CAST(n_chars // 50 AS VARCHAR)) AS bk FROM docs),
+      edges0 AS (
+        SELECT DISTINCT a.u AS u, b.u AS v
+        FROM blocks a JOIN blocks b USING (bk) WHERE a.u < b.u),
+      e0 AS (SELECT u, v FROM edges0 UNION ALL SELECT v, u FROM edges0),
+      $peels,
+      lv AS ($survivors),
+      core AS (SELECT node, max(core_ge) AS core_number FROM lv GROUP BY node)
+      SELECT core_number, CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(min(node) AS BIGINT) AS min_node, CAST(max(node) AS BIGINT) AS max_node
+      FROM core GROUP BY 1 ORDER BY core_number"""
+    },
+
     // brute-force all-pairs mirror — safe because the engine's 4x2-byte
     // band LSH is EXACT for the <=2-differing-blocks threshold
     // (pigeonhole: 2 diffs touch at most 2 bands, so 2 stay intact);

@@ -454,6 +454,34 @@ class TimeSeriesGraphSpec extends GraftSpec {
       s"bucketed (B=3) diverges from single-pass: ${bucketed.length} vs ${single.length} rows")
   }
 
+  test("graph_core_decomposition: shell histogram replays from an independent in-memory peel") {
+    val got = graft.queries.GraphQueries.graphCoreDecomposition(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty && got.map(_._1).toSeq == got.map(_._1).toSeq.sorted)
+    // rebuild the same two-blocking edge set and peel in plain Scala
+    val docs = graft.tables.Tables.t(spark, sfDir, "documents")
+      .filter(col("doc_id") < 1200)
+    val e0 = graft.queries.GraphQueries
+      .simEdgesCapped(docs, graft.operators.HotKeys.DefaultCap)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sym = (e0 ++ e0.map(p => (p._2, p._1))).toSet
+    def peel(k: Int): Set[Long] = {
+      var edges = sym
+      for (_ <- 1 to 4) {
+        val deg = edges.groupBy(_._1).map { case (u, es) => u -> es.size }
+        val alive = deg.filter(_._2 >= k).keySet
+        edges = edges.filter(e => alive(e._1) && alive(e._2))
+      }
+      edges.map(_._1)
+    }
+    val core = (1 to 4).flatMap(k => peel(k).map(_ -> k.toLong))
+      .groupBy(_._1).map { case (n, ks) => n -> ks.map(_._2).max }
+    val expect = core.groupBy(_._2).map { case (k, ns) =>
+      (k, ns.size.toLong, ns.keys.min, ns.keys.max)
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq == expect, s"histogram diverges:\ngot    ${got.toSeq}\nexpect $expect")
+  }
+
   test("graph_k_core: survivors have core_deg >= 3 and sit inside the degree-3 subgraph") {
     val rows = graft.queries.GraphQueries.graphKCore(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
