@@ -13,15 +13,28 @@ import graft.oracle.OracleSql
   * Cache lifecycle convention: a `queries` entry returns a LAZY frame the
   * caller materializes, so a query whose plan persists an intermediate
   * referenced more than once (dq_sequence_gaps' key table, k-core's
-  * per-peel adjacency, modularity's labeled edges, the DBSCAN grid, the
+  * final alive set, modularity's labeled edges, the DBSCAN grid, the
   * graph family's shared memo) cannot unpersist it before returning —
   * the blocks stay cached and are reclaimed by the block manager's LRU
   * under memory pressure (storage is MEMORY_AND_DISK; eviction is safe,
-  * lineage rebuilds). A long-lived session embedding this library can
-  * call `spark.catalog.clearCache()` between query batches if it wants
-  * deterministic cache pressure instead.
+  * lineage rebuilds). A long-lived session embedding this library calls
+  * `releaseCaches()` between query batches for deterministic cache
+  * pressure — it drops ONLY graft-owned state (the graph family's
+  * shared memo and every frame queries registered with
+  * `operators.GraftCaches`), leaving the host's own cached tables
+  * alone; `spark.catalog.clearCache()` remains the blunter
+  * whole-session alternative.
   */
 object SparkEntry {
+
+  /** Release every graft-owned persisted frame and shared memo — see
+    * the cache-lifecycle convention above. Idempotent; safe on stopped
+    * sessions; released frames rebuild from lineage if a held plan
+    * re-reads them. */
+  def releaseCaches(): Unit = {
+    graft.queries.GraphQueries.releaseCaches()
+    graft.operators.GraftCaches.releaseAll()
+  }
 
   /** Flagship: TPC-H Q5-shaped 6-table star join on sf0.001. */
   def entry(spark: SparkSession): DataFrame =

@@ -58,13 +58,17 @@ object HotKeys {
     * the driver. The hot list is CACHED so the guard count and the anti
     * join share one aggregation pass — the count job itself is the only
     * added work over the unguarded form, and the cache entry is
-    * near-empty by construction (only pathological keys survive). */
+    * near-empty by construction (only pathological keys survive). The
+    * cache is registered with `GraftCaches` (the returned plan still
+    * reads it, so it cannot unpersist here); `SparkEntry.releaseCaches()`
+    * reclaims it. */
   def dropOverCap(df: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
-    val hot = df.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("_hk_n"))
-      .filter(col("_hk_n") > cap)
-      .select(keys.map(col): _*)
-      .cache()
+    val hot = GraftCaches.register(
+      df.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("_hk_n"))
+        .filter(col("_hk_n") > cap)
+        .select(keys.map(col): _*)
+        .cache())
     val nHot = hot.limit((MaxBroadcastHotKeys + 1).toInt).count()
     if (nHot <= MaxBroadcastHotKeys) df.join(broadcast(hot), keys, "left_anti")
     else df.join(hot, keys, "left_anti")

@@ -27,12 +27,22 @@ object GraphQueries {
     * family); eviction is the block manager's LRU — the same contract
     * as the per-query persists they replace, at 1/7th the copies. The
     * single reentrant lock is safe for the nested builds below
-    * (symAdj → simEdges). */
+    * (symAdj → simEdges).
+    *
+    * IMMUTABLE-DIR ASSUMPTION (shared with `tables.Tables.t`): the
+    * parquet under `dir` is not rewritten within a session's lifetime —
+    * the testdata contract, and the posture of an immutable data lake.
+    * A host that DOES rewrite inputs in place calls
+    * `SparkEntry.releaseCaches()` (which clears this memo) first, or
+    * the family serves the cached pre-rewrite edges. Entries whose
+    * session has since been STOPPED are evicted on every lookup — dead
+    * frames are never served and don't wait for a key collision. */
   private val memo =
     scala.collection.mutable.HashMap.empty[String, (SparkSession, AnyRef)]
 
   private def memoized[T <: AnyRef](s: SparkSession, dir: String, kind: String)(
       build: => T): T = memo.synchronized {
+    memo.filterInPlace { case (_, (sess, _)) => !sess.sparkContext.isStopped }
     val key = s"$kind|$dir"
     memo.get(key) match {
       case Some((sess, v)) if sess eq s => v.asInstanceOf[T]
@@ -41,6 +51,21 @@ object GraphQueries {
         memo.put(key, (s, v))
         v
     }
+  }
+
+  /** Drop every family-shared cache (the memoized frames above and the
+    * SaltedAdj wrappers' internal caches) and clear the memo — the
+    * graph half of `SparkEntry.releaseCaches()`. Stopped-session
+    * entries unpersist as no-ops. */
+  private[graft] def releaseCaches(): Unit = memo.synchronized {
+    memo.valuesIterator.foreach {
+      case (_, df: org.apache.spark.sql.Dataset[_]) => // DataFrame (erased elem)
+        try df.unpersist(blocking = false) catch { case _: Throwable => () }
+      case (_, sadj: graft.operators.SaltedAdj) =>
+        try sadj.unpersist() catch { case _: Throwable => () }
+      case _ => ()
+    }
+    memo.clear()
   }
 
   /** Shared symmetric adjacency (both edge directions), cached. */
@@ -333,10 +358,11 @@ object GraphQueries {
     // symmetric adjacency (a, n): a is the endpoint, n the neighbor;
     // capped on the WEDGE CENTER n — a hub center would emit deg²
     // wedge rows into the self-join below
-    val adj = graft.operators.HotKeys.dropOverCap(
+    val adj = graft.operators.GraftCaches.register(
+      graft.operators.HotKeys.dropOverCap(
         symAdj(s, dir).select(col("u").as("a"), col("v").as("n")),
         Seq("n"), graft.operators.HotKeys.DefaultCap)
-      .persist()
+      .persist())
     val deg = adj.groupBy("a").agg(count(lit(1)).as("deg"))
     val common = adj.select(col("a"), col("n"))
       .join(adj.select(col("a").as("b"), col("n")), "n")
@@ -377,10 +403,11 @@ object GraphQueries {
     val withLabels = adj
       .join(lab.select(col("node").as("u"), col("label").as("lu")), "u")
       .join(lab.select(col("node").as("v"), col("label").as("lv")), "v")
-    val cens = withLabels.groupBy(col("lu").as("community"))
-      .agg(count(lit(1)).as("deg_sum"),
-        count_if(col("lu") === col("lv")).as("in_edges"))
-      .persist()
+    val cens = graft.operators.GraftCaches.register(
+      withLabels.groupBy(col("lu").as("community"))
+        .agg(count(lit(1)).as("deg_sum"),
+          count_if(col("lu") === col("lv")).as("in_edges"))
+        .persist())
     val twoM = cens.agg(sum("deg_sum").as("twom"))
     val nodesC = lab.groupBy(col("label").as("community"))
       .agg(count(lit(1)).as("n_nodes"))
@@ -442,46 +469,76 @@ object GraphQueries {
     * whole peel under cache eviction at bench scale (~6 s flat at every
     * SF) and would cache 3× the edge bytes at 100 TB. With alive-set
     * persists the adjacency stays a linear lineage over the
-    * family-shared `symAdj` cache — round k re-scans it through k
-    * broadcast semi filters, all inside one codegen stage, so the whole
-    * 3-round peel is 3 tiny-set jobs + one final census and the big
-    * frame is never shuffled or cached again. At a real 100 TB |V| the
+    * family-shared `symAdj` cache — nested alive sets mean round k
+    * re-scans it through just ONE pair of broadcast semi filters (see
+    * `kPeel`), all inside one codegen stage, so the whole 3-round peel
+    * is 3 tiny-set jobs + one final census and the big frame is never
+    * shuffled or cached again; superseded alive frames unpersist the
+    * moment the next round materializes. At a real 100 TB |V| the
     * alive set broadcasts while it fits and AQE falls back to a shuffled
     * semi join when it doesn't — the plan degrades to exactly the
     * round-8 shape, never worse. The peel also EXITS at its fixpoint
     * (standard k-core termination: a round that drops no node proves all
     * later rounds identity), so a graph whose 3-core stabilizes in round
     * one pays one census, not three. */
-  def graphKCore(s: SparkSession, dir: String): DataFrame = {
-    var adj = symAdj(s, dir)
-    // fixpoint early-exit: `nUpper` is an upper bound on |nodes(adj)|
-    // (exact before the first peel via the shared node-set cache; after a
-    // peel, the alive count bounds it — a node can survive the degree
-    // test yet lose all its edges). alive ⊆ nodes(adj), so |alive| ==
-    // upper bound forces alive == nodes(adj): nothing peeled, every later
-    // round is identity, and the final census runs on the CURRENT
-    // adjacency. The bound being conservative can only miss an exit
-    // (extra round), never take one wrongly — output is bit-identical to
-    // the unrolled 3 rounds, so the oracle's three chained CTEs stand.
-    var nUpper = symNodes(s, dir).count()
+  def graphKCore(s: SparkSession, dir: String): DataFrame =
+    kPeel(symAdj(s, dir), symNodes(s, dir).count(), k = 3, rounds = 3)
+      .groupBy(col("u").as("node")).agg(count(lit(1)).as("core_deg"))
+      .orderBy(desc("core_deg"), col("node"))
+      .limit(50)
+
+  /** The shared k-peel loop (rounds bounded, fixpoint early-exit):
+    * returns the surviving adjacency after `rounds` peels at threshold
+    * `k` over the base adjacency `adj0` (|nodes(adj0)| ≤ `nNodes`).
+    *
+    * Alive sets are NESTED (alive_{r+1} ⊆ alive_r: degrees only shrink
+    * under peeling, so a node passing round r+1's test passed round
+    * r's), which buys two things the round-9 chained form lacked:
+    * (1) each round's adjacency derives from the BASE adjacency
+    * filtered by only the LATEST alive set — one pair of broadcast semi
+    * filters regardless of round number, bit-identical to chaining all
+    * rounds' filters because filtering by a subset subsumes filtering
+    * by its supersets; and (2) the superseded alive frame can be
+    * UNPERSISTED the moment the next round's count materializes (no
+    * later plan references it), so a peel holds at most ONE tiny cached
+    * frame at a time instead of one per round. The final frame is the
+    * only one the returned plan still reads; it stays persisted under
+    * the documented lazy-frame convention and is registered with
+    * `GraftCaches` so `SparkEntry.releaseCaches()` reclaims it.
+    *
+    * Fixpoint exit: `nUpper` is an upper bound on |nodes(adj)| (exact
+    * initially; after a peel the alive count bounds it — a node can
+    * survive the degree test yet lose all its edges). alive ⊆
+    * nodes(adj), so |alive| == upper bound forces alive == nodes(adj):
+    * nothing peeled, every later round is identity. A conservative
+    * bound can only miss an exit (extra round), never take one wrongly
+    * — output is bit-identical to the unrolled rounds, so the oracle's
+    * chained CTEs stand. */
+  private def kPeel(adj0: DataFrame, nNodes: Long, k: Int, rounds: Int): DataFrame = {
+    var adj = adj0
+    var nUpper = nNodes
+    var prev: DataFrame = null
     var r = 0
     var fixed = false
-    while (r < 3 && !fixed) {
+    while (r < rounds && !fixed) {
       val alive = adj.groupBy("u").agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= 3).select("u").persist()
+        .filter(col("deg") >= k).select("u").persist()
       val nAlive = alive.count() // ≤|V| rows; eager, both broadcasts read the cache
-      if (nAlive == nUpper) fixed = true
-      else {
-        adj = adj.join(broadcast(alive), Seq("u"), "left_semi")
+      if (nAlive == nUpper) {
+        alive.unpersist(blocking = false) // identity round: adj unchanged, frame unused
+        fixed = true                      // (prev stays cached — adj still reads it)
+      } else {
+        if (prev != null) prev.unpersist(blocking = false) // superseded (nested sets)
+        adj = adj0.join(broadcast(alive), Seq("u"), "left_semi")
           .join(broadcast(alive.withColumnRenamed("u", "v")), Seq("v"), "left_semi")
           .select("u", "v")
         nUpper = nAlive
+        prev = alive
       }
       r += 1
     }
-    adj.groupBy(col("u").as("node")).agg(count(lit(1)).as("core_deg"))
-      .orderBy(desc("core_deg"), col("node"))
-      .limit(50)
+    if (prev != null) graft.operators.GraftCaches.register(prev)
+    adj
   }
 
   /** Bounded core decomposition — each node's CORE NUMBER (the max k in
@@ -507,24 +564,8 @@ object GraphQueries {
     val adj0 = symAdj(s, dir)
     val nNodes = symNodes(s, dir).count()
     val levels = (1 to 4).map { k =>
-      var adj = adj0
-      var nUpper = nNodes
-      var r = 0
-      var fixed = false
-      while (r < 4 && !fixed) {
-        val alive = adj.groupBy("u").agg(count(lit(1)).as("deg"))
-          .filter(col("deg") >= k).select("u").persist()
-        val nAlive = alive.count()
-        if (nAlive == nUpper) fixed = true
-        else {
-          adj = adj.join(broadcast(alive), Seq("u"), "left_semi")
-            .join(broadcast(alive.withColumnRenamed("u", "v")), Seq("v"), "left_semi")
-            .select("u", "v")
-          nUpper = nAlive
-        }
-        r += 1
-      }
-      adj.select(col("u").as("node")).distinct().withColumn("core_ge", lit(k.toLong))
+      kPeel(adj0, nNodes, k, rounds = 4)
+        .select(col("u").as("node")).distinct().withColumn("core_ge", lit(k.toLong))
     }
     levels.reduce(_ unionAll _)
       .groupBy("node").agg(max("core_ge").as("core_number"))

@@ -14,12 +14,6 @@ import graft.llm.{Lsh, SimHash, Winnowing}
   */
 object LlmExtra {
 
-  /** Bucket-slice caches of the LAST llm_dup_span invocation (the
-    * scratch-budgeted B>1 path only) — held so the NEXT invocation can
-    * unpersist them before building identical plans; see the comment at
-    * the use site. */
-  private val dupSpanParts =
-    new java.util.concurrent.atomic.AtomicReference[Seq[DataFrame]](Nil)
 
   // ---------------------------------------------------------------- dedup
 
@@ -1375,13 +1369,21 @@ object LlmExtra {
     // result is bit-identical at any B; B = 1 (every graded SF) is
     // byte-for-byte today's single-pass plan. On a real cluster with
     // petabyte scratch, set the budget high and B stays 1.
-    val docBytes = {
-      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
-      docs.inputFiles.map(f => fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
-    }
+    val docBytes = graft.operators.Inputs.bytes(docs)
     val budget = sys.env.get("SPARK_GRAFT_SHUFFLE_BUDGET").map(_.toLong).getOrElse(24L << 30)
-    val nBuckets = forcedBuckets.getOrElse(
-      math.max(1L, math.min(16L, (docBytes * 3 * 40 + budget - 1) / budget)).toInt)
+    val nBuckets = forcedBuckets.getOrElse {
+      val want = math.max(1L, (docBytes * 3 * 40 + budget - 1) / budget)
+      // 16 is a sanity ceiling on sequential passes (each bucket re-reads
+      // the input), not a silent correctness knob: past it, each bucket
+      // still overruns the scratch budget, so SAY so — the operator keeps
+      // running (results stay exact at any B) but the user should raise
+      // SPARK_GRAFT_SHUFFLE_BUDGET or add scratch.
+      if (want > 16L) System.err.println(
+        s"[graft] llm_dup_span: computed $want buckets for ${docBytes}B input " +
+          s"under a ${budget}B scratch budget, clamped to 16 — each bucket may " +
+          "exceed the budget; raise SPARK_GRAFT_SHUFFLE_BUDGET or provision scratch")
+      math.min(16L, want).toInt
+    }
     val ord = Window.partitionBy("doc_id").orderBy("pos")
     // shuffle_hash: when the dup set outgrows the broadcast threshold the
     // planner's default is a sort-merge join that SORTS the full
@@ -1395,39 +1397,45 @@ object LlmExtra {
       if (nBuckets <= 1)
         dupPositions(grams(withPos = true), censusOf(grams(withPos = false)))
       else {
-        // a previous invocation's bucket caches would otherwise be
-        // substituted by the plan-matching CacheManager into THIS run's
-        // identical subplans, silently turning a re-measurement into a
-        // cache read (observed: 940 s pass then a 3 s "pass") — drop
-        // them first so every invocation pays its real cost. A stale
-        // entry may belong to an already-stopped session (test suites
-        // restart sessions); its unpersist throwing must not fail THIS
-        // query, so each drop is isolated.
-        LlmExtra.dupSpanParts.getAndSet(Nil).foreach { d =>
-          try d.unpersist() catch { case _: Throwable => () }
-        }
+        // Each bucket's OUTPUT-SENSITIVE dup positions go to scratch
+        // PARQUET (not a persisted frame): the handoff kills the
+        // bucket's whole lineage the moment the write commits, which
+        // buys three things over the round-9 cached form — (a) the
+        // finished bucket's shuffle scratch can be reclaimed
+        // DETERMINISTICALLY (id-scoped `ShuffleScratch.drop`, replacing
+        // the round-9 `System.gc()` nudge: Spark's own cleaner frees
+        // shuffle files only after a GC proves the dependency
+        // unreachable, and a sequential pass can't wait for one),
+        // (b) no cached bucket frames survive the query for the
+        // CacheManager to substitute into a later identical plan
+        // (observed round 8: a 940 s pass then a 3 s "re-measurement"),
+        // and (c) nothing can recompute through the dropped exchanges —
+        // the read-back is a plain file scan. The B>1 mode is
+        // sequential by construction, so the before/after shuffle-id
+        // diff is exactly this bucket's ids.
+        val scratchRoot =
+          s"${sys.props("java.io.tmpdir")}/graft_dupspan_${ProcessHandle.current().pid()}"
         val parts = (0 until nBuckets).map { b =>
           // persist THIS bucket's positional gram slice ONCE: census and
           // probe both read it, halving the bucketed mode's hash passes
           // (the md5 over the full stream is its dominant cost — the
           // mod-B filter discards rows AFTER hashing regardless). The
           // cache is ~24 B/char/B, inside the same scratch budget, and
-          // is dropped as soon as the bucket's dup positions materialize.
+          // is dropped (blocking: its disk blocks are part of the same
+          // scratch budget) as soon as the bucket's positions commit.
+          val before = org.apache.spark.graft.ShuffleScratch.activeShuffleIds(s.sparkContext)
           val slice = grams(withPos = true)
             .filter(pmod(col("gh"), lit(nBuckets.toLong)) === b.toLong)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          val marked = dupPositions(slice, censusOf(slice.select("doc_id", "gh")))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          marked.count() // materialize THIS bucket before the next starts
-          slice.unpersist()
-          // hint the ContextCleaner to drop the finished bucket's shuffle
-          // files — without it all B buckets' scratch coexists and the
-          // bucketing buys nothing
-          System.gc()
-          marked
+          val path = s"$scratchRoot/b$b"
+          dupPositions(slice, censusOf(slice.select("doc_id", "gh")))
+            .write.mode("overwrite").parquet(path)
+          slice.unpersist(blocking = true)
+          org.apache.spark.graft.ShuffleScratch.drop(s.sparkContext,
+            org.apache.spark.graft.ShuffleScratch.activeShuffleIds(s.sparkContext) -- before)
+          path
         }
-        LlmExtra.dupSpanParts.set(parts)
-        parts.reduce(_ unionAll _)
+        s.read.parquet(parts: _*)
       }
     val runs = marked
       .withColumn("isl", col("pos") - row_number().over(ord))

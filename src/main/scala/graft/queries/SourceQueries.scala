@@ -156,10 +156,7 @@ object SourceQueries {
     // source parquet keeps per-task sort memory flat at any scale; the
     // floor preserves the graded-SF layout (and the disjoint-range law
     // SourcesSpec pins is count-agnostic).
-    val srcBytes = {
-      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
-      li.inputFiles.map(f => fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
-    }
+    val srcBytes = graft.operators.Inputs.bytes(li)
     val nRuns = math.max(8L, srcBytes / (256L << 20)).toInt
     li.repartitionByRange(nRuns, col("l_shipdate"))
       .sortWithinPartitions("l_shipdate")
