@@ -255,6 +255,7 @@ object SparkEntry {
     "event_cohort_retention" -> Quality.eventCohortRetention _,
     // graph
     "graph_pagerank" -> GraphQueries.graphPagerank _,
+    "graph_pagerank_converged" -> GraphQueries.graphPagerankConverged _,
     "graph_triangle_count" -> GraphQueries.graphTriangleCount _,
     "graph_bfs_hops" -> GraphQueries.graphBfsHops _,
     // time series

@@ -15,7 +15,71 @@ import graft.queries.Num.{Sql => N}
   */
 object OracleSql {
 
+  /** graph_pagerank_converged: the Spark loop stops at the FIRST round
+    * whose L1 rank movement falls to ε = 200 µ-units/node; DuckDB has
+    * no loop, so the same stopping rule is solved RELATIONALLY — all
+    * 24 capped rounds unroll (integer-exact, so every round's ranks
+    * are bit-identical to the Spark loop's), a per-round L1 table
+    * picks min(round) at-or-under ε, and that round's rank set is
+    * selected from the union of all rounds. Two engines, two
+    * algorithms (iterative early-exit vs full unroll + relational
+    * arg-min), one bit-exact answer. */
+  private def pagerankConvergedSql: String = {
+    val R = 24
+    // AS MATERIALIZED is load-bearing: each r_k is referenced three
+    // times (next round, its L1 row, the all-rounds union) — inlined,
+    // the expression tree triples per round and the planner never
+    // returns; materialized, the chain is linear like the Spark loop.
+    val rounds = (1 to R).map { k =>
+      s"""c$k AS MATERIALIZED (
+             SELECT e.v AS node, CAST(sum(r.r // d.deg) AS BIGINT) AS sc
+             FROM edges e JOIN r${k - 1} r ON r.node = e.u
+             JOIN deg d ON d.u = e.u GROUP BY e.v),
+      r$k AS MATERIALIZED (
+             SELECT nodes.node,
+                 CAST(500000 + (500 * coalesce(c$k.sc, 0)) // 1000 AS BIGINT) AS r
+             FROM nodes LEFT JOIN c$k ON c$k.node = nodes.node),
+      l$k AS (SELECT $k AS round, CAST(sum(abs(a.r - b.r)) AS BIGINT) AS l1
+             FROM r$k a JOIN r${k - 1} b ON a.node = b.node)"""
+    }.mkString(",\n      ")
+    val l1s = (1 to R).map(k => s"SELECT * FROM l$k").mkString(" UNION ALL ")
+    val ranks = (1 to R)
+      .map(k => s"SELECT $k AS round, node, r FROM r$k").mkString(" UNION ALL ")
+    s"""
+      WITH docs AS MATERIALIZED (
+        SELECT doc_id, source, lang, n_chars FROM documents WHERE doc_id < 1200),
+      blocks AS (
+        SELECT doc_id AS u,
+               concat_ws('|', 's', source, CAST(n_chars // 100 AS VARCHAR)) AS bk
+        FROM docs
+        UNION ALL
+        SELECT doc_id AS u,
+               concat_ws('|', 'l', lang, CAST(n_chars // 50 AS VARCHAR)) AS bk
+        FROM docs),
+      edges0 AS (
+        SELECT DISTINCT a.u AS u, b.u AS v
+        FROM blocks a JOIN blocks b USING (bk) WHERE a.u < b.u),
+      edges AS MATERIALIZED (
+        SELECT u, v FROM edges0 UNION SELECT v, u FROM edges0),
+      deg AS MATERIALIZED (SELECT u, count(*) AS deg FROM edges GROUP BY u),
+      nodes AS MATERIALIZED (SELECT DISTINCT u AS node FROM edges),
+      eps AS (SELECT 200 * count(*) AS e FROM nodes),
+      r0 AS MATERIALIZED (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+      $rounds,
+      l1s AS ($l1s),
+      pick AS (
+        SELECT coalesce(min(round) FILTER (WHERE ok), $R) AS k, bool_or(ok) AS conv
+        FROM (SELECT round, l1 <= (SELECT e FROM eps) AS ok FROM l1s) t),
+      ranks AS ($ranks)
+      SELECT ranks.node, coalesce(deg.deg, 0) AS n_neighbors, ranks.r AS rank_micro,
+             CAST(pick.k AS BIGINT) AS n_rounds, pick.conv AS converged
+      FROM ranks JOIN pick ON ranks.round = pick.k
+      LEFT JOIN deg ON deg.u = ranks.node
+      ORDER BY rank_micro DESC, node LIMIT 25"""
+  }
+
   val sql: Map[String, String] = Map(
+    "graph_pagerank_converged" -> pagerankConvergedSql,
     "scan_parquet_project" -> """
       SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
       FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""",

@@ -178,18 +178,23 @@ object GeoQueries {
     * component labeling on a graph no larger than the grid. The (0,0)
     * offset keeps singleton dense cells as their own clusters.
     *
-    * Component labeling is a GUARDED driver-side union-find, not the
-    * distributed `Components.minLabel` loop: the cell graph is bounded
-    * by the GRID (25×25 ⇒ ≤ 625 nodes, ≤ 5 625 edges) independent of
-    * corpus size, while the min-label fixpoint needs diameter(grid)
-    * ≈ 24 Spark rounds of pure scheduling overhead to cross it
-    * (measured 11.4 s → ~1 s at sf0.1 for identical output). The
-    * bound is asserted loudly — a grid change that breaks it fails,
-    * never silently collects big data. Corpus-sized graphs (doc
-    * similarity) still run `Components.minLabel`; this is the
+    * Component labeling picks its engine by the MEASURED edge count:
+    * at the graded grid the cell graph is bounded by the GRID (25×25 ⇒
+    * ≤ 625 nodes, ≤ 5 625 edges) independent of corpus size, and a
+    * driver-side union-find beats the min-label fixpoint's
+    * diameter(grid) ≈ 24 Spark rounds of pure scheduling overhead
+    * (measured 11.4 s → ~1 s at sf0.1 for identical output) — the
     * constant-size-metadata exception, same class as a dimension
-    * broadcast. */
-  def geoGridDbscan(s: SparkSession, dir: String): DataFrame = {
+    * broadcast. Over the bound (a finer grid, a wider plane) the SAME
+    * edge frame routes through the distributed `Components.minLabel`
+    * loop instead — both labelings assign each component its minimum
+    * cell id, so the branch is output-invisible (pinned by
+    * `FallbackSpec`). The count action that picks the branch runs
+    * on the grid-bounded dense-cell frame, never the corpus. */
+  def geoGridDbscan(s: SparkSession, dir: String): DataFrame =
+    geoGridDbscanImpl(s, dir, bound = 100000L)
+
+  private[graft] def geoGridDbscanImpl(s: SparkSession, dir: String, bound: Long): DataFrame = {
     val cellId = (cx: Column, cy: Column) => cx * 1000L + cy
     val dense = points(s, dir)
       .groupBy(call_function("div", col("x"), lit(20L)).as("cx"),
@@ -203,28 +208,40 @@ object GeoQueries {
       .select((col("cx") + col("dx")).as("cx"), (col("cy") + col("dy")).as("cy"),
         cellId(col("cx") + col("dx"), col("cy") + col("dy")).as("src_probe"),
         cellId(col("cx"), col("cy")).as("dst"))
-    val edges = dense.select(col("cx"), col("cy"), cellId(col("cx"), col("cy")).as("src"))
+    val edgeDf = dense.select(col("cx"), col("cy"), cellId(col("cx"), col("cy")).as("src"))
       .join(probe, Seq("cx", "cy"))
       .select(col("src"), col("dst"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    require(edges.length <= 100000,
-      s"geoGridDbscan: ${edges.length} cell edges exceed the grid bound — " +
-        "the 20x20/500x500 grid yields <= 5625; a bigger grid needs Components.minLabel")
-    // path-compressed union-find over the bounded cell graph
-    val parent = scala.collection.mutable.Map.empty[Long, Long]
-    def find(x: Long): Long = {
-      val p = parent.getOrElseUpdate(x, x)
-      if (p == x) x else { val r = find(p); parent(x) = r; r }
+      .persist()
+    val nEdges = edgeDf.count()
+    val labelDf = if (nEdges <= bound) {
+      // grid-bounded: path-compressed union-find on the driver (min root
+      // per component — identical labeling to minLabel's fixpoint)
+      val edges = edgeDf.collect().map(r => (r.getLong(0), r.getLong(1)))
+      edgeDf.unpersist()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val labels = parent.keys.map(k => (k, find(k))).toSeq
+      broadcast(s.createDataFrame(labels).toDF("cell", "label"))
+    } else {
+      // over-bound: distributed min-label propagation (the edge set is
+      // symmetric with self-loops by construction of the 3×3 probe, the
+      // shape minLabel expects). Labels are materialized by minLabel's
+      // own convergence actions, so the edge cache can drop right after.
+      val out = graft.operators.Components.minLabel(edgeDf)
+        .select(col("node").as("cell"), col("label"))
+      edgeDf.unpersist()
+      out
     }
-    edges.foreach { case (a, b) =>
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-    }
-    val labels = parent.keys.map(k => (k, find(k))).toSeq
-    val labelDf = s.createDataFrame(labels).toDF("cell", "label")
     dense
       .select(cellId(col("cx"), col("cy")).as("cell"), col("cx"), col("cy"), col("n_pts"))
-      .join(broadcast(labelDf), "cell")
+      .join(labelDf, "cell")
       .groupBy(col("label").as("cluster"))
       .agg(count(lit(1)).as("n_cells"), sum("n_pts").as("n_points"),
         min("cx").as("cx_min"), max("cx").as("cx_max"),

@@ -122,31 +122,7 @@ object GraphQueries {
     * unrolled rounds need no checkpoint. Isolated docs (no block peers)
     * converge to the 0.15 floor, never join traffic. */
   def graphPagerank(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-      .filter(col("doc_id") < 1200)
-      .select(col("doc_id").as("node"), col("source"),
-        call_function("div", col("n_chars"), lit(100L)).as("blk"))
-    // edges and deg are read every round of the loop — persist both so
-    // the blocking self-join runs once, not once per PageRank round.
-    // The blocking self-join is per-block quadratic: a hot (source,
-    // length-bucket) block — a template family all sized alike — emits
-    // |block|² edges before any round runs, so blocks are capped at
-    // HotKeys.DefaultCap first (inert at graded SF: blocks run 1..10).
-    val blocked = graft.operators.HotKeys.dropOverCap(
-      docs.select(col("node"), col("source"), col("blk")), Seq("source", "blk"),
-      graft.operators.HotKeys.DefaultCap)
-    // the loop's per-round edges⋈rank join is hub-salted via SaltedAdj
-    // (power-law tails put a hub's whole adjacency in one reducer
-    // otherwise; census finds no hubs at graded SF → zero-overhead path)
-    val sadj = graft.operators.SaltedAdj(
-      blocked.select(col("node").as("u"), col("source"), col("blk"))
-        .join(blocked.select(col("node").as("v"), col("source"), col("blk")),
-          Seq("source", "blk"))
-        .filter(col("u") =!= col("v"))
-        .select("u", "v"))
-    val deg = sadj.edges.groupBy("u").agg(count(lit(1)).as("deg"))
-      .withColumnRenamed("u", "node").persist()
-    val nodes = docs.select("node")
+    val (sadj, deg, nodes) = prGraph(s, dir)
     var rank = nodes.select(col("node"), lit(1000000L).as("r"))
     for (_ <- 1 to 3) {
       // per-node contribution c = r div deg rides through the salted
@@ -165,6 +141,129 @@ object GraphQueries {
       .join(deg, Seq("node"), "left")
       .select(col("node"), coalesce(col("deg"), lit(0L)).as("n_neighbors"),
         col("r").as("rank_micro"))
+      .orderBy(desc("rank_micro"), col("node"))
+      .limit(25)
+  }
+
+  /** The PageRank family's graph: single-blocking similarity edges,
+    * hub-salted adjacency, persisted out-degrees, node universe.
+    *
+    * Edges and deg are read every round of the loop — persist both so
+    * the blocking self-join runs once, not once per round. The blocking
+    * self-join is per-block quadratic: a hot (source, length-bucket)
+    * block — a template family all sized alike — emits |block|² edges
+    * before any round runs, so blocks are capped at HotKeys.DefaultCap
+    * first (inert at graded SF: blocks run 1..10). The per-round
+    * edges⋈rank join is hub-salted via SaltedAdj (power-law tails put a
+    * hub's whole adjacency in one reducer otherwise; census finds no
+    * hubs at graded SF → zero-overhead path). Both persists register
+    * with `GraftCaches` (the returned plans reference them lazily). */
+  private def prGraph(s: SparkSession, dir: String)
+      : (graft.operators.SaltedAdj, DataFrame, DataFrame) = {
+    val docs = t(s, dir, "documents")
+      .filter(col("doc_id") < 1200)
+      .select(col("doc_id").as("node"), col("source"),
+        call_function("div", col("n_chars"), lit(100L)).as("blk"))
+    val blocked = graft.operators.HotKeys.dropOverCap(
+      docs.select(col("node"), col("source"), col("blk")), Seq("source", "blk"),
+      graft.operators.HotKeys.DefaultCap)
+    val sadj = graft.operators.SaltedAdj(
+      blocked.select(col("node").as("u"), col("source"), col("blk"))
+        .join(blocked.select(col("node").as("v"), col("source"), col("blk")),
+          Seq("source", "blk"))
+        .filter(col("u") =!= col("v"))
+        .select("u", "v"))
+    val deg = graft.operators.GraftCaches.register(
+      sadj.edges.groupBy("u").agg(count(lit(1)).as("deg"))
+        .withColumnRenamed("u", "node").persist())
+    graft.operators.GraftCaches.register(sadj.edges)
+    (sadj, deg, docs.select("node"))
+  }
+
+  /** CONVERGENCE-MODE PageRank (damping 0.5, integer 1e-6 units) over
+    * the TWO-BLOCKING family graph: the loop runs until the L1 rank
+    * movement `Σ|r_k − r_{k-1}|` falls to ε = 200 micro-units per node,
+    * hard-capped at 24 rounds — the production stopping rule, vs the
+    * bounded-round convention of the fixed-3-round `graph_pagerank`
+    * sibling. (The sibling's single-blocking graph is a clique union —
+    * uniform rank is already stationary there, so only the two-blocking
+    * graph's varying degrees exercise a convergence loop at all.)
+    * Everything is integer arithmetic (`div`), so the round-k ranks —
+    * and therefore the FIRST qualifying round — are bit-identical in
+    * both engines: the oracle unrolls the same 24 rounds with a
+    * per-round L1 table and picks `min(round) WHERE l1 ≤ ε`
+    * relationally, while the Spark loop finds it iteratively. Output:
+    * top-25 nodes at the qualifying round plus the round number and a
+    * converged flag (false ⇒ rank values are the round-24 state).
+    *
+    * Action batching reuses `Components.minLabel`'s discipline: rounds
+    * evaluate lazily in batches of 4; ONE collect per batch reads the
+    * four per-round L1 scalars off a union (materializing the four
+    * persisted rank frames as a side effect), so a k-round convergence
+    * costs ⌈k/4⌉ actions + one lineage-truncating localCheckpoint per
+    * batch, not k driver round-trips. Each rank frame carries its
+    * predecessor's value (`pr`) so the L1 is an aggregate of the frame
+    * itself — no extra join. Superseded frames unpersist as soon as the
+    * batch's verdict is known; damping 0.5 contracts the L1 ×½ per
+    * round, so ε is reached near round 10 at every SF (the graph is
+    * doc_id-bounded) and the 24-round cap is 2× headroom, loudly
+    * flagged in `converged` if ever hit. The adjacency, degree census,
+    * and node set are the memoized family caches — this query adds no
+    * new persistent state of its own beyond the returned frame. */
+  def graphPagerankConverged(s: SparkSession, dir: String): DataFrame = {
+    val sadj = saltedSymAdj(s, dir)
+    val deg = symDeg(s, dir).withColumnRenamed("u", "node")
+    val nodes = symNodes(s, dir)
+    val eps = 200L * nodes.count()
+    def prRound(rank: DataFrame): DataFrame = {
+      val contrib = sadj.propagate(
+          rank.join(deg, "node")
+            .select(col("node"), call_function("div", col("r"), col("deg")).as("c")))
+        .groupBy("node").agg(sum("c").as("sc"))
+      rank.select(col("node"), col("r").as("pr"))
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(500000L) + call_function("div",
+            lit(500L) * coalesce(col("sc"), lit(0L)), lit(1000L))).as("r"),
+          col("pr"))
+    }
+    val maxRounds = 24
+    val batch = 4
+    var base = nodes.select(col("node"), lit(1000000L).as("r"))
+    var k = 0
+    var result: DataFrame = null
+    var lastL1 = Long.MaxValue
+    while (result == null && k < maxRounds) {
+      val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      var cur = base
+      for (_ <- 1 to batch) { cur = prRound(cur).persist(); frames += cur }
+      // one action: the four per-round L1 scalars (and the four caches)
+      val l1s = frames.zipWithIndex
+        .map { case (f, j) =>
+          f.agg(sum(abs(col("r") - col("pr"))).as("l1"))
+            .select(lit(k + j + 1).as("round"), col("l1")) }
+        .reduce(_ union _)
+        .collect().sortBy(_.getInt(0))
+      val hit = l1s.find(_.getLong(1) <= eps)
+      hit match {
+        case Some(row) =>
+          result = frames(row.getInt(0) - k - 1)
+          lastL1 = row.getLong(1)
+          k = row.getInt(0)
+        case None =>
+          lastL1 = l1s.last.getLong(1)
+          k += batch
+          if (k >= maxRounds) result = frames.last
+          else base = frames.last.select("node", "r").localCheckpoint()
+      }
+      frames.filter(_ ne result).foreach(_.unpersist(blocking = false))
+      if (result != null) graft.operators.GraftCaches.register(result)
+    }
+    result
+      .join(deg, Seq("node"), "left")
+      .select(col("node"), coalesce(col("deg"), lit(0L)).as("n_neighbors"),
+        col("r").as("rank_micro"),
+        lit(k.toLong).as("n_rounds"), lit(lastL1 <= eps).as("converged"))
       .orderBy(desc("rank_micro"), col("node"))
       .limit(25)
   }

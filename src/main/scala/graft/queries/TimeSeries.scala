@@ -481,26 +481,38 @@ object TimeSeries {
     *
     * Scale: the corpus collapses to the calendar-sized daily rollup
     * first (the only pass over raw data, map-side combined); the
-    * sequential selection then runs as a GUARDED driver-side fold over
-    * the calendar-bounded series — the same constant-size-metadata
-    * exception as `geoGridDbscan`'s cell graph (a recursive-CTE form
-    * spends ~8.5 s of per-round scheduling on a 30-row frame for
-    * identical output; the bound is asserted loudly, a corpus-sized
-    * series can never reach this fold). The ORACLE solves the same
-    * recurrence relationally — transition table (arg-max per (bucket,
-    * possible-prev)) + recursive-CTE pointer walk, the Viterbi
-    * factoring — so the two engines agree through entirely different
-    * algorithms, a stronger check than a shared statement. */
-  def tsLttbDownsample(s: SparkSession, dir: String): DataFrame = {
-    val daily = t(s, dir, "events")
+    * sequential selection then picks its engine by the MEASURED series
+    * length. At the calendar bound and below it runs as a driver-side
+    * fold — the same constant-size-metadata exception as
+    * `geoGridDbscan`'s cell graph (a recursive-CTE form spends ~8.5 s
+    * of per-round scheduling on a 30-row frame for identical output).
+    * Over the bound it runs the DISTRIBUTED windowed-bucket form
+    * (`lttbDistributed`): per-(bucket, prev-candidate) arg-max
+    * transition table + parallel-prefix function composition — the
+    * Viterbi factoring, log₂(buckets) self-join rounds instead of a
+    * length-proportional walk. Both engines produce bit-identical
+    * selections (pinned by `FallbackSpec`). The ORACLE solves the
+    * same recurrence relationally — transition table + recursive-CTE
+    * pointer walk — so the two engines agree through entirely
+    * different algorithms, a stronger check than a shared statement. */
+  def tsLttbDownsample(s: SparkSession, dir: String): DataFrame =
+    tsLttbDownsampleImpl(s, dir, bound = 200000L)
+
+  private[graft] def tsLttbDownsampleImpl(s: SparkSession, dir: String, bound: Long): DataFrame = {
+    val dailyDf = t(s, dir, "events")
       .filter(col("event_type") === "purchase")
       .groupBy(to_date(col("ts")).as("day"))
       .agg(sum((Num.money(col("value")) * 100).cast("long")).as("v"))
-      .orderBy("day")
+      .persist()
+    val nDays = dailyDf.count()
+    if (nDays > bound && nDays >= 3) {
+      val out = lttbDistributed(s, dailyDf, nDays)
+      dailyDf.unpersist()
+      return out
+    }
+    val daily = dailyDf.orderBy("day")
       .collect().map(r => (r.getDate(0), r.getLong(1)))
-    require(daily.length <= 200000,
-      s"tsLttbDownsample: ${daily.length} days exceed the calendar bound — " +
-        "a series this long needs the windowed-bucket form, not the driver fold")
+    dailyDf.unpersist()
     val n = daily.length.toLong
     // degenerate series (n < 3): no interior bucket exists and LTTB is
     // the identity — short-circuit BEFORE the fold (an empty series
@@ -538,6 +550,103 @@ object TimeSeries {
     selected += pts.last
     val rows = selected.zipWithIndex.map { case ((i, v, day, _), k) => (k.toLong, i, day, v) }
     s.createDataFrame(rows.toSeq).toDF("k", "i", "day", "v").orderBy("k")
+  }
+
+  /** Distributed LTTB for a series too long to fold on the driver —
+    * the windowed-bucket form behind `tsLttbDownsample`'s length guard.
+    *
+    * (1) Global rank `i` by day: range-partitioned sort +
+    *     `zipWithIndex` (per-partition counts job + one pass — no
+    *     single-partition window at any length).
+    * (2) The fold's width-3 rank buckets, in-bucket slots (0..2 — pure
+    *     arithmetic off the bucket's min rank, no extra shuffle), and
+    *     n-scaled centroids as one map-side-combined aggregate.
+    * (3) The recurrence factored Viterbi-style: the selection in
+    *     bucket k depends ONLY on the previously selected point, which
+    *     lives in bucket k-1 (≤ 3 candidates) — so an arg-max per
+    *     (bucket, prev-slot) TRANSITION TABLE captures every possible
+    *     step (one equi-join candidates⋈prevs⋈centroids, `max_by` on
+    *     the fold's exact integer score, unique by construction), and
+    *     the length-proportional sequential walk becomes PARALLEL-
+    *     PREFIX COMPOSITION of ≤3-entry slot maps: ⌈log₂ buckets⌉
+    *     Hillis–Steele self-join rounds, each composing arrays with a
+    *     `transform`/`element_at` expression and truncating lineage
+    *     via `localCheckpoint` (the self-join references the frame
+    *     twice, so the plan would double per round otherwise).
+    *
+    * Every arithmetic step reuses the fold's integers, so the
+    * transition table — and therefore the selected set — is
+    * bit-identical to the driver fold's (`FallbackSpec` pins this
+    * by forcing the bound to 0 on data both paths can run). */
+  private def lttbDistributed(s: SparkSession, dailyDf: DataFrame, n: Long): DataFrame = {
+    import s.implicits._
+    val maxB = (n - 3) / 3 + 2
+    val parts = math.max(s.sparkContext.defaultParallelism,
+      (n / 500000L).toInt) // ~500k calendar rows per ranking task
+    val pts = graft.operators.GraftCaches.register(
+      dailyDf
+        .repartitionByRange(parts, col("day"))
+        .sortWithinPartitions("day")
+        .rdd.zipWithIndex()
+        .map { case (r, idx) => (idx + 1L, r.getLong(1), r.getDate(0)) }
+        .toDF("i", "v", "day")
+        .withColumn("b",
+          when(col("i") === 1L, lit(0L))
+            .when(col("i") === n, lit(maxB))
+            .otherwise(call_function("div", col("i") - 2L, lit(3L)) + 1L))
+        // interior bucket b holds the contiguous ranks {3b-1, 3b, 3b+1}
+        .withColumn("slot",
+          when(col("b") === 0L || col("b") === maxB, lit(0L))
+            .otherwise(col("i") - (col("b") * 3L - 1L)))
+        .persist())
+    val cent = pts.groupBy("b")
+      .agg(sum("i").as("si"), sum("v").as("sv"), count(lit(1)).as("m"))
+    // transition table: for each interior bucket k and each candidate
+    // previous point (slot in bucket k-1), the arg-max selection —
+    // centroid of k+1 attached at k, score identical to the fold's
+    val c = pts.filter(col("b").between(1L, maxB - 1))
+      .select(col("b").as("k"), col("i").as("ci"), col("v").as("cv"),
+        col("slot").as("cslot"))
+    val p = pts.filter(col("b") <= maxB - 2)
+      .select((col("b") + 1L).as("k"), col("i").as("pi"), col("v").as("pv"),
+        col("slot").as("pslot"))
+    val ct = cent.select((col("b") - 1L).as("k"), col("si"), col("sv"), col("m"))
+    val trans = c.join(p, "k").join(ct, "k")
+      .withColumn("score",
+        abs((col("ci") - col("pi")) * (col("sv") - col("m") * col("pv"))
+          - (col("si") - col("m") * col("pi")) * (col("cv") - col("pv"))) * 100000L
+          + (lit(100000L) - col("ci")))
+      .groupBy("k", "pslot")
+      .agg(max_by(col("cslot"), col("score")).as("sel"))
+    // slot-map per bucket: arr[j] = selected slot given prev slot j
+    // (null where bucket k-1 has fewer than 3 points — never probed)
+    var g = trans.groupBy("k")
+      .agg(map_from_arrays(collect_list("pslot"), collect_list("sel")).as("m"))
+      .select(col("k"),
+        transform(sequence(lit(0L), lit(2L)), j => element_at(col("m"), j)).as("arr"))
+      .localCheckpoint()
+    // Hillis–Steele prefix composition: after round r, arr at k maps
+    // the slot state before bucket max(1, k-2^r+1) to the state at k
+    var span = 1L
+    val nInterior = maxB - 1
+    while (span < nInterior) {
+      val partner = g.select((col("k") + span).as("k"), col("arr").as("parr"))
+      g = g.join(partner, Seq("k"), "left")
+        .select(col("k"),
+          when(col("parr").isNull, col("arr"))
+            .otherwise(transform(col("parr"),
+              x => element_at(col("arr"), (x + 1L).cast("int")))).as("arr"))
+        .localCheckpoint()
+      span *= 2
+    }
+    // bucket 0 pins point i=1 at slot 0, so prefix[0] IS the selection
+    val selInterior = g
+      .select(col("k").as("b"), element_at(col("arr"), 1).as("slot"))
+      .join(pts, Seq("b", "slot"))
+      .select(col("b").as("k"), col("i"), col("day"), col("v"))
+    val ends = pts.filter(col("i") === 1L || col("i") === n)
+      .select(col("b").as("k"), col("i"), col("day"), col("v"))
+    selInterior.union(ends).orderBy("k")
   }
 
   /** Interval-concurrency sweep line — "how many orders were open at

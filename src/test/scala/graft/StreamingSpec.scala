@@ -177,6 +177,51 @@ class StreamingSpec extends GraftSpec {
     } finally query.stop()
   }
 
+  test("cdcApply foreachBatch MERGE: cumulative upsert+tombstone state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import SparkSpecBase.spark.implicits._
+    val url = s"jdbc:derby:${System.getProperty("java.io.tmpdir")}/graft_cdc_mirror_${System.nanoTime()};create=true"
+    val in = MemoryStream[CdcChange]
+    val query = StreamOps.cdcApply(in.toDF(), url, "cdc_mirror")
+      .option("checkpointLocation",
+        s"${System.getProperty("java.io.tmpdir")}/graft_cdc_ckpt_${System.nanoTime()}")
+      .start()
+    def mirror(): Map[Long, (Long, Long)] = {
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val rs = conn.createStatement().executeQuery(
+          "SELECT user_id, last_cents, last_ts_us FROM cdc_mirror")
+        val b = scala.collection.mutable.Map[Long, (Long, Long)]()
+        while (rs.next()) b += rs.getLong(1) -> (rs.getLong(2), rs.getLong(3))
+        b.toMap
+      } finally conn.close()
+    }
+    try {
+      // batch 1: two fresh upserts
+      in.addData(
+        CdcChange(1L, "purchase", 100L, 10L, 1L),
+        CdcChange(2L, "view", 200L, 20L, 2L))
+      query.processAllAvailable()
+      assert(mirror() == Map(1L -> (100L, 10L), 2L -> (200L, 20L)))
+      // batch 2: update key 1, TOMBSTONE key 2 ('error' op), insert key 3
+      in.addData(
+        CdcChange(1L, "purchase", 150L, 30L, 3L),
+        CdcChange(2L, "error", 0L, 40L, 4L),
+        CdcChange(3L, "click", 300L, 5L, 5L))
+      query.processAllAvailable()
+      assert(mirror() == Map(1L -> (150L, 30L), 3L -> (300L, 5L)),
+        "tombstone must remove key 2; upsert must advance key 1")
+      // batch 3: STALE out-of-order change for key 1 (us 25 < 30) must
+      // not regress the mirror; key 2 re-appears after its delete
+      in.addData(
+        CdcChange(1L, "purchase", 999L, 25L, 6L),
+        CdcChange(2L, "purchase", 500L, 50L, 7L))
+      query.processAllAvailable()
+      assert(mirror() == Map(1L -> (150L, 30L), 2L -> (500L, 50L), 3L -> (300L, 5L)),
+        "stale change regressed the mirror or post-delete re-insert failed")
+    } finally query.stop()
+  }
+
   test("stream-static join enriches each micro-batch from a broadcast dim, stateless") {
     implicit val sqlCtx = spark.sqlContext
     import SparkSpecBase.spark.implicits._

@@ -792,4 +792,19 @@ class TimeSeriesGraphSpec extends GraftSpec {
     val bruteMax = days.map(d => spans.count(p => !d.isBefore(p._1) && !d.isAfter(p._2))).max
     assert(rows.map(_._2).max == bruteMax, "global peak diverges from brute-force sweep")
   }
+
+  test("graph_pagerank_converged: stops at the pinned round with a true converged flag") {
+    val rows = graft.queries.GraphQueries.graphPagerankConverged(spark, sfDir).collect()
+    assert(rows.length == 25)
+    // sf0.001's two-blocking graph converges to eps = 200 µ/node at
+    // round 7 — a change in damping, eps, the batch machinery, or the
+    // edge set moves this; the DuckDB oracle must be retuned in lockstep
+    assert(rows.forall(_.getLong(3) == 7L), "convergence round moved off 7")
+    assert(rows.forall(_.getBoolean(4)), "did not converge within the 24-round cap")
+    // ranks genuinely vary (clique-union degeneracy would flatline them)
+    assert(rows.map(_.getLong(2)).distinct.length > 10, "ranks are degenerate")
+    // top list is sorted desc with the node-asc tiebreak
+    val pairs = rows.map(r => (r.getLong(2), r.getLong(0)))
+    assert(pairs.sameElements(pairs.sortBy(p => (-p._1, p._2))), "ordering broken")
+  }
 }
