@@ -336,6 +336,7 @@ object SparkEntry {
     // bounded k-core peel + lift-ranked collocation mining
     "graph_k_core" -> GraphQueries.graphKCore _,
     "graph_core_decomposition" -> GraphQueries.graphCoreDecomposition _,
+    "graph_core_full" -> GraphQueries.graphCoreFull _,
     "llm_pmi_collocations" -> LlmExtra.llmPmiCollocations _,
     // interarrival latency profile, equi-width histogram, grid DBSCAN
     "event_interarrival" -> Quality.eventInterarrival _,

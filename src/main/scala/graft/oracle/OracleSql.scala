@@ -78,8 +78,56 @@ object OracleSql {
       ORDER BY rank_micro DESC, node LIMIT 25"""
   }
 
+  /** graph_core_full: full core decomposition by synchronous
+    * neighborhood h-index iteration (Lü et al. 2016 — estimates start
+    * at degree, each round becomes the h-index of the neighbors'
+    * estimates, and the fixpoint is exactly coreness). The oracle
+    * unrolls the same 12 rounds the Spark side composes lazily: each
+    * round is a join to the previous estimates, a per-node descending
+    * rank over incoming estimates, and `max(least(est, rank))`.
+    * Estimates are monotone non-increasing per node, so "round 12 ==
+    * round 11" reduces to comparing the two estimate SUMS — the same
+    * `converged` verdict the engine computes from its two persisted
+    * frames. MATERIALIZED keeps the chain linear (h11 is referenced
+    * three times: h12, its sum, and nothing else would survive
+    * inlining). */
+  private def coreFullSql: String = {
+    val R = 12
+    val rounds = (1 to R).map { r =>
+      s"""h$r AS MATERIALIZED (
+         |        SELECT u AS node, CAST(max(least(ce, rn)) AS BIGINT) AS est FROM (
+         |          SELECT e.u, c.est AS ce,
+         |                 row_number() OVER (PARTITION BY e.u ORDER BY c.est DESC) AS rn
+         |          FROM edges e JOIN h${r - 1} c ON c.node = e.v)
+         |        GROUP BY u)""".stripMargin
+    }.mkString(",\n      ")
+    s"""
+      WITH docs AS MATERIALIZED (
+        SELECT doc_id, source, lang, n_chars FROM documents WHERE doc_id < 1200),
+      blocks AS (
+        SELECT doc_id AS u,
+               concat_ws('|', 's', source, CAST(n_chars // 100 AS VARCHAR)) AS bk
+        FROM docs
+        UNION ALL
+        SELECT doc_id AS u,
+               concat_ws('|', 'l', lang, CAST(n_chars // 50 AS VARCHAR)) AS bk
+        FROM docs),
+      edges0 AS (
+        SELECT DISTINCT a.u AS u, b.u AS v
+        FROM blocks a JOIN blocks b USING (bk) WHERE a.u < b.u),
+      edges AS MATERIALIZED (SELECT u, v FROM edges0 UNION SELECT v, u FROM edges0),
+      h0 AS MATERIALIZED (
+        SELECT u AS node, CAST(count(*) AS BIGINT) AS est FROM edges GROUP BY u),
+      $rounds
+      SELECT est AS core_number, CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(min(node) AS BIGINT) AS min_node, CAST(max(node) AS BIGINT) AS max_node,
+             ((SELECT sum(est) FROM h${R - 1}) = (SELECT sum(est) FROM h$R)) AS converged
+      FROM h$R GROUP BY est ORDER BY est"""
+  }
+
   val sql: Map[String, String] = Map(
     "graph_pagerank_converged" -> pagerankConvergedSql,
+    "graph_core_full" -> coreFullSql,
     "scan_parquet_project" -> """
       SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
       FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""",

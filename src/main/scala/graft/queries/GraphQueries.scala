@@ -196,76 +196,114 @@ object GraphQueries {
     * top-25 nodes at the qualifying round plus the round number and a
     * converged flag (false ⇒ rank values are the round-24 state).
     *
-    * Action batching reuses `Components.minLabel`'s discipline: rounds
-    * evaluate lazily in batches of 4; ONE collect per batch reads the
-    * four per-round L1 scalars off a union (materializing the four
-    * persisted rank frames as a side effect), so a k-round convergence
-    * costs ⌈k/4⌉ actions + one lineage-truncating localCheckpoint per
-    * batch, not k driver round-trips. Each rank frame carries its
-    * predecessor's value (`pr`) so the L1 is an aggregate of the frame
-    * itself — no extra join. Superseded frames unpersist as soon as the
-    * batch's verdict is known; damping 0.5 contracts the L1 ×½ per
-    * round, so ε is reached near round 10 at every SF (the graph is
-    * doc_id-bounded) and the 24-round cap is 2× headroom, loudly
-    * flagged in `converged` if ever hit. The adjacency, degree census,
-    * and node set are the memoized family caches — this query adds no
-    * new persistent state of its own beyond the returned frame. */
+    * Execution discipline: the whole 24-round unroll is ONE lazy plan
+    * with strictly LINEAR lineage, evaluated by one action. The
+    * pagerank round naturally references its predecessor TWICE
+    * (neighbor contributions + the previous rank for the L1), the
+    * double reference that forced `Components.minLabel`-style batched
+    * checkpoints in earlier shapes — and tapping each round for its L1
+    * scalar would duplicate the round's whole logical subtree (plans
+    * are trees, not DAGs; measured: a 24-round union-of-taps never
+    * leaves Catalyst analysis). Both are removed by carrying the RANK
+    * HISTORY in-band: a weight-0 SELF-LOOP edge threads each node's
+    * per-round rank array through the same contribution join, so each
+    * round is exactly one equi-join + one map-combined aggregate
+    * referencing its predecessor once, and the final frame alone holds
+    * every round's state. The 24 per-round L1 scalars (and the ε
+    * census) then derive from ONE explode+aggregate over that frame —
+    * no per-round taps, actions, or checkpoints — and the qualifying
+    * round's ranks are an `element_at` into the cached histories. The
+    * oracle's 24-round unroll maps 1:1 (both engines compute all 24
+    * rounds and pick `min(round) WHERE l1 ≤ ε`). Damping 0.5 contracts
+    * the L1 ×½ per round, so ε is reached near round 10 at every SF
+    * (the graph is doc_id-bounded) and the 24-round cap is 2×
+    * headroom, loudly flagged in `converged` if ever hit. Per-node
+    * state is O(rounds) — 25 BIGINTs under the cap, the price of the
+    * single-action shape. Degrees are HotKeys-capped upstream, so the
+    * contribution join's per-key fan-in is bounded on power-law
+    * corpora (the salted-adjacency variant of this loop lives in
+    * `graphPagerank`; here the self-loop layout is what keeps the
+    * lineage linear). */
   def graphPagerankConverged(s: SparkSession, dir: String): DataFrame = {
-    val sadj = saltedSymAdj(s, dir)
-    val deg = symDeg(s, dir).withColumnRenamed("u", "node")
     val nodes = symNodes(s, dir)
-    val eps = 200L * nodes.count()
-    def prRound(rank: DataFrame): DataFrame = {
-      val contrib = sadj.propagate(
-          rank.join(deg, "node")
-            .select(col("node"), call_function("div", col("r"), col("deg")).as("c")))
-        .groupBy("node").agg(sum("c").as("sc"))
-      rank.select(col("node"), col("r").as("pr"))
-        .join(contrib, Seq("node"), "left")
-        .select(col("node"),
+    val deg = symDeg(s, dir).withColumnRenamed("u", "node")
+    // real edges carry the u-side out-degree (contribution divisor);
+    // self-loops are marked deg = 0 and thread the node's own history
+    val prAdj = memoized(s, dir, "prAdjLoop") {
+      symAdj(s, dir).join(symDeg(s, dir), "u")
+        .select(col("u"), col("v"), col("deg"))
+        .union(nodes.select(col("node").as("u"), col("node").as("v"),
+          lit(0L).as("deg")))
+        .cache()
+    }
+    // frame: (node, r = current rank, rh = array of ranks r_0..r_j)
+    def prRound(rank: DataFrame): DataFrame =
+      prAdj.join(rank.withColumnRenamed("node", "u"), "u")
+        .select(col("v"), col("deg"),
+          when(col("deg") === 0L, lit(0L))
+            .otherwise(call_function("div", col("r"), col("deg"))).as("c"),
+          when(col("deg") === 0L, col("rh")).as("h"))
+        .groupBy("v").agg(sum("c").as("s"),
+          first("h", ignoreNulls = true).as("h")) // exactly one self-loop per node
+        .select(col("v").as("node"),
           (lit(500000L) + call_function("div",
-            lit(500L) * coalesce(col("sc"), lit(0L)), lit(1000L))).as("r"),
-          col("pr"))
-    }
+            lit(500L) * col("s"), lit(1000L))).as("r"), col("h"))
+        .withColumn("rh", array_append(col("h"), col("r")))
+        .drop("h")
     val maxRounds = 24
-    val batch = 4
-    var base = nodes.select(col("node"), lit(1000000L).as("r"))
-    var k = 0
-    var result: DataFrame = null
-    var lastL1 = Long.MaxValue
-    while (result == null && k < maxRounds) {
-      val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-      var cur = base
-      for (_ <- 1 to batch) { cur = prRound(cur).persist(); frames += cur }
-      // one action: the four per-round L1 scalars (and the four caches)
-      val l1s = frames.zipWithIndex
-        .map { case (f, j) =>
-          f.agg(sum(abs(col("r") - col("pr"))).as("l1"))
-            .select(lit(k + j + 1).as("round"), col("l1")) }
-        .reduce(_ union _)
-        .collect().sortBy(_.getInt(0))
-      val hit = l1s.find(_.getLong(1) <= eps)
-      hit match {
-        case Some(row) =>
-          result = frames(row.getInt(0) - k - 1)
-          lastL1 = row.getLong(1)
-          k = row.getInt(0)
-        case None =>
-          lastL1 = l1s.last.getLong(1)
-          k += batch
-          if (k >= maxRounds) result = frames.last
-          else base = frames.last.select("node", "r").localCheckpoint()
+    // the L1 trace of a history frame: explode each node's per-round
+    // |Δr| pairs; per-round sums are the L1s, the group count is n (→ ε)
+    def l1Trace(h: DataFrame) = h
+      .select(posexplode(expr(
+        "transform(sequence(1, size(rh) - 1), j -> abs(rh[j] - rh[j - 1]))")))
+      .groupBy((col("pos") + 1).cast("long").as("round"))
+      .agg(sum("col").as("l1"), count(lit(1)).as("n"))
+      .collect().sortBy(_.getLong(0))
+    // The chain evaluates in TWO halves: damping 0.5 puts convergence
+    // near round 10 at any SF, so rounds 13–24 usually never build.
+    // Both eager collects run with AQE off and the loop width floored —
+    // the 12-round chain is then ONE statically-planned job instead of
+    // ~36 per-stage re-plans, and integer sums are partitioning-
+    // invariant so the result is bit-identical (confs restored after).
+    val conf = s.conf
+    val (aqe0, sp0) = (conf.get("spark.sql.adaptive.enabled", "true"),
+      conf.get("spark.sql.shuffle.partitions", "32"))
+    var hist: DataFrame = null
+    var l1s: Array[org.apache.spark.sql.Row] = null
+    try {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      conf.set("spark.sql.shuffle.partitions", "8")
+      var cur: DataFrame = nodes.select(col("node"), lit(1000000L).as("r"),
+        array(lit(1000000L)).as("rh"))
+      for (_ <- 1 to maxRounds / 2) cur = prRound(cur)
+      val half = cur.persist()
+      l1s = l1Trace(half)
+      val eps0 = 200L * l1s.head.getLong(2)
+      if (l1s.exists(_.getLong(1) <= eps0)) hist = half
+      else {
+        for (_ <- maxRounds / 2 + 1 to maxRounds) cur = prRound(cur)
+        hist = cur.persist()
+        l1s = l1Trace(hist)
+        half.unpersist(blocking = false)
       }
-      frames.filter(_ ne result).foreach(_.unpersist(blocking = false))
-      if (result != null) graft.operators.GraftCaches.register(result)
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", aqe0)
+      conf.set("spark.sql.shuffle.partitions", sp0)
     }
-    result
+    graft.operators.GraftCaches.register(hist)
+    val eps = 200L * l1s.head.getLong(2)
+    val hit = l1s.find(_.getLong(1) <= eps)
+    val k = hit.map(_.getLong(0).toInt).getOrElse(maxRounds)
+    val lastL1 = hit.map(_.getLong(1)).getOrElse(l1s.last.getLong(1))
+    val result = hist.select(col("node"),
+      element_at(col("rh"), k + 1).as("r"))
       .join(deg, Seq("node"), "left")
       .select(col("node"), coalesce(col("deg"), lit(0L)).as("n_neighbors"),
         col("r").as("rank_micro"),
         lit(k.toLong).as("n_rounds"), lit(lastL1 <= eps).as("converged"))
       .orderBy(desc("rank_micro"), col("node"))
       .limit(25)
+    result
   }
 
   /** Canonical (u < v) edge list of the TWO-BLOCKING similarity graph:
@@ -671,6 +709,69 @@ object GraphQueries {
       .groupBy("core_number")
       .agg(count(lit(1)).as("n_nodes"),
         min("node").as("min_node"), max("node").as("max_node"))
+      .orderBy("core_number")
+  }
+
+  /** FULL core decomposition — every node's true CORE NUMBER, vs the
+    * sibling `graph_core_decomposition`'s bounded k ≤ 4 convention — by
+    * synchronous NEIGHBORHOOD H-INDEX iteration (Lü et al. 2016, "The
+    * H-index of a network node and its relation to degree and
+    * coreness"): start each node's estimate at its degree; each round,
+    * replace it with the h-index of its neighbors' estimates (the
+    * largest h with ≥ h neighbors estimating ≥ h). Estimates decrease
+    * monotonically and converge EXACTLY to coreness — the whole
+    * decomposition without the peel's O(degeneracy) sequential levels.
+    *
+    * Why this shape and not the chained k-peel: the peel needs a
+    * driver decision per round per level (which nodes died, is the
+    * level empty) — ~100 tiny actions on this graph, pure scheduling.
+    * The h-index round is OBLIVIOUS: join estimates to the adjacency,
+    * rank each node's incoming estimates descending, take
+    * max(least(est, rank)) — so R rounds compose into ONE lazy plan
+    * with LINEAR lineage (each round references its predecessor
+    * exactly once; contrast the pagerank round's double reference that
+    * forces batched checkpoints) and the whole query is a single
+    * action. Only the last round is referenced twice (histogram +
+    * convergence sum), so only it and its predecessor persist.
+    *
+    * Rounds are capped at 12 with a loud `converged` verdict column,
+    * computed identically in both engines: estimates are monotone
+    * non-increasing per node, so round R == round R−1 ⟺ the estimate
+    * SUMS match — one scalar from each of the two persisted frames,
+    * and the oracle's bounded unroll tests the same two sums. On a
+    * graph that defeats the cap the row fails loudly (converged =
+    * false) instead of silently reporting upper bounds as cores.
+    *
+    * Scale: each round is an equi-join (estimates hash-partitioned on
+    * node, adjacency on v) + a per-node window + a map-combined max —
+    * corpus-linear, no broadcasts of data-sized frames, no driver
+    * loops. The per-node window ranks only that node's ADJACENCY LIST;
+    * degrees are pre-capped by the family's `HotKeys` blocking cap, so
+    * no reducer sees an unbounded sorted run even on power-law
+    * corpora. */
+  def graphCoreFull(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val adj = symAdj(s, dir)
+    val rounds = 12
+    def hRound(est: DataFrame): DataFrame =
+      adj.join(est.select(col("node").as("v"), col("est").as("ce")), "v")
+        .select(col("u"), col("ce"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("u").orderBy(desc("ce"))))
+        .groupBy("u").agg(max(least(col("ce"), col("rn").cast("long"))).as("est"))
+        .select(col("u").as("node"), col("est"))
+    var est = symDeg(s, dir).select(col("u").as("node"), col("deg").as("est"))
+    for (_ <- 1 until rounds) est = hRound(est)
+    val prev = graft.operators.GraftCaches.register(est.persist())
+    val fin = graft.operators.GraftCaches.register(hRound(prev).persist())
+    // monotone non-increasing estimates: equal sums ⟺ identical frames
+    val flag = prev.agg(sum("est").as("sp"))
+      .crossJoin(fin.agg(sum("est").as("sf")))
+      .select((col("sp") === col("sf")).as("converged"))
+    fin.groupBy(col("est").as("core_number"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min("node").as("min_node"), max("node").as("max_node"))
+      .crossJoin(broadcast(flag))
       .orderBy("core_number")
   }
 }

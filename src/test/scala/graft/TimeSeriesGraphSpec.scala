@@ -482,6 +482,45 @@ class TimeSeriesGraphSpec extends GraftSpec {
     assert(got.toSeq == expect, s"histogram diverges:\ngot    ${got.toSeq}\nexpect $expect")
   }
 
+  test("graph_core_full: histogram replays from an in-memory peel-to-fixpoint, converged") {
+    val got = graft.queries.GraphQueries.graphCoreFull(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(got.nonEmpty && got.map(_._1).toSeq == got.map(_._1).toSeq.sorted)
+    // on the sf-test graphs the h-index iteration reaches its coreness
+    // fixpoint inside the 12-round cap — the replay equality below is
+    // only meaningful under this flag
+    got.foreach { case (k, _, _, _, conv) =>
+      assert(conv, s"level $k reported a non-converged decomposition")
+    }
+    // independent replay: true core numbers via sequential peel-to-fixpoint
+    val docs = graft.tables.Tables.t(spark, sfDir, "documents")
+      .filter(col("doc_id") < 1200)
+    val e0 = graft.queries.GraphQueries
+      .simEdgesCapped(docs, graft.operators.HotKeys.DefaultCap)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    var edges = (e0 ++ e0.map(p => (p._2, p._1))).toSet
+    val core = scala.collection.mutable.Map.empty[Long, Long]
+    var k = 1
+    while (edges.nonEmpty && k <= 32) {
+      var changed = true
+      while (changed) {
+        val deg = edges.groupBy(_._1).map { case (u, es) => u -> es.size }
+        val alive = deg.filter(_._2 >= k).keySet
+        val next = edges.filter(e => alive(e._1) && alive(e._2))
+        changed = next.size != edges.size
+        edges = next
+      }
+      edges.map(_._1).foreach(n => core(n) = k.toLong)
+      k += 1
+    }
+    val expect = core.groupBy(_._2).map { case (c, ns) =>
+      (c, ns.size.toLong, ns.keys.min, ns.keys.max)
+    }.toSeq.sortBy(_._1)
+    assert(got.map(t => (t._1, t._2, t._3, t._4)).toSeq == expect,
+      s"histogram diverges:\ngot    ${got.toSeq}\nexpect $expect")
+  }
+
   test("graph_k_core: survivors have core_deg >= 3 and sit inside the degree-3 subgraph") {
     val rows = graft.queries.GraphQueries.graphKCore(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
