@@ -749,10 +749,16 @@ object GraphQueries {
     * degrees are pre-capped by the family's `HotKeys` blocking cap, so
     * no reducer sees an unbounded sorted run even on power-law
     * corpora. */
-  def graphCoreFull(s: SparkSession, dir: String): DataFrame = {
+  def graphCoreFull(s: SparkSession, dir: String): DataFrame =
+    coreFullOn(symAdj(s, dir), 12)
+
+  /** The h-index decomposition over an arbitrary symmetric adjacency —
+    * the engine core of `graphCoreFull`, parameterized so specs can
+    * drive graphs the contract graph never produces (a long path
+    * defeats any fixed round cap and must surface `converged = false`
+    * loudly, never truncated estimates passed off as cores). */
+  private[graft] def coreFullOn(adj: DataFrame, rounds: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val adj = symAdj(s, dir)
-    val rounds = 12
     def hRound(est: DataFrame): DataFrame =
       adj.join(est.select(col("node").as("v"), col("est").as("ce")), "v")
         .select(col("u"), col("ce"))
@@ -760,7 +766,8 @@ object GraphQueries {
           Window.partitionBy("u").orderBy(desc("ce"))))
         .groupBy("u").agg(max(least(col("ce"), col("rn").cast("long"))).as("est"))
         .select(col("u").as("node"), col("est"))
-    var est = symDeg(s, dir).select(col("u").as("node"), col("deg").as("est"))
+    var est = adj.groupBy(col("u").as("node"))
+      .agg(count(lit(1)).as("est"))
     for (_ <- 1 until rounds) est = hRound(est)
     val prev = graft.operators.GraftCaches.register(est.persist())
     val fin = graft.operators.GraftCaches.register(hRound(prev).persist())

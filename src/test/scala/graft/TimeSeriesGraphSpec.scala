@@ -521,6 +521,32 @@ class TimeSeriesGraphSpec extends GraftSpec {
       s"histogram diverges:\ngot    ${got.toSeq}\nexpect $expect")
   }
 
+  test("graph_core_full engine: path/cycle graphs pin convergence semantics of the round cap") {
+    import SparkSpecBase.spark.implicits._
+    def pathAdj(n: Int) = {
+      val e = (1 until n).map(i => (i.toLong, i.toLong + 1))
+      (e ++ e.map(_.swap)).toDF("u", "v")
+    }
+    // 20-node path: the h-index "coreness 1" front travels one node per
+    // round from each endpoint (max distance 9), so 12 rounds converge —
+    // every node reports its TRUE core number 1
+    val short = graft.queries.GraphQueries.coreFullOn(pathAdj(20), 12).collect()
+    assert(short.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(4))).toSeq
+      == Seq((1L, 20L, true)))
+    // 60-node path: max distance 29 defeats the cap — the engine must
+    // say so loudly (converged = false on every row) instead of passing
+    // off the still-2 interior estimates as core numbers
+    val long = graft.queries.GraphQueries.coreFullOn(pathAdj(60), 12).collect()
+    assert(long.map(_.getLong(0)).toSeq == Seq(1L, 2L), "interior front unfinished")
+    assert(long.forall(!_.getBoolean(4)), "uncapped flag must be false")
+    // cycle: degree-regular graph is an immediate fixpoint (est stays 2)
+    val cyc = (1 to 12).map(i => (i.toLong, (i % 12).toLong + 1))
+    val cycAdj = (cyc ++ cyc.map(_.swap)).toDF("u", "v")
+    val ring = graft.queries.GraphQueries.coreFullOn(cycAdj, 12).collect()
+    assert(ring.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(4))).toSeq
+      == Seq((2L, 12L, true)))
+  }
+
   test("graph_k_core: survivors have core_deg >= 3 and sit inside the degree-3 subgraph") {
     val rows = graft.queries.GraphQueries.graphKCore(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
