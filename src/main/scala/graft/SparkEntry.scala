@@ -212,6 +212,7 @@ object SparkEntry {
     "llm_vocab_coverage" -> LlmExtra.llmVocabCoverage _,
     "llm_filter_funnel" -> LlmExtra.llmFilterFunnel _,
     "llm_bpe_pair_counts" -> LlmExtra.llmBpePairCounts _,
+    "llm_bpe_train" -> LlmExtra.llmBpeTrain _,
     "llm_ngram_novelty" -> LlmExtra.llmNgramNovelty _,
     "llm_semdedup" -> LlmExtra.llmSemdedup _,
     "llm_hash_embedding" -> LlmExtra.llmHashEmbedding _,
@@ -332,6 +333,7 @@ object SparkEntry {
     // interval-concurrency sweep line
     "dq_distribution_drift" -> Quality.dqDistributionDrift _,
     "event_active_users" -> Quality.eventActiveUsers _,
+    "event_survival_km" -> Quality.eventSurvivalKm _,
     "ts_interval_sweep" -> TimeSeries.tsIntervalSweep _,
     // bounded k-core peel + lift-ranked collocation mining
     "graph_k_core" -> GraphQueries.graphKCore _,
@@ -342,6 +344,7 @@ object SparkEntry {
     "event_interarrival" -> Quality.eventInterarrival _,
     "agg_histogram" -> Relational.aggHistogram _,
     "geo_grid_dbscan" -> GeoQueries.geoGridDbscan _,
+    "geo_knn_join" -> GeoQueries.geoKnnJoin _,
     // snapshot diff, journey paths, GROUP BY ALL surface
     "dim_snapshot_compare" -> Quality.dimSnapshotCompare _,
     "event_top_paths" -> Quality.eventTopPaths _,

@@ -125,9 +125,71 @@ object OracleSql {
       FROM h$R GROUP BY est ORDER BY est"""
   }
 
+  /** llm_bpe_train: the Spark side loops 6 merge rounds over the word
+    * vocabulary; the oracle unrolls the same 6 rounds as CTE stages.
+    * Each stage is (a) a weighted adjacent-pair census over the current
+    * tokenization, (b) the argmax pair under the (n DESC, pair ASC)
+    * total order, and (c) the greedy left-to-right merge expressed
+    * declaratively: matches conflict only in consecutive runs, so the
+    * odd-ranked matches inside each maximal run (gaps-and-islands over
+    * match positions) are exactly the pairs a sequential BPE scan
+    * merges. All intermediates are integers/strings — bit-exact across
+    * engines. MATERIALIZED on b/v stages keeps the 6-round chain linear
+    * (each v is read by the next round's pair explode AND its merge
+    * join; inlined, the tree doubles per round). */
+  private def bpeTrainSql: String = {
+    val R = 6
+    val stages = (1 to R).map { r =>
+      s"""t$r AS MATERIALIZED (
+         |        SELECT w, wn, p.i AS i, p.t AS t, p.nxt AS nxt
+         |        FROM (SELECT w, wn,
+         |                     unnest(list_transform(range(1, len(arr) + 1),
+         |                       i -> {'i': i, 't': arr[i],
+         |                             'nxt': CASE WHEN i < len(arr) THEN arr[i + 1] END})) AS p
+         |              FROM (SELECT w, wn, string_split(toks, ' ') AS arr FROM v${r - 1}))),
+         |      b$r AS MATERIALIZED (
+         |        SELECT pair, n FROM (
+         |          SELECT t || ' ' || nxt AS pair, CAST(sum(wn) AS BIGINT) AS n
+         |          FROM t$r WHERE nxt IS NOT NULL GROUP BY 1)
+         |        ORDER BY n DESC, pair LIMIT 1),
+         |      m$r AS (
+         |        SELECT w, wn, i, t, nxt,
+         |               (t = string_split((SELECT pair FROM b$r), ' ')[1] AND
+         |                nxt = string_split((SELECT pair FROM b$r), ' ')[2]) AS mm
+         |        FROM t$r),
+         |      k$r AS MATERIALIZED (
+         |        SELECT w, i FROM (
+         |          SELECT w, i, row_number() OVER (PARTITION BY w, isl ORDER BY i) AS rnk
+         |          FROM (SELECT w, i,
+         |                       i - row_number() OVER (PARTITION BY w ORDER BY i) AS isl
+         |                FROM m$r WHERE mm))
+         |        WHERE rnk % 2 = 1),
+         |      v$r AS MATERIALIZED (
+         |        SELECT m.w AS w, m.wn AS wn,
+         |               string_agg(CASE WHEN k.i IS NOT NULL THEN m.t || m.nxt ELSE m.t END,
+         |                          ' ' ORDER BY m.i) AS toks
+         |        FROM m$r m
+         |        LEFT JOIN k$r k ON m.w = k.w AND m.i = k.i
+         |        LEFT JOIN k$r g ON m.w = g.w AND m.i = g.i + 1
+         |        WHERE g.i IS NULL
+         |        GROUP BY m.w, m.wn)""".stripMargin
+    }.mkString(",\n      ")
+    val out = (1 to R).map(r => s"SELECT $r AS r, pair, n FROM b$r").mkString(" UNION ALL ")
+    s"""
+      WITH v0 AS MATERIALIZED (
+        SELECT w, CAST(count(*) AS BIGINT) AS wn,
+               trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS toks
+        FROM (SELECT unnest(string_split(text, ' ')) AS w
+              FROM documents WHERE doc_id < 4000)
+        WHERE w <> '' GROUP BY w),
+      $stages
+      SELECT CAST(r AS BIGINT) AS round, pair, n FROM ($out) ORDER BY round"""
+  }
+
   val sql: Map[String, String] = Map(
     "graph_pagerank_converged" -> pagerankConvergedSql,
     "graph_core_full" -> coreFullSql,
+    "llm_bpe_train" -> bpeTrainSql,
     "scan_parquet_project" -> """
       SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
       FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""",
@@ -2744,6 +2806,26 @@ object OracleSql {
       WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 625
       ORDER BY id_a, id_b""",
 
+    // radius-bounded k-NN: the grid candidate join is exact under the
+    // R=40 Euclidean bound, so the oracle brute-forces the same bound
+    "geo_knn_join" -> """
+      WITH p AS (
+        SELECT c_custkey AS id,
+               CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || 'x'), 1, 15)) AS BIGINT) % 500 AS x,
+               CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || 'y'), 1, 15)) AS BIGINT) % 500 AS y
+        FROM customer WHERE c_custkey < 3000),
+      c AS (
+        SELECT a.id AS qid, b.id AS nid,
+               CAST((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS BIGINT) AS d2
+        FROM p a JOIN p b ON b.id <> a.id
+        WHERE a.id % 7 = 0
+          AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 1600)
+      SELECT qid, nid, d2, CAST(rk AS BIGINT) AS rk FROM (
+        SELECT qid, nid, d2,
+               row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS rk
+        FROM c)
+      WHERE rk <= 3 ORDER BY qid, rk""",
+
     "geo_bbox_contain" -> """
       WITH p AS (
         SELECT c_custkey AS id,
@@ -3501,6 +3583,38 @@ object OracleSql {
       SELECT dau.day, dau.dau, wau.wau,
              ${N.ratio("dau.dau", "wau.wau", 4)} AS stickiness
       FROM dau JOIN wau USING (day) ORDER BY dau.day""",
+
+    // Kaplan–Meier: the survival products multiply left-to-right in
+    // lifetime order in BOTH engines (Spark's array fold, this
+    // recursive CTE), so the doubles are bit-identical — each step is
+    // one exact IEEE divide, subtract, multiply in the same sequence
+    "event_survival_km" -> """
+      WITH RECURSIVE e AS (
+        SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+      cut AS (SELECT max(d) - 7 AS dcut FROM e),
+      u AS (
+        SELECT datediff('day', min(d), max(d)) AS dur,
+               max(d) >= (SELECT dcut FROM cut) AS censored
+        FROM e GROUP BY user_id),
+      c AS (
+        SELECT dur, CAST(count(*) AS BIGINT) AS total,
+               CAST(count(*) FILTER (WHERE NOT censored) AS BIGINT) AS deaths
+        FROM u GROUP BY dur),
+      r AS (
+        SELECT dur, total, deaths,
+               CAST(sum(total) OVER (ORDER BY dur DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_risk,
+               row_number() OVER (ORDER BY dur) AS rn
+        FROM c),
+      rec AS (
+        SELECT rn, dur, total, deaths, n_risk,
+               CAST(1.0 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(deaths AS DOUBLE) / CAST(n_risk AS DOUBLE)) AS survival
+        FROM r WHERE rn = 1
+        UNION ALL
+        SELECT r.rn, r.dur, r.total, r.deaths, r.n_risk,
+               rec.survival * (CAST(1.0 AS DOUBLE) - CAST(r.deaths AS DOUBLE) / CAST(r.n_risk AS DOUBLE))
+        FROM r JOIN rec ON r.rn = rec.rn + 1)
+      SELECT dur AS dur_days, total, deaths, n_risk, survival
+      FROM rec ORDER BY dur_days""",
 
     // +1 at start, −1 the day after the inclusive end; running sum over
     // the unique day axis (default window frame agrees in both engines)

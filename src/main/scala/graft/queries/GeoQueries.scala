@@ -248,4 +248,48 @@ object GeoQueries {
         min("cy").as("cy_min"), max("cy").as("cy_max"))
       .orderBy("cluster")
   }
+
+  /** k-nearest-neighbor join (k = 3) from a probe subset (id ≡ 0 mod 7)
+    * to the full cloud, bounded to Euclidean radius R = 40 so the grid
+    * candidate join is EXACT: with cell size = R, a probe's 3×3 cell
+    * neighborhood contains every point within R of it, so ranking
+    * candidates by exact integer d² inside the neighborhood IS the
+    * radius-bounded k-NN. (Unbounded k-NN needs ring expansion until k
+    * are found; a radius bound is also what keeps the join
+    * output-sensitive over sparse regions at 100 TB — a probe in an
+    * empty region costs 9 empty cell lookups, not a corpus scan.)
+    * The probe side — the smaller by construction — replicates 9×; the
+    * neighbor side hashes once by its OWN cell, so each qualifying pair
+    * meets in exactly one cell and no post-join dedup is needed. The
+    * per-probe top-k window ranks only that probe's 3×3 candidates
+    * (density-bounded, never the corpus). Ties break on (d², neighbor
+    * id) — a total order both engines reproduce. */
+  def geoKnnJoin(s: SparkSession, dir: String): DataFrame =
+    knnOn(points(s, dir), radius = 40L, k = 3)
+
+  /** The radius-bounded k-NN engine over an arbitrary (id, x, y) cloud —
+    * parameterized so specs can drive clouds with known neighbor sets
+    * (exact-radius boundaries, d² ties, probes in empty regions). */
+  private[graft] def knnOn(pts: DataFrame, radius: Long, k: Int): DataFrame = {
+    val R = radius
+    val nbr = array((-1 to 1).map(i => lit(i.toLong)): _*)
+    val probes = pts.filter(col("id") % 7L === 0L)
+      .withColumn("dx", explode(nbr))
+      .withColumn("dy", explode(nbr))
+      .select(col("id").as("qid"), col("x").as("qx"), col("y").as("qy"),
+        (call_function("div", col("x"), lit(R)) + col("dx")).as("cx"),
+        (call_function("div", col("y"), lit(R)) + col("dy")).as("cy"))
+    val cand = pts.select(col("id").as("nid"), col("x").as("nx"), col("y").as("ny"),
+      call_function("div", col("x"), lit(R)).as("cx"),
+      call_function("div", col("y"), lit(R)).as("cy"))
+    val d2 = (col("qx") - col("nx")) * (col("qx") - col("nx")) +
+      (col("qy") - col("ny")) * (col("qy") - col("ny"))
+    probes.join(cand, Seq("cx", "cy"))
+      .filter(col("nid") =!= col("qid") && d2 <= lit(R * R))
+      .select(col("qid"), col("nid"), d2.as("d2"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("d2"), col("nid"))).cast("long"))
+      .filter(col("rk") <= k.toLong)
+      .orderBy("qid", "rk")
+  }
 }

@@ -1124,6 +1124,88 @@ object LlmExtra {
       .limit(20)
   }
 
+  /** BPE tokenizer TRAINING (6 merge rounds) — `llm_bpe_pair_counts`
+    * reports one round's census; this runs the actual merge loop that
+    * produces a vocabulary, the way subword tokenizers are really
+    * trained on a corpus.
+    *
+    * Scale shape (Sennrich's trick, the only one that survives 100 TB):
+    * the corpus is read ONCE into a word census (map-combined groupBy —
+    * corpus-linear); every merge round after runs on the VOCAB (distinct
+    * words weighted by frequency — bounded, shuffles nothing
+    * corpus-sized). Each round = one map-combined weighted pair census,
+    * ONE collected row (the argmax — the same bounded-action convention
+    * as pagerank_converged's round reads), and a per-word windowed merge.
+    *
+    * The merge applies the winning pair greedily left-to-right, the BPE
+    * convention. Greedy non-overlap is reproduced declaratively (no
+    * sequential fold): adjacent matches can only conflict in
+    * CONSECUTIVE runs (a match at i consumes i+1, so i and i+2 never
+    * conflict), so keeping the odd-ranked matches inside each maximal
+    * run (gaps-and-islands on the match positions) IS the greedy scan.
+    * The oracle replays the identical window logic in SQL — every
+    * intermediate is integer/string, so results hash-match exactly. */
+  def llmBpeTrain(s: SparkSession, dir: String): DataFrame =
+    bpeTrainOnWords(s,
+      t(s, dir, "documents").filter(col("doc_id") < 4000)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= ""),
+      rounds = 6)
+
+  /** The BPE merge loop over an arbitrary single-column word stream —
+    * parameterized so specs can drive corpora with hand-computable
+    * merge sequences (self-overlapping pairs like `aaaa`, tie-breaks,
+    * single-char words). */
+  private[graft] def bpeTrainOnWords(s: SparkSession, words: DataFrame, rounds: Int): DataFrame = {
+    var v = words
+      .groupBy("w").agg(count(lit(1)).as("wn"))
+      .select(col("w"), col("wn"),
+        trim(regexp_replace(col("w"), "(.)", "$1 ")).as("toks"))
+      .persist()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    for (r <- 1 to rounds) {
+      val wSeq = Window.partitionBy("w").orderBy("i")
+      val paired = v
+        .select(col("w"), col("wn"), posexplode(split(col("toks"), " ")).as(Seq("i", "t")))
+        .withColumn("nxt", lead(col("t"), 1).over(wSeq))
+      val best = paired.filter(col("nxt").isNotNull)
+        .groupBy(concat(col("t"), lit(" "), col("nxt")).as("pair"))
+        .agg(sum(col("wn")).as("n"))
+        .orderBy(desc("n"), asc("pair"))
+        .limit(1).collect() // the round's ONE bounded action
+      if (best.nonEmpty) {
+        val pair = best(0).getString(0)
+        val Array(x, y) = pair.split(" ", 2)
+        merges += ((r.toLong, pair, best(0).getLong(1)))
+        val m = paired.withColumn("mm", col("t") === x && col("nxt") === y)
+        val kept = m.filter(col("mm"))
+          .withColumn("isl", col("i") - row_number().over(wSeq))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy("w", "isl").orderBy("i")))
+          .filter(col("rnk") % 2 === 1)
+          .select(col("w"), col("i"), lit(true).as("kept"))
+        val nv = m
+          .join(kept, Seq("w", "i"), "left")
+          .join(kept.select(col("w"), (col("i") + 1).as("i"), lit(true).as("gone")),
+            Seq("w", "i"), "left")
+          .filter(col("gone").isNull)
+          .select(col("w"), col("wn"), col("i"),
+            when(col("kept"), concat(col("t"), col("nxt"))).otherwise(col("t")).as("t"))
+          .groupBy("w", "wn")
+          .agg(array_join(transform(
+            array_sort(collect_list(struct(col("i"), col("t")))),
+            e => e.getField("t")), " ").as("toks"))
+          .persist()
+        nv.count() // materialize before dropping the parent round's cache
+        v.unpersist(blocking = false)
+        v = nv
+      }
+    }
+    v.unpersist(blocking = false)
+    import s.implicits._
+    merges.toSeq.toDF("round", "pair", "n").orderBy("round")
+  }
+
   /** Duplicated-n-gram-fraction quality signal (the RefinedWeb/Gopher
     * "fraction of a doc's 8-grams that appear elsewhere" filter): per
     * source, how much of each doc's distinct-8-gram mass is shared with

@@ -805,4 +805,56 @@ object Quality {
         Num.ratio(col("dau"), col("wau"), 4).as("stickiness"))
       .orderBy("day")
   }
+
+  /** Kaplan–Meier survival over user lifetimes — the estimator behind
+    * every churn/retention curve: a user's observed lifetime is the
+    * day-span from first to last event, right-CENSORED when the user is
+    * still active in the corpus' final week (their true lifetime is
+    * only known to exceed the observation). S(t) steps down at each
+    * lifetime t with uncensored exits by (1 − deaths_t / at-risk_t);
+    * censored users leave the risk set without moving the curve.
+    *
+    * Scale: one corpus pass to per-user spans (map-combined min/max),
+    * one hash-agg to the lifetime census — everything after runs on a
+    * CALENDAR-BOUNDED frame (distinct lifetimes ≤ corpus day span), so
+    * the global window and the O(curve²) per-step refold are
+    * constant-metadata work, the same exception `ts_lttb_downsample`
+    * documents. The step products multiply left-to-right in lifetime
+    * order — the oracle's recursive CTE replays the identical IEEE
+    * sequence, so the doubles hash-match bit-for-bit. */
+  def eventSurvivalKm(s: SparkSession, dir: String): DataFrame =
+    survivalOn(t(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d")))
+
+  /** The KM engine over an arbitrary (user_id, d) activity frame —
+    * parameterized so specs can drive cohorts with hand-computable
+    * curves (all-censored tails, deaths at day 0, curve-to-zero). */
+  private[graft] def survivalOn(e: DataFrame): DataFrame = {
+    val cutoff = e.agg(date_sub(max(col("d")), 7).as("dcut"))
+    val census = e.groupBy("user_id")
+      .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .crossJoin(broadcast(cutoff))
+      .select(datediff(col("d1"), col("d0")).cast("long").as("dur"),
+        (col("d1") >= col("dcut")).as("censored"))
+      .groupBy("dur")
+      .agg(count(lit(1)).as("total"),
+        sum(when(col("censored"), 0L).otherwise(1L)).as("deaths"))
+    // at-risk at t = users whose lifetime is ≥ t (reverse running sum
+    // over the bounded census — single-partition window by design)
+    val curve = census.withColumn("n_risk", sum(col("total")).over(
+      Window.orderBy(col("dur")).rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+    curve
+      .agg(array_sort(collect_list(struct(
+        col("dur"), col("total"), col("deaths"), col("n_risk")))).as("a"))
+      .select(explode(expr(
+        """transform(a, (x, i) -> struct(
+             x.dur AS dur_days, x.total AS total, x.deaths AS deaths,
+             x.n_risk AS n_risk,
+             aggregate(slice(a, 1, i + 1), cast(1.0 AS double),
+               (acc, y) -> acc * (1.0D - cast(y.deaths AS double) / cast(y.n_risk AS double)))
+               AS survival))""")).as("r"))
+      .select(col("r.dur_days"), col("r.total"), col("r.deaths"),
+        col("r.n_risk"), col("r.survival"))
+      .orderBy("dur_days")
+  }
 }

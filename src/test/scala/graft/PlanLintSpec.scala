@@ -39,7 +39,8 @@ class PlanLintSpec extends GraftSpec {
     "dq_sequence_gaps", // three single-row gap/total frames combined via broadcast cross joins (round 8)
     "event_lifecycle", // single-row corpus horizon via broadcast cross join (round 8)
     "event_concentration", // single-row event total via broadcast cross join (round 8)
-    "graph_core_full") // single-row convergence verdict via broadcast cross join (round 10)
+    "graph_core_full", // single-row convergence verdict via broadcast cross join (round 10)
+    "event_survival_km") // single-row censor cutoff (global max day − 7) via broadcast cross join (round 10)
 
   test("no query plans an unexpected cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
