@@ -403,7 +403,19 @@ object SparkEntry {
     // the full tiger2pgsql mirror into live PostgreSQL 15
     "tiger_wkt_export" -> CensusQueries.tigerWktExport _,
     "tiger_point_in_polygon" -> CensusQueries.tigerPointInPolygon _,
-    "sink_tiger_postgres" -> CensusQueries.sinkTigerPostgres _
+    "sink_tiger_postgres" -> CensusQueries.sinkTigerPostgres _,
+    // round 10 continued: categorical/distribution hypothesis tests,
+    // conversion-lag deciles, Bollinger breakout bands, blob shard
+    // packing, HITS importance, landmark-BFS closeness
+    "dq_chi_square" -> Quality.dqChiSquare _,
+    "dq_ks_test" -> Quality.dqKsTest _,
+    "event_conversion_lag" -> Quality.eventConversionLag _,
+    "ts_bollinger_breakout" -> TimeSeries.tsBollingerBreakout _,
+    "mm_shard_pack" -> MultimodalQueries.mmShardPack _,
+    "graph_hits" -> GraphQueries.graphHits _,
+    "graph_landmark_distance" -> GraphQueries.graphLandmarkDistance _,
+    // BPE tokenizer inference over the trained merge list
+    "llm_bpe_encode" -> LlmExtra.llmBpeEncode _
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on

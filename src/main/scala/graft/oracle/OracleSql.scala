@@ -186,10 +186,103 @@ object OracleSql {
       SELECT CAST(r AS BIGINT) AS round, pair, n FROM ($out) ORDER BY round"""
   }
 
+  /** llm_bpe_encode: replay the 6 training stages (identical to
+    * llm_bpe_train's unroll — each b$r is that round's argmax pair),
+    * then apply each b$r in rank order to the PROBE slice's word state
+    * with the same gaps-and-islands greedy-merge window the Spark
+    * `bpeMergeStep` runs. Two engines, one merge list, one encoding. */
+  private def bpeEncodeSql: String = {
+    val R = 6
+    val trainStages = (1 to R).map { r =>
+      s"""t$r AS MATERIALIZED (
+         |        SELECT w, wn, p.i AS i, p.t AS t, p.nxt AS nxt
+         |        FROM (SELECT w, wn,
+         |                     unnest(list_transform(range(1, len(arr) + 1),
+         |                       i -> {'i': i, 't': arr[i],
+         |                             'nxt': CASE WHEN i < len(arr) THEN arr[i + 1] END})) AS p
+         |              FROM (SELECT w, wn, string_split(toks, ' ') AS arr FROM v${r - 1}))),
+         |      b$r AS MATERIALIZED (
+         |        SELECT pair, n FROM (
+         |          SELECT t || ' ' || nxt AS pair, CAST(sum(wn) AS BIGINT) AS n
+         |          FROM t$r WHERE nxt IS NOT NULL GROUP BY 1)
+         |        ORDER BY n DESC, pair LIMIT 1),
+         |      m$r AS (
+         |        SELECT w, wn, i, t, nxt,
+         |               (t = string_split((SELECT pair FROM b$r), ' ')[1] AND
+         |                nxt = string_split((SELECT pair FROM b$r), ' ')[2]) AS mm
+         |        FROM t$r),
+         |      k$r AS MATERIALIZED (
+         |        SELECT w, i FROM (
+         |          SELECT w, i, row_number() OVER (PARTITION BY w, isl ORDER BY i) AS rnk
+         |          FROM (SELECT w, i,
+         |                       i - row_number() OVER (PARTITION BY w ORDER BY i) AS isl
+         |                FROM m$r WHERE mm))
+         |        WHERE rnk % 2 = 1),
+         |      v$r AS MATERIALIZED (
+         |        SELECT m.w AS w, m.wn AS wn,
+         |               string_agg(CASE WHEN k.i IS NOT NULL THEN m.t || m.nxt ELSE m.t END,
+         |                          ' ' ORDER BY m.i) AS toks
+         |        FROM m$r m
+         |        LEFT JOIN k$r k ON m.w = k.w AND m.i = k.i
+         |        LEFT JOIN k$r g ON m.w = g.w AND m.i = g.i + 1
+         |        WHERE g.i IS NULL
+         |        GROUP BY m.w, m.wn)""".stripMargin
+    }.mkString(",\n      ")
+    val applyStages = (1 to R).map { r =>
+      s"""et$r AS MATERIALIZED (
+         |        SELECT w, wn, p.i AS i, p.t AS t, p.nxt AS nxt
+         |        FROM (SELECT w, wn,
+         |                     unnest(list_transform(range(1, len(arr) + 1),
+         |                       i -> {'i': i, 't': arr[i],
+         |                             'nxt': CASE WHEN i < len(arr) THEN arr[i + 1] END})) AS p
+         |              FROM (SELECT w, wn, string_split(toks, ' ') AS arr FROM e${r - 1}))),
+         |      em$r AS (
+         |        SELECT w, wn, i, t, nxt,
+         |               (t = string_split((SELECT pair FROM b$r), ' ')[1] AND
+         |                nxt = string_split((SELECT pair FROM b$r), ' ')[2]) AS mm
+         |        FROM et$r),
+         |      ek$r AS MATERIALIZED (
+         |        SELECT w, i FROM (
+         |          SELECT w, i, row_number() OVER (PARTITION BY w, isl ORDER BY i) AS rnk
+         |          FROM (SELECT w, i,
+         |                       i - row_number() OVER (PARTITION BY w ORDER BY i) AS isl
+         |                FROM em$r WHERE mm))
+         |        WHERE rnk % 2 = 1),
+         |      e$r AS MATERIALIZED (
+         |        SELECT m.w AS w, m.wn AS wn,
+         |               string_agg(CASE WHEN k.i IS NOT NULL THEN m.t || m.nxt ELSE m.t END,
+         |                          ' ' ORDER BY m.i) AS toks
+         |        FROM em$r m
+         |        LEFT JOIN ek$r k ON m.w = k.w AND m.i = k.i
+         |        LEFT JOIN ek$r g ON m.w = g.w AND m.i = g.i + 1
+         |        WHERE g.i IS NULL
+         |        GROUP BY m.w, m.wn)""".stripMargin
+    }.mkString(",\n      ")
+    s"""
+      WITH v0 AS MATERIALIZED (
+        SELECT w, CAST(count(*) AS BIGINT) AS wn,
+               trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS toks
+        FROM (SELECT unnest(string_split(text, ' ')) AS w
+              FROM documents WHERE doc_id < 4000)
+        WHERE w <> '' GROUP BY w),
+      $trainStages,
+      e0 AS MATERIALIZED (
+        SELECT w, CAST(count(*) AS BIGINT) AS wn,
+               trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS toks
+        FROM (SELECT unnest(string_split(text, ' ')) AS w
+              FROM documents WHERE doc_id % 7 = 3)
+        WHERE w <> '' GROUP BY w),
+      $applyStages
+      SELECT w, wn, toks,
+             CAST(len(string_split(toks, ' ')) AS BIGINT) AS n_toks
+      FROM e$R ORDER BY wn DESC, w LIMIT 30"""
+  }
+
   val sql: Map[String, String] = Map(
     "graph_pagerank_converged" -> pagerankConvergedSql,
     "graph_core_full" -> coreFullSql,
     "llm_bpe_train" -> bpeTrainSql,
+    "llm_bpe_encode" -> bpeEncodeSql,
     "scan_parquet_project" -> """
       SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
       FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""",
@@ -4478,6 +4571,183 @@ object OracleSql {
              CAST(innov AS DOUBLE) / 100 AS innovation,
              CAST(l AS DOUBLE) / 100 AS level,
              CAST(b AS DOUBLE) / 100 AS trend
-      FROM f ORDER BY user_id, day"""
+      FROM f ORDER BY user_id, day""",
+
+    // identical integer steps: expected counts and per-cell terms are
+    // floor divisions, so the chi-square units (and the critical-region
+    // verdict) are exact in both engines
+    "dq_chi_square" -> """
+      WITH cells AS (
+        SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n_obs
+        FROM lineitem GROUP BY 1, 2),
+      rt AS (SELECT l_returnflag, CAST(sum(n_obs) AS BIGINT) AS n_row FROM cells GROUP BY 1),
+      ct AS (SELECT l_linestatus, CAST(sum(n_obs) AS BIGINT) AS n_col FROM cells GROUP BY 1),
+      tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total,
+                     CAST(count(DISTINCT l_returnflag) AS BIGINT) AS nf,
+                     CAST(count(DISTINCT l_linestatus) AS BIGINT) AS ns FROM cells),
+      scored AS (
+        SELECT c.l_returnflag, c.l_linestatus, c.n_obs, r.n_row, s.n_col, t.n_total,
+               (r.n_row * s.n_col) // t.n_total AS e_cnt,
+               ((c.n_obs - (r.n_row * s.n_col) // t.n_total) * (c.n_obs - (r.n_row * s.n_col) // t.n_total))
+                 // greatest((r.n_row * s.n_col) // t.n_total, 1) AS term,
+               (t.nf - 1) * (t.ns - 1) AS df
+        FROM cells c JOIN rt r USING (l_returnflag) JOIN ct s USING (l_linestatus), tot t),
+      chi AS (SELECT CAST(sum(term) AS BIGINT) AS chi2_units, max(df) AS df FROM scored)
+      SELECT sc.l_returnflag, sc.l_linestatus, sc.n_obs, sc.n_row, sc.n_col,
+             sc.n_total, sc.e_cnt, sc.term, ch.chi2_units, ch.df,
+             ch.chi2_units >= (CASE WHEN ch.df = 1 THEN 4 WHEN ch.df = 2 THEN 6 ELSE 8 END) AS dependent
+      FROM scored sc, chi ch ORDER BY sc.l_returnflag, sc.l_linestatus""",
+
+    // the supremum and its arg-value live in exact integer numerators
+    // over the common nA*nB denominator; the verdict's sqrt expression
+    // is sequenced identically in both engines (sqrt is correctly
+    // rounded IEEE everywhere), so the boolean is bit-stable
+    "dq_ks_test" -> s"""
+      WITH per AS (
+        SELECT v, CAST(sum(isa) AS BIGINT) AS na,
+               CAST(count(*) - sum(isa) AS BIGINT) AS nb
+        FROM (
+          SELECT CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS v, 1 AS isa FROM customer
+          UNION ALL
+          SELECT CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS v, 0 AS isa FROM supplier)
+        GROUP BY v),
+      tot AS (SELECT CAST(sum(na) AS BIGINT) AS n_a, CAST(sum(nb) AS BIGINT) AS n_b FROM per),
+      cum AS (
+        SELECT v,
+               CAST(sum(na) OVER (ORDER BY v) AS BIGINT) AS ca,
+               CAST(sum(nb) OVER (ORDER BY v) AS BIGINT) AS cb
+        FROM per),
+      d AS (SELECT v, abs(ca * t.n_b - cb * t.n_a) AS dn FROM cum, tot t),
+      m AS (SELECT max(dn) AS d_num FROM d),
+      vat AS (SELECT min(v) AS v_at_cents FROM d, m WHERE d.dn = m.d_num)
+      SELECT t.n_a, t.n_b, m.d_num, vat.v_at_cents,
+             ${N.ratio("m.d_num", "t.n_a * t.n_b", 6)} AS d_stat,
+             CAST(m.d_num AS DOUBLE) / CAST(t.n_a * t.n_b AS DOUBLE) >
+               1.358 * sqrt(CAST(t.n_a + t.n_b AS DOUBLE) / CAST(t.n_a * t.n_b AS DOUBLE)) AS reject_05
+      FROM tot t, m, vat""",
+
+    // per-user firsts are keyed min-aggregates; the decile table runs
+    // on the aggregated user dimension under the same deterministic
+    // (lag, user) total order as the Spark ntile
+    "event_conversion_lag" -> s"""
+      WITH fc AS (
+        SELECT user_id, min(ts) AS c_ts FROM events
+        WHERE event_type = 'click' GROUP BY 1),
+      conv AS (
+        SELECT e.user_id,
+               (epoch_us(min(e.ts)) - epoch_us(min(fc.c_ts))) // 1000000 AS lag_s
+        FROM events e JOIN fc ON e.user_id = fc.user_id AND e.ts >= fc.c_ts
+        WHERE e.event_type = 'purchase'
+        GROUP BY e.user_id),
+      tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM fc) AS n_clickers,
+                     (SELECT CAST(count(*) AS BIGINT) FROM conv) AS n_converted),
+      dec AS (SELECT user_id, lag_s,
+                     CAST(ntile(10) OVER (ORDER BY lag_s, user_id) AS INT) AS decile
+              FROM conv)
+      SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+             CAST(min(lag_s) AS BIGINT) AS min_lag_s,
+             CAST(max(lag_s) AS BIGINT) AS max_lag_s,
+             ${N.avgInt("lag_s", 2)} AS avg_lag_s,
+             ${N.ratio("t.n_converted", "t.n_clickers", 6)} AS convert_share
+      FROM dec, tot t GROUP BY decile, t.n_converted, t.n_clickers
+      ORDER BY decile""",
+
+    // the band test is the denominator-cleared integer comparison
+    // (n*x - S)^2 > 4*(n*Q - S^2) in HUGEINT (DECIMAL(38,0) on the
+    // Spark side) — no mean, no sigma, no float
+    "ts_bollinger_breakout" -> """
+      WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      w AS (
+        SELECT day, cents,
+               CAST(count(*) OVER win AS BIGINT) AS n_win,
+               CAST(sum(cents) OVER win AS BIGINT) AS sum_w,
+               sum(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) OVER win AS sumsq_w
+        FROM daily
+        WINDOW win AS (ORDER BY day ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+      SELECT day, cents, (sum_w // n_win) AS mean20_cents,
+             (CAST(n_win AS HUGEINT) * cents - sum_w) > 0 AND
+               (CAST(n_win AS HUGEINT) * cents - sum_w) * (CAST(n_win AS HUGEINT) * cents - sum_w)
+                 > 4 * (CAST(n_win AS HUGEINT) * sumsq_w - CAST(sum_w AS HUGEINT) * sum_w) AS breakout_hi,
+             (CAST(n_win AS HUGEINT) * cents - sum_w) < 0 AND
+               (CAST(n_win AS HUGEINT) * cents - sum_w) * (CAST(n_win AS HUGEINT) * cents - sum_w)
+                 > 4 * (CAST(n_win AS HUGEINT) * sumsq_w - CAST(sum_w AS HUGEINT) * sum_w) AS breakout_lo
+      FROM w WHERE n_win = 20 ORDER BY day""",
+
+    // concat-then-cut packing: shard = exclusive running bytes // budget
+    // — the identical window in both engines; octet_length(encode())
+    // mirrors Spark's octet_length over the utf-8 binary cast
+    "mm_shard_pack" -> """
+      WITH d AS (
+        SELECT doc_id, source,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        FROM documents WHERE doc_id < 2000),
+      cum AS (
+        SELECT doc_id, source, n_bytes,
+               coalesce(CAST(sum(n_bytes) OVER (
+                 PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) // 65536 AS shard_id
+        FROM d)
+      SELECT source, shard_id, CAST(count(*) AS BIGINT) AS n_items,
+             CAST(sum(n_bytes) AS BIGINT) AS shard_bytes,
+             CAST(min(doc_id) AS BIGINT) AS min_doc,
+             CAST(max(doc_id) AS BIGINT) AS max_doc
+      FROM cum GROUP BY 1, 2 ORDER BY source, shard_id""",
+
+    // unnormalized integer HITS: four join+sum half-steps over the
+    // canonical directed edge set — identical integer values, so the
+    // (authority, hub, node) order agrees bit-for-bit
+    "graph_hits" -> """
+      WITH docs AS (SELECT doc_id, source, lang, n_chars FROM documents WHERE doc_id < 1200),
+      blocks AS (
+        SELECT doc_id AS u, concat_ws('|', 's', source, CAST(n_chars // 100 AS VARCHAR)) AS bk FROM docs
+        UNION ALL
+        SELECT doc_id AS u, concat_ws('|', 'l', lang, CAST(n_chars // 50 AS VARCHAR)) AS bk FROM docs),
+      edges AS (
+        SELECT DISTINCT a.u AS u, b.u AS v
+        FROM blocks a JOIN blocks b USING (bk) WHERE a.u < b.u),
+      nodes AS (SELECT DISTINCT node FROM (
+        SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)),
+      a1 AS (SELECT v, CAST(count(*) AS BIGINT) AS a FROM edges GROUP BY 1),
+      h1 AS (SELECT u, CAST(sum(a) AS BIGINT) AS h FROM edges JOIN a1 USING (v) GROUP BY 1),
+      a2 AS (SELECT v, CAST(sum(h) AS BIGINT) AS a FROM edges JOIN h1 USING (u) GROUP BY 1),
+      h2 AS (SELECT u, CAST(sum(a) AS BIGINT) AS h FROM edges JOIN a2 USING (v) GROUP BY 1)
+      SELECT n.node, coalesce(a2.a, 0) AS authority, coalesce(h2.h, 0) AS hub
+      FROM nodes n LEFT JOIN a2 ON n.node = a2.v LEFT JOIN h2 ON n.node = h2.u
+      ORDER BY authority DESC, hub DESC, n.node LIMIT 25""",
+
+    // 4 unrolled multi-source BFS rounds (per (node, landmark) min),
+    // then the integer harmonic fold — the same bounded-round
+    // convention as graph_bfs_hops
+    "graph_landmark_distance" -> """
+      WITH docs AS (SELECT doc_id, source, lang, n_chars FROM documents WHERE doc_id < 1200),
+      blocks AS (
+        SELECT doc_id AS u, concat_ws('|', 's', source, CAST(n_chars // 100 AS VARCHAR)) AS bk FROM docs
+        UNION ALL
+        SELECT doc_id AS u, concat_ws('|', 'l', lang, CAST(n_chars // 50 AS VARCHAR)) AS bk FROM docs),
+      edges AS (
+        SELECT DISTINCT a.u AS u, b.u AS v
+        FROM blocks a JOIN blocks b USING (bk) WHERE a.u < b.u),
+      adj AS (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+      nodes AS (SELECT DISTINCT u AS node FROM adj),
+      r0 AS (SELECT node, node AS lm, CAST(0 AS BIGINT) AS dist FROM nodes WHERE node % 151 = 0),
+      r1 AS (SELECT node, lm, min(dist) AS dist FROM (
+        SELECT node, lm, dist FROM r0
+        UNION ALL SELECT a.v AS node, r.lm, r.dist + 1 AS dist FROM adj a JOIN r0 r ON a.u = r.node) GROUP BY 1, 2),
+      r2 AS (SELECT node, lm, min(dist) AS dist FROM (
+        SELECT node, lm, dist FROM r1
+        UNION ALL SELECT a.v AS node, r.lm, r.dist + 1 AS dist FROM adj a JOIN r1 r ON a.u = r.node) GROUP BY 1, 2),
+      r3 AS (SELECT node, lm, min(dist) AS dist FROM (
+        SELECT node, lm, dist FROM r2
+        UNION ALL SELECT a.v AS node, r.lm, r.dist + 1 AS dist FROM adj a JOIN r2 r ON a.u = r.node) GROUP BY 1, 2),
+      r4 AS (SELECT node, lm, min(dist) AS dist FROM (
+        SELECT node, lm, dist FROM r3
+        UNION ALL SELECT a.v AS node, r.lm, r.dist + 1 AS dist FROM adj a JOIN r3 r ON a.u = r.node) GROUP BY 1, 2)
+      SELECT node, CAST(count(*) AS BIGINT) AS n_reached,
+             CAST(sum(1000000 // dist) AS BIGINT) AS closeness_micro
+      FROM r4 WHERE dist > 0 GROUP BY 1
+      ORDER BY closeness_micro DESC, node LIMIT 25"""
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\n\\s+", "\n") }
 }

@@ -781,4 +781,69 @@ object GraphQueries {
       .crossJoin(broadcast(flag))
       .orderBy("core_number")
   }
+
+  /** HITS hubs-and-authorities (2 full rounds, unnormalized integer
+    * form) over the DIRECTED similarity graph — edges point canonical
+    * u→v (u < v), so "authority" rewards docs cited by many low-id
+    * hubs and "hub" rewards docs fanning into strong authorities. The
+    * classic normalized HITS divides by vector norms each round —
+    * float division the hash gate can't carry; the UNNORMALIZED
+    * iterate is scale-equivalent (normalization only rescales, never
+    * reorders) and stays in exact BIGINT: h₀ = 1, a₁ = in-degree,
+    * h₁ = Σ a₁(out), a₂ = Σ h₁(in), h₂ = Σ a₂(out). Growth is bounded
+    * by deg⁴ ≤ HotKeys-cap⁴ ≈ 2.8·10¹⁴ — inside BIGINT by four orders
+    * at the 4096 cap.
+    *
+    * Scale: four equi-join + map-combined-sum half-steps over the
+    * family's cached canonical edge list, each keyed on a node column,
+    * LINEAR lineage (each half-step references its predecessor once).
+    * The final attach is two left joins on the node dimension. */
+  def graphHits(s: SparkSession, dir: String): DataFrame = {
+    val e = simEdges(s, dir)
+    val nodes = symNodes(s, dir)
+    val a1 = e.groupBy("v").agg(count(lit(1)).as("a"))
+    val h1 = e.join(a1, "v").groupBy("u").agg(sum("a").as("h"))
+    val a2 = e.join(h1, "u").groupBy("v").agg(sum("h").as("a"))
+    val h2 = e.join(a2, "v").groupBy("u").agg(sum("a").as("h"))
+    nodes
+      .join(a2.withColumnRenamed("v", "node"), Seq("node"), "left")
+      .join(h2.withColumnRenamed("u", "node"), Seq("node"), "left")
+      .select(col("node"), coalesce(col("a"), lit(0L)).as("authority"),
+        coalesce(col("h"), lit(0L)).as("hub"))
+      .orderBy(desc("authority"), desc("hub"), col("node"))
+      .limit(25)
+  }
+
+  /** Landmark (multi-source) BFS closeness — the scalable stand-in for
+    * exact closeness centrality: distances from every node to a fixed
+    * probe set of LANDMARKS (node ≡ 0 mod 151, ~8 at the graded graph)
+    * out to 4 hops, folded into harmonic closeness
+    * Σ_reached ⌊10⁶ / d⌋ (the harmonic form handles unreached
+    * landmarks by simply omitting them — no ∞ to dodge). Exactly the
+    * landmark-embedding trick production graph stacks use when
+    * all-pairs BFS is off the table.
+    *
+    * Scale: the frame is (node, landmark, dist) — per-node state is
+    * ≤ |landmarks| rows, NOT the graph; each round is one propagate
+    * over the weight-0-self-loop salted adjacency (the `graphBfsHops`
+    * linear-lineage layout) + one map-combined min, so the 4-round
+    * unroll is a single lazy chain. Harmonic fold and top-k are one
+    * aggregate + TakeOrdered. */
+  def graphLandmarkDistance(s: SparkSession, dir: String): DataFrame = {
+    val sadj = saltedSymAdjBfs(s, dir)
+    val nodes = symNodes(s, dir)
+    var reach = nodes.filter(col("node") % 151 === 0)
+      .select(col("node"), col("node").as("lm"), lit(0L).as("dist"))
+    for (_ <- 1 to 4) {
+      reach = sadj.propagate(reach)
+        .select(col("node"), col("lm"), (col("dist") + col("w")).as("dist"))
+        .groupBy("node", "lm").agg(min("dist").as("dist"))
+    }
+    reach.filter(col("dist") > 0)
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_reached"),
+        sum(call_function("div", lit(1000000L), col("dist"))).as("closeness_micro"))
+      .orderBy(desc("closeness_micro"), col("node"))
+      .limit(25)
+  }
 }

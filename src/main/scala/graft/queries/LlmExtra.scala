@@ -1157,11 +1157,7 @@ object LlmExtra {
     * merge sequences (self-overlapping pairs like `aaaa`, tie-breaks,
     * single-char words). */
   private[graft] def bpeTrainOnWords(s: SparkSession, words: DataFrame, rounds: Int): DataFrame = {
-    var v = words
-      .groupBy("w").agg(count(lit(1)).as("wn"))
-      .select(col("w"), col("wn"),
-        trim(regexp_replace(col("w"), "(.)", "$1 ")).as("toks"))
-      .persist()
+    var v = bpeInitWords(words).persist()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
     for (r <- 1 to rounds) {
       val wSeq = Window.partitionBy("w").orderBy("i")
@@ -1177,25 +1173,7 @@ object LlmExtra {
         val pair = best(0).getString(0)
         val Array(x, y) = pair.split(" ", 2)
         merges += ((r.toLong, pair, best(0).getLong(1)))
-        val m = paired.withColumn("mm", col("t") === x && col("nxt") === y)
-        val kept = m.filter(col("mm"))
-          .withColumn("isl", col("i") - row_number().over(wSeq))
-          .withColumn("rnk", row_number().over(
-            Window.partitionBy("w", "isl").orderBy("i")))
-          .filter(col("rnk") % 2 === 1)
-          .select(col("w"), col("i"), lit(true).as("kept"))
-        val nv = m
-          .join(kept, Seq("w", "i"), "left")
-          .join(kept.select(col("w"), (col("i") + 1).as("i"), lit(true).as("gone")),
-            Seq("w", "i"), "left")
-          .filter(col("gone").isNull)
-          .select(col("w"), col("wn"), col("i"),
-            when(col("kept"), concat(col("t"), col("nxt"))).otherwise(col("t")).as("t"))
-          .groupBy("w", "wn")
-          .agg(array_join(transform(
-            array_sort(collect_list(struct(col("i"), col("t")))),
-            e => e.getField("t")), " ").as("toks"))
-          .persist()
+        val nv = bpeMergeStep(v, x, y).persist()
         nv.count() // materialize before dropping the parent round's cache
         v.unpersist(blocking = false)
         v = nv
@@ -1204,6 +1182,85 @@ object LlmExtra {
     v.unpersist(blocking = false)
     import s.implicits._
     merges.toSeq.toDF("round", "pair", "n").orderBy("round")
+  }
+
+  /** Initial BPE word state: distinct words with corpus frequency and a
+    * space-separated character segmentation. */
+  private def bpeInitWords(words: DataFrame): DataFrame = words
+    .groupBy("w").agg(count(lit(1)).as("wn"))
+    .select(col("w"), col("wn"),
+      trim(regexp_replace(col("w"), "(.)", "$1 ")).as("toks"))
+
+  /** One greedy application of the merge (x, y) over the word state
+    * (w, wn, toks) — the windowed form of BPE's left-to-right scan:
+    * matches conflict only inside consecutive runs, so the odd-ranked
+    * matches of each maximal run (gaps-and-islands) ARE the greedy
+    * picks. Shared verbatim by training (argmax pair per round) and
+    * encoding (the learned merge list applied in rank order), so the
+    * two can never drift. */
+  private def bpeMergeStep(v: DataFrame, x: String, y: String): DataFrame = {
+    val wSeq = Window.partitionBy("w").orderBy("i")
+    val m = v
+      .select(col("w"), col("wn"), posexplode(split(col("toks"), " ")).as(Seq("i", "t")))
+      .withColumn("nxt", lead(col("t"), 1).over(wSeq))
+      .withColumn("mm", col("t") === x && col("nxt") === y)
+    val kept = m.filter(col("mm"))
+      .withColumn("isl", col("i") - row_number().over(wSeq))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("w", "isl").orderBy("i")))
+      .filter(col("rnk") % 2 === 1)
+      .select(col("w"), col("i"), lit(true).as("kept"))
+    m
+      .join(kept, Seq("w", "i"), "left")
+      .join(kept.select(col("w"), (col("i") + 1).as("i"), lit(true).as("gone")),
+        Seq("w", "i"), "left")
+      .filter(col("gone").isNull)
+      .select(col("w"), col("wn"), col("i"),
+        when(col("kept"), concat(col("t"), col("nxt"))).otherwise(col("t")).as("t"))
+      .groupBy("w", "wn")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("i"), col("t")))),
+        e => e.getField("t")), " ").as("toks"))
+  }
+
+  /** Tokenizer INFERENCE over the trained merges — the other half of a
+    * BPE tokenizer's lifecycle: learn the merge list on the training
+    * stream (`llm_bpe_train`'s exact loop, re-run here so the query is
+    * self-contained), then ENCODE a probe slice (doc_id ≡ 3 mod 7) by
+    * applying every learned merge in rank order to each word — the same
+    * `bpeMergeStep` greedy-left-to-right window, now applied to ALL
+    * occurrences of the pair instead of counting an argmax. Output: the
+    * 30 most frequent probe words with their final segmentation and
+    * token count — the fertility readout tokenizer evaluations lead
+    * with.
+    *
+    * Scale: training's per-round census is map-combined over the
+    * bounded VOCAB (Sennrich's trick, see llm_bpe_train); encoding is
+    * |merges| chained keyed windows over the probe vocab — each merge a
+    * fixed-size broadcast-free transform, nothing corpus-quadratic.
+    * The final word state registers with GraftCaches (the returned
+    * plan reads it lazily). */
+  def llmBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val train = t(s, dir, "documents").filter(col("doc_id") < 4000)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val merges = bpeTrainOnWords(s, train, 6).collect()
+    val probe = t(s, dir, "documents").filter(col("doc_id") % 7 === 3)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    var v = bpeInitWords(probe).persist()
+    merges.foreach { r =>
+      val Array(x, y) = r.getString(1).split(" ", 2)
+      val nv = bpeMergeStep(v, x, y).persist()
+      nv.count()
+      v.unpersist(blocking = false)
+      v = nv
+    }
+    graft.operators.GraftCaches.register(v)
+    v.select(col("w"), col("wn"), col("toks"),
+        size(split(col("toks"), " ")).cast("long").as("n_toks"))
+      .orderBy(desc("wn"), col("w"))
+      .limit(30)
   }
 
   /** Duplicated-n-gram-fraction quality signal (the RefinedWeb/Gopher

@@ -259,4 +259,37 @@ object MultimodalQueries {
       .orderBy("n_diff_blocks", "doc_a", "doc_b")
       .limit(100)
   }
+
+  /** Size-budgeted shard packing for multimodal payloads — the layout
+    * job that turns a blob corpus into fixed-size training shards
+    * (tar/tfrecord-style): within each source, payloads pack in doc_id
+    * order into 64 KiB shards by the CONCAT-THEN-CUT rule — shard_id =
+    * (exclusive running bytes) div budget, so an item never splits and
+    * a shard overflows by at most one payload (the webdataset
+    * convention; declared semantics, matched exactly by the oracle's
+    * identical window). Output is the shard manifest: per (source,
+    * shard) the item count, byte total, and id range — what a loader
+    * needs to seek without opening blobs.
+    *
+    * Scale: payload bytes come from octet_length only (the scan prunes
+    * to id/source/text; no blob ever shuffles); ONE keyed window per
+    * source (per-partition sort, never global) and a map-combined
+    * rollup — the `llm_shard_manifest` locality posture with a byte
+    * budget instead of a row count. */
+  def mmShardPack(s: SparkSession, dir: String): DataFrame = {
+    val budget = 65536L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    t(s, dir, "documents")
+      .filter(col("doc_id") < 2000)
+      .select(col("doc_id"), col("source"),
+        octet_length(col("text").cast("binary")).cast("long").as("n_bytes"))
+      .withColumn("shard_id", call_function("div",
+        coalesce(sum("n_bytes").over(w), lit(0L)), lit(budget)))
+      .groupBy("source", "shard_id")
+      .agg(count(lit(1)).as("n_items"), sum("n_bytes").as("shard_bytes"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .orderBy("source", "shard_id")
+  }
 }

