@@ -803,7 +803,10 @@ object GraphQueries {
     val nodes = symNodes(s, dir)
     val a1 = e.groupBy("v").agg(count(lit(1)).as("a"))
     val h1 = e.join(a1, "v").groupBy("u").agg(sum("a").as("h"))
-    val a2 = e.join(h1, "u").groupBy("v").agg(sum("h").as("a"))
+    // a2 feeds BOTH the h2 half-step and the final attach — persisted
+    // (|nodes| rows) so the 3-join chain above it runs once
+    val a2 = graft.operators.GraftCaches.register(
+      e.join(h1, "u").groupBy("v").agg(sum("h").as("a")).persist())
     val h2 = e.join(a2, "v").groupBy("u").agg(sum("a").as("h"))
     nodes
       .join(a2.withColumnRenamed("v", "node"), Seq("node"), "left")

@@ -878,9 +878,14 @@ object Quality {
     * that, lift the term arithmetic to DECIMAL(38,0) (documented, not
     * hit at any graded SF). */
   def dqChiSquare(s: SparkSession, dir: String): DataFrame = {
-    val cells = t(s, dir, "lineitem")
-      .groupBy("l_returnflag", "l_linestatus")
-      .agg(count(lit(1)).as("n_obs"))
+    // the ≤6-row contingency table feeds FOUR consumers (margins, total,
+    // the scored join) — persisted so the corpus aggregate runs once,
+    // not once per reference (the docs/PLANS.md derived-table rule)
+    val cells = graft.operators.GraftCaches.register(
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_obs"))
+        .persist())
     val rowT = cells.groupBy("l_returnflag").agg(sum("n_obs").as("n_row"))
     val colT = cells.groupBy("l_linestatus").agg(sum("n_obs").as("n_col"))
     val tot = cells.agg(sum("n_obs").as("n_total"),
@@ -932,11 +937,16 @@ object Quality {
     val b = t(s, dir, "supplier")
       .select((Num.money(col("s_acctbal")) * 100).cast("long").as("v"),
         lit(0L).as("isa"))
-    val per = a.union(b).groupBy("v")
-      .agg(sum("isa").as("na"), (count(lit(1)) - sum("isa")).as("nb"))
-      // +100000 keeps the dividend non-negative (acctbal ≥ −999.99), so
-      // Spark div and DuckDB // agree (both truncate toward zero)
-      .withColumn("bkt", call_function("div", col("v") + 100000L, lit(10000L)))
+    // the per-distinct-cent census feeds THREE consumers (cumulative,
+    // bucket offsets, totals) and is bounded by the fixed acctbal
+    // domain — persisted so both corpus scans run once, not per chain
+    val per = graft.operators.GraftCaches.register(
+      a.union(b).groupBy("v")
+        .agg(sum("isa").as("na"), (count(lit(1)) - sum("isa")).as("nb"))
+        // +100000 keeps the dividend non-negative (acctbal ≥ −999.99), so
+        // Spark div and DuckDB // agree (both truncate toward zero)
+        .withColumn("bkt", call_function("div", col("v") + 100000L, lit(10000L)))
+        .persist())
     val offW = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
     val off = per.groupBy("bkt").agg(sum("na").as("ba"), sum("nb").as("bb"))
       .select(col("bkt"), coalesce(sum("ba").over(offW), lit(0L)).as("offa"),
@@ -974,8 +984,12 @@ object Quality {
     * whitelisted single-row broadcast. */
   def eventConversionLag(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
-    val firstClick = ev.filter(col("event_type") === "click")
-      .groupBy("user_id").agg(min("ts").as("c_ts"))
+    // per-clicker firsts feed the conversion join AND the clicker total
+    // — persisted so the click scan runs once (|clickers| rows cached)
+    val firstClick = graft.operators.GraftCaches.register(
+      ev.filter(col("event_type") === "click")
+        .groupBy("user_id").agg(min("ts").as("c_ts"))
+        .persist())
     val conv = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"))
       .join(firstClick, "user_id")
