@@ -415,7 +415,11 @@ object SparkEntry {
     "graph_hits" -> GraphQueries.graphHits _,
     "graph_landmark_distance" -> GraphQueries.graphLandmarkDistance _,
     // BPE tokenizer inference over the trained merge list
-    "llm_bpe_encode" -> LlmExtra.llmBpeEncode _
+    "llm_bpe_encode" -> LlmExtra.llmBpeEncode _,
+    // two-proportion z-test with an integer-exact significance verdict
+    "event_ab_test" -> Quality.eventAbTest _,
+    // banded DTW between the daily view and purchase series
+    "ts_dtw_band" -> TimeSeries.tsDtwBand _
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on

@@ -4626,6 +4626,40 @@ object OracleSql {
                1.358 * sqrt(CAST(t.n_a + t.n_b AS DOUBLE) / CAST(t.n_a * t.n_b AS DOUBLE)) AS reject_05
       FROM tot t, m, vat""",
 
+    // the z-test inequality is denominator-cleared to pure HUGEINT
+    // arithmetic (DECIMAL(38,0) on the Spark side) — no sqrt, no float
+    "event_ab_test" -> s"""
+      WITH exposed AS (
+        SELECT user_id, min(ts) AS v_ts FROM events
+        WHERE event_type = 'view' GROUP BY 1),
+      conv AS (
+        SELECT e.user_id FROM events e
+        JOIN exposed x ON e.user_id = x.user_id AND e.ts >= x.v_ts
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+      census AS (
+        SELECT x.user_id % 2 AS variant,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(count(c.user_id) AS BIGINT) AS n_converted
+        FROM exposed x LEFT JOIN conv c ON x.user_id = c.user_id
+        GROUP BY 1),
+      wide AS (
+        SELECT CAST(max(CASE WHEN variant = 0 THEN n_users END) AS BIGINT) AS n_a,
+               CAST(max(CASE WHEN variant = 0 THEN n_converted END) AS BIGINT) AS c_a,
+               CAST(max(CASE WHEN variant = 1 THEN n_users END) AS BIGINT) AS n_b,
+               CAST(max(CASE WHEN variant = 1 THEN n_converted END) AS BIGINT) AS c_b
+        FROM census)
+      SELECT n_a, c_a, n_b, c_b,
+             ${N.ratio("c_a", "n_a", 6)} AS rate_a,
+             ${N.ratio("c_b", "n_b", 6)} AS rate_b,
+             (CAST(c_a AS HUGEINT) * n_b - CAST(c_b AS HUGEINT) * n_a) *
+             (CAST(c_a AS HUGEINT) * n_b - CAST(c_b AS HUGEINT) * n_a) *
+             (CAST(n_a AS HUGEINT) + n_b) * 10000 >
+             38416 * CAST(n_a AS HUGEINT) * n_b *
+             (CAST(c_a AS HUGEINT) + c_b) *
+             ((CAST(n_a AS HUGEINT) + n_b) - (CAST(c_a AS HUGEINT) + c_b))
+               AS significant_05
+      FROM wide""",
+
     // per-user firsts are keyed min-aggregates; the decile table runs
     // on the aggregated user dimension under the same deterministic
     // (lag, user) total order as the Spark ntile
@@ -4651,6 +4685,47 @@ object OracleSql {
              ${N.ratio("t.n_converted", "t.n_clickers", 6)} AS convert_share
       FROM dec, tot t GROUP BY decile, t.n_converted, t.n_clickers
       ORDER BY decile""",
+
+    // the sequential DP solved RELATIONALLY: anti-diagonal recursion —
+    // cells at level d = i + j depend only on levels d-1 and d-2, so
+    // the recursive term computes level d+1 and carries level d forward
+    // one step (each iteration's working set holds exactly two levels);
+    // all-integer costs make the two engines' answers bit-identical
+    "ts_dtw_band" -> """
+      WITH RECURSIVE s AS (
+        SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i, x, y FROM (
+          SELECT CAST(ts AS DATE) AS day,
+                 CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS x,
+                 CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS y
+          FROM events GROUP BY 1)),
+      nn AS (SELECT max(i) AS n FROM s),
+      dp(d, i, cost, lvl) AS (
+        SELECT CAST(2 AS BIGINT), CAST(1 AS BIGINT),
+               CAST(abs(x - y) AS BIGINT), CAST(2 AS BIGINT)
+        FROM s WHERE i = 1
+        UNION ALL
+        SELECT * FROM (
+          WITH cur AS (SELECT * FROM dp),
+          mx AS (SELECT max(d) AS d FROM cur)
+          SELECT mx.d + 1 AS d, c.i AS i,
+                 CAST(abs(sx.x - sy.y) AS BIGINT) + least(
+                   coalesce((SELECT cost FROM cur p WHERE p.lvl = mx.d AND p.i = c.i - 1), 1000000000000000),
+                   coalesce((SELECT cost FROM cur p WHERE p.lvl = mx.d AND p.i = c.i), 1000000000000000),
+                   coalesce((SELECT cost FROM cur p WHERE p.lvl = mx.d - 1 AND p.i = c.i - 1), 1000000000000000)
+                 ) AS cost, mx.d + 1 AS lvl
+          FROM mx, nn, s c, s sx, s sy
+          WHERE sx.i = c.i AND sy.i = mx.d + 1 - c.i
+            AND abs(c.i - (mx.d + 1 - c.i)) <= 3
+            AND mx.d + 1 - c.i BETWEEN 1 AND nn.n
+          UNION ALL
+          SELECT mx.d + 1 AS d, cur.i, cur.cost, cur.lvl
+          FROM cur, mx, nn WHERE cur.lvl = mx.d AND mx.d < 2 * nn.n
+        ) q WHERE q.d <= 2 * (SELECT n FROM nn)
+      )
+      SELECT nn.n AS n_days,
+             (SELECT CAST(sum(abs(x - y)) AS BIGINT) FROM s) AS l1_same_day,
+             (SELECT cost FROM dp, nn x WHERE dp.lvl = 2 * x.n AND dp.i = x.n LIMIT 1) AS dtw_band
+      FROM nn""",
 
     // the band test is the denominator-cleared integer comparison
     // (n*x - S)^2 > 4*(n*Q - S^2) in HUGEINT (DECIMAL(38,0) on the

@@ -1173,8 +1173,14 @@ object LlmExtra {
         val pair = best(0).getString(0)
         val Array(x, y) = pair.split(" ", 2)
         merges += ((r.toLong, pair, best(0).getLong(1)))
-        val nv = bpeMergeStep(v, x, y).persist()
-        nv.count() // materialize before dropping the parent round's cache
+        // eager localCheckpoint, NOT persist+count: the merge step
+        // references its input ~4× (m, kept×2, the anti-join), so a
+        // cached-but-lineage-carrying chain grows the LOGICAL plan ~4^r
+        // — Catalyst analysis alone measured 78 s by round 6 on a
+        // 31-word vocab. Checkpointing truncates each round's plan to
+        // a block scan (the Components.minLabel discipline), making
+        // round cost flat in r.
+        val nv = bpeMergeStep(v, x, y).localCheckpoint(true)
         v.unpersist(blocking = false)
         v = nv
       }
@@ -1251,8 +1257,9 @@ object LlmExtra {
     var v = bpeInitWords(probe).persist()
     merges.foreach { r =>
       val Array(x, y) = r.getString(1).split(" ", 2)
-      val nv = bpeMergeStep(v, x, y).persist()
-      nv.count()
+      // eager localCheckpoint per merge — same ~4^r logical-plan-growth
+      // reason as the training loop above
+      val nv = bpeMergeStep(v, x, y).localCheckpoint(true)
       v.unpersist(blocking = false)
       v = nv
     }

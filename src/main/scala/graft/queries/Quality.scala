@@ -972,6 +972,50 @@ object Quality {
             (col("n_a") * col("n_b")).cast("double"))).as("reject_05"))
   }
 
+  /** A/B-test readout with an INTEGER-EXACT significance verdict — the
+    * two-proportion z-test every experimentation platform runs, on the
+    * deterministic user split (variant = user_id mod 2): exposure = a
+    * user's first 'view', conversion = any purchase at-or-after it.
+    * The z-test needs no sqrt: with diff = c_a·n_b − c_b·n_a, C = c_a
+    * + c_b, N = n_a + n_b, significance at α=0.05 clears denominators
+    * to `diff²·N·10⁴ > 38416·n_a·n_b·C·(N−C)` (z²_crit = 1.96² =
+    * 3.8416) — evaluated in DECIMAL(38,0)/HUGEINT, so the verdict is
+    * exact integer arithmetic end-to-end, immune to libm.
+    *
+    * Scale: two map-combined per-user aggregates (corpus → |users|),
+    * one keyed join, a 2-row census, single-row broadcast attach. */
+  def eventAbTest(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val exposed = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("v_ts"))
+    val converted = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"))
+      .join(exposed, "user_id")
+      .filter(col("ts") >= col("v_ts"))
+      .groupBy("user_id").agg(count(lit(1)).as("n_purch"))
+    val census = exposed
+      .join(converted, Seq("user_id"), "left")
+      .groupBy((col("user_id") % 2).as("variant"))
+      .agg(count(lit(1)).as("n_users"),
+        count_if(col("n_purch").isNotNull).as("n_converted"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val wide = census
+      .agg(
+        max(when(col("variant") === 0, col("n_users"))).as("n_a"),
+        max(when(col("variant") === 0, col("n_converted"))).as("c_a"),
+        max(when(col("variant") === 1, col("n_users"))).as("n_b"),
+        max(when(col("variant") === 1, col("n_converted"))).as("c_b"))
+    val diff = dec(col("c_a")) * dec(col("n_b")) - dec(col("c_b")) * dec(col("n_a"))
+    val cTot = dec(col("c_a")) + dec(col("c_b"))
+    val nTot = dec(col("n_a")) + dec(col("n_b"))
+    wide.select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+      Num.ratio(col("c_a"), col("n_a"), 6).as("rate_a"),
+      Num.ratio(col("c_b"), col("n_b"), 6).as("rate_b"),
+      (diff * diff * nTot * lit(10000) >
+        lit(38416) * dec(col("n_a")) * dec(col("n_b")) * cTot * (nTot - cTot))
+        .as("significant_05"))
+  }
+
   /** Click-to-purchase conversion lag — per user, the latency from
     * FIRST click to the first purchase at-or-after it, summarized as an
     * activity-decile table (exact integer seconds; deciles under the

@@ -750,6 +750,50 @@ object TimeSeries {
     * Scale: corpus → calendar-sized daily rollup map-side, one ordered
     * window over the day axis (the bounded-window exception every
     * global-series op here documents). */
+  /** Banded dynamic-time-warping distance between the daily VIEW and
+    * PURCHASE count series (Sakoe–Chiba band ǀi−jǀ ≤ 3) — "how far out
+    * of phase are traffic and conversion, allowing ±3 days of drift":
+    * DTW = min-cost monotone alignment under the band, reported next
+    * to the rigid same-day L1 so the gap reads as recoverable lag.
+    * All-integer DP (costs are count differences), so the distance is
+    * bit-exact in both engines — the oracle solves the identical DP
+    * RELATIONALLY (anti-diagonal recursive CTE carrying two levels),
+    * two algorithms, one answer.
+    *
+    * Scale: the corpus collapses map-side to the CALENDAR-bounded
+    * daily rollup; the inherently-sequential DP then runs as a typed
+    * mapGroups over that bounded series (the ewma/holt/alpha_beta
+    * per-key recurrence shape — band × days cells, one task, never
+    * corpus-sized). */
+  def tsDtwBand(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count_if(col("event_type") === "view").as("x"),
+        count_if(col("event_type") === "purchase").as("y"))
+      .select(col("day").cast("string").as("day"), col("x"), col("y"))
+      .as[(String, Long, Long)]
+    val W = 3
+    daily.groupByKey(_ => 0)
+      .mapGroups { (_, it) =>
+        val rows = it.toArray.sortBy(_._1)
+        val n = rows.length
+        val INF = Long.MaxValue / 4
+        val d = Array.fill(n + 1, n + 1)(INF)
+        var l1 = 0L
+        for (i <- 1 to n) l1 += math.abs(rows(i - 1)._2 - rows(i - 1)._3)
+        for (i <- 1 to n; j <- math.max(1, i - W) to math.min(n, i + W)) {
+          val c = math.abs(rows(i - 1)._2 - rows(j - 1)._3)
+          val best =
+            if (i == 1 && j == 1) 0L
+            else math.min(d(i - 1)(j), math.min(d(i)(j - 1), d(i - 1)(j - 1)))
+          d(i)(j) = c + best
+        }
+        (n.toLong, l1, d(n)(n))
+      }
+      .toDF("n_days", "l1_same_day", "dtw_band")
+  }
+
   def tsBollingerBreakout(s: SparkSession, dir: String): DataFrame = {
     val daily = t(s, dir, "events")
       .filter(col("event_type") === "purchase")

@@ -128,6 +128,51 @@ class Round10bOpsSpec extends GraftSpec {
     assert(got.toSeq == expect, s"shard manifest:\ngot    ${got.toSeq}\nexpect $expect")
   }
 
+  test("ts_dtw_band: equals an independent memoized-recursion DP") {
+    val series = t(spark, sfDir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count_if(col("event_type") === "view").as("x"),
+        count_if(col("event_type") === "purchase").as("y"))
+      .orderBy("day").collect().map(r => (r.getLong(1), r.getLong(2)))
+    val n = series.length
+    val INF = Long.MaxValue / 4
+    val memo = scala.collection.mutable.Map.empty[(Int, Int), Long]
+    def dd(i: Int, j: Int): Long =
+      if (i == 0 && j == 0) 0L
+      else if (i < 1 || j < 1 || math.abs(i - j) > 3) INF
+      else memo.getOrElseUpdate((i, j),
+        math.abs(series(i - 1)._1 - series(j - 1)._2) +
+          Seq(dd(i - 1, j), dd(i, j - 1), dd(i - 1, j - 1)).min)
+    val l1 = series.map(p => math.abs(p._1 - p._2)).sum
+    val got = TimeSeries.tsDtwBand(spark, sfDir).collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) == ((n.toLong, l1, dd(n, n))),
+      s"dtw: got $got, brute force (${n}, $l1, ${dd(n, n)})")
+    assert(dd(n, n) <= l1, "DTW under a band that includes the diagonal is <= same-day L1")
+  }
+
+  test("event_ab_test: counts and verdict replay a brute-force z-square computation") {
+    val r = Quality.eventAbTest(spark, sfDir).collect().head
+    val (na, ca, nb, cb) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    // brute-force the census from raw events
+    val ev = t(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getTimestamp(2).getTime))
+    val firstView = ev.filter(_._2 == "view").groupBy(_._1)
+      .map { case (u, xs) => u -> xs.map(_._3).min }
+    val conv = firstView.keySet.filter(u =>
+      ev.exists(e => e._1 == u && e._2 == "purchase" && e._3 >= firstView(u)))
+    def cnt(variant: Long) = (
+      firstView.keySet.count(_ % 2 == variant).toLong,
+      conv.count(_ % 2 == variant).toLong)
+    assert((na, ca) == cnt(0) && (nb, cb) == cnt(1),
+      s"census: got ($na,$ca,$nb,$cb), brute force ${cnt(0)} ${cnt(1)}")
+    assert(math.abs(r.getDouble(4) - ca.toDouble / na) < 2e-6)
+    assert(math.abs(r.getDouble(5) - cb.toDouble / nb) < 2e-6)
+    val (diff, c, n) = (BigInt(ca) * nb - BigInt(cb) * na, BigInt(ca + cb), BigInt(na + nb))
+    assert(r.getBoolean(6) ==
+      (diff * diff * n * 10000 > BigInt(38416) * na * nb * c * (n - c)))
+  }
+
   test("graph_hits and graph_landmark_distance: match a sequential graph recomputation") {
     // brute-force the two-blocking similarity graph from raw documents
     val docs = t(spark, sfDir, "documents").filter(col("doc_id") < 1200)
