@@ -419,7 +419,9 @@ object SparkEntry {
     // two-proportion z-test with an integer-exact significance verdict
     "event_ab_test" -> Quality.eventAbTest _,
     // banded DTW between the daily view and purchase series
-    "ts_dtw_band" -> TimeSeries.tsDtwBand _
+    "ts_dtw_band" -> TimeSeries.tsDtwBand _,
+    // lead-lag cross-correlation numerators between the two series
+    "ts_lead_lag" -> TimeSeries.tsLeadLag _
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on

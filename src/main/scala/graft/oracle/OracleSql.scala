@@ -4686,6 +4686,25 @@ object OracleSql {
       FROM dec, tot t GROUP BY decile, t.n_converted, t.n_clickers
       ORDER BY decile""",
 
+    // identical integer numerators per lag; DuckDB widens sum(BIGINT)
+    // to HUGEINT so every product is cast back explicitly
+    "ts_lead_lag" -> """
+      WITH daily AS (
+        SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i, x, y FROM (
+          SELECT CAST(ts AS DATE) AS day,
+                 CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS x,
+                 CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS y
+          FROM events GROUP BY 1)),
+      lagged AS (
+        SELECT l.lag, a.x, b.y
+        FROM daily a, (SELECT unnest(range(-7, 8)) AS lag) l
+        JOIN daily b ON b.i = a.i + l.lag)
+      SELECT CAST(lag AS INT) AS lag, CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT) AS sxy_num,
+             CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT) AS sxx_num,
+             CAST(count(*) * sum(y * y) - sum(y) * sum(y) AS BIGINT) AS syy_num
+      FROM lagged GROUP BY 1 ORDER BY lag""",
+
     // the sequential DP solved RELATIONALLY: anti-diagonal recursion —
     // cells at level d = i + j depend only on levels d-1 and d-2, so
     // the recursive term computes level d+1 and carries level d forward

@@ -765,6 +765,46 @@ object TimeSeries {
     * mapGroups over that bounded series (the ewma/holt/alpha_beta
     * per-key recurrence shape — band × days cells, one task, never
     * corpus-sized). */
+  /** Lead–lag cross-correlation table between the daily VIEW and
+    * PURCHASE series — "does traffic lead conversion, and by how many
+    * days": for each lag L ∈ [−7, 7], the exact covariance numerator
+    * `n·Σxy − Σx·Σy` plus both variance numerators over the
+    * overlapping window, all integers (a user divides for Pearson r;
+    * the engine never touches a float, so the table hashes
+    * bit-for-bit). Complements `ts_autocorrelation` (one series
+    * against itself) with the two-series causality readout.
+    *
+    * Scale: corpus → calendar-bounded daily rollup map-side; the
+    * 15-lag fan-out explodes the TINY daily frame (constant 15×) and
+    * re-joins it on the shifted index — one equi-join + one map-
+    * combined aggregate over ≤ 15·days rows. BIGINT headroom: daily
+    * counts ≈ 2·10⁶ at sf10 keep n·Σxy under 10¹⁸; the next decade
+    * lifts the sums to DECIMAL(38,0), shape unchanged. */
+  def tsLeadLag(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count_if(col("event_type") === "view").as("x"),
+        count_if(col("event_type") === "purchase").as("y"))
+      // the day index window is over the CALENDAR-bounded rollup —
+      // the same bounded-single-partition exception as every global
+      // daily-series op in this file
+      .withColumn("i", row_number().over(Window.orderBy("day")))
+      .persist()
+    val lags = daily
+      .select(col("i"), col("x"), explode(sequence(lit(-7), lit(7))).as("lag"))
+      .withColumn("j", col("i") + col("lag"))
+    val out = lags
+      .join(daily.select(col("i").as("j"), col("y")), "j")
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        (count(lit(1)) * sum(col("x") * col("y")) - sum("x") * sum("y")).as("sxy_num"),
+        (count(lit(1)) * sum(col("x") * col("x")) - sum("x") * sum("x")).as("sxx_num"),
+        (count(lit(1)) * sum(col("y") * col("y")) - sum("y") * sum("y")).as("syy_num"))
+      .orderBy("lag")
+    graft.operators.GraftCaches.register(daily)
+    out
+  }
+
   def tsDtwBand(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val daily = t(s, dir, "events")

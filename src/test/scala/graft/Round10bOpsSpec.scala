@@ -150,6 +150,30 @@ class Round10bOpsSpec extends GraftSpec {
     assert(dd(n, n) <= l1, "DTW under a band that includes the diagonal is <= same-day L1")
   }
 
+  test("ts_lead_lag: numerators replay a brute-force shifted-pair computation") {
+    val series = t(spark, sfDir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count_if(col("event_type") === "view").as("x"),
+        count_if(col("event_type") === "purchase").as("y"))
+      .orderBy("day").collect().map(r => (r.getLong(1), r.getLong(2)))
+    val n = series.length
+    val got = TimeSeries.tsLeadLag(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.length == 15)
+    got.foreach { case (lag, np, sxy, sxx, syy) =>
+      val pairs = (1 to n).flatMap { i =>
+        val j = i + lag
+        if (j >= 1 && j <= n) Some((series(i - 1)._1, series(j - 1)._2)) else None
+      }
+      val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+      assert(np == pairs.length)
+      assert(sxy == np * pairs.map(p => p._1 * p._2).sum - sx * sy, s"sxy at lag $lag")
+      assert(sxx == np * pairs.map(p => p._1 * p._1).sum - sx * sx, s"sxx at lag $lag")
+      assert(syy == np * pairs.map(p => p._2 * p._2).sum - sy * sy, s"syy at lag $lag")
+      assert(sxx >= 0 && syy >= 0, "variance numerators are non-negative")
+    }
+  }
+
   test("event_ab_test: counts and verdict replay a brute-force z-square computation") {
     val r = Quality.eventAbTest(spark, sfDir).collect().head
     val (na, ca, nb, cb) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
