@@ -33,6 +33,7 @@ object SparkEntry {
     * re-reads them. */
   def releaseCaches(): Unit = {
     graft.queries.GraphQueries.releaseCaches()
+    graft.queries.LlmExtra.releaseMerges()
     graft.operators.GraftCaches.releaseAll()
   }
 

@@ -1145,12 +1145,37 @@ object LlmExtra {
     * run (gaps-and-islands on the match positions) IS the greedy scan.
     * The oracle replays the identical window logic in SQL — every
     * intermediate is integer/string, so results hash-match exactly. */
-  def llmBpeTrain(s: SparkSession, dir: String): DataFrame =
-    bpeTrainOnWords(s,
-      t(s, dir, "documents").filter(col("doc_id") < 4000)
-        .select(explode(split(col("text"), " ")).as("w"))
-        .filter(col("w") =!= ""),
-      rounds = 6)
+  def llmBpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    trainedMerges(s, dir).toSeq.toDF("round", "pair", "n").orderBy("round")
+  }
+
+  /** (session, dir)-memoized BPE merge list — `llm_bpe_train` reports
+    * it and `llm_bpe_encode` applies it, so the 13-action training loop
+    * runs once per session, not once per consumer (the GraphQueries
+    * family-memo convention; same immutable-dir assumption, entries for
+    * stopped sessions evicted on lookup, cleared by releaseCaches()). */
+  private val merges =
+    scala.collection.mutable.HashMap.empty[String, (SparkSession, Seq[(Long, String, Long)])]
+
+  private[graft] def releaseMerges(): Unit = merges.synchronized(merges.clear())
+
+  private def trainedMerges(s: SparkSession, dir: String): Seq[(Long, String, Long)] =
+    merges.synchronized {
+      merges.filterInPlace { case (_, (sess, _)) => !sess.sparkContext.isStopped }
+      merges.get(dir) match {
+        case Some((sess, v)) if sess eq s => v
+        case _ =>
+          val v = bpeTrainOnWords(s,
+            t(s, dir, "documents").filter(col("doc_id") < 4000)
+              .select(explode(split(col("text"), " ")).as("w"))
+              .filter(col("w") =!= ""),
+            rounds = 6)
+            .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+          merges.put(dir, (s, v))
+          v
+      }
+    }
 
   /** The BPE merge loop over an arbitrary single-column word stream —
     * parameterized so specs can drive corpora with hand-computable
@@ -1231,8 +1256,10 @@ object LlmExtra {
 
   /** Tokenizer INFERENCE over the trained merges — the other half of a
     * BPE tokenizer's lifecycle: learn the merge list on the training
-    * stream (`llm_bpe_train`'s exact loop, re-run here so the query is
-    * self-contained), then ENCODE a probe slice (doc_id ≡ 3 mod 7) by
+    * stream (`llm_bpe_train`'s exact loop, shared via the
+    * session-memoized `trainedMerges` so the 13-action training runs
+    * once per session across both consumers), then ENCODE a probe
+    * slice (doc_id ≡ 3 mod 7) by
     * applying every learned merge in rank order to each word — the same
     * `bpeMergeStep` greedy-left-to-right window, now applied to ALL
     * occurrences of the pair instead of counting an argmax. Output: the
@@ -1247,16 +1274,12 @@ object LlmExtra {
     * The final word state registers with GraftCaches (the returned
     * plan reads it lazily). */
   def llmBpeEncode(s: SparkSession, dir: String): DataFrame = {
-    val train = t(s, dir, "documents").filter(col("doc_id") < 4000)
-      .select(explode(split(col("text"), " ")).as("w"))
-      .filter(col("w") =!= "")
-    val merges = bpeTrainOnWords(s, train, 6).collect()
     val probe = t(s, dir, "documents").filter(col("doc_id") % 7 === 3)
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
     var v = bpeInitWords(probe).persist()
-    merges.foreach { r =>
-      val Array(x, y) = r.getString(1).split(" ", 2)
+    trainedMerges(s, dir).foreach { case (_, pair, _) =>
+      val Array(x, y) = pair.split(" ", 2)
       // eager localCheckpoint per merge — same ~4^r logical-plan-growth
       // reason as the training loop above
       val nv = bpeMergeStep(v, x, y).localCheckpoint(true)
