@@ -422,7 +422,9 @@ object SparkEntry {
     // banded DTW between the daily view and purchase series
     "ts_dtw_band" -> TimeSeries.tsDtwBand _,
     // lead-lag cross-correlation numerators between the two series
-    "ts_lead_lag" -> TimeSeries.tsLeadLag _
+    "ts_lead_lag" -> TimeSeries.tsLeadLag _,
+    // rank-sum two-sample test with doubled-midrank exact ties
+    "dq_mann_whitney" -> Quality.dqMannWhitney _
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on

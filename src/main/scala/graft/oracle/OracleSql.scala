@@ -4626,6 +4626,37 @@ object OracleSql {
                1.358 * sqrt(CAST(t.n_a + t.n_b AS DOUBLE) / CAST(t.n_a * t.n_b AS DOUBLE)) AS reject_05
       FROM tot t, m, vat""",
 
+    // doubled midranks keep tie handling in pure integers; the
+    // normal-approximation verdict is the same denominator-cleared
+    // HUGEINT inequality pattern as event_ab_test
+    "dq_mann_whitney" -> """
+      WITH per AS (
+        SELECT v, CAST(sum(isa) AS BIGINT) AS na,
+               CAST(count(*) - sum(isa) AS BIGINT) AS nb
+        FROM (
+          SELECT CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS v, 1 AS isa FROM customer
+          UNION ALL
+          SELECT CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS v, 0 AS isa FROM supplier)
+        GROUP BY v),
+      tot AS (SELECT CAST(sum(na) AS BIGINT) AS n_a, CAST(sum(nb) AS BIGINT) AS n_b FROM per),
+      ranked AS (
+        SELECT na,
+               2 * coalesce(CAST(sum(na + nb) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+                 + na + nb + 1 AS mr2
+        FROM per),
+      agg AS (
+        SELECT t.n_a, t.n_b, CAST(sum(na * mr2) AS BIGINT) AS r2_a
+        FROM ranked, tot t GROUP BY 1, 2),
+      u AS (SELECT n_a, n_b, r2_a, r2_a - n_a * (n_a + 1) AS u2_a FROM agg)
+      SELECT n_a, n_b, r2_a, u2_a,
+             2 * n_a * n_b - u2_a AS u2_b,
+             (CAST(u2_a AS HUGEINT) - CAST(n_a AS HUGEINT) * n_b) *
+             (CAST(u2_a AS HUGEINT) - CAST(n_a AS HUGEINT) * n_b) * 3 * 10000 >
+             38416 * CAST(n_a AS HUGEINT) * n_b *
+             (CAST(n_a AS HUGEINT) + n_b + 1) AS significant_05
+      FROM u""",
+
     // the z-test inequality is denominator-cleared to pure HUGEINT
     // arithmetic (DECIMAL(38,0) on the Spark side) — no sqrt, no float
     "event_ab_test" -> s"""

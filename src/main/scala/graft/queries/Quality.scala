@@ -972,6 +972,59 @@ object Quality {
             (col("n_a") * col("n_b")).cast("double"))).as("reject_05"))
   }
 
+  /** Mann–Whitney U rank-sum test (customer vs supplier acctbal) — the
+    * rank-based two-sample test that stays meaningful under outliers
+    * where the z/t family breaks, completing the hypothesis-test
+    * family (chi² categorical, KS distributional, A/B proportions).
+    * EXACT via DOUBLED midranks: with ties, midrank = cumBefore +
+    * (cnt+1)/2 lands on halves, so everything carries 2×: mr2 =
+    * 2·cumBefore + cnt + 1 is always integer, R1₂ = Σ na·mr2,
+    * U1₂ = R1₂ − n₁(n₁+1). The α=0.05 normal-approximation verdict
+    * clears denominators to `(U1₂ − n₁n₂)²·3·10⁴ > 38416·n₁·n₂·(N+1)`
+    * in DECIMAL(38,0)/HUGEINT — integer end-to-end, no sqrt.
+    *
+    * Scale: the same two-phase cumulative as `dq_ks_test` — per-cent
+    * census map-combined, ~110 fixed buckets take the tiny prefix
+    * window, per-value ranks run PARTITIONED BY bucket. */
+  def dqMannWhitney(s: SparkSession, dir: String): DataFrame = {
+    val a = t(s, dir, "customer")
+      .select((Num.money(col("c_acctbal")) * 100).cast("long").as("v"),
+        lit(1L).as("isa"))
+    val b = t(s, dir, "supplier")
+      .select((Num.money(col("s_acctbal")) * 100).cast("long").as("v"),
+        lit(0L).as("isa"))
+    val per = graft.operators.GraftCaches.register(
+      a.union(b).groupBy("v")
+        .agg(sum("isa").as("na"), (count(lit(1)) - sum("isa")).as("nb"))
+        .withColumn("bkt", call_function("div", col("v") + 100000L, lit(10000L)))
+        .persist())
+    val offW = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    val off = per.groupBy("bkt").agg(sum(col("na") + col("nb")).as("bc"))
+      .select(col("bkt"), coalesce(sum("bc").over(offW), lit(0L)).as("off"))
+    val cumW = Window.partitionBy("bkt").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = per.agg(sum("na").as("n_a"), sum("nb").as("n_b"))
+    val ranked = per
+      .withColumn("cb", coalesce(sum(col("na") + col("nb")).over(cumW), lit(0L)))
+      .join(broadcast(off), "bkt")
+      // doubled midrank: 2·(rows strictly below v) + (ties at v) + 1
+      .select(col("na"),
+        (lit(2L) * (col("cb") + col("off")) + col("na") + col("nb") + 1L).as("mr2"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    ranked.crossJoin(broadcast(tot))
+      .groupBy("n_a", "n_b")
+      .agg(sum(col("na") * col("mr2")).as("r2_a"))
+      .select(col("n_a"), col("n_b"), col("r2_a"),
+        (col("r2_a") - col("n_a") * (col("n_a") + 1L)).as("u2_a"))
+      .select(col("n_a"), col("n_b"), col("r2_a"), col("u2_a"),
+        (lit(2L) * col("n_a") * col("n_b") - col("u2_a")).as("u2_b"),
+        ((dec(col("u2_a")) - dec(col("n_a")) * dec(col("n_b"))) *
+          (dec(col("u2_a")) - dec(col("n_a")) * dec(col("n_b"))) *
+          lit(3) * lit(10000) >
+          lit(38416) * dec(col("n_a")) * dec(col("n_b")) *
+            (dec(col("n_a")) + dec(col("n_b")) + lit(1))).as("significant_05"))
+  }
+
   /** A/B-test readout with an INTEGER-EXACT significance verdict — the
     * two-proportion z-test every experimentation platform runs, on the
     * deterministic user split (variant = user_id mod 2): exposure = a

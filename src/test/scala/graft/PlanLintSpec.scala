@@ -43,6 +43,7 @@ class PlanLintSpec extends GraftSpec {
     "event_survival_km", // single-row censor cutoff (global max day − 7) via broadcast cross join (round 10)
     "dq_chi_square", // single-row table total + chi2 sum via broadcast cross joins (round 10)
     "dq_ks_test", // single-row sample totals via broadcast cross join (round 10)
+    "dq_mann_whitney", // single-row sample totals via broadcast cross join (round 10)
     "event_conversion_lag") // single-row clicker/converter totals via broadcast cross join (round 10)
 
   test("no query plans an unexpected cartesian or nested-loop join") {

@@ -150,6 +150,29 @@ class Round10bOpsSpec extends GraftSpec {
     assert(dd(n, n) <= l1, "DTW under a band that includes the diagonal is <= same-day L1")
   }
 
+  test("dq_mann_whitney: doubled midranks replay a brute-force rank computation") {
+    val r = Quality.dqMannWhitney(spark, sfDir).collect().head
+    val (na, nb, r2a, u2a, u2b) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val a = t(spark, sfDir, "customer")
+      .select((col("c_acctbal").cast("decimal(12,2)") * 100).cast("long")).collect().map(_.getLong(0))
+    val b = t(spark, sfDir, "supplier")
+      .select((col("s_acctbal").cast("decimal(12,2)") * 100).cast("long")).collect().map(_.getLong(0))
+    assert(na == a.length && nb == b.length)
+    // brute-force doubled midranks over the pooled sorted sample
+    val all = (a ++ b).sorted
+    def mr2(v: Long) = 2L * all.count(_ < v) + all.count(_ == v) + 1
+    val r2aBrute = a.map(mr2).sum
+    assert(r2a == r2aBrute, s"rank sum x2: got $r2a, brute force $r2aBrute")
+    assert(u2a == r2a - na * (na + 1))
+    assert(u2b == 2 * na * nb - u2a)
+    // U1 + U2 = n1*n2 is the Mann-Whitney identity (x2 here)
+    assert(u2a + u2b == 2 * na * nb)
+    val diff = BigInt(u2a) - BigInt(na) * nb
+    assert(r.getBoolean(5) ==
+      (diff * diff * 3 * 10000 > BigInt(38416) * na * nb * (na + nb + 1)))
+  }
+
   test("ts_lead_lag: numerators replay a brute-force shifted-pair computation") {
     val series = t(spark, sfDir, "events")
       .groupBy(to_date(col("ts")).as("day"))
