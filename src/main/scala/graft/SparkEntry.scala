@@ -424,7 +424,9 @@ object SparkEntry {
     // lead-lag cross-correlation numerators between the two series
     "ts_lead_lag" -> TimeSeries.tsLeadLag _,
     // rank-sum two-sample test with doubled-midrank exact ties
-    "dq_mann_whitney" -> Quality.dqMannWhitney _
+    "dq_mann_whitney" -> Quality.dqMannWhitney _,
+    // md5-seeded deterministic random-walk sampling (DeepWalk shape)
+    "graph_random_walk" -> GraphQueries.graphRandomWalk _
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on

@@ -4843,6 +4843,49 @@ object OracleSql {
       FROM nodes n LEFT JOIN a2 ON n.node = a2.v LEFT JOIN h2 ON n.node = h2.u
       ORDER BY authority DESC, hub DESC, n.node LIMIT 25""",
 
+    // md5 as the seeded RNG: both engines hash the identical
+    // walker:step:neighbor string, so the argmin walk is bit-identical;
+    // the v tiebreak covers the (never-observed) equal-hash case
+    "graph_random_walk" -> """
+      WITH docs AS (SELECT doc_id, source, lang, n_chars FROM documents WHERE doc_id < 1200),
+      blocks AS (
+        SELECT doc_id AS u, concat_ws('|', 's', source, CAST(n_chars // 100 AS VARCHAR)) AS bk FROM docs
+        UNION ALL
+        SELECT doc_id AS u, concat_ws('|', 'l', lang, CAST(n_chars // 50 AS VARCHAR)) AS bk FROM docs),
+      edges AS (
+        SELECT DISTINCT a.u AS u, b.u AS v
+        FROM blocks a JOIN blocks b USING (bk) WHERE a.u < b.u),
+      adj AS (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+      nodes AS (SELECT DISTINCT u AS node FROM adj),
+      s0 AS (SELECT node AS walker, node FROM nodes WHERE node % 17 = 0),
+      s1 AS (SELECT walker, node FROM (
+        SELECT c.walker, a.v AS node,
+               row_number() OVER (PARTITION BY c.walker
+                 ORDER BY md5(c.walker || ':' || 1 || ':' || a.v), a.v) AS rn
+        FROM s0 c JOIN adj a ON a.u = c.node) WHERE rn = 1),
+      s2 AS (SELECT walker, node FROM (
+        SELECT c.walker, a.v AS node,
+               row_number() OVER (PARTITION BY c.walker
+                 ORDER BY md5(c.walker || ':' || 2 || ':' || a.v), a.v) AS rn
+        FROM s1 c JOIN adj a ON a.u = c.node) WHERE rn = 1),
+      s3 AS (SELECT walker, node FROM (
+        SELECT c.walker, a.v AS node,
+               row_number() OVER (PARTITION BY c.walker
+                 ORDER BY md5(c.walker || ':' || 3 || ':' || a.v), a.v) AS rn
+        FROM s2 c JOIN adj a ON a.u = c.node) WHERE rn = 1),
+      s4 AS (SELECT walker, node FROM (
+        SELECT c.walker, a.v AS node,
+               row_number() OVER (PARTITION BY c.walker
+                 ORDER BY md5(c.walker || ':' || 4 || ':' || a.v), a.v) AS rn
+        FROM s3 c JOIN adj a ON a.u = c.node) WHERE rn = 1),
+      visits AS (
+        SELECT walker, node FROM s0 UNION ALL SELECT walker, node FROM s1
+        UNION ALL SELECT walker, node FROM s2 UNION ALL SELECT walker, node FROM s3
+        UNION ALL SELECT walker, node FROM s4)
+      SELECT node, CAST(count(*) AS BIGINT) AS n_visits,
+             CAST(count(DISTINCT walker) AS BIGINT) AS n_walkers
+      FROM visits GROUP BY 1 ORDER BY n_visits DESC, node LIMIT 25""",
+
     // 4 unrolled multi-source BFS rounds (per (node, landmark) min),
     // then the integer harmonic fold — the same bounded-round
     // convention as graph_bfs_hops

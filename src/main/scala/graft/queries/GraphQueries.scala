@@ -836,6 +836,45 @@ object GraphQueries {
       .limit(25)
   }
 
+  /** Deterministic random-walk sampling (the DeepWalk/node2vec corpus
+    * generator): from every 17th node, a 4-step walk whose step-t
+    * choice is the neighbor minimizing md5(walker:t:neighbor) — md5 as
+    * the seeded RNG, so the "random" walks are bit-identical in both
+    * engines AND at any parallelism (the same no-rand() discipline as
+    * llm_hash_split). Output: the visit census (visits, distinct
+    * walkers) over all walk positions — the co-occurrence signal an
+    * embedding trainer consumes.
+    *
+    * Scale: each step is one adjacency equi-join + a per-walker top-1
+    * window over that walker's CURRENT neighborhood (degree-bounded by
+    * the family's HotKeys cap); walker state is one row each. Steps
+    * localCheckpoint eagerly — the step body references its
+    * predecessor twice (extend + census union), the k^r logical-plan
+    * growth the BPE loop taught (docs/PLANS.md). */
+  def graphRandomWalk(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val adj = symAdj(s, dir)
+    var cur = symNodes(s, dir).filter(col("node") % 17 === 0)
+      .select(col("node").as("walker"), col("node"))
+    var acc = cur.withColumn("step", lit(0L)).localCheckpoint(true)
+    for (t <- 1 to 4) {
+      val w = Window.partitionBy("walker").orderBy("h", "v")
+      cur = cur.join(adj.withColumnRenamed("u", "node"), "node")
+        .select(col("walker"), col("v"),
+          md5(concat_ws(":", col("walker"), lit(t), col("v"))).as("h"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("walker"), col("v").as("node"))
+        .localCheckpoint(true)
+      acc = acc.union(cur.withColumn("step", lit(t.toLong)))
+    }
+    acc.groupBy("node")
+      .agg(count(lit(1)).as("n_visits"),
+        count_distinct(col("walker")).as("n_walkers"))
+      .orderBy(desc("n_visits"), col("node"))
+      .limit(25)
+  }
+
   /** Landmark (multi-source) BFS closeness — the scalable stand-in for
     * exact closeness centrality: distances from every node to a fixed
     * probe set of LANDMARKS (node ≡ 0 mod 151, ~8 at the graded graph)

@@ -150,6 +150,40 @@ class Round10bOpsSpec extends GraftSpec {
     assert(dd(n, n) <= l1, "DTW under a band that includes the diagonal is <= same-day L1")
   }
 
+  test("graph_random_walk: walks replay a brute-force MessageDigest argmin") {
+    val docs = t(spark, sfDir, "documents").filter(col("doc_id") < 1200)
+      .select("doc_id", "source", "lang", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val blocks: Seq[(String, Long)] =
+      docs.toSeq.map { case (id, s, _, n) => (s"s|$s|${n / 100}", id) } ++
+        docs.toSeq.map { case (id, _, l, n) => (s"l|$l|${n / 50}", id) }
+    val edges: Set[(Long, Long)] = blocks.groupBy(_._1).values.flatMap { g =>
+      val ids = g.map(_._2).distinct
+      for (u <- ids; v <- ids if u < v) yield (u, v)
+    }.toSet
+    val adj = edges.toSeq.flatMap(e => Seq(e, e.swap)).groupBy(_._1)
+      .map { case (k, xs) => k -> xs.map(_._2) }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val visits = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    nodes.toSeq.filter(_ % 17 == 0).foreach { w =>
+      var cur = w
+      visits += ((w, w))
+      for (t <- 1 to 4) {
+        cur = adj(cur).minBy(v => (md5hex(s"$w:$t:$v"), v))
+        visits += ((w, cur))
+      }
+    }
+    val expect = visits.groupBy(_._2)
+      .map { case (n, xs) => (n, xs.size.toLong, xs.map(_._1).distinct.size.toLong) }
+      .toSeq.sortBy { case (n, c, _) => (-c, n) }.take(25)
+    val got = GraphQueries.graphRandomWalk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect, s"walk census:\ngot    $got\nexpect $expect")
+  }
+
   test("dq_mann_whitney: doubled midranks replay a brute-force rank computation") {
     val r = Quality.dqMannWhitney(spark, sfDir).collect().head
     val (na, nb, r2a, u2a, u2b) =
