@@ -53,6 +53,26 @@ object Bench {
     // ~5s one-off otherwise lands on whichever query runs first
     try SparkEntry.queries("scan_parquet_project")(spark, sfDir).count()
     catch { case _: Throwable => () }
+    // host-weather calibration anchor: a FIXED, O(1)-data, CPU-bound
+    // sentinel (64M-row range aggregate, no I/O, no SF dependence)
+    // whose median-of-5 runtime scales only with host speed. Emitted
+    // as "anchor_sec" so cross-round totals can be weather-normalized
+    // mechanically (total/anchor_sec is host-invariant); the `noise`
+    // field provably cannot do this — it detects intra-run burstiness,
+    // not a uniformly loaded host (r10: 1.88x inflated total at noise
+    // 1.16). MEDIAN, not min: the anchor must READ the slowdown the
+    // queries experienced, not heal it. Convention in BASELINE.md.
+    val anchorSec = {
+      def one(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(0L, 64000000L, 1L, 32)
+          .selectExpr("sum(id * (id % 7)) as s").collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      one() // untimed codegen/JIT warm for the anchor itself
+      val xs = Array.fill(5)(one()).sorted
+      xs(2)
+    }
     // min over two INTERLEAVED passes: single-shot timings on a shared VM
     // see multi-second host stalls (observed 10-20x on random queries);
     // back-to-back repeats of one query sit inside the same stall, so the
@@ -127,7 +147,7 @@ object Bench {
       }
     def line(qs: Seq[(String, Double)], omitted: Int, errPart: String): String = {
       val extra = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qs.map(entry).mkString("{", ",", "}")}$extra,"error_count":${errors.size},"noise":${fmt(noise)}$errPart,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qs.map(entry).mkString("{", ",", "}")}$extra,"error_count":${errors.size},"noise":${fmt(noise)},"anchor_sec":${fmt(anchorSec)}$errPart,"sf":"$sfDir"}"""
     }
     val all = results.toSeq.sortBy { case (_, v) => -v } // slowest first
     // durable full artifact (cwd = repo root under sbt); a filtered probe

@@ -426,7 +426,17 @@ object SparkEntry {
     // rank-sum two-sample test with doubled-midrank exact ties
     "dq_mann_whitney" -> Quality.dqMannWhitney _,
     // md5-seeded deterministic random-walk sampling (DeepWalk shape)
-    "graph_random_walk" -> GraphQueries.graphRandomWalk _
+    "graph_random_walk" -> GraphQueries.graphRandomWalk _,
+    // p/q-biased second-order walk via integer inverse-CDF sampling
+    "graph_node2vec_biased" -> GraphQueries.graphNode2vecBiased _,
+    // DTW alignment path by deterministic backtrack over the band DP
+    "ts_dtw_path" -> TimeSeries.tsDtwPath _,
+    // chi-square goodness-of-fit against the Benford expectation (ppm)
+    "dq_benford_gof" -> Quality.dqBenfordGof _,
+    // 32-round BPE trained on the part-name ∪ documents word stream
+    "llm_bpe_vocab_apply" -> LlmExtra.llmBpeVocabApply _,
+    // skip-gram (center, context) pair census over the uniform walks
+    "graph_walk_skipgram" -> GraphQueries.graphWalkSkipgram _
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on

@@ -137,9 +137,11 @@ object OracleSql {
     * engines. MATERIALIZED on b/v stages keeps the 6-round chain linear
     * (each v is read by the next round's pair explode AND its merge
     * join; inlined, the tree doubles per round). */
-  private def bpeTrainSql: String = {
-    val R = 6
-    val stages = (1 to R).map { r =>
+  /** One training stage per round r (pair explode → argmax census →
+    * gaps-and-islands greedy merge), shared by the 6-round train/encode
+    * oracles and the 32-round deep `llm_bpe_vocab_apply` unroll. */
+  private def bpeTrainStages(R: Int): String =
+    (1 to R).map { r =>
       s"""t$r AS MATERIALIZED (
          |        SELECT w, wn, p.i AS i, p.t AS t, p.nxt AS nxt
          |        FROM (SELECT w, wn,
@@ -174,6 +176,10 @@ object OracleSql {
          |        WHERE g.i IS NULL
          |        GROUP BY m.w, m.wn)""".stripMargin
     }.mkString(",\n      ")
+
+  private def bpeTrainSql: String = {
+    val R = 6
+    val stages = bpeTrainStages(R)
     val out = (1 to R).map(r => s"SELECT $r AS r, pair, n FROM b$r").mkString(" UNION ALL ")
     s"""
       WITH v0 AS MATERIALIZED (
@@ -193,41 +199,7 @@ object OracleSql {
     * `bpeMergeStep` runs. Two engines, one merge list, one encoding. */
   private def bpeEncodeSql: String = {
     val R = 6
-    val trainStages = (1 to R).map { r =>
-      s"""t$r AS MATERIALIZED (
-         |        SELECT w, wn, p.i AS i, p.t AS t, p.nxt AS nxt
-         |        FROM (SELECT w, wn,
-         |                     unnest(list_transform(range(1, len(arr) + 1),
-         |                       i -> {'i': i, 't': arr[i],
-         |                             'nxt': CASE WHEN i < len(arr) THEN arr[i + 1] END})) AS p
-         |              FROM (SELECT w, wn, string_split(toks, ' ') AS arr FROM v${r - 1}))),
-         |      b$r AS MATERIALIZED (
-         |        SELECT pair, n FROM (
-         |          SELECT t || ' ' || nxt AS pair, CAST(sum(wn) AS BIGINT) AS n
-         |          FROM t$r WHERE nxt IS NOT NULL GROUP BY 1)
-         |        ORDER BY n DESC, pair LIMIT 1),
-         |      m$r AS (
-         |        SELECT w, wn, i, t, nxt,
-         |               (t = string_split((SELECT pair FROM b$r), ' ')[1] AND
-         |                nxt = string_split((SELECT pair FROM b$r), ' ')[2]) AS mm
-         |        FROM t$r),
-         |      k$r AS MATERIALIZED (
-         |        SELECT w, i FROM (
-         |          SELECT w, i, row_number() OVER (PARTITION BY w, isl ORDER BY i) AS rnk
-         |          FROM (SELECT w, i,
-         |                       i - row_number() OVER (PARTITION BY w ORDER BY i) AS isl
-         |                FROM m$r WHERE mm))
-         |        WHERE rnk % 2 = 1),
-         |      v$r AS MATERIALIZED (
-         |        SELECT m.w AS w, m.wn AS wn,
-         |               string_agg(CASE WHEN k.i IS NOT NULL THEN m.t || m.nxt ELSE m.t END,
-         |                          ' ' ORDER BY m.i) AS toks
-         |        FROM m$r m
-         |        LEFT JOIN k$r k ON m.w = k.w AND m.i = k.i
-         |        LEFT JOIN k$r g ON m.w = g.w AND m.i = g.i + 1
-         |        WHERE g.i IS NULL
-         |        GROUP BY m.w, m.wn)""".stripMargin
-    }.mkString(",\n      ")
+    val trainStages = bpeTrainStages(R)
     val applyStages = (1 to R).map { r =>
       s"""et$r AS MATERIALIZED (
          |        SELECT w, wn, p.i AS i, p.t AS t, p.nxt AS nxt
@@ -278,11 +250,130 @@ object OracleSql {
       FROM e$R ORDER BY wn DESC, w LIMIT 30"""
   }
 
+  /** llm_bpe_vocab_apply: the DEEP unroll — 32 training stages over the
+    * richer p_name ∪ documents word stream, reading out the final
+    * tokenized vocab (each stage's argmax feeds every later stage, so a
+    * hash match certifies all 32 merges). */
+  private def bpeVocabApplySql: String = {
+    val R = 32
+    s"""
+      WITH v0 AS MATERIALIZED (
+        SELECT w, CAST(count(*) AS BIGINT) AS wn,
+               trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS toks
+        FROM (SELECT unnest(string_split(p_name, ' ')) AS w FROM part
+              UNION ALL
+              SELECT unnest(string_split(text, ' ')) AS w
+              FROM documents WHERE doc_id < 4000)
+        WHERE w <> '' GROUP BY w),
+      ${bpeTrainStages(R)}
+      SELECT w, wn, toks,
+             CAST(len(string_split(toks, ' ')) AS BIGINT) AS n_toks
+      FROM v$R ORDER BY wn DESC, w LIMIT 30"""
+  }
+
+  /** graph_node2vec_biased: the 4 biased steps unrolled as CTE stages.
+    * Each stage joins the previous state to the adjacency (candidates),
+    * LEFT-joins the (prev, v) edge marker for the distance-1 weight
+    * class, and picks by integer inverse-CDF over the per-walker
+    * cumulative weight — the same windows the Spark side runs. */
+  /** The similarity-graph construction shared by every walk oracle
+    * (same blocks → edges → symmetric adjacency the engine's `symAdj`
+    * builds). */
+  private def simGraphCtes: String =
+    s"""docs AS (SELECT doc_id, source, lang, n_chars FROM documents WHERE doc_id < 1200),
+      blocks AS (
+        SELECT doc_id AS u, concat_ws('|', 's', source, CAST(n_chars // 100 AS VARCHAR)) AS bk FROM docs
+        UNION ALL
+        SELECT doc_id AS u, concat_ws('|', 'l', lang, CAST(n_chars // 50 AS VARCHAR)) AS bk FROM docs),
+      edges AS (
+        SELECT DISTINCT a.u AS u, b.u AS v
+        FROM blocks a JOIN blocks b USING (bk) WHERE a.u < b.u),
+      adj AS (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+      nodes AS (SELECT DISTINCT u AS node FROM adj)"""
+
+  /** The 4 uniform (md5-argmin) walk stages + the per-stage visit union
+    * carrying the step index — shared by graph_random_walk and
+    * graph_walk_skipgram. */
+  private def uniformWalkCtes: String = {
+    val stages = (1 to 4).map { k =>
+      s"""s$k AS (SELECT walker, node FROM (
+         |        SELECT c.walker, a.v AS node,
+         |               row_number() OVER (PARTITION BY c.walker
+         |                 ORDER BY md5(c.walker || ':' || $k || ':' || a.v), a.v) AS rn
+         |        FROM s${k - 1} c JOIN adj a ON a.u = c.node) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n      ")
+    s"""s0 AS (SELECT node AS walker, node FROM nodes WHERE node % 17 = 0),
+      $stages,
+      visits AS (
+        SELECT walker, node, 0 AS st FROM s0 UNION ALL SELECT walker, node, 1 FROM s1
+        UNION ALL SELECT walker, node, 2 FROM s2 UNION ALL SELECT walker, node, 3 FROM s3
+        UNION ALL SELECT walker, node, 4 FROM s4)"""
+  }
+
+  private def randomWalkSql: String =
+    s"""
+      WITH $simGraphCtes,
+      $uniformWalkCtes
+      SELECT node, CAST(count(*) AS BIGINT) AS n_visits,
+             CAST(count(DISTINCT walker) AS BIGINT) AS n_walkers
+      FROM visits GROUP BY 1 ORDER BY n_visits DESC, node LIMIT 25"""
+
+  private def walkSkipgramSql: String =
+    s"""
+      WITH $simGraphCtes,
+      $uniformWalkCtes
+      SELECT a, b, n_pairs FROM (
+        SELECT x.node AS a, y.node AS b, CAST(count(*) AS BIGINT) AS n_pairs
+        FROM visits x JOIN visits y
+          ON x.walker = y.walker AND abs(x.st - y.st) <= 2 AND x.st <> y.st
+        GROUP BY 1, 2)
+      ORDER BY n_pairs DESC, a, b LIMIT 25"""
+
+  private def node2vecBiasedSql: String = {
+    val stages = (1 to 4).map { k =>
+      s"""c$k AS (
+         |        SELECT c.walker, c.node, a.v,
+         |               CASE WHEN a.v = c.prev THEN 1
+         |                    WHEN nb.u IS NOT NULL THEN 4
+         |                    ELSE 2 END AS wt
+         |        FROM s${k - 1} c
+         |        JOIN adj a ON a.u = c.node
+         |        LEFT JOIN adj nb ON nb.u = c.prev AND nb.v = a.v),
+         |      s$k AS (
+         |        SELECT walker, node AS prev, v AS node FROM (
+         |          SELECT walker, node, v,
+         |                 row_number() OVER (PARTITION BY walker ORDER BY v) AS rn
+         |          FROM (
+         |            SELECT walker, node, v, cw,
+         |                   CAST(('0x' || substr(md5(walker || ':' || $k || ':n2v'), 1, 15)) AS BIGINT) % tot AS r
+         |            FROM (
+         |              SELECT walker, node, v, wt,
+         |                     sum(wt) OVER (PARTITION BY walker ORDER BY v
+         |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         |                     sum(wt) OVER (PARTITION BY walker) AS tot
+         |              FROM c$k))
+         |          WHERE cw > r)
+         |        WHERE rn = 1)""".stripMargin
+    }.mkString(",\n      ")
+    s"""
+      WITH $simGraphCtes,
+      s0 AS (SELECT node AS walker, node AS prev, node FROM nodes WHERE node % 17 = 0),
+      $stages,
+      visits AS (
+        SELECT walker, node FROM s0 UNION ALL SELECT walker, node FROM s1
+        UNION ALL SELECT walker, node FROM s2 UNION ALL SELECT walker, node FROM s3
+        UNION ALL SELECT walker, node FROM s4)
+      SELECT node, CAST(count(*) AS BIGINT) AS n_visits,
+             CAST(count(DISTINCT walker) AS BIGINT) AS n_walkers
+      FROM visits GROUP BY 1 ORDER BY n_visits DESC, node LIMIT 25"""
+  }
+
   val sql: Map[String, String] = Map(
     "graph_pagerank_converged" -> pagerankConvergedSql,
     "graph_core_full" -> coreFullSql,
     "llm_bpe_train" -> bpeTrainSql,
     "llm_bpe_encode" -> bpeEncodeSql,
+    "llm_bpe_vocab_apply" -> bpeVocabApplySql,
     "scan_parquet_project" -> """
       SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
       FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""",
@@ -3243,6 +3334,31 @@ object OracleSql {
              round(abs(${N.ratio("n_obs", "(SELECT n_total FROM tt)", 4)} - round(log10(1.0 + 1.0 / digit), 4)), 4) AS abs_dev
       FROM g ORDER BY digit""",
 
+    // one-sample chi-square GOF vs the Benford ppm table (exact integer
+    // constants summing to 10^6); terms are (10^6·O − n·ppm)²/(n·ppm)
+    // in HUGEINT (DECIMAL(38,0) on the Spark side), the verdict is the
+    // floored-integer ≥ ⌈crit·10⁶⌉ test — no float anywhere
+    "dq_benford_gof" -> """
+      WITH d AS (
+        SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+        FROM orders),
+      g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM d GROUP BY 1),
+      tt AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM g),
+      e(digit, ppm) AS (VALUES (1, 301030), (2, 176091), (3, 124939), (4, 96910),
+                        (5, 79181), (6, 66947), (7, 57992), (8, 51153), (9, 45757)),
+      scored AS (
+        SELECT g.digit, g.n_obs, tt.n_total,
+               CAST(tt.n_total * e.ppm AS BIGINT) AS exp_micro,
+               CAST((CAST(1000000 AS HUGEINT) * g.n_obs - CAST(tt.n_total AS HUGEINT) * e.ppm)
+                    * (CAST(1000000 AS HUGEINT) * g.n_obs - CAST(tt.n_total AS HUGEINT) * e.ppm)
+                    // (CAST(tt.n_total AS HUGEINT) * e.ppm) AS BIGINT) AS term_micro
+        FROM g, tt, e WHERE e.digit = g.digit),
+      chi AS (SELECT CAST(sum(term_micro) AS BIGINT) AS chi2_micro FROM scored)
+      SELECT digit, n_obs, n_total, exp_micro, term_micro, chi.chi2_micro,
+             CAST(8 AS BIGINT) AS df,
+             chi.chi2_micro >= 15507311 AS benford_reject
+      FROM scored, chi ORDER BY digit""",
+
     "dq_freshness" -> """
       WITH g AS (SELECT max(ts) AS g_latest FROM events),
       pt AS (
@@ -4731,9 +4847,9 @@ object OracleSql {
         FROM daily a, (SELECT unnest(range(-7, 8)) AS lag) l
         JOIN daily b ON b.i = a.i + l.lag)
       SELECT CAST(lag AS INT) AS lag, CAST(count(*) AS BIGINT) AS n_pairs,
-             CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT) AS sxy_num,
-             CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT) AS sxx_num,
-             CAST(count(*) * sum(y * y) - sum(y) * sum(y) AS BIGINT) AS syy_num
+             CAST(count(*) * sum(CAST(x AS HUGEINT) * y) - sum(CAST(x AS HUGEINT)) * sum(CAST(y AS HUGEINT)) AS DECIMAL(38,0)) AS sxy_num,
+             CAST(count(*) * sum(CAST(x AS HUGEINT) * x) - sum(CAST(x AS HUGEINT)) * sum(CAST(x AS HUGEINT)) AS DECIMAL(38,0)) AS sxx_num,
+             CAST(count(*) * sum(CAST(y AS HUGEINT) * y) - sum(CAST(y AS HUGEINT)) * sum(CAST(y AS HUGEINT)) AS DECIMAL(38,0)) AS syy_num
       FROM lagged GROUP BY 1 ORDER BY lag""",
 
     // the sequential DP solved RELATIONALLY: anti-diagonal recursion —
@@ -4776,6 +4892,77 @@ object OracleSql {
              (SELECT CAST(sum(abs(x - y)) AS BIGINT) FROM s) AS l1_same_day,
              (SELECT cost FROM dp, nn x WHERE dp.lvl = 2 * x.n AND dp.i = x.n LIMIT 1) AS dtw_band
       FROM nn""",
+
+    // the band DP's anti-diagonal recursion (identical to ts_dtw_band)
+    // MATERIALIZED into the full cell table, then a second recursive
+    // CTE backtracks from (n,n) with the fixed diagonal ≻ up ≻ left
+    // tie-break — the same deterministic predecessor choice the Spark
+    // side's in-memory backtrack applies, so the two engines emit the
+    // identical alignment path cell-for-cell
+    "ts_dtw_path" -> """
+      WITH RECURSIVE s AS (
+        SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i, x, y FROM (
+          SELECT CAST(ts AS DATE) AS day,
+                 CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS x,
+                 CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS y
+          FROM events GROUP BY 1)),
+      nn AS (SELECT max(i) AS n FROM s),
+      dp(d, i, cost, lvl) AS (
+        SELECT CAST(2 AS BIGINT), CAST(1 AS BIGINT),
+               CAST(abs(x - y) AS BIGINT), CAST(2 AS BIGINT)
+        FROM s WHERE i = 1
+        UNION ALL
+        SELECT * FROM (
+          WITH cur AS (SELECT * FROM dp),
+          mx AS (SELECT max(d) AS d FROM cur)
+          SELECT mx.d + 1 AS d, c.i AS i,
+                 CAST(abs(sx.x - sy.y) AS BIGINT) + least(
+                   coalesce((SELECT cost FROM cur p WHERE p.lvl = mx.d AND p.i = c.i - 1), 1000000000000000),
+                   coalesce((SELECT cost FROM cur p WHERE p.lvl = mx.d AND p.i = c.i), 1000000000000000),
+                   coalesce((SELECT cost FROM cur p WHERE p.lvl = mx.d - 1 AND p.i = c.i - 1), 1000000000000000)
+                 ) AS cost, mx.d + 1 AS lvl
+          FROM mx, nn, s c, s sx, s sy
+          WHERE sx.i = c.i AND sy.i = mx.d + 1 - c.i
+            AND abs(c.i - (mx.d + 1 - c.i)) <= 3
+            AND mx.d + 1 - c.i BETWEEN 1 AND nn.n
+          UNION ALL
+          SELECT mx.d + 1 AS d, cur.i, cur.cost, cur.lvl
+          FROM cur, mx, nn WHERE cur.lvl = mx.d AND mx.d < 2 * nn.n
+        ) q WHERE q.d <= 2 * (SELECT n FROM nn)
+      ),
+      cells AS MATERIALIZED (
+        SELECT DISTINCT i, lvl - i AS j, cost FROM dp),
+      bt(k, i, j) AS (
+        SELECT CAST(0 AS BIGINT) AS k, x.n AS i, x.n AS j FROM nn x
+        UNION ALL
+        SELECT k + 1,
+               CASE WHEN dg <= up AND dg <= lf THEN i - 1
+                    WHEN up <= lf THEN i - 1
+                    ELSE i END,
+               CASE WHEN dg <= up AND dg <= lf THEN j - 1
+                    WHEN up <= lf THEN j
+                    ELSE j - 1 END
+        FROM (
+          -- LEFT JOINs, not correlated scalar subqueries: inside a
+          -- recursive term DuckDB 1.0 silently yields NULL for a
+          -- scalar subquery over a CTE derived from ANOTHER recursive
+          -- CTE (probed; plain joins resolve correctly)
+          SELECT t.k, t.i, t.j,
+                 coalesce(dgc.cost, 1000000000000000) AS dg,
+                 coalesce(upc.cost, 1000000000000000) AS up,
+                 coalesce(lfc.cost, 1000000000000000) AS lf
+          FROM bt t
+          LEFT JOIN cells dgc ON dgc.i = t.i - 1 AND dgc.j = t.j - 1
+          LEFT JOIN cells upc ON upc.i = t.i - 1 AND upc.j = t.j
+          LEFT JOIN cells lfc ON lfc.i = t.i AND lfc.j = t.j - 1
+          WHERE t.i > 1 OR t.j > 1))
+      SELECT CAST((SELECT max(k) FROM bt) - t.k AS BIGINT) AS k,
+             CAST(t.i AS BIGINT) AS i, CAST(t.j AS BIGINT) AS j,
+             CAST(abs(sx.x - sy.y) AS BIGINT) AS cell_cost,
+             CAST(c.cost AS BIGINT) AS path_cost
+      FROM bt t, s sx, s sy, cells c
+      WHERE sx.i = t.i AND sy.i = t.j AND c.i = t.i AND c.j = t.j
+      ORDER BY k""",
 
     // the band test is the denominator-cleared integer comparison
     // (n*x - S)^2 > 4*(n*Q - S^2) in HUGEINT (DECIMAL(38,0) on the
@@ -4846,45 +5033,21 @@ object OracleSql {
     // md5 as the seeded RNG: both engines hash the identical
     // walker:step:neighbor string, so the argmin walk is bit-identical;
     // the v tiebreak covers the (never-observed) equal-hash case
-    "graph_random_walk" -> """
-      WITH docs AS (SELECT doc_id, source, lang, n_chars FROM documents WHERE doc_id < 1200),
-      blocks AS (
-        SELECT doc_id AS u, concat_ws('|', 's', source, CAST(n_chars // 100 AS VARCHAR)) AS bk FROM docs
-        UNION ALL
-        SELECT doc_id AS u, concat_ws('|', 'l', lang, CAST(n_chars // 50 AS VARCHAR)) AS bk FROM docs),
-      edges AS (
-        SELECT DISTINCT a.u AS u, b.u AS v
-        FROM blocks a JOIN blocks b USING (bk) WHERE a.u < b.u),
-      adj AS (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
-      nodes AS (SELECT DISTINCT u AS node FROM adj),
-      s0 AS (SELECT node AS walker, node FROM nodes WHERE node % 17 = 0),
-      s1 AS (SELECT walker, node FROM (
-        SELECT c.walker, a.v AS node,
-               row_number() OVER (PARTITION BY c.walker
-                 ORDER BY md5(c.walker || ':' || 1 || ':' || a.v), a.v) AS rn
-        FROM s0 c JOIN adj a ON a.u = c.node) WHERE rn = 1),
-      s2 AS (SELECT walker, node FROM (
-        SELECT c.walker, a.v AS node,
-               row_number() OVER (PARTITION BY c.walker
-                 ORDER BY md5(c.walker || ':' || 2 || ':' || a.v), a.v) AS rn
-        FROM s1 c JOIN adj a ON a.u = c.node) WHERE rn = 1),
-      s3 AS (SELECT walker, node FROM (
-        SELECT c.walker, a.v AS node,
-               row_number() OVER (PARTITION BY c.walker
-                 ORDER BY md5(c.walker || ':' || 3 || ':' || a.v), a.v) AS rn
-        FROM s2 c JOIN adj a ON a.u = c.node) WHERE rn = 1),
-      s4 AS (SELECT walker, node FROM (
-        SELECT c.walker, a.v AS node,
-               row_number() OVER (PARTITION BY c.walker
-                 ORDER BY md5(c.walker || ':' || 4 || ':' || a.v), a.v) AS rn
-        FROM s3 c JOIN adj a ON a.u = c.node) WHERE rn = 1),
-      visits AS (
-        SELECT walker, node FROM s0 UNION ALL SELECT walker, node FROM s1
-        UNION ALL SELECT walker, node FROM s2 UNION ALL SELECT walker, node FROM s3
-        UNION ALL SELECT walker, node FROM s4)
-      SELECT node, CAST(count(*) AS BIGINT) AS n_visits,
-             CAST(count(DISTINCT walker) AS BIGINT) AS n_walkers
-      FROM visits GROUP BY 1 ORDER BY n_visits DESC, node LIMIT 25""",
+    "graph_random_walk" -> randomWalkSql,
+
+    // the skip-gram (center, context) pair census over the SAME walks
+    // — the DeepWalk training corpus itself (word2vec window ±2 over
+    // each walk "sentence"); walker-keyed self-join over <=5-row walks
+    "graph_walk_skipgram" -> walkSkipgramSql,
+
+    // the p/q-biased (second-order) walk: each step re-weights the
+    // candidate neighborhood by distance from the PREVIOUS node
+    // (return 1, common-neighbor 4, distance-2 2 — the ×4-scaled
+    // integers for p=4, q=2), then picks by exact integer inverse-CDF:
+    // one md5 draw mod the total weight, first candidate in node order
+    // whose cumulative weight exceeds it. Identical windows + integer
+    // arithmetic on both engines → bit-identical walks.
+    "graph_node2vec_biased" -> node2vecBiasedSql,
 
     // 4 unrolled multi-source BFS rounds (per (node, landmark) min),
     // then the integer harmonic fold — the same bounded-round

@@ -779,6 +779,13 @@ object GraphQueries {
     // estimate MULTISET (rank ties carry equal ce values), so the
     // integer estimates are partitioning-invariant (confs restored
     // after; downstream reads the caches at caller confs).
+    // ASSUMPTION (explicit, round-10 ADVICE): session confs are GLOBAL
+    // to the SparkSession, so any query PLANNED concurrently in this
+    // same session during the eager count() below would silently
+    // inherit AQE-off/width-8 for that window. Bench/Verify run
+    // queries single-threaded, which is the operative contract; a
+    // concurrent-session deployment should hand this query its own
+    // `SparkSession.newSession()` (shared context, isolated confs).
     val conf = adj.sparkSession.conf
     val (aqe0, sp0) = (conf.get("spark.sql.adaptive.enabled", "true"),
       conf.get("spark.sql.shuffle.partitions", "32"))
@@ -851,7 +858,18 @@ object GraphQueries {
     * localCheckpoint eagerly — the step body references its
     * predecessor twice (extend + census union), the k^r logical-plan
     * growth the BPE loop taught (docs/PLANS.md). */
-  def graphRandomWalk(s: SparkSession, dir: String): DataFrame = {
+  def graphRandomWalk(s: SparkSession, dir: String): DataFrame =
+    uniformWalkVisits(s, dir)
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_visits"),
+        count_distinct(col("walker")).as("n_walkers"))
+      .orderBy(desc("n_visits"), col("node"))
+      .limit(25)
+
+  /** The shared uniform-walk visit stream (walker, node, step) —
+    * `graph_random_walk` censuses it, `graph_walk_skipgram` pairs it
+    * (private[graft] so the spec can replay the pairing). */
+  private[graft] def uniformWalkVisits(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val adj = symAdj(s, dir)
     var cur = symNodes(s, dir).filter(col("node") % 17 === 0)
@@ -868,11 +886,101 @@ object GraphQueries {
         .localCheckpoint(true)
       acc = acc.union(cur.withColumn("step", lit(t.toLong)))
     }
-    acc.groupBy("node")
+    acc
+  }
+
+  /** Skip-gram co-occurrence census — the actual DeepWalk TRAINING
+    * CORPUS the walks exist to feed: for every walk, all ordered
+    * (center, context) node pairs within the ±2-step window (the
+    * word2vec window over the walk "sentence"), counted corpus-wide.
+    * `graph_random_walk` emits where walks GO; this emits what an
+    * embedding trainer actually consumes, closing the walk→embedding
+    * pipeline.
+    *
+    * Scale: the visit stream is walker-keyed with ≤ 5 rows per walker,
+    * so the walker-keyed self-join fans out ≤ 20 ordered pairs per
+    * walker (window ±2 over a 5-stop walk) — walker-linear, then one
+    * map-combined (a, b) census + TakeOrdered. */
+  def graphWalkSkipgram(s: SparkSession, dir: String): DataFrame = {
+    val v = uniformWalkVisits(s, dir)
+    v.select(col("walker"), col("node").as("a"), col("step").as("sa"))
+      .join(v.select(col("walker"), col("node").as("b"), col("step").as("sb")), "walker")
+      .filter(abs(col("sa") - col("sb")) <= 2 && col("sa") =!= col("sb"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(desc("n_pairs"), col("a"), col("b"))
+      .limit(25)
+  }
+
+  /** node2vec p/q-BIASED walk (Grover & Leskovec 2016) — the second-
+    * order walk that interpolates BFS-like and DFS-like exploration:
+    * from every 17th node, 4 steps where the candidate weight depends
+    * on the PREVIOUS node (threaded through the step state as one
+    * extra column): return to prev → 1/p, to a common neighbor of prev
+    * (distance 1) → 1, elsewhere (distance 2) → 1/q. p=4, q=2, so the
+    * ×4-scaled weights are the exact integers {1, 4, 2}. The draw is
+    * exact integer WEIGHTED sampling: one md5 draw per (walker, step)
+    * reduced mod the walker's total candidate weight, then the first
+    * candidate (in node order) whose cumulative weight exceeds the
+    * draw — inverse-CDF over integers, so both engines and any
+    * parallelism pick the same neighbor (no float, no rand()). Output:
+    * the visit census, comparable side-by-side with the unbiased
+    * `graph_random_walk`.
+    *
+    * Scale: per step, ONE adjacency equi-join (candidates, Σdeg rows),
+    * ONE (prev, v) equi-join against the edge list for the distance-1
+    * marker (output candidate-linear), and two per-walker windows
+    * (cumulative weight + top-1) over each walker's degree-bounded
+    * neighborhood. Steps localCheckpoint eagerly — the step body is
+    * multiply-referenced (extend + census union), the k^r lineage rule
+    * (docs/PLANS.md). */
+  def graphNode2vecBiased(s: SparkSession, dir: String): DataFrame =
+    node2vecWalkOn(symAdj(s, dir),
+      symNodes(s, dir).filter(col("node") % 17 === 0).select(col("node")), 4)
+      .groupBy("node")
       .agg(count(lit(1)).as("n_visits"),
         count_distinct(col("walker")).as("n_walkers"))
       .orderBy(desc("n_visits"), col("node"))
       .limit(25)
+
+  /** The biased-walk engine over an arbitrary symmetric adjacency —
+    * parameterized so specs can replay hand-computed walks (crafted
+    * weights, known md5 draws) that the contract graph never isolates.
+    * Returns every visit (walker, node, step). */
+  private[graft] def node2vecWalkOn(adj: DataFrame, starts: DataFrame, steps: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // (prev, v)-keyed edge marker for the distance-1 weight class
+    val nbr = adj.select(col("u").as("p_u"), col("v").as("p_v"), lit(1).as("is_nbr"))
+    // step-0 state: prev ≡ node (no self-loops exist, so v === prev is
+    // never true and every candidate is a neighbor of "prev" — the
+    // first step degenerates to the uniform draw, as node2vec defines)
+    var cur = starts
+      .select(col("node").as("walker"), col("node").as("prev"), col("node"))
+    var acc = cur.select(col("walker"), col("node"))
+      .withColumn("step", lit(0L)).localCheckpoint(true)
+    for (t <- 1 to steps) {
+      val byWalker = Window.partitionBy("walker").orderBy("v")
+      val cum = byWalker.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val drawn = cur.join(adj.withColumnRenamed("u", "node"), "node")
+        .join(nbr, col("prev") === col("p_u") && col("v") === col("p_v"), "left")
+        .withColumn("wt",
+          when(col("v") === col("prev"), lit(1L))       // return, 1/p ×4
+            .when(col("is_nbr").isNotNull, lit(4L))     // distance 1 ×4
+            .otherwise(lit(2L)))                        // distance 2, 1/q ×4
+        .withColumn("cw", sum("wt").over(cum))
+        .withColumn("tot", sum("wt").over(Window.partitionBy("walker")))
+        .withColumn("r",
+          conv(substring(md5(concat_ws(":", col("walker"), lit(t), lit("n2v"))), 1, 15), 16, 10)
+            .cast("long") % col("tot"))
+        .filter(col("cw") > col("r"))
+        .withColumn("rn", row_number().over(byWalker))
+        .filter(col("rn") === 1)
+        .select(col("walker"), col("node").as("prev"), col("v").as("node"))
+        .localCheckpoint(true)
+      cur = drawn
+      acc = acc.union(cur.select(col("walker"), col("node")).withColumn("step", lit(t.toLong)))
+    }
+    acc
   }
 
   /** Landmark (multi-source) BFS closeness — the scalable stand-in for

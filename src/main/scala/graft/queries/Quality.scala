@@ -341,6 +341,47 @@ object Quality {
       .orderBy("digit")
   }
 
+  /** Chi-square GOODNESS-OF-FIT against the Benford expectation — the
+    * one-sample member the `dq_chi_square` (independence) / `dq_ks_test`
+    * / `dq_mann_whitney` family was missing. The Benford probabilities
+    * enter as exact ppm INTEGER constants (the rounded 6-decimal
+    * log10(1+1/d) table, which sums to exactly 1 000 000), so expected
+    * counts, per-digit terms and the statistic are integer arithmetic
+    * end-to-end: term_d = ⌊(10⁶·O_d − n·ppm_d)² / (n·ppm_d)⌋ is χ²·10⁶
+    * units with the square carried in DECIMAL(38,0) (HUGEINT in the
+    * oracle — BIGINT would wrap at ~sf10). The verdict follows the
+    * floored-integer discipline: Σterms ≥ ⌈χ²₀.₀₅(8)·10⁶⌉ = 15 507 311
+    * implies the true χ² exceeded the critical value too.
+    *
+    * Scale: ONE map-combined corpus aggregate to the ≤9-row digit
+    * census; every window/join below it runs on those 9 rows (the
+    * expectation table is a 9-row broadcast). */
+  def dqBenfordGof(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val exp = Seq(1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L,
+      5 -> 79181L, 6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+      .toDF("digit", "ppm")
+    val byDigit = t(s, dir, "orders")
+      .select(substring(round(col("o_totalprice") * 100).cast("long").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val scored = byDigit
+      .withColumn("n_total", sum("n_obs").over(Window.partitionBy()))
+      .join(broadcast(exp), "digit")
+      .withColumn("exp_micro", col("n_total") * col("ppm"))
+      .withColumn("term_micro", call_function("div",
+        d38(d38(lit(1000000L) * col("n_obs")) - d38(col("exp_micro"))) *
+          d38(d38(lit(1000000L) * col("n_obs")) - d38(col("exp_micro"))),
+        d38(col("exp_micro"))))
+    val chi = scored.agg(sum("term_micro").as("chi2_micro"))
+    scored.crossJoin(broadcast(chi))
+      .select(col("digit"), col("n_obs"), col("n_total"), col("exp_micro"),
+        col("term_micro"), col("chi2_micro"), lit(8L).as("df"),
+        (col("chi2_micro") >= lit(15507311L)).as("benford_reject"))
+      .orderBy("digit")
+  }
+
   /** Batch sessionization of the event stream — the gap rule (a session
     * breaks after > 8 h of user inactivity) as two windows and two
     * aggregates: lag marks boundaries, a running sum of the marks labels

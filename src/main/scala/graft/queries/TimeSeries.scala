@@ -777,9 +777,11 @@ object TimeSeries {
     * Scale: corpus → calendar-bounded daily rollup map-side; the
     * 15-lag fan-out explodes the TINY daily frame (constant 15×) and
     * re-joins it on the shifted index — one equi-join + one map-
-    * combined aggregate over ≤ 15·days rows. BIGINT headroom: daily
-    * counts ≈ 2·10⁶ at sf10 keep n·Σxy under 10¹⁸; the next decade
-    * lifts the sums to DECIMAL(38,0), shape unchanged. */
+    * combined aggregate over ≤ 15·days rows. The products/sums run in
+    * DECIMAL(38,0) (the `ts_bollinger_breakout` discipline): BIGINT
+    * would wrap SILENTLY in Spark past ~sf100 daily volumes while the
+    * DuckDB oracle's HUGEINT raises — decimal keeps both engines
+    * exact and loud at any decade. */
   def tsLeadLag(s: SparkSession, dir: String): DataFrame = {
     val daily = t(s, dir, "events")
       .groupBy(to_date(col("ts")).as("day"))
@@ -793,13 +795,14 @@ object TimeSeries {
     val lags = daily
       .select(col("i"), col("x"), explode(sequence(lit(-7), lit(7))).as("lag"))
       .withColumn("j", col("i") + col("lag"))
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
     val out = lags
       .join(daily.select(col("i").as("j"), col("y")), "j")
       .groupBy("lag")
       .agg(count(lit(1)).as("n_pairs"),
-        (count(lit(1)) * sum(col("x") * col("y")) - sum("x") * sum("y")).as("sxy_num"),
-        (count(lit(1)) * sum(col("x") * col("x")) - sum("x") * sum("x")).as("sxx_num"),
-        (count(lit(1)) * sum(col("y") * col("y")) - sum("y") * sum("y")).as("syy_num"))
+        d38(count(lit(1)) * sum(d38(col("x")) * d38(col("y"))) - sum(d38(col("x"))) * sum(d38(col("y")))).as("sxy_num"),
+        d38(count(lit(1)) * sum(d38(col("x")) * d38(col("x"))) - sum(d38(col("x"))) * sum(d38(col("x")))).as("sxx_num"),
+        d38(count(lit(1)) * sum(d38(col("y")) * d38(col("y"))) - sum(d38(col("y"))) * sum(d38(col("y")))).as("syy_num"))
       .orderBy("lag")
     graft.operators.GraftCaches.register(daily)
     out
@@ -832,6 +835,66 @@ object TimeSeries {
         (n.toLong, l1, d(n)(n))
       }
       .toDF("n_days", "l1_same_day", "dtw_band")
+  }
+
+  /** DTW ALIGNMENT PATH — `ts_dtw_band`'s missing half: not just the
+    * band-constrained distance but WHICH (day_i, day_j) cells the
+    * optimal warp aligns, recovered by deterministic backtrack from
+    * (n, n): at each cell the predecessor is the cheapest of
+    * {diagonal, up, left} with the fixed tie-break diagonal ≻ up ≻
+    * left, so both engines walk the identical path even when several
+    * are optimal. Output: one row per path cell, k ascending from
+    * (1, 1) — (k, i, j, |x_i − y_j|, cumulative optimal cost); the
+    * last row's path_cost IS `ts_dtw_band`'s dtw_band.
+    *
+    * Scale: the corpus collapses to the calendar-bounded daily rollup
+    * MAP-SIDE (the tsDtwBand posture); the inherently-sequential
+    * band×days DP + backtrack runs as one typed flatMapGroups task
+    * over that bounded frame — same documented constant-metadata
+    * exception, path length ≤ 2·days. The oracle replays the DP's
+    * anti-diagonal recursive CTE and backtracks with the same
+    * tie-break over the materialized cells. */
+  def tsDtwPath(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count_if(col("event_type") === "view").as("x"),
+        count_if(col("event_type") === "purchase").as("y"))
+      .select(col("day").cast("string").as("day"), col("x"), col("y"))
+      .as[(String, Long, Long)]
+    val W = 3
+    daily.groupByKey(_ => 0)
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray.sortBy(_._1)
+        val n = rows.length
+        val INF = Long.MaxValue / 4
+        val d = Array.fill(n + 1, n + 1)(INF)
+        for (i <- 1 to n; j <- math.max(1, i - W) to math.min(n, i + W)) {
+          val c = math.abs(rows(i - 1)._2 - rows(j - 1)._3)
+          val best =
+            if (i == 1 && j == 1) 0L
+            else math.min(d(i - 1)(j), math.min(d(i)(j - 1), d(i - 1)(j - 1)))
+          d(i)(j) = c + best
+        }
+        val path = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+        var i = n; var j = n
+        while (i > 1 || j > 1) {
+          path += ((i.toLong, j.toLong,
+            math.abs(rows(i - 1)._2 - rows(j - 1)._3), d(i)(j)))
+          val dg = if (i > 1 && j > 1) d(i - 1)(j - 1) else INF
+          val up = if (i > 1) d(i - 1)(j) else INF
+          val lf = if (j > 1) d(i)(j - 1) else INF
+          if (dg <= up && dg <= lf) { i -= 1; j -= 1 }
+          else if (up <= lf) i -= 1
+          else j -= 1
+        }
+        path += ((1L, 1L, math.abs(rows(0)._2 - rows(0)._3), d(1)(1)))
+        path.reverse.zipWithIndex.map { case ((pi, pj, cc, cum), k) =>
+          (k.toLong, pi, pj, cc, cum)
+        }
+      }
+      .toDF("k", "i", "j", "cell_cost", "path_cost")
+      .orderBy("k")
   }
 
   def tsBollingerBreakout(s: SparkSession, dir: String): DataFrame = {

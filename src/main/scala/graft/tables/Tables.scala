@@ -11,6 +11,14 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * parquet reader untouched. At 100 TB these would be directory-backed
   * (partitioned) datasets instead of single files — the call site is the
   * single place to swap that in.
+  *
+  * IMMUTABILITY ASSUMPTION: callers above this layer (the GraphQueries
+  * edge-family memo, LlmExtra's `trainedMerges`) cache values keyed by
+  * (session, dir) on the premise that a testdata dir's parquet files
+  * never change under a live session. Rewriting `dir` in place while a
+  * session that has already read it stays open serves STALE cached
+  * derivations — restart the session (or call `releaseCaches()` /
+  * `releaseMerges()`) after any in-place rewrite.
   */
 object Tables {
   val names: Seq[String] = Seq(

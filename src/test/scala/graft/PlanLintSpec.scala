@@ -44,7 +44,8 @@ class PlanLintSpec extends GraftSpec {
     "dq_chi_square", // single-row table total + chi2 sum via broadcast cross joins (round 10)
     "dq_ks_test", // single-row sample totals via broadcast cross join (round 10)
     "dq_mann_whitney", // single-row sample totals via broadcast cross join (round 10)
-    "event_conversion_lag") // single-row clicker/converter totals via broadcast cross join (round 10)
+    "event_conversion_lag", // single-row clicker/converter totals via broadcast cross join (round 10)
+    "dq_benford_gof") // single-row chi2 sum via broadcast cross join (round 11)
 
   test("no query plans an unexpected cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -214,20 +214,23 @@ class Round10bOpsSpec extends GraftSpec {
         count_if(col("event_type") === "purchase").as("y"))
       .orderBy("day").collect().map(r => (r.getLong(1), r.getLong(2)))
     val n = series.length
+    // numerators are DECIMAL(38,0) since round 11 (silent BIGINT wrap
+    // removed) — read them as BigDecimal and replay in BigInt
     val got = TimeSeries.tsLeadLag(spark, sfDir).collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .map(r => (r.getInt(0), r.getLong(1), r.getDecimal(2).toBigInteger,
+        r.getDecimal(3).toBigInteger, r.getDecimal(4).toBigInteger))
     assert(got.length == 15)
     got.foreach { case (lag, np, sxy, sxx, syy) =>
       val pairs = (1 to n).flatMap { i =>
         val j = i + lag
-        if (j >= 1 && j <= n) Some((series(i - 1)._1, series(j - 1)._2)) else None
+        if (j >= 1 && j <= n) Some((BigInt(series(i - 1)._1), BigInt(series(j - 1)._2))) else None
       }
       val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
       assert(np == pairs.length)
-      assert(sxy == np * pairs.map(p => p._1 * p._2).sum - sx * sy, s"sxy at lag $lag")
-      assert(sxx == np * pairs.map(p => p._1 * p._1).sum - sx * sx, s"sxx at lag $lag")
-      assert(syy == np * pairs.map(p => p._2 * p._2).sum - sy * sy, s"syy at lag $lag")
-      assert(sxx >= 0 && syy >= 0, "variance numerators are non-negative")
+      assert(BigInt(sxy) == np * pairs.map(p => p._1 * p._2).sum - sx * sy, s"sxy at lag $lag")
+      assert(BigInt(sxx) == np * pairs.map(p => p._1 * p._1).sum - sx * sx, s"sxx at lag $lag")
+      assert(BigInt(syy) == np * pairs.map(p => p._2 * p._2).sum - sy * sy, s"syy at lag $lag")
+      assert(BigInt(sxx) >= 0 && BigInt(syy) >= 0, "variance numerators are non-negative")
     }
   }
 
