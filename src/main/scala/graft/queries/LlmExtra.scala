@@ -1209,6 +1209,12 @@ object LlmExtra {
     // computed stats forward: without the reset the sizeInBytes VALUE
     // compounds ≈ s^(3^r) and BigInt stats arithmetic dominates
     // planning from ~round 10 (the deep-merge lesson, round 11).
+    // Per-round cost is FLAT in r (measured ~0.5 s/round at sf0.1 for
+    // both the 6- and 32-round loops — pure driver planning + job
+    // round-trips over the vocab-bounded frames; AQE already coalesces
+    // the tiny exchanges, and an experimental shuffle-width floor
+    // bought nothing). 32 rounds ≈ 5.2× the 6-round train: exactly
+    // linear in rounds, which is the property that matters at depth.
     var vStore = bpeInitWords(words).persist()
     var v: DataFrame = vStore
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
@@ -1304,17 +1310,23 @@ object LlmExtra {
     val probe = t(s, dir, "documents").filter(col("doc_id") % 7 === 3)
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
-    var v = bpeInitWords(probe).persist()
+    var vStore = bpeInitWords(probe).persist()
+    var v: DataFrame = vStore
     trainedMerges(s, dir).foreach { case (_, pair, _) =>
       val Array(x, y) = pair.split(" ", 2)
-      // eager localCheckpoint per merge — same ~4^r logical-plan-growth
-      // reason as the training loop above
-      val nv = bpeMergeStep(v, x, y).localCheckpoint(true)
-      v.unpersist(blocking = false)
-      v = nv
+      // eager localCheckpoint per merge (the ~4^r logical-plan-growth
+      // lesson) + stats-reset view (the round-11 sequel: originStats
+      // compound ≈ s^(3^r) across checkpointed rounds — harmless at 6
+      // merges, a planning freeze past ~10; same discipline as
+      // bpeTrainFullOnWords so raising the merge count can never
+      // reintroduce the cliff)
+      val ck = bpeMergeStep(v, x, y).localCheckpoint(true)
+      vStore.unpersist(blocking = false)
+      vStore = ck
+      v = org.apache.spark.sql.graftbridge.Bridge.freshStatsView(ck)
     }
-    graft.operators.GraftCaches.register(v)
-    v.select(col("w"), col("wn"), col("toks"),
+    graft.operators.GraftCaches.register(vStore)
+    vStore.select(col("w"), col("wn"), col("toks"),
         size(split(col("toks"), " ")).cast("long").as("n_toks"))
       .orderBy(desc("wn"), col("w"))
       .limit(30)
