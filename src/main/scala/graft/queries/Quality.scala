@@ -361,10 +361,15 @@ object Quality {
     val exp = Seq(1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L,
       5 -> 79181L, 6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
       .toDF("digit", "ppm")
-    val byDigit = t(s, dir, "orders")
-      .select(substring(round(col("o_totalprice") * 100).cast("long").cast("string"), 1, 1)
-        .cast("int").as("digit"))
-      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    // persisted: the ≤9-row census feeds TWO consumers (the chi2 sum and
+    // the scored readout) — without the pin the corpus aggregate runs
+    // twice (the dq_chi_square derived-table rule; plan-audited r11)
+    val byDigit = graft.operators.GraftCaches.register(
+      t(s, dir, "orders")
+        .select(substring(round(col("o_totalprice") * 100).cast("long").cast("string"), 1, 1)
+          .cast("int").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+        .persist())
     val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
     val scored = byDigit
       .withColumn("n_total", sum("n_obs").over(Window.partitionBy()))

@@ -239,4 +239,23 @@ class PlanShapeSpec extends GraftSpec {
     assert(winAt >= 0 && joinAt > winAt,
       s"prefilter join must feed the window, not follow it:\n${p.take(3000)}")
   }
+
+  test("dq_benford_gof: one corpus scan — the census cache feeds both consumers") {
+    val p = plan(graft.queries.Quality.dqBenfordGof(spark, sfDir))
+    // the chi2 sum and the scored readout both derive from the persisted
+    // 9-row digit census; a second bare parquet scan of orders means the
+    // cache pin regressed and the corpus aggregate runs twice
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      s"both consumers must read the cached census:\n${p.take(3000)}")
+    assert(p.contains("TakeOrdered") || p.contains("Sort"), "ordered 9-row readout")
+  }
+
+  test("graph_walk_skipgram: walker-keyed join + two-phase pair census, no nested loop") {
+    val p = plan(graft.queries.GraphQueries.graphWalkSkipgram(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pairing must be the walker equi-join, never all-pairs:\n${p.take(3000)}")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "pair census must map-side combine (partial + final)")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
+  }
 }

@@ -21,23 +21,31 @@ object ProbeBpeDeep {
     spark.sparkContext.setLogLevel("WARN")
     // warm the parquet reader/codegen so the probe times BPE, not startup
     spark.read.parquet(s"$dir/documents.parquet").count()
-    def time(label: String)(f: => Long): Unit = {
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def time(key: String, label: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = f
-      println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s (rows=$n)")
+      val sec = (System.nanoTime() - t0) / 1e9
+      out(key) = sec
+      println(f"[probe] $label: $sec%.2f s (rows=$n)")
     }
-    time("llm_bpe_vocab_apply COLD (32-round train + readout)") {
+    time("llm_bpe_vocab_apply_cold", "llm_bpe_vocab_apply COLD (32-round train + readout)") {
       graft.queries.LlmExtra.llmBpeVocabApply(spark, dir).count()
     }
-    time("llm_bpe_vocab_apply WARM (memoized)") {
+    time("llm_bpe_vocab_apply_warm", "llm_bpe_vocab_apply WARM (memoized)") {
       graft.queries.LlmExtra.llmBpeVocabApply(spark, dir).count()
     }
-    time("llm_bpe_train COLD (6-round)") {
+    time("llm_bpe_train_cold", "llm_bpe_train COLD (6-round)") {
       graft.queries.LlmExtra.llmBpeTrain(spark, dir).count()
     }
-    time("llm_bpe_encode (apply 6 merges over probe slice)") {
+    time("llm_bpe_encode_cold", "llm_bpe_encode (apply 6 merges over probe slice)") {
       graft.queries.LlmExtra.llmBpeEncode(spark, dir).count()
     }
+    // committed artifact (BENCH_BPEDEEP.json) so BASELINE.md's cold-cost
+    // citations stay check_baseline.py-verifiable
+    val json = out.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_BPEDEEP.json"),
+      s"""{"metric":"bpe_deep_cold","queries":$json,"sf":"$dir"}\n""")
     spark.stop()
   }
 }
