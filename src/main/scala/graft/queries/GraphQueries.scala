@@ -903,8 +903,12 @@ object GraphQueries {
     * map-combined (a, b) census + TakeOrdered. */
   def graphWalkSkipgram(s: SparkSession, dir: String): DataFrame = {
     val v = uniformWalkVisits(s, dir)
+    // shuffle_hash: sort-merge would sort BOTH visit streams just to
+    // zip 5-row walker buckets — hashing one side skips the sorts and
+    // stays walker-partitioned at any graph size
     v.select(col("walker"), col("node").as("a"), col("step").as("sa"))
-      .join(v.select(col("walker"), col("node").as("b"), col("step").as("sb")), "walker")
+      .join(v.select(col("walker"), col("node").as("b"), col("step").as("sb"))
+        .hint("shuffle_hash"), "walker")
       .filter(abs(col("sa") - col("sb")) <= 2 && col("sa") =!= col("sb"))
       .groupBy("a", "b")
       .agg(count(lit(1)).as("n_pairs"))

@@ -254,6 +254,8 @@ class PlanShapeSpec extends GraftSpec {
     val p = plan(graft.queries.GraphQueries.graphWalkSkipgram(spark, sfDir))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"pairing must be the walker equi-join, never all-pairs:\n${p.take(3000)}")
+    assert(p.contains("ShuffledHashJoin"),
+      s"5-row walker buckets must hash-join, not sort both streams:\n${p.take(3000)}")
     assert("HashAggregate".r.findAllIn(p).size >= 2,
       "pair census must map-side combine (partial + final)")
     assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
