@@ -3389,7 +3389,7 @@ object OracleSql {
       chi AS (SELECT CAST(sum(term_micro) AS BIGINT) AS chi2_micro FROM scored)
       SELECT digit, n_obs, n_total, exp_micro, term_micro, chi.chi2_micro,
              CAST(8 AS BIGINT) AS df,
-             chi.chi2_micro >= 15507311 AS benford_reject
+             chi.chi2_micro >= 15507314 AS benford_reject
       FROM scored, chi ORDER BY digit""",
 
     "dq_freshness" -> """
@@ -4880,9 +4880,9 @@ object OracleSql {
         FROM daily a, (SELECT unnest(range(-7, 8)) AS lag) l
         JOIN daily b ON b.i = a.i + l.lag)
       SELECT CAST(lag AS INT) AS lag, CAST(count(*) AS BIGINT) AS n_pairs,
-             CAST(count(*) * sum(CAST(x AS HUGEINT) * y) - sum(CAST(x AS HUGEINT)) * sum(CAST(y AS HUGEINT)) AS DECIMAL(38,0)) AS sxy_num,
-             CAST(count(*) * sum(CAST(x AS HUGEINT) * x) - sum(CAST(x AS HUGEINT)) * sum(CAST(x AS HUGEINT)) AS DECIMAL(38,0)) AS sxx_num,
-             CAST(count(*) * sum(CAST(y AS HUGEINT) * y) - sum(CAST(y AS HUGEINT)) * sum(CAST(y AS HUGEINT)) AS DECIMAL(38,0)) AS syy_num
+             CAST(count(*) * sum(CAST(x AS HUGEINT) * y) - sum(CAST(x AS HUGEINT)) * sum(CAST(y AS HUGEINT)) AS BIGINT) AS sxy_num,
+             CAST(count(*) * sum(CAST(x AS HUGEINT) * x) - sum(CAST(x AS HUGEINT)) * sum(CAST(x AS HUGEINT)) AS BIGINT) AS sxx_num,
+             CAST(count(*) * sum(CAST(y AS HUGEINT) * y) - sum(CAST(y AS HUGEINT)) * sum(CAST(y AS HUGEINT)) AS BIGINT) AS syy_num
       FROM lagged GROUP BY 1 ORDER BY lag""",
 
     // the sequential DP solved RELATIONALLY: anti-diagonal recursion —

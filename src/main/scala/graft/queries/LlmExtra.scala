@@ -1712,20 +1712,21 @@ object LlmExtra {
         val scratchRoot =
           s"${sys.props("java.io.tmpdir")}/graft_dupspan_${ProcessHandle.current().pid()}"
         // loud per-bucket scratch accounting (round-11, judge-requested):
-        // bytes currently under the block managers' local dirs (shuffle
-        // files + spilled/persisted blocks live there in local mode).
-        // Measured at the bucket's peak (before unpersist+drop) and
-        // after reclamation — a post-drop residue above the budget means
-        // deterministic reclamation failed and must be SAID, not guessed
-        // from wall-clock.
+        // bytes currently under THIS app's block-manager local dirs
+        // (shuffle files + spilled/persisted blocks live there in local
+        // mode) — scoped via the diskBlockManager, NOT a tmpdir
+        // `blockmgr-*` glob, which would also sum other concurrent Spark
+        // JVMs on the host (parallel test forks, a concurrent bench) and
+        // fire the over-budget diagnostic falsely. Measured at the
+        // bucket's peak (before unpersist+drop) and after reclamation —
+        // a post-drop residue above the budget means deterministic
+        // reclamation failed and must be SAID, not guessed from
+        // wall-clock.
         def scratchBytes(): Long = {
           def du(f: java.io.File): Long =
             if (f.isFile) f.length
             else Option(f.listFiles).map(_.map(du).sum).getOrElse(0L)
-          val tmp = new java.io.File(sys.props("java.io.tmpdir"))
-          Option(tmp.listFiles).getOrElse(Array.empty[java.io.File])
-            .filter(f => f.isDirectory && f.getName.startsWith("blockmgr-"))
-            .map(du).sum
+          org.apache.spark.graft.ShuffleScratch.localScratchDirs().map(du).sum
         }
         val parts = (0 until nBuckets).map { b =>
           // persist THIS bucket's positional gram slice ONCE: census and

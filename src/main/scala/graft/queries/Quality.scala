@@ -350,8 +350,12 @@ object Quality {
     * end-to-end: term_d = ⌊(10⁶·O_d − n·ppm_d)² / (n·ppm_d)⌋ is χ²·10⁶
     * units with the square carried in DECIMAL(38,0) (HUGEINT in the
     * oracle — BIGINT would wrap at ~sf10). The verdict follows the
-    * floored-integer discipline: Σterms ≥ ⌈χ²₀.₀₅(8)·10⁶⌉ = 15 507 311
-    * implies the true χ² exceeded the critical value too.
+    * floored-integer discipline: each term is floored so Σterms ≤ true
+    * χ²·10⁶, and Σterms ≥ ⌈χ²₀.₀₅(8)·10⁶⌉ = ⌈15 507 313.06⌉ =
+    * 15 507 314 therefore implies the true χ² exceeded the critical
+    * value too (a threshold below the true ceiling would not be sound:
+    * Σterms in [⌈·⌉−k, ⌈·⌉−1] could reject while true χ² sits under
+    * the critical value).
     *
     * Scale: ONE map-combined corpus aggregate to the ≤9-row digit
     * census; every window/join below it runs on those 9 rows (the
@@ -383,7 +387,7 @@ object Quality {
     scored.crossJoin(broadcast(chi))
       .select(col("digit"), col("n_obs"), col("n_total"), col("exp_micro"),
         col("term_micro"), col("chi2_micro"), lit(8L).as("df"),
-        (col("chi2_micro") >= lit(15507311L)).as("benford_reject"))
+        (col("chi2_micro") >= lit(15507314L)).as("benford_reject"))
       .orderBy("digit")
   }
 

@@ -778,10 +778,12 @@ object TimeSeries {
     * 15-lag fan-out explodes the TINY daily frame (constant 15×) and
     * re-joins it on the shifted index — one equi-join + one map-
     * combined aggregate over ≤ 15·days rows. The products/sums run in
-    * DECIMAL(38,0) (the `ts_bollinger_breakout` discipline): BIGINT
-    * would wrap SILENTLY in Spark past ~sf100 daily volumes while the
-    * DuckDB oracle's HUGEINT raises — decimal keeps both engines
-    * exact and loud at any decade. */
+    * DECIMAL(38,0) (the `ts_bollinger_breakout` discipline) so the
+    * INTERNAL arithmetic never wraps silently, but the three OUTPUT
+    * numerators are cast back to BIGINT on both engines: n·Σxy is
+    * ~4×10¹⁴ at sf100 (headroom to ~sf10000 inside 2⁶³), and under
+    * ANSI mode an overflowing narrowing cast raises rather than
+    * wrapping — exact, loud, and a hash-stable long column. */
   def tsLeadLag(s: SparkSession, dir: String): DataFrame = {
     val daily = t(s, dir, "events")
       .groupBy(to_date(col("ts")).as("day"))
@@ -800,9 +802,9 @@ object TimeSeries {
       .join(daily.select(col("i").as("j"), col("y")), "j")
       .groupBy("lag")
       .agg(count(lit(1)).as("n_pairs"),
-        d38(count(lit(1)) * sum(d38(col("x")) * d38(col("y"))) - sum(d38(col("x"))) * sum(d38(col("y")))).as("sxy_num"),
-        d38(count(lit(1)) * sum(d38(col("x")) * d38(col("x"))) - sum(d38(col("x"))) * sum(d38(col("x")))).as("sxx_num"),
-        d38(count(lit(1)) * sum(d38(col("y")) * d38(col("y"))) - sum(d38(col("y"))) * sum(d38(col("y")))).as("syy_num"))
+        (count(lit(1)) * sum(d38(col("x")) * d38(col("y"))) - sum(d38(col("x"))) * sum(d38(col("y")))).cast("bigint").as("sxy_num"),
+        (count(lit(1)) * sum(d38(col("x")) * d38(col("x"))) - sum(d38(col("x"))) * sum(d38(col("x")))).cast("bigint").as("sxx_num"),
+        (count(lit(1)) * sum(d38(col("y")) * d38(col("y"))) - sum(d38(col("y"))) * sum(d38(col("y")))).cast("bigint").as("syy_num"))
       .orderBy("lag")
     graft.operators.GraftCaches.register(daily)
     out

@@ -36,6 +36,19 @@ object ShuffleScratch {
       case _ => Set.empty
     }
 
+  /** THIS application's block-manager local dirs (shuffle files and
+    * spilled/persisted disk blocks live under these). Exposed so
+    * scratch accounting can walk exactly this app's directories —
+    * globbing `java.io.tmpdir` for `blockmgr-*` also sums OTHER
+    * concurrent Spark JVMs on the host (parallel sbt test forks, a
+    * concurrent bench), inflating peaks and firing the over-budget
+    * diagnostic falsely. `DiskBlockManager.localDirs` is
+    * `private[spark]`, hence lives in this shim. */
+  def localScratchDirs(): Seq[java.io.File] =
+    Option(SparkEnv.get)
+      .map(_.blockManager.diskBlockManager.localDirs.toSeq)
+      .getOrElse(Seq.empty)
+
   /** Unregister + delete the given shuffles' map output state and
     * files, synchronously (blocking=true: the point is that the NEXT
     * bucket starts with the scratch actually freed). Errors are

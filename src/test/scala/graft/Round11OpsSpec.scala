@@ -184,6 +184,6 @@ class Round11OpsSpec extends GraftSpec {
     assert(rows.forall(_._6 == chi2))
     assert(rows.map(_._5).sum == chi2, "chi2_micro must equal the term sum")
     assert(rows.forall(_._7 == 8L), "df is 8 for 9 first-digit classes")
-    assert(rows.forall(_._8 == (chi2 >= 15507311L)), "verdict must match the integer threshold")
+    assert(rows.forall(_._8 == (chi2 >= 15507314L)), "verdict must match the integer threshold")
   }
 }
