@@ -440,7 +440,11 @@ object SparkEntry {
     // the node2vec training corpus: skip-gram pairs over the BIASED walks
     "graph_node2vec_skipgram" -> GraphQueries.graphNode2vecSkipgram _,
     // probe-slice inference under the 32 deep-trained merges
-    "llm_bpe_deep_encode" -> LlmExtra.llmBpeDeepEncode _
+    "llm_bpe_deep_encode" -> LlmExtra.llmBpeDeepEncode _,
+    // whole-corpus encoding under the 32 merges: per-lang fertility
+    "llm_bpe_corpus_fertility" -> LlmExtra.llmBpeCorpusFertility _,
+    // one modularity-gain pass over the LPA communities
+    "graph_louvain_one_level" -> GraphQueries.graphLouvainOneLevel _
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on

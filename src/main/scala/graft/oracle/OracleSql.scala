@@ -218,9 +218,12 @@ object OracleSql {
               FROM documents WHERE doc_id < 4000)
         WHERE w <> '' GROUP BY w""")
 
-  private def bpeEncodeSqlFor(R: Int, trainV0Body: String): String = {
-    val trainStages = bpeTrainStages(R)
-    val applyStages = (1 to R).map { r =>
+  /** The R apply stages shared by the encode oracles and the corpus
+    * fertility oracle: each stage re-runs the gaps-and-islands greedy
+    * merge of that round's trained argmax pair (b$r) over the APPLY word
+    * state e${"$"}{r-1} → e$r. */
+  private def bpeApplyStages(R: Int): String =
+    (1 to R).map { r =>
       s"""et$r AS MATERIALIZED (
          |        SELECT w, wn, p.i AS i, p.t AS t, p.nxt AS nxt
          |        FROM (SELECT w, wn,
@@ -250,20 +253,64 @@ object OracleSql {
          |        WHERE g.i IS NULL
          |        GROUP BY m.w, m.wn)""".stripMargin
     }.mkString(",\n      ")
+
+  private def bpeEncodeSqlFor(R: Int, trainV0Body: String): String = {
     s"""
       WITH v0 AS MATERIALIZED (
         $trainV0Body),
-      $trainStages,
+      ${bpeTrainStages(R)},
       e0 AS MATERIALIZED (
         SELECT w, CAST(count(*) AS BIGINT) AS wn,
                trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS toks
         FROM (SELECT unnest(string_split(text, ' ')) AS w
               FROM documents WHERE doc_id % 7 = 3)
         WHERE w <> '' GROUP BY w),
-      $applyStages
+      ${bpeApplyStages(R)}
       SELECT w, wn, toks,
              CAST(len(string_split(toks, ' ')) AS BIGINT) AS n_toks
       FROM e$R ORDER BY wn DESC, w LIMIT 30"""
+  }
+
+  /** llm_bpe_corpus_fertility: 32 rich-training stages, then the apply
+    * stages over the WHOLE-corpus word census (every doc_id — no probe
+    * filter), joined to the per-(lang, word) census for the per-language
+    * fertility and compression readout. Same half-up integer ratio as
+    * the engine's Num.ratio. */
+  private def bpeCorpusFertilitySql: String = {
+    val R = 32
+    s"""
+      WITH v0 AS MATERIALIZED (
+        SELECT w, CAST(count(*) AS BIGINT) AS wn,
+               trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS toks
+        FROM (SELECT unnest(string_split(p_name, ' ')) AS w FROM part
+              UNION ALL
+              SELECT unnest(string_split(text, ' ')) AS w
+              FROM documents WHERE doc_id < 4000)
+        WHERE w <> '' GROUP BY w),
+      ${bpeTrainStages(R)},
+      e0 AS MATERIALIZED (
+        SELECT w, CAST(count(*) AS BIGINT) AS wn,
+               trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS toks
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE w <> '' GROUP BY w),
+      ${bpeApplyStages(R)},
+      vocab AS (
+        SELECT w, CAST(len(string_split(toks, ' ')) AS BIGINT) AS n_toks
+        FROM e$R),
+      lang_words AS (
+        SELECT lang, w, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE w <> '' GROUP BY lang, w),
+      agg AS (
+        SELECT lang,
+               CAST(sum(cnt) AS BIGINT) AS n_words,
+               CAST(sum(cnt * n_toks) AS BIGINT) AS n_tokens,
+               CAST(sum(cnt * len(w)) AS BIGINT) AS n_chars
+        FROM lang_words JOIN vocab USING (w) GROUP BY lang)
+      SELECT lang, n_words, n_tokens, n_chars,
+             ${N.ratio("n_tokens", "n_words", 4)} AS fertility,
+             ${N.ratio("n_chars", "n_tokens", 4)} AS chars_per_token
+      FROM agg ORDER BY lang"""
   }
 
   /** llm_bpe_vocab_apply: the DEEP unroll — 32 training stages over the
@@ -407,6 +454,7 @@ object OracleSql {
     "llm_bpe_encode" -> bpeEncodeSql,
     "llm_bpe_vocab_apply" -> bpeVocabApplySql,
     "llm_bpe_deep_encode" -> bpeDeepEncodeSql,
+    "llm_bpe_corpus_fertility" -> bpeCorpusFertilitySql,
     "scan_parquet_project" -> """
       SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
       FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""",
@@ -4418,6 +4466,62 @@ object OracleSql {
       FROM nodc n JOIN degc d USING (community)
       LEFT JOIN inc i USING (community) CROSS JOIN twom t
       ORDER BY n.community""",
+
+    // same LPA 3-round chain, extended with the one-sweep Louvain
+    // local-move gain: ΔQ·2m² = 2m·(k_ic − k_icur) − k_i·(tot_c −
+    // tot_cur + k_i), all BIGINT; argmax (gain DESC, c ASC), moved
+    // nodes only
+    "graph_louvain_one_level" -> """
+      WITH docs AS (SELECT doc_id, source, lang, n_chars FROM documents WHERE doc_id < 1200),
+      blocks AS (
+        SELECT doc_id AS u, concat_ws('|', 's', source, CAST(n_chars // 100 AS VARCHAR)) AS bk FROM docs
+        UNION ALL
+        SELECT doc_id AS u, concat_ws('|', 'l', lang, CAST(n_chars // 50 AS VARCHAR)) AS bk FROM docs),
+      edges AS (
+        SELECT DISTINCT a.u AS u, b.u AS v
+        FROM blocks a JOIN blocks b USING (bk) WHERE a.u < b.u),
+      adj AS (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+      l0 AS (SELECT DISTINCT u AS node, u AS label FROM adj),
+      n1 AS (SELECT a.u AS node, l.label, count(*) AS c
+             FROM adj a JOIN l0 l ON a.v = l.node GROUP BY 1, 2),
+      l1 AS (SELECT node, label FROM (
+               SELECT node, label, row_number() OVER (PARTITION BY node
+                 ORDER BY c DESC, label) AS rn FROM n1) WHERE rn = 1),
+      n2 AS (SELECT a.u AS node, l.label, count(*) AS c
+             FROM adj a JOIN l1 l ON a.v = l.node GROUP BY 1, 2),
+      l2 AS (SELECT node, label FROM (
+               SELECT node, label, row_number() OVER (PARTITION BY node
+                 ORDER BY c DESC, label) AS rn FROM n2) WHERE rn = 1),
+      n3 AS (SELECT a.u AS node, l.label, count(*) AS c
+             FROM adj a JOIN l2 l ON a.v = l.node GROUP BY 1, 2),
+      l3 AS (SELECT node, label FROM (
+               SELECT node, label, row_number() OVER (PARTITION BY node
+                 ORDER BY c DESC, label) AS rn FROM n3) WHERE rn = 1),
+      deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY 1),
+      twom AS (SELECT CAST(sum(deg) AS BIGINT) AS twom FROM deg),
+      tot AS (SELECT l.label AS c, CAST(sum(d.deg) AS BIGINT) AS tot
+              FROM l3 l JOIN deg d USING (node) GROUP BY 1),
+      kic AS (SELECT a.u AS node, l.label AS c, CAST(count(*) AS BIGINT) AS k_ic
+              FROM adj a JOIN l3 l ON a.v = l.node GROUP BY 1, 2),
+      base AS (SELECT k.node, k.c, k.k_ic, cur.label AS cur
+               FROM kic k JOIN l3 cur USING (node)),
+      own AS (SELECT node, k_ic AS k_icur FROM base WHERE c = cur),
+      g AS (
+        SELECT b.node, b.cur, b.c, b.k_ic, coalesce(o.k_icur, 0) AS k_icur, d.deg,
+               t.twom * (b.k_ic - coalesce(o.k_icur, 0))
+                 - d.deg * (tc.tot - tu.tot + d.deg) AS gain_scaled
+        FROM base b LEFT JOIN own o USING (node)
+        JOIN deg d USING (node)
+        JOIN tot tc ON tc.c = b.c
+        JOIN tot tu ON tu.c = b.cur
+        CROSS JOIN twom t
+        WHERE b.c <> b.cur)
+      SELECT node, cur AS from_community, c AS to_community,
+             deg AS k_i, k_icur, k_ic AS k_to, CAST(gain_scaled AS BIGINT) AS gain_scaled
+      FROM (SELECT *, row_number() OVER (PARTITION BY node
+              ORDER BY gain_scaled DESC, c) AS rn FROM g)
+      WHERE rn = 1 AND gain_scaled > 0
+      ORDER BY node""",
 
     // decompose chain re-derived, then exact n-scaled variance
     // numerators in HUGEINT; only the final ratio is float (round 6)

@@ -558,6 +558,66 @@ object GraphQueries {
       .orderBy("community")
   }
 
+  /** ONE synchronous Louvain local-move sweep over the LPA
+    * communities — the community-detection family's QUALITY-IMPROVING
+    * member next to LPA's label-adopting one: for every node, the
+    * modularity gain of moving it from its current community into each
+    * NEIGHBORING community, and the argmax move if any gain is
+    * positive. The gain is `graph_modularity`'s exact-integer algebra
+    * applied to a single move — ΔQ·2m² = 2m·(k_{i,c} − k_{i,cur}) −
+    * k_i·(tot_c − (tot_cur − k_i)) with k_{i,c} = edges from i into c
+    * and tot_c = community degree mass — so the scaled gain is a
+    * BIGINT, never a float, and the (gain DESC, community ASC) argmax
+    * is fully deterministic. Output: one row per MOVED node (positive
+    * best gain) with the move and its sufficient statistics; an empty
+    * community never appears because candidates are neighbor
+    * communities by construction. Evaluated synchronously against the
+    * frozen LPA state (every node sees the same censuses), the
+    * standard parallel-Louvain sweep — the sequential variant's
+    * in-pass census updates are inherently serial and belong to a
+    * driver loop, not a 1000-executor plan.
+    *
+    * Scale: k_{i,c} is ONE adjacency⋈labels equi-join + a
+    * map-combined (node, community) census; tot is |communities|
+    * rows; 2m is a broadcast single row. Everything shuffles on node
+    * or community keys — the same shapes as the LPA rounds
+    * themselves, nothing quadratic. */
+  def graphLouvainOneLevel(s: SparkSession, dir: String): DataFrame = {
+    val lab = lpaLabels(s, dir)
+    val degN = symDeg(s, dir).select(col("u").as("node"), col("deg"))
+    val tot = lab.join(degN, "node")
+      .groupBy(col("label").as("c")).agg(sum("deg").as("tot"))
+    val twoM = degN.agg(sum("deg").as("twom"))
+    // edges from each node into each neighboring community: adjacency
+    // with the NEIGHBOR's community attached, counted per (node, c)
+    val kic = symAdj(s, dir)
+      .join(lab.select(col("node").as("v"), col("label").as("c")), "v")
+      .groupBy(col("u").as("node"), col("c"))
+      .agg(count(lit(1)).as("k_ic"))
+    val base = kic.join(lab.select(col("node"), col("label").as("cur")), "node")
+    // k_{i,cur}: edges into the node's OWN community (0 when no
+    // neighbor shares it — the left join below)
+    val own = base.filter(col("c") === col("cur"))
+      .select(col("node"), col("k_ic").as("k_icur"))
+    base.filter(col("c") =!= col("cur"))
+      .join(own, Seq("node"), "left")
+      .na.fill(0L, Seq("k_icur"))
+      .join(degN, "node")
+      .join(tot, "c")
+      .join(tot.select(col("c").as("cur"), col("tot").as("tot_cur")), "cur")
+      .crossJoin(broadcast(twoM))
+      .withColumn("gain_scaled",
+        col("twom") * (col("k_ic") - col("k_icur")) -
+          col("deg") * (col("tot") - col("tot_cur") + col("deg")))
+      .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("node").orderBy(desc("gain_scaled"), col("c"))))
+      .filter(col("rn") === 1 && col("gain_scaled") > 0)
+      .select(col("node"), col("cur").as("from_community"),
+        col("c").as("to_community"), col("deg").as("k_i"),
+        col("k_icur"), col("k_ic").as("k_to"), col("gain_scaled"))
+      .orderBy("node")
+  }
+
   /** Degree-mixing co-moments — the assortativity readout as EXACT
     * integers: over every directed edge of the similarity graph, the
     * endpoint-degree co-moment table (n, Σx, Σy, Σxy, Σx², Σy² with

@@ -1391,6 +1391,60 @@ object LlmExtra {
       .limit(30)
   }
 
+  /** CORPUS-scale tokenizer evaluation — the operator a production
+    * tokenizer pipeline actually runs: encode the ENTIRE documents
+    * corpus (every doc, not the ≡3 mod 7 probe slice the encode rows
+    * grade) under the 32 rich-trained merges, and report per-LANGUAGE
+    * fertility (tokens per word — the number multilingual tokenizer
+    * papers lead with) and compression (chars per token). A language
+    * whose fertility runs high is under-served by the learned merges —
+    * the readout that drives vocab-size / training-mix decisions.
+    *
+    * Scale — the proof the Sennrich vocab trick holds when the APPLY
+    * side is corpus-wide, not probe-sized: the corpus is read exactly
+    * TWICE, both map-combined censuses (the distinct-word vocab with
+    * global frequencies, and the per-(lang, word) count table); all 32
+    * merge applications run on the bounded VOCAB (same shared
+    * `bpeMergeStep` + eager-localCheckpoint + stats-reset-view
+    * discipline as every loop in this family), and the fertility join
+    * is (lang, word)-census × vocab — both bounded by |vocab|, nothing
+    * corpus-sized ever re-shuffles. Training is shared with
+    * `llm_bpe_vocab_apply`/`llm_bpe_deep_encode` via the (session, dir)
+    * memo, so Bench's passes train once. */
+  def llmBpeCorpusFertility(s: SparkSession, dir: String): DataFrame = {
+    // per-(lang, word) corpus census — corpus-linear, map-combined
+    val langWords = t(s, dir, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("lang", "w").agg(count(lit(1)).as("cnt"))
+    // whole-corpus vocab (every doc_id — no probe filter) encoded under
+    // all 32 rich-trained merges
+    val corpus = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    var vStore = bpeInitWords(corpus).persist()
+    var v: DataFrame = vStore
+    richTrained(s, dir)._1.foreach { case (_, pair, _) =>
+      val Array(x, y) = pair.split(" ", 2)
+      val ck = bpeMergeStep(v, x, y).localCheckpoint(true)
+      vStore.unpersist(blocking = false)
+      vStore = ck
+      v = org.apache.spark.sql.graftbridge.Bridge.freshStatsView(ck)
+    }
+    graft.operators.GraftCaches.register(vStore)
+    val vocab = vStore.select(col("w"),
+      size(split(col("toks"), " ")).cast("long").as("n_toks"))
+    langWords.join(vocab, "w")
+      .groupBy("lang")
+      .agg(sum("cnt").as("n_words"),
+        sum(col("cnt") * col("n_toks")).as("n_tokens"),
+        sum(col("cnt") * length(col("w")).cast("long")).as("n_chars"))
+      .select(col("lang"), col("n_words"), col("n_tokens"), col("n_chars"),
+        graft.queries.Num.ratio(col("n_tokens"), col("n_words"), 4).as("fertility"),
+        graft.queries.Num.ratio(col("n_chars"), col("n_tokens"), 4).as("chars_per_token"))
+      .orderBy("lang")
+  }
+
   /** p_name tokens ∪ documents tokens — the deep-BPE training stream. */
   private def richWords(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "part").select(explode(split(col("p_name"), " ")).as("w"))
@@ -1743,14 +1797,23 @@ object LlmExtra {
           val path = s"$scratchRoot/b$b"
           dupPositions(slice, censusOf(slice.select("doc_id", "gh")))
             .write.mode("overwrite").parquet(path)
+          // the du walk is timed SEPARATELY (round-12: three sf100
+          // samples trended 606→660→683 s and the walk was suspect #1
+          // — the printed seconds settle whether accounting is part of
+          // the trend or pennies against the query)
+          val duT0 = System.nanoTime()
           val peak = scratchBytes()
+          val duPeakSec = (System.nanoTime() - duT0) / 1e9
           slice.unpersist(blocking = true)
           org.apache.spark.graft.ShuffleScratch.drop(s.sparkContext,
             org.apache.spark.graft.ShuffleScratch.activeShuffleIds(s.sparkContext) -- before)
+          val duT1 = System.nanoTime()
           val after = scratchBytes()
+          val duAfterSec = (System.nanoTime() - duT1) / 1e9
           System.err.println(
             s"[graft] llm_dup_span bucket $b/$nBuckets: peak scratch ${peak}B, " +
-              s"post-drop ${after}B (budget ${budget}B)")
+              s"post-drop ${after}B (budget ${budget}B), " +
+              f"du walks $duPeakSec%.2f+$duAfterSec%.2f s")
           if (after > budget) System.err.println(
             s"[graft] llm_dup_span bucket $b: POST-DROP scratch ${after}B EXCEEDS " +
               s"the ${budget}B budget — deterministic reclamation did not free " +

@@ -8,6 +8,13 @@ Totals and per-query times are divided by each run's anchor before
 comparing, so a uniformly loaded host cancels out; queries whose
 normalized ratio exceeds the threshold (default 1.5) are listed as real
 suspects. Without anchors this falls back to raw ratios and says so.
+
+Round 12+: artifacts also carry "anchor_shuffle_sec" (a fixed two-exchange
+shuffle sentinel). The CPU anchor misses scheduler/IO weather (r11 closing
+samples: 1.32x normalized spread at equal CPU anchors); the shuffle anchor
+reads it. Interpretation: CPU-normalized total high AND shuffle ratio high
+=> scheduler/IO contention, not a regression; CPU-normalized high at a
+FLAT shuffle ratio => investigate the engine.
 """
 import json, sys
 
@@ -21,6 +28,17 @@ def main(old_p, new_p, thr=1.5):
     tot_o, tot_n = old["value"] / ao, new["value"] / an
     print(f"total: {old['value']:.1f}s/{ao:.3f} vs {new['value']:.1f}s/{an:.3f} "
           f"-> normalized {tot_o:.1f} vs {tot_n:.1f} ({tot_n / tot_o:.2f}x)")
+    so, sn = old.get("anchor_shuffle_sec"), new.get("anchor_shuffle_sec")
+    if so and sn and so > 0 and sn > 0:
+        # shuffle weather relative to CPU weather: the scheduler/IO axis
+        # the CPU anchor is blind to
+        rel = (sn / an) / (so / ao) if norm else sn / so
+        print(f"shuffle anchor: {so:.3f} -> {sn:.3f} "
+              f"(shuffle/CPU weather ratio {rel:.2f}x"
+              f"{'; scheduler/IO contention in NEW' if rel > 1.25 else ''}"
+              f"{'; scheduler/IO contention in OLD' if rel < 0.8 else ''})")
+    elif so or sn:
+        print("WARN: only one artifact has anchor_shuffle_sec - scheduler/IO axis unread")
     qs_o, qs_n = old.get("queries", {}), new.get("queries", {})
     common = sorted(set(qs_o) & set(qs_n))
     sus = []
