@@ -1292,44 +1292,63 @@ object LlmExtra {
     * stream (`llm_bpe_train`'s exact loop, shared via the
     * session-memoized `trainedMerges` so the 13-action training runs
     * once per session across both consumers), then ENCODE a probe
-    * slice (doc_id ≡ 3 mod 7) by
-    * applying every learned merge in rank order to each word — the same
-    * `bpeMergeStep` greedy-left-to-right window, now applied to ALL
-    * occurrences of the pair instead of counting an argmax. Output: the
-    * 30 most frequent probe words with their final segmentation and
-    * token count — the fertility readout tokenizer evaluations lead
-    * with.
+    * slice (doc_id ≡ 3 mod 7) by applying every learned merge in rank
+    * order to each word. Output: the 30 most frequent probe words with
+    * their final segmentation and token count — the fertility readout
+    * tokenizer evaluations lead with.
     *
-    * Scale: training's per-round census is map-combined over the
-    * bounded VOCAB (Sennrich's trick, see llm_bpe_train); encoding is
-    * |merges| chained keyed windows over the probe vocab — each merge a
-    * fixed-size broadcast-free transform, nothing corpus-quadratic.
-    * The final word state registers with GraftCaches (the returned
-    * plan reads it lazily). */
+    * Scale — encode is NOT a loop, unlike training: each training
+    * round's argmax depends on the state every earlier merge produced
+    * (inherently iterative, hence `bpeMergeStep`'s chained windows),
+    * but APPLYING a fixed merge list is per-word-independent — one
+    * linear greedy scan per merge per word, no cross-row dependence at
+    * all. So encoding is ONE map over the vocab census (`bpeApply`, the
+    * same greedy-left-to-right semantics the windowed step implements,
+    * proven equivalent by Round12OpsSpec's sequential replay), not
+    * |merges| chained shuffles: the round-12 rewrite cut the three
+    * apply-side queries from ~0.2 s/merge/query to one job each.
+    * Training's per-round census stays map-combined over the bounded
+    * VOCAB (Sennrich's trick, see llm_bpe_train). */
   def llmBpeEncode(s: SparkSession, dir: String): DataFrame = {
     val probe = t(s, dir, "documents").filter(col("doc_id") % 7 === 3)
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
-    var vStore = bpeInitWords(probe).persist()
-    var v: DataFrame = vStore
-    trainedMerges(s, dir).foreach { case (_, pair, _) =>
-      val Array(x, y) = pair.split(" ", 2)
-      // eager localCheckpoint per merge (the ~4^r logical-plan-growth
-      // lesson) + stats-reset view (the round-11 sequel: originStats
-      // compound ≈ s^(3^r) across checkpointed rounds — harmless at 6
-      // merges, a planning freeze past ~10; same discipline as
-      // bpeTrainFullOnWords so raising the merge count can never
-      // reintroduce the cliff)
-      val ck = bpeMergeStep(v, x, y).localCheckpoint(true)
-      vStore.unpersist(blocking = false)
-      vStore = ck
-      v = org.apache.spark.sql.graftbridge.Bridge.freshStatsView(ck)
+    val pairs = trainedMerges(s, dir).map { case (_, p, _) =>
+      val Array(x, y) = p.split(" ", 2); (x, y)
     }
-    graft.operators.GraftCaches.register(vStore)
-    vStore.select(col("w"), col("wn"), col("toks"),
+    bpeApply(probe, pairs)
+      .select(col("w"), col("wn"), col("toks"),
         size(split(col("toks"), " ")).cast("long").as("n_toks"))
       .orderBy(desc("wn"), col("w"))
       .limit(30)
+  }
+
+  /** Encode a word stream under a FIXED merge list: vocab census + one
+    * deterministic per-word map applying every merge in rank order as a
+    * greedy left-to-right linear scan — semantically identical to
+    * chaining `bpeMergeStep` (the windowed gaps-and-islands form used
+    * in training, where iteration is forced by the argmax), but ONE
+    * stage instead of |merges| chained shuffles. A plain Scala UDF, not
+    * a window: the per-word fold is pure CPU over a ≤word-length array,
+    * embarrassingly parallel over the vocab at any corpus size. */
+  private def bpeApply(words: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val ms = merges.toArray
+    val enc = udf { (w: String) =>
+      var toks: Array[String] = w.map(_.toString).toArray
+      ms.foreach { case (x, y) =>
+        val out = Array.newBuilder[String]
+        var i = 0
+        while (i < toks.length) {
+          if (i + 1 < toks.length && toks(i) == x && toks(i + 1) == y) {
+            out += (x + y); i += 2
+          } else { out += toks(i); i += 1 }
+        }
+        toks = out.result()
+      }
+      toks.mkString(" ")
+    }
+    words.groupBy("w").agg(count(lit(1)).as("wn"))
+      .withColumn("toks", enc(col("w")))
   }
 
   /** DEEP-merge BPE — `llm_bpe_train` exercised at the depth axis the
@@ -1363,29 +1382,22 @@ object LlmExtra {
   /** Deep-merge tokenizer INFERENCE — `llm_bpe_encode`'s 32-round twin:
     * the probe slice (doc_id ≡ 3 mod 7, the same slice the 6-round
     * encode grades, so fertility is directly comparable across merge
-    * depths) encoded under ALL 32 rich-trained merges in rank order,
-    * each a `bpeMergeStep` keyed window over the PROBE vocab with the
-    * stats-reset checkpoint discipline. Output: top-30 probe words with
-    * final segmentation + token count.
+    * depths) encoded under ALL 32 rich-trained merges in rank order.
+    * Output: top-30 probe words with final segmentation + token count.
     *
     * Scale: training is shared with `llm_bpe_vocab_apply` via the
-    * (session, dir) memo; encoding is |merges| chained vocab-bounded
-    * window transforms — nothing corpus-quadratic at any depth. */
+    * (session, dir) memo; encoding is ONE `bpeApply` map over the probe
+    * vocab (see llm_bpe_encode — apply has no cross-row dependence, so
+    * depth costs CPU per word, not 32 chained shuffles). */
   def llmBpeDeepEncode(s: SparkSession, dir: String): DataFrame = {
     val probe = t(s, dir, "documents").filter(col("doc_id") % 7 === 3)
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
-    var vStore = bpeInitWords(probe).persist()
-    var v: DataFrame = vStore
-    richTrained(s, dir)._1.foreach { case (_, pair, _) =>
-      val Array(x, y) = pair.split(" ", 2)
-      val ck = bpeMergeStep(v, x, y).localCheckpoint(true)
-      vStore.unpersist(blocking = false)
-      vStore = ck
-      v = org.apache.spark.sql.graftbridge.Bridge.freshStatsView(ck)
+    val pairs = richTrained(s, dir)._1.map { case (_, p, _) =>
+      val Array(x, y) = p.split(" ", 2); (x, y)
     }
-    graft.operators.GraftCaches.register(vStore)
-    vStore.select(col("w"), col("wn"), col("toks"),
+    bpeApply(probe, pairs)
+      .select(col("w"), col("wn"), col("toks"),
         size(split(col("toks"), " ")).cast("long").as("n_toks"))
       .orderBy(desc("wn"), col("w"))
       .limit(30)
@@ -1404,13 +1416,12 @@ object LlmExtra {
     * side is corpus-wide, not probe-sized: the corpus is read exactly
     * TWICE, both map-combined censuses (the distinct-word vocab with
     * global frequencies, and the per-(lang, word) count table); all 32
-    * merge applications run on the bounded VOCAB (same shared
-    * `bpeMergeStep` + eager-localCheckpoint + stats-reset-view
-    * discipline as every loop in this family), and the fertility join
-    * is (lang, word)-census × vocab — both bounded by |vocab|, nothing
-    * corpus-sized ever re-shuffles. Training is shared with
-    * `llm_bpe_vocab_apply`/`llm_bpe_deep_encode` via the (session, dir)
-    * memo, so Bench's passes train once. */
+    * merges apply in ONE `bpeApply` map over the bounded VOCAB (apply
+    * has no cross-row dependence — see llm_bpe_encode), and the
+    * fertility join is (lang, word)-census × vocab — both bounded by
+    * |vocab|, nothing corpus-sized ever re-shuffles. Training is shared
+    * with `llm_bpe_vocab_apply`/`llm_bpe_deep_encode` via the
+    * (session, dir) memo, so Bench's passes train once. */
   def llmBpeCorpusFertility(s: SparkSession, dir: String): DataFrame = {
     // per-(lang, word) corpus census — corpus-linear, map-combined
     val langWords = t(s, dir, "documents")
@@ -1422,17 +1433,10 @@ object LlmExtra {
     val corpus = t(s, dir, "documents")
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
-    var vStore = bpeInitWords(corpus).persist()
-    var v: DataFrame = vStore
-    richTrained(s, dir)._1.foreach { case (_, pair, _) =>
-      val Array(x, y) = pair.split(" ", 2)
-      val ck = bpeMergeStep(v, x, y).localCheckpoint(true)
-      vStore.unpersist(blocking = false)
-      vStore = ck
-      v = org.apache.spark.sql.graftbridge.Bridge.freshStatsView(ck)
+    val pairs = richTrained(s, dir)._1.map { case (_, p, _) =>
+      val Array(x, y) = p.split(" ", 2); (x, y)
     }
-    graft.operators.GraftCaches.register(vStore)
-    val vocab = vStore.select(col("w"),
+    val vocab = bpeApply(corpus, pairs).select(col("w"),
       size(split(col("toks"), " ")).cast("long").as("n_toks"))
     langWords.join(vocab, "w")
       .groupBy("lang")

@@ -15,7 +15,7 @@ import json, os, re, sys
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ARTIFACTS = ["BENCH_LOCAL.json", "BENCH_SF1.json", "BENCH_SF10.json",
              "BENCH_SF100.json", "BENCH_SF100B.json", "BENCH_SF100C.json",
-             "BENCH_SF100D.json", "BENCH_SF100E.json", "BENCH_SF100F.json",
+             "BENCH_SF100D.json", "BENCH_SF100E.json", "BENCH_SF100F.json", "BENCH_SF100G.json",
              "BENCH_BPEDEEP.json"]
 
 def load_queries():
