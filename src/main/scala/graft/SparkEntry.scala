@@ -444,7 +444,9 @@ object SparkEntry {
     // whole-corpus encoding under the 32 merges: per-lang fertility
     "llm_bpe_corpus_fertility" -> LlmExtra.llmBpeCorpusFertility _,
     // one modularity-gain pass over the LPA communities
-    "graph_louvain_one_level" -> GraphQueries.graphLouvainOneLevel _
+    "graph_louvain_one_level" -> GraphQueries.graphLouvainOneLevel _,
+    // the sweep applied: exact-integer Q before/after comparison
+    "graph_louvain_apply" -> GraphQueries.graphLouvainApply _
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on

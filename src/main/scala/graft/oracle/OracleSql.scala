@@ -218,6 +218,54 @@ object OracleSql {
               FROM documents WHERE doc_id < 4000)
         WHERE w <> '' GROUP BY w""")
 
+  /** The two-blocking graph + 3 LPA rounds + per-node Louvain gain
+    * table (`g`), shared by the graph_louvain_one_level readout and the
+    * graph_louvain_apply before/after modularity comparison. */
+  private def louvainCtes: String = """docs AS (SELECT doc_id, source, lang, n_chars FROM documents WHERE doc_id < 1200),
+      blocks AS (
+        SELECT doc_id AS u, concat_ws('|', 's', source, CAST(n_chars // 100 AS VARCHAR)) AS bk FROM docs
+        UNION ALL
+        SELECT doc_id AS u, concat_ws('|', 'l', lang, CAST(n_chars // 50 AS VARCHAR)) AS bk FROM docs),
+      edges AS (
+        SELECT DISTINCT a.u AS u, b.u AS v
+        FROM blocks a JOIN blocks b USING (bk) WHERE a.u < b.u),
+      adj AS MATERIALIZED (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+      l0 AS (SELECT DISTINCT u AS node, u AS label FROM adj),
+      n1 AS (SELECT a.u AS node, l.label, count(*) AS c
+             FROM adj a JOIN l0 l ON a.v = l.node GROUP BY 1, 2),
+      l1 AS (SELECT node, label FROM (
+               SELECT node, label, row_number() OVER (PARTITION BY node
+                 ORDER BY c DESC, label) AS rn FROM n1) WHERE rn = 1),
+      n2 AS (SELECT a.u AS node, l.label, count(*) AS c
+             FROM adj a JOIN l1 l ON a.v = l.node GROUP BY 1, 2),
+      l2 AS (SELECT node, label FROM (
+               SELECT node, label, row_number() OVER (PARTITION BY node
+                 ORDER BY c DESC, label) AS rn FROM n2) WHERE rn = 1),
+      n3 AS (SELECT a.u AS node, l.label, count(*) AS c
+             FROM adj a JOIN l2 l ON a.v = l.node GROUP BY 1, 2),
+      l3 AS MATERIALIZED (SELECT node, label FROM (
+               SELECT node, label, row_number() OVER (PARTITION BY node
+                 ORDER BY c DESC, label) AS rn FROM n3) WHERE rn = 1),
+      deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY 1),
+      twom AS (SELECT CAST(sum(deg) AS BIGINT) AS twom FROM deg),
+      tot AS (SELECT l.label AS c, CAST(sum(d.deg) AS BIGINT) AS tot
+              FROM l3 l JOIN deg d USING (node) GROUP BY 1),
+      kic AS (SELECT a.u AS node, l.label AS c, CAST(count(*) AS BIGINT) AS k_ic
+              FROM adj a JOIN l3 l ON a.v = l.node GROUP BY 1, 2),
+      base AS (SELECT k.node, k.c, k.k_ic, cur.label AS cur
+               FROM kic k JOIN l3 cur USING (node)),
+      own AS (SELECT node, k_ic AS k_icur FROM base WHERE c = cur),
+      g AS (
+        SELECT b.node, b.cur, b.c, b.k_ic, coalesce(o.k_icur, 0) AS k_icur, d.deg,
+               t.twom * (b.k_ic - coalesce(o.k_icur, 0))
+                 - d.deg * (tc.tot - tu.tot + d.deg) AS gain_scaled
+        FROM base b LEFT JOIN own o USING (node)
+        JOIN deg d USING (node)
+        JOIN tot tc ON tc.c = b.c
+        JOIN tot tu ON tu.c = b.cur
+        CROSS JOIN twom t
+        WHERE b.c <> b.cur)"""
+
   /** The R apply stages shared by the encode oracles and the corpus
     * fertility oracle: each stage re-runs the gaps-and-islands greedy
     * merge of that round's trained argmax pair (b$r) over the APPLY word
@@ -4470,58 +4518,49 @@ object OracleSql {
     // same LPA 3-round chain, extended with the one-sweep Louvain
     // local-move gain: ΔQ·2m² = 2m·(k_ic − k_icur) − k_i·(tot_c −
     // tot_cur + k_i), all BIGINT; argmax (gain DESC, c ASC), moved
-    // nodes only
-    "graph_louvain_one_level" -> """
-      WITH docs AS (SELECT doc_id, source, lang, n_chars FROM documents WHERE doc_id < 1200),
-      blocks AS (
-        SELECT doc_id AS u, concat_ws('|', 's', source, CAST(n_chars // 100 AS VARCHAR)) AS bk FROM docs
-        UNION ALL
-        SELECT doc_id AS u, concat_ws('|', 'l', lang, CAST(n_chars // 50 AS VARCHAR)) AS bk FROM docs),
-      edges AS (
-        SELECT DISTINCT a.u AS u, b.u AS v
-        FROM blocks a JOIN blocks b USING (bk) WHERE a.u < b.u),
-      adj AS (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
-      l0 AS (SELECT DISTINCT u AS node, u AS label FROM adj),
-      n1 AS (SELECT a.u AS node, l.label, count(*) AS c
-             FROM adj a JOIN l0 l ON a.v = l.node GROUP BY 1, 2),
-      l1 AS (SELECT node, label FROM (
-               SELECT node, label, row_number() OVER (PARTITION BY node
-                 ORDER BY c DESC, label) AS rn FROM n1) WHERE rn = 1),
-      n2 AS (SELECT a.u AS node, l.label, count(*) AS c
-             FROM adj a JOIN l1 l ON a.v = l.node GROUP BY 1, 2),
-      l2 AS (SELECT node, label FROM (
-               SELECT node, label, row_number() OVER (PARTITION BY node
-                 ORDER BY c DESC, label) AS rn FROM n2) WHERE rn = 1),
-      n3 AS (SELECT a.u AS node, l.label, count(*) AS c
-             FROM adj a JOIN l2 l ON a.v = l.node GROUP BY 1, 2),
-      l3 AS (SELECT node, label FROM (
-               SELECT node, label, row_number() OVER (PARTITION BY node
-                 ORDER BY c DESC, label) AS rn FROM n3) WHERE rn = 1),
-      deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY 1),
-      twom AS (SELECT CAST(sum(deg) AS BIGINT) AS twom FROM deg),
-      tot AS (SELECT l.label AS c, CAST(sum(d.deg) AS BIGINT) AS tot
-              FROM l3 l JOIN deg d USING (node) GROUP BY 1),
-      kic AS (SELECT a.u AS node, l.label AS c, CAST(count(*) AS BIGINT) AS k_ic
-              FROM adj a JOIN l3 l ON a.v = l.node GROUP BY 1, 2),
-      base AS (SELECT k.node, k.c, k.k_ic, cur.label AS cur
-               FROM kic k JOIN l3 cur USING (node)),
-      own AS (SELECT node, k_ic AS k_icur FROM base WHERE c = cur),
-      g AS (
-        SELECT b.node, b.cur, b.c, b.k_ic, coalesce(o.k_icur, 0) AS k_icur, d.deg,
-               t.twom * (b.k_ic - coalesce(o.k_icur, 0))
-                 - d.deg * (tc.tot - tu.tot + d.deg) AS gain_scaled
-        FROM base b LEFT JOIN own o USING (node)
-        JOIN deg d USING (node)
-        JOIN tot tc ON tc.c = b.c
-        JOIN tot tu ON tu.c = b.cur
-        CROSS JOIN twom t
-        WHERE b.c <> b.cur)
+    // nodes only (CTE chain shared with graph_louvain_apply)
+    "graph_louvain_one_level" -> s"""
+      WITH $louvainCtes
       SELECT node, cur AS from_community, c AS to_community,
              deg AS k_i, k_icur, k_ic AS k_to, CAST(gain_scaled AS BIGINT) AS gain_scaled
       FROM (SELECT *, row_number() OVER (PARTITION BY node
               ORDER BY gain_scaled DESC, c) AS rn FROM g)
       WHERE rn = 1 AND gain_scaled > 0
       ORDER BY node""",
+
+    // the sweep APPLIED: post-move labels, then the exact modularity
+    // numerator Q·(2m)² = 2m·Σin_c − Σd_c² for both partitions — the
+    // integer comparison IS the modularity comparison (same (2m)²
+    // denominator), so no ratio ever materializes
+    "graph_louvain_apply" -> s"""
+      WITH $louvainCtes,
+      moves AS (
+        SELECT node, c AS to_c
+        FROM (SELECT *, row_number() OVER (PARTITION BY node
+                ORDER BY gain_scaled DESC, c) AS rn FROM g)
+        WHERE rn = 1 AND gain_scaled > 0),
+      newlab AS (
+        SELECT l.node, coalesce(m.to_c, l.label) AS label
+        FROM l3 l LEFT JOIN moves m USING (node)),
+      cens_b AS (
+        SELECT lu.label AS community, CAST(count(*) AS BIGINT) AS deg_sum,
+               CAST(count(*) FILTER (WHERE lu.label = lv.label) AS BIGINT) AS in_edges
+        FROM adj a JOIN l3 lu ON a.u = lu.node JOIN l3 lv ON a.v = lv.node
+        GROUP BY 1),
+      cens_a AS (
+        SELECT lu.label AS community, CAST(count(*) AS BIGINT) AS deg_sum,
+               CAST(count(*) FILTER (WHERE lu.label = lv.label) AS BIGINT) AS in_edges
+        FROM adj a JOIN newlab lu ON a.u = lu.node JOIN newlab lv ON a.v = lv.node
+        GROUP BY 1),
+      qb AS (SELECT CAST(sum(deg_sum) AS BIGINT) AS twom,
+                    CAST(sum(deg_sum) * sum(in_edges) - sum(deg_sum * deg_sum) AS BIGINT) AS q_before_num
+             FROM cens_b),
+      qa AS (SELECT CAST(sum(deg_sum) * sum(in_edges) - sum(deg_sum * deg_sum) AS BIGINT) AS q_after_num
+             FROM cens_a)
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM moves) AS n_moved,
+             qb.twom, qb.q_before_num, qa.q_after_num,
+             qa.q_after_num > qb.q_before_num AS improved
+      FROM qb CROSS JOIN qa""",
 
     // decompose chain re-derived, then exact n-scaled variance
     // numerators in HUGEINT; only the final ratio is float (round 6)

@@ -46,7 +46,8 @@ class PlanLintSpec extends GraftSpec {
     "dq_mann_whitney", // single-row sample totals via broadcast cross join (round 10)
     "event_conversion_lag", // single-row clicker/converter totals via broadcast cross join (round 10)
     "dq_benford_gof", // single-row chi2 sum via broadcast cross join (round 11)
-    "graph_louvain_one_level") // single-row 2m total via broadcast cross join (round 12)
+    "graph_louvain_one_level", // single-row 2m total via broadcast cross join (round 12)
+    "graph_louvain_apply") // three single-row frames combined via broadcast cross joins (round 12)
 
   test("no query plans an unexpected cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

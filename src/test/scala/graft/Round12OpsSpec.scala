@@ -73,6 +73,43 @@ class Round12OpsSpec extends GraftSpec {
     }
   }
 
+  test("graph_louvain_apply: both Q numerators replay the sequential rebuild") {
+    val (adj, lab) = graphAndLabels()
+    val deg = adj.view.mapValues(_.size.toLong).toMap
+    val twom = deg.values.sum
+    val tot = lab.toSeq.groupBy(_._2).view
+      .mapValues(_.map { case (n, _) => deg(n) }.sum).toMap
+    // the same sequential argmax as the one_level spec
+    val moves = adj.keys.toSeq.sorted.flatMap { n =>
+      val cur = lab(n)
+      val kic = adj(n).groupBy(lab).view.mapValues(_.size.toLong).toMap
+      val kicur = kic.getOrElse(cur, 0L)
+      val cands = kic.keys.toSeq.sorted.filter(_ != cur).map { c =>
+        (c, twom * (kic(c) - kicur) - deg(n) * (tot(c) - tot(cur) + deg(n)))
+      }
+      cands.sortBy { case (c, g) => (-g, c) }.headOption
+        .filter(_._2 > 0).map { case (c, _) => n -> c }
+    }.toMap
+    def qNum(labels: Map[Long, Long]): Long = {
+      // directed-edge census per community: degree mass + within-edges
+      val byC = adj.toSeq.flatMap { case (u, nbrs) => nbrs.map(v => (labels(u), labels(v))) }
+        .groupBy(_._1)
+      val degSum = byC.view.mapValues(_.size.toLong).toMap
+      val inC = byC.view.mapValues(_.count { case (lu, lv) => lu == lv }.toLong).toMap
+      val m2 = degSum.values.sum
+      m2 * inC.values.sum - degSum.values.map(d => d * d).sum
+    }
+    val newLab = lab.map { case (n, l) => n -> moves.getOrElse(n, l) }
+    val r = GraphQueries.graphLouvainApply(spark, sfDir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(0) == moves.size, "n_moved")
+    assert(row.getLong(1) == twom, "twom")
+    assert(row.getLong(2) == qNum(lab), "q_before_num")
+    assert(row.getLong(3) == qNum(newLab), "q_after_num")
+    assert(row.getBoolean(4) == (qNum(newLab) > qNum(lab)), "improved verdict")
+  }
+
   /** Sequential BPE: census → 32 argmax merges → greedy left-to-right
     * application, all in plain Scala collections. */
   private def greedyMerge(toks: Vector[String], x: String, y: String): Vector[String] = {
