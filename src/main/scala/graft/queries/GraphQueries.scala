@@ -592,7 +592,7 @@ object GraphQueries {
   /** The sweep's positive-gain argmax moves — shared by the readout
     * (`graphLouvainOneLevel`) and the applier (`graphLouvainApply`).
     * Columns: node, cur, c (target), deg, k_icur, k_ic, gain_scaled. */
-  private def louvainMoves(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def louvainMoves(s: SparkSession, dir: String): DataFrame = {
     val lab = lpaLabels(s, dir)
     val degN = symDeg(s, dir).select(col("u").as("node"), col("deg"))
     val tot = lab.join(degN, "node")
@@ -650,10 +650,21 @@ object GraphQueries {
   def graphLouvainApply(s: SparkSession, dir: String): DataFrame = {
     val adj = symAdj(s, dir)
     val lab = lpaLabels(s, dir)
-    val moves = louvainMoves(s, dir)
-      .select(col("node"), col("c").as("to_c"))
-    val newLab = lab.join(moves, Seq("node"), "left")
-      .select(col("node"), coalesce(col("to_c"), col("label")).as("label"))
+    // the moves chain (census + 3 joins + 2 windows + a broadcast-2m
+    // cross join) feeds THREE consumers (newLab twice via the
+    // after-census, and n_moved). localCheckpoint, NOT persist: probed
+    // at sf0.1, every action over the CACHED moves frame still paid
+    // ~1.1 s re-preparing the plan's broadcast subtrees (an
+    // InMemoryTableScan does not short-circuit broadcast-exchange
+    // preparation), while the checkpoint-truncated frame reads in
+    // ~0.06 s — the same lesson as the BPE loops, at width 1.
+    val moves = graft.operators.GraftCaches.register(
+      louvainMoves(s, dir).select(col("node"), col("c").as("to_c"))
+        .localCheckpoint(true))
+    val newLab = graft.operators.GraftCaches.register(
+      lab.join(moves, Seq("node"), "left")
+        .select(col("node"), coalesce(col("to_c"), col("label")).as("label"))
+        .localCheckpoint(true))
     // Q numerator for a labeling: census per community (degree mass +
     // within-edges), then 2m·Σin_c − Σd_c² in one single-row aggregate
     def qNum(labels: DataFrame, outCol: String): DataFrame = {
