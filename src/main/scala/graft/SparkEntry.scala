@@ -446,7 +446,9 @@ object SparkEntry {
     // one modularity-gain pass over the LPA communities
     "graph_louvain_one_level" -> GraphQueries.graphLouvainOneLevel _,
     // the sweep applied: exact-integer Q before/after comparison
-    "graph_louvain_apply" -> GraphQueries.graphLouvainApply _
+    "graph_louvain_apply" -> GraphQueries.graphLouvainApply _,
+    // ANN evaluation: IVF recall@5 against the brute-force truth
+    "llm_sim_recall" -> LlmExtra.llmSimRecall _
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on

@@ -2422,6 +2422,64 @@ object OracleSql {
         FROM pairs)
       WHERE rnk <= 5 ORDER BY pid, rnk""",
 
+    // ANN recall: both parents' chains over ONE shared norms CTE —
+    // brute-force truth top-5 vs IVF candidate top-5, per-probe
+    // intersection count, half-up recall ratio
+    "llm_sim_recall" -> s"""
+      WITH n AS MATERIALIZED (
+        SELECT vec_id, embedding,
+               sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                     FROM unnest(embedding) AS u(x))) AS nrm
+        FROM embeddings),
+      p AS (SELECT vec_id AS pid, embedding AS pe, nrm AS pnorm FROM n WHERE vec_id < 10),
+      bf_pairs AS (
+        SELECT p.pid AS pid, c.vec_id AS nid,
+               round((SELECT sum(a * b) FROM (
+                        SELECT CAST(unnest(p.pe) AS DOUBLE) AS a,
+                               CAST(unnest(c.embedding) AS DOUBLE) AS b))
+                     / (p.pnorm * c.nrm), 4) AS cos
+        FROM p CROSS JOIN n c WHERE c.vec_id <> p.pid),
+      truth AS (
+        SELECT pid, nid FROM (
+          SELECT pid, nid, row_number() OVER (PARTITION BY pid ORDER BY cos DESC, nid) AS rnk
+          FROM bf_pairs) WHERE rnk <= 5),
+      cents AS (SELECT vec_id AS cell, embedding AS cv FROM n WHERE vec_id < 16),
+      scored AS (
+        SELECT e.vec_id, c.cell,
+               (SELECT sum(a * b) FROM (
+                  SELECT CAST(unnest(e.embedding) AS DOUBLE) AS a,
+                         CAST(unnest(c.cv) AS DOUBLE) AS b)) AS d
+        FROM n e CROSS JOIN cents c),
+      assigned AS (
+        SELECT vec_id, cell FROM (
+          SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS r
+          FROM scored) WHERE r = 1),
+      probecells AS (
+        SELECT vec_id AS pid, cell FROM (
+          SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS r
+          FROM scored WHERE vec_id < 10) WHERE r <= 2),
+      cand AS (
+        SELECT DISTINCT p.pid, a.vec_id AS nid
+        FROM assigned a JOIN probecells p ON a.cell = p.cell
+        WHERE a.vec_id <> p.pid),
+      iv_pairs AS (
+        SELECT cand.pid, cand.nid,
+               round((SELECT sum(a * b) FROM (
+                        SELECT CAST(unnest(pp.embedding) AS DOUBLE) AS a,
+                               CAST(unnest(nn.embedding) AS DOUBLE) AS b))
+                     / (pp.nrm * nn.nrm), 4) AS cos
+        FROM cand JOIN n pp ON pp.vec_id = cand.pid
+                  JOIN n nn ON nn.vec_id = cand.nid),
+      approx AS (
+        SELECT pid, nid FROM (
+          SELECT pid, nid, row_number() OVER (PARTITION BY pid ORDER BY cos DESC, nid) AS rnk
+          FROM iv_pairs) WHERE rnk <= 5)
+      SELECT t.pid, CAST(count(*) AS BIGINT) AS n_true,
+             CAST(count(a.nid) AS BIGINT) AS n_hit,
+             ${N.ratio("count(a.nid)", "count(*)", 4)} AS recall_at_5
+      FROM truth t LEFT JOIN approx a ON t.pid = a.pid AND t.nid = a.nid
+      GROUP BY t.pid ORDER BY t.pid""",
+
     // Reference-equivalent ETL under the oracle: DuckDB re-ingests the
     // SAME fixture CSVs (geoheader declared schema; e-file cell slice
     // c7/c8 for table B00001 with ''/'.' null coercion) and re-derives

@@ -256,6 +256,33 @@ object LlmExtra {
       .orderBy("pid", "rnk")
   }
 
+  /** ANN EVALUATION — the number every approximate-nearest-neighbor
+    * deployment is judged by and the one neither search query reports
+    * alone: per probe, recall@5 of the IVF candidate search
+    * (`llm_sim_ivf_topk`) against the brute-force ground truth
+    * (`llm_sim_cosine_topk`). Both sides rank on the ROUNDED cosine
+    * with the vec_id tiebreak (their own determinism contract), so the
+    * two top-5 sets are exact and the intersection is hash-stable;
+    * recall is the half-up integer ratio. A probe whose recall runs
+    * low means its true neighbors live outside the NProbe nearest
+    * cells — the readout that drives NProbe/NCells tuning.
+    *
+    * Scale: the two parents' plans (one broadcast probe pass; one
+    * cell-bucketed candidate join) plus a 5-rows-per-probe equi-join —
+    * evaluation adds nothing corpus-sized. */
+  def llmSimRecall(s: SparkSession, dir: String): DataFrame = {
+    val truth = graft.queries.Llm.llmSimCosineTopk(s, dir)
+      .select(col("pid"), col("nid"))
+    val approx = llmSimIvfTopk(s, dir)
+      .select(col("pid"), col("nid"), lit(1L).as("hit"))
+    truth.join(approx, Seq("pid", "nid"), "left")
+      .groupBy("pid")
+      .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_hit"))
+      .select(col("pid"), col("n_true"), col("n_hit"),
+        Num.ratio(col("n_hit"), col("n_true"), 4).as("recall_at_5"))
+      .orderBy("pid")
+  }
+
   /** K-MEANS TRAINING over the embedding corpus — the offline step the
     * IVF index ([[graft.llm.Ivf]]) consumes ("at 100 TB k-means runs
     * once offline and broadcasts its centroid table"). Lloyd's

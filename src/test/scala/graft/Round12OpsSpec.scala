@@ -110,6 +110,27 @@ class Round12OpsSpec extends GraftSpec {
     assert(row.getBoolean(4) == (qNum(newLab) > qNum(lab)), "improved verdict")
   }
 
+  test("llm_sim_recall: n_hit equals the collected parents' set intersection") {
+    val truth = graft.queries.Llm.llmSimCosineTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val approx = LlmExtra.llmSimIvfTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val got = LlmExtra.llmSimRecall(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(_._1).toSeq == truth.keys.toSeq.sorted, "one row per probe")
+    got.foreach { case (pid, nTrue, nHit, recall) =>
+      assert(nTrue == truth(pid).size.toLong, s"probe $pid n_true")
+      val inter = truth(pid) intersect approx.getOrElse(pid, Set.empty)
+      assert(nHit == inter.size.toLong, s"probe $pid n_hit vs collected intersection")
+      assert(recall >= 0.0 && recall <= 1.0)
+      // replay the half-up ratio
+      val s = 10000L
+      assert(recall == ((nHit * s * 2 + nTrue) / (nTrue * 2)).toDouble / s)
+    }
+  }
+
   /** Sequential BPE: census → 32 argmax merges → greedy left-to-right
     * application, all in plain Scala collections. */
   private def greedyMerge(toks: Vector[String], x: String, y: String): Vector[String] = {
