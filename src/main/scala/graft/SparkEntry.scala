@@ -448,7 +448,11 @@ object SparkEntry {
     // the sweep applied: exact-integer Q before/after comparison
     "graph_louvain_apply" -> GraphQueries.graphLouvainApply _,
     // ANN evaluation: IVF recall@5 against the brute-force truth
-    "llm_sim_recall" -> LlmExtra.llmSimRecall _
+    "llm_sim_recall" -> LlmExtra.llmSimRecall _,
+    // Louvain level-1 fixpoint: sweep-until-no-move trace (cap 4)
+    "graph_louvain_converged" -> GraphQueries.graphLouvainConverged _,
+    // ANN recall CURVE: k ∈ {1,5,10} from one top-10 pass per side
+    "llm_sim_recall_at_k" -> LlmExtra.llmSimRecallAtK _
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on

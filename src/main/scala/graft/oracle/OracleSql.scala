@@ -266,6 +266,103 @@ object OracleSql {
         CROSS JOIN twom t
         WHERE b.c <> b.cur)"""
 
+  /** One Louvain sweep's CTE block for the fixpoint unroll
+    * (graph_louvain_converged): moves + post-move labeling + that
+    * labeling's exact Q numerator. Sweep 1 reads the gain table `g`
+    * that `louvainCtes` already builds against l3; sweeps r ≥ 2 re-run
+    * the full gain chain against lab{r-1}. An empty moves$r makes
+    * lab$r ≡ lab{r-1} (and q$r ≡ q{r-1}) — exactly the engine's
+    * zero-move terminal sweep semantics. */
+  private def louvainSweep(r: Int): String = {
+    val labIn = if (r == 1) "l3" else s"lab${r - 1}"
+    val gName = if (r == 1) "g" else s"g$r"
+    val gainCtes = if (r == 1) "" else s"""tot$r AS (SELECT l.label AS c, CAST(sum(d.deg) AS BIGINT) AS tot
+              FROM $labIn l JOIN deg d USING (node) GROUP BY 1),
+      kic$r AS (SELECT a.u AS node, l.label AS c, CAST(count(*) AS BIGINT) AS k_ic
+              FROM adj a JOIN $labIn l ON a.v = l.node GROUP BY 1, 2),
+      base$r AS (SELECT k.node, k.c, k.k_ic, cur.label AS cur
+               FROM kic$r k JOIN $labIn cur USING (node)),
+      own$r AS (SELECT node, k_ic AS k_icur FROM base$r WHERE c = cur),
+      g$r AS (
+        SELECT b.node, b.cur, b.c,
+               t.twom * (b.k_ic - coalesce(o.k_icur, 0))
+                 - d.deg * (tc.tot - tu.tot + d.deg) AS gain_scaled
+        FROM base$r b LEFT JOIN own$r o USING (node)
+        JOIN deg d USING (node)
+        JOIN tot$r tc ON tc.c = b.c
+        JOIN tot$r tu ON tu.c = b.cur
+        CROSS JOIN twom t
+        WHERE b.c <> b.cur),
+      """
+    s"""${gainCtes}moves$r AS MATERIALIZED (
+        SELECT node, c AS to_c
+        FROM (SELECT *, row_number() OVER (PARTITION BY node
+                ORDER BY gain_scaled DESC, c) AS rn FROM $gName)
+        WHERE rn = 1 AND gain_scaled > 0),
+      lab$r AS MATERIALIZED (
+        SELECT l.node, coalesce(m.to_c, l.label) AS label
+        FROM $labIn l LEFT JOIN moves$r m USING (node)),
+      q$r AS (
+        SELECT CAST(sum(deg_sum) * sum(in_edges) - sum(deg_sum * deg_sum) AS BIGINT) AS q
+        FROM (SELECT lu.label AS community, CAST(count(*) AS BIGINT) AS deg_sum,
+                     CAST(count(*) FILTER (WHERE lu.label = lv.label) AS BIGINT) AS in_edges
+              FROM adj a JOIN lab$r lu ON a.u = lu.node JOIN lab$r lv ON a.v = lv.node
+              GROUP BY 1))"""
+  }
+
+  /** The shared ANN-evaluation CTE chain (llm_sim_recall /
+    * llm_sim_recall_at_k): one norms pass, the brute-force truth and
+    * the IVF candidate search both ranked to `depth` with rnk kept, so
+    * prefix recalls derive from ONE pass per side. */
+  private def annRecallCtes(depth: Int): String = s"""n AS MATERIALIZED (
+        SELECT vec_id, embedding,
+               sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                     FROM unnest(embedding) AS u(x))) AS nrm
+        FROM embeddings),
+      p AS (SELECT vec_id AS pid, embedding AS pe, nrm AS pnorm FROM n WHERE vec_id < 10),
+      bf_pairs AS (
+        SELECT p.pid AS pid, c.vec_id AS nid,
+               round((SELECT sum(a * b) FROM (
+                        SELECT CAST(unnest(p.pe) AS DOUBLE) AS a,
+                               CAST(unnest(c.embedding) AS DOUBLE) AS b))
+                     / (p.pnorm * c.nrm), 4) AS cos
+        FROM p CROSS JOIN n c WHERE c.vec_id <> p.pid),
+      truth AS (
+        SELECT pid, nid, rnk FROM (
+          SELECT pid, nid, row_number() OVER (PARTITION BY pid ORDER BY cos DESC, nid) AS rnk
+          FROM bf_pairs) WHERE rnk <= $depth),
+      cents AS (SELECT vec_id AS cell, embedding AS cv FROM n WHERE vec_id < 16),
+      scored AS (
+        SELECT e.vec_id, c.cell,
+               (SELECT sum(a * b) FROM (
+                  SELECT CAST(unnest(e.embedding) AS DOUBLE) AS a,
+                         CAST(unnest(c.cv) AS DOUBLE) AS b)) AS d
+        FROM n e CROSS JOIN cents c),
+      assigned AS (
+        SELECT vec_id, cell FROM (
+          SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS r
+          FROM scored) WHERE r = 1),
+      probecells AS (
+        SELECT vec_id AS pid, cell FROM (
+          SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS r
+          FROM scored WHERE vec_id < 10) WHERE r <= 2),
+      cand AS (
+        SELECT DISTINCT p.pid, a.vec_id AS nid
+        FROM assigned a JOIN probecells p ON a.cell = p.cell
+        WHERE a.vec_id <> p.pid),
+      iv_pairs AS (
+        SELECT cand.pid, cand.nid,
+               round((SELECT sum(a * b) FROM (
+                        SELECT CAST(unnest(pp.embedding) AS DOUBLE) AS a,
+                               CAST(unnest(nn.embedding) AS DOUBLE) AS b))
+                     / (pp.nrm * nn.nrm), 4) AS cos
+        FROM cand JOIN n pp ON pp.vec_id = cand.pid
+                  JOIN n nn ON nn.vec_id = cand.nid),
+      approx AS (
+        SELECT pid, nid, rnk FROM (
+          SELECT pid, nid, row_number() OVER (PARTITION BY pid ORDER BY cos DESC, nid) AS rnk
+          FROM iv_pairs) WHERE rnk <= $depth)"""
+
   /** The R apply stages shared by the encode oracles and the corpus
     * fertility oracle: each stage re-runs the gaps-and-islands greedy
     * merge of that round's trained argmax pair (b$r) over the APPLY word
@@ -2426,57 +2523,28 @@ object OracleSql {
     // brute-force truth top-5 vs IVF candidate top-5, per-probe
     // intersection count, half-up recall ratio
     "llm_sim_recall" -> s"""
-      WITH n AS MATERIALIZED (
-        SELECT vec_id, embedding,
-               sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
-                     FROM unnest(embedding) AS u(x))) AS nrm
-        FROM embeddings),
-      p AS (SELECT vec_id AS pid, embedding AS pe, nrm AS pnorm FROM n WHERE vec_id < 10),
-      bf_pairs AS (
-        SELECT p.pid AS pid, c.vec_id AS nid,
-               round((SELECT sum(a * b) FROM (
-                        SELECT CAST(unnest(p.pe) AS DOUBLE) AS a,
-                               CAST(unnest(c.embedding) AS DOUBLE) AS b))
-                     / (p.pnorm * c.nrm), 4) AS cos
-        FROM p CROSS JOIN n c WHERE c.vec_id <> p.pid),
-      truth AS (
-        SELECT pid, nid FROM (
-          SELECT pid, nid, row_number() OVER (PARTITION BY pid ORDER BY cos DESC, nid) AS rnk
-          FROM bf_pairs) WHERE rnk <= 5),
-      cents AS (SELECT vec_id AS cell, embedding AS cv FROM n WHERE vec_id < 16),
-      scored AS (
-        SELECT e.vec_id, c.cell,
-               (SELECT sum(a * b) FROM (
-                  SELECT CAST(unnest(e.embedding) AS DOUBLE) AS a,
-                         CAST(unnest(c.cv) AS DOUBLE) AS b)) AS d
-        FROM n e CROSS JOIN cents c),
-      assigned AS (
-        SELECT vec_id, cell FROM (
-          SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS r
-          FROM scored) WHERE r = 1),
-      probecells AS (
-        SELECT vec_id AS pid, cell FROM (
-          SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS r
-          FROM scored WHERE vec_id < 10) WHERE r <= 2),
-      cand AS (
-        SELECT DISTINCT p.pid, a.vec_id AS nid
-        FROM assigned a JOIN probecells p ON a.cell = p.cell
-        WHERE a.vec_id <> p.pid),
-      iv_pairs AS (
-        SELECT cand.pid, cand.nid,
-               round((SELECT sum(a * b) FROM (
-                        SELECT CAST(unnest(pp.embedding) AS DOUBLE) AS a,
-                               CAST(unnest(nn.embedding) AS DOUBLE) AS b))
-                     / (pp.nrm * nn.nrm), 4) AS cos
-        FROM cand JOIN n pp ON pp.vec_id = cand.pid
-                  JOIN n nn ON nn.vec_id = cand.nid),
-      approx AS (
-        SELECT pid, nid FROM (
-          SELECT pid, nid, row_number() OVER (PARTITION BY pid ORDER BY cos DESC, nid) AS rnk
-          FROM iv_pairs) WHERE rnk <= 5)
+      WITH ${annRecallCtes(5)}
       SELECT t.pid, CAST(count(*) AS BIGINT) AS n_true,
              CAST(count(a.nid) AS BIGINT) AS n_hit,
              ${N.ratio("count(a.nid)", "count(*)", 4)} AS recall_at_5
+      FROM truth t LEFT JOIN approx a ON t.pid = a.pid AND t.nid = a.nid
+      GROUP BY t.pid ORDER BY t.pid""",
+
+    // the recall CURVE: both sides ranked to depth 10 once; recalls at
+    // k ∈ {1,5,10} are prefix intersections over the SAME ranked join
+    // (a hit at k = ranked ≤ k on both sides), half-up integer ratios
+    "llm_sim_recall_at_k" -> s"""
+      WITH ${annRecallCtes(10)}
+      SELECT t.pid,
+             CAST(count(*) FILTER (WHERE t.rnk <= 1 AND a.rnk <= 1) AS BIGINT) AS n_hit_1,
+             CAST(count(*) FILTER (WHERE t.rnk <= 5 AND a.rnk <= 5) AS BIGINT) AS n_hit_5,
+             CAST(count(a.nid) AS BIGINT) AS n_hit_10,
+             CAST(count(*) AS BIGINT) AS n_true_10,
+             ${N.ratio("count(*) FILTER (WHERE t.rnk <= 1 AND a.rnk <= 1)",
+                       "count(*) FILTER (WHERE t.rnk <= 1)", 4)} AS recall_at_1,
+             ${N.ratio("count(*) FILTER (WHERE t.rnk <= 5 AND a.rnk <= 5)",
+                       "count(*) FILTER (WHERE t.rnk <= 5)", 4)} AS recall_at_5,
+             ${N.ratio("count(a.nid)", "count(*)", 4)} AS recall_at_10
       FROM truth t LEFT JOIN approx a ON t.pid = a.pid AND t.nid = a.nid
       GROUP BY t.pid ORDER BY t.pid""",
 
@@ -4619,6 +4687,38 @@ object OracleSql {
              qb.twom, qb.q_before_num, qa.q_after_num,
              qa.q_after_num > qb.q_before_num AS improved
       FROM qb CROSS JOIN qa""",
+
+    // the fixpoint unroll: 4 sweeps computed unconditionally, then the
+    // engine's stopping rule applied RELATIONALLY — sweep k is in the
+    // trace iff every earlier sweep (1..k-1) moved something (running
+    // min over the preceding n_moved, sweep 0 excluded by fiat), and
+    // converged = some included sweep moved nothing
+    "graph_louvain_converged" -> s"""
+      WITH $louvainCtes,
+      q0 AS (
+        SELECT CAST(sum(deg_sum) * sum(in_edges) - sum(deg_sum * deg_sum) AS BIGINT) AS q
+        FROM (SELECT lu.label AS community, CAST(count(*) AS BIGINT) AS deg_sum,
+                     CAST(count(*) FILTER (WHERE lu.label = lv.label) AS BIGINT) AS in_edges
+              FROM adj a JOIN l3 lu ON a.u = lu.node JOIN l3 lv ON a.v = lv.node
+              GROUP BY 1)),
+      ${(1 to 4).map(louvainSweep).mkString(",\n      ")},
+      sweeps AS (
+        SELECT 0 AS sweep, CAST(0 AS BIGINT) AS n_moved, (SELECT q FROM q0) AS q_num
+        UNION ALL SELECT 1, (SELECT CAST(count(*) AS BIGINT) FROM moves1), (SELECT q FROM q1)
+        UNION ALL SELECT 2, (SELECT CAST(count(*) AS BIGINT) FROM moves2), (SELECT q FROM q2)
+        UNION ALL SELECT 3, (SELECT CAST(count(*) AS BIGINT) FROM moves3), (SELECT q FROM q3)
+        UNION ALL SELECT 4, (SELECT CAST(count(*) AS BIGINT) FROM moves4), (SELECT q FROM q4)),
+      filt AS (
+        SELECT *, min(CASE WHEN sweep = 0 THEN NULL ELSE n_moved END)
+          OVER (ORDER BY sweep ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_min
+        FROM sweeps),
+      inc AS (
+        SELECT sweep, n_moved, q_num FROM filt
+        WHERE sweep = 0 OR prev_min IS NULL OR prev_min > 0)
+      SELECT CAST(sweep AS BIGINT) AS sweep, n_moved,
+             (SELECT twom FROM twom) AS twom, q_num,
+             (SELECT coalesce(bool_or(sweep > 0 AND n_moved = 0), FALSE) FROM inc) AS converged
+      FROM inc ORDER BY sweep""",
 
     // decompose chain re-derived, then exact n-scaled variance
     // numerators in HUGEINT; only the final ratio is float (round 6)

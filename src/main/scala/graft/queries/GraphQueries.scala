@@ -592,8 +592,13 @@ object GraphQueries {
   /** The sweep's positive-gain argmax moves — shared by the readout
     * (`graphLouvainOneLevel`) and the applier (`graphLouvainApply`).
     * Columns: node, cur, c (target), deg, k_icur, k_ic, gain_scaled. */
-  private[graft] def louvainMoves(s: SparkSession, dir: String): DataFrame = {
-    val lab = lpaLabels(s, dir)
+  private[graft] def louvainMoves(s: SparkSession, dir: String): DataFrame =
+    louvainMovesFor(s, dir, lpaLabels(s, dir))
+
+  /** The sweep body against an ARBITRARY labeling — the fixpoint loop
+    * (`graphLouvainConverged`) re-runs it on each post-move partition,
+    * so the gain algebra must not be welded to the LPA seed. */
+  private[graft] def louvainMovesFor(s: SparkSession, dir: String, lab: DataFrame): DataFrame = {
     val degN = symDeg(s, dir).select(col("u").as("node"), col("deg"))
     val tot = lab.join(degN, "node")
       .groupBy(col("label").as("c")).agg(sum("deg").as("tot"))
@@ -686,6 +691,69 @@ object GraphQueries {
       .select(col("n_moved"), col("twom"),
         col("q_before_num"), col("q_after_num"),
         (col("q_after_num") > col("q_before_num")).as("improved"))
+  }
+
+  /** LOUVAIN TO FIXPOINT — the family's convergence member: re-run the
+    * synchronous local-move sweep on each post-move partition until a
+    * sweep moves NOTHING (the real Louvain level-1 stopping rule),
+    * hard-capped at 4 sweeps (the `graph_pagerank_converged` bounded-
+    * action convention — parallel sweeps can oscillate, and the cap is
+    * loudly flagged in `converged` rather than looped past). Output:
+    * the per-sweep TRACE — one row per executed sweep with the move
+    * count and the exact modularity numerator Q·(2m)² of the partition
+    * AFTER that sweep (sweep 0 = the LPA seed, n_moved 0 by fiat) plus
+    * the global converged flag. All BIGINT: gains, censuses and Q share
+    * `graph_modularity`'s integer algebra, so the move sets — and
+    * therefore the whole trace — are bit-identical in both engines, and
+    * the oracle's 4-sweep unroll with a running "all previous sweeps
+    * moved" filter selects exactly the rows this loop executes. A
+    * zero-move terminal sweep re-reads the previous partition's census
+    * (its labeling IS the previous labeling), so the trace's last two
+    * q_num values coincide exactly at convergence.
+    *
+    * Execution: per sweep, ONE bounded count action on the checkpointed
+    * moves frame decides continuation (the move chain carries broadcast
+    * subtrees — `localCheckpoint`, not persist, per the measured
+    * ~1.1 s/action broadcast re-prep of cached plans); the per-sweep Q
+    * censuses all evaluate in ONE final action over the checkpointed
+    * labelings (≤5 single-row union branches). Everything shuffles on
+    * node/community keys over the family-shared adjacency cache —
+    * nothing quadratic, nothing corpus-sized on the driver. */
+  def graphLouvainConverged(s: SparkSession, dir: String): DataFrame = {
+    val adj = symAdj(s, dir)
+    def qRow(labels: DataFrame, sweep: Int, nMoved: Long): DataFrame =
+      adj.join(labels.select(col("node").as("u"), col("label").as("lu")), "u")
+        .join(labels.select(col("node").as("v"), col("label").as("lv")), "v")
+        .groupBy("lu")
+        .agg(count(lit(1)).as("deg_sum"),
+          count_if(col("lu") === col("lv")).as("in_edges"))
+        .agg(sum("deg_sum").as("twom"), sum("in_edges").as("in_tot"),
+          sum(col("deg_sum") * col("deg_sum")).as("sq"))
+        .select(lit(sweep.toLong).as("sweep"), lit(nMoved).as("n_moved"),
+          col("twom"), (col("twom") * col("in_tot") - col("sq")).as("q_num"))
+    val maxSweeps = 4
+    var lab = lpaLabels(s, dir)
+    val trace = scala.collection.mutable.ArrayBuffer[DataFrame](qRow(lab, 0, 0L))
+    var sweep = 0
+    var zeroMoves = false
+    while (!zeroMoves && sweep < maxSweeps) {
+      sweep += 1
+      val moves = graft.operators.GraftCaches.register(
+        louvainMovesFor(s, dir, lab).select(col("node"), col("c").as("to_c"))
+          .localCheckpoint(true))
+      val n = moves.count()
+      if (n == 0L) { zeroMoves = true; trace += qRow(lab, sweep, 0L) }
+      else {
+        lab = graft.operators.GraftCaches.register(
+          lab.join(moves, Seq("node"), "left")
+            .select(col("node"), coalesce(col("to_c"), col("label")).as("label"))
+            .localCheckpoint(true))
+        trace += qRow(lab, sweep, n)
+      }
+    }
+    trace.reduce(_.union(_))
+      .withColumn("converged", lit(zeroMoves))
+      .orderBy("sweep")
   }
 
   /** Degree-mixing co-moments — the assortativity readout as EXACT

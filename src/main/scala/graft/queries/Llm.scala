@@ -197,7 +197,14 @@ object Llm {
     * embeddings; norms precomputed per row before the join; dot product
     * via zip_with/aggregate (no UDF). Ranking is on the ROUNDED cosine
     * with vec_id tiebreak so both engines rank identically. */
-  def llmSimCosineTopk(s: SparkSession, dir: String): DataFrame = {
+  def llmSimCosineTopk(s: SparkSession, dir: String): DataFrame =
+    simCosineTopkK(s, dir, 5)
+
+  /** The brute-force pass with the heap depth as a parameter — the
+    * recall@k evaluator (`llm_sim_recall_at_k`) reads ONE top-10 pass
+    * and derives the k ∈ {1,5,10} prefixes from `rnk`, so deepening the
+    * heap must not fork the implementation. */
+  private[graft] def simCosineTopkK(s: SparkSession, dir: String, k: Int): DataFrame = {
     graft.udx.NGrams.registerAll(s)
     val emb = t(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").as("v"))
@@ -212,7 +219,7 @@ object Llm {
     // a window row_number: each input partition reduces to ≤ 5 rows per
     // probe before the shuffle — no per-probe global sort, no skew.
     pairs.groupBy("pid")
-      .agg(graft.udx.TopKAggregator.topk(5)(col("cos"), col("nid")).as("tk"))
+      .agg(graft.udx.TopKAggregator.topk(k)(col("cos"), col("nid")).as("tk"))
       .select(col("pid"), posexplode(col("tk.items")))
       .select(col("pid"), col("col._2").as("nid"), col("col._1").as("cos"),
         (col("pos") + 1).cast("long").as("rnk"))

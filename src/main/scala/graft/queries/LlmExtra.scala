@@ -213,7 +213,13 @@ object LlmExtra {
     * bounded-heap TopK aggregate, whose (score desc, id asc) order a
     * SQL row_number mirrors exactly — fully oracle-checked; ScalaTest
     * additionally measures recall vs brute force. */
-  def llmSimIvfTopk(s: SparkSession, dir: String): DataFrame = {
+  def llmSimIvfTopk(s: SparkSession, dir: String): DataFrame =
+    simIvfTopkK(s, dir, 5)
+
+  /** IVF candidate search with the final heap depth as a parameter —
+    * same candidate set (NProbe cells), deeper readout; shared by the
+    * graded top-5 and the recall@k evaluator's top-10 side. */
+  private[graft] def simIvfTopkK(s: SparkSession, dir: String, k: Int): DataFrame = {
     import graft.llm.Ivf
     graft.udx.NGrams.registerAll(s)
     // persisted: emb feeds the centroid slice, the scored cross join,
@@ -249,7 +255,7 @@ object LlmExtra {
         round(graft.llm.Vectors.cosineWithNorms(
           graft.llm.Vectors.fdot(col("pv"), col("v")), col("pnorm"), col("nrm")), 4).as("cos"))
     pairs.groupBy("pid")
-      .agg(graft.udx.TopKAggregator.topk(5)(col("cos"), col("nid")).as("tk"))
+      .agg(graft.udx.TopKAggregator.topk(k)(col("cos"), col("nid")).as("tk"))
       .select(col("pid"), posexplode(col("tk.items")))
       .select(col("pid"), col("col._2").as("nid"), col("col._1").as("cos"),
         (col("pos") + 1).cast("long").as("rnk"))
@@ -280,6 +286,46 @@ object LlmExtra {
       .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_hit"))
       .select(col("pid"), col("n_true"), col("n_hit"),
         Num.ratio(col("n_hit"), col("n_true"), 4).as("recall_at_5"))
+      .orderBy("pid")
+  }
+
+  /** ANN RECALL AT DEPTH — the tuning CURVE a deployment reads, not the
+    * single point `llm_sim_recall` grades: per probe, recall@k for
+    * k ∈ {1, 5, 10} of the IVF candidate search against the brute-force
+    * truth. ONE bounded-heap top-10 pass per side (no third scan — the
+    * k=1 and k=5 readouts are PREFIXES of the same ranked list, derived
+    * from `rnk` at aggregation time): a hit at depth k is a pair ranked
+    * ≤ k on BOTH sides, so each recall is |T_k ∩ A_k| / |T_k| with both
+    * sets exact under the shared (rounded cosine DESC, vec_id ASC)
+    * total order — tie handling is inherited, the sets are hash-stable,
+    * and the ratios are half-up integers. A curve that is flat in k
+    * says the missed neighbors live outside the probed cells entirely
+    * (raise NProbe); one that climbs with k says they are found but
+    * misranked within the candidate set (raise the readout depth).
+    *
+    * Scale: the two parents' plans at heap depth 10 (one broadcast
+    * probe pass; one cell-bucketed candidate join) plus a
+    * ≤10-rows-per-probe equi-join and one map-combined aggregate —
+    * evaluation adds nothing corpus-sized, exactly like recall@5. */
+  def llmSimRecallAtK(s: SparkSession, dir: String): DataFrame = {
+    val truth = graft.queries.Llm.simCosineTopkK(s, dir, 10)
+      .select(col("pid"), col("nid"), col("rnk").as("rt"))
+    val approx = simIvfTopkK(s, dir, 10)
+      .select(col("pid"), col("nid"), col("rnk").as("ra"))
+    truth.join(approx, Seq("pid", "nid"), "left")
+      .groupBy("pid")
+      .agg(
+        count_if(col("rt") <= 1).as("n_true_1"),
+        count_if(col("rt") <= 1 && col("ra") <= 1).as("n_hit_1"),
+        count_if(col("rt") <= 5).as("n_true_5"),
+        count_if(col("rt") <= 5 && col("ra") <= 5).as("n_hit_5"),
+        count(lit(1)).as("n_true_10"),
+        count(col("ra")).as("n_hit_10"))
+      .select(col("pid"),
+        col("n_hit_1"), col("n_hit_5"), col("n_hit_10"), col("n_true_10"),
+        Num.ratio(col("n_hit_1"), col("n_true_1"), 4).as("recall_at_1"),
+        Num.ratio(col("n_hit_5"), col("n_true_5"), 4).as("recall_at_5"),
+        Num.ratio(col("n_hit_10"), col("n_true_10"), 4).as("recall_at_10"))
       .orderBy("pid")
   }
 
@@ -1358,10 +1404,16 @@ object LlmExtra {
     * stage instead of |merges| chained shuffles. A plain Scala UDF, not
     * a window: the per-word fold is pure CPU over a ≤word-length array,
     * embarrassingly parallel over the vocab at any corpus size. */
-  private def bpeApply(words: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+  private[graft] def bpeApply(words: DataFrame, merges: Seq[(String, String)]): DataFrame = {
     val ms = merges.toArray
     val enc = udf { (w: String) =>
-      var toks: Array[String] = w.map(_.toString).toArray
+      // CODE-POINT split, not UTF-16 units: training's census splits
+      // with a regex '(.)' (one match per code point) and so does the
+      // oracle's regexp_replace — a `w.map(_.toString)` split would
+      // break astral characters (emoji, supplementary CJK) into
+      // surrogate halves that can never match a learned merge
+      var toks: Array[String] =
+        w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
       ms.foreach { case (x, y) =>
         val out = Array.newBuilder[String]
         var i = 0

@@ -45,9 +45,17 @@ object ShuffleScratch {
     * diagnostic falsely. `DiskBlockManager.localDirs` is
     * `private[spark]`, hence lives in this shim. */
   def localScratchDirs(): Seq[java.io.File] =
-    Option(SparkEnv.get)
-      .map(_.blockManager.diskBlockManager.localDirs.toSeq)
-      .getOrElse(Seq.empty)
+    Option(SparkEnv.get) match {
+      case Some(env) => env.blockManager.diskBlockManager.localDirs.toSeq
+      case None =>
+        // loud, not silent: a 0B scratch reading taken with no SparkEnv
+        // is BLIND, not clean — the over-budget diagnostic downstream
+        // would otherwise mask a real leak as an empty scratch
+        System.err.println(
+          "WARN ShuffleScratch.localScratchDirs: SparkEnv.get is null — " +
+            "scratch dirs unreadable; treat any 0B reading as unknown")
+        Seq.empty
+    }
 
   /** Unregister + delete the given shuffles' map output state and
     * files, synchronously (blocking=true: the point is that the NEXT

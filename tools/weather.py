@@ -29,7 +29,9 @@ def main(old_p, new_p, thr=1.5):
     print(f"total: {old['value']:.1f}s/{ao:.3f} vs {new['value']:.1f}s/{an:.3f} "
           f"-> normalized {tot_o:.1f} vs {tot_n:.1f} ({tot_n / tot_o:.2f}x)")
     so, sn = old.get("anchor_shuffle_sec"), new.get("anchor_shuffle_sec")
-    if so and sn and so > 0 and sn > 0:
+    # presence tested explicitly: a legitimate 0.0 reading must not fall
+    # through to the "only one artifact" branch
+    if so is not None and sn is not None and so > 0 and sn > 0:
         # shuffle weather relative to CPU weather: the scheduler/IO axis
         # the CPU anchor is blind to
         rel = (sn / an) / (so / ao) if norm else sn / so
@@ -37,7 +39,10 @@ def main(old_p, new_p, thr=1.5):
               f"(shuffle/CPU weather ratio {rel:.2f}x"
               f"{'; scheduler/IO contention in NEW' if rel > 1.25 else ''}"
               f"{'; scheduler/IO contention in OLD' if rel < 0.8 else ''})")
-    elif so or sn:
+    elif so is not None and sn is not None:
+        print("WARN: anchor_shuffle_sec degenerate (<= 0) in at least one "
+              "artifact - scheduler/IO axis unread")
+    elif so is not None or sn is not None:
         print("WARN: only one artifact has anchor_shuffle_sec - scheduler/IO axis unread")
     qs_o, qs_n = old.get("queries", {}), new.get("queries", {})
     common = sorted(set(qs_o) & set(qs_n))
