@@ -598,14 +598,24 @@ object GraphQueries {
   /** The sweep body against an ARBITRARY labeling — the fixpoint loop
     * (`graphLouvainConverged`) re-runs it on each post-move partition,
     * so the gain algebra must not be welded to the LPA seed. */
-  private[graft] def louvainMovesFor(s: SparkSession, dir: String, lab: DataFrame): DataFrame = {
-    val degN = symDeg(s, dir).select(col("u").as("node"), col("deg"))
+  private[graft] def louvainMovesFor(s: SparkSession, dir: String, lab: DataFrame): DataFrame =
+    louvainMovesOn(symAdj(s, dir), lab,
+      symDeg(s, dir).select(col("u").as("node"), col("deg")))
+
+  /** The sweep body on EXPLICIT frames — shared by the (session, dir)
+    * queries above and the scale probe (`tools.ProbeGraphScale`), which
+    * runs the identical code on an UNCAPPED multi-million-edge graph:
+    * the community-keyed censuses here are the one shuffle shape the
+    * node-keyed loops never exercise, so they get their own at-scale
+    * timing. `adj` is the symmetric adjacency (u, v); `degN` its degree
+    * census as (node, deg). */
+  private[graft] def louvainMovesOn(adj: DataFrame, lab: DataFrame, degN: DataFrame): DataFrame = {
     val tot = lab.join(degN, "node")
       .groupBy(col("label").as("c")).agg(sum("deg").as("tot"))
     val twoM = degN.agg(sum("deg").as("twom"))
     // edges from each node into each neighboring community: adjacency
     // with the NEIGHBOR's community attached, counted per (node, c)
-    val kic = symAdj(s, dir)
+    val kic = adj
       .join(lab.select(col("node").as("v"), col("label").as("c")), "v")
       .groupBy(col("u").as("node"), col("c"))
       .agg(count(lit(1)).as("k_ic"))

@@ -247,6 +247,81 @@ class StreamRecoverySpec extends GraftSpec {
     assert(runOnce() == Set((1L, 12500L, 2L)))
   }
 
+  test("transformWithState TTL eviction is honored ACROSS a checkpointed restart " +
+      "(expired key folds fresh, not into stale restored state)") {
+    // TwsSpec pins that live state carries across a restart (TimeMode
+    // .None and a generous 1h TTL). The inverse contract is just as
+    // load-bearing at 100 TB/day and only testable through a restart:
+    // the TTL expiration deadline is PERSISTED with the value, so a key
+    // whose TTL lapsed while the query was DOWN must read as absent
+    // after restore — a restart must not resurrect expired state. Lost
+    // contract here = unbounded key spaces silently stop being bounded
+    // at exactly the moment ops restarts the job.
+    import SparkSpecBase.spark.implicits._
+    import graft.streaming.Tws
+    import graft.streaming.Tws.{CentEvent, UserTotals}
+    val spark = SparkSpecBase.spark
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val root = java.nio.file.Files.createTempDirectory("graft_tws_evict").toFile
+      root.deleteOnExit()
+      val (in, ckpt) = (s"$root/in", s"$root/ckpt")
+      val inSchema = StructType(Seq(
+        StructField("user_id", LongType), StructField("us", LongType),
+        StructField("cents", LongType)))
+      def write(rows: Seq[CentEvent]): Unit =
+        rows.toDF().coalesce(1).write.mode("append").parquet(in)
+      val ttl = java.time.Duration.ofSeconds(3)
+      // ProcessingTime mode never quiesces (timer micro-batches), so
+      // poll the sink for the target emission then stop — the TwsSpec
+      // TTL-run convention
+      def runOnce(until: Set[(Long, Long, Long, Long)] => Boolean)
+          : Set[(Long, Long, Long, Long)] = {
+        val got = java.util.concurrent.ConcurrentHashMap
+          .newKeySet[(Long, Long, Long, Long)]()
+        val stream = spark.readStream.schema(inSchema).parquet(in).as[CentEvent]
+        val fn: (org.apache.spark.sql.Dataset[UserTotals], Long) => Unit =
+          (ds, _) => ds.collect().foreach(u =>
+            got.add((u.user_id, u.n_events, u.total_cents, u.last_us)))
+        val q = Tws.userTotalsStream(stream, Some(ttl))
+          .writeStream.foreachBatch(fn)
+          .option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Update()).start()
+        import scala.jdk.CollectionConverters._
+        try {
+          val deadline = System.currentTimeMillis() + 120000
+          while (!until(got.asScala.toSet) && System.currentTimeMillis() < deadline)
+            Thread.sleep(200)
+        } finally q.stop()
+        got.asScala.toSet
+      }
+
+      // run 1: u1 and u2 each get state with a 3 s TTL deadline
+      write(Seq(CentEvent(1L, 1000L, 250L), CentEvent(2L, 2000L, 999L)))
+      val first = Set((1L, 1L, 250L, 1000L), (2L, 1L, 999L, 2000L))
+      assert(runOnce(g => first.subsetOf(g)) == first)
+
+      // let the TTL lapse WHILE THE QUERY IS DOWN — the deadline must
+      // come from the checkpoint, not from in-memory session state
+      Thread.sleep(ttl.toMillis + 3000)
+
+      // run 2 (fresh query, same checkpoint): u1 recurs. A fresh fold
+      // (n=1, 150) proves the restored value was read as expired; the
+      // stale signature (n=2, 400) proves resurrection of expired state.
+      write(Seq(CentEvent(1L, 5000L, 150L)))
+      val after = runOnce(_.contains((1L, 1L, 150L, 5000L)))
+      assert(after.contains((1L, 1L, 150L, 5000L)),
+        s"expired key did not fold fresh after restart: $after")
+      assert(!after.exists(r => r._1 == 1L && r._3 == 400L),
+        s"restart resurrected TTL-expired state: $after")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("Trigger.AvailableNow drains a file-source backfill and stops; equals the batch plan") {
     // the replay-history-through-the-streaming-pipeline pattern: a
     // bounded directory read as a STREAM processes everything available,

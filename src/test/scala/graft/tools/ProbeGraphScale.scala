@@ -74,6 +74,61 @@ object ProbeGraphScale {
       rank.agg(sum("r")).collect()
       rank.count()
     }
+    // ---- round-13 additions: the COMMUNITY-keyed family (LPA labels,
+    // Louvain sweep, modularity censuses). The node-keyed loops above
+    // shuffle on node ids (near-uniform); these shuffle on COMMUNITY
+    // labels, whose size distribution is power-law after LPA — the one
+    // hot-key axis the rungs above never exercise.
+    import org.apache.spark.sql.expressions.Window
+    val sadj = graft.operators.SaltedAdj(adj.select(col("u"), col("v")))
+    var lab: DataFrame = null
+    time("lpa_3_rounds") {
+      var l = adj.select(col("u").as("node")).distinct()
+        .select(col("node"), col("node").as("label"))
+      for (_ <- 1 to 3) {
+        val nb = sadj.propagate(l)
+        val cnt = nb.groupBy("node", "label").agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy("node").orderBy(col("c").desc, col("label"))
+        l = cnt.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).select("node", "label")
+      }
+      lab = l.cache()
+      lab.count()
+    }
+    // community-size skew readout: the hottest community's degree mass
+    // is the biggest single-reducer key the censuses below see
+    val degN = adj.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg")).cache()
+    val topC = lab.join(degN, "node").groupBy("label")
+      .agg(count(lit(1)).as("n_nodes"), sum("deg").as("deg_mass"))
+      .orderBy(desc("deg_mass")).limit(3).collect()
+    topC.foreach(r => println(
+      s"[probe] community ${r.getLong(0)}: ${r.getLong(1)} nodes, deg_mass ${r.getLong(2)}"))
+    val hotMass = if (topC.nonEmpty) topC.head.getLong(2) else 0L
+    var moves: DataFrame = null
+    time("louvain_sweep_moves") {
+      moves = graft.queries.GraphQueries.louvainMovesOn(adj, lab, degN)
+        .select(col("node"), col("c").as("to_c"))
+        .localCheckpoint(true)
+      moves.count()
+    }
+    time("louvain_q_censuses") {
+      // the converged query's per-sweep readout: post-move labels + the
+      // exact Q numerator census on BOTH partitions
+      val newLab = lab.join(moves, Seq("node"), "left")
+        .select(col("node"), coalesce(col("to_c"), col("label")).as("label"))
+        .localCheckpoint(true)
+      def q(labels: DataFrame): DataFrame = adj
+        .join(labels.select(col("node").as("u"), col("label").as("lu")), "u")
+        .join(labels.select(col("node").as("v"), col("label").as("lv")), "v")
+        .groupBy("lu")
+        .agg(count(lit(1)).as("deg_sum"), count_if(col("lu") === col("lv")).as("in_edges"))
+        .agg(sum("deg_sum").as("twom"), sum("in_edges").as("in_tot"),
+          sum(col("deg_sum") * col("deg_sum")).as("sq"))
+        .select((col("twom") * col("in_tot") - col("sq")).as("q"))
+      q(lab).union(q(newLab)).collect()
+      2L
+    }
+    out("hot_community_deg_mass") = hotMass.toDouble
     val json = out.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALE_GRAPH.json"),
       s"""{"metric":"graph_scale_probe","n_nodes":$nNodes,"n_edges":$nEdges,"n_directed":$nDirected,"max_doc":$maxDoc,"queries":$json,"sf":"$dir"}\n""")
