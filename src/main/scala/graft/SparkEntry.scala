@@ -452,7 +452,25 @@ object SparkEntry {
     // Louvain level-1 fixpoint: sweep-until-no-move trace (cap 4)
     "graph_louvain_converged" -> GraphQueries.graphLouvainConverged _,
     // ANN recall CURVE: k ∈ {1,5,10} from one top-10 pass per side
-    "llm_sim_recall_at_k" -> LlmExtra.llmSimRecallAtK _
+    "llm_sim_recall_at_k" -> LlmExtra.llmSimRecallAtK _,
+    // per-node local clustering coefficient, integer micro-units
+    "graph_clustering_coeff" -> GraphQueries.graphClusteringCoeff _,
+    // Adamic–Adar link prediction over centered wedges, anti-joined edges
+    "graph_adamic_adar" -> GraphQueries.graphAdamicAdar _,
+    // personalized PageRank: seed-teleport mass, 3 integer rounds
+    "graph_ppr" -> GraphQueries.graphPersonalizedPagerank _,
+    // PQ/ADC ANN: 4×8 integer codebooks, lookup-table distances
+    "llm_sim_pq_topk" -> LlmExtra.llmSimPqTopk _,
+    // Laplace bigram LM: train decile → held-out micro-nat NLL per lang
+    "llm_bigram_lm" -> LlmExtra.llmBigramLm _,
+    // LSH band S-curve: precision/recall per (bands, rows) config
+    "llm_minhash_band_tune" -> LlmExtra.llmMinhashBandTune _,
+    // vision-batch aspect bucketing: ratio-nearest canvas + pad census
+    "mm_aspect_bucket" -> MultimodalQueries.mmAspectBucket _,
+    // median/MAD robust outliers in exact micro-units
+    "ts_robust_zscore" -> TimeSeries.tsRobustZscore _,
+    // per-column Shannon entropy in quantized micro-nats
+    "dq_entropy_profile" -> Quality.dqEntropyProfile _
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on

@@ -5417,6 +5417,308 @@ object OracleSql {
       SELECT node, CAST(count(*) AS BIGINT) AS n_reached,
              CAST(sum(1000000 // dist) AS BIGINT) AS closeness_micro
       FROM r4 WHERE dist > 0 GROUP BY 1
-      ORDER BY closeness_micro DESC, node LIMIT 25"""
+      ORDER BY closeness_micro DESC, node LIMIT 25""",
+
+    "graph_clustering_coeff" -> """
+      WITH docs AS (SELECT doc_id, source, lang, n_chars FROM documents WHERE doc_id < 1200),
+      blocks AS (
+        SELECT doc_id AS u, concat_ws('|', 's', source, CAST(n_chars // 100 AS VARCHAR)) AS bk FROM docs
+        UNION ALL
+        SELECT doc_id AS u, concat_ws('|', 'l', lang, CAST(n_chars // 50 AS VARCHAR)) AS bk FROM docs),
+      edges AS (
+        SELECT DISTINCT a.u AS u, b.u AS v
+        FROM blocks a JOIN blocks b USING (bk) WHERE a.u < b.u),
+      adj AS (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+      deg AS (SELECT u AS node, count(*) AS deg FROM adj GROUP BY u),
+      wedges AS (SELECT a.u AS x, a.v AS y, b.v AS z FROM edges a JOIN edges b ON a.v = b.u),
+      tri AS (SELECT x, y, z FROM wedges w JOIN edges c ON w.x = c.u AND w.z = c.v),
+      corners AS (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri),
+      tpn AS (SELECT node, count(*) AS n_triangles FROM corners GROUP BY node)
+      SELECT d.node, d.deg, CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+             CAST((coalesce(t.n_triangles, 0) * 2000000) // (d.deg * (d.deg - 1)) AS BIGINT) AS cc_micro
+      FROM deg d LEFT JOIN tpn t USING (node) WHERE d.deg >= 2
+      ORDER BY cc_micro DESC, deg DESC, node LIMIT 25""",
+
+    "graph_adamic_adar" -> """
+      WITH docs AS (SELECT doc_id, source, lang, n_chars FROM documents WHERE doc_id < 1200),
+      blocks AS (
+        SELECT doc_id AS u, concat_ws('|', 's', source, CAST(n_chars // 100 AS VARCHAR)) AS bk FROM docs
+        UNION ALL
+        SELECT doc_id AS u, concat_ws('|', 'l', lang, CAST(n_chars // 50 AS VARCHAR)) AS bk FROM docs),
+      edges AS (
+        SELECT DISTINCT a.u AS u, b.u AS v
+        FROM blocks a JOIN blocks b USING (bk) WHERE a.u < b.u),
+      adj AS (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+      deg AS (SELECT u AS w, count(*) AS deg FROM adj GROUP BY u),
+      cand AS (SELECT a.u AS w, a.v AS x, b.v AS z
+               FROM adj a JOIN adj b ON a.u = b.u WHERE a.v < b.v),
+      scored AS (
+        SELECT x, z, count(*) AS n_common,
+               CAST(sum(CAST(floor(1000000.0 / ln(d.deg)) AS BIGINT)) AS BIGINT) AS aa_micro
+        FROM cand JOIN deg d ON d.w = cand.w GROUP BY x, z)
+      SELECT s.x, s.z, s.n_common, s.aa_micro
+      FROM scored s LEFT JOIN edges e ON s.x = e.u AND s.z = e.v
+      WHERE e.u IS NULL
+      ORDER BY aa_micro DESC, x, z LIMIT 25""",
+
+    "graph_ppr" -> """
+      WITH docs AS (
+        SELECT doc_id AS node, source, n_chars // 100 AS blk
+        FROM documents WHERE doc_id < 1200),
+      edges AS (
+        SELECT a.node AS u, b.node AS v
+        FROM docs a JOIN docs b USING (source, blk)
+        WHERE a.node <> b.node),
+      deg AS (SELECT u, count(*) AS deg FROM edges GROUP BY u),
+      r0 AS (SELECT node, CASE WHEN node % 101 = 0 THEN CAST(1000000 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS r FROM docs),
+      c1 AS (SELECT e.v AS node, CAST(sum(r.r // d.deg) AS BIGINT) AS sc
+             FROM edges e JOIN r0 r ON r.node = e.u JOIN deg d ON d.u = e.u GROUP BY e.v),
+      r1 AS (SELECT docs.node, CAST((CASE WHEN docs.node % 101 = 0 THEN 150000 ELSE 0 END) + (850 * coalesce(c1.sc, 0)) // 1000 AS BIGINT) AS r
+             FROM docs LEFT JOIN c1 ON c1.node = docs.node),
+      c2 AS (SELECT e.v AS node, CAST(sum(r.r // d.deg) AS BIGINT) AS sc
+             FROM edges e JOIN r1 r ON r.node = e.u JOIN deg d ON d.u = e.u GROUP BY e.v),
+      r2 AS (SELECT docs.node, CAST((CASE WHEN docs.node % 101 = 0 THEN 150000 ELSE 0 END) + (850 * coalesce(c2.sc, 0)) // 1000 AS BIGINT) AS r
+             FROM docs LEFT JOIN c2 ON c2.node = docs.node),
+      c3 AS (SELECT e.v AS node, CAST(sum(r.r // d.deg) AS BIGINT) AS sc
+             FROM edges e JOIN r2 r ON r.node = e.u JOIN deg d ON d.u = e.u GROUP BY e.v),
+      r3 AS (SELECT docs.node, CAST((CASE WHEN docs.node % 101 = 0 THEN 150000 ELSE 0 END) + (850 * coalesce(c3.sc, 0)) // 1000 AS BIGINT) AS r
+             FROM docs LEFT JOIN c3 ON c3.node = docs.node)
+      SELECT r3.node, r3.node % 101 = 0 AS is_seed,
+             coalesce(deg.deg, 0) AS n_neighbors, r3.r AS ppr_micro
+      FROM r3 LEFT JOIN deg ON deg.u = r3.node
+      WHERE r3.r > 0
+      ORDER BY ppr_micro DESC, node LIMIT 25""",
+
+    // Product quantization: per-subspace codebooks by the kmeans-oracle
+    // pattern (quantized integer coordinates, exact integer distances,
+    // (d2, cid) argmin, floor-averaged updates, 2 unrolled Lloyd
+    // rounds), then ADC = per-probe 4×8 lookup table summed over the
+    // encoded corpus — all BIGINT, value-for-value with the Spark path.
+    "llm_sim_pq_topk" -> """
+      WITH qv AS (
+        SELECT vec_id, (pos - 1) // 16 AS sub, pos,
+               CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT) AS xq
+        FROM (SELECT vec_id, unnest(embedding) AS x,
+                     generate_subscripts(embedding, 1) AS pos
+              FROM embeddings)),
+      c0 AS (SELECT sub, vec_id AS cid, pos, xq AS cq FROM qv WHERE vec_id < 8),
+      d1 AS (SELECT q.vec_id, q.sub, c.cid, CAST(sum((q.xq - c.cq) * (q.xq - c.cq)) AS BIGINT) AS d2
+             FROM qv q JOIN c0 c ON c.sub = q.sub AND c.pos = q.pos
+             GROUP BY q.vec_id, q.sub, c.cid),
+      a1 AS (SELECT vec_id, sub, cid FROM (
+               SELECT vec_id, sub, cid, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+               FROM d1) WHERE rn = 1),
+      c1 AS (SELECT a.sub, a.cid, q.pos, CAST(floor(sum(q.xq)::DOUBLE / count(*)) AS BIGINT) AS cq
+             FROM qv q JOIN a1 a ON a.vec_id = q.vec_id AND a.sub = q.sub
+             GROUP BY a.sub, a.cid, q.pos),
+      d2_ AS (SELECT q.vec_id, q.sub, c.cid, CAST(sum((q.xq - c.cq) * (q.xq - c.cq)) AS BIGINT) AS d2
+              FROM qv q JOIN c1 c ON c.sub = q.sub AND c.pos = q.pos
+              GROUP BY q.vec_id, q.sub, c.cid),
+      a2 AS (SELECT vec_id, sub, cid FROM (
+               SELECT vec_id, sub, cid, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+               FROM d2_) WHERE rn = 1),
+      c2 AS (SELECT a.sub, a.cid, q.pos, CAST(floor(sum(q.xq)::DOUBLE / count(*)) AS BIGINT) AS cq
+             FROM qv q JOIN a2 a ON a.vec_id = q.vec_id AND a.sub = q.sub
+             GROUP BY a.sub, a.cid, q.pos),
+      df AS (SELECT q.vec_id, q.sub, c.cid, CAST(sum((q.xq - c.cq) * (q.xq - c.cq)) AS BIGINT) AS d2
+             FROM qv q JOIN c2 c ON c.sub = q.sub AND c.pos = q.pos
+             GROUP BY q.vec_id, q.sub, c.cid),
+      codes AS (SELECT vec_id, sub, cid FROM (
+                  SELECT vec_id, sub, cid, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+                  FROM df) WHERE rn = 1),
+      dt AS (SELECT q.vec_id AS pid, q.sub, c.cid,
+                    CAST(sum((q.xq - c.cq) * (q.xq - c.cq)) AS BIGINT) AS d
+             FROM qv q JOIN c2 c ON c.sub = q.sub AND c.pos = q.pos
+             WHERE q.vec_id < 10
+             GROUP BY q.vec_id, q.sub, c.cid),
+      adc AS (SELECT dt.pid, codes.vec_id AS nid, CAST(sum(dt.d) AS BIGINT) AS adc_d2
+              FROM codes JOIN dt ON dt.sub = codes.sub AND dt.cid = codes.cid
+              WHERE codes.vec_id <> dt.pid
+              GROUP BY dt.pid, codes.vec_id)
+      SELECT pid, nid, adc_d2, CAST(rn AS BIGINT) AS rnk FROM (
+        SELECT pid, nid, adc_d2,
+               row_number() OVER (PARTITION BY pid ORDER BY adc_d2, nid) AS rn
+        FROM adc) WHERE rn <= 5
+      ORDER BY pid, rnk""",
+
+    // Laplace-smoothed bigram LM: per-term floor to integer micro-nats
+    // (ln of BIGINT is the same IEEE double both engines) makes the
+    // corpus sum order-free; train decile doc_id%10=1, test decile 0.
+    "llm_bigram_lm" -> """
+      WITH bi AS (
+        SELECT doc_id, lang, w[CAST(i AS INT)] AS w1, w[CAST(i AS INT) + 1] AS w2
+        FROM (SELECT doc_id, lang, string_split(text, ' ') AS w
+              FROM documents WHERE doc_id % 10 <= 1),
+             LATERAL unnest(range(1, len(w))) t(i)),
+      tr AS (SELECT * FROM bi WHERE doc_id % 10 = 1),
+      c2 AS (SELECT w1, w2, count(*) AS c2 FROM tr GROUP BY w1, w2),
+      c1 AS (SELECT w1, count(*) AS c1 FROM tr GROUP BY w1),
+      v AS (SELECT count(DISTINCT wv) AS vsz FROM (
+              SELECT w1 AS wv FROM tr UNION ALL SELECT w2 FROM tr)),
+      sc AS (
+        SELECT te.doc_id, te.lang,
+               CAST(floor(1000000.0 *
+                 (ln(CAST(coalesce(c1.c1, 0) + v.vsz AS DOUBLE)) -
+                  ln(CAST(coalesce(c2.c2, 0) + 1 AS DOUBLE)))) AS BIGINT) AS nll
+        FROM (SELECT * FROM bi WHERE doc_id % 10 = 0) te
+        LEFT JOIN c2 ON c2.w1 = te.w1 AND c2.w2 = te.w2
+        LEFT JOIN c1 ON c1.w1 = te.w1
+        CROSS JOIN v)
+      SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_bigrams,
+             CAST(sum(nll) AS BIGINT) AS nll_micro_sum,
+             CAST(sum(nll) // count(*) AS BIGINT) AS avg_nll_micro
+      FROM sc GROUP BY lang ORDER BY lang""",
+
+    // Band-tune S-curve: one 64-perm signature pass (the dedup_minhash
+    // CTEs), four band layouts over it, truth = est-Jaccard ≥ 1/2
+    // (≥32/64 matching components — provably inside the r=1 candidate
+    // set by pigeonhole). Band keys here are the component-value
+    // strings; the Spark side hashes the same slices (xxhash64), so
+    // the candidate SETS agree exactly as in llm_dedup_minhash.
+    "llm_minhash_band_tune" -> s"""
+      WITH wd AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        FROM documents WHERE doc_id < 2000),
+      sh AS (
+        SELECT doc_id,
+               CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                    ELSE list_distinct(list_transform(range(1, len(w) - 1), i ->
+                         array_to_string(w[i:i+2], ' '))) END AS shs
+        FROM wd),
+      hs AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) & 2147483647 AS h
+        FROM (SELECT doc_id, unnest(shs) AS g FROM sh)),
+      perm AS (
+        SELECT i,
+               1 + (1664525 * (i + 1) + 1013904223) % 2147483646 AS a,
+               (22695477 * (i + 1) + 1) % 2147483647 AS b
+        FROM range(64) t(i)),
+      sig AS (
+        SELECT doc_id, i, min((a * h + b) % 2147483647) AS v
+        FROM hs CROSS JOIN perm GROUP BY doc_id, i),
+      cfg AS (SELECT unnest([1, 2, 4, 8]) AS r),
+      bands AS (
+        SELECT doc_id, r, i // r AS band,
+               string_agg(CAST(v AS VARCHAR), ',' ORDER BY i) AS bkey
+        FROM sig CROSS JOIN cfg GROUP BY doc_id, r, i // r),
+      cand AS (
+        SELECT DISTINCT a.r, a.doc_id AS da, b.doc_id AS db
+        FROM bands a JOIN bands b ON a.r = b.r AND a.band = b.band AND a.bkey = b.bkey
+        WHERE a.doc_id < b.doc_id),
+      sigv AS (SELECT doc_id, list(v ORDER BY i) AS sig FROM sig GROUP BY doc_id),
+      truth AS (
+        SELECT c.da, c.db
+        FROM (SELECT da, db FROM cand WHERE r = 1) c
+        JOIN sigv sa ON sa.doc_id = c.da
+        JOIN sigv sb ON sb.doc_id = c.db
+        WHERE len(list_filter(range(1, 65), j -> sa.sig[j] = sb.sig[j])) >= 32),
+      tc AS (SELECT count(*) AS n_truth FROM truth),
+      per AS (
+        SELECT cand.r, count(*) AS n_candidates,
+               CAST(sum(CASE WHEN t.da IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+        FROM cand LEFT JOIN truth t ON t.da = cand.da AND t.db = cand.db
+        GROUP BY cand.r)
+      SELECT CAST(64 // r AS BIGINT) AS n_bands, CAST(r AS BIGINT) AS rows_per_band,
+             n_candidates, n_hits, CAST(tc.n_truth AS BIGINT) AS n_truth,
+             ${N.ratio("n_hits", "n_candidates", 4)} AS band_precision,
+             ${N.ratio("n_hits", "tc.n_truth", 4)} AS band_recall
+      FROM per CROSS JOIN tc ORDER BY rows_per_band""",
+
+    // aspect-ratio bucketing: stub dims recomputed from md5 (the
+    // mm_resize_plan mirror), ratio-nearest bucket by the exact integer
+    // |⌊w·bh·10⁶/(h·bw)⌋ − 10⁶| criterion, rectangle fit + pad census
+    "mm_aspect_bucket" -> """
+      WITH m AS (
+        SELECT doc_id, md5(text) AS hx
+        FROM documents WHERE doc_id < 2000 AND doc_id % 3 = 0),
+      d AS (
+        SELECT doc_id,
+               64 + CAST(('0x' || substr(hx, 1, 8)) AS BIGINT) % 1857 AS w,
+               64 + CAST(('0x' || substr(hx, 9, 8)) AS BIGINT) % 1017 AS h
+        FROM m),
+      bk AS (SELECT CAST(bi AS BIGINT) AS bi, CAST(bw AS BIGINT) AS bw, CAST(bh AS BIGINT) AS bh
+             FROM (VALUES (0, 512, 512), (1, 576, 448), (2, 448, 576),
+                          (3, 640, 384), (4, 384, 640)) v(bi, bw, bh)),
+      a AS (
+        SELECT doc_id, w, h, bi, bw, bh,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY abs((w * bh * 1000000) // (h * bw) - 1000000), bi) AS rn
+        FROM d CROSS JOIN bk),
+      f AS (
+        SELECT doc_id, bi, bw, bh,
+               CASE WHEN w * bh >= h * bw THEN least(w, bw)
+                    ELSE (w * least(h, bh)) // h END AS ow,
+               CASE WHEN w * bh >= h * bw THEN (h * least(w, bw)) // w
+                    ELSE least(h, bh) END AS oh
+        FROM a WHERE rn = 1)
+      SELECT bi AS bucket_id, bw AS bucket_w, bh AS bucket_h,
+             count(*) AS n_images,
+             CAST(sum(bw * bh - ow * oh) AS BIGINT) AS total_pad_px,
+             CAST(sum(bw * bh - ow * oh) // count(*) AS BIGINT) AS avg_pad_px,
+             CAST((count(*) + 31) // 32 AS BIGINT) AS n_batches
+      FROM f GROUP BY bi, bw, bh ORDER BY bucket_id""",
+
+    // median/MAD outliers: discrete medians via the cumulative-count
+    // RANGE window (agg_percentile_disc formulation), signed micro-unit
+    // deviation by toward-zero integer division (ts_theil_sen precedent)
+    "ts_robust_zscore" -> """
+      WITH e AS (
+        SELECT event_id, event_type,
+               CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        FROM events),
+      mw AS (
+        SELECT event_type, cents,
+               count(*) OVER (PARTITION BY event_type ORDER BY cents) AS cw,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM e),
+      m AS (SELECT event_type, min(CASE WHEN cw * 2 >= n THEN cents END) AS med_cents
+            FROM mw GROUP BY event_type),
+      d AS (SELECT e.event_id, e.event_type, e.cents, m.med_cents,
+                   abs(e.cents - m.med_cents) AS ad
+            FROM e JOIN m USING (event_type)),
+      aw AS (
+        SELECT event_type, ad,
+               count(*) OVER (PARTITION BY event_type ORDER BY ad) AS cwa,
+               count(*) OVER (PARTITION BY event_type) AS na
+        FROM d),
+      md AS (SELECT event_type, min(CASE WHEN cwa * 2 >= na THEN ad END) AS mad_cents
+             FROM aw GROUP BY event_type)
+      SELECT d.event_id, d.event_type, d.cents, d.med_cents, md.mad_cents,
+             CAST((d.cents - d.med_cents) * 1000000 // greatest(md.mad_cents, 1) AS BIGINT) AS dev_micro
+      FROM d JOIN md USING (event_type)
+      ORDER BY abs(dev_micro) DESC, event_id LIMIT 25""",
+
+    // per-category c·ln(c) floors to BIGINT micro-nats BEFORE the sum;
+    // H_micro = ⌊ln(n)·10⁶⌋ − S div n — one expression tree, both engines
+    "dq_entropy_profile" -> s"""
+      WITH cen AS (
+        SELECT 'events.event_type' AS column_name, count(*) AS c FROM events GROUP BY event_type
+        UNION ALL SELECT 'documents.lang', count(*) FROM documents GROUP BY lang
+        UNION ALL SELECT 'documents.source', count(*) FROM documents GROUP BY source
+        UNION ALL SELECT 'customer.c_mktsegment', count(*) FROM customer GROUP BY c_mktsegment),
+      tt AS (
+        SELECT column_name, c,
+               CAST(floor(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT) AS t
+        FROM cen),
+      g AS (
+        SELECT column_name, CAST(sum(c) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(max(c) AS BIGINT) AS top_count,
+               CAST(sum(t) AS BIGINT) AS st
+        FROM tt GROUP BY column_name),
+      g2 AS (
+        SELECT column_name, n_rows, n_distinct, top_count,
+               CAST(floor(ln(CAST(n_rows AS DOUBLE)) * 1000000.0) AS BIGINT) - st // n_rows AS entropy_micro,
+               CAST(floor(ln(CAST(n_distinct AS DOUBLE)) * 1000000.0) AS BIGINT) AS max_entropy_micro
+        FROM g)
+      SELECT column_name, n_rows, n_distinct, top_count,
+             ${N.ratio("top_count", "n_rows", 4)} AS top_share,
+             entropy_micro, max_entropy_micro,
+             ${N.ratio("entropy_micro", "max_entropy_micro", 4)} AS norm_entropy
+      FROM g2 ORDER BY column_name"""
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\n\\s+", "\n") }
 }

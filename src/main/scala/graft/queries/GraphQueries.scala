@@ -1240,4 +1240,106 @@ object GraphQueries {
       .orderBy(desc("closeness_micro"), col("node"))
       .limit(25)
   }
+
+  /** Local clustering coefficient — how clique-like each doc's
+    * neighborhood is (a near-dup family member sits at cc ≈ 1, a
+    * bridge doc between two template families near 0): for every node
+    * of degree ≥ 2, cc = 2·T(v) / (deg·(deg−1)) with T(v) the per-node
+    * triangle count. INTEGER-EXACT: cc is reported in 1e-6 units via
+    * one BIGINT floor-division, so the (cc, deg, node) top-25 order is
+    * bit-stable at any parallelism. Triangle census is the same
+    * two-equi-join wedge enumeration as `graphTriangleCount` (shared
+    * canonical u<v edges, output-sensitive in the wedge count); degrees
+    * come from the family's shared census. Scale: both joins key on
+    * node ids and the blocking cap bounds per-node degree — no
+    * all-pairs step anywhere (at 100 TB the same census runs per LSH
+    * bucket, exactly like the triangle row). */
+  def graphClusteringCoeff(s: SparkSession, dir: String): DataFrame = {
+    val e = simEdges(s, dir)
+    val deg = symDeg(s, dir)
+    val wedges = e.as("a").join(e.as("b"), col("a.v") === col("b.u"))
+      .select(col("a.u").as("x"), col("a.v").as("y"), col("b.v").as("z"))
+    val tri = wedges.join(e.as("c"),
+      col("x") === col("c.u") && col("z") === col("c.v"))
+    val triPerNode = tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+    deg.filter(col("deg") >= 2)
+      .select(col("u").as("node"), col("deg"))
+      .join(triPerNode, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        call_function("div",
+          coalesce(col("n_triangles"), lit(0L)) * lit(2000000L),
+          col("deg") * (col("deg") - 1)).as("cc_micro"))
+      .orderBy(desc("cc_micro"), desc("deg"), col("node"))
+      .limit(25)
+  }
+
+  /** Adamic–Adar link prediction — the classic "which non-edges are
+    * most likely missing links" score: for every non-adjacent pair
+    * (x, z), Σ over common neighbors w of 1/ln(deg(w)) — a shared
+    * RARE neighbor (low degree) is strong evidence, a shared hub is
+    * weak. Candidate pairs are exactly the CENTERED wedges (one
+    * self-join of the symmetric adjacency on the center node — never
+    * all pairs; per-center fan-out is deg², bounded by the blocking
+    * cap; at a power-law 100 TB graph the centers get the HotKeys cap
+    * like every hub-quadratic step). Determinism: each term is
+    * ⌊10⁶ / ln(deg_w)⌋ — ln of a BIGINT is the same IEEE double on
+    * both engines and the floor lands it in integer micro-units, so
+    * the Σ is an order-free BIGINT sum (deg_w ≥ 2 for any wedge
+    * center, so ln > 0 always). Known edges drop via one anti-join on
+    * the canonical edge list. */
+  def graphAdamicAdar(s: SparkSession, dir: String): DataFrame = {
+    val e = simEdges(s, dir)
+    val adj = symAdj(s, dir)
+    val deg = symDeg(s, dir)
+    val cand = adj.select(col("u").as("w"), col("v").as("x"))
+      .join(adj.select(col("u").as("w"), col("v").as("z")), "w")
+      .filter(col("x") < col("z"))
+    val scored = cand.join(deg.select(col("u").as("w"), col("deg")), "w")
+      .groupBy("x", "z")
+      .agg(count(lit(1)).as("n_common"),
+        sum(floor(lit(1000000.0) / log(col("deg").cast("double")))).as("aa_micro"))
+    scored.join(e, scored("x") === e("u") && scored("z") === e("v"), "left_anti")
+      .orderBy(desc("aa_micro"), col("x"), col("z"))
+      .limit(25)
+  }
+
+  /** Personalized PageRank from a seed set (node ≡ 0 mod 101 — the BFS
+    * family's contamination seeds): random-walk-with-restart importance
+    * RELATIVE to the seeds, the score behind "expand this benchmark's
+    * contamination neighborhood" and seed-biased graph sampling. Same
+    * integer discipline as `graphPagerank` — ranks in 1e-6 units,
+    * floor-divided contributions, damping 0.85 over 3 unrolled rounds —
+    * but the teleport mass lands ONLY on seeds (seeds start at 10⁶,
+    * everything else at 0), so mass decays with hop distance from the
+    * seed set and untouched components stay at exactly 0 (filtered —
+    * at 100 TB the frontier frame stays proportional to the reached
+    * set, never the node universe). Shares the PageRank family's
+    * cached single-blocking graph, hub-salted adjacency and degree
+    * census. */
+  def graphPersonalizedPagerank(s: SparkSession, dir: String): DataFrame = {
+    val (sadj, deg, nodes) = prGraph(s, dir)
+    val teleport = when(col("node") % 101 === 0, lit(150000L)).otherwise(lit(0L))
+    var rank = nodes.select(col("node"),
+      when(col("node") % 101 === 0, lit(1000000L)).otherwise(lit(0L)).as("r"))
+    for (_ <- 1 to 3) {
+      val contrib = sadj.propagate(
+          rank.join(deg, "node")
+            .select(col("node"), call_function("div", col("r"), col("deg")).as("c")))
+        .groupBy("node").agg(sum("c").as("sc"))
+      rank = nodes
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (teleport + call_function("div",
+            lit(850L) * coalesce(col("sc"), lit(0L)), lit(1000L))).as("r"))
+    }
+    rank.filter(col("r") > 0)
+      .join(deg, Seq("node"), "left")
+      .select(col("node"), (col("node") % 101 === 0).as("is_seed"),
+        coalesce(col("deg"), lit(0L)).as("n_neighbors"),
+        col("r").as("ppr_micro"))
+      .orderBy(desc("ppr_micro"), col("node"))
+      .limit(25)
+  }
 }

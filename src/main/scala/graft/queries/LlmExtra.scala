@@ -2172,4 +2172,169 @@ object LlmExtra {
         Num.ratio(col("sum_overlap"), col("sum_ref"), 4).as("micro_recall"))
       .orderBy("lang")
   }
+
+  /** PRODUCT-QUANTIZATION ANN (the family's memory-bound scale path,
+    * next to LSH and IVF): 64-dim vectors split into M=4 subspaces of
+    * 16 dims; per subspace an 8-centroid codebook trains by 2 Lloyd
+    * rounds (the `llm_kmeans_train` integer discipline — 1e-4-unit
+    * quantized coordinates, exact integer Σ(Δq)² distances,
+    * lexicographic (d2, cid) argmin, floor-averaged updates), every
+    * vector encodes to 4 code bytes, and probes search by ADC
+    * (asymmetric distance computation): one 4×8 lookup table per probe,
+    * approximate distance = Σ_sub table[code] — 4 BIGINT adds replace
+    * the 64-dim dot product, which is why PQ is what a RAM-resident
+    * 100 TB index actually stores (32× compression here; 64× with
+    * bytes). All integer end-to-end, so ranks are bit-stable and the
+    * DuckDB mirror is value-for-value.
+    *
+    * Scale: training joins broadcast the ≤512-row codebook; encoding is
+    * one broadcast-join map pass; the ADC scoring join keys on
+    * (sub, cid) against the ≤320-row broadcast table — cost is
+    * probes × corpus × M rows through a map-combined sum, never a
+    * cross join of vectors. */
+  def llmSimPqTopk(s: SparkSession, dir: String): DataFrame = {
+    // qv feeds every training round, the encode pass and the probe
+    // tables — one posexplode, persisted (the kmeans discipline)
+    val qv = t(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"),
+        call_function("div", col("pos").cast("long"), lit(16L)).as("sub"),
+        col("pos"),
+        floor(col("x").cast("double") * 10000).cast("long").as("xq"))
+      .persist()
+    val dd = (col("xq") - col("cq")) * (col("xq") - col("cq"))
+    def assignTo(cent: DataFrame): DataFrame = {
+      val d2 = qv.join(broadcast(cent), Seq("sub", "pos"))
+        .groupBy("vec_id", "sub", "cid").agg(sum(dd).as("d2"))
+      d2.groupBy("vec_id", "sub")
+        .agg(min(struct(col("d2"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("sub"), col("m.cid").as("cid"))
+    }
+    var cent = qv.filter(col("vec_id") < 8)
+      .select(col("sub"), col("vec_id").as("cid"), col("pos"), col("xq").as("cq"))
+    for (_ <- 1 to 2) {
+      cent = qv.join(assignTo(cent), Seq("vec_id", "sub"))
+        .groupBy("sub", "cid", "pos")
+        .agg(floor(sum(col("xq")) / count(lit(1))).cast("long").as("cq"))
+        .cache()
+    }
+    val codes = assignTo(cent)
+    val dt = qv.filter(col("vec_id") < 10)
+      .join(broadcast(cent), Seq("sub", "pos"))
+      .groupBy(col("vec_id").as("pid"), col("sub"), col("cid"))
+      .agg(sum(dd).as("d"))
+    val adc = codes.join(broadcast(dt), Seq("sub", "cid"))
+      .filter(col("vec_id") =!= col("pid"))
+      .groupBy(col("pid"), col("vec_id").as("nid"))
+      .agg(sum("d").as("adc_d2"))
+    val w = Window.partitionBy("pid").orderBy(col("adc_d2"), col("nid"))
+    adc.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select("pid", "nid", "adc_d2", "rnk")
+      .orderBy("pid", "rnk")
+  }
+
+  /** BIGRAM LANGUAGE-MODEL scoring — the n-gram-LM quality signal one
+    * tier above `llm_perplexity_score`'s unigram model: a Laplace-
+    * smoothed bigram LM trains on the doc_id%10=1 decile (bigram +
+    * context censuses, both map-combined word-keyed aggregates) and
+    * scores the DISJOINT doc_id%10=0 decile, rolled up per language.
+    * Each bigram's negative log-probability
+    * −ln((c₂+1)/(c₁+V)) = ln(c₁+V) − ln(c₂+1) floors into integer
+    * micro-nats BEFORE summation — ln of a BIGINT is the same IEEE
+    * double on both engines, so the per-term floor makes the corpus
+    * sum an order-free BIGINT total and the per-lang average an exact
+    * floor-division. Unseen test words ride the same formula at c₁=0
+    * (pure 1/V mass). At 100 TB the train censuses are the classic
+    * count-shuffles and the scoring pass is two word-keyed equi-joins —
+    * nothing quadratic, nothing driver-side. */
+  def llmBigramLm(s: SparkSession, dir: String): DataFrame = {
+    val bi = t(s, dir, "documents").filter(col("doc_id") % 10 <= 1)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("lang"),
+        explode(zip_with(
+          slice(col("w"), lit(1), size(col("w")) - 1),
+          slice(col("w"), lit(2), size(col("w")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("g"))
+      .select(col("doc_id"), col("lang"), col("g.w1").as("w1"), col("g.w2").as("w2"))
+      .persist()
+    val train = bi.filter(col("doc_id") % 10 === 1)
+    val c2 = train.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = train.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v = train.select(explode(array(col("w1"), col("w2"))).as("wv"))
+      .agg(countDistinct("wv").as("vsz"))
+    val scored = bi.filter(col("doc_id") % 10 === 0)
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"), col("lang"),
+        floor(lit(1000000.0) *
+          (log((coalesce(col("c1"), lit(0L)) + col("vsz")).cast("double")) -
+           log((coalesce(col("c2"), lit(0L)) + lit(1L)).cast("double")))).as("nll"))
+    scored.groupBy("lang")
+      .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_bigrams"),
+        sum("nll").as("nll_micro_sum"))
+      .select(col("lang"), col("n_docs"), col("n_bigrams"), col("nll_micro_sum"),
+        call_function("div", col("nll_micro_sum"), col("n_bigrams")).as("avg_nll_micro"))
+      .orderBy("lang")
+  }
+
+  /** MINHASH BAND TUNING — the (bands, rows-per-band) S-curve readout a
+    * dedup deployment reads before picking its LSH config: over ONE
+    * 64-perm signature pass (the `llm_dedup_minhash` signature), band
+    * the signature four ways — 64×1, 32×2, 16×4, 8×8 — generate each
+    * config's candidate pairs by the usual (band, key) equi-join, and
+    * grade every config against the pigeonhole-exact truth set
+    * (est-Jaccard ≥ 1/2 ⇔ ≥32 of 64 components agree ⇒ the pair
+    * ALWAYS collides under single-row bands, so the r=1 candidate set
+    * provably contains all of truth — no all-pairs scan anywhere).
+    * Wider rows cut candidates (precision up) and shed sub-threshold
+    * pairs (recall at the threshold stays 1.0 by pigeonhole only for
+    * r=1; the measured drop IS the tuning signal). Candidates for any
+    * r>1 are a subset of r=1's (a matching band needs every component
+    * in it to match), so the exact match census runs once over the
+    * r=1 superset. Ratios are `Num.ratio` half-up integers.
+    *
+    * Scale: band rows are 120 per doc (map pass); every self-join is
+    * HotKeys-capped per (r, band, key) bucket; the match census joins
+    * signatures back on the bounded candidate set only. */
+  def llmMinhashBandTune(s: SparkSession, dir: String): DataFrame = {
+    graft.udx.NGrams.registerAll(s)
+    val docs = t(s, dir, "documents").filter(col("doc_id") < 2000)
+    val sigs = Llm.signatures(docs).persist()
+    val bandRows = Seq(1, 2, 4, 8).map { r =>
+      val bandStructs = array((0 until 64 / r).map { i =>
+        struct(lit(i).as("band"),
+          xxhash64(lit(r), lit(i), slice(col("sig"), i * r + 1, r)).as("bkey"))
+      }: _*)
+      sigs.select(lit(r.toLong).as("r"), col("doc_id"), explode(bandStructs).as("b"))
+        .select(col("r"), col("doc_id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
+    }.reduce(_ unionByName _)
+    val bands = graft.operators.HotKeys.dropOverCap(
+      bandRows, Seq("r", "band", "bkey"), graft.operators.HotKeys.DefaultCap)
+    val cand = bands.select(col("r"), col("doc_id").as("da"), col("band"), col("bkey"))
+      .join(bands.select(col("r"), col("doc_id").as("db"), col("band"), col("bkey")),
+        Seq("r", "band", "bkey"))
+      .filter(col("da") < col("db"))
+      .select("r", "da", "db").distinct()
+      .persist()
+    val truth = cand.filter(col("r") === 1).select("da", "db")
+      .join(sigs.select(col("doc_id").as("da"), col("sig").as("sa")), "da")
+      .join(sigs.select(col("doc_id").as("db"), col("sig").as("sb")), "db")
+      .select(col("da"), col("db"), expr("graft_lmatch(sa, sb)").as("m"))
+      .filter(col("m") >= 32)
+      .select(col("da"), col("db"), lit(1L).as("is_true"))
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    cand.join(truth, Seq("da", "db"), "left")
+      .groupBy("r")
+      .agg(count(lit(1)).as("n_candidates"), count(col("is_true")).as("n_hits"))
+      .crossJoin(broadcast(nTruth))
+      .select(
+        call_function("div", lit(64L), col("r")).as("n_bands"),
+        col("r").as("rows_per_band"),
+        col("n_candidates"), col("n_hits"), col("n_truth"),
+        Num.ratio(col("n_hits"), col("n_candidates"), 4).as("band_precision"),
+        Num.ratio(col("n_hits"), col("n_truth"), 4).as("band_recall"))
+      .orderBy("rows_per_band")
+  }
 }

@@ -292,4 +292,58 @@ object MultimodalQueries {
         min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
       .orderBy("source", "shard_id")
   }
+
+  /** ASPECT-RATIO BUCKETING — the batching step of a vision-training
+    * pipeline (SDXL-style): images group into a fixed ladder of target
+    * canvases (square, 4:3 both ways, 5:3 both ways) so a batch shares
+    * one shape and padding waste stays bounded; the readout is the
+    * per-bucket census a data loader schedules from (image count,
+    * total/average letterbox padding, batch count at 32). Assignment
+    * is the ratio-nearest bucket under an EXACT integer criterion —
+    * minimize |⌊w·bh·10⁶ / (h·bw)⌋ − 10⁶|, ties to the lower bucket
+    * id — and the fit is the downscale-only resize of `mm_resize_plan`
+    * generalized to a rectangle: the binding dimension (w·bh ≥ h·bw ⇒
+    * width) caps at the canvas edge and the other scales by the same
+    * integer ratio, so pad = bw·bh − ow·oh is exact BIGINT in both
+    * engines. One mapPartitions decode pass (stubbed codec), a
+    * broadcast 5-row bucket table, and one map-combined rollup — no
+    * shuffle wider than the 5-bucket census at any corpus size. */
+  def mmAspectBucket(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = t(s, dir, "documents")
+      .filter(col("doc_id") < 2000 && col("doc_id") % 3 === 0)
+      .select(col("doc_id"), lit("image").as("kind"),
+        col("text").cast("binary").as("bytes"))
+      .as[MediaRow]
+    val metas = rows.mapPartitions(_.map(Media.decodeStub)).toDF()
+      .select(col("doc_id"), col("width").cast("long").as("w"),
+        col("height").cast("long").as("h"))
+    val buckets = Seq((0L, 512L, 512L), (1L, 576L, 448L), (2L, 448L, 576L),
+        (3L, 640L, 384L), (4L, 384L, 640L))
+      .toDF("bi", "bw", "bh")
+    val dist = abs(call_function("div",
+      col("w") * col("bh") * lit(1000000L), col("h") * col("bw")) - lit(1000000L))
+    val assigned = metas.crossJoin(broadcast(buckets))
+      .select(col("doc_id"), col("w"), col("h"),
+        col("bi"), col("bw"), col("bh"), dist.as("dist"))
+      .groupBy("doc_id", "w", "h")
+      .agg(min(struct(col("dist"), col("bi"), col("bw"), col("bh"))).as("m"))
+      .select(col("doc_id"), col("w"), col("h"),
+        col("m.bi").as("bi"), col("m.bw").as("bw"), col("m.bh").as("bh"))
+    val widthBinding = col("w") * col("bh") >= col("h") * col("bw")
+    val ow = when(widthBinding, least(col("w"), col("bw")))
+      .otherwise(call_function("div", col("w") * least(col("h"), col("bh")), col("h")))
+    val oh = when(widthBinding,
+        call_function("div", col("h") * least(col("w"), col("bw")), col("w")))
+      .otherwise(least(col("h"), col("bh")))
+    assigned.select(col("bi"), col("bw"), col("bh"), ow.as("ow"), oh.as("oh"))
+      .groupBy("bi", "bw", "bh")
+      .agg(count(lit(1)).as("n_images"),
+        sum(col("bw") * col("bh") - col("ow") * col("oh")).as("total_pad_px"))
+      .select(col("bi").as("bucket_id"), col("bw").as("bucket_w"),
+        col("bh").as("bucket_h"), col("n_images"), col("total_pad_px"),
+        call_function("div", col("total_pad_px"), col("n_images")).as("avg_pad_px"),
+        call_function("div", col("n_images") + 31, lit(32L)).as("n_batches"))
+      .orderBy("bucket_id")
+  }
 }

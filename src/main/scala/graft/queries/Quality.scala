@@ -1159,4 +1159,43 @@ object Quality {
         Num.ratio(col("n_converted"), col("n_clickers"), 6).as("convert_share"))
       .orderBy("decile")
   }
+
+  /** SHANNON-ENTROPY COLUMN PROFILE — the information-content readout
+    * next to `dq_schema_profile`'s null/distinct census: per
+    * categorical column, H = ln n − (Σ c·ln c)/n in QUANTIZED
+    * micro-nats, plus the top-category share and H normalized by the
+    * ln(k) maximum — low normalized entropy flags a column collapsing
+    * onto one value (drift, a broken upstream filter), high flags a
+    * near-uniform key masquerading as a category. Determinism: each
+    * category's c·ln(c) term FLOORS to BIGINT micro-nats before the
+    * sum (ln of a BIGINT is the same IEEE double everywhere, and the
+    * floored sum is order-free), then H_micro =
+    * ⌊ln(n)·10⁶⌋ − S div n — one fixed expression tree, bit-identical
+    * in both engines, and provably ≥ 0 since Σ c·ln c ≤ n·ln n. Scale:
+    * one map-combined census per column (the same shuffle a
+    * countDistinct pays), unioned; everything after runs on k rows. */
+  def dqEntropyProfile(s: SparkSession, dir: String): DataFrame = {
+    def census(df: DataFrame, tbl: String, c: String): DataFrame =
+      df.groupBy(col(c)).agg(count(lit(1)).as("c"))
+        .select(lit(s"$tbl.$c").as("column_name"), col("c"))
+    val u = Seq(
+      census(t(s, dir, "events"), "events", "event_type"),
+      census(t(s, dir, "documents"), "documents", "lang"),
+      census(t(s, dir, "documents"), "documents", "source"),
+      census(t(s, dir, "customer"), "customer", "c_mktsegment"))
+      .reduce(_ unionByName _)
+    u.withColumn("t",
+        floor(col("c").cast("double") * log(col("c").cast("double")) * lit(1000000.0)))
+      .groupBy("column_name")
+      .agg(sum("c").as("n_rows"), count(lit(1)).as("n_distinct"),
+        max("c").as("top_count"), sum("t").as("st"))
+      .select(col("column_name"), col("n_rows"), col("n_distinct"), col("top_count"),
+        Num.ratio(col("top_count"), col("n_rows"), 4).as("top_share"),
+        (floor(log(col("n_rows").cast("double")) * lit(1000000.0)) -
+          call_function("div", col("st"), col("n_rows"))).as("entropy_micro"),
+        floor(log(col("n_distinct").cast("double")) * lit(1000000.0)).as("max_entropy_micro"))
+      .withColumn("norm_entropy",
+        Num.ratio(col("entropy_micro"), col("max_entropy_micro"), 4))
+      .orderBy("column_name")
+  }
 }

@@ -921,4 +921,48 @@ object TimeSeries {
         (nx_s < lit(0) && nx_s * nx_s > lit(4) * varNum).as("breakout_lo"))
       .orderBy("day")
   }
+
+  /** ROBUST (median/MAD) outlier scoring — the anomaly detector that
+    * survives what breaks `dq_anomaly_zscore`: mean/stddev are
+    * themselves dragged by the outliers they hunt, while the median
+    * and the median-absolute-deviation have a 50% breakdown point.
+    * Per event type: med = discrete median of the integer cents (the
+    * `agg_percentile_disc` cumulative-count formulation — ties share a
+    * RANGE-frame count in both engines), MAD = discrete median of
+    * |cents − med|, and each event's deviation in exact micro-units
+    * dev = (cents − med)·10⁶ div max(MAD, 1) (signed integer division
+    * truncates toward zero identically in both engines — the
+    * `ts_theil_sen` precedent); top 25 by |dev| with the event_id
+    * tiebreak. No float enters the pipeline, so the cut line is
+    * bit-stable. Scale: two RANGE windows partitioned by event type —
+    * at a 100 TB event stream the medians come from the
+    * `agg_weighted_median` probe-bucket trick instead; the scoring
+    * join and top-k are unchanged. */
+  def tsRobustZscore(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        (Num.money(col("value")) * 100).cast("long").as("cents"))
+    val cum = Window.partitionBy("event_type").orderBy("cents")
+    val tot = Window.partitionBy("event_type")
+    val med = e
+      .withColumn("cw", count(lit(1)).over(cum))
+      .withColumn("n", count(lit(1)).over(tot))
+      .groupBy("event_type")
+      .agg(min(when(col("cw") * 2 >= col("n"), col("cents"))).as("med_cents"))
+    val dev = e.join(med, "event_type")
+      .withColumn("ad", abs(col("cents") - col("med_cents")))
+    val cumA = Window.partitionBy("event_type").orderBy("ad")
+    val mad = dev
+      .withColumn("cwa", count(lit(1)).over(cumA))
+      .withColumn("na", count(lit(1)).over(tot))
+      .groupBy("event_type")
+      .agg(min(when(col("cwa") * 2 >= col("na"), col("ad"))).as("mad_cents"))
+    dev.join(mad, "event_type")
+      .select(col("event_id"), col("event_type"), col("cents"),
+        col("med_cents"), col("mad_cents"),
+        call_function("div", (col("cents") - col("med_cents")) * lit(1000000L),
+          greatest(col("mad_cents"), lit(1L))).as("dev_micro"))
+      .orderBy(abs(col("dev_micro")).desc, col("event_id"))
+      .limit(25)
+  }
 }

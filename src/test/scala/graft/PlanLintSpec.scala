@@ -49,7 +49,10 @@ class PlanLintSpec extends GraftSpec {
     "graph_louvain_one_level", // single-row 2m total via broadcast cross join (round 12)
     "graph_louvain_apply", // three single-row frames combined via broadcast cross joins (round 12)
     "llm_sim_recall", // inherits both ANN parents' bounded-probe broadcast cross joins (round 12)
-    "llm_sim_recall_at_k") // same two parents at heap depth 10 (round 13)
+    "llm_sim_recall_at_k", // same two parents at heap depth 10 (round 13)
+    "llm_bigram_lm", // single-row vocab size attached via broadcast cross join (round 13)
+    "llm_minhash_band_tune", // single-row truth count via broadcast cross join (round 13)
+    "mm_aspect_bucket") // 5-row bucket ladder attached via broadcast cross join (round 13)
 
   test("no query plans an unexpected cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
