@@ -470,7 +470,13 @@ object SparkEntry {
     // median/MAD robust outliers in exact micro-units
     "ts_robust_zscore" -> TimeSeries.tsRobustZscore _,
     // per-column Shannon entropy in quantized micro-nats
-    "dq_entropy_profile" -> Quality.dqEntropyProfile _
+    "dq_entropy_profile" -> Quality.dqEntropyProfile _,
+    // banded matrix-profile discords over the hourly purchase series
+    "ts_matrix_profile_discord" -> TimeSeries.tsMatrixProfileDiscord _,
+    // IPF raking: 3 alternating integer passes to data-derived controls
+    "census_ipf_raking" -> CensusQueries.censusIpfRaking _,
+    // 1 Hz shot segmentation over the stubbed video intensity stream
+    "mm_video_scene_cut" -> MultimodalQueries.mmVideoSceneCut _
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on

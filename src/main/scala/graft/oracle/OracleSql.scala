@@ -5719,6 +5719,113 @@ object OracleSql {
              ${N.ratio("top_count", "n_rows", 4)} AS top_share,
              entropy_micro, max_entropy_micro,
              ${N.ratio("entropy_micro", "max_entropy_micro", 4)} AS norm_entropy
-      FROM g2 ORDER BY column_name"""
+      FROM g2 ORDER BY column_name""",
+
+    // banded matrix profile over the gap-filled hourly series: exact
+    // BIGINT window distances, (d2, j) argmin, discord = largest nn
+    // distance; the calendar bounds the all-pairs term (ts_theil_sen
+    // convention)
+    "ts_matrix_profile_discord" -> """
+      WITH e AS (
+        SELECT epoch_us(ts) // 3600000000 AS h,
+               CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'),
+      hr AS (SELECT h, CAST(sum(cents) AS BIGINT) AS c FROM e GROUP BY h),
+      b AS (SELECT min(h) AS h0, max(h) AS h1 FROM hr),
+      cal AS (SELECT unnest(range(b.h0, b.h1 + 1)) AS h FROM b),
+      ser AS (SELECT cal.h, coalesce(hr.c, 0) AS c FROM cal LEFT JOIN hr USING (h)),
+      w AS (
+        SELECT i, s.h - i AS k, s.c
+        FROM ser s CROSS JOIN b,
+             LATERAL unnest(range(greatest(s.h - 23, b.h0), least(s.h, b.h1 - 23) + 1)) t(i)),
+      d2 AS (
+        SELECT a.i, bb.j, CAST(sum((a.c - bb.c) * (a.c - bb.c)) AS BIGINT) AS d2
+        FROM w a JOIN (SELECT i AS j, k, c FROM w) bb ON a.k = bb.k
+        WHERE abs(a.i - bb.j) >= 12
+        GROUP BY a.i, bb.j),
+      prof AS (
+        SELECT i, j, d2, row_number() OVER (PARTITION BY i ORDER BY d2, j) AS rn
+        FROM d2)
+      SELECT i AS win_hour, j AS nn_hour, d2 AS nn_d2
+      FROM prof WHERE rn = 1
+      ORDER BY nn_d2 DESC, win_hour LIMIT 25""",
+
+    // three unrolled IPF passes (rows, cols, rows): weights in 1e-6
+    // units, factors floor-divided at 1e12 scale, window marginal sums —
+    // value-for-value with the Spark rake
+    "census_ipf_raking" -> """
+      WITH cust AS (
+        SELECT n.n_name, c.c_mktsegment
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey),
+      seed AS (SELECT n_name, c_mktsegment, count(*) AS n_seed FROM cust GROUP BY 1, 2),
+      nt AS (SELECT count(*) AS n_cust FROM cust),
+      sup AS (
+        SELECT n.n_name, count(*) AS s_r
+        FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey GROUP BY 1),
+      st AS (SELECT count(*) AS s_tot
+             FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey),
+      rt AS (SELECT n_name, (nt.n_cust * s_r) // st.s_tot AS t_r
+             FROM sup CROSS JOIN nt CROSS JOIN st),
+      ords AS (
+        SELECT c.c_mktsegment, count(*) AS o_seg
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY 1),
+      ot AS (SELECT count(*) AS o_tot
+             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+      ct AS (SELECT c_mktsegment, (nt.n_cust * o_seg) // ot.o_tot AS t_c
+             FROM ords CROSS JOIN nt CROSS JOIN ot),
+      w0 AS (
+        SELECT seed.n_name, seed.c_mktsegment, seed.n_seed,
+               seed.n_seed * 1000000 AS w,
+               coalesce(rt.t_r, 0) AS t_r, coalesce(ct.t_c, 0) AS t_c
+        FROM seed LEFT JOIN rt USING (n_name) LEFT JOIN ct USING (c_mktsegment)),
+      r1 AS (
+        SELECT n_name, c_mktsegment, n_seed, t_r, t_c,
+               CASE WHEN ms = 0 THEN 0
+                    ELSE (w * ((t_r * 1000000000000) // ms)) // 1000000 END AS w
+        FROM (SELECT w0.*, sum(w) OVER (PARTITION BY n_name) AS ms FROM w0)),
+      c1 AS (
+        SELECT n_name, c_mktsegment, n_seed, t_r, t_c,
+               CASE WHEN ms = 0 THEN 0
+                    ELSE (w * ((t_c * 1000000000000) // ms)) // 1000000 END AS w
+        FROM (SELECT r1.*, sum(w) OVER (PARTITION BY c_mktsegment) AS ms FROM r1)),
+      r2 AS (
+        SELECT n_name, c_mktsegment, n_seed,
+               CASE WHEN ms = 0 THEN 0
+                    ELSE (w * ((t_r * 1000000000000) // ms)) // 1000000 END AS w
+        FROM (SELECT c1.*, sum(w) OVER (PARTITION BY n_name) AS ms FROM c1))
+      SELECT n_name, c_mktsegment, CAST(n_seed AS BIGINT) AS n_seed,
+             CAST(w AS BIGINT) AS w_final_micro
+      FROM r2 ORDER BY n_name, c_mktsegment""",
+
+    // 1 Hz frame sampling + md5-derived frame intensity (the Media stub
+    // convention), cut on |Δintensity| > 96, running cut-count = shot id
+    "mm_video_scene_cut" -> """
+      WITH v AS (
+        SELECT doc_id,
+               25 * (1 + CAST(('0x' || substr(md5(text), 17, 8)) AS BIGINT) % 256) AS n_frames
+        FROM documents WHERE doc_id < 600 AND doc_id % 3 = 2),
+      fr AS (SELECT doc_id, CAST(unnest(range(0, n_frames, 25)) AS BIGINT) AS frame_idx FROM v),
+      it AS (
+        SELECT doc_id, frame_idx,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                 CAST(frame_idx AS VARCHAR) || ':scene'), 1, 8)) AS BIGINT) % 256 AS inten
+        FROM fr),
+      sc AS (
+        SELECT doc_id, frame_idx,
+               CASE WHEN prev IS NOT NULL AND abs(inten - prev) > 96 THEN 1 ELSE 0 END AS is_cut
+        FROM (SELECT doc_id, frame_idx, inten,
+                     lag(inten) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
+              FROM it)),
+      sid AS (
+        SELECT doc_id, frame_idx, is_cut,
+               sum(is_cut) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS scene_id
+        FROM sc),
+      slen AS (SELECT doc_id, scene_id, count(*) AS slen FROM sid GROUP BY 1, 2),
+      pd AS (SELECT doc_id, count(*) AS n_sampled, CAST(sum(is_cut) AS BIGINT) AS n_cuts
+             FROM sid GROUP BY 1),
+      mx AS (SELECT doc_id, CAST(max(slen) AS BIGINT) AS max_scene_len FROM slen GROUP BY 1)
+      SELECT pd.doc_id, pd.n_sampled, pd.n_cuts, mx.max_scene_len
+      FROM pd JOIN mx USING (doc_id)
+      ORDER BY n_cuts DESC, doc_id LIMIT 25"""
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\n\\s+", "\n") }
 }

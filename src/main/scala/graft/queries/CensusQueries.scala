@@ -335,4 +335,65 @@ object CensusQueries {
     import s.implicits._
     back.toDF("gid", "name", "pop", "geom_wkt").orderBy("gid")
   }
+
+  /** IPF RAKING — the census-weighting algorithm itself (iterative
+    * proportional fitting, the method every ACS/PUMS consumer uses to
+    * rake a sample to known control totals): the customer sample's
+    * (nation × segment) seed counts are raked in three alternating
+    * passes (rows, columns, rows) toward data-derived marginal
+    * targets — nation controls from the supplier share, segment
+    * controls from the order share, both scaled to the customer
+    * universe. INTEGER-EXACT throughout: weights live in 1e-6 units,
+    * each pass multiplies by a floor-divided factor
+    * f = (target·10¹²) div marginal_sum then rescales by div 10⁶, so
+    * every intermediate is a BIGINT with documented headroom (targets
+    * ≈ N/25 → t·10¹² ≲ 6·10¹⁸ at sf100) and the raked table is
+    * bit-identical at any parallelism. Cells whose control is missing
+    * (a nation with no suppliers) rake to exactly 0 — the standard
+    * "no control, no weight" rule. Scale: the seed census is one
+    * map-combined aggregate over the corpus; everything after runs on
+    * the 125-cell frame through window sums. */
+  def censusIpfRaking(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cust = t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+    val seed = cust.groupBy("n_name", "c_mktsegment").agg(count(lit(1)).as("n_seed"))
+    val nTot = cust.agg(count(lit(1)).as("n_cust"))
+    val sup = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+    val supTot = sup.agg(count(lit(1)).as("s_tot"))
+    val rowT = sup.groupBy("n_name").agg(count(lit(1)).as("s_r"))
+      .crossJoin(broadcast(nTot)).crossJoin(broadcast(supTot))
+      .select(col("n_name"),
+        call_function("div", col("n_cust") * col("s_r"), col("s_tot")).as("t_r"))
+    val ordSeg = t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+    val ordTot = ordSeg.agg(count(lit(1)).as("o_tot"))
+    val colT = ordSeg.groupBy("c_mktsegment").agg(count(lit(1)).as("o_seg"))
+      .crossJoin(broadcast(nTot)).crossJoin(broadcast(ordTot))
+      .select(col("c_mktsegment"),
+        call_function("div", col("n_cust") * col("o_seg"), col("o_tot")).as("t_c"))
+    val w0 = seed
+      .join(broadcast(rowT), Seq("n_name"), "left")
+      .join(broadcast(colT), Seq("c_mktsegment"), "left")
+      .select(col("n_name"), col("c_mktsegment"), col("n_seed"),
+        (col("n_seed") * lit(1000000L)).as("w"),
+        coalesce(col("t_r"), lit(0L)).as("t_r"),
+        coalesce(col("t_c"), lit(0L)).as("t_c"))
+    def rake(df: DataFrame, key: String,
+        target: org.apache.spark.sql.Column): DataFrame = {
+      val ms = sum("w").over(Window.partitionBy(key))
+      df.withColumn("ms", ms)
+        .withColumn("w", when(col("ms") === 0, lit(0L)).otherwise(
+          call_function("div",
+            col("w") * call_function("div", target * lit(1000000000000L), col("ms")),
+            lit(1000000L))))
+        .drop("ms")
+    }
+    val raked = rake(rake(rake(w0, "n_name", col("t_r")),
+      "c_mktsegment", col("t_c")), "n_name", col("t_r"))
+    raked.select(col("n_name"), col("c_mktsegment"), col("n_seed"),
+        col("w").as("w_final_micro"))
+      .orderBy("n_name", "c_mktsegment")
+  }
 }

@@ -346,4 +346,50 @@ object MultimodalQueries {
         call_function("div", col("n_images") + 31, lit(32L)).as("n_batches"))
       .orderBy("bucket_id")
   }
+
+  /** SCENE-CUT DETECTION over the video slice — the shot-segmentation
+    * step a video training pipeline runs before clip sampling (sample
+    * within shots, never across a cut): frames sample at 1 Hz (every
+    * 25th index, the `mm_frame_sample` fan-out shape), each sampled
+    * frame gets a stubbed INTENSITY (md5-derived, the `Media` decode
+    * convention — a real decoder swaps in mean luminance, pipeline
+    * unchanged), and a cut fires when consecutive intensities jump by
+    * more than 96/255. Per video: sampled-frame count, cut count, and
+    * the longest shot in sampled frames — the top 25 choppiest videos.
+    * All integer (hex-slice % 256, lag diff, running cut-count as
+    * scene id), so the cut set and scene lengths are bit-identical in
+    * the DuckDB mirror. Scale: decode + intensity are one map pass;
+    * the lag/scene windows partition BY VIDEO (bounded frames per
+    * video), never globally. */
+  def mmVideoSceneCut(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rows = t(s, dir, "documents")
+      .filter(col("doc_id") < 600 && col("doc_id") % 3 === 2)
+      .select(col("doc_id"), lit("video").as("kind"),
+        col("text").cast("binary").as("bytes"))
+      .as[MediaRow]
+    val frames = rows.mapPartitions(_.map(Media.decodeStub))
+      .flatMap(m => Media.sampleFrames(m, 25).map(f => (m.doc_id, f.toLong)))
+      .toDF("doc_id", "frame_idx")
+    val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    val cuts = frames
+      .withColumn("inten",
+        conv(substring(md5(concat_ws(":", col("doc_id"), col("frame_idx"), lit("scene"))),
+          1, 8), 16, 10).cast("long") % 256)
+      .withColumn("prev", lag("inten", 1).over(w))
+      .withColumn("is_cut",
+        when(col("prev").isNotNull && abs(col("inten") - col("prev")) > 96, 1L)
+          .otherwise(0L))
+      .withColumn("scene_id", sum("is_cut")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val perDoc = cuts.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sampled"), sum("is_cut").as("n_cuts"))
+    val maxScene = cuts.groupBy("doc_id", "scene_id")
+      .agg(count(lit(1)).as("slen"))
+      .groupBy("doc_id").agg(max("slen").as("max_scene_len"))
+    perDoc.join(maxScene, "doc_id")
+      .orderBy(desc("n_cuts"), col("doc_id"))
+      .limit(25)
+  }
 }

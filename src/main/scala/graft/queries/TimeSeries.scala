@@ -965,4 +965,49 @@ object TimeSeries {
       .orderBy(abs(col("dev_micro")).desc, col("event_id"))
       .limit(25)
   }
+
+  /** MATRIX-PROFILE DISCORDS — the "most anomalous day-shaped window"
+    * readout: over the gap-filled HOURLY purchase series, every 24-hour
+    * window's distance to its nearest non-overlapping neighbor
+    * (exclusion zone |i−j| ≥ 12 h, the standard half-window rule), then
+    * the top 25 windows whose nearest neighbor is FARTHEST — a window
+    * that resembles no other window is a discord (outage, spike,
+    * calendar anomaly), the matrix-profile framing of anomaly
+    * detection. Distances are exact BIGINT Σ(Δcents)² so the profile
+    * argmin (d2, j) and the discord cut are bit-stable. The all-pairs
+    * term is CALENDAR-BOUNDED (the `ts_theil_sen` convention): one
+    * month of hours is ≤ 744 windows → ≤ 550k banded pairs regardless
+    * of corpus size, because the series aggregates the corpus FIRST;
+    * at 100 TB the same profile runs per series key after the hourly
+    * rollup, and the window join broadcasts the ≤ 18k-row (window ×
+    * offset) frame — never a corpus-sized shuffle. */
+  def tsMatrixProfileDiscord(s: SparkSession, dir: String): DataFrame = {
+    val cents = (Num.money(col("value")) * 100).cast("long")
+    val hourly = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(call_function("div", unix_micros(col("ts")), lit(3600000000L)).as("h"),
+        cents.as("cents"))
+      .groupBy("h").agg(sum("cents").as("c"))
+    val bounds = hourly.agg(min("h").as("h0"), max("h").as("h1"))
+    val series = bounds.select(explode(sequence(col("h0"), col("h1"))).as("h"))
+      .join(hourly, Seq("h"), "left")
+      .select(col("h"), coalesce(col("c"), lit(0L)).as("c"))
+    // hour h belongs to windows i ∈ [max(h−23, h0), min(h, h1−23)] at
+    // offset k = h − i; the (i, k, c) frame is |hours|·24 rows
+    val w = series.crossJoin(broadcast(bounds))
+      .select(col("c"), col("h"), explode(sequence(
+        greatest(col("h") - 23, col("h0")),
+        least(col("h"), col("h1") - 23))).as("i"))
+      .select(col("i"), (col("h") - col("i")).as("k"), col("c"))
+    val d2 = w.join(broadcast(w.select(col("i").as("j"), col("k"), col("c").as("cb"))),
+        Seq("k"))
+      .filter(abs(col("i") - col("j")) >= 12)
+      .groupBy("i", "j")
+      .agg(sum((col("c") - col("cb")) * (col("c") - col("cb"))).as("d2"))
+    d2.groupBy("i")
+      .agg(min(struct(col("d2"), col("j"))).as("m"))
+      .select(col("i").as("win_hour"), col("m.j").as("nn_hour"), col("m.d2").as("nn_d2"))
+      .orderBy(desc("nn_d2"), col("win_hour"))
+      .limit(25)
+  }
 }

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{CensusQueries, MultimodalQueries, TimeSeries}
+import graft.tables.Tables.t
+
+/** Semantic pins for the second round-13 wave (all DuckDB-oracle-checked;
+  * these replay the algorithms sequentially in plain Scala): the banded
+  * matrix profile window-by-window, the IPF rake pass-by-pass, and the
+  * scene segmentation frame-by-frame.
+  */
+class Round13cOpsSpec extends GraftSpec {
+
+  test("ts_matrix_profile_discord replays the banded profile") {
+    // hourly series from the engine's own cents cast (the replay tests
+    // the WINDOW/DISTANCE/ARGMIN logic, not double→decimal rounding)
+    val hours = t(spark, sfDir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(call_function("div", unix_micros(col("ts")), lit(3600000000L)).as("h"),
+        (graft.queries.Num.money(col("value")) * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byHour = hours.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val h0 = byHour.keys.min
+    val h1 = byHour.keys.max
+    val c = (h0 to h1).map(h => byHour.getOrElse(h, 0L)).toArray
+    val nWin = (h1 - h0 - 22).toInt // windows i = h0 .. h1-23
+    def d2(i: Int, j: Int): Long =
+      (0 until 24).map(k => { val d = c(i + k) - c(j + k); d * d }).sum
+    val prof = (0 until nWin).map { i =>
+      val (dd, j) = (0 until nWin).filter(j => math.abs(i - j) >= 12)
+        .map(j => (d2(i, j), j)).min
+      (h0 + i, h0 + j, dd)
+    }
+    val expect = prof.sortBy { case (i, _, d) => (-d, i) }.take(25)
+    val got = TimeSeries.tsMatrixProfileDiscord(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect)
+  }
+
+  test("census_ipf_raking replays the three passes and hits row controls") {
+    val cust = t(spark, sfDir, "customer")
+      .join(t(spark, sfDir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .select("n_name", "c_mktsegment").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val seed = cust.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val n = cust.length.toLong
+    val sup = t(spark, sfDir, "supplier")
+      .join(t(spark, sfDir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .select("n_name").collect().map(_.getString(0))
+    val sTot = sup.length.toLong
+    val tR = sup.groupBy(identity).view.mapValues(v => n * v.length / sTot).toMap
+    val ord = t(spark, sfDir, "orders")
+      .join(t(spark, sfDir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select("c_mktsegment").collect().map(_.getString(0))
+    val oTot = ord.length.toLong
+    val tC = ord.groupBy(identity).view.mapValues(v => n * v.length / oTot).toMap
+    var w: Map[(String, String), Long] = seed.view.mapValues(_ * 1000000L).toMap
+    def rake(byRow: Boolean): Unit = {
+      val ms = w.toSeq.groupBy { case ((r, c), _) => if (byRow) r else c }
+        .view.mapValues(_.map(_._2).sum).toMap
+      w = w.map { case ((r, cseg), wv) =>
+        val key = if (byRow) r else cseg
+        val target = if (byRow) tR.getOrElse(r, 0L) else tC.getOrElse(cseg, 0L)
+        val m = ms(key)
+        (r, cseg) -> (if (m == 0) 0L else wv * (target * 1000000000000L / m) / 1000000L)
+      }
+    }
+    rake(byRow = true); rake(byRow = false); rake(byRow = true)
+    val expect = seed.keys.toSeq.sorted.map { case (r, c) =>
+      (r, c, seed((r, c)), w((r, c)))
+    }
+    val got = CensusQueries.censusIpfRaking(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expect)
+    // after the final ROW pass, every raked row marginal sits within
+    // rounding slack of its control (each cell floor-drops < 1 µ-unit
+    // per factor application; 5 cells/row ⇒ slack ≤ ~10 µ-units + the
+    // factor's own floor loss, bounded here at 1e-4 of the target)
+    val rowSum = w.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    for ((r, target) <- tR if rowSum.contains(r) && rowSum(r) > 0) {
+      val diff = math.abs(rowSum(r) - target * 1000000L)
+      assert(diff <= math.max(target * 100L, 1000L),
+        s"row $r raked ${rowSum(r)} vs control ${target * 1000000L}")
+    }
+  }
+
+  test("mm_video_scene_cut replays segmentation frame-by-frame") {
+    val docs = t(spark, sfDir, "documents")
+      .filter(col("doc_id") < 600 && col("doc_id") % 3 === 2)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def md5hex(s: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s).map("%02x".format(_)).mkString
+    val per = docs.map { case (id, text) =>
+      val hx = md5hex(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val nFrames = 25L * (1 + java.lang.Long.parseLong(hx.substring(16, 24), 16) % 256)
+      val frames = 0L.until(nFrames, 25L)
+      val inten = frames.map { f =>
+        f -> java.lang.Long.parseLong(
+          md5hex(s"$id:$f:scene".getBytes("UTF-8")).substring(0, 8), 16) % 256
+      }
+      var cuts = 0L
+      var sceneLen = 1L
+      var maxScene = 1L
+      inten.sliding(2).foreach {
+        case Seq((_, a), (_, b)) =>
+          if (math.abs(b - a) > 96) { cuts += 1; sceneLen = 1 }
+          else sceneLen += 1
+          maxScene = math.max(maxScene, sceneLen)
+        case _ => ()
+      }
+      (id, frames.size.toLong, cuts, maxScene)
+    }
+    val expect = per.sortBy { case (id, _, c, _) => (-c, id) }.take(25).toSeq
+    val got = MultimodalQueries.mmVideoSceneCut(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expect)
+  }
+}
