@@ -476,7 +476,9 @@ object SparkEntry {
     // IPF raking: 3 alternating integer passes to data-derived controls
     "census_ipf_raking" -> CensusQueries.censusIpfRaking _,
     // 1 Hz shot segmentation over the stubbed video intensity stream
-    "mm_video_scene_cut" -> MultimodalQueries.mmVideoSceneCut _
+    "mm_video_scene_cut" -> MultimodalQueries.mmVideoSceneCut _,
+    // PQ quantizer loss: ADC top-5 vs brute-force cosine truth
+    "llm_sim_pq_recall" -> LlmExtra.llmSimPqRecall _
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on

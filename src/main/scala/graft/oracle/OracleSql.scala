@@ -592,6 +592,53 @@ object OracleSql {
         GROUP BY 1, 2)
       ORDER BY n_pairs DESC, a, b LIMIT 25"""
 
+  /** The PQ training + encode + ADC chain (llm_sim_pq_topk's WITH body
+    * through the `adc` CTE), shared with the PQ recall evaluator:
+    * per-subspace codebooks by the kmeans-oracle pattern (quantized
+    * integer coordinates, exact integer distances, (d2, cid) argmin,
+    * floor-averaged updates, 2 unrolled Lloyd rounds), codes for every
+    * vector, per-probe distance tables, ADC sums. */
+  private def pqAdcCtes: String = """qv AS (
+        SELECT vec_id, (pos - 1) // 16 AS sub, pos,
+               CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT) AS xq
+        FROM (SELECT vec_id, unnest(embedding) AS x,
+                     generate_subscripts(embedding, 1) AS pos
+              FROM embeddings)),
+      c0 AS (SELECT sub, vec_id AS cid, pos, xq AS cq FROM qv WHERE vec_id < 8),
+      d1 AS (SELECT q.vec_id, q.sub, c.cid, CAST(sum((q.xq - c.cq) * (q.xq - c.cq)) AS BIGINT) AS d2
+             FROM qv q JOIN c0 c ON c.sub = q.sub AND c.pos = q.pos
+             GROUP BY q.vec_id, q.sub, c.cid),
+      a1 AS (SELECT vec_id, sub, cid FROM (
+               SELECT vec_id, sub, cid, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+               FROM d1) WHERE rn = 1),
+      c1 AS (SELECT a.sub, a.cid, q.pos, CAST(floor(sum(q.xq)::DOUBLE / count(*)) AS BIGINT) AS cq
+             FROM qv q JOIN a1 a ON a.vec_id = q.vec_id AND a.sub = q.sub
+             GROUP BY a.sub, a.cid, q.pos),
+      d2_ AS (SELECT q.vec_id, q.sub, c.cid, CAST(sum((q.xq - c.cq) * (q.xq - c.cq)) AS BIGINT) AS d2
+              FROM qv q JOIN c1 c ON c.sub = q.sub AND c.pos = q.pos
+              GROUP BY q.vec_id, q.sub, c.cid),
+      a2 AS (SELECT vec_id, sub, cid FROM (
+               SELECT vec_id, sub, cid, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+               FROM d2_) WHERE rn = 1),
+      c2 AS (SELECT a.sub, a.cid, q.pos, CAST(floor(sum(q.xq)::DOUBLE / count(*)) AS BIGINT) AS cq
+             FROM qv q JOIN a2 a ON a.vec_id = q.vec_id AND a.sub = q.sub
+             GROUP BY a.sub, a.cid, q.pos),
+      df AS (SELECT q.vec_id, q.sub, c.cid, CAST(sum((q.xq - c.cq) * (q.xq - c.cq)) AS BIGINT) AS d2
+             FROM qv q JOIN c2 c ON c.sub = q.sub AND c.pos = q.pos
+             GROUP BY q.vec_id, q.sub, c.cid),
+      codes AS (SELECT vec_id, sub, cid FROM (
+                  SELECT vec_id, sub, cid, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+                  FROM df) WHERE rn = 1),
+      dt AS (SELECT q.vec_id AS pid, q.sub, c.cid,
+                    CAST(sum((q.xq - c.cq) * (q.xq - c.cq)) AS BIGINT) AS d
+             FROM qv q JOIN c2 c ON c.sub = q.sub AND c.pos = q.pos
+             WHERE q.vec_id < 10
+             GROUP BY q.vec_id, q.sub, c.cid),
+      adc AS (SELECT dt.pid, codes.vec_id AS nid, CAST(sum(dt.d) AS BIGINT) AS adc_d2
+              FROM codes JOIN dt ON dt.sub = codes.sub AND dt.cid = codes.cid
+              WHERE codes.vec_id <> dt.pid
+              GROUP BY dt.pid, codes.vec_id)"""
+
   val sql: Map[String, String] = Map(
     "graph_pagerank_converged" -> pagerankConvergedSql,
     "graph_core_full" -> coreFullSql,
@@ -5497,52 +5544,45 @@ object OracleSql {
     // (d2, cid) argmin, floor-averaged updates, 2 unrolled Lloyd
     // rounds), then ADC = per-probe 4×8 lookup table summed over the
     // encoded corpus — all BIGINT, value-for-value with the Spark path.
-    "llm_sim_pq_topk" -> """
-      WITH qv AS (
-        SELECT vec_id, (pos - 1) // 16 AS sub, pos,
-               CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT) AS xq
-        FROM (SELECT vec_id, unnest(embedding) AS x,
-                     generate_subscripts(embedding, 1) AS pos
-              FROM embeddings)),
-      c0 AS (SELECT sub, vec_id AS cid, pos, xq AS cq FROM qv WHERE vec_id < 8),
-      d1 AS (SELECT q.vec_id, q.sub, c.cid, CAST(sum((q.xq - c.cq) * (q.xq - c.cq)) AS BIGINT) AS d2
-             FROM qv q JOIN c0 c ON c.sub = q.sub AND c.pos = q.pos
-             GROUP BY q.vec_id, q.sub, c.cid),
-      a1 AS (SELECT vec_id, sub, cid FROM (
-               SELECT vec_id, sub, cid, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
-               FROM d1) WHERE rn = 1),
-      c1 AS (SELECT a.sub, a.cid, q.pos, CAST(floor(sum(q.xq)::DOUBLE / count(*)) AS BIGINT) AS cq
-             FROM qv q JOIN a1 a ON a.vec_id = q.vec_id AND a.sub = q.sub
-             GROUP BY a.sub, a.cid, q.pos),
-      d2_ AS (SELECT q.vec_id, q.sub, c.cid, CAST(sum((q.xq - c.cq) * (q.xq - c.cq)) AS BIGINT) AS d2
-              FROM qv q JOIN c1 c ON c.sub = q.sub AND c.pos = q.pos
-              GROUP BY q.vec_id, q.sub, c.cid),
-      a2 AS (SELECT vec_id, sub, cid FROM (
-               SELECT vec_id, sub, cid, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
-               FROM d2_) WHERE rn = 1),
-      c2 AS (SELECT a.sub, a.cid, q.pos, CAST(floor(sum(q.xq)::DOUBLE / count(*)) AS BIGINT) AS cq
-             FROM qv q JOIN a2 a ON a.vec_id = q.vec_id AND a.sub = q.sub
-             GROUP BY a.sub, a.cid, q.pos),
-      df AS (SELECT q.vec_id, q.sub, c.cid, CAST(sum((q.xq - c.cq) * (q.xq - c.cq)) AS BIGINT) AS d2
-             FROM qv q JOIN c2 c ON c.sub = q.sub AND c.pos = q.pos
-             GROUP BY q.vec_id, q.sub, c.cid),
-      codes AS (SELECT vec_id, sub, cid FROM (
-                  SELECT vec_id, sub, cid, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
-                  FROM df) WHERE rn = 1),
-      dt AS (SELECT q.vec_id AS pid, q.sub, c.cid,
-                    CAST(sum((q.xq - c.cq) * (q.xq - c.cq)) AS BIGINT) AS d
-             FROM qv q JOIN c2 c ON c.sub = q.sub AND c.pos = q.pos
-             WHERE q.vec_id < 10
-             GROUP BY q.vec_id, q.sub, c.cid),
-      adc AS (SELECT dt.pid, codes.vec_id AS nid, CAST(sum(dt.d) AS BIGINT) AS adc_d2
-              FROM codes JOIN dt ON dt.sub = codes.sub AND dt.cid = codes.cid
-              WHERE codes.vec_id <> dt.pid
-              GROUP BY dt.pid, codes.vec_id)
+    "llm_sim_pq_topk" -> s"""
+      WITH $pqAdcCtes
       SELECT pid, nid, adc_d2, CAST(rn AS BIGINT) AS rnk FROM (
         SELECT pid, nid, adc_d2,
                row_number() OVER (PARTITION BY pid ORDER BY adc_d2, nid) AS rn
         FROM adc) WHERE rn <= 5
       ORDER BY pid, rnk""",
+
+    // PQ end-quality: the ADC top-5 graded against the brute-force
+    // COSINE truth — the compression-loss readout (IVF's recall rows
+    // measure cell pruning; this measures the quantizer itself)
+    "llm_sim_pq_recall" -> s"""
+      WITH $pqAdcCtes,
+      pq AS (
+        SELECT pid, nid FROM (
+          SELECT pid, nid, row_number() OVER (PARTITION BY pid ORDER BY adc_d2, nid) AS rn
+          FROM adc) WHERE rn <= 5),
+      nrm2 AS (
+        SELECT vec_id, embedding,
+               sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                     FROM unnest(embedding) AS u(x))) AS nrm
+        FROM embeddings),
+      pr AS (SELECT vec_id AS pid, embedding AS pe, nrm AS pnorm FROM nrm2 WHERE vec_id < 10),
+      bfp AS (
+        SELECT pr.pid AS pid, c.vec_id AS nid,
+               round((SELECT sum(a * b) FROM (
+                        SELECT CAST(unnest(pr.pe) AS DOUBLE) AS a,
+                               CAST(unnest(c.embedding) AS DOUBLE) AS b))
+                     / (pr.pnorm * c.nrm), 4) AS cos
+        FROM pr CROSS JOIN nrm2 c WHERE c.vec_id <> pr.pid),
+      tr AS (
+        SELECT pid, nid FROM (
+          SELECT pid, nid, row_number() OVER (PARTITION BY pid ORDER BY cos DESC, nid) AS rnk
+          FROM bfp) WHERE rnk <= 5)
+      SELECT tr.pid, CAST(count(*) AS BIGINT) AS n_true,
+             CAST(count(pq.nid) AS BIGINT) AS n_hit,
+             ${N.ratio("count(pq.nid)", "count(*)", 4)} AS recall_at_5
+      FROM tr LEFT JOIN pq ON tr.pid = pq.pid AND tr.nid = pq.nid
+      GROUP BY tr.pid ORDER BY tr.pid""",
 
     // Laplace-smoothed bigram LM: per-term floor to integer micro-nats
     // (ln of BIGINT is the same IEEE double both engines) makes the

@@ -2337,4 +2337,28 @@ object LlmExtra {
         Num.ratio(col("n_hits"), col("n_truth"), 4).as("band_recall"))
       .orderBy("rows_per_band")
   }
+
+  /** PQ END-QUALITY — the ADC top-5 graded against the brute-force
+    * COSINE truth, per probe. The IVF recall rows measure CELL PRUNING
+    * loss (which neighbors live outside the probed cells); this one
+    * measures the QUANTIZER itself — how much ranking fidelity the
+    * 32× compression of `llm_sim_pq_topk` costs when its L2-ADC order
+    * is read against the exact-cosine order. Low PQ recall with high
+    * IVF recall says re-rank ADC candidates with exact distances (the
+    * standard two-stage deployment); both low says the embedding space
+    * itself is hard. Evaluation adds one ≤5-rows-per-probe equi-join
+    * over the two parents' plans — nothing corpus-sized (the
+    * `llm_sim_recall` convention). */
+  def llmSimPqRecall(s: SparkSession, dir: String): DataFrame = {
+    val truth = graft.queries.Llm.simCosineTopkK(s, dir, 5)
+      .select(col("pid"), col("nid"))
+    val approx = llmSimPqTopk(s, dir)
+      .select(col("pid"), col("nid"), lit(1L).as("hit"))
+    truth.join(approx, Seq("pid", "nid"), "left")
+      .groupBy("pid")
+      .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_hit"))
+      .select(col("pid"), col("n_true"), col("n_hit"),
+        Num.ratio(col("n_hit"), col("n_true"), 4).as("recall_at_5"))
+      .orderBy("pid")
+  }
 }

@@ -128,6 +128,16 @@ object ProbeGraphScale {
       q(lab).union(q(newLab)).collect()
       2L
     }
+    // ---- round-13 addition: the WEDGE-quadratic family. Adamic–Adar's
+    // candidate step is deg² per center — the one family whose cost is
+    // degree-distribution-, not edge-count-, shaped. The probe times the
+    // production capped form at cap 64 (probe graph degrees run to 4096,
+    // so the cap is LOAD-BEARING here, unlike at graded SF): candidate
+    // self-join, ln-floor scoring, anti-join, top-25.
+    time("adamic_adar_cap64") {
+      graft.queries.GraphQueries.adamicAdarOn(
+        e, adj, degN.select(col("node").as("u"), col("deg")), 64).count()
+    }
     out("hot_community_deg_mass") = hotMass.toDouble
     val json = out.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALE_GRAPH.json"),
