@@ -478,7 +478,11 @@ object SparkEntry {
     // 1 Hz shot segmentation over the stubbed video intensity stream
     "mm_video_scene_cut" -> MultimodalQueries.mmVideoSceneCut _,
     // PQ quantizer loss: ADC top-5 vs brute-force cosine truth
-    "llm_sim_pq_recall" -> LlmExtra.llmSimPqRecall _
+    "llm_sim_pq_recall" -> LlmExtra.llmSimPqRecall _,
+    // T5 span-corruption plan: seeded spans, merged islands, pack len
+    "llm_span_corruption_plan" -> LlmExtra.llmSpanCorruptionPlan _,
+    // generic shoelace area/centroid over decoded TIGER rings
+    "tiger_polygon_centroid" -> CensusQueries.tigerPolygonCentroid _
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on

@@ -5866,6 +5866,53 @@ object OracleSql {
       mx AS (SELECT doc_id, CAST(max(slen) AS BIGINT) AS max_scene_len FROM slen GROUP BY 1)
       SELECT pd.doc_id, pd.n_sampled, pd.n_cuts, mx.max_scene_len
       FROM pd JOIN mx USING (doc_id)
-      ORDER BY n_cuts DESC, doc_id LIMIT 25"""
+      ORDER BY n_cuts DESC, doc_id LIMIT 25""",
+
+    // T5-style span corruption plan: seeded md5 span starts (pure
+    // function of doc, position), 3-token spans, islands merge via lag
+    // windows — the mask is bit-identical across engines
+    "llm_span_corruption_plan" -> s"""
+      WITH tok AS (
+        SELECT doc_id, lang, CAST(i AS BIGINT) AS i
+        FROM (SELECT doc_id, lang, string_split(text, ' ') AS w
+              FROM documents WHERE doc_id < 2000),
+             LATERAL unnest(range(len(w))) t(i)),
+      st AS (
+        SELECT doc_id, lang, i,
+               CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                 CAST(i AS VARCHAR) || ':span'), 1, 8)) AS BIGINT) % 20 = 0
+                 THEN 1 ELSE 0 END AS st
+        FROM tok),
+      mk AS (
+        SELECT doc_id, lang, i,
+               (st = 1 OR lag(st, 1, 0) OVER w = 1 OR lag(st, 2, 0) OVER w = 1) AS masked
+        FROM st WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+      sp AS (
+        SELECT doc_id, lang, masked,
+               (masked AND NOT coalesce(lag(masked) OVER (PARTITION BY doc_id ORDER BY i), false)) AS span_start
+        FROM mk),
+      pd AS (
+        SELECT doc_id, lang, count(*) AS n_tokens,
+               CAST(count(*) FILTER (WHERE masked) AS BIGINT) AS n_masked,
+               CAST(count(*) FILTER (WHERE span_start) AS BIGINT) AS n_spans
+        FROM sp GROUP BY 1, 2)
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             CAST(sum(n_masked) AS BIGINT) AS total_masked,
+             CAST(sum(n_spans) AS BIGINT) AS total_spans,
+             ${N.ratio("sum(n_masked)", "sum(n_tokens)", 4)} AS mask_ratio,
+             CAST(sum(n_tokens) - sum(n_masked) + sum(n_spans) AS BIGINT) AS packed_tokens
+      FROM pd GROUP BY lang ORDER BY lang""",
+
+    // generic shoelace/centroid over parsed rings on the Spark side;
+    // the oracle derives the closed form from the fixture geometry
+    // (2×2 squares at (4n, 3r)) — the tiger-family convention
+    "tiger_polygon_centroid" -> """
+      SELECT CAST(n_nationkey AS BIGINT) AS gid, n_name AS name,
+             CAST(5 AS BIGINT) AS n_points,
+             CAST(8 AS BIGINT) AS area_x2,
+             CAST((4 * n_nationkey + 1) * 1000000 AS BIGINT) AS centroid_x_micro,
+             CAST((3 * n_regionkey + 1) * 1000000 AS BIGINT) AS centroid_y_micro
+      FROM nation ORDER BY gid"""
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\n\\s+", "\n") }
 }

@@ -2361,4 +2361,45 @@ object LlmExtra {
         Num.ratio(col("n_hit"), col("n_true"), 4).as("recall_at_5"))
       .orderBy("pid")
   }
+
+  /** SPAN-CORRUPTION PLANNING — the T5/UL2 denoising-objective
+    * preprocessing arithmetic: every token position seeds a 3-token
+    * corruption span with probability 1/20 (a seeded md5 draw, so the
+    * mask is a pure function of (doc, position) — reproducible across
+    * epochs and engines), overlapping spans merge (gaps-and-islands on
+    * the masked flag), and the readout is what the training scheduler
+    * budgets by: per language, tokens, masked tokens, merged span
+    * count (= sentinel tokens) and the packed sequence length
+    * n_tokens − n_masked + n_spans that the encoder actually sees.
+    * Expected mask rate ≈ 3/20 before merges — the measured rate
+    * (under it, from merges) is the plan's honesty check. Scale: one
+    * explode + two per-DOC windows (bounded rows per doc) + two
+    * map-combined rollups; nothing global. */
+  def llmSpanCorruptionPlan(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents").filter(col("doc_id") < 2000)
+      .select(col("doc_id"), col("lang"),
+        posexplode(split(col("text"), " ")).as(Seq("i", "w")))
+    val w = Window.partitionBy("doc_id").orderBy("i")
+    val marked = toks
+      .withColumn("st", when(
+        conv(substring(md5(concat_ws(":", col("doc_id"), col("i"), lit("span"))), 1, 8),
+          16, 10).cast("long") % 20 === 0, 1L).otherwise(0L))
+      .withColumn("masked",
+        (col("st") === 1) || (lag("st", 1, 0L).over(w) === 1) ||
+          (lag("st", 2, 0L).over(w) === 1))
+      .withColumn("span_start",
+        col("masked") && !coalesce(lag("masked", 1).over(w), lit(false)))
+    marked.groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        count_if(col("masked")).as("n_masked"),
+        count_if(col("span_start")).as("n_spans"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"),
+        sum("n_masked").as("total_masked"), sum("n_spans").as("total_spans"))
+      .select(col("lang"), col("n_docs"), col("total_tokens"),
+        col("total_masked"), col("total_spans"),
+        Num.ratio(col("total_masked"), col("total_tokens"), 4).as("mask_ratio"),
+        (col("total_tokens") - col("total_masked") + col("total_spans")).as("packed_tokens"))
+      .orderBy("lang")
+  }
 }

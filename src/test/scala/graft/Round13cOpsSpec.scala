@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.queries.{CensusQueries, MultimodalQueries, TimeSeries}
+import graft.queries.{CensusQueries, LlmExtra, MultimodalQueries, TimeSeries}
 import graft.tables.Tables.t
 
 /** Semantic pins for the second round-13 wave (all DuckDB-oracle-checked;
@@ -115,5 +115,53 @@ class Round13cOpsSpec extends GraftSpec {
     val got = MultimodalQueries.mmVideoSceneCut(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(got == expect)
+  }
+
+  test("llm_span_corruption_plan replays the seeded mask token-by-token") {
+    val docs = t(spark, sfDir, "documents").filter(col("doc_id") < 2000)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val per = docs.map { case (id, lang, text) =>
+      val n = text.split(" ", -1).length
+      val st = (0 until n).map(i =>
+        java.lang.Long.parseLong(md5hex(s"$id:$i:span").substring(0, 8), 16) % 20 == 0)
+      val masked = (0 until n).map(i =>
+        st(i) || (i >= 1 && st(i - 1)) || (i >= 2 && st(i - 2)))
+      val spans = (0 until n).count(i => masked(i) && (i == 0 || !masked(i - 1)))
+      (lang, n.toLong, masked.count(identity).toLong, spans.toLong)
+    }
+    val expect = per.groupBy(_._1).toSeq.map { case (lang, xs) =>
+      val (tok, msk, sp) = (xs.map(_._2).sum, xs.map(_._3).sum, xs.map(_._4).sum)
+      (lang, xs.length.toLong, tok, msk, sp, tok - msk + sp)
+    }.sortBy(_._1)
+    val got = LlmExtra.llmSpanCorruptionPlan(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(6))).toSeq
+    assert(got == expect)
+  }
+
+  test("shoelace area/centroid is exact on non-square rings") {
+    val sp = spark
+    import sp.implicits._
+    // triangle (0,0)-(6,0)-(0,9): 2A=54, centroid (2,3); concave L
+    // (0,0)-(4,0)-(4,2)-(2,2)-(2,6)-(0,6): 2A=32, centroid (1.5, 2.5)
+    // (checked by rectangle decomposition: 8@(2,1) ∪ 8@(1,4))
+    val rings = Seq(
+      ("tri", Seq(0.0, 6.0, 0.0, 0.0), Seq(0.0, 0.0, 9.0, 0.0)),
+      ("ell", Seq(0.0, 4.0, 4.0, 2.0, 2.0, 0.0, 0.0),
+        Seq(0.0, 0.0, 2.0, 2.0, 6.0, 6.0, 0.0)))
+      .toDF("name", "xs", "ys")
+    val out = rings.select(col("name"),
+        CensusQueries.shoelaceArea2.as("a2"),
+        call_function("div", CensusQueries.shoelaceSumCx * lit(1000000L),
+          lit(3L) * CensusQueries.shoelaceArea2).as("cx"),
+        call_function("div", CensusQueries.shoelaceSumCy * lit(1000000L),
+          lit(3L) * CensusQueries.shoelaceArea2).as("cy"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("tri") == ((54L, 2000000L, 3000000L)))
+    assert(out("ell") == ((32L, 1500000L, 2500000L)))
   }
 }
