@@ -934,30 +934,43 @@ object TimeSeries {
     * truncates toward zero identically in both engines — the
     * `ts_theil_sen` precedent); top 25 by |dev| with the event_id
     * tiebreak. No float enters the pipeline, so the cut line is
-    * bit-stable. Scale: two RANGE windows partitioned by event type —
-    * at a 100 TB event stream the medians come from the
-    * `agg_weighted_median` probe-bucket trick instead; the scoring
-    * join and top-k are unchanged. */
+    * bit-stable. Scale: the medians run over the (type, value, count)
+    * CENSUS — a map-combined aggregate collapses the corpus first, the
+    * cumulative window sees only DISTINCT values (bounded by the cents
+    * domain), so nothing ever sorts row-level data at |types|-way
+    * parallelism (the row-window form measured 25 s at sf10; this one
+    * is corpus-scan-bound); scoring join and TakeOrdered top-k are one
+    * more map pass. */
   def tsRobustZscore(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "events")
       .select(col("event_id"), col("event_type"),
         (Num.money(col("value")) * 100).cast("long").as("cents"))
-    val cum = Window.partitionBy("event_type").orderBy("cents")
-    val tot = Window.partitionBy("event_type")
-    val med = e
-      .withColumn("cw", count(lit(1)).over(cum))
-      .withColumn("n", count(lit(1)).over(tot))
-      .groupBy("event_type")
-      .agg(min(when(col("cw") * 2 >= col("n"), col("cents"))).as("med_cents"))
-    val dev = e.join(med, "event_type")
-      .withColumn("ad", abs(col("cents") - col("med_cents")))
-    val cumA = Window.partitionBy("event_type").orderBy("ad")
-    val mad = dev
-      .withColumn("cwa", count(lit(1)).over(cumA))
-      .withColumn("na", count(lit(1)).over(tot))
-      .groupBy("event_type")
-      .agg(min(when(col("cwa") * 2 >= col("na"), col("ad"))).as("mad_cents"))
-    dev.join(mad, "event_type")
+    // discrete medians over the VALUE CENSUS, not the row stream: the
+    // row-level cumulative window partitions by event type — a handful
+    // of partitions, so at 10M+ rows the sort runs at parallelism
+    // |types| (measured 25 s at sf10). The census collapses the corpus
+    // to (type, value, count) via a map-combined aggregate first; the
+    // cumulative-count median then windows over DISTINCT values
+    // (bounded by the cents domain, not the row count) with identical
+    // semantics — the RANGE frame's peer group IS the census row.
+    def discMedian(census: DataFrame, valueCol: String, out: String): DataFrame = {
+      val cum = Window.partitionBy("event_type").orderBy(valueCol)
+      val tot = Window.partitionBy("event_type")
+      census
+        .withColumn("cw", sum("cnt").over(cum))
+        .withColumn("n", sum("cnt").over(tot))
+        .groupBy("event_type")
+        .agg(min(when(col("cw") * 2 >= col("n"), col(valueCol))).as(out))
+    }
+    val med = discMedian(
+      e.groupBy("event_type", "cents").agg(count(lit(1)).as("cnt")),
+      "cents", "med_cents")
+    val adCensus = e.groupBy("event_type", "cents").agg(count(lit(1)).as("cnt"))
+      .join(med, "event_type")
+      .select(col("event_type"), abs(col("cents") - col("med_cents")).as("ad"), col("cnt"))
+      .groupBy("event_type", "ad").agg(sum("cnt").as("cnt"))
+    val mad = discMedian(adCensus, "ad", "mad_cents")
+    e.join(med, "event_type").join(mad, "event_type")
       .select(col("event_id"), col("event_type"), col("cents"),
         col("med_cents"), col("mad_cents"),
         call_function("div", (col("cents") - col("med_cents")) * lit(1000000L),
