@@ -482,7 +482,11 @@ object SparkEntry {
     // T5 span-corruption plan: seeded spans, merged islands, pack len
     "llm_span_corruption_plan" -> LlmExtra.llmSpanCorruptionPlan _,
     // generic shoelace area/centroid over decoded TIGER rings
-    "tiger_polygon_centroid" -> CensusQueries.tigerPolygonCentroid _
+    "tiger_polygon_centroid" -> CensusQueries.tigerPolygonCentroid _,
+    // areal-interpolation crosswalk: pop re-allocated by area weight
+    "census_areal_interpolation" -> CensusQueries.censusArealInterpolation _,
+    // landmark hop histogram + 90th-percentile effective diameter
+    "graph_effective_diameter" -> GraphQueries.graphEffectiveDiameter _
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on

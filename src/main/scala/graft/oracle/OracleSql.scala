@@ -5904,6 +5904,75 @@ object OracleSql {
              CAST(sum(n_tokens) - sum(n_masked) + sum(n_spans) AS BIGINT) AS packed_tokens
       FROM pd GROUP BY lang ORDER BY lang""",
 
+    // areal interpolation: bbox ∩ grid-cell intersection areas in exact
+    // integer min/max arithmetic, 1e-6-unit floor-divided allocation;
+    // oracle derives the bboxes in closed form from the nation dim
+    "census_areal_interpolation" -> """
+      WITH p AS (
+        SELECT CAST(n_nationkey AS BIGINT) AS gid,
+               CAST(n_nationkey * 1000 + n_regionkey AS BIGINT) AS pop,
+               CAST(4 * n_nationkey AS BIGINT) AS x0, CAST(3 * n_regionkey AS BIGINT) AS y0,
+               CAST(4 * n_nationkey + 2 AS BIGINT) AS x1, CAST(3 * n_regionkey + 2 AS BIGINT) AS y1
+        FROM nation),
+      g AS (
+        SELECT CAST(gx AS BIGINT) AS gx, CAST(gy AS BIGINT) AS gy,
+               CAST(gx * 10 AS BIGINT) AS cx0, CAST(gy * 5 AS BIGINT) AS cy0,
+               CAST(gx * 10 + 10 AS BIGINT) AS cx1, CAST(gy * 5 + 5 AS BIGINT) AS cy1
+        FROM range(10) a(gx), range(3) b(gy)),
+      j AS (
+        SELECT p.gid, p.pop, g.gx, g.gy,
+               greatest(0, least(p.x1, g.cx1) - greatest(p.x0, g.cx0)) *
+               greatest(0, least(p.y1, g.cy1) - greatest(p.y0, g.cy0)) AS ia,
+               (p.x1 - p.x0) * (p.y1 - p.y0) AS pa
+        FROM p CROSS JOIN g)
+      SELECT gx, gy, CAST(count(*) AS BIGINT) AS n_polys,
+             CAST(sum((pop * ia * 1000000) // pa) AS BIGINT) AS pop_micro
+      FROM j WHERE ia > 0
+      GROUP BY gx, gy ORDER BY gx, gy""",
+
+    // landmark hop histogram + the 90th-percentile effective-diameter
+    // flag: the same 4 unrolled BFS rounds as graph_landmark_distance,
+    // read as a distance distribution instead of a closeness fold
+    "graph_effective_diameter" -> s"""
+      WITH docs AS (SELECT doc_id, source, lang, n_chars FROM documents WHERE doc_id < 1200),
+      blocks AS (
+        SELECT doc_id AS u, concat_ws('|', 's', source, CAST(n_chars // 100 AS VARCHAR)) AS bk FROM docs
+        UNION ALL
+        SELECT doc_id AS u, concat_ws('|', 'l', lang, CAST(n_chars // 50 AS VARCHAR)) AS bk FROM docs),
+      edges AS (
+        SELECT DISTINCT a.u AS u, b.u AS v
+        FROM blocks a JOIN blocks b USING (bk) WHERE a.u < b.u),
+      adj AS (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+      nodes AS (SELECT DISTINCT u AS node FROM adj),
+      r0 AS (SELECT node, node AS lm, CAST(0 AS BIGINT) AS dist FROM nodes WHERE node % 151 = 0),
+      r1 AS (SELECT node, lm, min(dist) AS dist FROM (
+        SELECT node, lm, dist FROM r0
+        UNION ALL SELECT a.v AS node, r.lm, r.dist + 1 AS dist FROM adj a JOIN r0 r ON a.u = r.node) GROUP BY 1, 2),
+      r2 AS (SELECT node, lm, min(dist) AS dist FROM (
+        SELECT node, lm, dist FROM r1
+        UNION ALL SELECT a.v AS node, r.lm, r.dist + 1 AS dist FROM adj a JOIN r1 r ON a.u = r.node) GROUP BY 1, 2),
+      r3 AS (SELECT node, lm, min(dist) AS dist FROM (
+        SELECT node, lm, dist FROM r2
+        UNION ALL SELECT a.v AS node, r.lm, r.dist + 1 AS dist FROM adj a JOIN r2 r ON a.u = r.node) GROUP BY 1, 2),
+      r4 AS (SELECT node, lm, min(dist) AS dist FROM (
+        SELECT node, lm, dist FROM r3
+        UNION ALL SELECT a.v AS node, r.lm, r.dist + 1 AS dist FROM adj a JOIN r3 r ON a.u = r.node) GROUP BY 1, 2),
+      hist AS (SELECT dist, count(*) AS n_pairs FROM r4 GROUP BY dist),
+      c0 AS (
+        SELECT dist, n_pairs,
+               sum(n_pairs) OVER (ORDER BY dist) AS cum_pairs,
+               sum(n_pairs) OVER () AS total
+        FROM hist),
+      c AS (
+        SELECT dist, n_pairs, cum_pairs, total,
+               coalesce(lag(cum_pairs) OVER (ORDER BY dist), 0) AS prev_cum
+        FROM c0)
+      SELECT dist, CAST(n_pairs AS BIGINT) AS n_pairs,
+             CAST(cum_pairs AS BIGINT) AS cum_pairs,
+             ${N.ratio("cum_pairs", "total", 4)} AS reach_share,
+             (cum_pairs * 10 >= total * 9 AND prev_cum * 10 < total * 9) AS is_eff_diameter
+      FROM c ORDER BY dist""",
+
     // generic shoelace/centroid over parsed rings on the Spark side;
     // the oracle derives the closed form from the fixture geometry
     // (2×2 squares at (4n, 3r)) — the tiger-family convention

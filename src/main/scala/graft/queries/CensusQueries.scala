@@ -431,6 +431,49 @@ object CensusQueries {
       |        (CAST(xs[i] AS BIGINT) * CAST(ys[i+1] AS BIGINT)
       |         - CAST(xs[i+1] AS BIGINT) * CAST(ys[i] AS BIGINT)))""".stripMargin)
 
+  /** AREAL INTERPOLATION — the census geo-crosswalk method itself: when
+    * source zones (here the TIGER nation squares) and target zones (a
+    * fixed analysis grid) don't nest, counts re-allocate by AREA WEIGHT
+    * — alloc = pop · |src ∩ tgt| / |src| — the standard technique for
+    * moving ACS estimates between incongruent geographies (block →
+    * grid, tract → service area). Geometry is the decoded shapefile
+    * bbox per polygon (axis-aligned fixture ⇒ bbox IS the polygon;
+    * general polygons would swap in a clipped-area kernel, pipeline
+    * unchanged), the grid is a broadcast 30-cell table, intersection
+    * areas are exact integer min/max arithmetic and the allocation is
+    * a 1e-6-unit floor division — bit-stable in both engines. Output:
+    * per grid cell, contributing polygons and allocated population.
+    * Scale: polygons scan map-side against the broadcast grid; the
+    * rollup is map-combined over |cells| keys. */
+  def censusArealInterpolation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val polys = graft.census.Tiger.read(s, writeTigerFixture(s, dir))
+      .select(
+        element_at(col("attrs"), "NATIONKEY").cast("long").as("gid"),
+        element_at(col("attrs"), "POP").cast("long").as("pop"),
+        array_min(col("xs")).cast("long").as("x0"),
+        array_min(col("ys")).cast("long").as("y0"),
+        array_max(col("xs")).cast("long").as("x1"),
+        array_max(col("ys")).cast("long").as("y1"))
+    // 10×3 grid of 10×5 cells covering the fixture extent [0,100)×[0,15)
+    val cells = (for (gx <- 0L until 10L; gy <- 0L until 3L) yield (gx, gy))
+      .toDF("gx", "gy")
+      .select(col("gx"), col("gy"),
+        (col("gx") * 10).as("cx0"), (col("gy") * 5).as("cy0"),
+        (col("gx") * 10 + 10).as("cx1"), (col("gy") * 5 + 5).as("cy1"))
+    val ix = greatest(lit(0L), least(col("x1"), col("cx1")) - greatest(col("x0"), col("cx0")))
+    val iy = greatest(lit(0L), least(col("y1"), col("cy1")) - greatest(col("y0"), col("cy0")))
+    polys.crossJoin(broadcast(cells))
+      .select(col("gid"), col("pop"), col("gx"), col("gy"),
+        (ix * iy).as("ia"), ((col("x1") - col("x0")) * (col("y1") - col("y0"))).as("pa"))
+      .filter(col("ia") > 0)
+      .select(col("gx"), col("gy"), col("gid"),
+        call_function("div", col("pop") * col("ia") * lit(1000000L), col("pa")).as("alloc_micro"))
+      .groupBy("gx", "gy")
+      .agg(count(lit(1)).as("n_polys"), sum("alloc_micro").as("pop_micro"))
+      .orderBy("gx", "gy")
+  }
+
   def tigerPolygonCentroid(s: SparkSession, dir: String): DataFrame = {
     val decoded = graft.census.Tiger.read(s, writeTigerFixture(s, dir))
     decoded.select(

@@ -1241,6 +1241,48 @@ object GraphQueries {
       .limit(25)
   }
 
+  /** EFFECTIVE-DIAMETER estimate from the landmark frame — the
+    * "how far apart is this graph, really" readout next to
+    * `graph_landmark_distance`'s per-node closeness: the hop histogram
+    * of all (node, landmark) shortest distances out to 4 hops, its
+    * cumulative reach share, and the standard 90th-percentile
+    * effective diameter (smallest h with cum·10 ≥ total·9) flagged on
+    * its row — the landmark-sample approximation production graph
+    * stacks use when exact all-pairs hop distributions are off the
+    * table (ANF/HyperBall territory; the landmark frame is the exact
+    * small-sample special case). Same linear-lineage 4-round propagate
+    * as the closeness query (per-node state ≤ |landmarks| rows); the
+    * histogram windows run on ≤ 5 rows. All-integer cut ⇒ bit-stable
+    * flag. */
+  def graphEffectiveDiameter(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sadj = saltedSymAdjBfs(s, dir)
+    val nodes = symNodes(s, dir)
+    var reach = nodes.filter(col("node") % 151 === 0)
+      .select(col("node"), col("node").as("lm"), lit(0L).as("dist"))
+    for (_ <- 1 to 4) {
+      reach = sadj.propagate(reach)
+        .select(col("node"), col("lm"), (col("dist") + col("w")).as("dist"))
+        .groupBy("node", "lm").agg(min("dist").as("dist"))
+    }
+    val hist = reach.groupBy("dist").agg(count(lit(1)).as("n_pairs"))
+    val one = lit(1)
+    val cum = Window.partitionBy(one).orderBy("dist")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(one)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val prev = Window.partitionBy(one).orderBy("dist")
+    hist
+      .withColumn("cum_pairs", sum("n_pairs").over(cum))
+      .withColumn("total", sum("n_pairs").over(all))
+      .select(col("dist"), col("n_pairs"), col("cum_pairs"),
+        Num.ratio(col("cum_pairs"), col("total"), 4).as("reach_share"),
+        (col("cum_pairs") * 10 >= col("total") * 9 &&
+          coalesce(lag("cum_pairs", 1).over(prev), lit(0L)) * 10 < col("total") * 9)
+          .as("is_eff_diameter"))
+      .orderBy("dist")
+  }
+
   /** Local clustering coefficient — how clique-like each doc's
     * neighborhood is (a near-dup family member sits at cc ≈ 1, a
     * bridge doc between two template families near 0): for every node

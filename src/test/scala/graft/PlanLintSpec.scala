@@ -55,7 +55,8 @@ class PlanLintSpec extends GraftSpec {
     "mm_aspect_bucket", // 5-row bucket ladder attached via broadcast cross join (round 13)
     "ts_matrix_profile_discord", // single-row calendar bounds via broadcast cross join (round 13)
     "census_ipf_raking", // single-row universe/control totals via broadcast cross joins (round 13)
-    "llm_sim_pq_recall") // inherits the brute-force truth parent's bounded-probe cross join (round 13)
+    "llm_sim_pq_recall", // inherits the brute-force truth parent's bounded-probe cross join (round 13)
+    "census_areal_interpolation") // 30-row analysis grid attached via broadcast cross join (round 13)
 
   test("no query plans an unexpected cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.queries.{CensusQueries, LlmExtra, MultimodalQueries, TimeSeries}
+import graft.queries.{CensusQueries, GraphQueries, LlmExtra, MultimodalQueries, TimeSeries}
 import graft.tables.Tables.t
 
 /** Semantic pins for the second round-13 wave (all DuckDB-oracle-checked;
@@ -163,5 +163,35 @@ class Round13cOpsSpec extends GraftSpec {
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     assert(out("tri") == ((54L, 2000000L, 3000000L)))
     assert(out("ell") == ((32L, 1500000L, 2500000L)))
+  }
+
+  test("census_areal_interpolation conserves each polygon's population") {
+    // Σ over cells of alloc(poly, cell) = pop·10⁶ exactly when the grid
+    // tiles the polygon (it does: cell edges at multiples of 5 ≥ the
+    // 2×2 squares' extent), minus ≤ 1 µ-unit floor loss per covered cell
+    val nations = t(spark, sfDir, "nation")
+      .select("n_nationkey", "n_regionkey").collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue))
+    val expectTotal = nations.map { case (n, r) => n * 1000 + r }.sum * 1000000L
+    val got = CensusQueries.censusArealInterpolation(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val allocTotal = got.map(_._4).sum
+    assert(allocTotal <= expectTotal && allocTotal >= expectTotal - 4L * nations.length,
+      s"allocated $allocTotal vs population $expectTotal")
+    // fixture squares span ≤ 2 cells per axis → ≤ 4 contributions each
+    assert(got.map(_._3).sum <= 4L * nations.length)
+  }
+
+  test("graph_effective_diameter flags exactly one row, cum monotone") {
+    val rows = GraphQueries.graphEffectiveDiameter(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(4)))
+    assert(rows.count(_._4) == 1, "exactly one effective-diameter row")
+    assert(rows.map(_._1).toSeq == rows.map(_._1).toSeq.sorted)
+    val cums = rows.map(_._3).toSeq
+    assert(cums == cums.sorted && cums.last == rows.map(_._2).sum)
+    val total = cums.last
+    val eff = rows.find(_._4).get
+    assert(eff._3 * 10 >= total * 9)
+    rows.takeWhile(!_._4).foreach(r => assert(r._3 * 10 < total * 9))
   }
 }
