@@ -451,6 +451,7 @@ object SparkEntry {
     "llm_sim_recall" -> LlmExtra.llmSimRecall _,
     // Louvain level-1 fixpoint: sweep-until-no-move trace (cap 4)
     "graph_louvain_converged" -> GraphQueries.graphLouvainConverged _,
+    "graph_louvain_two_level" -> GraphQueries.graphLouvainTwoLevel _,
     // ANN recall CURVE: k ∈ {1,5,10} from one top-10 pass per side
     "llm_sim_recall_at_k" -> LlmExtra.llmSimRecallAtK _,
     // per-node local clustering coefficient, integer micro-units

@@ -91,9 +91,14 @@ object OracleSql {
     * frames. MATERIALIZED keeps the chain linear (h11 is referenced
     * three times: h12, its sum, and nothing else would survive
     * inlining). */
-  private def coreFullSql: String = {
-    val R = 12
-    val rounds = (1 to R).map { r =>
+  /** The shared 12-round h-index CTE chain over the two-blocking
+    * similarity edges — `graph_core_full` histograms `h12.est` with a
+    * converged verdict; `graph_core_decomposition` histograms
+    * `least(h12.est, 4)` (the k ≤ 4 truncation of the same estimates,
+    * matching the engine's shared `hIndexEstimates` core). */
+  private val coreHIndexRounds = 12
+  private def coreHIndexChainSql: String = {
+    val rounds = (1 to coreHIndexRounds).map { r =>
       s"""h$r AS MATERIALIZED (
          |        SELECT u AS node, CAST(max(least(ce, rn)) AS BIGINT) AS est FROM (
          |          SELECT e.u, c.est AS ce,
@@ -101,8 +106,7 @@ object OracleSql {
          |          FROM edges e JOIN h${r - 1} c ON c.node = e.v)
          |        GROUP BY u)""".stripMargin
     }.mkString(",\n      ")
-    s"""
-      WITH docs AS MATERIALIZED (
+    s"""docs AS MATERIALIZED (
         SELECT doc_id, source, lang, n_chars FROM documents WHERE doc_id < 1200),
       blocks AS (
         SELECT doc_id AS u,
@@ -118,12 +122,25 @@ object OracleSql {
       edges AS MATERIALIZED (SELECT u, v FROM edges0 UNION SELECT v, u FROM edges0),
       h0 AS MATERIALIZED (
         SELECT u AS node, CAST(count(*) AS BIGINT) AS est FROM edges GROUP BY u),
-      $rounds
+      $rounds"""
+  }
+
+  private def coreFullSql: String = {
+    val R = coreHIndexRounds
+    s"""
+      WITH $coreHIndexChainSql
       SELECT est AS core_number, CAST(count(*) AS BIGINT) AS n_nodes,
              CAST(min(node) AS BIGINT) AS min_node, CAST(max(node) AS BIGINT) AS max_node,
              ((SELECT sum(est) FROM h${R - 1}) = (SELECT sum(est) FROM h$R)) AS converged
       FROM h$R GROUP BY est ORDER BY est"""
   }
+
+  private def coreDecompSql: String =
+    s"""
+      WITH $coreHIndexChainSql
+      SELECT least(est, 4) AS core_number, CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(min(node) AS BIGINT) AS min_node, CAST(max(node) AS BIGINT) AS max_node
+      FROM h$coreHIndexRounds GROUP BY 1 ORDER BY core_number"""
 
   /** llm_bpe_train: the Spark side loops 6 merge rounds over the word
     * vocabulary; the oracle unrolls the same 6 rounds as CTE stages.
@@ -307,6 +324,48 @@ object OracleSql {
         FROM (SELECT lu.label AS community, CAST(count(*) AS BIGINT) AS deg_sum,
                      CAST(count(*) FILTER (WHERE lu.label = lv.label) AS BIGINT) AS in_edges
               FROM adj a JOIN lab$r lu ON a.u = lu.node JOIN lab$r lv ON a.v = lv.node
+              GROUP BY 1))"""
+  }
+
+  /** One WEIGHTED Louvain sweep on the contracted graph `cadj`
+    * (u, v, w — symmetric, self-loops carry each community's internal
+    * mass) for the graph_louvain_two_level unroll. Same gain algebra as
+    * `louvainSweep` with counts replaced by weight sums; k_ic excludes
+    * self-loop rows (a super-node's own loop moves with it and cancels
+    * out of every gain difference), deg/tot include them — mirroring
+    * the engine's `louvainMovesWeightedOn`. */
+  private def louvainWeightedSweep(r: Int): String = {
+    val labIn = if (r == 1) "cl0" else s"cl${r - 1}"
+    s"""ctot$r AS (SELECT l.label AS c, CAST(sum(d.deg) AS BIGINT) AS tot
+              FROM $labIn l JOIN cdeg d USING (node) GROUP BY 1),
+      ckic$r AS (SELECT a.u AS node, l.label AS c, CAST(sum(a.w) AS BIGINT) AS k_ic
+              FROM cadj a JOIN $labIn l ON a.v = l.node WHERE a.u <> a.v GROUP BY 1, 2),
+      cbase$r AS (SELECT k.node, k.c, k.k_ic, cur.label AS cur
+               FROM ckic$r k JOIN $labIn cur USING (node)),
+      cown$r AS (SELECT node, k_ic AS k_icur FROM cbase$r WHERE c = cur),
+      cg$r AS (
+        SELECT b.node, b.cur, b.c,
+               t.twom * (b.k_ic - coalesce(o.k_icur, 0))
+                 - d.deg * (tc.tot - tu.tot + d.deg) AS gain_scaled
+        FROM cbase$r b LEFT JOIN cown$r o USING (node)
+        JOIN cdeg d USING (node)
+        JOIN ctot$r tc ON tc.c = b.c
+        JOIN ctot$r tu ON tu.c = b.cur
+        CROSS JOIN twom t
+        WHERE b.c <> b.cur),
+      cmoves$r AS MATERIALIZED (
+        SELECT node, c AS to_c
+        FROM (SELECT *, row_number() OVER (PARTITION BY node
+                ORDER BY gain_scaled DESC, c) AS rn FROM cg$r)
+        WHERE rn = 1 AND gain_scaled > 0),
+      cl$r AS MATERIALIZED (
+        SELECT l.node, coalesce(m.to_c, l.label) AS label
+        FROM $labIn l LEFT JOIN cmoves$r m USING (node)),
+      cq$r AS (
+        SELECT CAST(sum(deg_sum) * sum(in_w) - sum(deg_sum * deg_sum) AS BIGINT) AS q
+        FROM (SELECT lu.label AS community, CAST(sum(a.w) AS BIGINT) AS deg_sum,
+                     CAST(coalesce(sum(a.w) FILTER (WHERE lu.label = lv.label), 0) AS BIGINT) AS in_w
+              FROM cadj a JOIN cl$r lu ON a.u = lu.node JOIN cl$r lv ON a.v = lv.node
               GROUP BY 1))"""
   }
 
@@ -4767,6 +4826,60 @@ object OracleSql {
              (SELECT coalesce(bool_or(sweep > 0 AND n_moved = 0), FALSE) FROM inc) AS converged
       FROM inc ORDER BY sweep""",
 
+    // level 1 = the converged unroll verbatim; contraction reads lab4
+    // unconditionally (zero-move sweeps are fixpoints of the sweep
+    // operator, so lab4 IS the terminal labeling whether the engine
+    // exited early or not); level 2 = 4 weighted sweeps on the
+    // contracted graph, the engine's stopping rule applied relationally
+    // PER LEVEL
+    "graph_louvain_two_level" -> s"""
+      WITH $louvainCtes,
+      q0 AS (
+        SELECT CAST(sum(deg_sum) * sum(in_edges) - sum(deg_sum * deg_sum) AS BIGINT) AS q
+        FROM (SELECT lu.label AS community, CAST(count(*) AS BIGINT) AS deg_sum,
+                     CAST(count(*) FILTER (WHERE lu.label = lv.label) AS BIGINT) AS in_edges
+              FROM adj a JOIN l3 lu ON a.u = lu.node JOIN l3 lv ON a.v = lv.node
+              GROUP BY 1)),
+      ${(1 to 4).map(louvainSweep).mkString(",\n      ")},
+      cadj AS MATERIALIZED (
+        SELECT lu.label AS u, lv.label AS v, CAST(count(*) AS BIGINT) AS w
+        FROM adj a JOIN lab4 lu ON a.u = lu.node JOIN lab4 lv ON a.v = lv.node
+        GROUP BY 1, 2),
+      cdeg AS MATERIALIZED (
+        SELECT u AS node, CAST(sum(w) AS BIGINT) AS deg FROM cadj GROUP BY 1),
+      cl0 AS (SELECT node, node AS label FROM cdeg),
+      cq0 AS (
+        SELECT CAST(sum(deg_sum) * sum(in_w) - sum(deg_sum * deg_sum) AS BIGINT) AS q
+        FROM (SELECT lu.label AS community, CAST(sum(a.w) AS BIGINT) AS deg_sum,
+                     CAST(coalesce(sum(a.w) FILTER (WHERE lu.label = lv.label), 0) AS BIGINT) AS in_w
+              FROM cadj a JOIN cl0 lu ON a.u = lu.node JOIN cl0 lv ON a.v = lv.node
+              GROUP BY 1)),
+      ${(1 to 4).map(louvainWeightedSweep).mkString(",\n      ")},
+      sweeps AS (
+        SELECT 1 AS level, 0 AS sweep, CAST(0 AS BIGINT) AS n_moved, (SELECT q FROM q0) AS q_num
+        UNION ALL SELECT 1, 1, (SELECT CAST(count(*) AS BIGINT) FROM moves1), (SELECT q FROM q1)
+        UNION ALL SELECT 1, 2, (SELECT CAST(count(*) AS BIGINT) FROM moves2), (SELECT q FROM q2)
+        UNION ALL SELECT 1, 3, (SELECT CAST(count(*) AS BIGINT) FROM moves3), (SELECT q FROM q3)
+        UNION ALL SELECT 1, 4, (SELECT CAST(count(*) AS BIGINT) FROM moves4), (SELECT q FROM q4)
+        UNION ALL SELECT 2, 0, CAST(0 AS BIGINT), (SELECT q FROM cq0)
+        UNION ALL SELECT 2, 1, (SELECT CAST(count(*) AS BIGINT) FROM cmoves1), (SELECT q FROM cq1)
+        UNION ALL SELECT 2, 2, (SELECT CAST(count(*) AS BIGINT) FROM cmoves2), (SELECT q FROM cq2)
+        UNION ALL SELECT 2, 3, (SELECT CAST(count(*) AS BIGINT) FROM cmoves3), (SELECT q FROM cq3)
+        UNION ALL SELECT 2, 4, (SELECT CAST(count(*) AS BIGINT) FROM cmoves4), (SELECT q FROM cq4)),
+      filt AS (
+        SELECT *, min(CASE WHEN sweep = 0 THEN NULL ELSE n_moved END)
+          OVER (PARTITION BY level ORDER BY sweep
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_min
+        FROM sweeps),
+      inc AS (
+        SELECT level, sweep, n_moved, q_num FROM filt
+        WHERE sweep = 0 OR prev_min IS NULL OR prev_min > 0)
+      SELECT CAST(level AS BIGINT) AS level, CAST(sweep AS BIGINT) AS sweep, n_moved,
+             (SELECT twom FROM twom) AS twom, q_num,
+             coalesce(bool_or(sweep > 0 AND n_moved = 0)
+               OVER (PARTITION BY level), FALSE) AS converged
+      FROM inc ORDER BY level, sweep""",
+
     // decompose chain re-derived, then exact n-scaled variance
     // numerators in HUGEINT; only the final ratio is float (round 6)
     "ts_seasonal_strength" -> """
@@ -4984,38 +5097,11 @@ object OracleSql {
       SELECT user_id, cents AS last_cents, us AS last_ts_us, n_changes
       FROM c WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id""",
 
-    // four independent always-4-round peels (the engine's fixpoint early
-    // exit is output-identical: post-fixpoint rounds are identity); same
-    // two-blocking edge set as graph_k_core
-    "graph_core_decomposition" -> {
-      val peels = (1 to 4).map { k =>
-        s"e${k}_0 AS (SELECT u, v FROM e0),\n" +
-          (1 to 4).map { r =>
-            s"""a${k}_$r AS (SELECT u FROM e${k}_${r - 1} GROUP BY u HAVING count(*) >= $k),
-               |e${k}_$r AS (SELECT e.u, e.v FROM e${k}_${r - 1} e
-               |  JOIN a${k}_$r x ON e.u = x.u JOIN a${k}_$r y ON e.v = y.u)""".stripMargin
-          }.mkString(",\n")
-      }.mkString(",\n")
-      val survivors = (1 to 4).map { k =>
-        s"SELECT DISTINCT u AS node, CAST($k AS BIGINT) AS core_ge FROM e${k}_4"
-      }.mkString("\nUNION ALL ")
-      s"""
-      WITH docs AS (SELECT doc_id, source, lang, n_chars FROM documents WHERE doc_id < 1200),
-      blocks AS (
-        SELECT doc_id AS u, concat_ws('|', 's', source, CAST(n_chars // 100 AS VARCHAR)) AS bk FROM docs
-        UNION ALL
-        SELECT doc_id AS u, concat_ws('|', 'l', lang, CAST(n_chars // 50 AS VARCHAR)) AS bk FROM docs),
-      edges0 AS (
-        SELECT DISTINCT a.u AS u, b.u AS v
-        FROM blocks a JOIN blocks b USING (bk) WHERE a.u < b.u),
-      e0 AS (SELECT u, v FROM edges0 UNION ALL SELECT v, u FROM edges0),
-      $peels,
-      lv AS ($survivors),
-      core AS (SELECT node, max(core_ge) AS core_number FROM lv GROUP BY node)
-      SELECT core_number, CAST(count(*) AS BIGINT) AS n_nodes,
-             CAST(min(node) AS BIGINT) AS min_node, CAST(max(node) AS BIGINT) AS max_node
-      FROM core GROUP BY 1 ORDER BY core_number"""
-    },
+    // the k<=4 truncation of the same 12-round h-index chain the
+    // graph_core_full oracle unrolls (engine side shares
+    // hIndexEstimates) — both engines histogram identical round-12
+    // integers, converged or not
+    "graph_core_decomposition" -> coreDecompSql,
 
     // brute-force all-pairs mirror — safe because the engine's 4x2-byte
     // band LSH is EXACT for the <=2-differing-blocks threshold

@@ -68,8 +68,10 @@ object GraphQueries {
     memo.clear()
   }
 
-  /** Shared symmetric adjacency (both edge directions), cached. */
-  private def symAdj(s: SparkSession, dir: String): DataFrame =
+  /** Shared symmetric adjacency (both edge directions), cached.
+    * `private[graft]` so `CoreSessionIsolationSpec` can hand the real
+    * family cache to `hIndexEstimates` directly. */
+  private[graft] def symAdj(s: SparkSession, dir: String): DataFrame =
     memoized(s, dir, "symAdj") {
       val e = simEdges(s, dir)
       e.union(e.select(col("v").as("u"), col("u").as("v"))).cache()
@@ -766,6 +768,130 @@ object GraphQueries {
       .orderBy("sweep")
   }
 
+  /** The WEIGHTED local-move sweep body — `louvainMovesOn` generalized
+    * to a weighted adjacency (u, v, w) that may carry SELF-LOOPS, which
+    * is exactly what community contraction produces: a super-node's
+    * internal mass becomes a self-loop whose weight moves with it and
+    * therefore cancels out of every gain difference. Accordingly k_ic /
+    * k_icur EXCLUDE self-loop rows (links to OTHER members only), while
+    * deg and tot INCLUDE them (the node's full mass occupies its
+    * community) — the standard weighted-Louvain convention. With w ≡ 1
+    * and a loop-free adjacency this reduces bit-for-bit to the
+    * unweighted sibling (sum(w) = count). Same integer gain algebra:
+    * gain·(2m)² is BIGINT throughout, bounded by (2m)². */
+  private[graft] def louvainMovesWeightedOn(adjW: DataFrame, lab: DataFrame,
+      degN: DataFrame): DataFrame = {
+    val tot = lab.join(degN, "node")
+      .groupBy(col("label").as("c")).agg(sum("deg").as("tot"))
+    val twoM = degN.agg(sum("deg").as("twom"))
+    val kic = adjW.filter(col("u") =!= col("v"))
+      .join(lab.select(col("node").as("v"), col("label").as("c")), "v")
+      .groupBy(col("u").as("node"), col("c"))
+      .agg(sum("w").as("k_ic"))
+    val wNode = org.apache.spark.sql.expressions.Window.partitionBy("node")
+    kic.join(lab.select(col("node"), col("label").as("cur")), "node")
+      .withColumn("k_icur", coalesce(
+        max(when(col("c") === col("cur"), col("k_ic"))).over(wNode), lit(0L)))
+      .filter(col("c") =!= col("cur"))
+      .join(degN, "node")
+      .join(tot, "c")
+      .join(tot.select(col("c").as("cur"), col("tot").as("tot_cur")), "cur")
+      .crossJoin(broadcast(twoM))
+      .withColumn("gain_scaled",
+        col("twom") * (col("k_ic") - col("k_icur")) -
+          col("deg") * (col("tot") - col("tot_cur") + col("deg")))
+      .withColumn("rn", row_number().over(
+        wNode.orderBy(desc("gain_scaled"), col("c"))))
+      .filter(col("rn") === 1 && col("gain_scaled") > 0)
+  }
+
+  /** One level's sweep-to-fixpoint trace over a weighted adjacency:
+    * runs `louvainMovesWeightedOn` sweeps (cap `maxSweeps`, zero-move
+    * early exit — the `graphLouvainConverged` discipline: one bounded
+    * count per sweep on a localCheckpoint'ed moves frame), returning
+    * (per-sweep Q-trace rows, terminal labeling, converged). Each trace
+    * row carries the exact modularity numerator Q·(2m)² = 2m·Σin_c −
+    * Σd_c² of the partition AFTER that sweep, computed on THIS level's
+    * adjacency — for a contracted graph that equals the original-graph
+    * Q of the induced partition (contraction preserves Q), which is
+    * what makes the two-level trace one monotone story. */
+  private def louvainLevelTrace(adjW: DataFrame, degN: DataFrame, lab0: DataFrame,
+      level: Int, maxSweeps: Int): (Seq[DataFrame], DataFrame, Boolean) = {
+    def qRow(labels: DataFrame, sweep: Int, nMoved: Long): DataFrame =
+      adjW.join(labels.select(col("node").as("u"), col("label").as("lu")), "u")
+        .join(labels.select(col("node").as("v"), col("label").as("lv")), "v")
+        .groupBy("lu")
+        .agg(sum("w").as("deg_sum"),
+          sum(when(col("lu") === col("lv"), col("w")).otherwise(lit(0L))).as("in_w"))
+        .agg(sum("deg_sum").as("twom"), sum("in_w").as("in_tot"),
+          sum(col("deg_sum") * col("deg_sum")).as("sq"))
+        .select(lit(level.toLong).as("level"), lit(sweep.toLong).as("sweep"),
+          lit(nMoved).as("n_moved"), col("twom"),
+          (col("twom") * col("in_tot") - col("sq")).as("q_num"))
+    var lab = lab0
+    val trace = scala.collection.mutable.ArrayBuffer[DataFrame](qRow(lab, 0, 0L))
+    var sweep = 0
+    var zeroMoves = false
+    while (!zeroMoves && sweep < maxSweeps) {
+      sweep += 1
+      val moves = graft.operators.GraftCaches.register(
+        louvainMovesWeightedOn(adjW, lab, degN).select(col("node"), col("c").as("to_c"))
+          .localCheckpoint(true))
+      val n = moves.count()
+      if (n == 0L) { zeroMoves = true; trace += qRow(lab, sweep, 0L) }
+      else {
+        lab = graft.operators.GraftCaches.register(
+          lab.join(moves, Seq("node"), "left")
+            .select(col("node"), coalesce(col("to_c"), col("label")).as("label"))
+            .localCheckpoint(true))
+        trace += qRow(lab, sweep, n)
+      }
+    }
+    (trace.toSeq, lab, zeroMoves)
+  }
+
+  /** TWO-LEVEL LOUVAIN — real Louvain's recursion step on top of the
+    * level-1 fixpoint (`graph_louvain_converged`): once level-1 sweeps
+    * move nothing (or hit the cap), CONTRACT each community to a
+    * super-node — inter-community edge weights aggregated, internal
+    * edges becoming weighted self-loops — and re-run the sweep on the
+    * contracted graph. Output: the full two-level TRACE — one row per
+    * executed sweep per level with move count and the exact modularity
+    * numerator Q·(2m)² of the partition after that sweep, plus each
+    * level's converged flag. The contracted Q uses the contracted
+    * weights, so level 2's sweep-0 row equals level 1's terminal row
+    * EXACTLY (contraction preserves Q — a visible cross-level
+    * invariant), and every subsequent level-2 row can only raise q_num.
+    * All BIGINT end to end; both engines replay identical sweeps, so
+    * the trace is hash-exact.
+    *
+    * Scale: the contraction is ONE community-keyed aggregation over the
+    * family-shared adjacency cache — the same shuffle shape as the
+    * modularity census, probed at 26.6M edges by `ProbeGraphScale`.
+    * Everything after it runs on the contracted graph (|communities|
+    * rows — orders of magnitude smaller; Louvain's whole scaling story
+    * is that each level shrinks the graph). Driver actions stay
+    * bounded: ≤ 4 counts per level, Q censuses compose into the final
+    * action. */
+  def graphLouvainTwoLevel(s: SparkSession, dir: String): DataFrame = {
+    val adj1 = symAdj(s, dir).withColumn("w", lit(1L))
+    val deg1 = symDeg(s, dir).select(col("u").as("node"), col("deg"))
+    val (t1, lab1, conv1) = louvainLevelTrace(adj1, deg1, lpaLabels(s, dir), 1, 4)
+    val cadj = graft.operators.GraftCaches.register(
+      adj1.join(lab1.select(col("node").as("u"), col("label").as("cu")), "u")
+        .join(lab1.select(col("node").as("v"), col("label").as("cv")), "v")
+        .groupBy(col("cu").as("u"), col("cv").as("v"))
+        .agg(sum("w").as("w"))
+        .localCheckpoint(true))
+    val cdeg = cadj.groupBy(col("u").as("node")).agg(sum("w").as("deg"))
+    val cl0 = cdeg.select(col("node"), col("node").as("label"))
+    val (t2, _, conv2) = louvainLevelTrace(cadj, cdeg, cl0, 2, 4)
+    (t1.map(_.withColumn("converged", lit(conv1))) ++
+      t2.map(_.withColumn("converged", lit(conv2))))
+      .reduce(_ union _)
+      .orderBy("level", "sweep")
+  }
+
   /** Degree-mixing co-moments — the assortativity readout as EXACT
     * integers: over every directed edge of the similarity graph, the
     * endpoint-degree co-moment table (n, Σx, Σy, Σxy, Σx², Σy² with
@@ -820,9 +946,13 @@ object GraphQueries {
     * is 3 tiny-set jobs + one final census and the big frame is never
     * shuffled or cached again; superseded alive frames unpersist the
     * moment the next round materializes. At a real 100 TB |V| the
-    * alive set broadcasts while it fits and AQE falls back to a shuffled
-    * semi join when it doesn't — the plan degrades to exactly the
-    * round-8 shape, never worse. The peel also EXITS at its fixpoint
+    * alive set broadcasts only while its MEASURED row count is under
+    * `kPeel`'s broadcast cap — the count is already materialized each
+    * round, so the decision is free — and above the cap the semi joins
+    * plan as ordinary shuffled joins (an explicit `broadcast()` hint
+    * would be HONORED, not demoted, and a billion-row alive set would
+    * kill the driver at the 8 GB broadcast limit; the conditional is
+    * the fallback AQE cannot provide). The peel also EXITS at its fixpoint
     * (standard k-core termination: a round that drops no node proves all
     * later rounds identity), so a graph whose 3-core stabilizes in round
     * one pays one census, not three. */
@@ -858,8 +988,22 @@ object GraphQueries {
     * nothing peeled, every later round is identity. A conservative
     * bound can only miss an exit (extra round), never take one wrongly
     * — output is bit-identical to the unrolled rounds, so the oracle's
-    * chained CTEs stand. */
-  private def kPeel(adj0: DataFrame, nNodes: Long, k: Int, rounds: Int): DataFrame = {
+    * chained CTEs stand.
+    *
+    * Broadcast discipline: `nAlive` is measured anyway (the fixpoint
+    * test needs it), so the semi joins take the `broadcast()` hint only
+    * when the alive set is provably small (`bcastCap` rows — node ids
+    * only, so the cap bounds the build at ~tens of MB, far inside the
+    * 8 GB driver broadcast limit). Above the cap the hint is OMITTED and
+    * the joins plan as shuffled semi joins on `u`/`v` — the join keys
+    * the adjacency already shuffles on elsewhere in the family. An
+    * unconditional hint would be a scale killer: Spark honors explicit
+    * broadcast hints regardless of size (AQE demotes only ESTIMATED
+    * broadcasts, never hinted ones), so a billion-node alive set would
+    * OOM the driver rather than degrade. `bcastCap` is a parameter so
+    * specs can pin the degraded shape without a billion-row fixture. */
+  private[graft] def kPeel(adj0: DataFrame, nNodes: Long, k: Int, rounds: Int,
+      bcastCap: Long = 4000000L): DataFrame = {
     var adj = adj0
     var nUpper = nNodes
     var prev: DataFrame = null
@@ -868,14 +1012,15 @@ object GraphQueries {
     while (r < rounds && !fixed) {
       val alive = adj.groupBy("u").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select("u").persist()
-      val nAlive = alive.count() // ≤|V| rows; eager, both broadcasts read the cache
+      val nAlive = alive.count() // ≤|V| rows; eager, both semi joins read the cache
       if (nAlive == nUpper) {
         alive.unpersist(blocking = false) // identity round: adj unchanged, frame unused
         fixed = true                      // (prev stays cached — adj still reads it)
       } else {
         if (prev != null) prev.unpersist(blocking = false) // superseded (nested sets)
-        adj = adj0.join(broadcast(alive), Seq("u"), "left_semi")
-          .join(broadcast(alive.withColumnRenamed("u", "v")), Seq("v"), "left_semi")
+        val hint = (df: DataFrame) => if (nAlive <= bcastCap) broadcast(df) else df
+        adj = adj0.join(hint(alive), Seq("u"), "left_semi")
+          .join(hint(alive.withColumnRenamed("u", "v")), Seq("v"), "left_semi")
           .select("u", "v")
         nUpper = nAlive
         prev = alive
@@ -886,35 +1031,34 @@ object GraphQueries {
     adj
   }
 
-  /** Bounded core decomposition — each node's CORE NUMBER (the max k in
-    * 1..4 such that the node survives a 4-round k-peel), the standard
-    * graph-density ranking behind community seeding and influence
-    * models; `graph_k_core` extracts one shell, this labels them all.
-    * Four independent peels share the family adjacency cache and the
-    * alive-set/broadcast-semi-join/fixpoint-exit machinery of
-    * `graphKCore` — a peel that stabilizes early (k=1 stabilizes in
-    * round one: every node of the edge set has degree ≥ 1) pays one
-    * census, and the engine's early exit is output-identical to the
-    * oracle's always-4-rounds form because post-fixpoint rounds are
-    * identity. Survivor sets are nested (core ≥ k+1 ⊆ core ≥ k), so the
-    * final max-k label is one union + max aggregate over ≤ 4·|V| rows,
-    * and the readout is the SHELL HISTOGRAM (per core level: node count
-    * + id range) — the whole decomposition in ≤ 4 rows.
+  /** Bounded core decomposition — each node's CORE NUMBER truncated at
+    * 4 (`least(coreness, 4)`), the standard graph-density ranking
+    * behind community seeding and influence models; `graph_k_core`
+    * extracts one shell, this labels them all, and the k ≤ 4 cap keeps
+    * the readout the ≤ 4-row SHELL HISTOGRAM (per level: node count +
+    * id range) the sibling always reported.
     *
-    * Scale: 4 × the k-core peel cost — every round one map-combined
-    * census + two broadcast semi filters over the shared cached
-    * adjacency; nothing quadratic, nothing global but the bounded
-    * top-100 readout. */
+    * History (round 14): through round 13 this ran FOUR independent
+    * k-peels (k = 1..4, 4 rounds each) — up to 16 eager driver actions
+    * per invocation, whose per-action scheduling overhead amplified
+    * super-linearly under host contention (11.8 s at sf0.1 on a
+    * contended host vs 3.4 s quiet, on unchanged code). The labels now
+    * derive from the SAME synchronous h-index iteration that powers
+    * `graph_core_full` (`hIndexEstimates`, one statically-planned
+    * action, linear lineage): the 12-round estimate IS the coreness on
+    * any graph where the iteration has converged (verified by
+    * `graph_core_full`'s loud `converged` verdict on this graph), and
+    * the readout truncates it with `least(est, 4)`. The oracle computes
+    * the identical 12-round unroll truncated the same way, so the gate
+    * stays bit-exact WITHOUT convergence assumptions: both engines
+    * histogram the same deterministic round-12 integers.
+    *
+    * Scale: exactly `graph_core_full`'s cost envelope — 12 equi-join +
+    * bounded-window rounds over the family-shared adjacency cache, no
+    * per-round driver actions, no broadcasts of data-sized frames. */
   def graphCoreDecomposition(s: SparkSession, dir: String): DataFrame = {
-    val adj0 = symAdj(s, dir)
-    val nNodes = symNodes(s, dir).count()
-    val levels = (1 to 4).map { k =>
-      kPeel(adj0, nNodes, k, rounds = 4)
-        .select(col("u").as("node")).distinct().withColumn("core_ge", lit(k.toLong))
-    }
-    levels.reduce(_ unionAll _)
-      .groupBy("node").agg(max("core_ge").as("core_number"))
-      .groupBy("core_number")
+    val (_, fin) = hIndexEstimates(symAdj(s, dir), 12)
+    fin.groupBy(least(col("est"), lit(4L)).as("core_number"))
       .agg(count(lit(1)).as("n_nodes"),
         min("node").as("min_node"), max("node").as("max_node"))
       .orderBy("core_number")
@@ -966,7 +1110,58 @@ object GraphQueries {
     * defeats any fixed round cap and must surface `converged = false`
     * loudly, never truncated estimates passed off as cores). */
   private[graft] def coreFullOn(adj: DataFrame, rounds: Int): DataFrame = {
+    val (prev, fin) = hIndexEstimates(adj, rounds)
+    // monotone non-increasing estimates: equal sums ⟺ identical frames
+    val flag = prev.agg(sum("est").as("sp"))
+      .crossJoin(fin.agg(sum("est").as("sf")))
+      .select((col("sp") === col("sf")).as("converged"))
+    fin.groupBy(col("est").as("core_number"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min("node").as("min_node"), max("node").as("max_node"))
+      .crossJoin(broadcast(flag))
+      .orderBy("core_number")
+  }
+
+  /** Monotonically increasing suffix for the global-temp-view handoff
+    * below — names must not collide across invocations (or across
+    * concurrent sessions embedding the library). */
+  private val hIndexViewSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** The synchronous h-index iteration (engine core of
+    * `graph_core_full` and `graph_core_decomposition`): returns the
+    * persisted round-(R−1) and round-R estimate frames, the latter
+    * eagerly materialized. Estimates start at degree; each round
+    * becomes the h-index of the neighbors' estimates.
+    *
+    * The eager materialization runs with AQE off and the loop width
+    * floored (the graphPagerankConverged discipline): the R-round chain
+    * is then ONE statically-planned job instead of ~3R per-exchange
+    * adaptive re-plans — measured 3.5 → 1.5 s warm at sf0.1. Safe on
+    * results: the h-index is a function of each node's neighbor-
+    * estimate MULTISET (rank ties carry equal ce values), so the
+    * integer estimates are partitioning-invariant.
+    *
+    * Conf isolation (round-14, closing the round-10 ADVICE hazard for
+    * real): the chain is BUILT AND COUNTED in a CHILD SESSION
+    * (`newSession()` — shared SparkContext, shared cache manager,
+    * ISOLATED SQLConf), handed the adjacency through a uniquely-named
+    * global temp view. The parent session's confs are never touched, so
+    * a query planned concurrently in the parent keeps AQE on during the
+    * materialization window (pinned by `CoreSessionIsolationSpec`). The
+    * shared `CacheManager` lives in `SharedState`, so the child's
+    * expanded view plan still picks up the family's persisted adjacency
+    * cache by canonical-plan match, and the frames persisted here are
+    * reclaimable by `SparkEntry.releaseCaches()` from any session.
+    * After the count the child's confs are reset to the parent's
+    * current values so downstream readouts over the returned frames
+    * plan exactly as the caller would. */
+  private[graft] def hIndexEstimates(adjIn: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
+    val parent = adjIn.sparkSession
+    val child = parent.newSession()
+    val vname = s"graft_hindex_adj_${hIndexViewSeq.incrementAndGet()}"
+    adjIn.createOrReplaceGlobalTempView(vname)
+    val adj = child.table(s"global_temp.$vname")
     def hRound(est: DataFrame): DataFrame =
       adj.join(est.select(col("node").as("v"), col("est").as("ce")), "v")
         .select(col("u"), col("ce"))
@@ -979,41 +1174,18 @@ object GraphQueries {
     for (_ <- 1 until rounds) est = hRound(est)
     val prev = graft.operators.GraftCaches.register(est.persist())
     val fin = graft.operators.GraftCaches.register(hRound(prev).persist())
-    // Materialize the 12-round chain EAGERLY with AQE off and the loop
-    // width floored (the graphPagerankConverged discipline): the chain
-    // is then ONE statically-planned job instead of ~36 per-exchange
-    // adaptive re-plans — measured 3.5 → 1.5 s warm at sf0.1. Safe on
-    // results: the h-index is a function of each node's neighbor-
-    // estimate MULTISET (rank ties carry equal ce values), so the
-    // integer estimates are partitioning-invariant (confs restored
-    // after; downstream reads the caches at caller confs).
-    // ASSUMPTION (explicit, round-10 ADVICE): session confs are GLOBAL
-    // to the SparkSession, so any query PLANNED concurrently in this
-    // same session during the eager count() below would silently
-    // inherit AQE-off/width-8 for that window. Bench/Verify run
-    // queries single-threaded, which is the operative contract; a
-    // concurrent-session deployment should hand this query its own
-    // `SparkSession.newSession()` (shared context, isolated confs).
-    val conf = adj.sparkSession.conf
-    val (aqe0, sp0) = (conf.get("spark.sql.adaptive.enabled", "true"),
-      conf.get("spark.sql.shuffle.partitions", "32"))
     try {
-      conf.set("spark.sql.adaptive.enabled", "false")
-      conf.set("spark.sql.shuffle.partitions", "8")
+      child.conf.set("spark.sql.adaptive.enabled", "false")
+      child.conf.set("spark.sql.shuffle.partitions", "8")
       fin.count()
     } finally {
-      conf.set("spark.sql.adaptive.enabled", aqe0)
-      conf.set("spark.sql.shuffle.partitions", sp0)
+      child.conf.set("spark.sql.adaptive.enabled",
+        parent.conf.get("spark.sql.adaptive.enabled", "true"))
+      child.conf.set("spark.sql.shuffle.partitions",
+        parent.conf.get("spark.sql.shuffle.partitions", "32"))
+      parent.catalog.dropGlobalTempView(vname)
     }
-    // monotone non-increasing estimates: equal sums ⟺ identical frames
-    val flag = prev.agg(sum("est").as("sp"))
-      .crossJoin(fin.agg(sum("est").as("sf")))
-      .select((col("sp") === col("sf")).as("converged"))
-    fin.groupBy(col("est").as("core_number"))
-      .agg(count(lit(1)).as("n_nodes"),
-        min("node").as("min_node"), max("node").as("max_node"))
-      .crossJoin(broadcast(flag))
-      .orderBy("core_number")
+    (prev, fin)
   }
 
   /** HITS hubs-and-authorities (2 full rounds, unnormalized integer

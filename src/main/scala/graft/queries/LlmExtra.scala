@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.tables.Tables.t
 import graft.llm.{Lsh, SimHash, Winnowing}
+import graft.operators.GraftCaches
 
 /** Extended LLM-training-data-pipeline operators beyond SURVEY's original
   * §2.B set: the remaining dedup family (SimHash, exact n-gram Jaccard,
@@ -53,6 +54,7 @@ object LlmExtra {
         t(s, dir, "documents").select(col("doc_id"), col("text")))
       .select(col("doc_id"), expr("graft_simhash(text)").as("sig"))
       .persist()
+    GraftCaches.register(sigs)
     val bandStructs = array((0 until SimHash.Bands).map { b =>
       struct(lit(b).as("band"),
         shiftrightunsigned(col("sig"), b * SimHash.BandBits).bitwiseAND(lit(0xFFFFL)).as("bkey"))
@@ -190,6 +192,7 @@ object LlmExtra {
       .withColumn("nrm", graft.llm.Vectors.fnorm(col("v")))
       .withColumn("bkt", explode(bucketsUdf(col("v"))))
       .persist()
+    GraftCaches.register(emb)
     val probes = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("pid"), col("v").as("pv"), col("nrm").as("pnorm"), col("bkt"))
     val cands = emb.join(probes, "bkt")
@@ -228,6 +231,7 @@ object LlmExtra {
       .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", graft.llm.Vectors.fnorm(col("v")))
       .persist()
+    GraftCaches.register(emb)
     val cents = emb.filter(col("vec_id") < Ivf.NCells)
       .select(col("vec_id").cast("long").as("cell"), col("v").as("cv"))
     val scored = emb.crossJoin(broadcast(cents))
@@ -352,6 +356,7 @@ object LlmExtra {
       .withColumn("xq", floor(col("x").cast("double") * 10000).cast("long"))
       .select("vec_id", "pos", "xq")
       .persist()
+    GraftCaches.register(qv)
     val dd = (col("xq") - col("cq")) * (col("xq") - col("cq"))
     var cent = qv.filter(col("vec_id") < K)
       .select(col("vec_id").as("cell"), col("pos"), col("xq").as("cq"))
@@ -361,10 +366,10 @@ object LlmExtra {
       val assign = d2.groupBy("vec_id")
         .agg(min(struct(col("d2"), col("cell"))).as("m"))
         .select(col("vec_id"), col("m.cell").as("cell"))
-      cent = qv.join(assign, "vec_id")
+      cent = GraftCaches.register(qv.join(assign, "vec_id")
         .groupBy("cell", "pos")
         .agg(floor(sum(col("xq")) / count(lit(1))).cast("long").as("cq"))
-        .cache()
+        .cache())
     }
     val d2f = qv.join(broadcast(cent), "pos")
       .groupBy("vec_id", "cell").agg(sum(dd).as("d2"))
@@ -1951,6 +1956,7 @@ object LlmExtra {
       .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .agg(count(lit(1)).as("n_pair"))
       .persist()
+    GraftCaches.register(pairs)
     val left = pairs.groupBy("w1").agg(sum("n_pair").as("n_left"))
     val right = pairs.groupBy("w2").agg(sum("n_pair").as("n_right"))
     val tot = pairs.agg(sum("n_pair").as("n_total"))
@@ -2155,6 +2161,7 @@ object LlmExtra {
         (a, b) => concat(a, lit(" "), b))).as("g"))
       .distinct()
       .persist()
+    GraftCaches.register(grams)
     val cand = grams.filter(col("doc_id") < 250)
     val ref = grams.filter(col("doc_id") >= 250)
       .select((col("doc_id") - 250).as("doc_id"), col("g"))
@@ -2202,6 +2209,7 @@ object LlmExtra {
         col("pos"),
         floor(col("x").cast("double") * 10000).cast("long").as("xq"))
       .persist()
+    GraftCaches.register(qv)
     val dd = (col("xq") - col("cq")) * (col("xq") - col("cq"))
     def assignTo(cent: DataFrame): DataFrame = {
       val d2 = qv.join(broadcast(cent), Seq("sub", "pos"))
@@ -2213,10 +2221,10 @@ object LlmExtra {
     var cent = qv.filter(col("vec_id") < 8)
       .select(col("sub"), col("vec_id").as("cid"), col("pos"), col("xq").as("cq"))
     for (_ <- 1 to 2) {
-      cent = qv.join(assignTo(cent), Seq("vec_id", "sub"))
+      cent = GraftCaches.register(qv.join(assignTo(cent), Seq("vec_id", "sub"))
         .groupBy("sub", "cid", "pos")
         .agg(floor(sum(col("xq")) / count(lit(1))).cast("long").as("cq"))
-        .cache()
+        .cache())
     }
     val codes = assignTo(cent)
     val dt = qv.filter(col("vec_id") < 10)
@@ -2258,6 +2266,7 @@ object LlmExtra {
           (a, b) => struct(a.as("w1"), b.as("w2")))).as("g"))
       .select(col("doc_id"), col("lang"), col("g.w1").as("w1"), col("g.w2").as("w2"))
       .persist()
+    GraftCaches.register(bi)
     val train = bi.filter(col("doc_id") % 10 === 1)
     val c2 = train.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val c1 = train.groupBy("w1").agg(count(lit(1)).as("c1"))
@@ -2301,7 +2310,7 @@ object LlmExtra {
   def llmMinhashBandTune(s: SparkSession, dir: String): DataFrame = {
     graft.udx.NGrams.registerAll(s)
     val docs = t(s, dir, "documents").filter(col("doc_id") < 2000)
-    val sigs = Llm.signatures(docs).persist()
+    val sigs = GraftCaches.register(Llm.signatures(docs).persist())
     val bandRows = Seq(1, 2, 4, 8).map { r =>
       val bandStructs = array((0 until 64 / r).map { i =>
         struct(lit(i).as("band"),
@@ -2318,6 +2327,7 @@ object LlmExtra {
       .filter(col("da") < col("db"))
       .select("r", "da", "db").distinct()
       .persist()
+    GraftCaches.register(cand)
     val truth = cand.filter(col("r") === 1).select("da", "db")
       .join(sigs.select(col("doc_id").as("da"), col("sig").as("sa")), "da")
       .join(sigs.select(col("doc_id").as("db"), col("sig").as("sb")), "db")

@@ -1006,8 +1006,15 @@ object TimeSeries {
       .join(hourly, Seq("h"), "left")
       .select(col("h"), coalesce(col("c"), lit(0L)).as("c"))
     // hour h belongs to windows i ∈ [max(h−23, h0), min(h, h1−23)] at
-    // offset k = h − i; the (i, k, c) frame is |hours|·24 rows
+    // offset k = h − i; the (i, k, c) frame is |hours|·24 rows. The
+    // span guard matters: max(h−23,h0) ≤ min(h,h1−23) holds for every
+    // h ∈ [h0,h1] iff h1−h0 ≥ 23, and a sub-24-hour series would feed
+    // sequence() a DESCENDING range — Spark would emit bogus reversed
+    // windows where DuckDB's range() yields empty. Filtering the span
+    // first makes both engines agree on the degenerate case: no
+    // complete 24-hour window exists, so the profile is empty.
     val w = series.crossJoin(broadcast(bounds))
+      .filter(col("h1") - col("h0") >= 23)
       .select(col("c"), col("h"), explode(sequence(
         greatest(col("h") - 23, col("h0")),
         least(col("h"), col("h1") - 23))).as("i"))

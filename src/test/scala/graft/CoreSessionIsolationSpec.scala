@@ -1,0 +1,76 @@
+package graft
+
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicReference}
+import org.apache.spark.sql.functions._
+
+/** `hIndexEstimates` plans its eager 12-round materialization with AQE
+  * off and the shuffle width floored — but in a CHILD session
+  * (`newSession()`), so those planner confs must never leak into the
+  * caller's session (round-10 ADVICE hazard, closed for real in round
+  * 14). The proof is adversarial and concurrent: a sampler thread
+  * plans parent-session queries in a tight loop for the whole
+  * materialization window and asserts every single plan kept AQE on
+  * and the parent confs kept their values. If the old in-place conf
+  * flip ever returns, the window lasts a full eager count and the
+  * sampler catches it deterministically; with isolation the
+  * assertions cannot fire at any interleaving. */
+class CoreSessionIsolationSpec extends GraftSpec {
+
+  test("parent-session queries keep AQE on during the child-session materialization window") {
+    import SparkSpecBase.spark.implicits._
+    val parent = spark
+    parent.conf.set("spark.sql.adaptive.enabled", "true")
+    val widthBefore = parent.conf.get("spark.sql.shuffle.partitions")
+
+    val stop = new AtomicBoolean(false)
+    val violation = new AtomicReference[String](null)
+    val samples = new java.util.concurrent.atomic.AtomicLong(0L)
+    val sampler = new Thread(() => {
+      while (!stop.get() && violation.get() == null) {
+        val aqe = parent.conf.get("spark.sql.adaptive.enabled")
+        val width = parent.conf.get("spark.sql.shuffle.partitions")
+        if (aqe != "true")
+          violation.compareAndSet(null, s"parent AQE flipped to $aqe")
+        if (width != widthBefore)
+          violation.compareAndSet(null, s"parent width flipped to $width")
+        // a query PLANNED in the parent during the window must come out
+        // adaptive — this is what a concurrent tenant actually observes
+        val p = Seq((1L, 2L), (3L, 4L)).toDF("a", "b")
+          .groupBy("a").agg(sum("b"))
+          .queryExecution.executedPlan.toString
+        if (!p.contains("AdaptiveSparkPlan"))
+          violation.compareAndSet(null, s"non-adaptive parent plan:\n${p.take(500)}")
+        samples.incrementAndGet()
+      }
+    }, "graft-isolation-sampler")
+    sampler.start()
+    try {
+      val adj = graft.queries.GraphQueries.coreFullOn(
+        graft.queries.GraphQueries.symAdj(parent, sfDir), 12)
+      adj.collect()
+    } finally {
+      stop.set(true)
+      sampler.join(10000)
+    }
+    assert(violation.get() == null, String.valueOf(violation.get()))
+    assert(samples.get() > 0, "sampler never ran")
+    assert(parent.conf.get("spark.sql.adaptive.enabled") == "true")
+    assert(parent.conf.get("spark.sql.shuffle.partitions") == widthBefore)
+  }
+
+  test("child-session chain still reads the family's shared adjacency cache") {
+    // the cache manager lives in SharedState: the child session's
+    // expanded global-temp-view plan must pick up the parent-persisted
+    // adjacency by canonical-plan match — losing this would silently
+    // re-scan parquet 12 times per invocation
+    val adj = graft.queries.GraphQueries.symAdj(spark, sfDir)
+    adj.count() // materialize the family cache in the parent
+    val (prevF, fin) = graft.queries.GraphQueries.hIndexEstimates(adj, 3)
+    val p = fin.queryExecution.executedPlan.toString
+    assert(p.contains("InMemoryTableScan"),
+      s"child chain lost the shared adjacency cache:\n${p.take(2000)}")
+    assert(fin.sparkSession ne spark, "estimates must be planned in a child session")
+    prevF.unpersist(blocking = false)
+    fin.unpersist(blocking = false)
+  }
+}

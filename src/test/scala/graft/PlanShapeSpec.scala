@@ -260,4 +260,32 @@ class PlanShapeSpec extends GraftSpec {
       "pair census must map-side combine (partial + final)")
     assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
   }
+
+  test("kPeel: alive-set broadcast is conditional on the MEASURED count — above the cap the semi joins degrade to shuffled joins") {
+    import SparkSpecBase.spark.implicits._
+    // triangle 1-2-3 plus pendant 3-4: a k=2 peel drops node 4 in round
+    // one (non-identity), so the returned adjacency carries both semi
+    // joins in its plan
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val adj = (e ++ e.map(_.swap)).toDF("u", "v")
+    val nNodes = 4L
+    // kill auto-broadcast so any BroadcastHashJoin in the plan can ONLY
+    // come from kPeel's explicit hint — explicit hints are honored
+    // regardless of threshold, estimated broadcasts are not
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val hinted = plan(graft.queries.GraphQueries.kPeel(adj, nNodes, k = 2, rounds = 2))
+      assert(hinted.contains("BroadcastHashJoin"),
+        s"under the cap the measured 3-row alive set must broadcast:\n${hinted.take(3000)}")
+      val degraded = plan(
+        graft.queries.GraphQueries.kPeel(adj, nNodes, k = 2, rounds = 2, bcastCap = 0L))
+      assert(!degraded.contains("BroadcastHashJoin") &&
+        !degraded.contains("BroadcastExchange"),
+        s"above the cap the hint must be OMITTED (a hinted billion-row alive set " +
+          s"would OOM the driver, not demote):\n${degraded.take(3000)}")
+      assert(degraded.contains("SortMergeJoin") || degraded.contains("ShuffledHashJoin"),
+        s"degraded shape must be a shuffled semi join:\n${degraded.take(3000)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

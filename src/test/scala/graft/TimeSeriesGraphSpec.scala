@@ -454,31 +454,39 @@ class TimeSeriesGraphSpec extends GraftSpec {
       s"bucketed (B=3) diverges from single-pass: ${bucketed.length} vs ${single.length} rows")
   }
 
-  test("graph_core_decomposition: shell histogram replays from an independent in-memory peel") {
+  test("graph_core_decomposition: histogram replays least(core, 4) from a peel-to-fixpoint") {
+    // round-14 semantics: the k <= 4 TRUNCATION of the true core number
+    // (shared hIndexEstimates engine with graph_core_full; the sibling
+    // core_full spec asserts the 12-round iteration converges on this
+    // graph, so the truncated estimates ARE least(coreness, 4))
     val got = graft.queries.GraphQueries.graphCoreDecomposition(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(got.nonEmpty && got.map(_._1).toSeq == got.map(_._1).toSeq.sorted)
-    // rebuild the same two-blocking edge set and peel in plain Scala
+    // independent replay: true core numbers via sequential peel-to-fixpoint
     val docs = graft.tables.Tables.t(spark, sfDir, "documents")
       .filter(col("doc_id") < 1200)
     val e0 = graft.queries.GraphQueries
       .simEdgesCapped(docs, graft.operators.HotKeys.DefaultCap)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val sym = (e0 ++ e0.map(p => (p._2, p._1))).toSet
-    def peel(k: Int): Set[Long] = {
-      var edges = sym
-      for (_ <- 1 to 4) {
+    var edges = (e0 ++ e0.map(p => (p._2, p._1))).toSet
+    val core = scala.collection.mutable.Map.empty[Long, Long]
+    var k = 1
+    while (edges.nonEmpty && k <= 32) {
+      var changed = true
+      while (changed) {
         val deg = edges.groupBy(_._1).map { case (u, es) => u -> es.size }
         val alive = deg.filter(_._2 >= k).keySet
-        edges = edges.filter(e => alive(e._1) && alive(e._2))
+        val next = edges.filter(e => alive(e._1) && alive(e._2))
+        changed = next.size != edges.size
+        edges = next
       }
-      edges.map(_._1)
+      edges.map(_._1).foreach(n => core(n) = k.toLong)
+      k += 1
     }
-    val core = (1 to 4).flatMap(k => peel(k).map(_ -> k.toLong))
-      .groupBy(_._1).map { case (n, ks) => n -> ks.map(_._2).max }
-    val expect = core.groupBy(_._2).map { case (k, ns) =>
-      (k, ns.size.toLong, ns.keys.min, ns.keys.max)
-    }.toSeq.sortBy(_._1)
+    val expect = core.toSeq.map { case (n, c) => (n, math.min(c, 4L)) }
+      .groupBy(_._2).map { case (c, ns) =>
+        (c, ns.size.toLong, ns.map(_._1).min, ns.map(_._1).max)
+      }.toSeq.sortBy(_._1)
     assert(got.toSeq == expect, s"histogram diverges:\ngot    ${got.toSeq}\nexpect $expect")
   }
 
