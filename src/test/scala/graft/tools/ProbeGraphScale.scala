@@ -128,6 +128,28 @@ object ProbeGraphScale {
       q(lab).union(q(newLab)).collect()
       2L
     }
+    // ---- round-14 addition: the CONTRACTION shuffle
+    // (graph_louvain_two_level). Contraction is a community×community
+    // aggregation over the full adjacency — the modularity census's
+    // shuffle shape but with a (cu, cv) composite key whose hottest
+    // bucket is hot-community × hot-community; then one weighted sweep
+    // on the contracted graph, which must be orders of magnitude
+    // cheaper than any full-graph rung (Louvain's whole scaling story).
+    var cadj: DataFrame = null
+    time("louvain_contraction") {
+      cadj = adj.withColumn("w", lit(1L))
+        .join(lab.select(col("node").as("u"), col("label").as("cu")), "u")
+        .join(lab.select(col("node").as("v"), col("label").as("cv")), "v")
+        .groupBy(col("cu").as("u"), col("cv").as("v"))
+        .agg(sum("w").as("w"))
+        .localCheckpoint(true)
+      cadj.count()
+    }
+    time("louvain_level2_sweep") {
+      val cdeg = cadj.groupBy(col("u").as("node")).agg(sum("w").as("deg"))
+      val cl0 = cdeg.select(col("node"), col("node").as("label"))
+      graft.queries.GraphQueries.louvainMovesWeightedOn(cadj, cl0, cdeg).count()
+    }
     // ---- round-13 addition: the WEDGE-quadratic family. Adamic–Adar's
     // candidate step is deg² per center — the one family whose cost is
     // degree-distribution-, not edge-count-, shaped. The probe times the
