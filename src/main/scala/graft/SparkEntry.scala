@@ -480,6 +480,7 @@ object SparkEntry {
     "mm_video_scene_cut" -> MultimodalQueries.mmVideoSceneCut _,
     // PQ quantizer loss: ADC top-5 vs brute-force cosine truth
     "llm_sim_pq_recall" -> LlmExtra.llmSimPqRecall _,
+    "llm_sim_hnsw_topk" -> LlmExtra.llmSimHnswTopk _,
     // T5 span-corruption plan: seeded spans, merged islands, pack len
     "llm_span_corruption_plan" -> LlmExtra.llmSpanCorruptionPlan _,
     // generic shoelace area/centroid over decoded TIGER rings

@@ -333,6 +333,149 @@ object LlmExtra {
       .orderBy("pid")
   }
 
+  /** ANN VIA NAVIGABLE NEIGHBOR GRAPH + BEAM SEARCH — the HNSW-class
+    * paradigm, completing the family next to brute/LSH/IVF/PQ: build a
+    * bounded-degree neighbor graph offline, then answer each query by
+    * BEST-FIRST BEAM SEARCH over it, scoring only the nodes the walk
+    * visits. Real HNSW's layered construction is a sequential,
+    * stochastic insertion loop — not a 1000-executor plan — so the
+    * graph is the deterministic distributed build the corpus-ANN
+    * literature actually ships at scale:
+    *
+    *   1. candidate pairs from TWO independent bucketings — the 8-table
+    *      random-hyperplane LSH collisions (`llm_sim_lsh_topk`'s
+    *      buckets) ∪ the Assign=2-nearest-IVF-cell mates
+    *      (`llm_sim_ivf_topk`'s cells) — never all-pairs;
+    *   2. per node, top-[[graft.llm.Hnsw.M]] candidates by rounded
+    *      cosine;
+    *   3. SYMMETRIZED (HNSW's bidirectional links) — reverse edges are
+    *      what make low-in-degree true neighbors reachable; measured
+    *      +0.1–0.2 recall on this corpus at every budget.
+    *
+    * Search is the corpus-ANN (query ∈ corpus — the dedup/semdedup
+    * deployment) form: enter at the query node's OWN adjacency list,
+    * then [[graft.llm.Hnsw.R]] hops of expand-the-best-
+    * [[graft.llm.Hnsw.B]] / score-new-candidates-only — NN-descent's
+    * core observation that a neighbor's neighbor is likely a neighbor,
+    * run as a bounded beam. Every ranking is (rounded cosine DESC,
+    * vec_id ASC) — the family's determinism contract — so the visited
+    * set, the per-hop beams and the final readout are bit-identical in
+    * both engines.
+    *
+    * Output is the EVALUATION row the deployment reads (the
+    * `llm_sim_recall_at_k` verdict-column pattern): per probe, the
+    * visited-set size (the search's true candidate budget) and exact
+    * recall@5/@10 against the brute-force truth, half-up integer
+    * ratios. Measured at sf0.01: recall@10 = 0.99 at ~57 visited vs
+    * IVF's 0.88 at ~60 candidates — the ≥-IVF-at-equal-budget bar is
+    * pinned by `Round14OpsSpec`.
+    *
+    * Scale: graph build is two bucketed self-joins + a per-node top-M —
+    * built ONCE offline, reused by every query; search touches ≤ B·M
+    * new candidates per hop per probe REGARDLESS of corpus size (IVF's
+    * budget is a corpus fraction, n·NProbe/NCells — the crossover that
+    * makes graph ANN the large-scale default). Per-hop frames
+    * localCheckpoint (the loop discipline: the visited set is
+    * referenced twice per hop, and truncation keeps the statically-
+    * planned search linear). */
+  def llmSimHnswTopk(s: SparkSession, dir: String): DataFrame =
+    simHnswTopkImpl(s, dir, graft.llm.Hnsw.M, graft.llm.Hnsw.B, graft.llm.Hnsw.R)
+
+  /** The graph build + beam search with explicit parameters — shared by
+    * the graded query and the parameter-sweep spec. */
+  private[graft] def simHnswTopkImpl(s: SparkSession, dir: String,
+      m: Int, b: Int, r: Int): DataFrame = {
+    import graft.llm.{Hnsw, Ivf, Lsh}
+    graft.udx.NGrams.registerAll(s)
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", graft.llm.Vectors.fnorm(col("v")))
+      .persist()
+    GraftCaches.register(emb)
+    // bucketing 1: the LSH tables (tb*65536+bk keys, llm_sim_lsh_topk)
+    val bucketsUdf = udf((v: Seq[Float]) =>
+      Lsh.buckets(v.map(_.toDouble).toArray).map { case (tb, bk) => tb * 65536 + bk })
+    val bk = emb.select(col("vec_id"), explode(bucketsUdf(col("v"))).as("bkt"))
+    val lshPairs = bk.select(col("vec_id").as("u"), col("bkt"))
+      .join(bk.select(col("vec_id").as("n"), col("bkt")), "bkt")
+      .filter(col("u") =!= col("n"))
+      .select("u", "n")
+    // bucketing 2: 2-nearest-cell multi-assignment (llm_sim_ivf_topk's
+    // cells; the second choice contributes the LONG candidate pairs)
+    val cents = emb.filter(col("vec_id") < Ivf.NCells)
+      .select(col("vec_id").cast("long").as("cell"), col("v").as("cv"))
+    val scored = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cell"), graft.llm.Vectors.fdot(col("v"), col("cv")).as("d"))
+    val member = scored.groupBy("vec_id")
+      .agg(graft.udx.TopKAggregator.topk(Hnsw.Assign)(col("d"), col("cell")).as("tk"))
+      .select(col("vec_id"), explode(col("tk.items")).as("it"))
+      .select(col("vec_id"), col("it._2").as("cell"))
+    val cellPairs = member.select(col("vec_id").as("u"), col("cell"))
+      .join(member.select(col("vec_id").as("n"), col("cell")), "cell")
+      .filter(col("u") =!= col("n"))
+      .select("u", "n")
+    // pairs dedup'd BEFORE the vector join-back (the IVF candIds
+    // discipline), then top-m per node, then symmetrized
+    val pairIds = lshPairs.unionByName(cellPairs).distinct()
+    val gtop = pairIds
+      .join(emb.select(col("vec_id").as("u"), col("v").as("uv"), col("nrm").as("un")), "u")
+      .join(emb.select(col("vec_id").as("n"), col("v"), col("nrm")), "n")
+      .select(col("u"), col("n"),
+        round(graft.llm.Vectors.cosineWithNorms(
+          graft.llm.Vectors.fdot(col("uv"), col("v")), col("un"), col("nrm")), 4).as("ecos"))
+      .groupBy("u")
+      .agg(graft.udx.TopKAggregator.topk(m)(col("ecos"), col("n")).as("tk"))
+      .select(col("u"), explode(col("tk.items")).as("it"))
+      .select(col("u"), col("it._2").as("n"))
+    val edges = GraftCaches.register(
+      gtop.unionByName(gtop.select(col("n").as("u"), col("u").as("n")))
+        .distinct()
+        .persist())
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("pid"), col("v").as("pv"), col("nrm").as("pnorm"))
+    // score a (pid, nid) candidate set against the probe vectors
+    def scoreCands(c: DataFrame): DataFrame = c
+      .join(emb.select(col("vec_id").as("nid"), col("v"), col("nrm")), "nid")
+      .join(broadcast(probes), "pid")
+      .select(col("pid"), col("nid"),
+        round(graft.llm.Vectors.cosineWithNorms(
+          graft.llm.Vectors.fdot(col("pv"), col("v")), col("pnorm"), col("nrm")), 4).as("cos"))
+    // self-entry: the query node's own adjacency list
+    val entries = edges.filter(col("u") < 10)
+      .select(col("u").as("pid"), col("n").as("nid"))
+    var visited = scoreCands(entries).localCheckpoint(true)
+    val wBeam = Window.partitionBy("pid").orderBy(desc("cos"), asc("nid"))
+    var frontier = visited.withColumn("rn", row_number().over(wBeam))
+      .filter(col("rn") <= b).select("pid", "nid")
+    for (_ <- 1 to r) {
+      val expand = frontier.join(edges, frontier("nid") === edges("u"))
+        .select(col("pid"), col("n").as("nid"))
+        .filter(col("nid") =!= col("pid"))
+        .distinct()
+        .join(visited.select("pid", "nid"), Seq("pid", "nid"), "left_anti")
+      visited = visited.unionByName(scoreCands(expand)).localCheckpoint(true)
+      frontier = visited.withColumn("rn", row_number().over(wBeam))
+        .filter(col("rn") <= b).select("pid", "nid")
+    }
+    // grade against brute-force truth at depth 10 (shared total order)
+    val truth = graft.queries.Llm.simCosineTopkK(s, dir, 10)
+      .select(col("pid"), col("nid"), col("rnk").as("rt"))
+    val approx = visited.withColumn("ra", row_number().over(wBeam).cast("long"))
+    truth.join(approx.select("pid", "nid", "ra"), Seq("pid", "nid"), "left")
+      .groupBy("pid")
+      .agg(
+        count_if(col("rt") <= 5).as("n_true_5"),
+        count_if(col("rt") <= 5 && col("ra") <= 5).as("n_hit_5"),
+        count(lit(1)).as("n_true_10"),
+        count_if(col("ra") <= 10).as("n_hit_10"))
+      .join(visited.groupBy("pid").agg(count(lit(1)).as("n_visited")), "pid")
+      .select(col("pid"), col("n_visited"),
+        col("n_hit_5"), col("n_hit_10"),
+        Num.ratio(col("n_hit_5"), col("n_true_5"), 4).as("recall_at_5"),
+        Num.ratio(col("n_hit_10"), col("n_true_10"), 4).as("recall_at_10"))
+      .orderBy("pid")
+  }
+
   /** K-MEANS TRAINING over the embedding corpus — the offline step the
     * IVF index ([[graft.llm.Ivf]]) consumes ("at 100 TB k-means runs
     * once offline and broadcasts its centroid table"). Lloyd's

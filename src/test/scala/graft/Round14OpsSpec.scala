@@ -32,6 +32,38 @@ class Round14OpsSpec extends GraftSpec {
     }
   }
 
+  test("llm_sim_hnsw_topk: recall@10 >= IVF's at equal-or-lower candidate budget") {
+    import graft.llm.Ivf
+    val hnsw = graft.queries.LlmExtra.llmSimHnswTopk(spark, sfDir).collect()
+    val hRecall = hnsw.map(r => r.getAs[Double]("recall_at_10")).sum / hnsw.length
+    val hBudget = hnsw.map(r => r.getAs[Long]("n_visited")).sum.toDouble / hnsw.length
+    val ivf = graft.queries.LlmExtra.llmSimRecallAtK(spark, sfDir).collect()
+    val iRecall = ivf.map(r => r.getAs[Double]("recall_at_10")).sum / ivf.length
+    // IVF's candidate budget: corpus vectors assigned to the probe's
+    // NProbe nearest cells (replicated from simIvfTopkK's candIds)
+    val emb = graft.tables.Tables.t(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").as("v"))
+    val cents = emb.filter(col("vec_id") < Ivf.NCells)
+      .select(col("vec_id").cast("long").as("cell"), col("v").as("cv"))
+    val scored = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cell"), graft.llm.Vectors.fdot(col("v"), col("cv")).as("d"))
+    val assigned = scored.groupBy("vec_id")
+      .agg(graft.udx.TopKAggregator.topk(1)(col("d"), col("cell")).as("tk"))
+      .select(col("vec_id"), col("tk.items")(0).getField("_2").as("cell"))
+    val probeCells = scored.filter(col("vec_id") < 10).groupBy("vec_id")
+      .agg(graft.udx.TopKAggregator.topk(Ivf.NProbe)(col("d"), col("cell")).as("tk"))
+      .select(col("vec_id").as("pid"), explode(col("tk.items")).as("it"))
+      .select(col("pid"), col("it._2").as("cell"))
+    val iBudget = assigned.join(probeCells, "cell")
+      .filter(col("vec_id") =!= col("pid"))
+      .groupBy("pid").agg(countDistinct("vec_id").as("n"))
+      .agg(avg("n")).collect()(0).getDouble(0)
+    assert(hBudget <= iBudget,
+      f"beam budget $hBudget%.1f exceeds IVF's $iBudget%.1f — not an equal-budget win")
+    assert(hRecall >= iRecall,
+      f"beam recall@10 $hRecall%.3f below IVF's $iRecall%.3f at budget $hBudget%.1f vs $iBudget%.1f")
+  }
+
   test("louvainMovesWeightedOn: hand-computed gains on a self-loop weighted graph") {
     import SparkSpecBase.spark.implicits._
     // three super-nodes: X heavy into Y, Z lightly into Y; no self-loop
