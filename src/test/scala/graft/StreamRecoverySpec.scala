@@ -322,6 +322,71 @@ class StreamRecoverySpec extends GraftSpec {
     }
   }
 
+  test("foreachBatch crash AFTER the sink write, BEFORE the commit: restart replays the " +
+      "SAME batchId and batchId-keyed idempotent writes stay exactly-once") {
+    // the production foreachBatch exactly-once recipe: the sink write is
+    // keyed (and overwritten) by batchId, so the one failure window the
+    // checkpoint protocol leaves open — crash between the sink's
+    // side-effect and the offset-log commit — resolves by REPLAYING the
+    // identical batch into an overwrite of the same key. This test
+    // injects exactly that crash and asserts both halves: the replay
+    // reuses the batchId (same id, same rows), and the final output
+    // holds every input row exactly once.
+    import SparkSpecBase.spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_rec_fb").toFile
+    root.deleteOnExit()
+    val (in, out, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
+    def ts(s: String) = Timestamp.valueOf(s)
+    def write(rows: Seq[(Timestamp, Long, String, Double)]): Unit =
+      rows.toDF("ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(in)
+
+    val crashArmed = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val invocations = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(Long, Set[Long])]())
+    val fn: (org.apache.spark.sql.DataFrame, Long) => Unit = (df, batchId) => {
+      val rows = df.select("user_id").collect().map(_.getLong(0)).toSet
+      // batchId-keyed OVERWRITE: a replayed batch lands on the same key
+      df.write.mode("overwrite").parquet(s"$out/batch=$batchId")
+      invocations.add((batchId, rows))
+      if (crashArmed.getAndSet(false))
+        throw new RuntimeException("injected crash: sink wrote, commit never happened")
+    }
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val q = stream.select("ts", "user_id", "event_type", "value").writeStream
+        .foreachBatch(fn)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+      try q.processAllAvailable()
+      catch { case _: Exception => () } // the injected crash surfaces here
+      finally q.stop()
+    }
+
+    write(Seq(
+      (ts("2024-01-01 10:00:00"), 1L, "click", 1.0),
+      (ts("2024-01-01 10:01:00"), 2L, "view", 2.0)))
+    runOnce() // crashes after writing batch 0
+    runOnce() // restart: must REPLAY batch 0 (commit log has no entry)
+    write(Seq((ts("2024-01-01 10:05:00"), 3L, "purchase", 3.0)))
+    runOnce() // plain progress on a new batch
+
+    import scala.jdk.CollectionConverters._
+    val invs = invocations.asScala.toList
+    val batch0 = invs.filter(_._1 == 0L)
+    assert(batch0.length == 2,
+      s"batch 0 must run twice (crashed run + replay), saw ${invs.map(_._1)}")
+    assert(batch0.map(_._2).distinct.length == 1,
+      s"the replay must carry the SAME rows: ${batch0.map(_._2)}")
+    assert(invs.map(_._1).distinct.sorted == invs.map(_._1).distinct,
+      "batch ids must be monotone")
+    // exactly-once effects: every input row exactly once despite the replay
+    val got = spark.read.parquet(s"$out/batch=*")
+      .select("user_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 2L, 3L), s"batchId-keyed writes diverged: $got")
+  }
+
   test("Trigger.AvailableNow drains a file-source backfill and stops; equals the batch plan") {
     // the replay-history-through-the-streaming-pipeline pattern: a
     // bounded directory read as a STREAM processes everything available,
