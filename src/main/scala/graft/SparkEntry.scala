@@ -320,6 +320,7 @@ object SparkEntry {
     // duplicated-span localization, binaryFile multimodal entry path
     "event_sessionize" -> Quality.eventSessionize _,
     "ts_holt_linear" -> TimeSeries.tsHoltLinear _,
+    "ts_holt_winters" -> TimeSeries.tsHoltWinters _,
     "ts_alpha_beta_filter" -> TimeSeries.tsAlphaBetaFilter _,
     "geo_tile_rollup" -> GeoQueries.geoTileRollup _,
     "llm_dup_span" -> LlmExtra.llmDupSpan _,
@@ -452,6 +453,7 @@ object SparkEntry {
     // Louvain level-1 fixpoint: sweep-until-no-move trace (cap 4)
     "graph_louvain_converged" -> GraphQueries.graphLouvainConverged _,
     "graph_louvain_two_level" -> GraphQueries.graphLouvainTwoLevel _,
+    "graph_betweenness_landmark" -> GraphQueries.graphBetweennessLandmark _,
     // ANN recall CURVE: k ∈ {1,5,10} from one top-10 pass per side
     "llm_sim_recall_at_k" -> LlmExtra.llmSimRecallAtK _,
     // per-node local clustering coefficient, integer micro-units
@@ -487,6 +489,9 @@ object SparkEntry {
     "tiger_polygon_centroid" -> CensusQueries.tigerPolygonCentroid _,
     // areal-interpolation crosswalk: pop re-allocated by area weight
     "census_areal_interpolation" -> CensusQueries.censusArealInterpolation _,
+    "census_dissimilarity" -> CensusQueries.censusDissimilarity _,
+    "census_gini" -> CensusQueries.censusGini _,
+    "census_location_quotient" -> CensusQueries.censusLocationQuotient _,
     // landmark hop histogram + 90th-percentile effective diameter
     "graph_effective_diameter" -> GraphQueries.graphEffectiveDiameter _
   )

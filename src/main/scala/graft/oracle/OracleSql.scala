@@ -1814,6 +1814,55 @@ object OracleSql {
       JOIN nation ON c_nationkey = n_nationkey
       GROUP BY n_name ORDER BY n_name""",
 
+    // one (unit x group) census; D's numerator is a BIGINT cross-product
+    // sum (no per-unit ratio), isolation is per-unit micro-floor terms
+    "census_dissimilarity" -> s"""
+      WITH cens AS (
+        SELECT n.n_name,
+               CAST(count(*) FILTER (WHERE c.c_mktsegment = 'BUILDING') AS BIGINT) AS a,
+               CAST(count(*) FILTER (WHERE c.c_mktsegment <> 'BUILDING') AS BIGINT) AS b
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1),
+      tot AS (SELECT CAST(sum(a) AS BIGINT) AS ta, CAST(sum(b) AS BIGINT) AS tb FROM cens)
+      SELECT CAST(count(*) AS BIGINT) AS n_units,
+             max(ta) AS tot_a, max(tb) AS tot_b,
+             CAST(sum(abs(a * tb - b * ta)) AS BIGINT) AS d_num,
+             ${N.ratio("sum(abs(a * tb - b * ta))", "max(ta) * max(tb) * 2", 6)} AS dissimilarity,
+             CAST(sum((a * a * 1000000) // (ta * (a + b))) AS BIGINT) AS isolation_micro
+      FROM cens CROSS JOIN tot""",
+
+    // ascending (cents, custkey) rank weights; ties carry equal values so
+    // the rank-weighted sum is order-free; BIGINT until the final ratio
+    "census_gini" -> s"""
+      WITH r AS (
+        SELECT n.n_name, CAST(round(c.c_acctbal * 100) AS BIGINT) AS cents, c.c_custkey
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE c.c_acctbal > 0),
+      rk AS (
+        SELECT n_name, cents,
+               row_number() OVER (PARTITION BY n_name ORDER BY cents, c_custkey) AS rnk
+        FROM r)
+      SELECT n_name, CAST(count(*) AS BIGINT) AS n_cust,
+             CAST(sum(cents) AS BIGINT) AS sum_cents,
+             CAST(2 * sum(rnk * cents) - (count(*) + 1) * sum(cents) AS BIGINT) AS g_num,
+             ${N.ratio("2 * sum(rnk * cents) - (count(*) + 1) * sum(cents)",
+                       "count(*) * sum(cents)", 6)} AS gini
+      FROM rk GROUP BY n_name ORDER BY n_name""",
+
+    // exact cross-product ratio e_ij*E / (e_i*E_j), one half-up ratio per cell
+    "census_location_quotient" -> s"""
+      WITH cens AS (
+        SELECT n.n_name, c.c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS e_ij
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2),
+      bn AS (SELECT n_name, CAST(sum(e_ij) AS BIGINT) AS e_i FROM cens GROUP BY 1),
+      bs AS (SELECT segment, CAST(sum(e_ij) AS BIGINT) AS e_j FROM cens GROUP BY 1),
+      tt AS (SELECT CAST(sum(e_ij) AS BIGINT) AS e_tot FROM cens)
+      SELECT cens.n_name, cens.segment, cens.e_ij, bn.e_i, bs.e_j,
+             ${N.ratio("cens.e_ij * tt.e_tot", "bn.e_i * bs.e_j", 6)} AS lq
+      FROM cens JOIN bn USING (n_name) JOIN bs USING (segment) CROSS JOIN tt
+      ORDER BY n_name, segment""",
+
     "llm_normalize_dedup" -> """
       SELECT source, count(*) AS n_docs,
              count(DISTINCT md5(text)) AS n_uniq_raw,
@@ -5243,6 +5292,86 @@ object OracleSql {
     // integers, converged or not
     "graph_core_decomposition" -> coreDecompSql,
 
+    // Brandes from the %151 landmark sample, 4 forward sigma layers +
+    // 3 backward dependency layers unrolled; the one ratio lands as the
+    // per-term micro-floor div(sigma_v*(1e6+delta_w), sigma_w)
+    "graph_betweenness_landmark" -> """
+      WITH docs AS (SELECT doc_id, source, lang, n_chars FROM documents WHERE doc_id < 1200),
+      blocks AS (
+        SELECT doc_id AS u, concat_ws('|', 's', source, CAST(n_chars // 100 AS VARCHAR)) AS bk FROM docs
+        UNION ALL
+        SELECT doc_id AS u, concat_ws('|', 'l', lang, CAST(n_chars // 50 AS VARCHAR)) AS bk FROM docs),
+      edges0 AS (
+        SELECT DISTINCT a.u AS u, b.u AS v
+        FROM blocks a JOIN blocks b USING (bk) WHERE a.u < b.u),
+      adj AS MATERIALIZED (SELECT u, v FROM edges0 UNION ALL SELECT v, u FROM edges0),
+      l0 AS (
+        SELECT DISTINCT u AS node, u AS lmk, CAST(1 AS BIGINT) AS sigma
+        FROM adj WHERE u % 151 = 0),
+      l1 AS MATERIALIZED (
+        SELECT a.v AS node, f.lmk, CAST(sum(f.sigma) AS BIGINT) AS sigma
+        FROM adj a JOIN l0 f ON a.u = f.node
+        WHERE NOT EXISTS (SELECT 1 FROM l0 r WHERE r.node = a.v AND r.lmk = f.lmk)
+        GROUP BY 1, 2),
+      l2 AS MATERIALIZED (
+        SELECT a.v AS node, f.lmk, CAST(sum(f.sigma) AS BIGINT) AS sigma
+        FROM adj a JOIN l1 f ON a.u = f.node
+        WHERE NOT EXISTS (SELECT 1 FROM l0 r WHERE r.node = a.v AND r.lmk = f.lmk)
+          AND NOT EXISTS (SELECT 1 FROM l1 r WHERE r.node = a.v AND r.lmk = f.lmk)
+        GROUP BY 1, 2),
+      l3 AS MATERIALIZED (
+        SELECT a.v AS node, f.lmk, CAST(sum(f.sigma) AS BIGINT) AS sigma
+        FROM adj a JOIN l2 f ON a.u = f.node
+        WHERE NOT EXISTS (SELECT 1 FROM l0 r WHERE r.node = a.v AND r.lmk = f.lmk)
+          AND NOT EXISTS (SELECT 1 FROM l1 r WHERE r.node = a.v AND r.lmk = f.lmk)
+          AND NOT EXISTS (SELECT 1 FROM l2 r WHERE r.node = a.v AND r.lmk = f.lmk)
+        GROUP BY 1, 2),
+      l4 AS MATERIALIZED (
+        SELECT a.v AS node, f.lmk, CAST(sum(f.sigma) AS BIGINT) AS sigma
+        FROM adj a JOIN l3 f ON a.u = f.node
+        WHERE NOT EXISTS (SELECT 1 FROM l0 r WHERE r.node = a.v AND r.lmk = f.lmk)
+          AND NOT EXISTS (SELECT 1 FROM l1 r WHERE r.node = a.v AND r.lmk = f.lmk)
+          AND NOT EXISTS (SELECT 1 FROM l2 r WHERE r.node = a.v AND r.lmk = f.lmk)
+          AND NOT EXISTS (SELECT 1 FROM l3 r WHERE r.node = a.v AND r.lmk = f.lmk)
+        GROUP BY 1, 2),
+      d3 AS MATERIALIZED (
+        SELECT c.node, c.lmk, CAST(coalesce(t.dm, 0) AS BIGINT) AS delta
+        FROM l3 c LEFT JOIN (
+          SELECT c.node, c.lmk,
+                 sum((c.sigma * (1000000 + 0)) // w.sigma) AS dm
+          FROM l3 c JOIN adj a ON a.u = c.node
+          JOIN l4 w ON w.node = a.v AND w.lmk = c.lmk
+          GROUP BY 1, 2) t ON t.node = c.node AND t.lmk = c.lmk),
+      d2 AS MATERIALIZED (
+        SELECT c.node, c.lmk, CAST(coalesce(t.dm, 0) AS BIGINT) AS delta
+        FROM l2 c LEFT JOIN (
+          SELECT c.node, c.lmk,
+                 sum((c.sigma * (1000000 + w.delta)) // w.sigma) AS dm
+          FROM l2 c JOIN adj a ON a.u = c.node
+          JOIN (SELECT l3.node, l3.lmk, l3.sigma, d3.delta
+                FROM l3 JOIN d3 ON d3.node = l3.node AND d3.lmk = l3.lmk) w
+            ON w.node = a.v AND w.lmk = c.lmk
+          GROUP BY 1, 2) t ON t.node = c.node AND t.lmk = c.lmk),
+      d1 AS MATERIALIZED (
+        SELECT c.node, c.lmk, CAST(coalesce(t.dm, 0) AS BIGINT) AS delta
+        FROM l1 c LEFT JOIN (
+          SELECT c.node, c.lmk,
+                 sum((c.sigma * (1000000 + w.delta)) // w.sigma) AS dm
+          FROM l1 c JOIN adj a ON a.u = c.node
+          JOIN (SELECT l2.node, l2.lmk, l2.sigma, d2.delta
+                FROM l2 JOIN d2 ON d2.node = l2.node AND d2.lmk = l2.lmk) w
+            ON w.node = a.v AND w.lmk = c.lmk
+          GROUP BY 1, 2) t ON t.node = c.node AND t.lmk = c.lmk),
+      alldelta AS (
+        SELECT node, lmk, delta FROM d1
+        UNION ALL SELECT node, lmk, delta FROM d2
+        UNION ALL SELECT node, lmk, delta FROM d3
+        UNION ALL SELECT node, lmk, CAST(0 AS BIGINT) AS delta FROM l4)
+      SELECT node, CAST(count(*) AS BIGINT) AS n_landmark_pairs,
+             CAST(sum(delta) AS BIGINT) AS bt_micro
+      FROM alldelta GROUP BY node
+      ORDER BY bt_micro DESC, node LIMIT 25""",
+
     // brute-force all-pairs mirror — safe because the engine's 4x2-byte
     // band LSH is EXACT for the <=2-differing-blocks threshold
     // (pigeonhole: 2 diffs touch at most 2 bands, so 2 stay intact);
@@ -5271,6 +5400,49 @@ object OracleSql {
     // identical integer recurrence; // truncates toward zero in DuckDB
     // exactly as Scala / does (probed: -7 // 2 = -3), so negative
     // innovations agree bit-for-bit
+    // the same integer recurrence as the engine's sequential fold, as a
+    // recursive CTE carrying the seven seasonal slots as columns; the
+    // sequencing (l first, then b from the NEW l, then the slot from
+    // the NEW l) is expressed by inlining the l-expression — // and
+    // Scala / both truncate toward zero (probed: -7 // 2 = -3)
+    "ts_holt_winters" -> {
+      val sw = "(CASE (r.rn - 1) % 7 " +
+        (0 until 7).map(k => s"WHEN $k THEN f.s$k").mkString(" ") + " END)"
+      val lNew = s"(((r.cents - $sw) + f.l + f.b) // 2)"
+      val sUpd = (0 until 7).map(k =>
+        s"CASE WHEN (r.rn - 1) % 7 = $k THEN (f.s$k + (r.cents - $lNew)) // 2 ELSE f.s$k END")
+        .mkString(",\n               ")
+      s"""
+      WITH RECURSIVE daily AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        FROM events WHERE user_id < 12 AND event_type = 'purchase' GROUP BY 1, 2),
+      r AS (
+        SELECT user_id, day, cents,
+               row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+        FROM daily),
+      f AS (
+        SELECT user_id, day, cents, rn,
+               CAST(0 AS BIGINT) AS innov, cents AS l, CAST(0 AS BIGINT) AS b,
+               CAST(0 AS BIGINT) AS s0, CAST(0 AS BIGINT) AS s1, CAST(0 AS BIGINT) AS s2,
+               CAST(0 AS BIGINT) AS s3, CAST(0 AS BIGINT) AS s4, CAST(0 AS BIGINT) AS s5,
+               CAST(0 AS BIGINT) AS s6
+        FROM r WHERE rn = 1
+        UNION ALL
+        SELECT r.user_id, r.day, r.cents, r.rn,
+               r.cents - (f.l + f.b + $sw),
+               $lNew,
+               (f.b + ($lNew - f.l)) // 2,
+               $sUpd
+        FROM r JOIN f ON r.user_id = f.user_id AND r.rn = f.rn + 1)
+      SELECT user_id, day, cents,
+             CAST(innov AS DOUBLE) / 100 AS innovation,
+             CAST(l AS DOUBLE) / 100 AS level,
+             CAST(b AS DOUBLE) / 100 AS trend,
+             CAST((CASE (rn - 1) % 7 ${(0 until 7).map(k => s"WHEN $k THEN s$k").mkString(" ")} END) AS DOUBLE) / 100 AS seasonal
+      FROM f ORDER BY user_id, day"""
+    },
+
     "ts_alpha_beta_filter" -> """
       WITH RECURSIVE daily AS (
         SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,

@@ -487,4 +487,102 @@ object CensusQueries {
         call_function("div", col("scy") * lit(1000000L), lit(3L) * col("a2")).as("centroid_y_micro"))
       .orderBy("gid")
   }
+
+  /** SEGREGATION INDICES over the customer star — the demographic
+    * readout the census literature computes from exactly the kind of
+    * group-by-geography tables the reference publishes: the INDEX OF
+    * DISSIMILARITY D = Σᵢ|aᵢ·B − bᵢ·A| / (2AB) (share of group a that
+    * would have to move between units for an even distribution) and
+    * the ISOLATION INDEX ₐP*ₐ = Σᵢ aᵢ²/(A·Tᵢ) (probability a random
+    * group-a member's unit-mate is also group a), with units = nations
+    * and group a = the BUILDING market segment. Both are exact until
+    * the last step: D's numerator is one BIGINT sum of cross-products
+    * (no per-unit ratio ever materializes) with a single half-up ratio
+    * at the end, and isolation is a per-unit micro-floor sum (the
+    * `graph_adamic_adar` per-term discipline — identical integer
+    * division on both engines, order-free addition).
+    *
+    * Scale: one map-combined (unit × group) census — the corpus
+    * collapses to ≤|units| rows before any arithmetic; the index
+    * algebra runs on that census alone. */
+  def censusDissimilarity(s: SparkSession, dir: String): DataFrame = {
+    val isA = col("c_mktsegment") === "BUILDING"
+    val cens = t(s, dir, "customer")
+      .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count_if(isA).as("a"), count_if(!isA).as("b"))
+    val tot = cens.agg(sum("a").as("ta"), sum("b").as("tb"))
+    cens.crossJoin(broadcast(tot))
+      .select(col("n_name"), col("a"), col("b"),
+        abs(col("a") * col("tb") - col("b") * col("ta")).as("d_term"),
+        call_function("div", col("a") * col("a") * lit(1000000L),
+          col("ta") * (col("a") + col("b"))).as("iso_term"),
+        col("ta"), col("tb"))
+      .agg(count(lit(1)).as("n_units"),
+        max("ta").as("tot_a"), max("tb").as("tot_b"),
+        sum("d_term").as("d_num"),
+        sum("iso_term").as("isolation_micro"))
+      .select(col("n_units"), col("tot_a"), col("tot_b"), col("d_num"),
+        Num.ratio(col("d_num"), col("tot_a") * col("tot_b") * 2, 6).as("dissimilarity"),
+        col("isolation_micro"))
+  }
+
+  /** GINI COEFFICIENT of positive account balances per nation — the
+    * inequality readout census consumers derive from income
+    * distributions: G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over the
+    * ascending-sorted values. The rank weight is a per-nation
+    * row_number under the (cents ASC, custkey ASC) total order — ties
+    * carry equal x, so swapping tied ranks never changes Σ i·xᵢ and the
+    * statistic is partition-order-free; everything is BIGINT until the
+    * single half-up ratio.
+    *
+    * Scale: one node-keyed window per nation (each partition is that
+    * nation's customers — the same bounded-partition justification as
+    * `window_topk_per_group`) feeding a map-combined census; output is
+    * |nations| rows. */
+  def censusGini(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = round(col("c_acctbal") * 100).cast("long")
+    val w = Window.partitionBy("n_name").orderBy(col("cents"), col("c_custkey"))
+    t(s, dir, "customer")
+      .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .filter(col("c_acctbal") > 0)
+      .select(col("n_name"), col("c_custkey"), cents.as("cents"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_cust"), sum("cents").as("sum_cents"),
+        sum(col("rnk") * col("cents")).as("rank_weighted"))
+      .select(col("n_name"), col("n_cust"), col("sum_cents"),
+        (col("rank_weighted") * 2 - (col("n_cust") + 1) * col("sum_cents")).as("g_num"),
+        Num.ratio(
+          col("rank_weighted") * 2 - (col("n_cust") + 1) * col("sum_cents"),
+          col("n_cust") * col("sum_cents"), 6).as("gini"))
+      .orderBy("n_name")
+  }
+
+  /** LOCATION QUOTIENTS — the regional-concentration readout economic
+    * census consumers compute from industry-by-area tables: LQ(i,j) =
+    * (eᵢⱼ/eᵢ)/(Eⱼ/E) for every (nation i, market segment j), as the
+    * exact cross-product ratio eᵢⱼ·E / (eᵢ·Eⱼ) — LQ > 1 means segment j
+    * concentrates in nation i beyond its national share. All counts
+    * BIGINT, one half-up ratio per cell, |nations|×|segments| output
+    * rows.
+    *
+    * Scale: one (nation × segment) map-combined census; marginals
+    * derive from it; every join after the census is broadcast-sized. */
+  def censusLocationQuotient(s: SparkSession, dir: String): DataFrame = {
+    val cens = t(s, dir, "customer")
+      .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("e_ij"))
+    val byNation = cens.groupBy("n_name").agg(sum("e_ij").as("e_i"))
+    val bySeg = cens.groupBy("segment").agg(sum("e_ij").as("e_j"))
+    val total = cens.agg(sum("e_ij").as("e_tot"))
+    cens.join(broadcast(byNation), "n_name")
+      .join(broadcast(bySeg), "segment")
+      .crossJoin(broadcast(total))
+      .select(col("n_name"), col("segment"), col("e_ij"), col("e_i"), col("e_j"),
+        Num.ratio(col("e_ij") * col("e_tot"), col("e_i") * col("e_j"), 6).as("lq"))
+      .orderBy("n_name", "segment")
+  }
 }

@@ -768,6 +768,73 @@ object GraphQueries {
       .orderBy("sweep")
   }
 
+  /** LANDMARK BETWEENNESS — Brandes' dependency accumulation from the
+    * landmark sample (the `graph_landmark_distance` sources, node %
+    * 151), bounded at 4 hops: forward BFS layers carry each node's
+    * SHORTEST-PATH COUNT σ (σ(v) = Σ σ(u) over predecessors — exact
+    * BIGINT), then the backward pass accumulates the dependency
+    * δ(v) = Σ_{w succ} σ(v)/σ(w)·(1+δ(w)) layer by layer. The ratio is
+    * the one non-integer in Brandes; it lands as a PER-TERM micro-floor
+    * — term = ⌊σ_v·(10⁶ + δ_w^micro)/σ_w⌋ — the `graph_adamic_adar`
+    * discipline: identical integer division on both engines, order-free
+    * summation, bit-stable output. Betweenness(v) = Σ over landmarks of
+    * δ^micro, top 25 under (score DESC, node ASC). Landmark sampling +
+    * a hop cap is the standard way betweenness survives scale (exact
+    * Brandes is O(V·E) — a week at 100 TB); the 4-hop truncation is the
+    * family's bounded-round convention, loud in the name.
+    *
+    * Scale: each forward layer is one adjacency equi-join + map-combined
+    * (node, lm) sum + an anti-join against the reached set; each
+    * backward layer one equi-join + per-term div + map-combined sum.
+    * Per-node state is ≤ |landmarks| rows; nothing corpus-quadratic. */
+  def graphBetweennessLandmark(s: SparkSession, dir: String): DataFrame = {
+    val adj = symAdj(s, dir)
+    val hops = 4
+    var frontier = symNodes(s, dir).filter(col("node") % 151 === 0)
+      .select(col("node"), col("node").as("lm"), lit(1L).as("sigma"))
+    var reached = frontier
+    val layers = scala.collection.mutable.ArrayBuffer[DataFrame](frontier)
+    for (_ <- 1 to hops) {
+      val nxt = graft.operators.GraftCaches.register(
+        adj.join(frontier.withColumnRenamed("node", "u"), "u")
+          .groupBy(col("v").as("node"), col("lm"))
+          .agg(sum("sigma").as("sigma"))
+          .join(reached.select("node", "lm"), Seq("node", "lm"), "left_anti")
+          .localCheckpoint(true))
+      layers += nxt
+      reached = graft.operators.GraftCaches.register(
+        reached.unionByName(nxt).localCheckpoint(true))
+      frontier = nxt
+    }
+    // backward: δ = 0 at the horizon layer, accumulate inward
+    var delta = layers(hops).select(col("node"), col("lm"), lit(0L).as("delta_micro"))
+    val perLayer = scala.collection.mutable.ArrayBuffer[DataFrame](delta)
+    for (d <- (hops - 1) to 1 by -1) {
+      val succ = layers(d + 1).join(delta, Seq("node", "lm"))
+        .select(col("node").as("v"), col("lm"),
+          col("sigma").as("sw"), col("delta_micro").as("dw"))
+      val terms = adj.join(succ, "v")
+        .select(col("u").as("node"), col("lm"), col("sw"), col("dw"))
+        .join(layers(d).select("node", "lm", "sigma"), Seq("node", "lm"))
+        .select(col("node"), col("lm"),
+          call_function("div",
+            col("sigma") * (lit(1000000L) + col("dw")), col("sw")).as("t"))
+        .groupBy("node", "lm").agg(sum("t").as("delta_micro"))
+      delta = graft.operators.GraftCaches.register(
+        layers(d).select("node", "lm")
+          .join(terms, Seq("node", "lm"), "left")
+          .select(col("node"), col("lm"),
+            coalesce(col("delta_micro"), lit(0L)).as("delta_micro"))
+          .localCheckpoint(true))
+      perLayer += delta
+    }
+    perLayer.reduce(_ unionByName _)
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_landmark_pairs"), sum("delta_micro").as("bt_micro"))
+      .orderBy(desc("bt_micro"), col("node"))
+      .limit(25)
+  }
+
   /** The WEIGHTED local-move sweep body — `louvainMovesOn` generalized
     * to a weighted adjacency (u, v, w) that may carry SELF-LOOPS, which
     * is exactly what community contraction produces: a super-node's

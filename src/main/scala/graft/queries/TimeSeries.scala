@@ -735,6 +735,59 @@ object TimeSeries {
       .orderBy("user_id", "day")
   }
 
+  /** HOLT–WINTERS (additive, weekly season) over each user's daily
+    * purchase series — the seasonal step up from `ts_holt_linear`'s
+    * level+trend smoother: alongside level l and trend b, seven
+    * seasonal slots s₀..s₆ (slot = observation index mod 7 — the
+    * calendar-free convention that keeps gapped series well-defined)
+    * evolve by the α=β=γ=1/2 integer recurrence
+    *   l ← (c − s_w + l + b) div 2,  b ← (b + Δl) div 2,
+    *   s_w ← (s_w + (c − l)) div 2,
+    * with the innovation c − (l + b + s_w) read out BEFORE the update.
+    * All-integer cents (the `ts_ewma` discipline): div truncates toward
+    * zero identically in Scala and DuckDB (probed: −7 // 2 = −3), so
+    * the whole state trajectory is bit-identical and the oracle is the
+    * same recurrence as a recursive CTE carrying the seven slots as
+    * columns.
+    *
+    * Scale: corpus → per-user daily rollup map-side FIRST; the
+    * recurrence is inherently sequential per key, so it runs as
+    * `flatMapGroups` over each user's CALENDAR-BOUNDED series (same
+    * justification as `ts_holt_linear`/`ts_ewma`: the sequential unit
+    * is days-per-user, not corpus rows, and users parallelize). */
+  def tsHoltWinters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = dailyCents(s, dir)
+      .select(col("user_id"), col("day").cast("string"), col("cents"))
+      .as[(Long, String, Long)]
+    rows.groupByKey(_._1)
+      .flatMapGroups { (uid: Long, it: Iterator[(Long, String, Long)]) =>
+        val days = it.toArray.sortBy(_._2)
+        var l = 0L
+        var b = 0L
+        val sea = Array.fill(7)(0L)
+        days.iterator.zipWithIndex.map { case ((_, d, c), i) =>
+          val w = i % 7
+          if (i == 0) { l = c; b = 0L; (uid, d, c, 0L, l, b, sea(w)) }
+          else {
+            val innov = c - (l + b + sea(w))
+            val lp = l
+            l = ((c - sea(w)) + l + b) / 2
+            b = (b + (l - lp)) / 2
+            sea(w) = (sea(w) + (c - l)) / 2
+            (uid, d, c, innov, l, b, sea(w))
+          }
+        }
+      }
+      .toDF("user_id", "day", "cents", "innov", "l", "b", "sw")
+      .select(col("user_id"), col("day").cast("date").as("day"), col("cents"),
+        (col("innov").cast("double") / 100).as("innovation"),
+        (col("l").cast("double") / 100).as("level"),
+        (col("b").cast("double") / 100).as("trend"),
+        (col("sw").cast("double") / 100).as("seasonal"))
+      .orderBy("user_id", "day")
+  }
+
   /** Bollinger-band breakout detection over the global daily purchase
     * series: each day is tested against the TRAILING 20-day band
     * (window EXCLUDES today — the anomaly-detector convention, unlike

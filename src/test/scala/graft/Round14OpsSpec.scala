@@ -3,8 +3,150 @@ package graft
 import org.apache.spark.sql.functions._
 
 /** Round-14 additions: two-level Louvain (community contraction +
-  * weighted sweep). */
+  * weighted sweep), navigable-graph ANN, census analytics
+  * (dissimilarity/Gini/LQ), seasonal Holt–Winters, landmark
+  * betweenness. Each non-trivial algorithm is replayed in plain Scala
+  * from collected state — independent of both the Spark plan and the
+  * DuckDB oracle. */
 class Round14OpsSpec extends GraftSpec {
+
+  test("census_dissimilarity: replays from the collected census; indices inside [0, 1]") {
+    val row = graft.queries.CensusQueries.censusDissimilarity(spark, sfDir).collect()(0)
+    val (nU, ta, tb, dNum, d, iso) = (row.getLong(0), row.getLong(1), row.getLong(2),
+      row.getLong(3), row.getDouble(4), row.getLong(5))
+    assert(d >= 0.0 && d <= 1.0 && iso >= 0L && iso <= 1000000L)
+    // independent census replay
+    val cens = graft.tables.Tables.t(spark, sfDir, "customer")
+      .join(graft.tables.Tables.t(spark, sfDir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count_if(col("c_mktsegment") === "BUILDING").as("a"),
+        count_if(col("c_mktsegment") =!= "BUILDING").as("b"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val (sa, sb) = (cens.map(_._1).sum, cens.map(_._2).sum)
+    assert((nU, ta, tb) == ((cens.length.toLong, sa, sb)))
+    assert(dNum == cens.map { case (a, b) => math.abs(a * sb - b * sa) }.sum)
+    assert(iso == cens.map { case (a, b) => a * a * 1000000L / (sa * (a + b)) }.sum)
+  }
+
+  test("census_gini: replays from a sorted in-memory fold; 0 <= G < 1") {
+    val got = graft.queries.CensusQueries.censusGini(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.nonEmpty)
+    got.foreach { case (n, _, _, gNum, g) =>
+      assert(gNum >= 0L && g >= 0.0 && g < 1.0, s"$n gini out of range: $g")
+    }
+    val rows = graft.tables.Tables.t(spark, sfDir, "customer")
+      .join(graft.tables.Tables.t(spark, sfDir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .filter(col("c_acctbal") > 0)
+      .select(col("n_name"), col("c_custkey"),
+        round(col("c_acctbal") * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = rows.groupBy(_._1).map { case (nat, xs) =>
+      val sorted = xs.sortBy(t => (t._3, t._2)).map(_._3)
+      val n = sorted.length.toLong
+      val sum = sorted.sum
+      val rw = sorted.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+      nat -> (n, sum, 2 * rw - (n + 1) * sum)
+    }
+    got.foreach { case (nat, n, sum, gNum, _) =>
+      assert(expect(nat) == ((n, sum, gNum)), s"$nat diverges from replay")
+    }
+  }
+
+  test("census_location_quotient: cells replay exactly; concentration exists in both directions") {
+    val got = graft.queries.CensusQueries.censusLocationQuotient(spark, sfDir).collect()
+      .map(r => ((r.getString(1), r.getString(0)), (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap // key: (segment via col order: n_name first, segment second) — see below
+    assert(got.nonEmpty)
+    val cens = graft.tables.Tables.t(spark, sfDir, "customer")
+      .join(graft.tables.Tables.t(spark, sfDir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name", "c_mktsegment").agg(count(lit(1)).as("e"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val eI = cens.groupBy(_._1._1).map { case (k, m) => k -> m.values.sum }
+    val eJ = cens.groupBy(_._1._2).map { case (k, m) => k -> m.values.sum }
+    val eT = cens.values.sum
+    got.foreach { case ((seg, nat), (eij, ei, ej, lq)) =>
+      assert(cens((nat, seg)) == eij && eI(nat) == ei && eJ(seg) == ej)
+      val exact = (2L * eij * eT * 1000000L + ei * ej) / (2L * ei * ej)
+      assert(math.abs(lq - exact.toDouble / 1000000.0) < 1e-12, s"($nat,$seg) lq")
+    }
+    assert(got.values.exists(_._4 > 1.0) && got.values.exists(_._4 < 1.0),
+      "LQ must spread around 1 on real data")
+  }
+
+  test("ts_holt_winters: trajectory replays from an in-memory integer fold") {
+    val got = graft.queries.TimeSeries.tsHoltWinters(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(got.nonEmpty)
+    val daily = graft.tables.Tables.t(spark, sfDir, "events")
+      .filter(col("user_id") < 12 && col("event_type") === "purchase")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(sum((graft.queries.Num.money(col("value")) * 100).cast("long")).as("cents"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(2)))
+    val expect = daily.groupBy(_._1).toSeq.flatMap { case (uid, xs) =>
+      val days = xs.sortBy(_._2)
+      var l = 0L; var b = 0L; val sea = Array.fill(7)(0L)
+      days.zipWithIndex.map { case ((_, d, c), i) =>
+        val w = i % 7
+        if (i == 0) { l = c; b = 0L; (uid, d, c, 0L, l, b, sea(w)) }
+        else {
+          val innov = c - (l + b + sea(w)); val lp = l
+          l = ((c - sea(w)) + l + b) / 2
+          b = (b + (l - lp)) / 2
+          sea(w) = (sea(w) + (c - l)) / 2
+          (uid, d, c, innov, l, b, sea(w))
+        }
+      }
+    }.map(t => (t._1, t._2, t._3, t._4 / 100.0, t._5 / 100.0, t._6 / 100.0, t._7 / 100.0))
+      .toSeq.sortBy(t => (t._1, t._2))
+    assert(got.toSeq == expect, "Holt-Winters trajectory diverges from the replay fold")
+  }
+
+  test("graph_betweenness_landmark: replays from an in-memory bounded Brandes") {
+    val got = graft.queries.GraphQueries.graphBetweennessLandmark(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    val docs = graft.tables.Tables.t(spark, sfDir, "documents").filter(col("doc_id") < 1200)
+    val e0 = graft.queries.GraphQueries
+      .simEdgesCapped(docs, graft.operators.HotKeys.DefaultCap)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (e0 ++ e0.map(_.swap)).groupBy(_._1).map { case (u, es) => u -> es.map(_._2).toSet }
+    val nodes = adj.keySet
+    val lms = nodes.filter(_ % 151 == 0)
+    val acc = scala.collection.mutable.Map.empty[Long, (Long, Long)].withDefaultValue((0L, 0L))
+    for (lm <- lms) {
+      // forward: layers with sigma, 4 hops
+      val dist = scala.collection.mutable.Map(lm -> 0)
+      val sigma = scala.collection.mutable.Map(lm -> 1L)
+      var frontier = Set(lm)
+      for (d <- 1 to 4) {
+        val nxt = scala.collection.mutable.Map.empty[Long, Long]
+        for (u <- frontier; v <- adj(u) if !dist.contains(v))
+          nxt(v) = nxt.getOrElse(v, 0L) + sigma(u)
+        // two-phase: only nodes NOT reached in earlier layers
+        val fresh = nxt.keySet.filterNot(dist.contains)
+        fresh.foreach { v => dist(v) = d; sigma(v) = nxt(v) }
+        frontier = fresh.toSet
+      }
+      val delta = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for (d <- 3 to 1 by -1; v <- dist.collect { case (n, dd) if dd == d => n }) {
+        var t = 0L
+        for (w <- adj(v) if dist.get(w).contains(d + 1))
+          t += sigma(v) * (1000000L + delta(w)) / sigma(w)
+        delta(v) = t
+      }
+      for ((v, dd) <- dist if dd >= 1) {
+        val (c, s) = acc(v); acc(v) = (c + 1, s + delta(v))
+      }
+    }
+    val expect = acc.toSeq.map { case (n, (c, s)) => (n, c, s) }
+      .sortBy(t => (-t._3, t._1)).take(25)
+    assert(got.toSeq == expect, s"betweenness diverges:\ngot    ${got.take(5).toSeq}\nexpect ${expect.take(5)}")
+  }
 
   test("graph_louvain_two_level: contraction preserves Q exactly; trace is well-formed") {
     val rows = graft.queries.GraphQueries.graphLouvainTwoLevel(spark, sfDir).collect()
