@@ -98,6 +98,7 @@ object SparkEntry {
     "agg_bit_ops" -> Relational.aggBitOps _,
     "agg_count_min_sketch" -> Relational.aggCountMinSketch _,
     "agg_hll_union" -> Relational.aggHllUnion _,
+    "agg_hll_intersect" -> Relational.aggHllIntersect _,
     "agg_bitmap_distinct" -> Relational.aggBitmapDistinct _,
     "agg_mode" -> Relational.aggMode _,
     "agg_string_agg" -> Relational.aggStringAgg _,
@@ -301,6 +302,7 @@ object SparkEntry {
     "source_jdbc_pushdown" -> SourceQueries.sourceJdbcPushdown _,
     // multi-touch attribution (first/last/linear, exact integer credit)
     "event_funnel_attribution" -> Quality.eventFunnelAttribution _,
+    "event_attribution_ushape" -> Quality.eventAttributionUshape _,
     // exact discrete percentiles, one window pass
     "agg_percentile_disc" -> Relational.aggPercentileDisc _,
     // geo scalar math + forecast baseline + freshness SLO audit
@@ -480,6 +482,7 @@ object SparkEntry {
     "census_ipf_raking" -> CensusQueries.censusIpfRaking _,
     // 1 Hz shot segmentation over the stubbed video intensity stream
     "mm_video_scene_cut" -> MultimodalQueries.mmVideoSceneCut _,
+    "mm_audio_vad_plan" -> MultimodalQueries.mmAudioVadPlan _,
     // PQ quantizer loss: ADC top-5 vs brute-force cosine truth
     "llm_sim_pq_recall" -> LlmExtra.llmSimPqRecall _,
     "llm_sim_hnsw_topk" -> LlmExtra.llmSimHnswTopk _,
@@ -492,6 +495,7 @@ object SparkEntry {
     "census_dissimilarity" -> CensusQueries.censusDissimilarity _,
     "census_gini" -> CensusQueries.censusGini _,
     "census_location_quotient" -> CensusQueries.censusLocationQuotient _,
+    "census_suppression" -> CensusQueries.censusSuppression _,
     // landmark hop histogram + 90th-percentile effective diameter
     "graph_effective_diameter" -> GraphQueries.graphEffectiveDiameter _
   )

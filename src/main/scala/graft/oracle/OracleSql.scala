@@ -3819,6 +3819,113 @@ object OracleSql {
              CAST(sum(10000 // n + CASE WHEN rn <= 10000 % n THEN 1 ELSE 0 END) AS BIGINT) AS linear_bp
       FROM r GROUP BY channel ORDER BY channel""",
 
+    // same journey CTEs as event_funnel_attribution; U-shaped credit
+    // with the largest-remainder middle split (base 2000 // (n-2), the
+    // remainder to the earliest middles), degenerate journeys 10000/5000
+    "event_attribution_ushape" -> """
+      WITH p AS (
+        SELECT user_id, ts AS p_ts, event_id AS p_id
+        FROM events WHERE user_id < 100 AND event_type = 'purchase'),
+      c AS (
+        SELECT user_id, ts AS c_ts, event_id AS c_id,
+               'ch' || CAST(event_id % 4 AS VARCHAR) AS channel
+        FROM events WHERE user_id < 100 AND event_type = 'click'),
+      j AS (
+        SELECT p.p_id, c.c_ts, c.c_id, c.channel
+        FROM p JOIN c ON p.user_id = c.user_id
+         AND c.c_ts <= p.p_ts AND c.c_ts > p.p_ts - INTERVAL 7 DAY),
+      r AS (
+        SELECT p_id, channel,
+               row_number() OVER (PARTITION BY p_id ORDER BY c_ts, c_id) AS rn,
+               count(*) OVER (PARTITION BY p_id) AS n
+        FROM j)
+      SELECT channel,
+             CAST(count(*) AS BIGINT) AS n_touches,
+             CAST(count(DISTINCT p_id) AS BIGINT) AS n_conversions,
+             CAST(sum(CASE WHEN n = 1 THEN 10000
+                           WHEN n = 2 THEN 5000
+                           WHEN rn = 1 OR rn = n THEN 4000
+                           ELSE 2000 // (n - 2) +
+                                CASE WHEN rn - 1 <= 2000 % (n - 2) THEN 1 ELSE 0 END
+                      END) AS BIGINT) AS ushape_bp
+      FROM r GROUP BY channel ORDER BY channel""",
+
+    // the disclosure-avoidance pass: primary cells under K=5, then one
+    // complementary per lone-primary row/column margin — the smallest
+    // surviving cell under (prim, n, key); published_n NULL when flagged
+    "census_suppression" -> """
+      WITH cells AS (
+        SELECT n.n_name, c.c_mktsegment AS segment,
+               CAST(count(*) AS BIGINT) AS n, count(*) < 5 AS prim
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2),
+      m AS (
+        SELECT *,
+               CAST(count(*) FILTER (WHERE prim) OVER (PARTITION BY n_name) AS BIGINT) AS row_prims,
+               CAST(count(*) FILTER (WHERE prim) OVER (PARTITION BY segment) AS BIGINT) AS col_prims,
+               row_number() OVER (PARTITION BY n_name ORDER BY prim, n, segment) AS row_rnk,
+               row_number() OVER (PARTITION BY segment ORDER BY prim, n, n_name) AS col_rnk
+        FROM cells),
+      f AS (
+        SELECT n_name, segment, n,
+               CASE WHEN prim THEN 'P'
+                    WHEN row_prims = 1 AND row_rnk = 1 THEN 'C_ROW'
+                    WHEN col_prims = 1 AND col_rnk = 1 THEN 'C_COL'
+                    ELSE 'OK' END AS flag
+        FROM m)
+      SELECT n_name, segment,
+             CASE WHEN flag = 'OK' THEN n END AS published_n, flag
+      FROM f ORDER BY n_name, segment""",
+
+    // exact counts first-class, estimates as verdict booleans (the
+    // agg_hll_union convention); intersect bound anchored to the union
+    "agg_hll_intersect" -> """
+      WITH pr AS (
+        SELECT o_orderpriority, o_custkey FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        GROUP BY 1, 2)
+      SELECT
+        CAST((SELECT count(*) FROM pr WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS n_exact_a,
+        CAST((SELECT count(*) FROM pr WHERE o_orderpriority = '2-HIGH') AS BIGINT) AS n_exact_b,
+        CAST((SELECT count(DISTINCT o_custkey) FROM pr) AS BIGINT) AS n_exact_union,
+        CAST((SELECT count(*) FROM (SELECT o_custkey FROM pr GROUP BY 1 HAVING count(*) = 2)) AS BIGINT) AS n_exact_intersect,
+        TRUE AS a_within_10pct, TRUE AS b_within_10pct,
+        TRUE AS union_within_10pct, TRUE AS intersect_within_bound""",
+
+    // deterministic fake PCM (ascii - 32 samples), 32-sample frames,
+    // threshold 150000, gaps-and-islands segments
+    "mm_audio_vad_plan" -> """
+      WITH d AS (
+        SELECT doc_id, text, length(text) AS len FROM documents
+        WHERE doc_id < 500 AND length(text) >= 32),
+      fr0 AS (
+        SELECT doc_id, len // 32 AS nf, unnest(range(len // 32)) AS i, text
+        FROM d),
+      fr AS (
+        SELECT doc_id, nf, i,
+               CAST(list_sum(list_transform(
+                 string_split(substr(text, CAST(i * 32 + 1 AS INT), 32), ''),
+                 c -> (ord(c) - 32) * (ord(c) - 32))) AS BIGINT) AS energy
+        FROM fr0),
+      fs AS (SELECT *, energy > 150000 AS speech FROM fr),
+      seg AS (
+        SELECT doc_id, isl, CAST(count(*) AS BIGINT) AS seg_len
+        FROM (SELECT doc_id, i,
+                     i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS isl
+              FROM fs WHERE speech)
+        GROUP BY 1, 2),
+      segagg AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+               CAST(max(seg_len) AS BIGINT) AS longest_segment
+        FROM seg GROUP BY 1)
+      SELECT fs.doc_id, CAST(max(fs.nf) AS BIGINT) AS n_frames,
+             CAST(count(*) FILTER (WHERE fs.speech) AS BIGINT) AS n_speech,
+             CAST(coalesce(max(sa.n_segments), 0) AS BIGINT) AS n_segments,
+             CAST(coalesce(max(sa.longest_segment), 0) AS BIGINT) AS longest_segment,
+             CAST(sum(fs.energy) AS BIGINT) AS total_energy
+      FROM fs LEFT JOIN segagg sa USING (doc_id)
+      GROUP BY fs.doc_id ORDER BY fs.doc_id""",
+
     "agg_percentile_disc" -> """
       WITH li AS (
         SELECT l_returnflag,

@@ -585,4 +585,53 @@ object CensusQueries {
         Num.ratio(col("e_ij") * col("e_tot"), col("e_i") * col("e_j"), 6).as("lq"))
       .orderBy("n_name", "segment")
   }
+
+  /** PRIMARY + COMPLEMENTARY CELL SUPPRESSION — the census
+    * disclosure-avoidance step applied to every small-cell table the
+    * reference's consumers publish: a cell whose count falls below the
+    * threshold (K = 5) is PRIMARY-suppressed, and any row or column
+    * margin that would let a reader recover a LONE suppressed cell by
+    * subtraction gets one COMPLEMENTARY suppression — the smallest
+    * surviving cell under the (n ASC, key ASC) total order (one round,
+    * rows first then columns, the documented deterministic policy; the
+    * closed-loop iterate is the same rule to fixpoint). Output
+    * publishes `published_n` only for clean cells — suppressed cells
+    * carry NULL and the flag ('P' / 'C_ROW' / 'C_COL' / 'OK'), which is
+    * exactly what a downstream consumer of the reference's tables
+    * receives. All counts BIGINT; flags are deterministic because every
+    * argmin is totally ordered.
+    *
+    * Scale: one (nation × segment) map-combined census (≤ |units| rows)
+    * and three bounded windows over it — the corpus is touched once. */
+  def censusSuppression(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 5L
+    val cells = t(s, dir, "customer")
+      .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("prim", col("n") < k)
+    val wRow = Window.partitionBy("n_name")
+    val wCol = Window.partitionBy("segment")
+    // non-primary cells first (false < true), then smallest-n, keyed
+    // tiebreak — rank 1 is the complementary candidate when one exists
+    val wRowPick = Window.partitionBy("n_name")
+      .orderBy(col("prim"), col("n"), col("segment"))
+    val wColPick = Window.partitionBy("segment")
+      .orderBy(col("prim"), col("n"), col("n_name"))
+    cells
+      .withColumn("row_prims", count_if(col("prim")).over(wRow))
+      .withColumn("col_prims", count_if(col("prim")).over(wCol))
+      .withColumn("row_rnk", row_number().over(wRowPick))
+      .withColumn("col_rnk", row_number().over(wColPick))
+      .withColumn("flag",
+        when(col("prim"), lit("P"))
+          .when(col("row_prims") === 1 && col("row_rnk") === 1, lit("C_ROW"))
+          .when(col("col_prims") === 1 && col("col_rnk") === 1, lit("C_COL"))
+          .otherwise(lit("OK")))
+      .select(col("n_name"), col("segment"),
+        when(col("flag") === "OK", col("n")).as("published_n"),
+        col("flag"))
+      .orderBy("n_name", "segment")
+  }
 }

@@ -392,4 +392,55 @@ object MultimodalQueries {
       .orderBy(desc("n_cuts"), col("doc_id"))
       .limit(25)
   }
+
+  /** AUDIO VAD PLAN — voice-activity segmentation as the Spark-side
+    * plumbing contract (the `mm_decode_stub` convention: the real codec
+    * is environment-gated, the deterministic fake stands in — here the
+    * document text plays the PCM buffer, ascii codepoints the samples):
+    * frame the signal into fixed 32-sample windows, per-frame ENERGY =
+    * Σ(code − 32)² (space-silence maps to zero), threshold into
+    * speech/non-speech, then gaps-and-islands over the speech frames
+    * yields the segment plan a real VAD hands the transcription stage —
+    * per doc: frame count, speech count, segment count, longest
+    * segment, total energy. All BIGINT; the oracle replays the same
+    * frames with DuckDB's `ord`.
+    *
+    * Scale: frames explode map-side from offsets (no shuffle until the
+    * per-doc rollup); the per-doc window runs over that doc's frames
+    * only — the batch shape a `mapInPandas` decoder would feed
+    * unchanged. */
+  def mmAudioVadPlan(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val frameLen = 32
+    val thresh = 150000L
+    val d = t(s, dir, "documents")
+      .filter(col("doc_id") < 500)
+      .select(col("doc_id"), col("text"))
+      .withColumn("len", length(col("text")))
+      .filter(col("len") >= frameLen)
+      .withColumn("nf", call_function("div", col("len"), lit(frameLen.toLong)))
+    val frames = d
+      .select(col("doc_id"), col("nf"),
+        explode(sequence(lit(0L), col("nf") - 1)).as("i"), col("text"))
+      .withColumn("energy", expr(
+        s"aggregate(split(substr(text, CAST(i * $frameLen + 1 AS INT), $frameLen), ''), " +
+          "0L, (a, c) -> a + (ascii(c) - 32) * (ascii(c) - 32))"))
+      .select(col("doc_id"), col("nf"), col("i"),
+        col("energy"), (col("energy") > thresh).as("speech"))
+    val wDoc = Window.partitionBy("doc_id").orderBy("i")
+    val segs = frames.filter(col("speech"))
+      .withColumn("isl", col("i") - row_number().over(wDoc))
+      .groupBy("doc_id", "isl").agg(count(lit(1)).as("seg_len"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segments"), max("seg_len").as("longest_segment"))
+    frames.groupBy("doc_id")
+      .agg(max("nf").as("n_frames"), count_if(col("speech")).as("n_speech"),
+        sum("energy").as("total_energy"))
+      .join(segs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_frames"), col("n_speech"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("longest_segment"), lit(0L)).as("longest_segment"),
+        col("total_energy"))
+      .orderBy("doc_id")
+  }
 }

@@ -316,6 +316,53 @@ object Quality {
       .orderBy("channel")
   }
 
+  /** U-SHAPED (position-based) ATTRIBUTION — the third standard model
+    * next to `event_funnel_attribution`'s first/last/linear: 40% of
+    * each conversion's credit to the first touch, 40% to the last, the
+    * remaining 20% split across the middles — the model marketing
+    * stacks default to when both discovery and closing matter. Credit
+    * is EXACT integer basis points with the largest-remainder rule on
+    * the middle split (the `agg_largest_remainder` discipline: base =
+    * 2000 div (n−2), the n mod remainder points go to the EARLIEST
+    * middles), so every conversion's credits sum to exactly 10000 —
+    * the conservation law the spec pins — and the per-channel sums are
+    * bit-identical in both engines. Degenerate journeys follow the
+    * standard collapse: one touch takes 10000, two touches take 5000
+    * each. Same journey definition as the sibling (clicks within 7
+    * days before the purchase, channel = event_id mod 4).
+    *
+    * Scale: identical shape to `event_funnel_attribution` — one
+    * user-keyed interval join, one per-conversion window (journeys are
+    * week-bounded), one map-combined channel census. */
+  def eventAttributionUshape(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").filter(col("user_id") < 100)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+    val touches = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("c_id"),
+        concat(lit("ch"), pmod(col("event_id"), lit(4L))).as("channel"))
+    val joined = purchases.join(touches,
+      purchases("user_id") === touches("user_id") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") > col("p_ts") - expr("INTERVAL 7 DAYS"))
+    val w = Window.partitionBy("p_id").orderBy("c_ts", "c_id")
+    joined
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("p_id")))
+      .withColumn("ushape_bp",
+        when(col("n") === 1, lit(10000L))
+          .when(col("n") === 2, lit(5000L))
+          .when(col("rn") === 1 || col("rn") === col("n"), lit(4000L))
+          .otherwise(
+            call_function("div", lit(2000L), col("n") - 2) +
+              when(col("rn") - 1 <= pmod(lit(2000L), col("n") - 2), 1L).otherwise(0L)))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_touches"),
+        countDistinct(col("p_id")).as("n_conversions"),
+        sum("ushape_bp").as("ushape_bp"))
+      .orderBy("channel")
+  }
+
   /** Benford first-significant-digit screen over order totals — the
     * standard fabricated-data / unit-mixup detector for monetary
     * columns: natural multi-magnitude amounts follow

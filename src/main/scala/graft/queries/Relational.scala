@@ -1376,6 +1376,54 @@ object Relational {
     per.union(all).orderBy("o_orderpriority")
   }
 
+  /** HLL SET ALGEBRA BY INCLUSION–EXCLUSION — the distinct-count
+    * question `agg_hll_union` cannot answer alone: how many customers
+    * placed BOTH an urgent and a high-priority order, estimated as
+    * est(A) + est(B) − est(A∪B) from three sketches (HLL supports only
+    * union natively; intersections come from inclusion–exclusion, with
+    * error compounding accordingly — which is why the verdict bound is
+    * anchored to the UNION's magnitude, not the intersection's). Graded
+    * the sketch family's way: exact counts are first-class output
+    * columns and the estimates land as verdict BOOLEANS (|apx − exact|
+    * ≤ max(10% of the union, 64)), so the row is hash-stable while the
+    * estimator is genuinely exercised.
+    *
+    * Scale: the cascaded pre-collapse (tfidf discipline) makes exact
+    * counts plain row counts; sketches see the collapsed column; no
+    * distinct-rewrite Expand, one corpus pass. */
+  def aggHllIntersect(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+    val pairs = o.groupBy("o_orderpriority", "o_custkey").agg(count(lit(1)).as("_n"))
+    val sk = pairs.groupBy("o_orderpriority")
+      .agg(hll_sketch_agg(col("o_custkey"), lit(14)).as("sk"),
+        count(lit(1)).as("n_exact"))
+    val exactInter = pairs.groupBy("o_custkey")
+      .agg(count(lit(1)).as("np")).filter(col("np") === 2)
+      .agg(count(lit(1)).as("n_exact_intersect"))
+    val exactUnion = pairs.select("o_custkey").distinct()
+      .agg(count(lit(1)).as("n_exact_union"))
+    val both = sk.agg(
+      sum(when(col("o_orderpriority") === "1-URGENT", col("n_exact"))).as("n_exact_a"),
+      sum(when(col("o_orderpriority") === "2-HIGH", col("n_exact"))).as("n_exact_b"),
+      max(when(col("o_orderpriority") === "1-URGENT",
+        hll_sketch_estimate(col("sk")))).as("apx_a"),
+      max(when(col("o_orderpriority") === "2-HIGH",
+        hll_sketch_estimate(col("sk")))).as("apx_b"),
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("apx_union"))
+    def ok(apx: Column, exact: Column, anchor: Column): Column =
+      abs(apx - exact) <= greatest(anchor * 0.10, lit(64.0))
+    both.crossJoin(broadcast(exactUnion)).crossJoin(broadcast(exactInter))
+      .select(
+        col("n_exact_a"), col("n_exact_b"),
+        col("n_exact_union"), col("n_exact_intersect"),
+        ok(col("apx_a"), col("n_exact_a"), col("n_exact_a")).as("a_within_10pct"),
+        ok(col("apx_b"), col("n_exact_b"), col("n_exact_b")).as("b_within_10pct"),
+        ok(col("apx_union"), col("n_exact_union"), col("n_exact_union")).as("union_within_10pct"),
+        ok(col("apx_a") + col("apx_b") - col("apx_union"),
+          col("n_exact_intersect"), col("n_exact_union")).as("intersect_within_bound"))
+  }
+
   /** Exact weighted median: per return flag, the smallest price whose
     * cumulative quantity-weight reaches half the group's total. Prices
     * move as integer cents. Two-phase bucketed form: a 64Ki-cent bucket

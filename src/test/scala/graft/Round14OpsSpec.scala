@@ -206,6 +206,67 @@ class Round14OpsSpec extends GraftSpec {
       f"beam recall@10 $hRecall%.3f below IVF's $iRecall%.3f at budget $hBudget%.1f vs $iBudget%.1f")
   }
 
+  test("event_attribution_ushape: every conversion's credits sum to exactly 10000 bp") {
+    val byChannel = graft.queries.Quality.eventAttributionUshape(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(byChannel.nonEmpty)
+    // conservation: total credited bp = 10000 x number of attributed
+    // conversions (recount conversions independently)
+    val ev = graft.tables.Tables.t(spark, sfDir, "events").filter(col("user_id") < 100)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("c_ts"))
+    val nConv = p.join(c, p("user_id") === col("cu") &&
+        col("c_ts") <= col("p_ts") && col("c_ts") > col("p_ts") - expr("INTERVAL 7 DAYS"))
+      .select("p_id").distinct().count()
+    assert(byChannel.map(_._4).sum == 10000L * nConv,
+      s"credit not conserved: ${byChannel.map(_._4).sum} vs ${10000L * nConv}")
+  }
+
+  test("census_suppression: no margin can recover a lone suppressed cell by subtraction") {
+    val rows = graft.queries.CensusQueries.censusSuppression(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getString(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, n, flag) =>
+      assert((flag == "OK") == n.isDefined, "published_n must be NULL iff flagged")
+    }
+    // margin safety: in every row (nation) and column (segment), a
+    // suppressed cell never stands alone — 0 or >= 2 suppressions
+    Seq(rows.groupBy(_._1), rows.groupBy(_._2)).foreach { grouped =>
+      grouped.foreach { case (key, cells) =>
+        val nSupp = cells.count(_._4 != "OK")
+        assert(nSupp != 1, s"margin $key leaves a lone recoverable suppression")
+      }
+    }
+  }
+
+  test("agg_hll_intersect: sketch estimates genuinely inside the stated tolerances") {
+    val r = graft.queries.Relational.aggHllIntersect(spark, sfDir).collect()(0)
+    assert(r.getBoolean(4) && r.getBoolean(5) && r.getBoolean(6) && r.getBoolean(7),
+      s"verdicts: $r")
+    // and the exact algebra holds: |A| + |B| - |A∪B| = |A∩B|
+    assert(r.getLong(0) + r.getLong(1) - r.getLong(2) == r.getLong(3))
+  }
+
+  test("mm_audio_vad_plan: segments partition the speech frames; longest bounded") {
+    val rows = graft.queries.MultimodalQueries.mmAudioVadPlan(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (doc, nf, nSpeech, nSeg, longest) =>
+      assert(nSpeech <= nf && longest <= nSpeech, s"doc $doc bounds")
+      assert((nSeg == 0) == (nSpeech == 0), s"doc $doc segment/speech consistency")
+      if (nSeg > 0) {
+        assert(longest >= (nSpeech + nSeg - 1) / nSeg,
+          s"doc $doc longest segment below the pigeonhole floor")
+        assert(nSeg <= nSpeech, s"doc $doc more segments than speech frames")
+      }
+    }
+    assert(rows.exists(_._3 > 0) && rows.exists(t => t._3 < t._2),
+      "threshold must split frames both ways on real text")
+  }
+
   test("louvainMovesWeightedOn: hand-computed gains on a self-loop weighted graph") {
     import SparkSpecBase.spark.implicits._
     // three super-nodes: X heavy into Y, Z lightly into Y; no self-loop
