@@ -743,30 +743,50 @@ object GraphQueries {
           sum(col("deg_sum") * col("deg_sum")).as("sq"))
         .select(lit(sweep.toLong).as("sweep"), lit(nMoved).as("n_moved"),
           col("twom"), (col("twom") * col("in_tot") - col("sq")).as("q_num"))
-    val maxSweeps = 4
-    var lab = lpaLabels(s, dir)
-    val trace = scala.collection.mutable.ArrayBuffer[DataFrame](qRow(lab, 0, 0L))
-    var sweep = 0
-    var zeroMoves = false
-    while (!zeroMoves && sweep < maxSweeps) {
-      sweep += 1
-      val moves = graft.operators.GraftCaches.register(
-        louvainMovesFor(s, dir, lab).select(col("node"), col("c").as("to_c"))
-          .localCheckpoint(true))
-      val n = moves.count()
-      if (n == 0L) { zeroMoves = true; trace += qRow(lab, sweep, 0L) }
-      else {
-        lab = graft.operators.GraftCaches.register(
-          lab.join(moves, Seq("node"), "left")
-            .select(col("node"), coalesce(col("to_c"), col("label")).as("label"))
-            .localCheckpoint(true))
-        trace += qRow(lab, sweep, n)
-      }
-    }
-    trace.reduce(_.union(_))
+    val (steps, zeroMoves) = louvainL1(s, dir)
+    steps.map { case (sw, n, lab) => qRow(lab, sw, n) }
+      .reduce(_.union(_))
       .withColumn("converged", lit(zeroMoves))
       .orderBy("sweep")
   }
+
+  /** The level-1 Louvain fixpoint loop, MEMOIZED for the family (the
+    * `symAdj` discipline): `graph_louvain_converged` and
+    * `graph_louvain_two_level` both replay the identical ≤4-sweep
+    * local-move loop from the LPA seed, so the driver-action-heavy part
+    * (one bounded count per sweep on a checkpointed moves frame) runs
+    * ONCE per (session, dir) and both queries derive their readouts
+    * from the shared per-sweep labelings — the q censuses stay
+    * per-query (cheap, statically planned). Returns (per-sweep steps:
+    * (sweep, n_moved, labeling-after-sweep), converged); step 0 is the
+    * LPA seed. Labelings are localCheckpoint(true) frames registered
+    * with `GraftCaches`; `releaseCaches()` clears the memo in the same
+    * call that unpersists them, so no stale entry can serve an
+    * unrecoverable frame. */
+  private def louvainL1(s: SparkSession, dir: String): (Seq[(Int, Long, DataFrame)], Boolean) =
+    memoized(s, dir, "louvainL1") {
+      val maxSweeps = 4
+      var lab = lpaLabels(s, dir)
+      val steps = scala.collection.mutable.ArrayBuffer[(Int, Long, DataFrame)]((0, 0L, lab))
+      var sweep = 0
+      var zeroMoves = false
+      while (!zeroMoves && sweep < maxSweeps) {
+        sweep += 1
+        val moves = graft.operators.GraftCaches.register(
+          louvainMovesFor(s, dir, lab).select(col("node"), col("c").as("to_c"))
+            .localCheckpoint(true))
+        val n = moves.count()
+        if (n == 0L) { zeroMoves = true; steps += ((sweep, 0L, lab)) }
+        else {
+          lab = graft.operators.GraftCaches.register(
+            lab.join(moves, Seq("node"), "left")
+              .select(col("node"), coalesce(col("to_c"), col("label")).as("label"))
+              .localCheckpoint(true))
+          steps += ((sweep, n, lab))
+        }
+      }
+      (steps.toSeq, zeroMoves)
+    }
 
   /** LANDMARK BETWEENNESS — Brandes' dependency accumulation from the
     * landmark sample (the `graph_landmark_distance` sources, node %
@@ -882,19 +902,25 @@ object GraphQueries {
     * adjacency — for a contracted graph that equals the original-graph
     * Q of the induced partition (contraction preserves Q), which is
     * what makes the two-level trace one monotone story. */
+  /** One (level, sweep) trace row: the exact weighted Q numerator of
+    * `labels` on `adjW`, with the sweep's move count attached. */
+  private def weightedQRow(adjW: DataFrame, labels: DataFrame,
+      level: Int, sweep: Int, nMoved: Long): DataFrame =
+    adjW.join(labels.select(col("node").as("u"), col("label").as("lu")), "u")
+      .join(labels.select(col("node").as("v"), col("label").as("lv")), "v")
+      .groupBy("lu")
+      .agg(sum("w").as("deg_sum"),
+        sum(when(col("lu") === col("lv"), col("w")).otherwise(lit(0L))).as("in_w"))
+      .agg(sum("deg_sum").as("twom"), sum("in_w").as("in_tot"),
+        sum(col("deg_sum") * col("deg_sum")).as("sq"))
+      .select(lit(level.toLong).as("level"), lit(sweep.toLong).as("sweep"),
+        lit(nMoved).as("n_moved"), col("twom"),
+        (col("twom") * col("in_tot") - col("sq")).as("q_num"))
+
   private def louvainLevelTrace(adjW: DataFrame, degN: DataFrame, lab0: DataFrame,
       level: Int, maxSweeps: Int): (Seq[DataFrame], DataFrame, Boolean) = {
     def qRow(labels: DataFrame, sweep: Int, nMoved: Long): DataFrame =
-      adjW.join(labels.select(col("node").as("u"), col("label").as("lu")), "u")
-        .join(labels.select(col("node").as("v"), col("label").as("lv")), "v")
-        .groupBy("lu")
-        .agg(sum("w").as("deg_sum"),
-          sum(when(col("lu") === col("lv"), col("w")).otherwise(lit(0L))).as("in_w"))
-        .agg(sum("deg_sum").as("twom"), sum("in_w").as("in_tot"),
-          sum(col("deg_sum") * col("deg_sum")).as("sq"))
-        .select(lit(level.toLong).as("level"), lit(sweep.toLong).as("sweep"),
-          lit(nMoved).as("n_moved"), col("twom"),
-          (col("twom") * col("in_tot") - col("sq")).as("q_num"))
+      weightedQRow(adjW, labels, level, sweep, nMoved)
     var lab = lab0
     val trace = scala.collection.mutable.ArrayBuffer[DataFrame](qRow(lab, 0, 0L))
     var sweep = 0
@@ -942,8 +968,13 @@ object GraphQueries {
     * action. */
   def graphLouvainTwoLevel(s: SparkSession, dir: String): DataFrame = {
     val adj1 = symAdj(s, dir).withColumn("w", lit(1L))
-    val deg1 = symDeg(s, dir).select(col("u").as("node"), col("deg"))
-    val (t1, lab1, conv1) = louvainLevelTrace(adj1, deg1, lpaLabels(s, dir), 1, 4)
+    // level 1 comes from the family-shared memoized loop (see
+    // `louvainL1`) — the unweighted sweep is bit-identical to the
+    // weighted runner at w ≡ 1 (sum(w) = count), so the trace rows
+    // derive from the shared labelings with the weighted Q census
+    val (steps, conv1) = louvainL1(s, dir)
+    val t1 = steps.map { case (sw, n, lab) => weightedQRow(adj1, lab, 1, sw, n) }
+    val lab1 = steps.last._3
     val cadj = graft.operators.GraftCaches.register(
       adj1.join(lab1.select(col("node").as("u"), col("label").as("cu")), "u")
         .join(lab1.select(col("node").as("v"), col("label").as("cv")), "v")
