@@ -56,7 +56,11 @@ class PlanLintSpec extends GraftSpec {
     "ts_matrix_profile_discord", // single-row calendar bounds via broadcast cross join (round 13)
     "census_ipf_raking", // single-row universe/control totals via broadcast cross joins (round 13)
     "llm_sim_pq_recall", // inherits the brute-force truth parent's bounded-probe cross join (round 13)
-    "census_areal_interpolation") // 30-row analysis grid attached via broadcast cross join (round 13)
+    "census_areal_interpolation", // 30-row analysis grid attached via broadcast cross join (round 13)
+    "census_dissimilarity", // single-row group totals via broadcast cross join (round 14)
+    "census_location_quotient", // single-row grand total via broadcast cross join (round 14)
+    "agg_hll_intersect", // two single-row exact-count frames via broadcast cross joins (round 14)
+    "llm_sim_hnsw_topk") // 16-row centroid frame via broadcast cross join (the IVF-cell assignment shape, round 14)
 
   test("no query plans an unexpected cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
