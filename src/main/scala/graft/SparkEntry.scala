@@ -99,6 +99,7 @@ object SparkEntry {
     "agg_count_min_sketch" -> Relational.aggCountMinSketch _,
     "agg_hll_union" -> Relational.aggHllUnion _,
     "agg_hll_intersect" -> Relational.aggHllIntersect _,
+    "agg_sample_bottomk" -> Relational.aggSampleBottomk _,
     "agg_bitmap_distinct" -> Relational.aggBitmapDistinct _,
     "agg_mode" -> Relational.aggMode _,
     "agg_string_agg" -> Relational.aggStringAgg _,
@@ -256,6 +257,7 @@ object SparkEntry {
     "dq_fk_orphans" -> Quality.dqFkOrphans _,
     "dq_value_rules" -> Quality.dqValueRules _,
     "event_cohort_retention" -> Quality.eventCohortRetention _,
+    "event_cohort_ltv" -> Quality.eventCohortLtv _,
     // graph
     "graph_pagerank" -> GraphQueries.graphPagerank _,
     "graph_pagerank_converged" -> GraphQueries.graphPagerankConverged _,
@@ -486,6 +488,7 @@ object SparkEntry {
     // PQ quantizer loss: ADC top-5 vs brute-force cosine truth
     "llm_sim_pq_recall" -> LlmExtra.llmSimPqRecall _,
     "llm_sim_hnsw_topk" -> LlmExtra.llmSimHnswTopk _,
+    "llm_dup_graph_degree" -> LlmExtra.llmDupGraphDegree _,
     // T5 span-corruption plan: seeded spans, merged islands, pack len
     "llm_span_corruption_plan" -> LlmExtra.llmSpanCorruptionPlan _,
     // generic shoelace area/centroid over decoded TIGER rings

@@ -3231,6 +3231,91 @@ object OracleSql {
       FROM e JOIN cohort USING (user_id)
       GROUP BY 1, 2 ORDER BY cohort_week, age_weeks""",
 
+    // retention's revenue twin: frozen week-0 denominator, running sum
+    // per cohort, half-up ratio to 2dp dollars
+    "event_cohort_ltv" -> s"""
+      WITH e AS (
+        SELECT user_id, CAST(ts AS DATE) AS d,
+               CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'),
+      cohort AS (SELECT user_id, min(d) AS c0 FROM e GROUP BY user_id),
+      lab AS (
+        SELECT CAST(date_trunc('week', c0) AS DATE) AS cohort_week,
+               datediff('day', c0, d) // 7 AS age_weeks, e.user_id, e.cents
+        FROM e JOIN cohort USING (user_id)),
+      sz AS (SELECT cohort_week, CAST(count(DISTINCT user_id) AS BIGINT) AS cohort_size
+             FROM lab WHERE age_weeks = 0 GROUP BY 1),
+      cen AS (SELECT cohort_week, CAST(age_weeks AS BIGINT) AS age_weeks,
+                     CAST(sum(cents) AS BIGINT) AS week_cents
+              FROM lab GROUP BY 1, 2),
+      cum AS (SELECT *, CAST(sum(week_cents) OVER (PARTITION BY cohort_week
+                ORDER BY age_weeks ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_cents FROM cen)
+      SELECT cum.cohort_week, cum.age_weeks, cum.week_cents, cum.cum_cents,
+             sz.cohort_size,
+             ${N.ratio("cum.cum_cents", "sz.cohort_size * 100", 2)} AS ltv_per_user
+      FROM cum JOIN sz USING (cohort_week)
+      ORDER BY cohort_week, age_weeks""",
+
+    // bottom-k by md5(orderkey): reproducible uniform sample, exact
+    // aggregates on both the sample and the population
+    "agg_sample_bottomk" -> """
+      WITH o AS (
+        SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               md5(CAST(o_orderkey AS VARCHAR)) AS hk
+        FROM orders),
+      s AS (SELECT * FROM o ORDER BY hk, o_orderkey LIMIT 100),
+      pop AS (SELECT CAST(count(*) AS BIGINT) AS pop_n,
+                     CAST(sum(cents) AS BIGINT) AS pop_sum_cents FROM o)
+      SELECT CAST(count(*) AS BIGINT) AS n_sample,
+             CAST(sum(o_orderkey) AS BIGINT) AS sample_keys_sum,
+             CAST(sum(cents) AS BIGINT) AS sample_sum_cents,
+             pop.pop_n, pop.pop_sum_cents,
+             CAST(sum(cents) // count(*) AS BIGINT) AS sample_avg_cents,
+             CAST(pop.pop_sum_cents // pop.pop_n AS BIGINT) AS pop_avg_cents
+      FROM s CROSS JOIN pop GROUP BY pop.pop_n, pop.pop_sum_cents""",
+
+    // the minhash band machinery verbatim, read out as the candidate
+    // graph's clamped degree histogram + global pair count
+    "llm_dup_graph_degree" -> """
+      WITH wd AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        FROM documents WHERE doc_id < 2000),
+      sh AS (
+        SELECT doc_id,
+               CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                    ELSE list_distinct(list_transform(range(1, len(w) - 1), i ->
+                         array_to_string(w[i:i+2], ' '))) END AS shs
+        FROM wd),
+      hs AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) & 2147483647 AS h
+        FROM (SELECT doc_id, unnest(shs) AS g FROM sh)),
+      perm AS (
+        SELECT i,
+               1 + (1664525 * (i + 1) + 1013904223) % 2147483646 AS a,
+               (22695477 * (i + 1) + 1) % 2147483647 AS b
+        FROM range(64) t(i)),
+      sig AS (
+        SELECT doc_id, i, min((a * h + b) % 2147483647) AS v
+        FROM hs CROSS JOIN perm GROUP BY doc_id, i),
+      bands AS (
+        SELECT doc_id, i // 4 AS band,
+               string_agg(CAST(v AS VARCHAR), ',' ORDER BY i) AS bkey
+        FROM sig GROUP BY doc_id, i // 4),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+        WHERE a.doc_id < b.doc_id),
+      deg AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS deg FROM (
+          SELECT da AS doc_id FROM cand UNION ALL SELECT db AS doc_id FROM cand)
+        GROUP BY 1),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs_total FROM cand)
+      SELECT least(deg, 20) AS deg_bucket, CAST(count(*) AS BIGINT) AS n_nodes,
+             tot.n_pairs_total
+      FROM deg CROSS JOIN tot GROUP BY 1, 3 ORDER BY deg_bucket""",
+
     // integer-exact PageRank, three unrolled rounds — same 1e-6-unit
     // arithmetic as the Spark loop, so the hashes match bit-for-bit
     "graph_pagerank" -> """

@@ -333,6 +333,40 @@ object LlmExtra {
       .orderBy("pid")
   }
 
+  /** NEAR-DUP CANDIDATE-GRAPH DEGREE PROFILE — the observability
+    * readout a dedup deployment checks BEFORE running component
+    * collapse: the degree histogram of the MinHash-LSH candidate graph
+    * (`llm_dedup_minhash`'s banding, same hot-bucket cap), degrees
+    * clamped into a ≤20-bucket ladder, plus the global pair count on
+    * every row. A fat tail here predicts hot components (boilerplate
+    * families) and is the signal that tunes the band cap; a near-empty
+    * histogram says the threshold is too tight to matter. All counts
+    * BIGINT — fully hash-checked, no estimates.
+    *
+    * Scale: the banded candidate join (equi-join, capped buckets — the
+    * family's no-all-pairs contract), one endpoint census, one ≤21-row
+    * histogram. */
+  def llmDupGraphDegree(s: SparkSession, dir: String): DataFrame = {
+    graft.udx.NGrams.registerAll(s)
+    val docs = t(s, dir, "documents").filter(col("doc_id") < 2000)
+    val sigs = GraftCaches.register(graft.queries.Llm.signatures(docs).persist())
+    val bands = graft.queries.Llm.bandsOf(sigs, graft.operators.HotKeys.DefaultCap)
+    val pairs = bands.select(col("doc_id").as("da"), col("band"), col("bkey"))
+      .join(bands.select(col("doc_id").as("db"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .filter(col("da") < col("db"))
+      .select("da", "db").distinct()
+    val pairsP = GraftCaches.register(pairs.persist())
+    val deg = pairsP.select(col("da").as("doc_id"))
+      .unionAll(pairsP.select(col("db").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("deg"))
+    val total = pairsP.agg(count(lit(1)).as("n_pairs_total"))
+    deg.groupBy(least(col("deg"), lit(20L)).as("deg_bucket"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(broadcast(total))
+      .orderBy("deg_bucket")
+  }
+
   /** ANN VIA NAVIGABLE NEIGHBOR GRAPH + BEAM SEARCH — the HNSW-class
     * paradigm, completing the family next to brute/LSH/IVF/PQ: build a
     * bounded-degree neighbor graph offline, then answer each query by

@@ -96,6 +96,42 @@ object Quality {
       .orderBy("cohort_week", "age_weeks")
   }
 
+  /** COHORT LTV CURVE — `event_cohort_retention`'s revenue twin and the
+    * readout that decides acquisition spend: per signup-week cohort and
+    * age week, the CUMULATIVE revenue per cohort member in exact cents
+    * (the running sum over age — one bounded window per cohort after
+    * the (cohort, age) census) plus the per-user average as a half-up
+    * integer ratio. Cohort size is the week-0 distinct-user count,
+    * frozen for the whole curve (the standard LTV denominator — later
+    * weeks divide by the ORIGINAL cohort, not survivors).
+    *
+    * Scale: one corpus pass to the (cohort, age) census (map-side
+    * combined), windows over |cohorts|·|ages| rows only. */
+  def eventCohortLtv(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("d"),
+        (Num.money(col("value")) * 100).cast("long").as("cents"))
+    val cohort = e.groupBy("user_id").agg(min(col("d")).as("c0"))
+    val labeled = e.join(cohort, "user_id")
+      .select(date_trunc("week", col("c0")).cast("date").as("cohort_week"),
+        call_function("div", datediff(col("d"), col("c0")), lit(7)).as("age_weeks"),
+        col("user_id"), col("cents"))
+    val size = labeled.filter(col("age_weeks") === 0)
+      .groupBy("cohort_week").agg(countDistinct("user_id").as("cohort_size"))
+    val census = labeled.groupBy("cohort_week", "age_weeks")
+      .agg(sum("cents").as("week_cents"))
+    val wCum = Window.partitionBy("cohort_week").orderBy("age_weeks")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    census
+      .withColumn("cum_cents", sum("week_cents").over(wCum))
+      .join(size, "cohort_week")
+      .select(col("cohort_week"), col("age_weeks"), col("week_cents"),
+        col("cum_cents"), col("cohort_size"),
+        Num.ratio(col("cum_cents"), col("cohort_size") * 100, 2).as("ltv_per_user"))
+      .orderBy("cohort_week", "age_weeks")
+  }
+
   /** Referential-integrity audit: for each declared FK edge of the
     * star schema, how many child rows point at a missing parent. Each
     * check is one left join against the DISTINCT parent keys (the dims

@@ -1376,6 +1376,38 @@ object Relational {
     per.union(all).orderBy("o_orderpriority")
   }
 
+  /** DETERMINISTIC BOTTOM-K SAMPLE — uniform sampling WITHOUT rand():
+    * the k = 100 orders with the lexicographically smallest
+    * md5(orderkey) are a uniform random sample under the hash's
+    * avalanche, yet fully reproducible across engines, runs and
+    * partitionings — the property `rand()`-based sampling loses the
+    * moment a stage retries. This is the 100 TB sampling primitive:
+    * the plan is TakeOrderedAndProject (a bounded heap per partition,
+    * merged on the driver — no global sort, no second pass, pinned by
+    * PlanShapeSpec), so drawing 100 rows from a trillion costs one
+    * map-side scan. Output: the sample's exact aggregate next to the
+    * population's, both BIGINT — the pair a sampling consumer uses to
+    * sanity-check representativeness.
+    *
+    * Scale: one scan, per-partition 100-row heaps, single-row output. */
+  def aggSampleBottomk(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .withColumn("hk", md5(col("o_orderkey").cast("string")))
+    val sample = o.orderBy("hk", "o_orderkey").limit(100)
+    val pop = o.agg(count(lit(1)).as("pop_n"), sum("cents").as("pop_sum_cents"))
+    sample
+      .agg(count(lit(1)).as("n_sample"),
+        sum("o_orderkey").as("sample_keys_sum"),
+        sum("cents").as("sample_sum_cents"))
+      .crossJoin(broadcast(pop))
+      .select(col("n_sample"), col("sample_keys_sum"), col("sample_sum_cents"),
+        col("pop_n"), col("pop_sum_cents"),
+        call_function("div", col("sample_sum_cents"), col("n_sample")).as("sample_avg_cents"),
+        call_function("div", col("pop_sum_cents"), col("pop_n")).as("pop_avg_cents"))
+  }
+
   /** HLL SET ALGEBRA BY INCLUSION–EXCLUSION — the distinct-count
     * question `agg_hll_union` cannot answer alone: how many customers
     * placed BOTH an urgent and a high-priority order, estimated as

@@ -267,6 +267,55 @@ class Round14OpsSpec extends GraftSpec {
       "threshold must split frames both ways on real text")
   }
 
+  test("event_cohort_ltv: cumulative sums conserve the stream; denominator frozen at week 0") {
+    val rows = graft.queries.Quality.eventCohortLtv(spark, sfDir).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (ck, curve) =>
+      val sorted = curve.sortBy(_._2)
+      assert(sorted.map(_._3).sum == sorted.last._4,
+        s"$ck cumulative must equal the sum of week cents")
+      assert(sorted.map(_._5).distinct.length == 1,
+        s"$ck cohort size must be FROZEN across ages")
+      sorted.toSeq.sliding(2).foreach { pair =>
+        if (pair.length == 2)
+          assert(pair(1)._4 == pair(0)._4 + pair(1)._3, s"$ck running sum broken")
+      }
+    }
+    // total conservation against the raw stream
+    val total = graft.tables.Tables.t(spark, sfDir, "events")
+      .filter(col("event_type") === "purchase")
+      .agg(sum((graft.queries.Num.money(col("value")) * 100).cast("long")))
+      .collect()(0).getLong(0)
+    assert(rows.map(_._3).sum == total, "curve must conserve the purchase stream")
+  }
+
+  test("agg_sample_bottomk: the sample is exactly the k smallest hashes") {
+    val r = graft.queries.Relational.aggSampleBottomk(spark, sfDir).collect()(0)
+    assert(r.getLong(0) == 100L)
+    val expected = graft.tables.Tables.t(spark, sfDir, "orders")
+      .select(col("o_orderkey"), md5(col("o_orderkey").cast("string")).as("hk"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .collect().map(x => (x.getString(1), x.getLong(0), x.getLong(2)))
+      .sortBy(t => (t._1, t._2)).take(100)
+    assert(r.getLong(1) == expected.map(_._2).sum, "sampled key set diverges")
+    assert(r.getLong(2) == expected.map(_._3).sum, "sampled cents diverge")
+  }
+
+  test("llm_dup_graph_degree: degree mass equals 2x the pair count") {
+    val rows = graft.queries.LlmExtra.llmDupGraphDegree(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val nPairs = rows.head._3
+    assert(rows.forall(_._3 == nPairs))
+    // buckets < 20 carry exact degrees: their mass plus the clamped
+    // bucket's (unknown exact) mass must bound 2*pairs correctly
+    val exactMass = rows.filter(_._1 < 20).map(t => t._1 * t._2).sum
+    val clampedNodes = rows.filter(_._1 == 20).map(_._2).sum
+    assert(exactMass + 20 * clampedNodes <= 2 * nPairs)
+    assert(rows.map(_._2).sum >= 1 && exactMass <= 2 * nPairs)
+  }
+
   test("louvainMovesWeightedOn: hand-computed gains on a self-loop weighted graph") {
     import SparkSpecBase.spark.implicits._
     // three super-nodes: X heavy into Y, Z lightly into Y; no self-loop
