@@ -261,6 +261,19 @@ class PlanShapeSpec extends GraftSpec {
     assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
   }
 
+  test("agg_sample_bottomk: the sample is a bounded heap (TakeOrderedAndProject), never a global sort") {
+    val p = plan(Relational.aggSampleBottomk(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"bottom-k must plan a per-partition heap:\n${p.take(2000)}")
+  }
+
+  test("graph_betweenness_landmark: equi-join layers, no nested loop, map-combined censuses") {
+    val p = plan(graft.queries.GraphQueries.graphBetweennessLandmark(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"forward/backward layers must be equi-joins:\n${p.take(2000)}")
+    assert(p.contains("TakeOrderedAndProject"), "top-25 must not global-sort")
+  }
+
   test("kPeel: alive-set broadcast is conditional on the MEASURED count — above the cap the semi joins degrade to shuffled joins") {
     import SparkSpecBase.spark.implicits._
     // triangle 1-2-3 plus pendant 3-4: a k=2 peel drops node 4 in round
