@@ -489,6 +489,7 @@ object SparkEntry {
     "llm_sim_pq_recall" -> LlmExtra.llmSimPqRecall _,
     "llm_sim_hnsw_topk" -> LlmExtra.llmSimHnswTopk _,
     "llm_dup_graph_degree" -> LlmExtra.llmDupGraphDegree _,
+    "llm_dataset_card" -> LlmExtra.llmDatasetCard _,
     // T5 span-corruption plan: seeded spans, merged islands, pack len
     "llm_span_corruption_plan" -> LlmExtra.llmSpanCorruptionPlan _,
     // generic shoelace area/centroid over decoded TIGER rings

@@ -3275,6 +3275,41 @@ object OracleSql {
              CAST(pop.pop_sum_cents // pop.pop_n AS BIGINT) AS pop_avg_cents
       FROM s CROSS JOIN pop GROUP BY pop.pop_n, pop.pop_sum_cents""",
 
+    // four censuses off one scan; modal language by (count DESC, lang),
+    // value-census median, half-up ratios
+    "llm_dataset_card" -> s"""
+      WITH d AS (
+        SELECT source, lang, n_chars, md5(text) AS h FROM documents),
+      base AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(count(DISTINCT h) AS BIGINT) AS n_uniq,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(count(*) FILTER (WHERE n_chars < 100) AS BIGINT) AS n_short
+        FROM d GROUP BY 1),
+      tl AS (
+        SELECT source, lang AS top_lang FROM (
+          SELECT source, lang,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY count(*) DESC, lang) AS rn
+          FROM d GROUP BY source, lang) WHERE rn = 1),
+      lc AS (SELECT source, n_chars, CAST(count(*) AS BIGINT) AS cnt FROM d GROUP BY 1, 2),
+      med AS (
+        SELECT source, CAST(min(CASE WHEN cw * 2 >= tot THEN n_chars END) AS BIGINT) AS median_chars
+        FROM (SELECT source, n_chars,
+                     sum(cnt) OVER (PARTITION BY source ORDER BY n_chars
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+                     sum(cnt) OVER (PARTITION BY source) AS tot
+              FROM lc)
+        GROUP BY 1)
+      SELECT base.source, base.n_docs, base.total_chars,
+             CAST(base.total_chars // base.n_docs AS BIGINT) AS mean_chars,
+             med.median_chars, base.n_langs, tl.top_lang,
+             ${N.ratio("base.n_docs - base.n_uniq", "base.n_docs", 4)} AS dup_rate,
+             ${N.ratio("base.n_short", "base.n_docs", 4)} AS short_share
+      FROM base JOIN tl USING (source) JOIN med USING (source)
+      ORDER BY source""",
+
     // the minhash band machinery verbatim, read out as the candidate
     // graph's clamped degree histogram + global pair count
     "llm_dup_graph_degree" -> """

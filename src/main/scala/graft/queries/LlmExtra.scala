@@ -333,6 +333,53 @@ object LlmExtra {
       .orderBy("pid")
   }
 
+  /** DATASET CARD — the one-table summary a training-data release
+    * ships (HuggingFace dataset-card §statistics shape): per source,
+    * document count, exact char mass, half-up mean length, language
+    * count + modal language (max-count, name-ASC tiebreak), EXACT
+    * duplicate rate (1 − distinct md5 / n, half-up 4dp), the
+    * value-census median length (the `agg_weighted_median` discipline —
+    * cumulative window over DISTINCT lengths, not the row stream), and
+    * the short-doc share (< 100 chars). Every number is an integer or a
+    * half-up ratio — the whole card is hash-exact.
+    *
+    * Scale: one corpus pass fans into four map-combined censuses keyed
+    * on (source[, lang|len|md5]); the window runs over distinct lengths
+    * per source only. Nothing corpus-sized is ever collected or
+    * sorted. */
+  def llmDatasetCard(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("source"), col("lang"), col("n_chars"), md5(col("text")).as("h"))
+    val base = d.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_chars").as("total_chars"),
+      countDistinct("h").as("n_uniq"),
+      countDistinct("lang").as("n_langs"),
+      count_if(col("n_chars") < 100).as("n_short"))
+    val topLang = d.groupBy("source", "lang").agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy(desc("c"), asc("lang"))))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("lang").as("top_lang"))
+    val lenCensus = d.groupBy("source", "n_chars").agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy("source").orderBy("n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy("source")
+    val median = lenCensus
+      .withColumn("cw", sum("cnt").over(wCum))
+      .withColumn("tot", sum("cnt").over(wTot))
+      .groupBy("source")
+      .agg(min(when(col("cw") * 2 >= col("tot"), col("n_chars"))).as("median_chars"))
+    base.join(topLang, "source").join(median, "source")
+      .select(col("source"), col("n_docs"), col("total_chars"),
+        call_function("div", col("total_chars"), col("n_docs")).as("mean_chars"),
+        col("median_chars").cast("long").as("median_chars"),
+        col("n_langs"), col("top_lang"),
+        Num.ratio(col("n_docs") - col("n_uniq"), col("n_docs"), 4).as("dup_rate"),
+        Num.ratio(col("n_short"), col("n_docs"), 4).as("short_share"))
+      .orderBy("source")
+  }
+
   /** NEAR-DUP CANDIDATE-GRAPH DEGREE PROFILE — the observability
     * readout a dedup deployment checks BEFORE running component
     * collapse: the degree histogram of the MinHash-LSH candidate graph

@@ -316,6 +316,29 @@ class Round14OpsSpec extends GraftSpec {
     assert(rows.map(_._2).sum >= 1 && exactMass <= 2 * nPairs)
   }
 
+  test("llm_dataset_card: card fields replay from independent aggregates") {
+    val cards = graft.queries.LlmExtra.llmDatasetCard(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getString(6), r.getDouble(7), r.getDouble(8)))
+    assert(cards.nonEmpty)
+    val docs = graft.tables.Tables.t(spark, sfDir, "documents")
+      .select(col("source"), col("lang"), col("n_chars"), md5(col("text")).as("h"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3)))
+    cards.foreach { case (src, n, tot, mean, med, nLangs, topLang, dup, short) =>
+      val ds = docs.filter(_._1 == src)
+      assert(n == ds.length && tot == ds.map(_._3).sum)
+      assert(mean == tot / n)
+      assert(nLangs == ds.map(_._2).distinct.length)
+      assert(topLang == ds.groupBy(_._2).toSeq
+        .map { case (l, xs) => (l, xs.length) }.minBy(t => (-t._2, t._1))._1)
+      val lens = ds.map(_._3).sorted
+      assert(med == lens((lens.length - 1) / 2), s"$src median")
+      val nUniq = ds.map(_._4).distinct.length
+      assert(math.abs(dup - (n - nUniq).toDouble / n) < 1e-3, s"$src dup rate")
+      assert(short >= 0.0 && short <= 1.0)
+    }
+  }
+
   test("louvainMovesWeightedOn: hand-computed gains on a self-loop weighted graph") {
     import SparkSpecBase.spark.implicits._
     // three super-nodes: X heavy into Y, Z lightly into Y; no self-loop
