@@ -2721,9 +2721,17 @@ object OracleSql {
       bkts AS (
         SELECT vec_id, tb, tb * 65536 + CAST(sum(s * (1 << CAST(bit AS INT))) AS BIGINT) AS bkt
         FROM vb GROUP BY vec_id, tb),
+      bkpos AS (
+        SELECT vec_id, bkt,
+               row_number() OVER (PARTITION BY bkt ORDER BY vec_id) AS pos,
+               count(*) OVER (PARTITION BY bkt) AS sz
+        FROM bkts),
       lshp AS (
         SELECT a.vec_id AS u, b.vec_id AS nb
-        FROM bkts a JOIN bkts b ON a.bkt = b.bkt WHERE a.vec_id <> b.vec_id),
+        FROM (SELECT vec_id, bkt, pos, sz, unnest(range(1, 33)) AS d FROM bkpos) a
+        JOIN bkpos b
+          ON a.bkt = b.bkt AND a.d < a.sz
+         AND b.pos = ((a.pos - 1 + a.d) % a.sz) + 1),
       cents AS (SELECT vec_id AS cell, embedding AS cv FROM n WHERE vec_id < 16),
       cscored AS MATERIALIZED (
         SELECT e.vec_id, c.cell,
@@ -2735,12 +2743,22 @@ object OracleSql {
         SELECT vec_id, cell FROM (
           SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS rr
           FROM cscored) WHERE rr <= 2),
+      cpos AS (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS pos,
+               count(*) OVER (PARTITION BY cell) AS sz
+        FROM member),
       cellp AS (
         SELECT a.vec_id AS u, b.vec_id AS nb
-        FROM member a JOIN member b USING (cell) WHERE a.vec_id <> b.vec_id),
+        FROM (SELECT vec_id, cell, pos, sz, unnest(range(1, 33)) AS d FROM cpos) a
+        JOIN cpos b
+          ON a.cell = b.cell AND a.d < a.sz
+         AND b.pos = ((a.pos - 1 + a.d) % a.sz) + 1),
       upairs AS MATERIALIZED (
         SELECT DISTINCT u, nb FROM (
-          SELECT u, nb FROM lshp UNION ALL SELECT u, nb FROM cellp)),
+          SELECT u, nb FROM lshp UNION ALL SELECT u, nb FROM cellp
+          UNION ALL SELECT nb AS u, u AS nb FROM lshp
+          UNION ALL SELECT nb AS u, u AS nb FROM cellp)),
       ep AS (
         SELECT pr.u, pr.nb,
                round((SELECT sum(a * b) FROM (

