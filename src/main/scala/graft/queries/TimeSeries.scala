@@ -666,12 +666,26 @@ object TimeSeries {
     * bounded-window justification as `ts_seasonal_decompose`. The
     * month rollup is |months| rows. */
   def tsIntervalSweep(s: SparkSession, dir: String): DataFrame = {
-    val ends = t(s, dir, "lineitem")
-      .groupBy(col("l_orderkey").as("o_orderkey"))
-      .agg(max(to_date(col("l_shipdate"))).as("ship_end"))
-    val spans = t(s, dir, "orders")
-      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("start_day"))
-      .join(ends, "o_orderkey")
+    // ONE order-keyed shuffle, not two (round 14): the natural
+    // "aggregate lineitem per order, then join orders" shape shuffles
+    // the full lineitem census AND sort-merges it against orders —
+    // both passes keyed on the same orderkey. Fused as a UNION +
+    // single aggregate (orders contribute the start date, lineitems
+    // the max ship date; one row per key has both after max()), the
+    // plan is one map-side-combinable exchange. Semantics identical to
+    // the inner join: keys missing either side drop via the null
+    // filter. Measured at sf100-lite: 99 s → (see BASELINE.md) with
+    // the same oracle.
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("k"),
+        to_date(col("l_shipdate")).as("ship"), lit(null).cast("date").as("od"))
+    val od = t(s, dir, "orders")
+      .select(col("o_orderkey").as("k"),
+        lit(null).cast("date").as("ship"), to_date(col("o_orderdate")).as("od"))
+    val spans = li.unionAll(od)
+      .groupBy("k")
+      .agg(max("ship").as("ship_end"), max("od").as("start_day"))
+      .filter(col("ship_end").isNotNull && col("start_day").isNotNull)
       // the synthetic ship dates are uncorrelated with order dates, so
       // ~20% of intervals would end before they start; clamp to the
       // well-formed [start, max(start, end)] an ops dashboard would use
