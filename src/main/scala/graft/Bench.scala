@@ -97,6 +97,21 @@ object Bench {
       val xs = Array.fill(5)(one()).sorted
       xs(2)
     }
+    // family-memo warm-up (round-14 verdict task 4): the graph family
+    // derives shared artifacts once per (session, dir) — left cold,
+    // that one-off cost lands on whichever graph query runs FIRST in
+    // pass 1, so per-query timings alias cache attribution and shift
+    // whenever run order changes (r14's graph_components "+28% on
+    // unchanged code"). Warm the family before the timed passes and
+    // report the seconds as their own field; skipped when the probe
+    // selection has no graph queries.
+    val memoWarmSec =
+      if (selected.keysIterator.exists(_.startsWith("graph_"))) {
+        val t0 = System.nanoTime()
+        try graft.queries.GraphQueries.warmFamily(spark, sfDir)
+        catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      } else 0.0
     // min over two INTERLEAVED passes: single-shot timings on a shared VM
     // see multi-second host stalls (observed 10-20x on random queries);
     // back-to-back repeats of one query sit inside the same stall, so the
@@ -169,18 +184,41 @@ object Bench {
           else ""
         s""","error_queries":${kept.map(jstr).mkString("[", ",", "]")}$trunc"""
       }
+    // mechanical weather normalization (round-14 verdict task 6): both
+    // r13 and r14 DRIVER benches ran at shuffle anchor 0.79–0.88 vs
+    // the documented quiet band 0.40–0.55, so graded totals were
+    // weather-ceiling numbers two rounds running and the gate had to
+    // be re-derived from BASELINE prose. QUIET_SHUFFLE = the band's
+    // top: an in-band sample is left untouched (min with 1), a
+    // contended one scales down by quiet/measured. The correction
+    // treats the whole total as shuffle-bound — an over-heal on
+    // CPU-bound rows — so read [anchor_normalized_total, value] as the
+    // quiet total's bracket, not a point estimate (BASELINE.md
+    // "Anchor-normalized totals").
+    val quietShuffleTop = 0.55
+    val anchorNormTotal =
+      if (anchorShuffleSec > 0) total * math.min(1.0, quietShuffleTop / anchorShuffleSec)
+      else total
     def line(qs: Seq[(String, Double)], omitted: Int, errPart: String): String = {
       val extra = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qs.map(entry).mkString("{", ",", "}")}$extra,"error_count":${errors.size},"noise":${fmt(noise)},"anchor_sec":${fmt(anchorSec)},"anchor_shuffle_sec":${fmt(anchorShuffleSec)}$errPart,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qs.map(entry).mkString("{", ",", "}")}$extra,"error_count":${errors.size},"noise":${fmt(noise)},"anchor_sec":${fmt(anchorSec)},"anchor_shuffle_sec":${fmt(anchorShuffleSec)},"anchor_normalized_total":${fmt(anchorNormTotal)},"memo_warm_sec":${fmt(memoWarmSec)}$errPart,"sf":"$sfDir"}"""
     }
     val all = results.toSeq.sortBy { case (_, v) => -v } // slowest first
     // durable full artifact (cwd = repo root under sbt); a filtered probe
     // run must not clobber the full-inventory artifact, so it lands in
     // BENCH_PROBE.json instead
     val artifact = if (only.isDefined) "BENCH_PROBE.json" else "BENCH_LOCAL.json"
+    // per-kind memo build seconds (loop-driving builds only — lazy
+    // cache() builds materialize inside the warm-up count and read ~0
+    // here) go in the durable artifact, not the tail-budgeted line
+    val memoPart = {
+      val bs = graft.queries.GraphQueries.memoBuildSeconds.toSeq.sortBy(_._1)
+      if (bs.isEmpty) ""
+      else s""","memo_build":${bs.map { case (k, v) => s"${jstr(k)}:${fmt(v)}" }.mkString("{", ",", "}")}"""
+    }
     try {
       val w = new java.io.PrintWriter(artifact)
-      try w.println(line(all, 0, errFull)) finally w.close()
+      try w.println(line(all, 0, errFull + memoPart)) finally w.close()
     } catch { case _: Throwable => () }
     // short per-query chunk lines: each stays far below the 2000-byte
     // tail capture, so the trailing chunks + final line survive intact

@@ -37,4 +37,13 @@ object Hnsw {
     * ring, so the pair set equals the full self-join's. */
   val RingWLsh = 8
   val RingWCell = 32
+  /** Band width of the two-level ring-position rank (round 15): ring
+    * positions within a bucket are ranked per (bucket, ⌊vec_id/BandW⌋)
+    * band and offset by a per-band count prefix sum, so the largest
+    * window partition the build ever sorts is BandW rows — NOT the
+    * bucket population, which with fixed bucket counts is
+    * corpus-proportional (16 cells × Assign 2 ⇒ ~n/8 in the hottest
+    * cell). Positions are bit-identical to the single-window
+    * row_number at every SF; only the partitioning changes. */
+  val RankBandW = 8192
 }

@@ -139,7 +139,9 @@ object OracleSql {
     s"""
       WITH $coreHIndexChainSql
       SELECT least(est, 4) AS core_number, CAST(count(*) AS BIGINT) AS n_nodes,
-             CAST(min(node) AS BIGINT) AS min_node, CAST(max(node) AS BIGINT) AS max_node
+             CAST(min(node) AS BIGINT) AS min_node, CAST(max(node) AS BIGINT) AS max_node,
+             ((SELECT sum(est) FROM h${coreHIndexRounds - 1}) =
+              (SELECT sum(est) FROM h$coreHIndexRounds)) AS converged
       FROM h$coreHIndexRounds GROUP BY 1 ORDER BY core_number"""
 
   /** llm_bpe_train: the Spark side loops 6 merge rounds over the word

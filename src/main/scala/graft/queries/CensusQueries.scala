@@ -590,16 +590,23 @@ object CensusQueries {
     * disclosure-avoidance step applied to every small-cell table the
     * reference's consumers publish: a cell whose count falls below the
     * threshold (K = 5) is PRIMARY-suppressed, and any row or column
-    * margin that would let a reader recover a LONE suppressed cell by
-    * subtraction gets one COMPLEMENTARY suppression — the smallest
-    * surviving cell under the (n ASC, key ASC) total order (one round,
-    * rows first then columns, the documented deterministic policy; the
-    * closed-loop iterate is the same rule to fixpoint). Output
-    * publishes `published_n` only for clean cells — suppressed cells
-    * carry NULL and the flag ('P' / 'C_ROW' / 'C_COL' / 'OK'), which is
-    * exactly what a downstream consumer of the reference's tables
-    * receives. All counts BIGINT; flags are deterministic because every
-    * argmin is totally ordered.
+    * margin holding exactly ONE primary cell gets one COMPLEMENTARY
+    * suppression — the smallest non-primary cell under the (n ASC,
+    * key ASC) total order (ONE round, rows first then columns, the
+    * documented deterministic policy). The one-round GUARANTEE is
+    * data-independent but deliberately partial: every margin with ≥ 2
+    * cells and exactly one PRIMARY ends the round with ≥ 2
+    * suppressions, so no primary is recoverable by subtraction. It
+    * does NOT chase the closed loop — a C_ROW complementary can itself
+    * be the only suppressed cell of its COLUMN on adversarial data, in
+    * which case full disclosure avoidance iterates this same
+    * rule to fixpoint (round-15 ADVICE find; the fixpoint is a bounded
+    * loop over the dimension-sized cell table, not a corpus pass).
+    * Output publishes `published_n` only for clean cells — suppressed
+    * cells carry NULL and the flag ('P' / 'C_ROW' / 'C_COL' / 'OK'),
+    * which is exactly what a downstream consumer of the reference's
+    * tables receives. All counts BIGINT; flags are deterministic
+    * because every argmin is totally ordered.
     *
     * Scale: one (nation × segment) map-combined census (≤ |units| rows)
     * and three bounded windows over it — the corpus is touched once. */

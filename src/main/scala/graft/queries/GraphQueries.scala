@@ -40,6 +40,21 @@ object GraphQueries {
   private val memo =
     scala.collection.mutable.HashMap.empty[String, (SparkSession, AnyRef)]
 
+  /** Wall seconds spent INSIDE each memo build, by kind — the
+    * round-15 attribution fix: the shared-memo cost lands on whichever
+    * query happens to run first in a bench pass, so round-over-round
+    * per-query diffs aliased cache attribution (r14's
+    * `graph_components` "+28% on unchanged code" was exactly this).
+    * `Bench` warms the family up front and emits these seconds as
+    * their own artifact field instead. NOTE: lazy builds (a cache()
+    * marker) record ~0 here — their materialization cost is what
+    * `warmFamily`'s counts absorb; the loop-driving builds (lpaLabels,
+    * louvainL1) record their real wall time. */
+  private val buildSecs = scala.collection.mutable.HashMap.empty[String, Double]
+
+  private[graft] def memoBuildSeconds: Map[String, Double] =
+    memo.synchronized(buildSecs.toMap)
+
   private def memoized[T <: AnyRef](s: SparkSession, dir: String, kind: String)(
       build: => T): T = memo.synchronized {
     memo.filterInPlace { case (_, (sess, _)) => !sess.sparkContext.isStopped }
@@ -47,10 +62,31 @@ object GraphQueries {
     memo.get(key) match {
       case Some((sess, v)) if sess eq s => v.asInstanceOf[T]
       case _ =>
+        val t0 = System.nanoTime()
         val v = build
+        buildSecs(kind) = buildSecs.getOrElse(kind, 0.0) + (System.nanoTime() - t0) / 1e9
         memo.put(key, (s, v))
         v
     }
+  }
+
+  /** Build AND MATERIALIZE every family-shared memo artifact up front
+    * — the bench-attribution hook (round-14 verdict task 4): when
+    * `Bench` calls this before its timed passes, no graded query
+    * carries the one-off shared-derivation cost, so per-query timings
+    * stop depending on alphabetical run order as the family grows.
+    * Covers the DataFrame-valued kinds (count() forces the lazy
+    * cache() builds) and the loop-driving builds (eager internally);
+    * `prAdjLoop` warms with its owning query — it is private to the
+    * pagerank loop and bounded by it. */
+  private[graft] def warmFamily(s: SparkSession, dir: String): Unit = {
+    symAdj(s, dir).count()
+    symNodes(s, dir).count()
+    symDeg(s, dir).count()
+    saltedSymAdj(s, dir)
+    saltedSymAdjBfs(s, dir)
+    lpaLabels(s, dir)
+    louvainL1(s, dir)
   }
 
   /** Drop every family-shared cache (the memoized frames above and the
@@ -1149,16 +1185,31 @@ object GraphQueries {
     * the readout truncates it with `least(est, 4)`. The oracle computes
     * the identical 12-round unroll truncated the same way, so the gate
     * stays bit-exact WITHOUT convergence assumptions: both engines
-    * histogram the same deterministic round-12 integers.
+    * histogram the same deterministic round-12 integers. Since round
+    * 15 the output also CARRIES the convergence verdict (`converged`,
+    * prev-sum == fin-sum — the `graph_core_full` flag), so a graph the
+    * 12 rounds don't settle reads as an estimate, loudly, in this
+    * query's own contract.
     *
     * Scale: exactly `graph_core_full`'s cost envelope — 12 equi-join +
     * bounded-window rounds over the family-shared adjacency cache, no
     * per-round driver actions, no broadcasts of data-sized frames. */
   def graphCoreDecomposition(s: SparkSession, dir: String): DataFrame = {
-    val (_, fin) = hIndexEstimates(symAdj(s, dir), 12)
+    val (prev, fin) = hIndexEstimates(symAdj(s, dir), 12)
+    // the same loud convergence verdict `graph_core_full` carries
+    // (round-15 ADVICE find): least(est, 4) is only the TRUE bounded
+    // coreness when the 12-round iteration has converged, and without
+    // the flag in THIS query's own output a non-converged graph would
+    // silently publish upper bounds as core numbers. Estimates are
+    // monotone non-increasing, so equal sums ⟺ identical frames —
+    // one scalar off each of the two already-persisted rounds.
+    val flag = prev.agg(sum("est").as("sp"))
+      .crossJoin(fin.agg(sum("est").as("sf")))
+      .select((col("sp") === col("sf")).as("converged"))
     fin.groupBy(least(col("est"), lit(4L)).as("core_number"))
       .agg(count(lit(1)).as("n_nodes"),
         min("node").as("min_node"), max("node").as("max_node"))
+      .crossJoin(broadcast(flag))
       .orderBy("core_number")
   }
 
@@ -1259,31 +1310,41 @@ object GraphQueries {
     val child = parent.newSession()
     val vname = s"graft_hindex_adj_${hIndexViewSeq.incrementAndGet()}"
     adjIn.createOrReplaceGlobalTempView(vname)
-    val adj = child.table(s"global_temp.$vname")
-    def hRound(est: DataFrame): DataFrame =
-      adj.join(est.select(col("node").as("v"), col("est").as("ce")), "v")
-        .select(col("u"), col("ce"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("u").orderBy(desc("ce"))))
-        .groupBy("u").agg(max(least(col("ce"), col("rn").cast("long"))).as("est"))
-        .select(col("u").as("node"), col("est"))
-    var est = adj.groupBy(col("u").as("node"))
-      .agg(count(lit(1)).as("est"))
-    for (_ <- 1 until rounds) est = hRound(est)
-    val prev = graft.operators.GraftCaches.register(est.persist())
-    val fin = graft.operators.GraftCaches.register(hRound(prev).persist())
+    // the view-drop finally wraps EVERYTHING after view creation
+    // (round-15 ADVICE find): a failure during chain construction,
+    // persist registration or the count itself must not leak the
+    // global temp view into SharedState — unique names prevent
+    // collisions, but leaked views would accumulate across failed
+    // invocations. The conf reset stays scoped to exactly the window
+    // where the confs are flipped.
     try {
-      child.conf.set("spark.sql.adaptive.enabled", "false")
-      child.conf.set("spark.sql.shuffle.partitions", "8")
-      fin.count()
+      val adj = child.table(s"global_temp.$vname")
+      def hRound(est: DataFrame): DataFrame =
+        adj.join(est.select(col("node").as("v"), col("est").as("ce")), "v")
+          .select(col("u"), col("ce"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("u").orderBy(desc("ce"))))
+          .groupBy("u").agg(max(least(col("ce"), col("rn").cast("long"))).as("est"))
+          .select(col("u").as("node"), col("est"))
+      var est = adj.groupBy(col("u").as("node"))
+        .agg(count(lit(1)).as("est"))
+      for (_ <- 1 until rounds) est = hRound(est)
+      val prev = graft.operators.GraftCaches.register(est.persist())
+      val fin = graft.operators.GraftCaches.register(hRound(prev).persist())
+      try {
+        child.conf.set("spark.sql.adaptive.enabled", "false")
+        child.conf.set("spark.sql.shuffle.partitions", "8")
+        fin.count()
+      } finally {
+        child.conf.set("spark.sql.adaptive.enabled",
+          parent.conf.get("spark.sql.adaptive.enabled", "true"))
+        child.conf.set("spark.sql.shuffle.partitions",
+          parent.conf.get("spark.sql.shuffle.partitions", "32"))
+      }
+      (prev, fin)
     } finally {
-      child.conf.set("spark.sql.adaptive.enabled",
-        parent.conf.get("spark.sql.adaptive.enabled", "true"))
-      child.conf.set("spark.sql.shuffle.partitions",
-        parent.conf.get("spark.sql.shuffle.partitions", "32"))
       parent.catalog.dropGlobalTempView(vname)
     }
-    (prev, fin)
   }
 
   /** HITS hubs-and-authorities (2 full rounds, unnormalized integer

@@ -464,6 +464,53 @@ object LlmExtra {
 
   /** The graph build + beam search with explicit parameters — shared by
     * the graded query and the parameter-sweep spec. */
+  /** Ring-bounded candidate pairs within buckets, with a TWO-LEVEL
+    * BANDED RANK (round 15): the obvious
+    * row_number().over(partitionBy(key).orderBy(vec_id)) puts every
+    * bucket member in ONE window partition — with FIXED bucket counts
+    * (16 IVF cells × Assign 2 ⇒ ~n/8 of the corpus in the hottest
+    * cell) that is a corpus-proportional single-reducer sort, the same
+    * parallelism ceiling `aggWeightedMedian`'s doc names as fatal at
+    * 100 TB. Instead rank in two bounded levels:
+    *   1. band = ⌊vec_id / BandW⌋ — monotone in vec_id, so ranking by
+    *      (band, vec_id) IS ranking by vec_id. Local ranks come from a
+    *      window over (key, band): ≤ BandW distinct vec_ids per band ⇒
+    *      every partition sorts ≤ BandW·Assign rows no matter how big
+    *      the bucket grows.
+    *   2. band offsets + bucket size from ONE (key, band) count
+    *      aggregate (map-side combined) — the per-key running-sum
+    *      window then sorts #bands rows, BandW× smaller than the
+    *      member frame (apply the same banding again if a corpus ever
+    *      makes THAT the bottleneck).
+    * Positions are bit-identical to the single-window form at every
+    * SF, so the pair set — and every CORRECTNESS row downstream — is
+    * unchanged; `Round15OpsSpec` pins both the equality and the
+    * bounded-partition plan shape. `memberDf` must carry (vec_id, key)
+    * rows. */
+  private[graft] def ringPairs(memberDf: DataFrame, key: String, ringW: Int): DataFrame = {
+    val bandW = graft.llm.Hnsw.RankBandW
+    val m = memberDf.withColumn("band", floor(col("vec_id") / bandW).cast("long"))
+    val wKey = Window.partitionBy(key)
+    val counts = m.groupBy(col(key), col("band")).agg(count(lit(1)).as("bc"))
+    val offs = counts
+      .withColumn("off", coalesce(sum("bc").over(
+        wKey.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("sz", sum("bc").over(wKey))
+    val pos = m.join(offs, Seq(key, "band"))
+      .withColumn("pos", col("off") + row_number().over(
+        Window.partitionBy(col(key), col("band")).orderBy("vec_id")))
+    // WRAPPING ring (positions mod bucket size): every member gets
+    // exactly min(2·RingW, size−1) candidates — no under-connected
+    // bucket edges, and ≤ RingW offsets keep the join linear
+    pos.select(col(key), col("vec_id").as("u"), col("pos"), col("sz"))
+      .withColumn("d", explode(sequence(lit(1), lit(ringW))))
+      .filter(col("d") < col("sz"))
+      .select(col(key), col("u"),
+        (pmod(col("pos") - 1 + col("d"), col("sz")) + 1).as("pos"))
+      .join(pos.select(col(key), col("vec_id").as("n"), col("pos")), Seq(key, "pos"))
+      .select("u", "n")
+  }
+
   private[graft] def simHnswTopkImpl(s: SparkSession, dir: String,
       m: Int, b: Int, r: Int): DataFrame = {
     import graft.llm.{Hnsw, Ivf, Lsh}
@@ -478,29 +525,14 @@ object LlmExtra {
     // fixed bucket count, 10× the corpus means 100× the pairs (measured:
     // 130 s at sf1 vs 3 s at sf0.1 for this one query). Instead each
     // bucket member pairs only with its ±RingW neighbors in vec_id
-    // order: positions come from one row_number per bucket, and the
-    // join is an EQUI-join on (bucket, position+offset) with the left
+    // order: positions come from `ringPairs`' two-level banded rank
+    // (bounded window partitions — no corpus-proportional sort), and
+    // the join is an EQUI-join on (bucket, position+offset) with the left
     // side RingW-exploded — pair count is RingW·|bucket|, linear. The
     // symmetrized union of 8 LSH rings + 2 cell rings still gives every
     // node a diverse bounded candidate set; at the graded SFs buckets
     // are smaller than the ring so the pair set equals the full
     // self-join's.
-    def ringPairs(memberDf: DataFrame, key: String, ringW: Int): DataFrame = {
-      val wk = Window.partitionBy(key)
-      val pos = memberDf
-        .withColumn("pos", row_number().over(wk.orderBy("vec_id")))
-        .withColumn("sz", count(lit(1)).over(wk))
-      // WRAPPING ring (positions mod bucket size): every member gets
-      // exactly min(2·RingW, size−1) candidates — no under-connected
-      // bucket edges, and ≤ RingW offsets keep the join linear
-      pos.select(col(key), col("vec_id").as("u"), col("pos"), col("sz"))
-        .withColumn("d", explode(sequence(lit(1), lit(ringW))))
-        .filter(col("d") < col("sz"))
-        .select(col(key), col("u"),
-          (pmod(col("pos") - 1 + col("d"), col("sz")) + 1).as("pos"))
-        .join(pos.select(col(key), col("vec_id").as("n"), col("pos")), Seq(key, "pos"))
-        .select("u", "n")
-    }
     // bucketing 1: the LSH tables (tb*65536+bk keys, llm_sim_lsh_topk)
     val bucketsUdf = udf((v: Seq[Float]) =>
       Lsh.buckets(v.map(_.toDouble).toArray).map { case (tb, bk) => tb * 65536 + bk })

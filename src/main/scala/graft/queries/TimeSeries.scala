@@ -674,8 +674,8 @@ object TimeSeries {
     // the max ship date; one row per key has both after max()), the
     // plan is one map-side-combinable exchange. Semantics identical to
     // the inner join: keys missing either side drop via the null
-    // filter. Measured at sf100-lite: 99 s → (see BASELINE.md) with
-    // the same oracle.
+    // filter. Measured at sf100-lite: 99.2 s → 79.7 s quiet (shuffle
+    // anchor 0.507; ANCHORS.jsonl r14 line) with the same oracle.
     val li = t(s, dir, "lineitem")
       .select(col("l_orderkey").as("k"),
         to_date(col("l_shipdate")).as("ship"), lit(null).cast("date").as("od"))

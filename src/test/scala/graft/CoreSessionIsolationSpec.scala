@@ -62,13 +62,30 @@ class CoreSessionIsolationSpec extends GraftSpec {
     // the cache manager lives in SharedState: the child session's
     // expanded global-temp-view plan must pick up the parent-persisted
     // adjacency by canonical-plan match — losing this would silently
-    // re-scan parquet 12 times per invocation
+    // re-scan parquet 12 times per invocation. Asserting
+    // InMemoryTableScan on `fin` is TRIVIALLY true (fin itself is
+    // persisted inside hIndexEstimates — round-15 ADVICE find), so the
+    // probe instead builds a FRESH, never-persisted child frame over a
+    // view of the adjacency: the ONLY cache in that frame's lineage is
+    // the family adjacency, so an InMemoryTableScan in its plan proves
+    // the cross-session canonical-plan match specifically.
+    // (cacheManager.lookupCachedData is NOT used: after a prior
+    // cache-on-cache materialization it returns None for plans the
+    // substitution rule still rewrites — the executed plan is the
+    // ground truth.)
     val adj = graft.queries.GraphQueries.symAdj(spark, sfDir)
     adj.count() // materialize the family cache in the parent
+    val child = spark.newSession()
+    adj.createOrReplaceGlobalTempView("graft_isolation_probe_adj")
+    try {
+      val childAdj = child.table("global_temp.graft_isolation_probe_adj")
+      val fresh = childAdj.groupBy("u").count()
+      val p = fresh.queryExecution.executedPlan.toString
+      assert(p.contains("InMemoryTableScan"),
+        s"fresh child frame over the adjacency re-scans parquet:\n${p.take(2000)}")
+    } finally spark.catalog.dropGlobalTempView("graft_isolation_probe_adj")
+    // and the handoff itself still plans in a child session
     val (prevF, fin) = graft.queries.GraphQueries.hIndexEstimates(adj, 3)
-    val p = fin.queryExecution.executedPlan.toString
-    assert(p.contains("InMemoryTableScan"),
-      s"child chain lost the shared adjacency cache:\n${p.take(2000)}")
     assert(fin.sparkSession ne spark, "estimates must be planned in a child session")
     prevF.unpersist(blocking = false)
     fin.unpersist(blocking = false)

@@ -40,6 +40,7 @@ class PlanLintSpec extends GraftSpec {
     "event_lifecycle", // single-row corpus horizon via broadcast cross join (round 8)
     "event_concentration", // single-row event total via broadcast cross join (round 8)
     "graph_core_full", // single-row convergence verdict via broadcast cross join (round 10)
+    "graph_core_decomposition", // same single-row convergence verdict attached (round 15)
     "event_survival_km", // single-row censor cutoff (global max day − 7) via broadcast cross join (round 10)
     "dq_chi_square", // single-row table total + chi2 sum via broadcast cross joins (round 10)
     "dq_ks_test", // single-row sample totals via broadcast cross join (round 10)
@@ -60,6 +61,8 @@ class PlanLintSpec extends GraftSpec {
     "census_dissimilarity", // single-row group totals via broadcast cross join (round 14)
     "census_location_quotient", // single-row grand total via broadcast cross join (round 14)
     "agg_hll_intersect", // two single-row exact-count frames via broadcast cross joins (round 14)
+    "agg_sample_bottomk", // single-row population stats attached via broadcast cross join (round 14)
+    "llm_dup_graph_degree", // single-row global pair count via broadcast cross join (round 14)
     "llm_sim_hnsw_topk") // 16-row centroid frame via broadcast cross join (the IVF-cell assignment shape, round 14)
 
   test("no query plans an unexpected cartesian or nested-loop join") {

@@ -224,7 +224,7 @@ class Round14OpsSpec extends GraftSpec {
       s"credit not conserved: ${byChannel.map(_._4).sum} vs ${10000L * nConv}")
   }
 
-  test("census_suppression: no margin can recover a lone suppressed cell by subtraction") {
+  test("census_suppression: the one-round guarantee — no margin can recover a lone PRIMARY by subtraction") {
     val rows = graft.queries.CensusQueries.censusSuppression(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getString(1),
         if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getString(3)))
@@ -232,12 +232,19 @@ class Round14OpsSpec extends GraftSpec {
     rows.foreach { case (_, _, n, flag) =>
       assert((flag == "OK") == n.isDefined, "published_n must be NULL iff flagged")
     }
-    // margin safety: in every row (nation) and column (segment), a
-    // suppressed cell never stands alone — 0 or >= 2 suppressions
+    // the ONE-ROUND policy's data-independent guarantee (see the
+    // engine docstring): every margin with >= 2 cells and exactly one
+    // PRIMARY ends the round with >= 2 suppressions. Full closed-loop
+    // margin safety (a complementary never standing alone either) is
+    // the fixpoint iterate, deliberately outside the one-round
+    // contract — asserting it here would couple the spec to whether
+    // THIS corpus happens to trigger the chase (round-15 ADVICE find).
     Seq(rows.groupBy(_._1), rows.groupBy(_._2)).foreach { grouped =>
       grouped.foreach { case (key, cells) =>
+        val nPrim = cells.count(_._4 == "P")
         val nSupp = cells.count(_._4 != "OK")
-        assert(nSupp != 1, s"margin $key leaves a lone recoverable suppression")
+        if (cells.length >= 2 && nPrim == 1)
+          assert(nSupp >= 2, s"margin $key leaves its lone primary recoverable")
       }
     }
   }

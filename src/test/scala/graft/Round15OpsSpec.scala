@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+import org.apache.spark.sql.catalyst.expressions.{Alias, WindowExpression, RowNumber}
+
+/** Round-15 additions and scale fixes. The headline: `ringPairs`' (the
+  * HNSW-build candidate generator's) two-level banded rank — the
+  * round-14 verdict's named scale flaw was the single
+  * row_number-per-bucket window, a corpus-proportional one-reducer
+  * sort once fixed bucket counts meet a growing corpus. The spec pins
+  * BOTH halves of the fix: the pair set is bit-identical to the
+  * single-window form (plain-Scala replay), and the plan's ranking
+  * window partitions by (bucket, band), never the bucket alone. */
+class Round15OpsSpec extends GraftSpec {
+
+  /** Plain-Scala replay of the WRAPPING ring over a bucket: member i
+    * (in vec_id order) pairs with members (i+d) mod sz for d in
+    * 1..ringW, d < sz — the single-window semantics the banded rank
+    * must reproduce bit-for-bit. */
+  private def naiveRing(members: Map[Long, Seq[Long]], ringW: Int): Set[(Long, Long)] =
+    members.values.flatMap { vs =>
+      val sorted = vs.sorted.toIndexedSeq
+      val sz = sorted.length
+      for {
+        i <- sorted.indices
+        d <- 1 to ringW
+        if d < sz
+      } yield (sorted(i), sorted((i + d) % sz))
+    }.toSet
+
+  test("ringPairs: banded rank reproduces the single-window pair set exactly (multi-band, hot + tiny buckets)") {
+    import SparkSpecBase.spark.implicits._
+    // vec_ids span ~5 RankBandW=8192 bands so the band split is real;
+    // 3 hot buckets of 300 members (≫ ring width) + 1 tiny bucket of 3
+    // (< ring width — exercises the d < sz wrap guard)
+    val hot = (0 until 900).map(i => (i * 41L, i % 3L))
+    val tiny = Seq((40001L, 9L), (40003L, 9L), (40009L, 9L))
+    val rows = hot ++ tiny
+    val m = rows.toSeq.toDF("vec_id", "bkt")
+    val ringW = 8
+    val got = graft.queries.LlmExtra.ringPairs(m, "bkt", ringW)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = naiveRing(rows.groupBy(_._2).map { case (k, vs) => k -> vs.map(_._1).toSeq }, ringW)
+    assert(got == want, s"pair sets diverge: got ${got.size}, want ${want.size}")
+    // every hot-bucket member has exactly min(ringW, sz-1) outgoing pairs
+    val outDeg = got.toSeq.groupBy(_._1).view.mapValues(_.size)
+    hot.foreach { case (v, _) => assert(outDeg(v) == ringW) }
+    tiny.foreach { case (v, _) => assert(outDeg(v) == 2) } // sz=3 → d∈{1,2}
+  }
+
+  test("ringPairs: the ranking window partitions by (bucket, band), never the bucket alone — the bounded-partition property") {
+    import SparkSpecBase.spark.implicits._
+    val m = (0 until 100).map(i => (i * 977L, i % 2L)).toSeq.toDF("vec_id", "bkt")
+    val plan = graft.queries.LlmExtra.ringPairs(m, "bkt", 4)
+      .queryExecution.analyzed
+    val rankWindows = plan.collect {
+      case w: LWindow if w.windowExpressions.exists {
+        case Alias(WindowExpression(_: RowNumber, _), _) => true
+        case _                                           => false
+      } => w
+    }
+    assert(rankWindows.nonEmpty, "expected a row_number ranking window in the build")
+    rankWindows.foreach { w =>
+      assert(w.partitionSpec.size >= 2,
+        s"ranking window partitioned by ${w.partitionSpec.mkString(",")} — " +
+          "a single-column (bucket-only) partition is a corpus-proportional sort at scale")
+    }
+  }
+}

@@ -459,8 +459,13 @@ class TimeSeriesGraphSpec extends GraftSpec {
     // (shared hIndexEstimates engine with graph_core_full; the sibling
     // core_full spec asserts the 12-round iteration converges on this
     // graph, so the truncated estimates ARE least(coreness, 4))
-    val got = graft.queries.GraphQueries.graphCoreDecomposition(spark, sfDir).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val rows = graft.queries.GraphQueries.graphCoreDecomposition(spark, sfDir).collect()
+    // round 15: the query carries its own convergence verdict — the
+    // peel replay below is only a valid comparison under this flag,
+    // and the flag makes that precondition the query's own output
+    // instead of a cross-query assumption
+    assert(rows.forall(_.getBoolean(4)), "12-round h-index iteration did not converge")
+    val got = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(got.nonEmpty && got.map(_._1).toSeq == got.map(_._1).toSeq.sorted)
     // independent replay: true core numbers via sequential peel-to-fixpoint
     val docs = graft.tables.Tables.t(spark, sfDir, "documents")
