@@ -457,6 +457,8 @@ object SparkEntry {
     // Louvain level-1 fixpoint: sweep-until-no-move trace (cap 4)
     "graph_louvain_converged" -> GraphQueries.graphLouvainConverged _,
     "graph_louvain_two_level" -> GraphQueries.graphLouvainTwoLevel _,
+    // full Louvain dendrogram: contract + sweep recursion to zero-gain
+    "graph_louvain_dendrogram" -> GraphQueries.graphLouvainDendrogram _,
     "graph_betweenness_landmark" -> GraphQueries.graphBetweennessLandmark _,
     // ANN recall CURVE: k ∈ {1,5,10} from one top-10 pass per side
     "llm_sim_recall_at_k" -> LlmExtra.llmSimRecallAtK _,

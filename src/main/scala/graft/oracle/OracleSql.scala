@@ -336,40 +336,67 @@ object OracleSql {
     * self-loop rows (a super-node's own loop moves with it and cancels
     * out of every gain difference), deg/tot include them — mirroring
     * the engine's `louvainMovesWeightedOn`. */
-  private def louvainWeightedSweep(r: Int): String = {
-    val labIn = if (r == 1) "cl0" else s"cl${r - 1}"
-    s"""ctot$r AS (SELECT l.label AS c, CAST(sum(d.deg) AS BIGINT) AS tot
-              FROM $labIn l JOIN cdeg d USING (node) GROUP BY 1),
-      ckic$r AS (SELECT a.u AS node, l.label AS c, CAST(sum(a.w) AS BIGINT) AS k_ic
-              FROM cadj a JOIN $labIn l ON a.v = l.node WHERE a.u <> a.v GROUP BY 1, 2),
-      cbase$r AS (SELECT k.node, k.c, k.k_ic, cur.label AS cur
-               FROM ckic$r k JOIN $labIn cur USING (node)),
-      cown$r AS (SELECT node, k_ic AS k_icur FROM cbase$r WHERE c = cur),
-      cg$r AS (
+  private def louvainWeightedSweep(r: Int): String = louvainWeightedSweepP("c", r)
+
+  /** Prefix-parameterized weighted sweep (round 15): the dendrogram
+    * unroll runs the same sweep chain on each contracted level, so the
+    * CTE namespace takes the level prefix — `p`adj/`p`deg are the
+    * level's contracted graph, `p`l0 its identity seed. Prefix "c"
+    * reproduces the two-level unroll's names verbatim. */
+  private def louvainWeightedSweepP(p: String, r: Int): String = {
+    val labIn = if (r == 1) s"${p}l0" else s"${p}l${r - 1}"
+    s"""${p}tot$r AS (SELECT l.label AS c, CAST(sum(d.deg) AS BIGINT) AS tot
+              FROM $labIn l JOIN ${p}deg d USING (node) GROUP BY 1),
+      ${p}kic$r AS (SELECT a.u AS node, l.label AS c, CAST(sum(a.w) AS BIGINT) AS k_ic
+              FROM ${p}adj a JOIN $labIn l ON a.v = l.node WHERE a.u <> a.v GROUP BY 1, 2),
+      ${p}base$r AS (SELECT k.node, k.c, k.k_ic, cur.label AS cur
+               FROM ${p}kic$r k JOIN $labIn cur USING (node)),
+      ${p}own$r AS (SELECT node, k_ic AS k_icur FROM ${p}base$r WHERE c = cur),
+      ${p}g$r AS (
         SELECT b.node, b.cur, b.c,
                t.twom * (b.k_ic - coalesce(o.k_icur, 0))
                  - d.deg * (tc.tot - tu.tot + d.deg) AS gain_scaled
-        FROM cbase$r b LEFT JOIN cown$r o USING (node)
-        JOIN cdeg d USING (node)
-        JOIN ctot$r tc ON tc.c = b.c
-        JOIN ctot$r tu ON tu.c = b.cur
+        FROM ${p}base$r b LEFT JOIN ${p}own$r o USING (node)
+        JOIN ${p}deg d USING (node)
+        JOIN ${p}tot$r tc ON tc.c = b.c
+        JOIN ${p}tot$r tu ON tu.c = b.cur
         CROSS JOIN twom t
         WHERE b.c <> b.cur),
-      cmoves$r AS MATERIALIZED (
+      ${p}moves$r AS MATERIALIZED (
         SELECT node, c AS to_c
         FROM (SELECT *, row_number() OVER (PARTITION BY node
-                ORDER BY gain_scaled DESC, c) AS rn FROM cg$r)
+                ORDER BY gain_scaled DESC, c) AS rn FROM ${p}g$r)
         WHERE rn = 1 AND gain_scaled > 0),
-      cl$r AS MATERIALIZED (
+      ${p}l$r AS MATERIALIZED (
         SELECT l.node, coalesce(m.to_c, l.label) AS label
-        FROM $labIn l LEFT JOIN cmoves$r m USING (node)),
-      cq$r AS (
+        FROM $labIn l LEFT JOIN ${p}moves$r m USING (node)),
+      ${p}q$r AS (
         SELECT CAST(sum(deg_sum) * sum(in_w) - sum(deg_sum * deg_sum) AS BIGINT) AS q
         FROM (SELECT lu.label AS community, CAST(sum(a.w) AS BIGINT) AS deg_sum,
                      CAST(coalesce(sum(a.w) FILTER (WHERE lu.label = lv.label), 0) AS BIGINT) AS in_w
-              FROM cadj a JOIN cl$r lu ON a.u = lu.node JOIN cl$r lv ON a.v = lv.node
+              FROM ${p}adj a JOIN ${p}l$r lu ON a.u = lu.node JOIN ${p}l$r lv ON a.v = lv.node
               GROUP BY 1))"""
   }
+
+  /** One dendrogram level's contraction + seed + sweep-0 census CTEs:
+    * contract `srcAdj` by `srcLab` (inter-community weights aggregated,
+    * internal mass as self-loops), identity seed, exact Q of the seed
+    * partition (= the source level's terminal Q — contraction
+    * preserves Q). */
+  private def louvainContractionCtes(p: String, srcAdj: String, srcLab: String): String =
+    s"""${p}adj AS MATERIALIZED (
+        SELECT lu.label AS u, lv.label AS v, CAST(sum(a.w) AS BIGINT) AS w
+        FROM $srcAdj a JOIN $srcLab lu ON a.u = lu.node JOIN $srcLab lv ON a.v = lv.node
+        GROUP BY 1, 2),
+      ${p}deg AS MATERIALIZED (
+        SELECT u AS node, CAST(sum(w) AS BIGINT) AS deg FROM ${p}adj GROUP BY 1),
+      ${p}l0 AS (SELECT node, node AS label FROM ${p}deg),
+      ${p}q0 AS (
+        SELECT CAST(sum(deg_sum) * sum(in_w) - sum(deg_sum * deg_sum) AS BIGINT) AS q
+        FROM (SELECT lu.label AS community, CAST(sum(a.w) AS BIGINT) AS deg_sum,
+                     CAST(coalesce(sum(a.w) FILTER (WHERE lu.label = lv.label), 0) AS BIGINT) AS in_w
+              FROM ${p}adj a JOIN ${p}l0 lu ON a.u = lu.node JOIN ${p}l0 lv ON a.v = lv.node
+              GROUP BY 1))"""
 
   /** The shared ANN-evaluation CTE chain (llm_sim_recall /
     * llm_sim_recall_at_k): one norms pass, the brute-force truth and
@@ -5310,6 +5337,72 @@ object OracleSql {
       inc AS (
         SELECT level, sweep, n_moved, q_num FROM filt
         WHERE sweep = 0 OR prev_min IS NULL OR prev_min > 0)
+      SELECT CAST(level AS BIGINT) AS level, CAST(sweep AS BIGINT) AS sweep, n_moved,
+             (SELECT twom FROM twom) AS twom, q_num,
+             coalesce(bool_or(sweep > 0 AND n_moved = 0)
+               OVER (PARTITION BY level), FALSE) AS converged
+      FROM inc ORDER BY level, sweep""",
+
+    // full dendrogram: the two-level unroll continued — levels 3 and 4
+    // are the SAME weighted-sweep chain on each further contraction
+    // (prefixes d3/d4), computed unconditionally (contracted graphs are
+    // community-sized) and then filtered by the ENGINE's stopping rule
+    // applied relationally: a level's rows are included only if every
+    // earlier contracted level moved at least once (zero moves = zero
+    // Q gain exactly — the integer stopping rule), and within a level
+    // the running prev_min rule keeps sweeps up to the first zero-move
+    // one. Post-fixpoint sweep CTEs are provably no-ops (the labeling
+    // is stationary), so the unconditional unroll costs nothing wrong.
+    "graph_louvain_dendrogram" -> s"""
+      WITH $louvainCtes,
+      q0 AS (
+        SELECT CAST(sum(deg_sum) * sum(in_edges) - sum(deg_sum * deg_sum) AS BIGINT) AS q
+        FROM (SELECT lu.label AS community, CAST(count(*) AS BIGINT) AS deg_sum,
+                     CAST(count(*) FILTER (WHERE lu.label = lv.label) AS BIGINT) AS in_edges
+              FROM adj a JOIN l3 lu ON a.u = lu.node JOIN l3 lv ON a.v = lv.node
+              GROUP BY 1)),
+      ${(1 to 4).map(louvainSweep).mkString(",\n      ")},
+      adjw AS (SELECT u, v, CAST(1 AS BIGINT) AS w FROM adj),
+      ${louvainContractionCtes("c", "adjw", "lab4")},
+      ${(1 to 4).map(r => louvainWeightedSweepP("c", r)).mkString(",\n      ")},
+      ${louvainContractionCtes("d3", "cadj", "cl4")},
+      ${(1 to 4).map(r => louvainWeightedSweepP("d3", r)).mkString(",\n      ")},
+      ${louvainContractionCtes("d4", "d3adj", "d3l4")},
+      ${(1 to 4).map(r => louvainWeightedSweepP("d4", r)).mkString(",\n      ")},
+      sweeps AS (
+        SELECT 1 AS level, 0 AS sweep, CAST(0 AS BIGINT) AS n_moved, (SELECT q FROM q0) AS q_num
+        UNION ALL SELECT 1, 1, (SELECT CAST(count(*) AS BIGINT) FROM moves1), (SELECT q FROM q1)
+        UNION ALL SELECT 1, 2, (SELECT CAST(count(*) AS BIGINT) FROM moves2), (SELECT q FROM q2)
+        UNION ALL SELECT 1, 3, (SELECT CAST(count(*) AS BIGINT) FROM moves3), (SELECT q FROM q3)
+        UNION ALL SELECT 1, 4, (SELECT CAST(count(*) AS BIGINT) FROM moves4), (SELECT q FROM q4)
+        UNION ALL SELECT 2, 0, CAST(0 AS BIGINT), (SELECT q FROM cq0)
+        UNION ALL SELECT 2, 1, (SELECT CAST(count(*) AS BIGINT) FROM cmoves1), (SELECT q FROM cq1)
+        UNION ALL SELECT 2, 2, (SELECT CAST(count(*) AS BIGINT) FROM cmoves2), (SELECT q FROM cq2)
+        UNION ALL SELECT 2, 3, (SELECT CAST(count(*) AS BIGINT) FROM cmoves3), (SELECT q FROM cq3)
+        UNION ALL SELECT 2, 4, (SELECT CAST(count(*) AS BIGINT) FROM cmoves4), (SELECT q FROM cq4)
+        UNION ALL SELECT 3, 0, CAST(0 AS BIGINT), (SELECT q FROM d3q0)
+        UNION ALL SELECT 3, 1, (SELECT CAST(count(*) AS BIGINT) FROM d3moves1), (SELECT q FROM d3q1)
+        UNION ALL SELECT 3, 2, (SELECT CAST(count(*) AS BIGINT) FROM d3moves2), (SELECT q FROM d3q2)
+        UNION ALL SELECT 3, 3, (SELECT CAST(count(*) AS BIGINT) FROM d3moves3), (SELECT q FROM d3q3)
+        UNION ALL SELECT 3, 4, (SELECT CAST(count(*) AS BIGINT) FROM d3moves4), (SELECT q FROM d3q4)
+        UNION ALL SELECT 4, 0, CAST(0 AS BIGINT), (SELECT q FROM d4q0)
+        UNION ALL SELECT 4, 1, (SELECT CAST(count(*) AS BIGINT) FROM d4moves1), (SELECT q FROM d4q1)
+        UNION ALL SELECT 4, 2, (SELECT CAST(count(*) AS BIGINT) FROM d4moves2), (SELECT q FROM d4q2)
+        UNION ALL SELECT 4, 3, (SELECT CAST(count(*) AS BIGINT) FROM d4moves3), (SELECT q FROM d4q3)
+        UNION ALL SELECT 4, 4, (SELECT CAST(count(*) AS BIGINT) FROM d4moves4), (SELECT q FROM d4q4)),
+      lvlmoves AS (
+        SELECT level, CAST(sum(n_moved) AS BIGINT) AS mv FROM sweeps GROUP BY 1),
+      filt AS (
+        SELECT *, min(CASE WHEN sweep = 0 THEN NULL ELSE n_moved END)
+          OVER (PARTITION BY level ORDER BY sweep
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_min
+        FROM sweeps),
+      inc AS (
+        SELECT level, sweep, n_moved, q_num FROM filt
+        WHERE (sweep = 0 OR prev_min IS NULL OR prev_min > 0)
+          AND NOT EXISTS (
+            SELECT 1 FROM lvlmoves m
+            WHERE m.level > 1 AND m.level < filt.level AND m.mv = 0))
       SELECT CAST(level AS BIGINT) AS level, CAST(sweep AS BIGINT) AS sweep, n_moved,
              (SELECT twom FROM twom) AS twom, q_num,
              coalesce(bool_or(sweep > 0 AND n_moved = 0)

@@ -104,6 +104,26 @@ object GraphQueries {
     memo.clear()
   }
 
+  /** localCheckpoint(eager) + GraftCaches registration + STATS-RESET
+    * view (round-15 scale find): `localCheckpoint` truncates the plan
+    * but COPIES the source plan's computed statistics onto the
+    * LogicalRDD, so a loop whose round joins its checkpointed
+    * predecessor j times compounds the sizeInBytes BigInt VALUE round
+    * over round (~ s^(j^r)). The Louvain sweep references its labeling
+    * in ~5 join branches per sweep; by dendrogram level 3 the stat
+    * carried 140 MILLION bits and the stats visitor's BigInt
+    * multiplications dominated the driver (measured: 92 s to PLAN one
+    * sweep of a 26-super-node graph at sf0.001 — pure planning, zero
+    * data). The fresh view restarts every round from default leaf
+    * stats; the checkpointed frame itself stays registered for
+    * release. Same fix the 32-round BPE loop shipped
+    * (`Bridge.freshStatsView`); the sweeps here are bounded (4/level,
+    * 4 levels) so the old form merely CRAWLED instead of hanging —
+    * but quadratically worse with every level the dendrogram adds. */
+  private def ckptFresh(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graftbridge.Bridge.freshStatsView(
+      graft.operators.GraftCaches.register(df.localCheckpoint(true)))
+
   /** Shared symmetric adjacency (both edge directions), cached.
     * `private[graft]` so `CoreSessionIsolationSpec` can hand the real
     * family cache to `hIndexEstimates` directly. */
@@ -808,16 +828,14 @@ object GraphQueries {
       var zeroMoves = false
       while (!zeroMoves && sweep < maxSweeps) {
         sweep += 1
-        val moves = graft.operators.GraftCaches.register(
-          louvainMovesFor(s, dir, lab).select(col("node"), col("c").as("to_c"))
-            .localCheckpoint(true))
+        val moves = ckptFresh(
+          louvainMovesFor(s, dir, lab).select(col("node"), col("c").as("to_c")))
         val n = moves.count()
         if (n == 0L) { zeroMoves = true; steps += ((sweep, 0L, lab)) }
         else {
-          lab = graft.operators.GraftCaches.register(
+          lab = ckptFresh(
             lab.join(moves, Seq("node"), "left")
-              .select(col("node"), coalesce(col("to_c"), col("label")).as("label"))
-              .localCheckpoint(true))
+              .select(col("node"), coalesce(col("to_c"), col("label")).as("label")))
           steps += ((sweep, n, lab))
         }
       }
@@ -954,29 +972,29 @@ object GraphQueries {
         (col("twom") * col("in_tot") - col("sq")).as("q_num"))
 
   private def louvainLevelTrace(adjW: DataFrame, degN: DataFrame, lab0: DataFrame,
-      level: Int, maxSweeps: Int): (Seq[DataFrame], DataFrame, Boolean) = {
+      level: Int, maxSweeps: Int): (Seq[DataFrame], DataFrame, Boolean, Long) = {
     def qRow(labels: DataFrame, sweep: Int, nMoved: Long): DataFrame =
       weightedQRow(adjW, labels, level, sweep, nMoved)
     var lab = lab0
     val trace = scala.collection.mutable.ArrayBuffer[DataFrame](qRow(lab, 0, 0L))
     var sweep = 0
     var zeroMoves = false
+    var totalMoves = 0L
     while (!zeroMoves && sweep < maxSweeps) {
       sweep += 1
-      val moves = graft.operators.GraftCaches.register(
-        louvainMovesWeightedOn(adjW, lab, degN).select(col("node"), col("c").as("to_c"))
-          .localCheckpoint(true))
+      val moves = ckptFresh(
+        louvainMovesWeightedOn(adjW, lab, degN).select(col("node"), col("c").as("to_c")))
       val n = moves.count()
+      totalMoves += n
       if (n == 0L) { zeroMoves = true; trace += qRow(lab, sweep, 0L) }
       else {
-        lab = graft.operators.GraftCaches.register(
+        lab = ckptFresh(
           lab.join(moves, Seq("node"), "left")
-            .select(col("node"), coalesce(col("to_c"), col("label")).as("label"))
-            .localCheckpoint(true))
+            .select(col("node"), coalesce(col("to_c"), col("label")).as("label")))
         trace += qRow(lab, sweep, n)
       }
     }
-    (trace.toSeq, lab, zeroMoves)
+    (trace.toSeq, lab, zeroMoves, totalMoves)
   }
 
   /** TWO-LEVEL LOUVAIN — real Louvain's recursion step on top of the
@@ -1011,19 +1029,72 @@ object GraphQueries {
     val (steps, conv1) = louvainL1(s, dir)
     val t1 = steps.map { case (sw, n, lab) => weightedQRow(adj1, lab, 1, sw, n) }
     val lab1 = steps.last._3
-    val cadj = graft.operators.GraftCaches.register(
+    val cadj = ckptFresh(
       adj1.join(lab1.select(col("node").as("u"), col("label").as("cu")), "u")
         .join(lab1.select(col("node").as("v"), col("label").as("cv")), "v")
         .groupBy(col("cu").as("u"), col("cv").as("v"))
-        .agg(sum("w").as("w"))
-        .localCheckpoint(true))
+        .agg(sum("w").as("w")))
     val cdeg = cadj.groupBy(col("u").as("node")).agg(sum("w").as("deg"))
     val cl0 = cdeg.select(col("node"), col("node").as("label"))
-    val (t2, _, conv2) = louvainLevelTrace(cadj, cdeg, cl0, 2, 4)
+    val (t2, _, conv2, _) = louvainLevelTrace(cadj, cdeg, cl0, 2, 4)
     (t1.map(_.withColumn("converged", lit(conv1))) ++
       t2.map(_.withColumn("converged", lit(conv2))))
       .reduce(_ union _)
       .orderBy("level", "sweep")
+  }
+
+  /** FULL LOUVAIN DENDROGRAM — the recursion `graph_louvain_two_level`
+    * stops after one step, run to ITS OWN stopping rule (the round-14
+    * verdict's depth item): contract the terminal partition, sweep the
+    * contracted graph to fixpoint, and RECURSE — until a level's
+    * sweeps move nothing or the depth cap (4 levels) lands. "A level
+    * that moves nothing" IS the "Q gain < 1 micro-unit" rule in exact
+    * integers: within a level every applied sweep strictly raises the
+    * BIGINT numerator Q·(2m)² and contraction preserves it, so zero
+    * moves ⟺ zero gain — no float epsilon, and the stopping decision
+    * rides the move counts the sweep loop ALREADY collects (no extra
+    * driver actions). Output: one row per executed sweep per level
+    * (level, sweep, n_moved, 2m, Q·(2m)², per-level converged) — the
+    * dendrogram trace, with each level's sweep-0 row equal to the
+    * previous level's terminal row exactly. The terminal level is
+    * emitted with its zero-move sweep, documenting the bottom.
+    *
+    * Scale: each recursion step is ONE community-keyed contraction
+    * aggregation over the previous level's adjacency — and Louvain's
+    * whole scaling story is that each level SHRINKS the graph by the
+    * community count, so level k ≥ 2 runs on frames orders of
+    * magnitude below the corpus (level 1 reuses the family-shared
+    * memoized sweep loop; the contraction shuffle shape is probed at
+    * 26.6M edges by `ProbeGraphScale`). Driver actions stay ≤ 4 counts
+    * per level, depth-capped. */
+  def graphLouvainDendrogram(s: SparkSession, dir: String): DataFrame = {
+    val maxLevels = 4
+    val adj1 = symAdj(s, dir).withColumn("w", lit(1L))
+    val (steps, conv1) = louvainL1(s, dir)
+    var trace: Seq[DataFrame] =
+      steps.map { case (sw, n, lab) =>
+        weightedQRow(adj1, lab, 1, sw, n).withColumn("converged", lit(conv1))
+      }
+    var curAdj = adj1
+    var curLab = steps.last._3
+    var level = 1
+    var movedLastLevel = true
+    while (movedLastLevel && level < maxLevels) {
+      level += 1
+      val cadj = ckptFresh(
+        curAdj.join(curLab.select(col("node").as("u"), col("label").as("cu")), "u")
+          .join(curLab.select(col("node").as("v"), col("label").as("cv")), "v")
+          .groupBy(col("cu").as("u"), col("cv").as("v"))
+          .agg(sum("w").as("w")))
+      val cdeg = cadj.groupBy(col("u").as("node")).agg(sum("w").as("deg"))
+      val cl0 = cdeg.select(col("node"), col("node").as("label"))
+      val (t, lab, conv, moves) = louvainLevelTrace(cadj, cdeg, cl0, level, 4)
+      trace = trace ++ t.map(_.withColumn("converged", lit(conv)))
+      curAdj = cadj
+      curLab = lab
+      movedLastLevel = moves > 0L
+    }
+    trace.reduce(_ union _).orderBy("level", "sweep")
   }
 
   /** Degree-mixing co-moments — the assortativity readout as EXACT

@@ -49,6 +49,35 @@ class Round15OpsSpec extends GraftSpec {
     tiny.foreach { case (v, _) => assert(outDeg(v) == 2) } // sz=3 → d∈{1,2}
   }
 
+  test("graph_louvain_dendrogram: cross-level Q invariants, stopping rule and per-level converged flags") {
+    val rows = graft.queries.GraphQueries.graphLouvainDendrogram(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    assert(rows.nonEmpty)
+    val byLevel = rows.groupBy(_._1).toSeq.sortBy(_._1)
+    val levels = byLevel.map(_._1)
+    // levels are contiguous from 1, capped at 4
+    assert(levels == (1L to levels.max).toSeq && levels.max <= 4L)
+    // one 2m for the whole dendrogram: contraction preserves total mass
+    assert(rows.map(_._4).distinct.length == 1)
+    byLevel.foreach { case (lvl, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.head._2 == 0L && sorted.head._3 == 0L, s"level $lvl must open with sweep 0")
+      // converged flag = the level's trace ends with a zero-move sweep
+      val conv = sorted.last._2 > 0 && sorted.last._3 == 0L
+      assert(rs.forall(_._6 == conv), s"level $lvl converged flag mismatch")
+      // each level's sweep-0 Q equals the previous level's terminal Q EXACTLY
+      if (lvl > 1) {
+        val prevTerminal = byLevel(lvl.toInt - 2)._2.maxBy(_._2)._5
+        assert(sorted.head._5 == prevTerminal,
+          s"level $lvl sweep-0 q ${sorted.head._5} != level ${lvl - 1} terminal $prevTerminal — contraction must preserve Q")
+      }
+    }
+    // the stopping rule: a contracted level that moved nothing is terminal
+    byLevel.filter(_._1 >= 2L).dropRight(1).foreach { case (lvl, rs) =>
+      assert(rs.map(_._3).sum > 0L, s"level $lvl moved nothing but a deeper level ran")
+    }
+  }
+
   test("ringPairs: the ranking window partitions by (bucket, band), never the bucket alone — the bounded-partition property") {
     import SparkSpecBase.spark.implicits._
     val m = (0 until 100).map(i => (i * 977L, i % 2L)).toSeq.toDF("vec_id", "bkt")
