@@ -490,6 +490,8 @@ object SparkEntry {
     // PQ quantizer loss: ADC top-5 vs brute-force cosine truth
     "llm_sim_pq_recall" -> LlmExtra.llmSimPqRecall _,
     "llm_sim_hnsw_topk" -> LlmExtra.llmSimHnswTopk _,
+    // HNSW budget sweep: (B,R) recall/visited curve over one build
+    "llm_sim_hnsw_tune" -> LlmExtra.llmSimHnswTune _,
     "llm_dup_graph_degree" -> LlmExtra.llmDupGraphDegree _,
     "llm_dataset_card" -> LlmExtra.llmDatasetCard _,
     // T5 span-corruption plan: seeded spans, merged islands, pack len

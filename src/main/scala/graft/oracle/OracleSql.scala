@@ -398,6 +398,162 @@ object OracleSql {
               FROM ${p}adj a JOIN ${p}l0 lu ON a.u = lu.node JOIN ${p}l0 lv ON a.v = lv.node
               GROUP BY 1))"""
 
+  /** The navigable-graph BUILD CTE chain shared by `llm_sim_hnsw_topk`
+    * and the round-15 `llm_sim_hnsw_tune` sweep: LSH-ring ∪ cell-ring
+    * candidate pairs → per-node top-M by rounded cosine → symmetrized
+    * (`gsym`), plus the probe set `p` and the brute-force `truth` at
+    * depth 10. Mirrors the engine's `LlmExtra.hnswGraph` exactly
+    * (single-window ring ranks here — the oracle corpus is graded-SF
+    * sized; the engine's banded rank is position-identical). */
+  private def hnswGraphCtes: String = """uvals AS (
+        SELECT i,
+               ((CAST(('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 16)) AS UBIGINT) >> 11)::DOUBLE
+                / 9007199254740992.0) * 2.0 - 1.0 AS u
+        FROM range(16384) t(i)),
+      comp AS (
+        SELECT c.pi, c.d, u0.u + u1.u + u2.u + u3.u AS v
+        FROM (SELECT pi, d, (pi * 64 + d) * 4 AS o
+              FROM range(64) p(pi), range(64) dd(d)) c
+        JOIN uvals u0 ON u0.i = c.o
+        JOIN uvals u1 ON u1.i = c.o + 1
+        JOIN uvals u2 ON u2.i = c.o + 2
+        JOIN uvals u3 ON u3.i = c.o + 3),
+      plane AS (SELECT pi, list(v ORDER BY d) AS p FROM comp GROUP BY pi),
+      n AS MATERIALIZED (
+        SELECT vec_id, embedding,
+               sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                     FROM unnest(embedding) AS u(x))) AS nrm
+        FROM embeddings),
+      vb AS (
+        SELECT e.vec_id, pl.pi // 8 AS tb, pl.pi % 8 AS bit,
+               CASE WHEN (SELECT sum(a * b) FROM (
+                            SELECT unnest(pl.p) AS a,
+                                   CAST(unnest(e.embedding) AS DOUBLE) AS b)) >= 0
+                    THEN 1 ELSE 0 END AS s
+        FROM n e CROSS JOIN plane pl),
+      bkts AS (
+        SELECT vec_id, tb, tb * 65536 + CAST(sum(s * (1 << CAST(bit AS INT))) AS BIGINT) AS bkt
+        FROM vb GROUP BY vec_id, tb),
+      bkpos AS (
+        SELECT vec_id, bkt,
+               row_number() OVER (PARTITION BY bkt ORDER BY vec_id) AS pos,
+               count(*) OVER (PARTITION BY bkt) AS sz
+        FROM bkts),
+      lshp AS (
+        SELECT a.vec_id AS u, b.vec_id AS nb
+        FROM (SELECT vec_id, bkt, pos, sz, unnest(range(1, 9)) AS d FROM bkpos) a
+        JOIN bkpos b
+          ON a.bkt = b.bkt AND a.d < a.sz
+         AND b.pos = ((a.pos - 1 + a.d) % a.sz) + 1),
+      cents AS (SELECT vec_id AS cell, embedding AS cv FROM n WHERE vec_id < 16),
+      cscored AS MATERIALIZED (
+        SELECT e.vec_id, c.cell,
+               (SELECT sum(a * b) FROM (
+                  SELECT CAST(unnest(e.embedding) AS DOUBLE) AS a,
+                         CAST(unnest(c.cv) AS DOUBLE) AS b)) AS d
+        FROM n e CROSS JOIN cents c),
+      member AS (
+        SELECT vec_id, cell FROM (
+          SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS rr
+          FROM cscored) WHERE rr <= 2),
+      cpos AS (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS pos,
+               count(*) OVER (PARTITION BY cell) AS sz
+        FROM member),
+      cellp AS (
+        SELECT a.vec_id AS u, b.vec_id AS nb
+        FROM (SELECT vec_id, cell, pos, sz, unnest(range(1, 33)) AS d FROM cpos) a
+        JOIN cpos b
+          ON a.cell = b.cell AND a.d < a.sz
+         AND b.pos = ((a.pos - 1 + a.d) % a.sz) + 1),
+      upairs AS MATERIALIZED (
+        SELECT DISTINCT u, nb FROM (
+          SELECT u, nb FROM lshp UNION ALL SELECT u, nb FROM cellp
+          UNION ALL SELECT nb AS u, u AS nb FROM lshp
+          UNION ALL SELECT nb AS u, u AS nb FROM cellp)),
+      ep AS (
+        SELECT pr.u, pr.nb,
+               round((SELECT sum(a * b) FROM (
+                        SELECT CAST(unnest(un.embedding) AS DOUBLE) AS a,
+                               CAST(unnest(nn.embedding) AS DOUBLE) AS b))
+                     / (un.nrm * nn.nrm), 4) AS ecos
+        FROM upairs pr JOIN n un ON un.vec_id = pr.u
+                       JOIN n nn ON nn.vec_id = pr.nb),
+      gtop AS (
+        SELECT u, nb FROM (
+          SELECT u, nb, row_number() OVER (PARTITION BY u ORDER BY ecos DESC, nb) AS rr
+          FROM ep) WHERE rr <= 10),
+      gsym AS MATERIALIZED (
+        SELECT u, nb FROM gtop UNION SELECT nb AS u, u AS nb FROM gtop),
+      p AS (SELECT vec_id AS pid, embedding AS pe, nrm AS pnorm FROM n WHERE vec_id < 10),
+      bf AS (
+        SELECT p.pid, c.vec_id AS nid,
+               round((SELECT sum(a * b) FROM (
+                        SELECT CAST(unnest(p.pe) AS DOUBLE) AS a,
+                               CAST(unnest(c.embedding) AS DOUBLE) AS b))
+                     / (p.pnorm * c.nrm), 4) AS cos
+        FROM p CROSS JOIN n c WHERE c.vec_id <> p.pid),
+      truth AS (
+        SELECT pid, nid, rnk FROM (
+          SELECT pid, nid, row_number() OVER (PARTITION BY pid ORDER BY cos DESC, nid) AS rnk
+          FROM bf) WHERE rnk <= 10)"""
+
+  /** One beam search unrolled over the shared graph: self-entry scored
+    * (`{pfx}vis0`), then r hops of beam-`b` expand / NOT-EXISTS-dedup /
+    * score / accumulate — the engine's loop, hop per CTE block. Ends at
+    * `{pfx}vis{r}` plus the ranked `{pfx}appr`. */
+  private def hnswSearchCtes(pfx: String, b: Int, r: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""${pfx}vis0 AS MATERIALIZED (
+        SELECT g.u AS pid, g.nb AS nid,
+               round((SELECT sum(a * b) FROM (
+                        SELECT CAST(unnest(p.pe) AS DOUBLE) AS a,
+                               CAST(unnest(nn.embedding) AS DOUBLE) AS b))
+                     / (p.pnorm * nn.nrm), 4) AS cos
+        FROM gsym g JOIN p ON p.pid = g.u JOIN n nn ON nn.vec_id = g.nb)"""
+    for (i <- 1 to r) {
+      sb ++= s""",
+      ${pfx}f${i - 1} AS (
+        SELECT pid, nid FROM (
+          SELECT pid, nid, row_number() OVER (PARTITION BY pid ORDER BY cos DESC, nid) AS rr
+          FROM ${pfx}vis${i - 1}) WHERE rr <= $b),
+      ${pfx}ex$i AS (
+        SELECT DISTINCT f.pid, g.nb AS nid
+        FROM ${pfx}f${i - 1} f JOIN gsym g ON g.u = f.nid
+        WHERE g.nb <> f.pid
+          AND NOT EXISTS (SELECT 1 FROM ${pfx}vis${i - 1} v WHERE v.pid = f.pid AND v.nid = g.nb)),
+      ${pfx}sc$i AS (
+        SELECT e.pid, e.nid,
+               round((SELECT sum(a * b) FROM (
+                        SELECT CAST(unnest(p.pe) AS DOUBLE) AS a,
+                               CAST(unnest(nn.embedding) AS DOUBLE) AS b))
+                     / (p.pnorm * nn.nrm), 4) AS cos
+        FROM ${pfx}ex$i e JOIN p ON p.pid = e.pid JOIN n nn ON nn.vec_id = e.nid),
+      ${pfx}vis$i AS MATERIALIZED (
+        SELECT pid, nid, cos FROM ${pfx}vis${i - 1} UNION ALL SELECT pid, nid, cos FROM ${pfx}sc$i)"""
+    }
+    sb ++= s""",
+      ${pfx}appr AS (
+        SELECT pid, nid,
+               row_number() OVER (PARTITION BY pid ORDER BY cos DESC, nid) AS ra
+        FROM ${pfx}vis$r)"""
+    sb.toString
+  }
+
+  /** One tune-sweep config row: exact aggregate hits over the truth
+    * join plus the visited budget, ratios over sums. */
+  private def hnswTuneRow(pfx: String, b: Int, r: Int): String = s"""
+        SELECT CAST($b AS BIGINT) AS beam_b, CAST($r AS BIGINT) AS hops_r,
+               (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_probes,
+               (SELECT CAST(count(*) AS BIGINT) FROM ${pfx}vis$r) AS n_visited,
+               CAST(count(*) FILTER (WHERE t.rnk <= 5 AND a.ra <= 5) AS BIGINT) AS n_hit_5,
+               CAST(count(*) FILTER (WHERE a.ra <= 10) AS BIGINT) AS n_hit_10,
+               ${N.ratio("count(*) FILTER (WHERE t.rnk <= 5 AND a.ra <= 5)",
+                         "count(*) FILTER (WHERE t.rnk <= 5)", 4)} AS recall_at_5,
+               ${N.ratio("count(*) FILTER (WHERE a.ra <= 10)", "count(*)", 4)} AS recall_at_10
+        FROM truth t LEFT JOIN ${pfx}appr a ON a.pid = t.pid AND a.nid = t.nid"""
+
   /** The shared ANN-evaluation CTE chain (llm_sim_recall /
     * llm_sim_recall_at_k): one norms pass, the brute-force truth and
     * the IVF candidate search both ranked to `depth` with rnk kept, so
@@ -2721,146 +2877,8 @@ object OracleSql {
     // left_anti dedup); graded against the same brute-force truth as
     // the recall siblings
     "llm_sim_hnsw_topk" -> s"""
-      WITH uvals AS (
-        SELECT i,
-               ((CAST(('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 16)) AS UBIGINT) >> 11)::DOUBLE
-                / 9007199254740992.0) * 2.0 - 1.0 AS u
-        FROM range(16384) t(i)),
-      comp AS (
-        SELECT c.pi, c.d, u0.u + u1.u + u2.u + u3.u AS v
-        FROM (SELECT pi, d, (pi * 64 + d) * 4 AS o
-              FROM range(64) p(pi), range(64) dd(d)) c
-        JOIN uvals u0 ON u0.i = c.o
-        JOIN uvals u1 ON u1.i = c.o + 1
-        JOIN uvals u2 ON u2.i = c.o + 2
-        JOIN uvals u3 ON u3.i = c.o + 3),
-      plane AS (SELECT pi, list(v ORDER BY d) AS p FROM comp GROUP BY pi),
-      n AS MATERIALIZED (
-        SELECT vec_id, embedding,
-               sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
-                     FROM unnest(embedding) AS u(x))) AS nrm
-        FROM embeddings),
-      vb AS (
-        SELECT e.vec_id, pl.pi // 8 AS tb, pl.pi % 8 AS bit,
-               CASE WHEN (SELECT sum(a * b) FROM (
-                            SELECT unnest(pl.p) AS a,
-                                   CAST(unnest(e.embedding) AS DOUBLE) AS b)) >= 0
-                    THEN 1 ELSE 0 END AS s
-        FROM n e CROSS JOIN plane pl),
-      bkts AS (
-        SELECT vec_id, tb, tb * 65536 + CAST(sum(s * (1 << CAST(bit AS INT))) AS BIGINT) AS bkt
-        FROM vb GROUP BY vec_id, tb),
-      bkpos AS (
-        SELECT vec_id, bkt,
-               row_number() OVER (PARTITION BY bkt ORDER BY vec_id) AS pos,
-               count(*) OVER (PARTITION BY bkt) AS sz
-        FROM bkts),
-      lshp AS (
-        SELECT a.vec_id AS u, b.vec_id AS nb
-        FROM (SELECT vec_id, bkt, pos, sz, unnest(range(1, 9)) AS d FROM bkpos) a
-        JOIN bkpos b
-          ON a.bkt = b.bkt AND a.d < a.sz
-         AND b.pos = ((a.pos - 1 + a.d) % a.sz) + 1),
-      cents AS (SELECT vec_id AS cell, embedding AS cv FROM n WHERE vec_id < 16),
-      cscored AS MATERIALIZED (
-        SELECT e.vec_id, c.cell,
-               (SELECT sum(a * b) FROM (
-                  SELECT CAST(unnest(e.embedding) AS DOUBLE) AS a,
-                         CAST(unnest(c.cv) AS DOUBLE) AS b)) AS d
-        FROM n e CROSS JOIN cents c),
-      member AS (
-        SELECT vec_id, cell FROM (
-          SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS rr
-          FROM cscored) WHERE rr <= 2),
-      cpos AS (
-        SELECT vec_id, cell,
-               row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS pos,
-               count(*) OVER (PARTITION BY cell) AS sz
-        FROM member),
-      cellp AS (
-        SELECT a.vec_id AS u, b.vec_id AS nb
-        FROM (SELECT vec_id, cell, pos, sz, unnest(range(1, 33)) AS d FROM cpos) a
-        JOIN cpos b
-          ON a.cell = b.cell AND a.d < a.sz
-         AND b.pos = ((a.pos - 1 + a.d) % a.sz) + 1),
-      upairs AS MATERIALIZED (
-        SELECT DISTINCT u, nb FROM (
-          SELECT u, nb FROM lshp UNION ALL SELECT u, nb FROM cellp
-          UNION ALL SELECT nb AS u, u AS nb FROM lshp
-          UNION ALL SELECT nb AS u, u AS nb FROM cellp)),
-      ep AS (
-        SELECT pr.u, pr.nb,
-               round((SELECT sum(a * b) FROM (
-                        SELECT CAST(unnest(un.embedding) AS DOUBLE) AS a,
-                               CAST(unnest(nn.embedding) AS DOUBLE) AS b))
-                     / (un.nrm * nn.nrm), 4) AS ecos
-        FROM upairs pr JOIN n un ON un.vec_id = pr.u
-                       JOIN n nn ON nn.vec_id = pr.nb),
-      gtop AS (
-        SELECT u, nb FROM (
-          SELECT u, nb, row_number() OVER (PARTITION BY u ORDER BY ecos DESC, nb) AS rr
-          FROM ep) WHERE rr <= 10),
-      gsym AS MATERIALIZED (
-        SELECT u, nb FROM gtop UNION SELECT nb AS u, u AS nb FROM gtop),
-      p AS (SELECT vec_id AS pid, embedding AS pe, nrm AS pnorm FROM n WHERE vec_id < 10),
-      vis0 AS MATERIALIZED (
-        SELECT g.u AS pid, g.nb AS nid,
-               round((SELECT sum(a * b) FROM (
-                        SELECT CAST(unnest(p.pe) AS DOUBLE) AS a,
-                               CAST(unnest(nn.embedding) AS DOUBLE) AS b))
-                     / (p.pnorm * nn.nrm), 4) AS cos
-        FROM gsym g JOIN p ON p.pid = g.u JOIN n nn ON nn.vec_id = g.nb),
-      f0 AS (
-        SELECT pid, nid FROM (
-          SELECT pid, nid, row_number() OVER (PARTITION BY pid ORDER BY cos DESC, nid) AS rr
-          FROM vis0) WHERE rr <= 4),
-      ex1 AS (
-        SELECT DISTINCT f.pid, g.nb AS nid
-        FROM f0 f JOIN gsym g ON g.u = f.nid
-        WHERE g.nb <> f.pid
-          AND NOT EXISTS (SELECT 1 FROM vis0 v WHERE v.pid = f.pid AND v.nid = g.nb)),
-      sc1 AS (
-        SELECT e.pid, e.nid,
-               round((SELECT sum(a * b) FROM (
-                        SELECT CAST(unnest(p.pe) AS DOUBLE) AS a,
-                               CAST(unnest(nn.embedding) AS DOUBLE) AS b))
-                     / (p.pnorm * nn.nrm), 4) AS cos
-        FROM ex1 e JOIN p ON p.pid = e.pid JOIN n nn ON nn.vec_id = e.nid),
-      vis1 AS MATERIALIZED (
-        SELECT pid, nid, cos FROM vis0 UNION ALL SELECT pid, nid, cos FROM sc1),
-      f1 AS (
-        SELECT pid, nid FROM (
-          SELECT pid, nid, row_number() OVER (PARTITION BY pid ORDER BY cos DESC, nid) AS rr
-          FROM vis1) WHERE rr <= 4),
-      ex2 AS (
-        SELECT DISTINCT f.pid, g.nb AS nid
-        FROM f1 f JOIN gsym g ON g.u = f.nid
-        WHERE g.nb <> f.pid
-          AND NOT EXISTS (SELECT 1 FROM vis1 v WHERE v.pid = f.pid AND v.nid = g.nb)),
-      sc2 AS (
-        SELECT e.pid, e.nid,
-               round((SELECT sum(a * b) FROM (
-                        SELECT CAST(unnest(p.pe) AS DOUBLE) AS a,
-                               CAST(unnest(nn.embedding) AS DOUBLE) AS b))
-                     / (p.pnorm * nn.nrm), 4) AS cos
-        FROM ex2 e JOIN p ON p.pid = e.pid JOIN n nn ON nn.vec_id = e.nid),
-      vis2 AS MATERIALIZED (
-        SELECT pid, nid, cos FROM vis1 UNION ALL SELECT pid, nid, cos FROM sc2),
-      bf AS (
-        SELECT p.pid, c.vec_id AS nid,
-               round((SELECT sum(a * b) FROM (
-                        SELECT CAST(unnest(p.pe) AS DOUBLE) AS a,
-                               CAST(unnest(c.embedding) AS DOUBLE) AS b))
-                     / (p.pnorm * c.nrm), 4) AS cos
-        FROM p CROSS JOIN n c WHERE c.vec_id <> p.pid),
-      truth AS (
-        SELECT pid, nid, rnk FROM (
-          SELECT pid, nid, row_number() OVER (PARTITION BY pid ORDER BY cos DESC, nid) AS rnk
-          FROM bf) WHERE rnk <= 10),
-      appr AS (
-        SELECT pid, nid,
-               row_number() OVER (PARTITION BY pid ORDER BY cos DESC, nid) AS ra
-        FROM vis2),
+      WITH $hnswGraphCtes,
+      ${hnswSearchCtes("", 4, 2)},
       nv AS (SELECT pid, CAST(count(*) AS BIGINT) AS n_visited FROM vis2 GROUP BY pid)
       SELECT t.pid, nv.n_visited,
              CAST(count(*) FILTER (WHERE t.rnk <= 5 AND a.ra <= 5) AS BIGINT) AS n_hit_5,
@@ -2872,6 +2890,18 @@ object OracleSql {
       JOIN nv ON nv.pid = t.pid
       GROUP BY t.pid, nv.n_visited ORDER BY t.pid""",
 
+    // the tuning sweep: three budget configs over ONE shared graph
+    // build — skim (2,1), the graded default (4,2), deep (8,3) — each
+    // an aggregate row of exact hit sums + half-up ratio recalls
+    "llm_sim_hnsw_tune" -> s"""
+      WITH $hnswGraphCtes,
+      ${hnswSearchCtes("s1", 2, 1)},
+      ${hnswSearchCtes("s2", 4, 2)},
+      ${hnswSearchCtes("s3", 8, 3)}
+      SELECT * FROM (${hnswTuneRow("s1", 2, 1)}
+        UNION ALL${hnswTuneRow("s2", 4, 2)}
+        UNION ALL${hnswTuneRow("s3", 8, 3)})
+      ORDER BY beam_b""",
     // the recall CURVE: both sides ranked to depth 10 once; recalls at
     // k ∈ {1,5,10} are prefix intersections over the SAME ranked join
     // (a hit at k = ranked ≤ k on both sides), half-up integer ratios

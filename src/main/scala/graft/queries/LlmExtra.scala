@@ -513,6 +513,21 @@ object LlmExtra {
 
   private[graft] def simHnswTopkImpl(s: SparkSession, dir: String,
       m: Int, b: Int, r: Int): DataFrame = {
+    val (emb, edges) = hnswGraph(s, dir, m)
+    hnswSearchReadout(s, dir, emb, edges, b, r)
+      .select(col("pid"), col("n_visited"),
+        col("n_hit_5"), col("n_hit_10"),
+        col("recall_at_5"), col("recall_at_10"))
+      .orderBy("pid")
+  }
+
+  /** The navigable-graph BUILD (candidate rings → top-M → symmetrize),
+    * shared by the graded search and the round-15 tuning sweep —
+    * built ONCE per invocation, the edges persisted, so a B/R sweep
+    * pays the build a single time (exactly the offline-index reuse a
+    * deployment gets). Returns (normalized embeddings, symmetric
+    * bounded-degree edge list). */
+  private[graft] def hnswGraph(s: SparkSession, dir: String, m: Int): (DataFrame, DataFrame) = {
     import graft.llm.{Hnsw, Ivf, Lsh}
     graft.udx.NGrams.registerAll(s)
     val emb = t(s, dir, "embeddings")
@@ -571,6 +586,16 @@ object LlmExtra {
       gtop.unionByName(gtop.select(col("n").as("u"), col("u").as("n")))
         .distinct()
         .persist())
+    (emb, edges)
+  }
+
+  /** One beam search + truth-graded readout over an already-built
+    * navigable graph: self-entry, `r` expand/score-new-only hops at
+    * beam width `b`, then exact recall@5/@10 against the shared
+    * brute-force truth — one row per probe, with the truth-side counts
+    * carried so sweep aggregates can ratio over exact sums. */
+  private def hnswSearchReadout(s: SparkSession, dir: String,
+      emb: DataFrame, edges: DataFrame, b: Int, r: Int): DataFrame = {
     val probes = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("pid"), col("v").as("pv"), col("nrm").as("pnorm"))
     // score a (pid, nid) candidate set against the probe vectors
@@ -610,10 +635,43 @@ object LlmExtra {
         count_if(col("ra") <= 10).as("n_hit_10"))
       .join(visited.groupBy("pid").agg(count(lit(1)).as("n_visited")), "pid")
       .select(col("pid"), col("n_visited"),
-        col("n_hit_5"), col("n_hit_10"),
+        col("n_true_5"), col("n_hit_5"),
+        col("n_true_10"), col("n_hit_10"),
         Num.ratio(col("n_hit_5"), col("n_true_5"), 4).as("recall_at_5"),
         Num.ratio(col("n_hit_10"), col("n_true_10"), 4).as("recall_at_10"))
-      .orderBy("pid")
+  }
+
+  /** HNSW TUNING SWEEP — the operator documenting its own tuning
+    * surface (the `llm_minhash_band_tune` pattern graded as a
+    * CORRECTNESS row): the beam width B and hop count R are the
+    * search's entire budget knob (visited ≤ entry + Σ B·M per hop),
+    * so the sweep runs three budget points — (2,1) skim, (4,2) the
+    * graded default, (8,3) deep — over ONE shared graph build and
+    * emits each config's exact aggregate recall@5/@10 and visited
+    * budget. Ratios are half-up integer ratios of SUMS (not means of
+    * ratios), so the row set is bit-stable; the spec pins the property
+    * the curve exists to show: recall@10 non-decreasing in budget.
+    *
+    * Scale: one build (the expensive part — shared, persisted), three
+    * searches each bounded by B·M new candidates per hop per probe;
+    * the aggregates are one map-combined pass per config. */
+  def llmSimHnswTune(s: SparkSession, dir: String): DataFrame = {
+    val (emb, edges) = hnswGraph(s, dir, graft.llm.Hnsw.M)
+    val configs = Seq((2, 1), (4, 2), (8, 3))
+    configs.map { case (b, r) =>
+      hnswSearchReadout(s, dir, emb, edges, b, r)
+        .agg(
+          count(lit(1)).as("n_probes"),
+          sum("n_visited").as("n_visited"),
+          sum("n_hit_5").as("n_hit_5"),
+          sum("n_true_5").as("sum_true_5"),
+          sum("n_hit_10").as("n_hit_10"),
+          sum("n_true_10").as("sum_true_10"))
+        .select(lit(b.toLong).as("beam_b"), lit(r.toLong).as("hops_r"),
+          col("n_probes"), col("n_visited"), col("n_hit_5"), col("n_hit_10"),
+          Num.ratio(col("n_hit_5"), col("sum_true_5"), 4).as("recall_at_5"),
+          Num.ratio(col("n_hit_10"), col("sum_true_10"), 4).as("recall_at_10"))
+    }.reduce(_ unionByName _).orderBy("beam_b")
   }
 
   /** K-MEANS TRAINING over the embedding corpus — the offline step the

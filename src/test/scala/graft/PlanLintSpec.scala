@@ -63,7 +63,8 @@ class PlanLintSpec extends GraftSpec {
     "agg_hll_intersect", // two single-row exact-count frames via broadcast cross joins (round 14)
     "agg_sample_bottomk", // single-row population stats attached via broadcast cross join (round 14)
     "llm_dup_graph_degree", // single-row global pair count via broadcast cross join (round 14)
-    "llm_sim_hnsw_topk") // 16-row centroid frame via broadcast cross join (the IVF-cell assignment shape, round 14)
+    "llm_sim_hnsw_topk", // 16-row centroid frame via broadcast cross join (the IVF-cell assignment shape, round 14)
+    "llm_sim_hnsw_tune") // same build's centroid cross join, shared by the three sweep configs (round 15)
 
   test("no query plans an unexpected cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

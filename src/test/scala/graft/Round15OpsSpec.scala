@@ -78,6 +78,25 @@ class Round15OpsSpec extends GraftSpec {
     }
   }
 
+  test("llm_sim_hnsw_tune: recall@10 non-decreasing in budget; default row consistent with llm_sim_hnsw_topk") {
+    val rows = graft.queries.LlmExtra.llmSimHnswTune(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getDouble(7)))
+    assert(rows.length == 3 && rows.map(r => (r._1, r._2)).toSeq == Seq((2L, 1L), (4L, 2L), (8L, 3L)))
+    // the property the curve exists to show: more budget, no less recall
+    assert(rows.map(_._4).toSeq == rows.map(_._4).toSeq.sorted, "visited budget must grow with (B, R)")
+    assert(rows.map(_._8).toSeq == rows.map(_._8).toSeq.sorted,
+      s"recall@10 must be non-decreasing in budget: ${rows.map(_._8).mkString(", ")}")
+    // the (4,2) sweep row must aggregate EXACTLY what the graded
+    // default query reports per probe — same build, same search
+    val perProbe = graft.queries.LlmExtra.llmSimHnswTopk(spark, sfDir).collect()
+    val mid = rows(1)
+    assert(mid._3 == perProbe.length)
+    assert(mid._4 == perProbe.map(_.getLong(1)).sum, "visited sum mismatch vs topk")
+    assert(mid._5 == perProbe.map(_.getLong(2)).sum, "hit@5 sum mismatch vs topk")
+    assert(mid._6 == perProbe.map(_.getLong(3)).sum, "hit@10 sum mismatch vs topk")
+  }
+
   test("ringPairs: the ranking window partitions by (bucket, band), never the bucket alone — the bounded-partition property") {
     import SparkSpecBase.spark.implicits._
     val m = (0 until 100).map(i => (i * 977L, i % 2L)).toSeq.toDF("vec_id", "bkt")
