@@ -186,7 +186,8 @@ object StreamOps {
     * idempotent under micro-batch replay (the at-least-once sink
     * requirement). The mirror only ever sees live-key-sized deltas.
     * Input columns: (user_id, event_type, cents, us, event_id). */
-  def cdcApply(changes: DataFrame, url: String, table: String)
+  def cdcApply(changes: DataFrame, url: String, table: String,
+      onBatchApplied: Long => Unit = _ => ())
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     changes
       .groupBy(col("user_id"))
@@ -197,7 +198,7 @@ object StreamOps {
         col("last.cents").as("cents"), col("last.us").as("us"))
       .writeStream
       .outputMode("update")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val rows = batch.collect() // bounded: only keys whose state changed
         val conn = java.sql.DriverManager.getConnection(url)
         try {
@@ -223,6 +224,12 @@ object StreamOps {
           } finally { del.close(); ins.close() }
           conn.commit()
         } finally conn.close()
+        // post-merge hook (default no-op): `StreamRecoverySpec` injects
+        // a crash HERE — after the JDBC transaction committed, before
+        // Spark's offset-log commit — to prove the keyed DELETE+INSERT
+        // merge absorbs the replayed batch idempotently (the one
+        // failure window the checkpoint protocol leaves open).
+        onBatchApplied(batchId)
       }
   }
 }

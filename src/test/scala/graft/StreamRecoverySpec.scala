@@ -387,6 +387,73 @@ class StreamRecoverySpec extends GraftSpec {
     assert(got == Seq(1L, 2L, 3L), s"batchId-keyed writes diverged: $got")
   }
 
+  test("cdcApply crash AFTER the JDBC merge commit, BEFORE the offset commit: the " +
+      "replayed batch re-merges into the mirror idempotently") {
+    // stream_cdc_apply's exactly-once story, crash-tested the same way
+    // as the batchId-keyed foreachBatch above: the JDBC merge is keyed
+    // DELETE-then-INSERT per user, so the one window the checkpoint
+    // protocol leaves open — mirror transaction committed, offset log
+    // not — resolves by REPLAYING the batch into an identical keyed
+    // merge. Assert all three: the crashed run really committed its
+    // merge, the replay leaves the mirror unchanged (no duplicate-key
+    // failure, no double effect), and a subsequent tombstone batch
+    // still applies on top.
+    import SparkSpecBase.spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_rec_cdc").toFile
+    root.deleteOnExit()
+    val (in, ckpt) = (s"$root/in", s"$root/ckpt")
+    val url = s"jdbc:derby:$root/mirror;create=true"
+    val cdcSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("cents", LongType), StructField("us", LongType),
+      StructField("event_id", LongType)))
+    def write(rows: Seq[(Long, String, Long, Long, Long)]): Unit =
+      rows.toDF("user_id", "event_type", "cents", "us", "event_id")
+        .coalesce(1).write.mode("append").parquet(in)
+    def mirror(): Map[Long, (Long, Long)] = {
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val rs = conn.createStatement().executeQuery(
+          "SELECT user_id, last_cents, last_ts_us FROM cdc_rec_mirror")
+        val b = scala.collection.mutable.Map[Long, (Long, Long)]()
+        while (rs.next()) b += rs.getLong(1) -> ((rs.getLong(2), rs.getLong(3)))
+        b.toMap
+      } finally conn.close()
+    }
+    val crashArmed = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val applied = java.util.Collections.synchronizedList(new java.util.ArrayList[Long]())
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(cdcSchema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val q = graft.streaming.StreamOps.cdcApply(stream, url, "cdc_rec_mirror", { bid =>
+          applied.add(bid)
+          if (crashArmed.getAndSet(false))
+            throw new RuntimeException("injected crash: mirror merged, offset commit never happened")
+        })
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable()
+      catch { case _: Exception => () } // the injected crash surfaces here
+      finally q.stop()
+    }
+
+    write(Seq((1L, "purchase", 100L, 10L, 1L), (2L, "view", 200L, 20L, 2L)))
+    runOnce() // merges batch 0 into the mirror, THEN crashes
+    assert(mirror() == Map(1L -> ((100L, 10L)), 2L -> ((200L, 20L))),
+      "the crashed run must have committed its JDBC merge — that is the window under test")
+    runOnce() // restart: replays batch 0; keyed merge must absorb it
+    assert(mirror() == Map(1L -> ((100L, 10L)), 2L -> ((200L, 20L))),
+      "replaying the committed batch changed the mirror — merge is not idempotent")
+    write(Seq((1L, "error", 0L, 30L, 3L), (3L, "click", 300L, 5L, 4L)))
+    runOnce() // plain progress: tombstone key 1, insert key 3
+    assert(mirror() == Map(2L -> ((200L, 20L)), 3L -> ((300L, 5L))),
+      "post-replay batch must still apply (tombstone + insert)")
+    import scala.jdk.CollectionConverters._
+    val invs = applied.asScala.toList
+    assert(invs.count(_ == 0L) == 2, s"batch 0 must merge twice (crash + replay): $invs")
+    assert(invs.count(_ == 1L) == 1, s"batch 1 must merge once: $invs")
+  }
+
   test("Trigger.AvailableNow drains a file-source backfill and stops; equals the batch plan") {
     // the replay-history-through-the-streaming-pipeline pattern: a
     // bounded directory read as a STREAM processes everything available,
