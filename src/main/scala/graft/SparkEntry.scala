@@ -505,7 +505,37 @@ object SparkEntry {
     "census_location_quotient" -> CensusQueries.censusLocationQuotient _,
     "census_suppression" -> CensusQueries.censusSuppression _,
     // landmark hop histogram + 90th-percentile effective diameter
-    "graph_effective_diameter" -> GraphQueries.graphEffectiveDiameter _
+    "graph_effective_diameter" -> GraphQueries.graphEffectiveDiameter _,
+    // Theil's H entropy segregation index, exact micro-nat algebra
+    "census_theil" -> CensusQueries.censusTheil _,
+    // Moran's I spatial autocorrelation, same-region contiguity weights
+    "census_moran_i" -> CensusQueries.censusMoranI _,
+    // Hill-MLE + log-log OLS power-law fit of the degree census
+    "graph_powerlaw_fit" -> GraphQueries.graphPowerlawFit _,
+    // DFT amplitude of the daily order series at the first 8 bins
+    "ts_periodogram" -> TimeSeries.tsPeriodogram _,
+    // two-stage ANN: 64-bit sign-sketch shortlist → exact cosine rerank
+    "llm_sim_rerank" -> LlmExtra.llmSimRerank _,
+    // curriculum schedule: difficulty bands + deterministic hash order
+    "llm_curriculum_order" -> LlmExtra.llmCurriculumOrder _,
+    // CUPED variance-reduced A/B readout over the pre/post user census
+    "event_uplift_cuped" -> Quality.eventUpliftCuped _,
+    // trailing-window z²>9 rate-spike flags, all-integer inequality
+    "event_burst_detect" -> Quality.eventBurstDetect _,
+    // per-column distinct/null/dup profile + candidate-key verdict
+    "dq_uniqueness_profile" -> Quality.dqUniquenessProfile _,
+    // VLM dynamic-tiling plan: 112-px tiles under a 12-tile budget
+    "mm_image_tile_plan" -> MultimodalQueries.mmImageTilePlan _,
+    // RLHF preference pairs: per-group argmax/argmin by quality score
+    "llm_rlhf_pairs" -> LlmExtra.llmRlhfPairs _,
+    // referential-containment profile over four candidate FK edges
+    "dq_fk_inference" -> Quality.dqFkInference _,
+    // segment-standardized rates (direct standardization)
+    "census_age_standardize" -> CensusQueries.censusAgeStandardize _,
+    // part–supplier bipartite projected onto suppliers, occupancy-capped
+    "graph_bipartite_project" -> GraphQueries.graphBipartiteProject _,
+    // footer/zone-map read graded against content truth
+    "source_parquet_footer" -> SourceQueries.sourceParquetFooter _
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on

@@ -51,14 +51,35 @@ object ScratchPg {
   }
 
   /** Run a query and return rows as COPY-text fields (tab-separated,
-    * "\\N" for NULL — same escaping PgSink.copyLine writes). */
-  def copyOut(sql: String): Seq[Array[String]] = {
-    val out = new java.io.ByteArrayOutputStream
-    val err = new StringBuilder
-    val code = (Seq("psql", dsn, "-v", "ON_ERROR_STOP=1",
-      "-c", s"COPY ($sql) TO STDOUT") #> out) ! ProcessLogger(_ => (), err.append(_).append('\n'))
-    if (code != 0) sys.error(s"psql COPY TO failed ($code): $err\nsql: $sql")
-    out.toString("UTF-8").split("\n", -1).toSeq
-      .filter(_.nonEmpty).map(_.split("\t", -1))
+    * "\\N" for NULL — same escaping PgSink.copyLine writes).
+    *
+    * `expectCols > 0` arity-checks every row and RETRIES the read (the
+    * query side is read-only) up to twice: a freshly-started scratch
+    * server has produced one observed truncated COPY stream under heavy
+    * host load, and the old code crashed downstream on `f(1)` of a
+    * 1-field row. Still-malformed output after the retries errors
+    * loudly — silently dropping rows would fake a row-count mismatch
+    * the oracle gate attributes to the engine. */
+  def copyOut(sql: String, expectCols: Int = -1): Seq[Array[String]] = {
+    def once(): Seq[Array[String]] = {
+      val out = new java.io.ByteArrayOutputStream
+      val err = new StringBuilder
+      val code = (Seq("psql", dsn, "-v", "ON_ERROR_STOP=1",
+        "-c", s"COPY ($sql) TO STDOUT") #> out) ! ProcessLogger(_ => (), err.append(_).append('\n'))
+      if (code != 0) sys.error(s"psql COPY TO failed ($code): $err\nsql: $sql")
+      out.toString("UTF-8").split("\n", -1).toSeq
+        .filter(_.nonEmpty).map(_.split("\t", -1))
+    }
+    var rows = once()
+    var retries = 0
+    while (expectCols > 0 && retries < 2 && rows.exists(_.length != expectCols)) {
+      Thread.sleep(500)
+      retries += 1
+      rows = once()
+    }
+    if (expectCols > 0 && rows.exists(_.length != expectCols))
+      sys.error(s"COPY TO returned malformed rows (want $expectCols fields): " +
+        rows.filter(_.length != expectCols).take(3).map(_.mkString("|")).mkString(" ; "))
+    rows
   }
 }

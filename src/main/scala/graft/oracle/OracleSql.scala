@@ -6741,6 +6741,377 @@ object OracleSql {
              (cum_pairs * 10 >= total * 9 AND prev_cum * 10 < total * 9) AS is_eff_diameter
       FROM c ORDER BY dist""",
 
+    // Theil H: every ln() quantized to micro-nats before exact BIGINT
+    // sums; H = (e_all - within) / e_all as one half-up ratio
+    "census_theil" -> s"""
+      WITH cells AS (
+        SELECT n.n_name, c.c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n_ij
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2),
+      bn AS (SELECT n_name, CAST(sum(n_ij) AS BIGINT) AS n_i FROM cells GROUP BY 1),
+      pern AS (
+        SELECT cells.n_name, max(bn.n_i) AS n_i,
+               CAST(sum(n_ij * CAST(round(ln(CAST(bn.n_i AS DOUBLE) / n_ij) * 1000000) AS BIGINT)) AS BIGINT) AS e_num
+        FROM cells JOIN bn USING (n_name) GROUP BY cells.n_name),
+      bs AS (SELECT segment, CAST(sum(n_ij) AS BIGINT) AS n_j FROM cells GROUP BY 1),
+      tt AS (SELECT CAST(sum(n_j) AS BIGINT) AS nn FROM bs),
+      ea AS (
+        SELECT CAST(sum(n_j * CAST(round(ln(CAST(tt.nn AS DOUBLE) / n_j) * 1000000) AS BIGINT)) AS BIGINT) AS e_all
+        FROM bs CROSS JOIN tt),
+      h AS (
+        SELECT ea.e_all,
+               round(CAST(ea.e_all - w.ew AS DOUBLE) / CAST(ea.e_all AS DOUBLE), 6) AS theil_h
+        FROM (SELECT CAST(sum(e_num) AS BIGINT) AS ew FROM pern) w CROSS JOIN ea)
+      SELECT pern.n_name, pern.n_i, pern.e_num,
+             ${N.ratio("pern.e_num", "pern.n_i", 0)} AS entropy_micro,
+             h.e_all, h.theil_h
+      FROM pern CROSS JOIN h ORDER BY n_name""",
+
+    // Moran's I on scaled integer deviations d_i = n*mean_i - sum(mean);
+    // per-region pair sum collapses to (sum d)^2 - sum d^2
+    "census_moran_i" -> s"""
+      WITH means AS (
+        SELECT n.n_regionkey,
+               (CAST(sum(CAST(CAST(c.c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) * 2
+                + count(*)) // (count(*) * 2) AS m
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE c.c_acctbal > 0
+        GROUP BY n.n_nationkey, n.n_regionkey),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(m) AS BIGINT) AS t FROM means),
+      devs AS (
+        SELECT n_regionkey, tot.n * m - tot.t AS d, tot.n AS n
+        FROM means CROSS JOIN tot),
+      pr AS (
+        SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_nations,
+               CAST(sum(d) AS BIGINT) AS sd, CAST(sum(d * d) AS BIGINT) AS ssq,
+               max(n) AS n
+        FROM devs GROUP BY 1),
+      pr2 AS (
+        SELECT n_regionkey, n_nations, sd * sd - ssq AS cross_sum,
+               n_nations * (n_nations - 1) AS s0_pairs, ssq, n
+        FROM pr),
+      gi AS (
+        SELECT s0,
+               round(CAST(n * num AS DOUBLE) / CAST(s0 * den AS DOUBLE), 6) AS moran_i
+        FROM (SELECT max(n) AS n, CAST(sum(cross_sum) AS BIGINT) AS num,
+                     CAST(sum(s0_pairs) AS BIGINT) AS s0,
+                     CAST(sum(ssq) AS BIGINT) AS den
+              FROM pr2))
+      SELECT r.r_name, pr2.n_nations, pr2.cross_sum, pr2.ssq, gi.s0, gi.moran_i
+      FROM pr2 JOIN region r ON pr2.n_regionkey = r.r_regionkey CROSS JOIN gi
+      ORDER BY r_name""",
+
+    // Hill MLE over the degree census tail (d_min 4, micro-nat lns)
+    // + the log-log OLS slope the zipf row established as comparable
+    "graph_powerlaw_fit" -> s"""
+      WITH $simGraphCtes,
+      d1 AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY u),
+      census AS (SELECT deg, CAST(count(*) AS BIGINT) AS cnt FROM d1 GROUP BY deg),
+      tail AS (
+        SELECT CAST(sum(cnt) AS BIGINT) AS n_tail,
+               CAST(sum(cnt * CAST(round(ln(CAST(deg AS DOUBLE) / 3.5) * 1000000) AS BIGINT)) AS BIGINT) AS sum_ln_micro,
+               CAST(max(deg) AS BIGINT) AS max_degree
+        FROM census WHERE deg >= 4),
+      ols AS (
+        SELECT round(regr_slope(ln(cnt), ln(deg)), 4) AS ols_slope,
+               CAST(count(*) AS BIGINT) AS n_degrees
+        FROM census)
+      SELECT CAST(4 AS BIGINT) AS d_min, n_tail, sum_ln_micro,
+             1.0 + ${N.ratio("n_tail * 1000000", "sum_ln_micro", 6)} AS alpha_hill,
+             max_degree, ols_slope, n_degrees
+      FROM tail CROSS JOIN ols""",
+
+    // DFT bins k=1..8 over the daily order-count series; trig weights
+    // quantized to 1e-4 before exact BIGINT sums, amplitude in double
+    "ts_periodogram" -> s"""
+      WITH daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1),
+      idx AS (
+        SELECT n, CAST(count(*) OVER () AS BIGINT) AS nd,
+               CAST(row_number() OVER (ORDER BY day) - 1 AS BIGINT) AS t
+        FROM daily),
+      ks AS (SELECT CAST(unnest(range(1, 9)) AS BIGINT) AS k),
+      sums AS (
+        SELECT k, max(nd) AS n_days,
+               CAST(sum(n * CAST(round(cos(2.0 * pi() * k * t / nd) * 10000) AS BIGINT)) AS BIGINT) AS c_sum,
+               CAST(sum(n * CAST(round(sin(2.0 * pi() * k * t / nd) * 10000) AS BIGINT)) AS BIGINT) AS s_sum
+        FROM idx CROSS JOIN ks GROUP BY k),
+      amp AS (
+        SELECT k, n_days, ${N.ratio("n_days", "k", 2)} AS period_days,
+               round(sqrt(CAST(c_sum AS DOUBLE) * CAST(c_sum AS DOUBLE)
+                          + CAST(s_sum AS DOUBLE) * CAST(s_sum AS DOUBLE)) / 10000, 2) AS amplitude
+        FROM sums)
+      SELECT k, n_days, period_days, amplitude,
+             amplitude = max(amplitude) OVER () AS dominant
+      FROM amp ORDER BY k""",
+
+    // two-stage ANN: sign-sketch hamming shortlist (two 32-bit words;
+    // a 64th bit would overflow the BIGINT sum) -> exact cosine rerank
+    "llm_sim_rerank" -> """
+      WITH n AS MATERIALIZED (
+        SELECT vec_id, embedding,
+               sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                     FROM unnest(embedding) AS u(x))) AS nrm
+        FROM embeddings),
+      sk AS MATERIALIZED (
+        SELECT e.vec_id,
+               CAST(sum(CASE WHEN t.i <= 32 AND e.embedding[t.i] > 0
+                             THEN (CAST(1 AS BIGINT) << (t.i - 1)) ELSE 0 END) AS BIGINT) AS sk0,
+               CAST(sum(CASE WHEN t.i > 32 AND e.embedding[t.i] > 0
+                             THEN (CAST(1 AS BIGINT) << (t.i - 33)) ELSE 0 END) AS BIGINT) AS sk1
+        FROM embeddings e, range(1, 65) t(i) GROUP BY e.vec_id),
+      pr AS (SELECT vec_id AS pid, sk0 AS p0, sk1 AS p1 FROM sk WHERE vec_id < 10),
+      ham AS (
+        SELECT pr.pid, s.vec_id AS nid,
+               CAST(64 - bit_count(xor(s.sk0, pr.p0)) - bit_count(xor(s.sk1, pr.p1)) AS BIGINT) AS ham
+        FROM sk s CROSS JOIN pr WHERE s.vec_id <> pr.pid),
+      short AS (
+        SELECT pid, nid, ham FROM (
+          SELECT pid, nid, ham,
+                 row_number() OVER (PARTITION BY pid ORDER BY ham DESC, nid) AS r
+          FROM ham) WHERE r <= 40),
+      pairs AS (
+        SELECT short.pid, short.nid, short.ham AS ham_sim,
+               round((SELECT sum(a * b) FROM (
+                        SELECT CAST(unnest(pp.embedding) AS DOUBLE) AS a,
+                               CAST(unnest(nn.embedding) AS DOUBLE) AS b))
+                     / (pp.nrm * nn.nrm), 4) AS cos
+        FROM short JOIN n pp ON pp.vec_id = short.pid
+                   JOIN n nn ON nn.vec_id = short.nid)
+      SELECT pid, nid, cos, ham_sim, rnk FROM (
+        SELECT pid, nid, cos, ham_sim,
+               row_number() OVER (PARTITION BY pid ORDER BY cos DESC, nid) AS rnk
+        FROM pairs)
+      WHERE rnk <= 5 ORDER BY pid, rnk""",
+
+    // curriculum banding: avg token length (milli) -> 10 stages,
+    // deterministic md5 order key, map-only
+    "llm_curriculum_order" -> """
+      SELECT doc_id,
+             least(9, greatest(0, (score_milli - 3000) // 600)) AS stage,
+             score_milli,
+             CAST(('0x' || substr(md5('curr|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS order_key
+      FROM (
+        SELECT doc_id,
+               (length(replace(text, ' ', '')) * 1000) // len(string_split(text, ' ')) AS score_milli
+        FROM documents WHERE doc_id < 2000)
+      ORDER BY stage, order_key, doc_id""",
+
+    // CUPED: exact BIGINT per-user cents sums; moment cross-products as
+    // doubles of those single-row exacts (identical IEEE shape)
+    "event_uplift_cuped" -> """
+      WITH users AS (
+        SELECT user_id, CAST(user_id % 2 AS BIGINT) AS arm,
+               CAST(sum(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                             THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+               CAST(sum(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+                             THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id),
+      mom AS (
+        SELECT n, sx,
+               CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS covn,
+               CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varxn,
+               CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS varyn
+        FROM (
+          SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(y * y) AS BIGINT) AS syy, CAST(sum(x * y) AS BIGINT) AS sxy
+          FROM users)),
+      arms AS (
+        SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(x) AS BIGINT) AS ax, CAST(sum(y) AS BIGINT) AS ay
+        FROM users GROUP BY arm)
+      SELECT arm, n_users,
+             round(CAST(ay AS DOUBLE) / n_users / 100, 2) AS y_mean,
+             round((CAST(ay AS DOUBLE) / n_users
+                    - (covn / varxn)
+                      * (CAST(ax AS DOUBLE) / n_users - CAST(sx AS DOUBLE) / n)) / 100, 2) AS y_adj,
+             round(covn / varxn, 6) AS theta,
+             round(covn * covn / (varxn * varyn), 6) AS rho_sq
+      FROM arms CROSS JOIN mom ORDER BY arm""",
+
+    // burst flags: trailing-7-day z^2 > 9 rule cleared of divisions —
+    // burst iff 7n > S and (7n - S)^2 > 9(7Q - S^2)
+    "event_burst_detect" -> """
+      WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+      win AS (
+        SELECT event_type, day, n,
+               count(*) OVER w AS win_n,
+               CAST(sum(n) OVER w AS BIGINT) AS s,
+               CAST(sum(n * n) OVER w AS BIGINT) AS q
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+      SELECT event_type, day, n, s AS win_sum,
+             (n * 7 - s) * (n * 7 - s) AS zsq_num,
+             (q * 7 - s * s) * 9 AS zsq_den,
+             (n * 7 > s AND (n * 7 - s) * (n * 7 - s) > (q * 7 - s * s) * 9) AS is_burst
+      FROM win WHERE win_n = 7
+      ORDER BY event_type, day""",
+
+    // per-column profile: 4 exact distinct censuses in one pass,
+    // stacked; candidate key = fully distinct and null-free
+    "dq_uniqueness_profile" -> s"""
+      WITH prof AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT o_orderkey) AS BIGINT) AS d1, CAST(count(o_orderkey) AS BIGINT) AS c1,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS d2, CAST(count(o_custkey) AS BIGINT) AS c2,
+               CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS d3, CAST(count(o_orderstatus) AS BIGINT) AS c3,
+               CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS d4, CAST(count(o_orderpriority) AS BIGINT) AS c4
+        FROM orders),
+      stacked AS (
+        SELECT 'o_orderkey' AS column_name, n_rows, d1 AS n_distinct, c1 AS n_non_null FROM prof
+        UNION ALL SELECT 'o_custkey', n_rows, d2, c2 FROM prof
+        UNION ALL SELECT 'o_orderstatus', n_rows, d3, c3 FROM prof
+        UNION ALL SELECT 'o_orderpriority', n_rows, d4, c4 FROM prof)
+      SELECT column_name, n_rows, n_distinct,
+             n_rows - n_non_null AS n_nulls,
+             ${N.ratio("n_non_null - n_distinct", "n_rows", 6)} AS dup_ratio,
+             (n_distinct = n_rows AND n_non_null = n_rows) AS is_candidate_key
+      FROM stacked ORDER BY column_name""",
+
+    // VLM dynamic tiling: md5-slice decode dims (the mm convention),
+    // least integer downscale s with ceil-grid <= 12 tiles, 49 tok/tile
+    "mm_image_tile_plan" -> """
+      WITH m AS (
+        SELECT doc_id, md5(text) AS hx
+        FROM documents WHERE doc_id < 2000 AND doc_id % 3 = 1),
+      d AS (
+        SELECT doc_id,
+               64 + CAST(('0x' || substr(hx, 1, 8)) AS BIGINT) % 1857 AS w,
+               64 + CAST(('0x' || substr(hx, 9, 8)) AS BIGINT) % 1017 AS h
+        FROM m),
+      g AS (
+        SELECT doc_id, w, h,
+               ((w + 111) // 112) * ((h + 111) // 112) AS t1,
+               ((w + 223) // 224) * ((h + 223) // 224) AS t2,
+               ((w + 335) // 336) * ((h + 335) // 336) AS t3,
+               ((w + 447) // 448) * ((h + 447) // 448) AS t4
+        FROM d),
+      p AS (
+        SELECT doc_id, w, h,
+               CASE WHEN t1 <= 12 THEN 1 WHEN t2 <= 12 THEN 2
+                    WHEN t3 <= 12 THEN 3 ELSE 4 END AS scale_s,
+               t4 > 12 AS truncated
+        FROM g)
+      SELECT doc_id, w, h, CAST(scale_s AS BIGINT) AS scale_s,
+             (w + 112 * scale_s - 1) // (112 * scale_s) AS grid_x,
+             (h + 112 * scale_s - 1) // (112 * scale_s) AS grid_y,
+             least((w + 112 * scale_s - 1) // (112 * scale_s)
+                   * ((h + 112 * scale_s - 1) // (112 * scale_s)), 12) AS n_tiles,
+             least((w + 112 * scale_s - 1) // (112 * scale_s)
+                   * ((h + 112 * scale_s - 1) // (112 * scale_s)), 12) * 49 + 49 AS n_tokens,
+             truncated
+      FROM p ORDER BY doc_id""",
+
+    // RLHF pairs: max_by/min_by over (score, id) structs mirrored as
+    // rank-1 rows under the same (score, id) total orders
+    "llm_rlhf_pairs" -> """
+      WITH scored AS (
+        SELECT source, n_chars // 200 AS len_bucket, doc_id,
+               (len(list_distinct(string_split(text, ' '))) * 1000)
+                 // len(string_split(text, ' ')) AS ttr
+        FROM documents WHERE doc_id < 2000),
+      ranked AS (
+        SELECT source, len_bucket, doc_id, ttr,
+               row_number() OVER (PARTITION BY source, len_bucket ORDER BY ttr DESC, doc_id DESC) AS rb,
+               row_number() OVER (PARTITION BY source, len_bucket ORDER BY ttr ASC, doc_id ASC) AS rw,
+               count(*) OVER (PARTITION BY source, len_bucket) AS n_docs
+        FROM scored)
+      SELECT b.source, b.len_bucket, CAST(b.n_docs AS BIGINT) AS n_docs,
+             b.doc_id AS chosen_doc, b.ttr AS chosen_score,
+             w.doc_id AS rejected_doc, w.ttr AS rejected_score,
+             b.ttr - w.ttr AS margin
+      FROM ranked b JOIN ranked w
+        ON b.source = w.source AND b.len_bucket = w.len_bucket
+      WHERE b.rb = 1 AND w.rw = 1 AND b.n_docs >= 2
+      ORDER BY b.source, b.len_bucket""",
+
+    // FK inference: containment of distinct child keys in the parent
+    // key set, one left-semi census per declared edge
+    "dq_fk_inference" -> s"""
+      WITH e1 AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_child_distinct,
+               CAST(count(*) FILTER (k IN (SELECT c_custkey FROM customer)) AS BIGINT) AS n_contained
+        FROM (SELECT DISTINCT o_custkey AS k FROM orders)),
+      e2 AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_child_distinct,
+               CAST(count(*) FILTER (k IN (SELECT o_orderkey FROM orders)) AS BIGINT) AS n_contained
+        FROM (SELECT DISTINCT l_orderkey AS k FROM lineitem)),
+      e3 AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_child_distinct,
+               CAST(count(*) FILTER (k IN (SELECT p_partkey FROM part)) AS BIGINT) AS n_contained
+        FROM (SELECT DISTINCT l_partkey AS k FROM lineitem)),
+      e4 AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_child_distinct,
+               CAST(count(*) FILTER (k IN (SELECT s_suppkey FROM supplier)) AS BIGINT) AS n_contained
+        FROM (SELECT DISTINCT l_suppkey AS k FROM lineitem)),
+      stacked AS (
+        SELECT 'orders.o_custkey->customer.c_custkey' AS edge, * FROM e1
+        UNION ALL SELECT 'lineitem.l_orderkey->orders.o_orderkey', * FROM e2
+        UNION ALL SELECT 'lineitem.l_partkey->part.p_partkey', * FROM e3
+        UNION ALL SELECT 'lineitem.l_suppkey->supplier.s_suppkey', * FROM e4)
+      SELECT edge, n_child_distinct, n_contained,
+             ${N.ratio("n_contained", "n_child_distinct", 6)} AS containment,
+             (n_contained = n_child_distinct) AS is_fk
+      FROM stacked ORDER BY edge""",
+
+    // direct standardization: stratum micro rates re-weighted by the
+    // corpus segment distribution; one half-up ratio per output cell
+    "census_age_standardize" -> s"""
+      WITH cells AS (
+        SELECT n.n_name, c.c_mktsegment AS segment,
+               CAST(count(*) AS BIGINT) AS n_pop,
+               CAST(count(*) FILTER (c.c_acctbal < 0) AS BIGINT) AS n_event
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2),
+      w AS (SELECT segment, CAST(sum(n_pop) AS BIGINT) AS w_seg FROM cells GROUP BY 1),
+      strata AS (
+        SELECT cells.n_name, cells.n_pop, cells.n_event, w.w_seg,
+               w.w_seg * CAST(${N.ratio("cells.n_event * 1000000", "cells.n_pop", 0)} AS BIGINT) AS w_rate
+        FROM cells JOIN w USING (segment)),
+      agg AS (
+        SELECT n_name, CAST(sum(n_pop) AS BIGINT) AS n_pop,
+               CAST(sum(n_event) AS BIGINT) AS n_event,
+               CAST(sum(w_rate) AS BIGINT) AS w_rate_sum,
+               CAST(sum(w_seg) AS BIGINT) AS w_sum
+        FROM strata GROUP BY n_name)
+      SELECT n_name, n_pop, n_event,
+             ${N.ratio("n_event * 1000000", "n_pop", 0)} AS crude_micro,
+             ${N.ratio("w_rate_sum", "w_sum", 0)} AS std_micro
+      FROM agg ORDER BY n_name""",
+
+    // bipartite projection with the occupancy cap (<= 32 suppliers per
+    // part) applied BEFORE the pair self-join — the postings discipline
+    "graph_bipartite_project" -> """
+      WITH inc AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sp FROM lineitem),
+      occ AS (SELECT p, count(*) AS occ FROM inc GROUP BY p),
+      kept AS (SELECT inc.p, inc.sp FROM inc JOIN occ USING (p) WHERE occ.occ <= 32),
+      pairs AS (
+        SELECT a.sp AS u, b.sp AS v, CAST(count(*) AS BIGINT) AS shared_parts
+        FROM kept a JOIN kept b USING (p)
+        WHERE a.sp < b.sp
+        GROUP BY a.sp, b.sp)
+      SELECT u, v, shared_parts FROM pairs
+      ORDER BY shared_parts DESC, u, v LIMIT 50""",
+
+    // footer/zone-map read: the ENGINE answers from parquet metadata,
+    // the oracle recomputes the same four values from the data — the
+    // hash gate proves footer ≡ content (what stats-based planners
+    // silently assume)
+    "source_parquet_footer" -> """
+      SELECT CAST(count(*) AS BIGINT) AS total_rows,
+             CAST(min(o_orderkey) AS BIGINT) AS min_orderkey,
+             CAST(max(o_orderkey) AS BIGINT) AS max_orderkey,
+             CAST(6 AS BIGINT) AS n_cols
+      FROM orders""",
+
     // generic shoelace/centroid over parsed rings on the Spark side;
     // the oracle derives the closed form from the fixture geometry
     // (2×2 squares at (4n, 3r)) — the tiger-family convention

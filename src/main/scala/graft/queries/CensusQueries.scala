@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import scala.io.Source
 import graft.census.{Ingest, Metadata}
@@ -330,7 +330,7 @@ object CensusQueries {
         |  gid BIGINT, name TEXT, pop BIGINT, geom_wkt TEXT)""".stripMargin)
     PgSink.writeCopy(wkt, ScratchPg.dsn, "graft_tiger")
     val back = ScratchPg.copyOut(
-      "SELECT gid, name, pop, geom_wkt FROM graft_tiger")
+      "SELECT gid, name, pop, geom_wkt FROM graft_tiger", expectCols = 4)
       .map(f => (f(0).toLong, f(1), f(2).toLong, f(3)))
     import s.implicits._
     back.toDF("gid", "name", "pop", "geom_wkt").orderBy("gid")
@@ -640,5 +640,149 @@ object CensusQueries {
         when(col("flag") === "OK", col("n")).as("published_n"),
         col("flag"))
       .orderBy("n_name", "segment")
+  }
+
+  /** THEIL'S H — the entropy-based multi-group segregation index
+    * (Theil & Finizza 1971), the standard companion to the
+    * dissimilarity index for more than two groups: H = (E − Σᵢ
+    * (nᵢ/N)·Eᵢ) / E, where Eᵢ is the entropy of the market-segment mix
+    * inside nation i and E the corpus-wide mix entropy. The whole
+    * statistic reduces to ONE ratio of exact integers: nᵢ·Eᵢ =
+    * Σⱼ nᵢⱼ·ln(nᵢ/nᵢⱼ) and Σᵢ nᵢ = N, so H = (e_all − Σᵢ e_numᵢ) /
+    * e_all with e_all = Σⱼ nⱼ·ln(N/nⱼ) — every term a BIGINT count
+    * times one ln() quantized to micro-nats (round-half 6 dp, the
+    * zipf/entropy-family convention: both engines quantize the same
+    * IEEE double, so the integer sums match exactly). The final H is
+    * the double division of the two exact single-row BIGINTs (the
+    * CUPED convention — a 1e6 pre-scaled integer ratio would wrap
+    * BIGINT on sf10 corpus entropies).
+    *
+    * Output: one row per nation — counts, entropy numerator, per-nation
+    * entropy in micro-nats — with the corpus H and total entropy
+    * repeated via the whitelisted single-row broadcast cross join.
+    *
+    * Scale: one (nation × segment) map-combined census (≤ |nations|
+    * × |segments| rows); everything after it runs on that bounded
+    * frame. */
+  def censusTheil(s: SparkSession, dir: String): DataFrame = {
+    def lnMicro(num: Column, den: Column): Column =
+      round(log(num.cast("double") / den.cast("double")) * 1000000d).cast("long")
+    val cells = t(s, dir, "customer")
+      .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_ij"))
+    val byNation = cells.groupBy("n_name").agg(sum("n_ij").as("n_i"))
+    val withM = cells.join(byNation, "n_name")
+    val perNation = withM
+      .select(col("n_name"), col("n_i"), col("n_ij"),
+        (col("n_ij") * lnMicro(col("n_i"), col("n_ij"))).as("term"))
+      .groupBy("n_name").agg(max("n_i").as("n_i"), sum("term").as("e_num"))
+    val bySeg = cells.groupBy("segment").agg(sum("n_ij").as("n_j"))
+    val eAll = bySeg
+      .crossJoin(broadcast(bySeg.agg(sum("n_j").as("nn"))))
+      .select((col("n_j") * lnMicro(col("nn"), col("n_j"))).as("term"))
+      .agg(sum("term").as("e_all"))
+    // H as a double division of the two exact single-row BIGINTs (the
+    // CUPED convention): Num.ratio's 1e6 pre-scale would wrap BIGINT at
+    // sf10 corpus entropies
+    val h = perNation.agg(sum("e_num").as("e_within"))
+      .crossJoin(broadcast(eAll))
+      .select(col("e_all"),
+        round((col("e_all") - col("e_within")).cast("double")
+          / col("e_all").cast("double"), 6).as("theil_h"))
+    perNation
+      .select(col("n_name"), col("n_i"), col("e_num"),
+        Num.ratio(col("e_num"), col("n_i"), 0).as("entropy_micro"))
+      .crossJoin(broadcast(h))
+      .orderBy("n_name")
+  }
+
+  /** DIRECT STANDARDIZATION — the rate-adjustment every comparative
+    * census table applies before ranking regions ("age-standardized
+    * rate", here segment-standardized): nation i's crude negative-
+    * balance rate depends on its segment MIX, so the standardized rate
+    * re-weights each (nation, segment) stratum rate by the CORPUS
+    * segment distribution — rate_std(i) = Σⱼ wⱼ·r(i,j) / Σⱼ wⱼ with
+    * wⱼ the corpus-wide segment counts. Stratum rates are half-up
+    * micro ratios; the re-weighting is an exact BIGINT weighted sum
+    * over ≤ |segments| strata, and the final division is the one
+    * half-up ratio. Crude and standardized rates emit side by side —
+    * their gap IS the mix effect the operator exists to remove.
+    *
+    * Scale: one (nation × segment) census (event + population counts
+    * in the same pass); everything downstream is bounded frames. */
+  def censusAgeStandardize(s: SparkSession, dir: String): DataFrame = {
+    val cells = t(s, dir, "customer")
+      .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_pop"),
+        count_if(col("c_acctbal") < 0).as("n_event"))
+    val w = cells.groupBy("segment").agg(sum("n_pop").as("w_seg"))
+    val strata = cells.join(broadcast(w), "segment")
+      .select(col("n_name"), col("n_pop"), col("n_event"),
+        col("w_seg"),
+        // stratum rate in micro, then weighted by the standard population
+        (col("w_seg") * Num.ratio(col("n_event") * 1000000L, col("n_pop"), 0)
+          .cast("long")).as("w_rate"))
+    strata.groupBy("n_name")
+      .agg(sum("n_pop").as("n_pop"), sum("n_event").as("n_event"),
+        sum("w_rate").as("w_rate_sum"), sum("w_seg").as("w_sum"))
+      .select(col("n_name"), col("n_pop"), col("n_event"),
+        Num.ratio(col("n_event") * 1000000L, col("n_pop"), 0).as("crude_micro"),
+        Num.ratio(col("w_rate_sum"), col("w_sum"), 0).as("std_micro"))
+      .orderBy("n_name")
+  }
+
+  /** MORAN'S I — global spatial autocorrelation of mean positive
+    * account balance across nations, with binary SAME-REGION contiguity
+    * weights (wᵢⱼ = 1 iff nations i ≠ j share a region) — the census
+    * regional-clustering readout ("do rich nations neighbor rich
+    * nations?"). I = (n/S₀)·(Σᵢⱼ wᵢⱼ dᵢ dⱼ)/(Σᵢ dᵢ²) computed entirely
+    * on SCALED integer deviations dᵢ = n·x̄ᵢ − Σx̄ (the n· factor clears
+    * the mean's division and cancels between numerator and
+    * denominator); per region the pair sum collapses to (Σd)² − Σd², so
+    * no pair join ever materializes. x̄ᵢ is the half-up integer mean in
+    * cents (the `Num` avg algebra). I < 0 reads as dispersion, > 0 as
+    * clustering; I emits as the double division of exact single-row
+    * BIGINTs (sign falls out naturally; a pre-scaled integer ratio
+    * would wrap BIGINT on the cent-scaled cross sums past sf0.1).
+    *
+    * Scale: one nation-keyed census over the corpus; the deviation
+    * algebra runs on the ≤ |nations| frame and the readout is
+    * |regions| rows + the whitelisted single-row broadcast. */
+  def censusMoranI(s: SparkSession, dir: String): DataFrame = {
+    val means = t(s, dir, "customer")
+      .filter(col("c_acctbal") > 0)
+      .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_nationkey"), col("n_regionkey"))
+      .agg(sum((Num.money(col("c_acctbal")) * 100).cast("long")).as("cents"),
+        count(lit(1)).as("cnt"))
+      .select(col("n_regionkey"),
+        call_function("div", col("cents") * 2 + col("cnt"), col("cnt") * 2).as("m"))
+    val tot = means.agg(count(lit(1)).as("n"), sum("m").as("t"))
+    val devs = means.crossJoin(broadcast(tot))
+      .select(col("n_regionkey"), (col("n") * col("m") - col("t")).as("d"), col("n"))
+    val perRegion = devs.groupBy("n_regionkey")
+      .agg(count(lit(1)).as("n_nations"), sum("d").as("sd"),
+        sum(col("d") * col("d")).as("ssq"), max("n").as("n"))
+      .select(col("n_regionkey"), col("n_nations"),
+        (col("sd") * col("sd") - col("ssq")).as("cross_sum"),
+        (col("n_nations") * (col("n_nations") - 1)).as("s0_pairs"),
+        col("ssq"), col("n"))
+    val globalI = perRegion
+      .agg(max("n").as("n"), sum("cross_sum").as("num"),
+        sum("s0_pairs").as("s0"), sum("ssq").as("den"))
+      .select(col("s0"),
+        // double division of exact single-row BIGINTs — the half-up
+        // ratio's 1e6 pre-scale would wrap BIGINT on cent-scaled cross
+        // sums past sf0.1, and the sign falls out naturally
+        round((col("n") * col("num")).cast("double")
+          / (col("s0") * col("den")).cast("double"), 6).as("moran_i"))
+    perRegion
+      .join(t(s, dir, "region"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name"), col("n_nations"), col("cross_sum"), col("ssq"))
+      .crossJoin(broadcast(globalI))
+      .orderBy("r_name")
   }
 }

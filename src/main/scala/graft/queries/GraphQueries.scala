@@ -1800,4 +1800,71 @@ object GraphQueries {
       .orderBy(desc("ppr_micro"), col("node"))
       .limit(25)
   }
+
+  /** BIPARTITE PROJECTION — the graph-construction primitive behind
+    * co-occurrence networks (suppliers sharing parts, authors sharing
+    * papers, docs sharing n-grams): project the part–supplier bipartite
+    * graph (distinct (part, supplier) incidences from lineitem) onto
+    * suppliers, edge weight = number of shared parts. The projection's
+    * classic scale bomb is the hot right-node — a part supplied by k
+    * suppliers emits k² pairs — so parts above the occupancy cap (32)
+    * are DROPPED before the self-join, the df-capped-postings
+    * discipline every dedup-family join already applies (at 100 TB the
+    * cap is what keeps the projection output-sensitive instead of
+    * quadratic in the hottest key). Readout: the 50 heaviest co-supply
+    * edges under the (weight desc, u, v) total order.
+    *
+    * Scale: distinct-incidence census → bounded-occupancy self-join →
+    * pair-keyed count; the shuffle carries (part, supplier) ids and
+    * capped pairs only. */
+  def graphBipartiteProject(s: SparkSession, dir: String): DataFrame = {
+    val inc = t(s, dir, "lineitem")
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("sp"))
+      .distinct()
+    val occ = inc.groupBy("p").agg(count(lit(1)).as("occ"))
+    val kept = inc.join(occ.filter(col("occ") <= 32), "p")
+    kept.select(col("p"), col("sp").as("u"))
+      .join(kept.select(col("p"), col("sp").as("v")), "p")
+      .filter(col("u") < col("v"))
+      .groupBy("u", "v")
+      .agg(count(lit(1)).as("shared_parts"))
+      .orderBy(desc("shared_parts"), col("u"), col("v"))
+      .limit(50)
+  }
+
+  /** POWER-LAW DEGREE FIT — the diagnostic every dedup/graph deployment
+    * reads before sizing its skew defenses (hub salting, hot-key caps):
+    * is the degree distribution heavy-tailed, and how heavy? Two
+    * standard estimators over the similarity graph's degree census:
+    * (1) the discrete Hill/MLE exponent α̂ = 1 + n_tail / Σ ln(dᵢ /
+    * (d_min − ½)) over the tail d ≥ d_min = 4 (Clauset–Shalizi–Newman
+    * 2009 eq. 3.7), each distinct degree's ln() quantized to micro-nats
+    * so the weighted sum is exact BIGINT in both engines; (2) the
+    * log-log OLS slope of count vs degree over the full census (the
+    * zipf-fit convention — biased but universally quoted). A Hill α
+    * near 2 says hub mass dominates (worst case for fixed-bucket
+    * plans); α > 3 says variance is finite and plain hash partitioning
+    * holds.
+    *
+    * Scale: the degree census is ≤ max-degree rows — everything here
+    * after the family-shared `symDeg` frame is bounded by the DISTINCT
+    * degree count, not nodes or edges. */
+  def graphPowerlawFit(s: SparkSession, dir: String): DataFrame = {
+    val dMin = 4L
+    val census = symDeg(s, dir).groupBy("deg").agg(count(lit(1)).as("cnt"))
+    val lnq = round(log(col("deg").cast("double") / lit(dMin.toDouble - 0.5)) *
+      1000000d).cast("long")
+    val tail = census.filter(col("deg") >= dMin)
+      .select(col("cnt"), (col("cnt") * lnq).as("term"), col("deg"))
+      .agg(sum("cnt").as("n_tail"), sum("term").as("sum_ln_micro"),
+        max("deg").as("max_degree"))
+    val ols = census.agg(
+      round(expr("regr_slope(ln(cnt), ln(deg))"), 4).as("ols_slope"),
+      count(lit(1)).as("n_degrees"))
+    tail.crossJoin(broadcast(ols))
+      .select(lit(dMin).as("d_min"), col("n_tail"), col("sum_ln_micro"),
+        (lit(1.0) + Num.ratio(col("n_tail") * 1000000L, col("sum_ln_micro"), 6))
+          .as("alpha_hill"),
+        col("max_degree"), col("ols_slope"), col("n_degrees"))
+  }
 }

@@ -2753,4 +2753,133 @@ object LlmExtra {
         (col("total_tokens") - col("total_masked") + col("total_spans")).as("packed_tokens"))
       .orderBy("lang")
   }
+
+  /** TWO-STAGE RETRIEVAL (shortlist → exact rerank) — the production
+    * ANN deployment shape none of the single-stage siblings covers
+    * (SCaNN / FAISS `IndexRefine` pattern): stage 1 scores EVERY
+    * candidate with a 64-bit SIGN SKETCH (1-bit quantization of the
+    * embedding — hamming similarity via two xor+popcount words instead
+    * of a 64-float dot product, ~50× cheaper per candidate and the
+    * whole pass stays in whole-stage codegen, no UDF); stage 2
+    * re-scores only the top-40 shortlist with the exact cosine and
+    * emits the top 5. Sketches pack into two 32-bit words because a
+    * 64th sign bit would overflow DuckDB's BIGINT sum; both stages
+    * tiebreak (score desc, id asc) so the boundary is deterministic and
+    * the oracle's row_number mirror is exact.
+    *
+    * Scale: stage 1 is corpus-linear per probe like the brute-force
+    * baseline but on 16 bytes/candidate (the quantized first pass IS
+    * the point — at 100 TB this is the in-memory scan tier while the
+    * exact vectors stay on disk for the 40-row stage 2); probes are a
+    * bounded broadcast; no corpus-sized window anywhere (bounded-heap
+    * TopK aggregates). */
+  def llmSimRerank(s: SparkSession, dir: String): DataFrame = {
+    graft.udx.NGrams.registerAll(s)
+    def skBits(lo: Int): org.apache.spark.sql.Column =
+      expr(s"aggregate(sequence($lo, ${lo + 31}), CAST(0 AS BIGINT), " +
+        s"(a, i) -> a + IF(element_at(v, i) > CAST(0 AS FLOAT), " +
+        s"shiftleft(CAST(1 AS BIGINT), i - $lo), CAST(0 AS BIGINT)))")
+    // persisted: the sketch pass forks into probes and candidates, and
+    // the exact vectors join back twice in stage 2
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", graft.llm.Vectors.fnorm(col("v")))
+      .withColumn("sk0", skBits(1))
+      .withColumn("sk1", skBits(33))
+      .persist()
+    GraftCaches.register(emb)
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("pid"), col("sk0").as("p0"), col("sk1").as("p1"))
+    val ham = emb.select(col("vec_id").as("nid"), col("sk0"), col("sk1"))
+      .crossJoin(broadcast(probes))
+      .filter(col("nid") =!= col("pid"))
+      .select(col("pid"), col("nid"),
+        (lit(64) - bit_count(col("sk0").bitwiseXOR(col("p0")))
+          - bit_count(col("sk1").bitwiseXOR(col("p1")))).cast("long").as("ham"))
+    val short = ham.groupBy("pid")
+      .agg(graft.udx.TopKAggregator.topk(40)(col("ham").cast("double"), col("nid")).as("tk"))
+      .select(col("pid"), explode(col("tk.items")).as("it"))
+      .select(col("pid"), col("it._2").as("nid"), col("it._1").cast("long").as("ham_sim"))
+    val pairs = short
+      .join(emb.select(col("vec_id").as("pid"), col("v").as("pv"), col("nrm").as("pnorm")), "pid")
+      .join(emb.select(col("vec_id").as("nid"), col("v"), col("nrm")), "nid")
+      .select(col("pid"), col("nid"), col("ham_sim"),
+        round(graft.llm.Vectors.cosineWithNorms(
+          graft.llm.Vectors.fdot(col("pv"), col("v")), col("pnorm"), col("nrm")), 4).as("cos"))
+    val top5 = pairs.groupBy("pid")
+      .agg(graft.udx.TopKAggregator.topk(5)(col("cos"), col("nid")).as("tk"))
+      .select(col("pid"), posexplode(col("tk.items")))
+      .select(col("pid"), col("col._2").as("nid"), col("col._1").as("cos"),
+        (col("pos") + 1).cast("long").as("rnk"))
+    // ham_sim rides back in from the 400-row shortlist frame
+    top5.join(short, Seq("pid", "nid"))
+      .select(col("pid"), col("nid"), col("cos"), col("ham_sim"), col("rnk"))
+      .orderBy("pid", "rnk")
+  }
+
+  /** PREFERENCE-PAIR CONSTRUCTION — the RLHF/DPO data-builder step: for
+    * every prompt group (source × length bucket — the granularity a
+    * real pipeline keys on prompt id), pick the best and worst
+    * completion by a deterministic quality score (type-token ratio in
+    * milli — lexical diversity, the standard cheap reward proxy) and
+    * emit the (chosen, rejected) pair with its score margin. Ties break
+    * on doc_id (max_by/min_by over a (score, id) struct — the
+    * `agg_arg_minmax` idiom), so chosen ≠ rejected whenever the group
+    * has ≥ 2 docs, and single-doc groups emit nothing.
+    *
+    * Scale: one map pass for scores + one group-keyed argmax/argmin
+    * census — the shuffle carries (group, score, id), never text. */
+  def llmRlhfPairs(s: SparkSession, dir: String): DataFrame = {
+    val scored = t(s, dir, "documents")
+      .filter(col("doc_id") < 2000)
+      .withColumn("w", split(col("text"), " "))
+      .select(col("source"),
+        call_function("div", col("n_chars"), lit(200L)).as("len_bucket"),
+        col("doc_id"),
+        call_function("div",
+          size(array_distinct(col("w"))).cast("long") * 1000L,
+          size(col("w")).cast("long")).as("ttr_milli"))
+    scored
+      .withColumn("ord", struct(col("ttr_milli"), col("doc_id")))
+      .groupBy("source", "len_bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        max_by(col("doc_id"), col("ord")).as("chosen_doc"),
+        max(col("ttr_milli")).as("chosen_score"),
+        min_by(col("doc_id"), col("ord")).as("rejected_doc"),
+        min(col("ttr_milli")).as("rejected_score"))
+      .filter(col("n_docs") >= 2)
+      .select(col("source"), col("len_bucket"), col("n_docs"),
+        col("chosen_doc"), col("chosen_score"),
+        col("rejected_doc"), col("rejected_score"),
+        (col("chosen_score") - col("rejected_score")).as("margin"))
+      .orderBy("source", "len_bucket")
+  }
+
+  /** CURRICULUM ORDERING — the schedule a curriculum-learning run feeds
+    * its data loader: documents banded into 10 difficulty stages by
+    * average token length (milli-chars per token, the cheap "lexical
+    * complexity" proxy — simple text first), each stage internally
+    * shuffled by a DETERMINISTIC md5 order key (the `llm_hash_split` /
+    * `llm_epoch_shuffle` discipline: no rand(), re-runs bit-identical).
+    * The consumer sorts by (stage, order_key) and streams; no global
+    * position column exists because assigning one is a corpus-sized
+    * total order — the sort happens at read time on the already-banded
+    * key, exactly like the epoch-shuffle row.
+    *
+    * Scale: one map-only pass — per-doc arithmetic plus a hash; no
+    * shuffle at all before the ordered readout. */
+  def llmCurriculumOrder(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(col("doc_id") < 2000)
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .withColumn("n_alpha", length(regexp_replace(col("text"), " ", "")))
+      .withColumn("score_milli",
+        call_function("div", col("n_alpha") * 1000L, col("n_tokens").cast("long")))
+      .select(col("doc_id"),
+        least(lit(9L), greatest(lit(0L),
+          call_function("div", col("score_milli") - 3000L, lit(600L)))).as("stage"),
+        col("score_milli"),
+        conv(substring(md5(concat(lit("curr|"), col("doc_id"))), 1, 15), 16, 10)
+          .cast("long").as("order_key"))
+      .orderBy("stage", "order_key", "doc_id")
 }

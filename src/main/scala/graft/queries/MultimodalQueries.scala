@@ -443,4 +443,54 @@ object MultimodalQueries {
         col("total_energy"))
       .orderBy("doc_id")
   }
+
+  /** MULTI-CROP TILE PLAN — the high-resolution VLM preprocessing
+    * arithmetic (the "tiles + overview thumbnail" recipe of
+    * LLaVA-NeXT / InternVL-style dynamic tiling): each image splits
+    * into a grid of 112-px tiles; if the native grid exceeds the
+    * 12-tile budget the plan downsamples by the SMALLEST integer
+    * factor s ∈ {1..4} that fits, and the token bill is 49 per tile
+    * (7×7 patches of 16 px) plus a 49-token global overview. Images
+    * that still exceed the budget at s = 4 are flagged truncated and
+    * clamped. All integer ceil-division arithmetic — the plan a batch
+    * scheduler sums into sequence budgets is bit-identical in both
+    * engines; the pixel work itself is the stubbed decode.
+    *
+    * Scale: one mapPartitions decode pass (codec state amortized per
+    * batch, as every mm_* row) + codegen'd arithmetic; map-only. */
+  def mmImageTilePlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = t(s, dir, "documents")
+      .filter(col("doc_id") < 2000 && col("doc_id") % 3 === 1)
+      .select(col("doc_id"), lit("image").as("kind"),
+        col("text").cast("binary").as("bytes"))
+      .as[MediaRow]
+    val metas = rows.mapPartitions(_.map(Media.decodeStub)).toDF()
+    val T = 112L
+    val B = 12L
+    def grid(sc: Long, c: org.apache.spark.sql.Column) =
+      call_function("div", c.cast("long") + (T * sc - 1), lit(T * sc))
+    def tiles(sc: Long) =
+      (grid(sc, col("width")) * grid(sc, col("height"))).as(s"t$sc")
+    metas
+      .select(col("doc_id"), col("width").cast("long").as("w"),
+        col("height").cast("long").as("h"),
+        tiles(1), tiles(2), tiles(3), tiles(4))
+      .withColumn("scale_s",
+        when(col("t1") <= B, 1L).when(col("t2") <= B, 2L)
+          .when(col("t3") <= B, 3L).otherwise(4L))
+      .withColumn("grid_x",
+        call_function("div", col("w") + (lit(T) * col("scale_s") - 1),
+          lit(T) * col("scale_s")))
+      .withColumn("grid_y",
+        call_function("div", col("h") + (lit(T) * col("scale_s") - 1),
+          lit(T) * col("scale_s")))
+      .withColumn("truncated", col("t4") > B)
+      .withColumn("n_tiles",
+        least(col("grid_x") * col("grid_y"), lit(B)))
+      .select(col("doc_id"), col("w"), col("h"), col("scale_s"),
+        col("grid_x"), col("grid_y"), col("n_tiles"),
+        (col("n_tiles") * 49L + 49L).as("n_tokens"), col("truncated"))
+      .orderBy("doc_id")
+  }
 }

@@ -1281,4 +1281,153 @@ object Quality {
         Num.ratio(col("entropy_micro"), col("max_entropy_micro"), 4))
       .orderBy("column_name")
   }
+
+  /** CUPED-ADJUSTED A/B READOUT (Deng et al., WSDM'13 "Improving the
+    * sensitivity of online controlled experiments") — the
+    * variance-reduction step every mature experimentation platform runs
+    * on top of the plain z-test (`event_ab_test`): per user, the
+    * PRE-period purchase total is the covariate X and the post-period
+    * total the outcome Y; θ = cov(X,Y)/var(X) pooled over both arms,
+    * and each arm reports Ȳ_adj = Ȳ − θ·(X̄_arm − X̄_all). Users split by
+    * the deterministic user_id parity; the period cut is the
+    * mid-stream day. Per-user sums are exact BIGINT cents; the moment
+    * cross-products combine as DOUBLES of those single-row exact
+    * integers (BIGINT cross-products overflow past sf1) — identical
+    * IEEE expression shape both engines, so θ, the adjusted means and
+    * the ρ² variance-reduction factor hash-match.
+    *
+    * Scale: one user-keyed census (the experiment-unit rollup every
+    * CUPED implementation shuffles once), then a 2-row arm frame + the
+    * whitelisted single-row broadcast moments. */
+  def eventUpliftCuped(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit("2024-01-16").cast("date")
+    val cents = (Num.money(col("value")) * 100).cast("long")
+    val users = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), pmod(col("user_id"), lit(2)).cast("long").as("arm"))
+      .agg(sum(when(to_date(col("ts")) < cut, cents).otherwise(0L)).as("x"),
+        sum(when(to_date(col("ts")) >= cut, cents).otherwise(0L)).as("y"))
+    val mom = users.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("n"), col("sx"),
+        (col("n").cast("double") * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double")).as("covn"),
+        (col("n").cast("double") * col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx").cast("double")).as("varxn"),
+        (col("n").cast("double") * col("syy").cast("double")
+          - col("sy").cast("double") * col("sy").cast("double")).as("varyn"))
+    val arms = users.groupBy("arm")
+      .agg(count(lit(1)).as("n_users"), sum("x").as("ax"), sum("y").as("ay"))
+    arms.crossJoin(broadcast(mom))
+      .select(col("arm"), col("n_users"),
+        round(col("ay").cast("double") / col("n_users") / 100d, 2).as("y_mean"),
+        round((col("ay").cast("double") / col("n_users")
+          - (col("covn") / col("varxn"))
+            * (col("ax").cast("double") / col("n_users")
+               - col("sx").cast("double") / col("n"))) / 100d, 2).as("y_adj"),
+        round(col("covn") / col("varxn"), 6).as("theta"),
+        round(col("covn") * col("covn") / (col("varxn") * col("varyn")), 6)
+          .as("rho_sq"))
+      .orderBy("arm")
+  }
+
+  /** BURST DETECTION — the rate-spike flag an event pipeline raises
+    * before a downstream model trains on a corrupted day: per
+    * (event_type, day) counts tested against the TRAILING 7-day window
+    * with the z² > 9 rule kept ENTIRELY in integers — burst ⟺ 7n > S
+    * and (7n − S)² > 9·(7Q − S²), the "3σ above trailing mean"
+    * inequality cleared of both divisions (S, Q = trailing sum and sum
+    * of squares). A constant window (7Q = S²) flags any deviation,
+    * which is the right alarm semantics for a flat baseline. Only
+    * full-window days are judged (the first 7 days per type emit no
+    * verdict row).
+    *
+    * Scale: corpus → (type × day) census map-side; the trailing window
+    * runs per event_type over calendar-bounded partitions (≤ |days|
+    * rows each) — never corpus-sized. */
+  def eventBurstDetect(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+    daily
+      .withColumn("win_n", count(lit(1)).over(w))
+      .withColumn("s", sum("n").over(w))
+      .withColumn("q", sum(col("n") * col("n")).over(w))
+      .filter(col("win_n") === 7)
+      .select(col("event_type"), col("day"), col("n"), col("s").as("win_sum"),
+        ((col("n") * 7 - col("s")) * (col("n") * 7 - col("s"))).as("zsq_num"),
+        ((col("q") * 7 - col("s") * col("s")) * 9).as("zsq_den"))
+      .withColumn("is_burst",
+        col("n") * 7 > col("win_sum") && col("zsq_num") > col("zsq_den"))
+      .orderBy("event_type", "day")
+  }
+
+  /** FOREIGN-KEY INFERENCE — the relationship-discovery profile run
+    * after `dq_uniqueness_profile` answers "which columns are keys":
+    * for each declared candidate edge (orders.o_custkey → customer,
+    * lineitem.l_orderkey → orders, lineitem.l_partkey → part,
+    * lineitem.l_suppkey → supplier), measure referential containment —
+    * the share of child values present in the parent key set — and
+    * verdict `is_fk` at full containment. Each edge is one
+    * left-semi-join census over DISTINCT child values (the shuffle
+    * carries distinct keys, not rows); the four edges union into one
+    * readout.
+    *
+    * Scale: per edge, a distinct-census + a semi join on the key — the
+    * FK-orphan plan (`dq_fk_orphans`) read as a profiler verdict. */
+  def dqFkInference(s: SparkSession, dir: String): DataFrame = {
+    def edge(name: String, child: DataFrame, ck: String,
+        parent: DataFrame, pk: String): DataFrame = {
+      val cd = child.select(col(ck).as("k")).distinct()
+      val hit = cd.join(parent.select(col(pk).as("k")).distinct(), Seq("k"), "left_semi")
+      cd.agg(count(lit(1)).as("n_child_distinct"))
+        .crossJoin(hit.agg(count(lit(1)).as("n_contained")))
+        .select(lit(name).as("edge"), col("n_child_distinct"), col("n_contained"),
+          Num.ratio(col("n_contained"), col("n_child_distinct"), 6).as("containment"),
+          (col("n_contained") === col("n_child_distinct")).as("is_fk"))
+    }
+    edge("orders.o_custkey->customer.c_custkey",
+        t(s, dir, "orders"), "o_custkey", t(s, dir, "customer"), "c_custkey")
+      .unionAll(edge("lineitem.l_orderkey->orders.o_orderkey",
+        t(s, dir, "lineitem"), "l_orderkey", t(s, dir, "orders"), "o_orderkey"))
+      .unionAll(edge("lineitem.l_partkey->part.p_partkey",
+        t(s, dir, "lineitem"), "l_partkey", t(s, dir, "part"), "p_partkey"))
+      .unionAll(edge("lineitem.l_suppkey->supplier.s_suppkey",
+        t(s, dir, "lineitem"), "l_suppkey", t(s, dir, "supplier"), "s_suppkey"))
+      .orderBy("edge")
+  }
+
+  /** UNIQUENESS / CANDIDATE-KEY PROFILE — the first question a schema
+    * audit asks of every column: how many distinct values, how many
+    * nulls, what duplicate ratio, and is it a candidate key? Four
+    * orders columns profiled in ONE aggregate pass (multi-distinct via
+    * Catalyst's Expand — the `agg_multi_distinct` shape), stacked to
+    * one row per column. `is_candidate_key` ⟺ fully distinct and
+    * null-free.
+    *
+    * Scale: one Expand×4 aggregation — 4 hash-distinct censuses sharing
+    * a single scan and shuffle; output is 4 rows. */
+  def dqUniquenessProfile(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val prof = o.agg(count(lit(1)).as("n_rows"),
+      countDistinct(col("o_orderkey")).as("d1"), count(col("o_orderkey")).as("c1"),
+      countDistinct(col("o_custkey")).as("d2"), count(col("o_custkey")).as("c2"),
+      countDistinct(col("o_orderstatus")).as("d3"), count(col("o_orderstatus")).as("c3"),
+      countDistinct(col("o_orderpriority")).as("d4"), count(col("o_orderpriority")).as("c4"))
+    prof.select(col("n_rows"), explode(array(
+        struct(lit("o_orderkey").as("column_name"), col("d1").as("n_distinct"), col("c1").as("n_non_null")),
+        struct(lit("o_custkey").as("column_name"), col("d2").as("n_distinct"), col("c2").as("n_non_null")),
+        struct(lit("o_orderstatus").as("column_name"), col("d3").as("n_distinct"), col("c3").as("n_non_null")),
+        struct(lit("o_orderpriority").as("column_name"), col("d4").as("n_distinct"), col("c4").as("n_non_null"))))
+        .as("c"))
+      .select(col("c.column_name"), col("n_rows"), col("c.n_distinct"),
+        (col("n_rows") - col("c.n_non_null")).as("n_nulls"),
+        Num.ratio(col("c.n_non_null") - col("c.n_distinct"), col("n_rows"), 6)
+          .as("dup_ratio"),
+        (col("c.n_distinct") === col("n_rows") && col("c.n_non_null") === col("n_rows"))
+          .as("is_candidate_key"))
+      .orderBy("column_name")
+  }
 }

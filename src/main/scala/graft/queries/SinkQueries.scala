@@ -90,7 +90,7 @@ object SinkQueries {
         |  total_bal DOUBLE PRECISION)""".stripMargin)
     PgSink.writeCopy(agg, ScratchPg.dsn, "graft_sink_copy")
     val back = ScratchPg.copyOut(
-      "SELECT r_name, n_name, n_suppliers, total_bal FROM graft_sink_copy")
+      "SELECT r_name, n_name, n_suppliers, total_bal FROM graft_sink_copy", expectCols = 4)
       .map(f => (f(0), f(1), f(2).toLong, f(3).toDouble))
     import s.implicits._
     back.toDF("r_name", "n_name", "n_suppliers", "total_bal")

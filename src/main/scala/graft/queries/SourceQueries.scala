@@ -331,6 +331,55 @@ object SourceQueries {
         sum(col("length")).as("total_bytes"))
   }
 
+  /** PARQUET FOOTER / ZONE-MAP READ — manifest-level planning made a
+    * graded query: every lakehouse optimizer answers count(*) and
+    * min/max from FOOTER METADATA without scanning a data page, and
+    * this operator does exactly that — executors parse the orders
+    * footers (parquet-hadoop, whole-file units via binaryFile listing,
+    * content column pruned so only paths ship) and emit the
+    * footer-derived row count, o_orderkey zone-map min/max, and column
+    * count. The oracle recomputes the same four values FROM THE DATA —
+    * so the hash gate proves footer ≡ content, the invariant every
+    * stats-based planner silently bets on.
+    *
+    * Scale: footer parse is KBs per file regardless of data size — the
+    * 100 TB shape is 1000 executors each reading footers of their
+    * file-list slice, which is precisely this plan; no data page is
+    * ever touched (binaryFile prunes `content`). */
+  def sourceParquetFooter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val paths = s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.parquet")
+      .load(s"$dir/orders.parquet")
+      .select(col("path")).as[String]
+    val perGroup = paths.mapPartitions { it =>
+      val conf = new org.apache.hadoop.conf.Configuration()
+      it.flatMap { p =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(p), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          import scala.jdk.CollectionConverters._
+          val nCols = r.getFooter.getFileMetaData.getSchema.getFieldCount.toLong
+          r.getFooter.getBlocks.asScala.map { b =>
+            val okey = b.getColumns.asScala
+              .find(_.getPath.toDotString == "o_orderkey").get
+            val st = okey.getStatistics
+            (b.getRowCount,
+              st.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
+              st.genericGetMax.asInstanceOf[java.lang.Long].longValue(),
+              nCols)
+          }.toList
+        } finally r.close()
+      }
+    }.toDF("rg_rows", "rg_min", "rg_max", "n_cols")
+    perGroup.agg(
+      sum("rg_rows").as("total_rows"),
+      min("rg_min").as("min_orderkey"),
+      max("rg_max").as("max_orderkey"),
+      max("n_cols").as("n_cols"))
+  }
+
   /** Parquet schema evolution (`mergeSchema`) — the long-lived-dataset
     * reality: yesterday's files carry (doc_id, lang), today's add
     * n_chars; one mergeSchema read presents the union schema with

@@ -64,7 +64,14 @@ class PlanLintSpec extends GraftSpec {
     "agg_sample_bottomk", // single-row population stats attached via broadcast cross join (round 14)
     "llm_dup_graph_degree", // single-row global pair count via broadcast cross join (round 14)
     "llm_sim_hnsw_topk", // 16-row centroid frame via broadcast cross join (the IVF-cell assignment shape, round 14)
-    "llm_sim_hnsw_tune") // same build's centroid cross join, shared by the three sweep configs (round 15)
+    "llm_sim_hnsw_tune", // same build's centroid cross join, shared by the three sweep configs (round 15)
+    "census_theil", // single-row corpus entropy / H frames via broadcast cross joins (round 15)
+    "census_moran_i", // single-row deviation totals + global I via broadcast cross joins (round 15)
+    "graph_powerlaw_fit", // single-row OLS frame via broadcast cross join (round 15)
+    "ts_periodogram", // 8-row Fourier-bin frame + dominant flag via broadcast cross join (round 15)
+    "llm_sim_rerank", // bounded-probe sketch broadcast crossJoin, as llm_sim_cosine_topk (round 15)
+    "event_uplift_cuped", // single-row pooled-moment frame via broadcast cross join (round 15)
+    "dq_fk_inference") // four edge censuses: single-row distinct/contained frames via broadcast cross joins (round 15)
 
   test("no query plans an unexpected cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

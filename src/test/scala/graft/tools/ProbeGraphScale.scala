@@ -150,6 +150,33 @@ object ProbeGraphScale {
       val cl0 = cdeg.select(col("node"), col("node").as("label"))
       graft.queries.GraphQueries.louvainMovesWeightedOn(cadj, cl0, cdeg).count()
     }
+    // ---- round-15 addition (graph_louvain_dendrogram): the LEVEL-3
+    // rung — apply one weighted sweep on the level-2 graph, contract
+    // AGAIN on the swept labels, and sweep the level-3 graph. Each
+    // contraction must shrink the frame by the community count, so this
+    // whole rung should cost a fraction of louvain_contraction; if it
+    // doesn't, the dendrogram's "levels get cheaper" premise is broken
+    // at scale.
+    time("louvain_level3_contract_sweep") {
+      val cdeg = cadj.groupBy(col("u").as("node")).agg(sum("w").as("deg"))
+        .localCheckpoint(true)
+      val cl0 = cdeg.select(col("node"), col("node").as("label"))
+      val mv = graft.queries.GraphQueries.louvainMovesWeightedOn(cadj, cl0, cdeg)
+        .select(col("node"), col("c").as("to_c"))
+        .localCheckpoint(true)
+      val l2 = cl0.join(mv, Seq("node"), "left")
+        .select(col("node"), coalesce(col("to_c"), col("label")).as("label"))
+        .localCheckpoint(true)
+      val cadj3 = cadj
+        .join(l2.select(col("node").as("u"), col("label").as("cu")), "u")
+        .join(l2.select(col("node").as("v"), col("label").as("cv")), "v")
+        .groupBy(col("cu").as("u"), col("cv").as("v"))
+        .agg(sum("w").as("w"))
+        .localCheckpoint(true)
+      val c3deg = cadj3.groupBy(col("u").as("node")).agg(sum("w").as("deg"))
+      val c30 = c3deg.select(col("node"), col("node").as("label"))
+      graft.queries.GraphQueries.louvainMovesWeightedOn(cadj3, c30, c3deg).count()
+    }
     // ---- round-13 addition: the WEDGE-quadratic family. Adamic–Adar's
     // candidate step is deg² per center — the one family whose cost is
     // degree-distribution-, not edge-count-, shaped. The probe times the
