@@ -535,7 +535,9 @@ object SparkEntry {
     // part–supplier bipartite projected onto suppliers, occupancy-capped
     "graph_bipartite_project" -> GraphQueries.graphBipartiteProject _,
     // footer/zone-map read graded against content truth
-    "source_parquet_footer" -> SourceQueries.sourceParquetFooter _
+    "source_parquet_footer" -> SourceQueries.sourceParquetFooter _,
+    // Fay BRR replicate-weight variance (the ACS production method)
+    "census_replicate_weights" -> CensusQueries.censusReplicateWeights _
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on

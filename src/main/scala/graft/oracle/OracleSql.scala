@@ -7087,6 +7087,36 @@ object OracleSql {
              ${N.ratio("w_rate_sum", "w_sum", 0)} AS std_micro
       FROM agg ORDER BY n_name""",
 
+    // Fay BRR replicate variance: factor-2 scaling clears the 0.5s,
+    // squared diffs in 1e4-cent units keep BIGINT exact at every SF
+    "census_replicate_weights" -> """
+      WITH base AS (
+        SELECT n.n_name,
+               CAST(CAST(c.c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+               CAST(('0x' || substr(md5('rep|' || CAST(c.c_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey),
+      reps AS (
+        SELECT b.n_name, t.r,
+               b.cents * (((b.h >> CAST(t.r AS INT)) & 1) * 2 + 1) AS wcents,
+               b.cents
+        FROM base b, range(0, 8) t(r)),
+      per_rep AS (
+        SELECT n_name, r, CAST(sum(wcents) AS BIGINT) AS est_r2,
+               CAST(sum(cents) AS BIGINT) AS est
+        FROM reps GROUP BY 1, 2),
+      diffs AS (
+        SELECT n_name, est, (est_r2 - est * 2) // 10000 AS diff_h
+        FROM per_rep),
+      agg AS (
+        SELECT n_name, CAST(max(est) AS BIGINT) AS est_cents,
+               CAST(sum(diff_h * diff_h) // 8 AS BIGINT) AS var_h2
+        FROM diffs GROUP BY n_name)
+      SELECT n_name, est_cents, var_h2,
+             round(sqrt(CAST(var_h2 AS DOUBLE)) * 10000 / 100, 2) AS se_dollars,
+             round(sqrt(CAST(var_h2 AS DOUBLE)) * 10000 * 1000000
+                   / CAST(est_cents AS DOUBLE), 0) AS cv_micro
+      FROM agg ORDER BY n_name""",
+
     // bipartite projection with the occupancy cap (<= 32 suppliers per
     // part) applied BEFORE the pair self-join — the postings discipline
     "graph_bipartite_project" -> """

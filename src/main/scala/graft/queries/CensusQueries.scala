@@ -697,6 +697,57 @@ object CensusQueries {
       .orderBy("n_name")
   }
 
+  /** REPLICATE-WEIGHT VARIANCE (Fay's BRR, the ACS production method —
+    * the real bureau publishes 80 replicate weight columns and every
+    * consumer of the reference's tables computes variance as
+    * (4/R)·Σᵣ(estᵣ − est)²): each unit gets R = 8 deterministic
+    * replicate factors 1.5 / 0.5 (md5 bit r of the unit key — the
+    * replicate-design hash stands in for the bureau's published
+    * columns; the query-side plan is identical with real ones), and
+    * per-nation balance totals re-estimate under each replicate.
+    * Estimates are exact cents BIGINTs; the squared differences square
+    * in 10⁴-cent units (diff div 10000 first) so Σ diff² stays inside
+    * BIGINT at every SF, and the standard error / CV emit as doubles of
+    * those exact integers. Factor-2 scaling clears the 0.5s: with
+    * f2 ∈ {3, 1}, estᵣ2 − est2 = Σ cents·(f2 − 2) and Fay variance
+    * (k = 0.5) collapses to (1/R)·Σ(estᵣ2 − est2)².
+    *
+    * Scale: ONE (nation × replicate) map-combined census — the
+    * replicate dimension explodes 8× map-side (bounded), never a
+    * second corpus pass; everything after is |nations|×8 rows. */
+  def censusReplicateWeights(s: SparkSession, dir: String): DataFrame = {
+    val R = 8
+    val cents = (Num.money(col("c_acctbal")) * 100).cast("long")
+    val base = t(s, dir, "customer")
+      .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), cents.as("cents"),
+        conv(substring(md5(concat(lit("rep|"), col("c_custkey"))), 1, 15), 16, 10)
+          .cast("long").as("h"))
+    val reps = base
+      .select(col("n_name"), col("cents"), explode(sequence(lit(0), lit(R - 1))).as("r"),
+        col("h"))
+      .select(col("n_name"), col("r"),
+        // f2 = 3 when bit r of the unit hash is set, else 1 (Fay 1.5/0.5 x2)
+        // (SQL-form shiftright: the Scala DSL only takes a literal count)
+        (col("cents") * (expr("shiftright(h, cast(r as int))")
+          .bitwiseAND(lit(1L)) * 2 + 1)).as("wcents"),
+        col("cents"))
+    val perRep = reps.groupBy("n_name", "r")
+      .agg(sum("wcents").as("est_r2"), sum("cents").as("est"))
+    perRep
+      .select(col("n_name"), col("est"),
+        call_function("div", col("est_r2") - col("est") * 2, lit(10000L)).as("diff_h"))
+      .groupBy("n_name")
+      .agg(max("est").as("est_cents"),
+        call_function("div", sum(col("diff_h") * col("diff_h")), lit(R.toLong))
+          .as("var_h2"))
+      .select(col("n_name"), col("est_cents"), col("var_h2"),
+        round(sqrt(col("var_h2").cast("double")) * 10000d / 100d, 2).as("se_dollars"),
+        round(sqrt(col("var_h2").cast("double")) * 10000d * 1000000d
+          / col("est_cents").cast("double"), 0).as("cv_micro"))
+      .orderBy("n_name")
+  }
+
   /** DIRECT STANDARDIZATION — the rate-adjustment every comparative
     * census table applies before ranking regions ("age-standardized
     * rate", here segment-standardized): nation i's crude negative-

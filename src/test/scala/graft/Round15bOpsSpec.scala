@@ -221,6 +221,31 @@ class Round15bOpsSpec extends GraftSpec {
     assert(r.getLong(3) == 6L)
   }
 
+  test("census_replicate_weights: Fay variance replays in-memory from the unit frame") {
+    val rows = graft.queries.CensusQueries.censusReplicateWeights(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val units = spark.read.parquet(s"$sfDir/customer.parquet")
+      .join(spark.read.parquet(s"$sfDir/nation.parquet"),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"),
+        (col("c_acctbal").cast("decimal(12,2)") * 100).cast("long").as("cents"),
+        conv(substring(md5(concat(lit("rep|"), col("c_custkey"))), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byNation = units.groupBy(_._1)
+    rows.foreach { r =>
+      val (name, est, varH2) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val g = byNation(name)
+      assert(est == g.map(_._2).sum)
+      val diffs = (0 until 8).map { rep =>
+        val estR2 = g.map { case (_, c, h) => c * (((h >> rep) & 1L) * 2 + 1) }.sum
+        (estR2 - 2 * est) / 10000L
+      }
+      assert(varH2 == diffs.map(d => d * d).sum / 8, s"$name variance mismatch")
+      assert(varH2 >= 0)
+    }
+  }
+
   test("mm_image_tile_plan: budget respected and the chosen scale is minimal") {
     val rows = graft.queries.MultimodalQueries.mmImageTilePlan(spark, sfDir).collect()
     assert(rows.nonEmpty)
