@@ -6871,7 +6871,7 @@ object OracleSql {
         SELECT pid, nid, ham FROM (
           SELECT pid, nid, ham,
                  row_number() OVER (PARTITION BY pid ORDER BY ham DESC, nid) AS r
-          FROM ham) WHERE r <= 40),
+          FROM ham) WHERE r <= 100),
       pairs AS (
         SELECT short.pid, short.nid, short.ham AS ham_sim,
                round((SELECT sum(a * b) FROM (

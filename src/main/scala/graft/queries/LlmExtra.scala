@@ -2761,7 +2761,7 @@ object LlmExtra {
     * embedding — hamming similarity via two xor+popcount words instead
     * of a 64-float dot product, ~50× cheaper per candidate and the
     * whole pass stays in whole-stage codegen, no UDF); stage 2
-    * re-scores only the top-40 shortlist with the exact cosine and
+    * re-scores only the top-100 shortlist with the exact cosine and
     * emits the top 5. Sketches pack into two 32-bit words because a
     * 64th sign bit would overflow DuckDB's BIGINT sum; both stages
     * tiebreak (score desc, id asc) so the boundary is deterministic and
@@ -2797,12 +2797,18 @@ object LlmExtra {
         (lit(64) - bit_count(col("sk0").bitwiseXOR(col("p0")))
           - bit_count(col("sk1").bitwiseXOR(col("p1")))).cast("long").as("ham"))
     val short = ham.groupBy("pid")
-      .agg(graft.udx.TopKAggregator.topk(40)(col("ham").cast("double"), col("nid")).as("tk"))
+      .agg(graft.udx.TopKAggregator.topk(100)(col("ham").cast("double"), col("nid")).as("tk"))
       .select(col("pid"), explode(col("tk.items")).as("it"))
       .select(col("pid"), col("it._2").as("nid"), col("it._1").cast("long").as("ham_sim"))
-    val pairs = short
-      .join(emb.select(col("vec_id").as("pid"), col("v").as("pv"), col("nrm").as("pnorm")), "pid")
-      .join(emb.select(col("vec_id").as("nid"), col("v"), col("nrm")), "nid")
+    // stage 2 attaches vectors by streaming the corpus against the
+    // BROADCAST ≤ 1000-row shortlist — without the hint, the aggregate's
+    // size estimate can plan a corpus-wide shuffle join for a 1000-row
+    // probe frame (the exact anti-pattern stage 1 exists to avoid)
+    val withP = emb
+      .select(col("vec_id").as("pid"), col("v").as("pv"), col("nrm").as("pnorm"))
+      .join(broadcast(short), "pid")
+    val pairs = emb.select(col("vec_id").as("nid"), col("v"), col("nrm"))
+      .join(broadcast(withP), "nid")
       .select(col("pid"), col("nid"), col("ham_sim"),
         round(graft.llm.Vectors.cosineWithNorms(
           graft.llm.Vectors.fdot(col("pv"), col("v")), col("pnorm"), col("nrm")), 4).as("cos"))
@@ -2811,8 +2817,8 @@ object LlmExtra {
       .select(col("pid"), posexplode(col("tk.items")))
       .select(col("pid"), col("col._2").as("nid"), col("col._1").as("cos"),
         (col("pos") + 1).cast("long").as("rnk"))
-    // ham_sim rides back in from the 400-row shortlist frame
-    top5.join(short, Seq("pid", "nid"))
+    // ham_sim rides back in from the 1000-row shortlist frame
+    top5.join(broadcast(short), Seq("pid", "nid"))
       .select(col("pid"), col("nid"), col("cos"), col("ham_sim"), col("rnk"))
       .orderBy("pid", "rnk")
   }
