@@ -537,7 +537,9 @@ object SparkEntry {
     // footer/zone-map read graded against content truth
     "source_parquet_footer" -> SourceQueries.sourceParquetFooter _,
     // Fay BRR replicate-weight variance (the ACS production method)
-    "census_replicate_weights" -> CensusQueries.censusReplicateWeights _
+    "census_replicate_weights" -> CensusQueries.censusReplicateWeights _,
+    // disclosure avoidance run to FIXPOINT (round-stamped, converged)
+    "census_suppression_fixpoint" -> CensusQueries.censusSuppressionFixpoint _
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on

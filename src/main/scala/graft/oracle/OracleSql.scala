@@ -731,6 +731,48 @@ object OracleSql {
   /** The similarity-graph construction shared by every walk oracle
     * (same blocks → edges → symmetric adjacency the engine's `symAdj`
     * builds). */
+  /** census_suppression_fixpoint: 3 unrolled (row pass, column pass)
+    * rounds over the cell frame — each pass re-counts suppressed cells
+    * per margin and adds the smallest unsuppressed cell to any margin
+    * holding exactly one, stamping the adding round. */
+  private def suppressFixpointSql: String = {
+    def pass(from: String, to: String, margin: String, other: String, r: Int): String =
+      s"""p$to AS (
+        SELECT *, count(*) FILTER (supp) OVER (PARTITION BY $margin) AS ns,
+               row_number() OVER (PARTITION BY $margin ORDER BY supp, n, $other) AS rk
+        FROM $from),
+      s$to AS (
+        SELECT n_name, segment, n,
+               supp OR (ns = 1 AND NOT supp AND rk = 1) AS supp,
+               CASE WHEN ns = 1 AND NOT supp AND rk = 1 THEN CAST($r AS BIGINT) ELSE rnd END AS rnd
+        FROM p$to)"""
+    val passes = (1 to 3).flatMap { r =>
+      val a = 2 * r - 1; val b = 2 * r
+      Seq(pass(s"s${a - 1}", s"$a", "n_name", "segment", r),
+        pass(s"s$a", s"$b", "segment", "n_name", r))
+    }.mkString(",\n      ")
+    s"""
+      WITH cells AS (
+        SELECT n.n_name, c.c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2),
+      s0 AS (
+        SELECT n_name, segment, n, n < 5 AS supp,
+               CASE WHEN n < 5 THEN CAST(0 AS BIGINT) END AS rnd
+        FROM cells),
+      $passes,
+      lone AS (
+        SELECT (count(*) FILTER (ns = 1) = 0) AS converged FROM (
+          SELECT m, count(*) FILTER (supp) AS ns FROM (
+            SELECT 'r|' || n_name AS m, supp FROM s6
+            UNION ALL SELECT 'c|' || segment, supp FROM s6) GROUP BY m))
+      SELECT s6.n_name, s6.segment,
+             CASE WHEN NOT supp THEN n END AS published_n,
+             CASE WHEN rnd = 0 THEN 'P' WHEN supp THEN 'C' ELSE 'OK' END AS flag,
+             rnd AS supp_round, lone.converged
+      FROM s6 CROSS JOIN lone ORDER BY n_name, segment"""
+  }
+
   private def simGraphCtes: String =
     s"""docs AS (SELECT doc_id, source, lang, n_chars FROM documents WHERE doc_id < 1200),
       blocks AS (
@@ -7086,6 +7128,10 @@ object OracleSql {
              ${N.ratio("n_event * 1000000", "n_pop", 0)} AS crude_micro,
              ${N.ratio("w_rate_sum", "w_sum", 0)} AS std_micro
       FROM agg ORDER BY n_name""",
+
+    // full disclosure-avoidance iterate: 3 unrolled row/col rounds to
+    // fixpoint, round-stamped complementaries, loud converged verdict
+    "census_suppression_fixpoint" -> suppressFixpointSql,
 
     // Fay BRR replicate variance: factor-2 scaling clears the 0.5s,
     // squared diffs in 1e4-cent units keep BIGINT exact at every SF

@@ -221,6 +221,42 @@ class Round15bOpsSpec extends GraftSpec {
     assert(r.getLong(3) == 6L)
   }
 
+  test("census_suppression_fixpoint: converged implies NO margin can recover any suppressed cell") {
+    val rows = graft.queries.CensusQueries.censusSuppressionFixpoint(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getString(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4), r.getBoolean(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, pub, flag, rnd, _) =>
+      assert((flag == "OK") == pub.isDefined, "published_n must be NULL iff flagged")
+      assert((flag == "OK") == (rnd == -1L), "round stamp iff suppressed")
+      if (flag == "P") assert(rnd == 0L)
+      if (flag == "C") assert(rnd >= 1L && rnd <= 3L)
+    }
+    val converged = rows.head._6
+    // the CLOSED-LOOP guarantee the one-round sibling's spec cannot
+    // assert: at fixpoint no row or column margin holds exactly one
+    // suppressed cell, so subtraction recovers nothing anywhere
+    if (converged) {
+      Seq(rows.groupBy(_._1), rows.groupBy(_._2)).foreach { grouped =>
+        grouped.foreach { case (key, cells) =>
+          val nSupp = cells.count(_._4 != "OK")
+          assert(nSupp != 1, s"margin $key left a lone suppressed cell at fixpoint")
+        }
+      }
+    }
+    // primaries are definitionally identical to the one-round sibling
+    // (complementary SETS legitimately differ: the fixpoint's column
+    // pass sees the row pass's additions, the sibling's counts
+    // primaries only — so neither result contains the other)
+    val oneRound = graft.queries.CensusQueries.censusSuppression(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getString(3))).toMap
+    rows.foreach { case (nn, seg, _, flag, _, _) =>
+      assert((oneRound((nn, seg)) == "P") == (flag == "P"),
+        s"($nn,$seg) primary flags disagree")
+    }
+  }
+
   test("census_replicate_weights: Fay variance replays in-memory from the unit frame") {
     val rows = graft.queries.CensusQueries.censusReplicateWeights(spark, sfDir).collect()
     assert(rows.nonEmpty)
