@@ -539,7 +539,17 @@ object SparkEntry {
     // Fay BRR replicate-weight variance (the ACS production method)
     "census_replicate_weights" -> CensusQueries.censusReplicateWeights _,
     // disclosure avoidance run to FIXPOINT (round-stamped, converged)
-    "census_suppression_fixpoint" -> CensusQueries.censusSuppressionFixpoint _
+    "census_suppression_fixpoint" -> CensusQueries.censusSuppressionFixpoint _,
+    // difference-in-differences over the pre/post user census
+    "event_diff_in_diff" -> Quality.eventDiffInDiff _,
+    // cumulative daily A/B z² trace with the naive-peeking flag
+    "event_cumulative_ab" -> Quality.eventCumulativeAb _,
+    // Durbin–Levinson partial autocorrelation to lag 3
+    "ts_pacf" -> TimeSeries.tsPacf _,
+    // lag-1 Granger readout: R² lift from the lagged click series
+    "ts_granger_lag1" -> TimeSeries.tsGrangerLag1 _,
+    // DSIR-style hashed-ngram importance selection toward a target slice
+    "llm_dsir_select" -> LlmExtra.llmDsirSelect _
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on

@@ -7197,6 +7197,216 @@ object OracleSql {
              CAST(8 AS BIGINT) AS area_x2,
              CAST((4 * n_nationkey + 1) * 1000000 AS BIGINT) AS centroid_x_micro,
              CAST((3 * n_regionkey + 1) * 1000000 AS BIGINT) AS centroid_y_micro
-      FROM nation ORDER BY gid"""
+      FROM nation ORDER BY gid""",
+
+    // DiD over the CUPED user census: four cell means as half-up
+    // ratios of exact cents, DiD = (T_post-T_pre) - (C_post-C_pre)
+    "event_diff_in_diff" -> s"""
+      WITH users AS (
+        SELECT user_id, CAST(user_id % 2 AS BIGINT) AS arm,
+               CAST(sum(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                             THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+               CAST(sum(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+                             THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id),
+      arms AS (
+        SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(x) AS BIGINT) AS pre_cents,
+               CAST(sum(y) AS BIGINT) AS post_cents
+        FROM users GROUP BY arm),
+      means AS (
+        SELECT arm, n_users, pre_cents, post_cents,
+               ${N.ratio("pre_cents", "n_users", 4)} AS pre_mean,
+               ${N.ratio("post_cents", "n_users", 4)} AS post_mean
+        FROM arms),
+      did AS (
+        SELECT round(max(CASE WHEN arm = 1 THEN post_mean - pre_mean END)
+                     - max(CASE WHEN arm = 0 THEN post_mean - pre_mean END), 4) AS did_cents,
+               round(max(CASE WHEN arm = 1 THEN pre_mean END)
+                     - max(CASE WHEN arm = 0 THEN pre_mean END), 4) AS pre_gap_cents
+        FROM means)
+      SELECT arm, n_users, pre_cents, post_cents, pre_mean, post_mean,
+             did_cents, pre_gap_cents
+      FROM means CROSS JOIN did ORDER BY arm""",
+
+    // cumulative daily z² trace: the ab_test HUGEINT inequality per
+    // day over forward-filled cumulative cells; first naive crossing
+    "event_cumulative_ab" -> """
+      WITH exposed AS (
+        SELECT user_id, min(ts) AS v_ts FROM events
+        WHERE event_type = 'view' GROUP BY 1),
+      conv AS (
+        SELECT e.user_id, CAST(min(e.ts) AS DATE) AS c_day FROM events e
+        JOIN exposed x ON e.user_id = x.user_id AND e.ts >= x.v_ts
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+      per_user AS (
+        SELECT CAST(x.user_id % 2 AS BIGINT) AS arm,
+               CAST(x.v_ts AS DATE) AS e_day, c.c_day
+        FROM exposed x LEFT JOIN conv c ON x.user_id = c.user_id),
+      enter AS (
+        SELECT e_day AS day, arm, CAST(count(*) AS BIGINT) AS d_n
+        FROM per_user GROUP BY 1, 2),
+      cv AS (
+        SELECT c_day AS day, arm, CAST(count(*) AS BIGINT) AS d_c
+        FROM per_user WHERE c_day IS NOT NULL GROUP BY 1, 2),
+      daily AS (
+        SELECT COALESCE(enter.day, cv.day) AS day,
+               COALESCE(enter.arm, cv.arm) AS arm,
+               COALESCE(d_n, 0) AS d_n, COALESCE(d_c, 0) AS d_c
+        FROM enter FULL JOIN cv ON enter.day = cv.day AND enter.arm = cv.arm),
+      cum AS (
+        SELECT day, arm,
+               CAST(sum(d_n) OVER (PARTITION BY arm ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
+               CAST(sum(d_c) OVER (PARTITION BY arm ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cc
+        FROM daily),
+      wide AS (
+        SELECT day,
+               max(CASE WHEN arm = 0 THEN cn END) AS r_na,
+               max(CASE WHEN arm = 0 THEN cc END) AS r_ca,
+               max(CASE WHEN arm = 1 THEN cn END) AS r_nb,
+               max(CASE WHEN arm = 1 THEN cc END) AS r_cb
+        FROM cum GROUP BY day),
+      filled AS (
+        SELECT day,
+               COALESCE(last_value(r_na IGNORE NULLS) OVER w, 0) AS n_a,
+               COALESCE(last_value(r_ca IGNORE NULLS) OVER w, 0) AS c_a,
+               COALESCE(last_value(r_nb IGNORE NULLS) OVER w, 0) AS n_b,
+               COALESCE(last_value(r_cb IGNORE NULLS) OVER w, 0) AS c_b
+        FROM wide
+        WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      sigd AS (
+        SELECT day, n_a, c_a, n_b, c_b,
+               (n_a > 0 AND n_b > 0 AND c_a + c_b > 0 AND c_a + c_b < n_a + n_b AND
+                (CAST(c_a AS HUGEINT) * n_b - CAST(c_b AS HUGEINT) * n_a) *
+                (CAST(c_a AS HUGEINT) * n_b - CAST(c_b AS HUGEINT) * n_a) *
+                (CAST(n_a AS HUGEINT) + n_b) * 10000 >
+                38416 * CAST(n_a AS HUGEINT) * n_b *
+                (CAST(c_a AS HUGEINT) + c_b) *
+                ((CAST(n_a AS HUGEINT) + n_b) - (CAST(c_a AS HUGEINT) + c_b)))
+                 AS naive_significant
+        FROM filled)
+      SELECT day, n_a, c_a, n_b, c_b, naive_significant,
+             (naive_significant AND COALESCE(max(CASE WHEN naive_significant THEN 1 ELSE 0 END)
+               OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) = 0)
+               AS first_crossing
+      FROM sigd ORDER BY day""",
+
+    // Durbin–Levinson on 6-decimal quantized ACF inputs; the recursion
+    // itself is one identical double expression both engines
+    "ts_pacf" -> s"""
+      WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      idx AS (
+        SELECT cents, row_number() OVER (ORDER BY day) AS rn,
+               count(*) OVER () AS n, sum(cents) OVER () AS total
+        FROM daily),
+      d AS (SELECT rn, CAST(CAST(cents * n - total AS BIGINT) AS HUGEINT) AS d FROM idx),
+      den AS (SELECT sum(d * d) AS den FROM d),
+      nums AS (
+        SELECT sum(CASE WHEN b.rn = a.rn - 1 THEN a.d * b.d END) AS n1,
+               sum(CASE WHEN b.rn = a.rn - 2 THEN a.d * b.d END) AS n2,
+               sum(CASE WHEN b.rn = a.rn - 3 THEN a.d * b.d END) AS n3
+        FROM d a JOIN d b ON b.rn IN (a.rn - 1, a.rn - 2, a.rn - 3)),
+      rs AS (
+        SELECT (CASE WHEN n1 < 0 THEN -1.0 ELSE 1.0 END) *
+                 CAST((abs(n1) * 2000000 + den) // (den * 2) AS DOUBLE) / 1000000 AS r1,
+               (CASE WHEN n2 < 0 THEN -1.0 ELSE 1.0 END) *
+                 CAST((abs(n2) * 2000000 + den) // (den * 2) AS DOUBLE) / 1000000 AS r2,
+               (CASE WHEN n3 < 0 THEN -1.0 ELSE 1.0 END) *
+                 CAST((abs(n3) * 2000000 + den) // (den * 2) AS DOUBLE) / 1000000 AS r3
+        FROM nums CROSS JOIN den),
+      dl AS (
+        SELECT r1, r2, r3,
+               (r2 - r1 * r1) / (1.0 - r1 * r1) AS phi22
+        FROM rs),
+      dl2 AS (
+        SELECT r1, r2, r3, phi22, r1 * (1.0 - phi22) AS a21 FROM dl)
+      SELECT k, acf, pacf FROM (
+        SELECT CAST(1 AS BIGINT) AS k, r1 AS acf, round(r1, 6) AS pacf FROM dl2
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), r2, round(phi22, 6) FROM dl2
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), r3, round((r3 - a21 * r2 - phi22 * r1)
+               / (1.0 - a21 * r1 - phi22 * r2), 6) FROM dl2)
+      ORDER BY k""",
+
+    // lag-1 Granger: exact DECIMAL(38) moments of 1e4-cent daily units,
+    // centered-moment R² algebra in doubles of the single-row exacts
+    "ts_granger_lag1" -> """
+      WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               (CAST(sum(CASE WHEN event_type = 'purchase'
+                   THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) ELSE 0 END) AS BIGINT)
+                * 2 + 10000) // 20000 AS y,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x
+        FROM events GROUP BY 1),
+      obs AS (
+        SELECT y, lag(y) OVER (ORDER BY day) AS a, lag(x) OVER (ORDER BY day) AS b
+        FROM daily),
+      m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(a AS DECIMAL(38,0))) AS sa, sum(CAST(b AS DECIMAL(38,0))) AS sb,
+               sum(CAST(y AS DECIMAL(38,0))) AS sz,
+               sum(CAST(a AS DECIMAL(38,0)) * CAST(a AS DECIMAL(38,0))) AS saa,
+               sum(CAST(b AS DECIMAL(38,0)) * CAST(b AS DECIMAL(38,0))) AS sbb,
+               sum(CAST(a AS DECIMAL(38,0)) * CAST(b AS DECIMAL(38,0))) AS sab,
+               sum(CAST(a AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS saz,
+               sum(CAST(b AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS sbz,
+               sum(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS szz
+        FROM obs WHERE a IS NOT NULL),
+      c AS (
+        SELECT n,
+               CAST(n AS DOUBLE) * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) AS caa,
+               CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) AS cbb,
+               CAST(n AS DOUBLE) * CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE) AS cab,
+               CAST(n AS DOUBLE) * CAST(saz AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sz AS DOUBLE) AS caz,
+               CAST(n AS DOUBLE) * CAST(sbz AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sz AS DOUBLE) AS cbz,
+               CAST(n AS DOUBLE) * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) AS czz
+        FROM m)
+      SELECT n,
+             round(caz * caz / (caa * czz), 6) AS r2_ar1,
+             round((caz * (cbb * caz - cab * cbz) + cbz * (caa * cbz - cab * caz))
+                   / ((caa * cbb - cab * cab) * czz), 6) AS r2_full,
+             round((caz * (cbb * caz - cab * cbz) + cbz * (caa * cbz - cab * caz))
+                   / ((caa * cbb - cab * cab) * czz)
+                   - caz * caz / (caa * czz), 6) AS r2_lift,
+             ((caz * (cbb * caz - cab * cbz) + cbz * (caa * cbz - cab * caz))
+                   / ((caa * cbb - cab * cab) * czz)
+                   - caz * caz / (caa * czz) > 0.05) AS x_leads_y
+      FROM c""",
+
+    // DSIR: 64 hashed unigram buckets, add-1-smoothed log ratios in
+    // micro-nats (ln of identical exact BIGINTs), exact per-doc sums
+    "llm_dsir_select" -> """
+      WITH words AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+        FROM documents),
+      toks AS (
+        SELECT doc_id, lang,
+               CAST(('0x' || substr(md5(word), 1, 15)) AS BIGINT) % 64 AS b
+        FROM words),
+      counts AS (
+        SELECT b, CAST(count(*) AS BIGINT) AS c_corpus,
+               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c_target
+        FROM toks GROUP BY b),
+      tot AS (
+        SELECT CAST(sum(c_corpus) AS BIGINT) AS t_corpus,
+               CAST(sum(c_target) AS BIGINT) AS t_target
+        FROM counts),
+      lr AS (
+        SELECT b, CAST(round((ln(c_target + 1) - ln(t_target + 64)
+                 - ln(c_corpus + 1) + ln(t_corpus + 64)) * 1000000) AS BIGINT) AS lr_micro
+        FROM counts CROSS JOIN tot)
+      SELECT t.doc_id, max(t.lang) AS lang,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(lr.lr_micro) AS BIGINT) AS weight_micro
+      FROM toks t JOIN lr ON t.b = lr.b
+      GROUP BY t.doc_id
+      ORDER BY weight_micro DESC, t.doc_id LIMIT 25"""
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\n\\s+", "\n") }
 }

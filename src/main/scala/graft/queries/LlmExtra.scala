@@ -2888,4 +2888,46 @@ object LlmExtra {
         conv(substring(md5(concat(lit("curr|"), col("doc_id"))), 1, 15), 16, 10)
           .cast("long").as("order_key"))
       .orderBy("stage", "order_key", "doc_id")
+
+  /** DSIR-STYLE IMPORTANCE SELECTION (Xie et al. 2023) — the
+    * data-selection step that reweights a raw crawl toward a target
+    * domain WITHOUT a trained classifier: hashed unigram buckets
+    * (md5 mod 64 — bounded feature space regardless of vocabulary),
+    * per-bucket add-1-smoothed log likelihood ratio
+    * ln(p_target(b)/p_corpus(b)) quantized to micro-nats (ln of
+    * identical exact BIGINTs is the same IEEE double both engines —
+    * the `graph_powerlaw_fit` discipline), and each document scored by
+    * the exact BIGINT sum of its tokens' bucket ratios. Target here =
+    * the `lang = 'en'` slice; output is the top-25 selection under the
+    * (weight desc, doc_id) total order plus each doc's token count —
+    * the list a resampling pass would keep first.
+    *
+    * Scale: the bucket table is 64 rows broadcast; token→bucket scoring
+    * is map-side (explode + broadcast-join + per-doc partial sum), so
+    * the only shuffle carries (doc_id, weight) partials — never text;
+    * the readout is one TakeOrdered. */
+  def llmDsirSelect(s: SparkSession, dir: String): DataFrame = {
+    val nBuckets = 64L
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("word"))
+      .withColumn("b",
+        (conv(substring(md5(col("word")), 1, 15), 16, 10).cast("long")
+          % nBuckets).as("b"))
+    val counts = toks.groupBy("b")
+      .agg(count(lit(1)).as("c_corpus"),
+        count_if(col("lang") === "en").as("c_target"))
+    val tot = counts.agg(sum("c_corpus").as("t_corpus"), sum("c_target").as("t_target"))
+    val lr = counts.crossJoin(broadcast(tot))
+      .select(col("b"),
+        round((log(col("c_target") + 1L) - log(col("t_target") + lit(nBuckets))
+          - log(col("c_corpus") + 1L) + log(col("t_corpus") + lit(nBuckets)))
+          * 1000000d).cast("long").as("lr_micro"))
+    toks.join(broadcast(lr), "b")
+      .groupBy("doc_id")
+      .agg(max(col("lang")).as("lang"), count(lit(1)).as("n_tokens"),
+        sum("lr_micro").as("weight_micro"))
+      .orderBy(desc("weight_micro"), col("doc_id"))
+      .limit(25)
+  }
 }

@@ -1430,4 +1430,119 @@ object Quality {
           .as("is_candidate_key"))
       .orderBy("column_name")
   }
+
+  /** DIFFERENCE-IN-DIFFERENCES — the quasi-experimental readout run
+    * when an intervention lands mid-stream without randomization: per
+    * (arm, period) mean purchase spend over the PER-USER period totals
+    * (arm = user hash parity, periods split at the CUPED cut
+    * 2024-01-16), DiD = (T_post − T_pre) − (C_post − C_pre). The four
+    * cell means are half-up micro ratios of exact BIGINT cents (so the
+    * subtraction chain is arithmetic on identical quantized doubles,
+    * bit-stable both engines); the pre-period gap rides along as the
+    * parallel-trends eyeball every DiD table is read with.
+    *
+    * Scale: corpus → per-user (x, y) census map-combined (the
+    * `event_uplift_cuped` frame), then a 2-arm aggregate; the DiD
+    * scalar attaches via the whitelisted single-row broadcast. */
+  def eventDiffInDiff(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit("2024-01-16").cast("date")
+    val cents = (Num.money(col("value")) * 100).cast("long")
+    val users = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), pmod(col("user_id"), lit(2)).cast("long").as("arm"))
+      .agg(sum(when(to_date(col("ts")) < cut, cents).otherwise(0L)).as("x"),
+        sum(when(to_date(col("ts")) >= cut, cents).otherwise(0L)).as("y"))
+    val arms = users.groupBy("arm")
+      .agg(count(lit(1)).as("n_users"), sum("x").as("pre_cents"),
+        sum("y").as("post_cents"))
+      .select(col("arm"), col("n_users"), col("pre_cents"), col("post_cents"),
+        Num.ratio(col("pre_cents"), col("n_users"), 4).as("pre_mean"),
+        Num.ratio(col("post_cents"), col("n_users"), 4).as("post_mean"))
+    val did = arms.agg(
+        max(when(col("arm") === 0, col("post_mean") - col("pre_mean"))).as("d_c"),
+        max(when(col("arm") === 1, col("post_mean") - col("pre_mean"))).as("d_t"),
+        max(when(col("arm") === 1, col("pre_mean"))).as("t_pre"),
+        max(when(col("arm") === 0, col("pre_mean"))).as("c_pre"))
+      .select(round(col("d_t") - col("d_c"), 4).as("did_cents"),
+        round(col("t_pre") - col("c_pre"), 4).as("pre_gap_cents"))
+    arms.crossJoin(broadcast(did)).orderBy("arm")
+  }
+
+  /** SEQUENTIAL A/B PEEKING CURVE — the always-on monitoring view that
+    * makes the peeking problem visible instead of silently acting on
+    * it: cumulative exposed/converted counts per arm by calendar day
+    * (users enter on their FIRST view day, convert on their first
+    * qualifying purchase day), each day's two-proportion z² tested
+    * against the naive fixed-horizon 1.96 boundary with the
+    * `event_ab_test` integer inequality (z²·10⁴ as exact DECIMAL(38)
+    * cross-products — no division, no float), and the FIRST naive
+    * crossing flagged — the day a peeking experimenter would have
+    * stopped. Reading the trace against the final day's verdict is the
+    * whole point of the operator.
+    *
+    * Scale: corpus → per-user first-view/first-conversion days
+    * (map-combined), → (day × arm) increments, → cumulative windows
+    * over the calendar-sized day frame; every window partition is
+    * ≤ \|days\| rows. */
+  def eventCumulativeAb(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val exposed = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("v_ts"))
+    val converted = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"))
+      .join(exposed, "user_id")
+      .filter(col("ts") >= col("v_ts"))
+      .groupBy("user_id").agg(min(to_date(col("ts"))).as("c_day"))
+    val perUser = exposed
+      .join(converted, Seq("user_id"), "left")
+      .select(pmod(col("user_id"), lit(2)).cast("long").as("arm"),
+        to_date(col("v_ts")).as("e_day"), col("c_day"))
+    // (day, arm) increment censuses: entries by first-view day,
+    // conversions by first-conversion day — two tiny frames
+    val enter = perUser.groupBy(col("e_day").as("day"), col("arm"))
+      .agg(count(lit(1)).as("d_n"))
+    val conv = perUser.filter(col("c_day").isNotNull)
+      .groupBy(col("c_day").as("day"), col("arm"))
+      .agg(count(lit(1)).as("d_c"))
+    val daily = enter.join(conv, Seq("day", "arm"), "full")
+      .select(col("day"), col("arm"),
+        coalesce(col("d_n"), lit(0L)).as("d_n"),
+        coalesce(col("d_c"), lit(0L)).as("d_c"))
+    val cum = Window.partitionBy("arm").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wide = daily
+      .withColumn("cn", sum("d_n").over(cum))
+      .withColumn("cc", sum("d_c").over(cum))
+      .groupBy("day")
+      .agg(max(when(col("arm") === 0, col("cn"))).as("r_na"),
+        max(when(col("arm") === 0, col("cc"))).as("r_ca"),
+        max(when(col("arm") === 1, col("cn"))).as("r_nb"),
+        max(when(col("arm") === 1, col("cc"))).as("r_cb"))
+    // a day may carry increments for only one arm: forward-fill the
+    // other arm's cumulative from the previous day
+    val ff = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val filled = wide
+      .withColumn("n_a", coalesce(last("r_na", ignoreNulls = true).over(ff), lit(0L)))
+      .withColumn("c_a", coalesce(last("r_ca", ignoreNulls = true).over(ff), lit(0L)))
+      .withColumn("n_b", coalesce(last("r_nb", ignoreNulls = true).over(ff), lit(0L)))
+      .withColumn("c_b", coalesce(last("r_cb", ignoreNulls = true).over(ff), lit(0L)))
+    val diff = dec(col("c_a")) * dec(col("n_b")) - dec(col("c_b")) * dec(col("n_a"))
+    val cTot = dec(col("c_a")) + dec(col("c_b"))
+    val nTot = dec(col("n_a")) + dec(col("n_b"))
+    val sig = col("n_a") > 0 && col("n_b") > 0 && cTot > 0 && cTot < nTot &&
+      (diff * diff * nTot * lit(10000) >
+        lit(38416) * dec(col("n_a")) * dec(col("n_b")) * cTot * (nTot - cTot))
+    val prev = Window.orderBy("day")
+    filled
+      .withColumn("naive_significant", sig)
+      .withColumn("sig_before",
+        coalesce(max(when(col("naive_significant"), 1L).otherwise(0L))
+          .over(prev.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("day"), col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+        col("naive_significant"),
+        (col("naive_significant") && col("sig_before") === 0L).as("first_crossing"))
+      .orderBy("day")
+  }
 }

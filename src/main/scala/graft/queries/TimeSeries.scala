@@ -1140,4 +1140,119 @@ object TimeSeries {
         col("amplitude") === max("amplitude").over(Window.partitionBy()))
       .orderBy("k")
   }
+
+  /** PARTIAL AUTOCORRELATION (Durbin–Levinson to lag 3) — the
+    * model-order diagnostic read next to `ts_autocorrelation`'s ACF:
+    * the PACF at lag k is the correlation left after regressing out
+    * lags 1..k−1, the statistic an AR(p) fit is ordered by. The ACF
+    * inputs are the same centered daily-cents products as the ACF
+    * query but quantized at 6 decimals (half-up integer ratio), and
+    * the Durbin–Levinson recursion — φ11 = r1; φ22 = (r2−r1²)/(1−r1²);
+    * φ33 via the level-2 reflection — runs in doubles OF those exact
+    * quantized inputs with one expression shape, so both engines
+    * evaluate identical IEEE arithmetic.
+    *
+    * Scale: corpus → calendar-sized daily census map-side; lag
+    * products over the \|days\| frame; the recursion is a single-row
+    * select. */
+  def tsPacf(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum((Num.money(col("value")) * 100).cast("long")).as("cents"))
+    val wAll = Window.partitionBy()
+    val d = daily
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("total", sum("cents").over(wAll))
+      .select(col("day"), (col("cents") * col("n") - col("total")).as("d"))
+    val wOrd = Window.orderBy("day")
+    // products and the 6-decimal ratio run in DECIMAL(38,0): Σd² at
+    // sf100 tops 1e27, past BIGINT — decimal keeps the half-up ratio
+    // exact at every SF (div on decimals is the same floor division)
+    val dd = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val lagged = d.select((1 to 3).map(k =>
+      (dd(col("d")) * dd(lag("d", k).over(wOrd))).as(s"p$k")): _*)
+    val den = d.agg(sum(dd(col("d")) * dd(col("d"))).as("den"))
+    val rs = lagged.agg(
+        sum("p1").as("n1"), sum("p2").as("n2"), sum("p3").as("n3"))
+      .crossJoin(broadcast(den))
+      .select((1 to 3).map { k =>
+        (when(col(s"n$k") < 0, -1.0).otherwise(1.0) *
+          call_function("div",
+            abs(col(s"n$k")) * lit(2000000L) + col("den"), col("den") * 2)
+            .cast("double") / 1000000d).as(s"r$k")
+      }: _*)
+    val r1 = col("r1"); val r2 = col("r2"); val r3 = col("r3")
+    val phi22 = (r2 - r1 * r1) / (lit(1.0) - r1 * r1)
+    val a21 = r1 * (lit(1.0) - phi22)
+    val phi33 = (r3 - a21 * r2 - phi22 * r1) /
+      (lit(1.0) - a21 * r1 - phi22 * r2)
+    rs.select(explode(array(
+        struct(lit(1L).as("k"), r1.as("acf"), round(r1, 6).as("pacf")),
+        struct(lit(2L).as("k"), r2.as("acf"), round(phi22, 6).as("pacf")),
+        struct(lit(3L).as("k"), r3.as("acf"), round(phi33, 6).as("pacf")))).as("s"))
+      .select(col("s.k").as("k"), col("s.acf").as("acf"), col("s.pacf").as("pacf"))
+      .orderBy("k")
+  }
+
+  /** LAG-1 GRANGER READOUT — "do clicks lead purchases?": regress the
+    * daily purchase series y_t on its own lag (restricted AR(1)) and
+    * on (y_{t−1}, x_{t−1}) with x the daily click count (full model),
+    * and report the R² lift the lagged exogenous series buys. Daily y
+    * is quantized half-up to 10⁴-cent units first (the
+    * `census_replicate_weights` bound: squares stay BIGINT-exact at
+    * every SF), moments accumulate as exact DECIMAL(38) sums, and the
+    * normal-equation / R² algebra runs in doubles of those single-row
+    * exacts — one expression shape, bit-stable both engines.
+    *
+    * Scale: corpus → calendar-sized (day, y, x) census map-side; the
+    * lag join and moment aggregate run on \|days\| rows; output is one
+    * row. */
+  def tsGrangerLag1(s: SparkSession, dir: String): DataFrame = {
+    val cents = (Num.money(col("value")) * 100).cast("long")
+    val daily = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(when(col("event_type") === "purchase", cents).otherwise(0L))
+          .as("y_cents"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"))
+      .select(col("day"),
+        call_function("div", col("y_cents") * 2 + 10000L, lit(20000L)).as("y"),
+        col("x"))
+    val wOrd = Window.orderBy("day")
+    val obs = daily
+      .withColumn("a", lag("y", 1).over(wOrd))
+      .withColumn("b", lag("x", 1).over(wOrd))
+      .filter(col("a").isNotNull)
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val m = obs.agg(count(lit(1)).as("n"),
+        sum(dec(col("a"))).as("sa"), sum(dec(col("b"))).as("sb"),
+        sum(dec(col("y"))).as("sz"),
+        sum(dec(col("a")) * dec(col("a"))).as("saa"),
+        sum(dec(col("b")) * dec(col("b"))).as("sbb"),
+        sum(dec(col("a")) * dec(col("b"))).as("sab"),
+        sum(dec(col("a")) * dec(col("y"))).as("saz"),
+        sum(dec(col("b")) * dec(col("y"))).as("sbz"),
+        sum(dec(col("y")) * dec(col("y"))).as("szz"))
+    val nd = col("n").cast("double")
+    val d = (x: String) => col(x).cast("double")
+    // centered moments ×n (the CUPED shape): Cuv = n·Suv − Su·Sv
+    val caa = nd * d("saa") - d("sa") * d("sa")
+    val cbb = nd * d("sbb") - d("sb") * d("sb")
+    val cab = nd * d("sab") - d("sa") * d("sb")
+    val caz = nd * d("saz") - d("sa") * d("sz")
+    val cbz = nd * d("sbz") - d("sb") * d("sz")
+    val czz = nd * d("szz") - d("sz") * d("sz")
+    // restricted: z on a. R²_r = caz² / (caa·czz)
+    val r2r = caz * caz / (caa * czz)
+    // full: z on (a, b). R²_f = (caz·(cbb·caz − cab·cbz) +
+    //   cbz·(caa·cbz − cab·caz)) / ((caa·cbb − cab²)·czz)
+    val det = caa * cbb - cab * cab
+    val r2f = (caz * (cbb * caz - cab * cbz) + cbz * (caa * cbz - cab * caz)) /
+      (det * czz)
+    m.select(col("n"),
+        round(r2r, 6).as("r2_ar1"),
+        round(r2f, 6).as("r2_full"),
+        round(r2f - r2r, 6).as("r2_lift"),
+        (r2f - r2r > 0.05).as("x_leads_y"))
+  }
 }

@@ -72,7 +72,10 @@ class PlanLintSpec extends GraftSpec {
     "llm_sim_rerank", // bounded-probe sketch broadcast crossJoin, as llm_sim_cosine_topk (round 15)
     "event_uplift_cuped", // single-row pooled-moment frame via broadcast cross join (round 15)
     "dq_fk_inference", // four edge censuses: single-row distinct/contained frames via broadcast cross joins (round 15)
-    "census_suppression_fixpoint") // single-row converged verdict via broadcast cross join (round 15)
+    "census_suppression_fixpoint", // single-row converged verdict via broadcast cross join (round 15)
+    "event_diff_in_diff", // single-row DiD scalar via broadcast cross join (round 15)
+    "ts_pacf", // single-row ACF denominator via broadcast cross join, as ts_autocorrelation (round 15)
+    "llm_dsir_select") // single-row token-total frame joined to the 64-row bucket table via broadcast cross join (round 15)
 
   test("no query plans an unexpected cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-15 third wave: in-memory replays and invariant pins for the
+  * five operators added after the r15 ladder close (event_diff_in_diff,
+  * event_cumulative_ab, ts_pacf, ts_granger_lag1, llm_dsir_select).
+  * Each test checks a property the oracle hash CANNOT see — a
+  * mathematical bound, a cross-query consistency, or an independent
+  * plain-Scala recomputation.
+  */
+class Round15cOpsSpec extends GraftSpec {
+
+  test("event_diff_in_diff: DiD scalar replays from its own cell means; 2 arms") {
+    val rows = graft.queries.Quality.eventDiffInDiff(spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).toSet == Set(0L, 1L))
+    val byArm = rows.map(r => r.getLong(0) ->
+      (r.getDouble(4), r.getDouble(5))).toMap // arm -> (pre_mean, post_mean)
+    val expectDid = BigDecimal(
+      (byArm(1)._2 - byArm(1)._1) - (byArm(0)._2 - byArm(0)._1))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expectGap = BigDecimal(byArm(1)._1 - byArm(0)._1)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(6) - expectDid) < 1e-9, "did_cents")
+      assert(math.abs(r.getDouble(7) - expectGap) < 1e-9, "pre_gap_cents")
+    }
+    // cell means are consistent with the exact cents they summarize
+    rows.foreach { r =>
+      val mean = BigDecimal(r.getLong(2)).toDouble / r.getLong(1)
+      assert(math.abs(r.getDouble(4) - mean) <= 5e-5 + 1e-12, "half-up pre_mean")
+    }
+  }
+
+  test("event_cumulative_ab: monotone cells, one first crossing, final day == event_ab_test") {
+    val trace = graft.queries.Quality.eventCumulativeAb(spark, sfDir).collect()
+    assert(trace.nonEmpty)
+    // cumulative counts never decrease, conversions never exceed entries
+    val cols = Seq(1, 2, 3, 4)
+    trace.sliding(2).foreach {
+      case Array(a, b) =>
+        cols.foreach(i => assert(b.getLong(i) >= a.getLong(i), s"col $i decreased"))
+      case _ =>
+    }
+    trace.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "c_a <= n_a")
+      assert(r.getLong(4) <= r.getLong(3), "c_b <= n_b")
+    }
+    // at most one first_crossing, and only on a naive-significant day
+    val crossings = trace.filter(_.getBoolean(6))
+    assert(crossings.length <= 1)
+    crossings.foreach(r => assert(r.getBoolean(5)))
+    // the final day's cumulative cells ARE the fixed-horizon census:
+    // cross-query consistency with event_ab_test's four counts
+    val fin = trace.last
+    val ab = graft.queries.Quality.eventAbTest(spark, sfDir).collect().head
+    assert(fin.getLong(1) == ab.getLong(0) && fin.getLong(2) == ab.getLong(1) &&
+      fin.getLong(3) == ab.getLong(2) && fin.getLong(4) == ab.getLong(3),
+      s"final trace row $fin vs ab_test $ab")
+  }
+
+  test("ts_pacf: pacf(1) == acf(1); Durbin-Levinson replays from the acf row") {
+    val rows = graft.queries.TimeSeries.tsPacf(spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    val r = rows.map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val p = rows.map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    rows.foreach(x => assert(math.abs(x.getDouble(1)) <= 1.0 + 1e-6, "|acf| <= 1"))
+    assert(math.abs(p(1L) - BigDecimal(r(1L)).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+    val phi22 = (r(2L) - r(1L) * r(1L)) / (1.0 - r(1L) * r(1L))
+    assert(math.abs(p(2L) - BigDecimal(phi22).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+    val a21 = r(1L) * (1.0 - phi22)
+    val phi33 = (r(3L) - a21 * r(2L) - phi22 * r(1L)) /
+      (1.0 - a21 * r(1L) - phi22 * r(2L))
+    assert(math.abs(p(3L) - BigDecimal(phi33).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+  }
+
+  test("ts_granger_lag1: R2 bounds; adding a regressor never lowers R2; lift is the difference") {
+    val row = graft.queries.TimeSeries.tsGrangerLag1(spark, sfDir).collect().head
+    val r2r = row.getDouble(1); val r2f = row.getDouble(2); val lift = row.getDouble(3)
+    assert(r2r >= -1e-9 && r2r <= 1.0 + 1e-9, s"r2_ar1 $r2r")
+    assert(r2f >= -1e-9 && r2f <= 1.0 + 1e-9, s"r2_full $r2f")
+    // OLS monotonicity: the full model nests the restricted one
+    assert(r2f >= r2r - 1e-6, s"r2_full $r2f < r2_ar1 $r2r")
+    assert(math.abs(lift - BigDecimal(r2f - r2r).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 2e-6)
+    assert(row.getBoolean(4) == (lift > 0.05))
+  }
+
+  test("llm_dsir_select: full weight table replays from a plain-Scala fold; top-25 order exact") {
+    val got = graft.queries.LlmExtra.llmDsirSelect(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    assert(got.length == 25)
+    // independent replay: JDK md5, Scala math.log, BigDecimal half-up
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def bucket(w: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) % 64
+    }
+    val toks = docs.flatMap { case (id, lang, text) =>
+      text.split(" ", -1).map(w => (id, lang, bucket(w))) }
+    val corpus = toks.groupBy(_._3).map { case (b, g) => b -> g.length.toLong }
+    val target = toks.filter(_._2 == "en").groupBy(_._3)
+      .map { case (b, g) => b -> g.length.toLong }
+    val tCorpus = corpus.values.sum; val tTarget = target.values.sum
+    val lr = corpus.map { case (b, c) =>
+      val t = target.getOrElse(b, 0L)
+      b -> BigDecimal((math.log((t + 1).toDouble) - math.log((tTarget + 64).toDouble)
+        - math.log((c + 1).toDouble) + math.log((tCorpus + 64).toDouble)) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val weights = toks.groupBy(_._1).map { case (id, g) =>
+      id -> g.map(t => lr(t._3)).sum }
+    val expect = weights.toSeq.sortBy { case (id, w) => (-w, id) }.take(25)
+    assert(got.toSeq == expect, s"engine ${got.take(3).toSeq} vs replay ${expect.take(3)}")
+  }
+}
