@@ -549,7 +549,15 @@ object SparkEntry {
     // lag-1 Granger readout: R² lift from the lagged click series
     "ts_granger_lag1" -> TimeSeries.tsGrangerLag1 _,
     // DSIR-style hashed-ngram importance selection toward a target slice
-    "llm_dsir_select" -> LlmExtra.llmDsirSelect _
+    "llm_dsir_select" -> LlmExtra.llmDsirSelect _,
+    // XmR individuals/moving-range control chart over daily counts
+    "dq_control_chart" -> Quality.dqControlChart _,
+    // 7-day median/MAD outlier repair, integer-exact verdicts
+    "ts_hampel" -> TimeSeries.tsHampel _,
+    // bracket-interpolated median (the published-table census method)
+    "census_grouped_median" -> CensusQueries.censusGroupedMedian _,
+    // sqrt-temperature sampling schedule per source (alpha = 1/2)
+    "llm_mix_temperature" -> LlmExtra.llmMixTemperature _
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on

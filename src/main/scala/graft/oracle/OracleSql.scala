@@ -7407,6 +7407,104 @@ object OracleSql {
              CAST(sum(lr.lr_micro) AS BIGINT) AS weight_micro
       FROM toks t JOIN lr ON t.b = lr.b
       GROUP BY t.doc_id
-      ORDER BY weight_micro DESC, t.doc_id LIMIT 25"""
+      ORDER BY weight_micro DESC, t.doc_id LIMIT 25""",
+
+    // XmR chart: X-bar and MR-bar as half-up micro ratios, 2.66-MR
+    // limits, per-day out-of-control flags against the fixed limits
+    "dq_control_chart" -> s"""
+      WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1),
+      mrd AS (
+        SELECT day, n, abs(n - lag(n) OVER (ORDER BY day)) AS mr FROM daily),
+      agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_days, CAST(sum(n) AS BIGINT) AS sum_n,
+               CAST(sum(mr) AS BIGINT) AS sum_mr, CAST(count(mr) AS BIGINT) AS n_mr
+        FROM mrd),
+      lim AS (
+        SELECT x_bar, mr_bar,
+               round(x_bar + 2.66 * mr_bar, 6) AS ucl,
+               round(x_bar - 2.66 * mr_bar, 6) AS lcl
+        FROM (SELECT ${N.ratio("sum_n", "n_days", 6)} AS x_bar,
+                     ${N.ratio("sum_mr", "n_mr", 6)} AS mr_bar FROM agg))
+      SELECT day, n, mr, x_bar, mr_bar, ucl, lcl,
+             (CAST(n AS DOUBLE) > ucl OR CAST(n AS DOUBLE) < lcl) AS out_of_control
+      FROM mrd CROSS JOIN lim ORDER BY day""",
+
+    // Hampel: sorted 7-window lists, median and MAD by pick, the
+    // 3*1.4826 rule as the exact integer 44478 inequality
+    "ts_hampel" -> """
+      WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      win AS (
+        SELECT day, cents,
+               list_sort(list(cents) OVER w) AS l,
+               count(*) OVER w AS cnt
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      picked AS (
+        SELECT day, cents, l, l[4] AS med FROM win WHERE cnt = 7),
+      dev AS (
+        SELECT day, cents, med,
+               list_sort(list_transform(l, v -> abs(v - med)))[4] AS mad
+        FROM picked)
+      SELECT day, cents, med, mad,
+             (abs(cents - med) * 10000 > mad * 44478) AS is_outlier,
+             CASE WHEN abs(cents - med) * 10000 > mad * 44478
+                  THEN med ELSE cents END AS repaired
+      FROM dev ORDER BY day""",
+
+    // grouped median: $1,000 bracket census per nation, containing
+    // bracket by exact integer cut, one half-up interpolation ratio
+    "census_grouped_median" -> s"""
+      WITH cells AS (
+        SELECT n.n_name,
+               (CAST(round(c.c_acctbal * 100) AS BIGINT) + 100000) // 100000 AS b,
+               CAST(count(*) AS BIGINT) AS f
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2),
+      cum AS (
+        SELECT n_name, b, f,
+               CAST(sum(f) OVER (PARTITION BY n_name ORDER BY b
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        FROM cells),
+      tot AS (SELECT n_name, CAST(sum(f) AS BIGINT) AS n_cust FROM cells GROUP BY 1)
+      SELECT c.n_name, t.n_cust,
+             c.b * 100000 - 100000 AS bracket_lo_cents,
+             c.f AS f_in_bracket,
+             c.cum - c.f AS cum_below,
+             round(CAST(c.b * 100000 - 100000 AS DOUBLE) +
+               ${N.ratio("(t.n_cust - (c.cum - c.f) * 2) * 100000", "c.f * 2", 6)}, 6)
+               AS grouped_median_cents
+      FROM cum c JOIN tot t ON c.n_name = t.n_name
+      WHERE c.cum * 2 >= t.n_cust AND (c.cum - c.f) * 2 < t.n_cust
+      ORDER BY c.n_name""",
+
+    // sqrt-temperature mix: micro shares, correctly-rounded sqrt to
+    // milli, normalized rates and tail-boost factors — all half-up
+    "llm_mix_temperature" -> s"""
+      WITH s AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY 1),
+      tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t_tokens FROM s),
+      sh AS (
+        SELECT source, n_docs, n_tokens,
+               CAST(${N.ratio("n_tokens * 1000000", "t_tokens", 0)} AS BIGINT) AS share_micro
+        FROM s CROSS JOIN tot),
+      w AS (
+        SELECT *, CAST(round(sqrt(CAST(share_micro AS DOUBLE)) * 1000) AS BIGINT) AS w_milli
+        FROM sh),
+      wt AS (SELECT CAST(sum(w_milli) AS BIGINT) AS w_total FROM w),
+      rated AS (
+        SELECT source, n_docs, n_tokens, share_micro, w_milli,
+               CAST(${N.ratio("w_milli * 1000000", "w_total", 0)} AS BIGINT) AS rate_micro
+        FROM w CROSS JOIN wt)
+      SELECT source, n_docs, n_tokens, share_micro, w_milli, rate_micro,
+             CAST(${N.ratio("rate_micro * 1000", "share_micro", 0)} AS BIGINT) AS boost_milli
+      FROM rated ORDER BY source"""
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\n\\s+", "\n") }
 }

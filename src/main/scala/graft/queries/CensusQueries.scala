@@ -892,4 +892,46 @@ object CensusQueries {
       .crossJoin(broadcast(globalI))
       .orderBy("r_name")
   }
+
+  /** GROUPED-DATA MEDIAN — the interpolated median the Census Bureau
+    * actually publishes for income (the microdata never leaves the
+    * building; consumers see BRACKET counts and the bureau's linear
+    * interpolation med = L + w·(n/2 − cum_below)/f within the bracket
+    * holding position n/2). Replayed here per nation over $1,000
+    * account-balance brackets: the bracket census, the containing
+    * bracket (2·cum ≥ n and 2·cum_below < n — exact integer cut), and
+    * the interpolation as one half-up micro ratio of exact BIGINTs.
+    * Output carries the bracket frame (lo, f, cum_below) next to the
+    * estimate, the way published tables do.
+    *
+    * Scale: corpus → (nation × ≤12 brackets) census map-combined; the
+    * cumulative window runs per nation over ≤12 rows; one broadcast
+    * join attaches per-nation totals. */
+  def censusGroupedMedian(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = 100000L // bracket width in cents ($1,000)
+    val cents = round(col("c_acctbal") * 100).cast("long")
+    val cells = t(s, dir, "customer")
+      .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), cents.as("cents"))
+      // cents >= -99999, so cents + 100000 >= 1 and div truncation = floor
+      .withColumn("b", call_function("div", col("cents") + w, lit(w)))
+      .groupBy("n_name", "b").agg(count(lit(1)).as("f"))
+    val cum = Window.partitionBy("n_name").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = cells.groupBy("n_name").agg(sum("f").as("n_cust"))
+    cells
+      .withColumn("cum", sum("f").over(cum))
+      .join(broadcast(tot), "n_name")
+      .filter(col("cum") * 2 >= col("n_cust") &&
+        (col("cum") - col("f")) * 2 < col("n_cust"))
+      .select(col("n_name"), col("n_cust"),
+        (col("b") * w - w).as("bracket_lo_cents"),
+        col("f").as("f_in_bracket"),
+        (col("cum") - col("f")).as("cum_below"),
+        round((col("b") * w - w).cast("double") +
+          Num.ratio((col("n_cust") - (col("cum") - col("f")) * 2) * w,
+            col("f") * 2, 6), 6).as("grouped_median_cents"))
+      .orderBy("n_name")
+  }
 }

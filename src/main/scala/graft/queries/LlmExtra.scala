@@ -2930,4 +2930,40 @@ object LlmExtra {
       .orderBy(desc("weight_micro"), col("doc_id"))
       .limit(25)
   }
+
+  /** TEMPERATURE-SAMPLED MIX SCHEDULE (α = ½ square-root sampling) —
+    * the multilingual/multi-source rebalancing rule mT5-class runs
+    * derive their mix FROM the corpus rather than declare it: sampling
+    * weight ∝ √share flattens the head and boosts the tail, and the
+    * per-source boost factor (rate/share) is the expected epoch count
+    * the tail pays for. α = ½ exactly because sqrt is CORRECTLY
+    * ROUNDED IEEE in both engines (a pow(x, 0.3) is not) — √ of the
+    * exact micro-share, quantized to milli, keeps the whole schedule
+    * bit-stable. Complements `llm_domain_mix` (the observed mix) and
+    * `llm_mixture_resample` (applying a GIVEN mix).
+    *
+    * Scale: one token census per source map-combined; everything after
+    * is \|sources\| rows with two whitelisted single-row broadcasts. */
+  def llmMixTemperature(s: SparkSession, dir: String): DataFrame = {
+    val bySource = t(s, dir, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+    val tot = bySource.agg(sum("n_tokens").as("t_tokens"))
+    val shared = bySource.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        Num.ratio(col("n_tokens") * 1000000L, col("t_tokens"), 0)
+          .cast("long").as("share_micro"))
+      .withColumn("w_milli",
+        round(sqrt(col("share_micro").cast("double")) * 1000d).cast("long"))
+    val wTot = shared.agg(sum("w_milli").as("w_total"))
+    shared.crossJoin(broadcast(wTot))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("share_micro"),
+        col("w_milli"),
+        Num.ratio(col("w_milli") * 1000000L, col("w_total"), 0)
+          .cast("long").as("rate_micro"))
+      .withColumn("boost_milli",
+        Num.ratio(col("rate_micro") * 1000L, col("share_micro"), 0).cast("long"))
+      .orderBy("source")
+  }
 }

@@ -1545,4 +1545,42 @@ object Quality {
         (col("naive_significant") && col("sig_before") === 0L).as("first_crossing"))
       .orderBy("day")
   }
+
+  /** XmR CONTROL CHART (individuals + moving range) — the SPC chart a
+    * data-quality deployment draws over its daily row counts before
+    * alarming: center line X̄, average moving range M̄R, and the
+    * standard 2.66·M̄R control limits (2.66 = 3/d₂ for n = 2), each day
+    * flagged when it falls outside [LCL, UCL]. X̄ and M̄R are half-up
+    * micro ratios of exact BIGINT sums; the 2.66 factor is the exact
+    * literal 266/100, so the limits are arithmetic on identical
+    * quantized doubles both engines. Unlike `event_burst_detect`'s
+    * trailing-window spike rule this is the FIXED-limit chart: limits
+    * from the whole baseline, flags judged against them.
+    *
+    * Scale: corpus → calendar-sized daily census map-side; the lag and
+    * flags run on \|days\| rows; limits attach via the whitelisted
+    * single-row broadcast. */
+  def dqControlChart(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val wOrd = Window.orderBy("day")
+    val withMr = daily
+      .withColumn("mr", abs(col("n") - lag("n", 1).over(wOrd)))
+    val stats = withMr.agg(
+        count(lit(1)).as("n_days"), sum("n").as("sum_n"),
+        sum("mr").as("sum_mr"), count(col("mr")).as("n_mr"))
+      .select(
+        Num.ratio(col("sum_n"), col("n_days"), 6).as("x_bar"),
+        Num.ratio(col("sum_mr"), col("n_mr"), 6).as("mr_bar"))
+      .select(col("x_bar"), col("mr_bar"),
+        round(col("x_bar") + lit(2.66) * col("mr_bar"), 6).as("ucl"),
+        round(col("x_bar") - lit(2.66) * col("mr_bar"), 6).as("lcl"))
+    withMr.crossJoin(broadcast(stats))
+      .select(col("day"), col("n"), col("mr"), col("x_bar"), col("mr_bar"),
+        col("ucl"), col("lcl"),
+        (col("n").cast("double") > col("ucl") ||
+          col("n").cast("double") < col("lcl")).as("out_of_control"))
+      .orderBy("day")
+  }
 }

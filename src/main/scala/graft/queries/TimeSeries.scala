@@ -1255,4 +1255,36 @@ object TimeSeries {
         round(r2f - r2r, 6).as("r2_lift"),
         (r2f - r2r > 0.05).as("x_leads_y"))
   }
+
+  /** HAMPEL FILTER — the robust outlier-repair pass run before a daily
+    * series feeds a forecaster (the median/MAD twin of `ts_robust_zscore`,
+    * here as a REPAIR operator): over each centered 7-day window, the
+    * window median and the MAD (median absolute deviation), a point
+    * flagged when \|x − med\| · 10⁴ > 44478 · MAD (3·1.4826 scaled to the
+    * exact integer 44478 — no float in the verdict), and the repaired
+    * value = median where flagged. Medians of 7 exact BIGINTs via
+    * sort-and-pick — no percentile interpolation, so every output is an
+    * input value and the whole operator is integer-exact.
+    *
+    * Scale: corpus → calendar-sized daily census map-side; the window
+    * collects 7 BIGINTs per row over the \|days\| frame — never
+    * corpus-sized state. */
+  def tsHampel(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum((Num.money(col("value")) * 100).cast("long")).as("cents"))
+    val w = Window.orderBy("day").rowsBetween(-3, 3)
+    daily
+      .withColumn("win", array_sort(collect_list("cents").over(w)))
+      .filter(size(col("win")) === 7)
+      .withColumn("med", element_at(col("win"), 4))
+      .withColumn("mad", element_at(array_sort(
+        transform(col("win"), v => abs(v - col("med")))), 4))
+      .select(col("day"), col("cents"), col("med"), col("mad"),
+        (abs(col("cents") - col("med")) * 10000L > col("mad") * 44478L)
+          .as("is_outlier"))
+      .withColumn("repaired", when(col("is_outlier"), col("med")).otherwise(col("cents")))
+      .orderBy("day")
+  }
 }

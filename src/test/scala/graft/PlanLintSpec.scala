@@ -75,7 +75,9 @@ class PlanLintSpec extends GraftSpec {
     "census_suppression_fixpoint", // single-row converged verdict via broadcast cross join (round 15)
     "event_diff_in_diff", // single-row DiD scalar via broadcast cross join (round 15)
     "ts_pacf", // single-row ACF denominator via broadcast cross join, as ts_autocorrelation (round 15)
-    "llm_dsir_select") // single-row token-total frame joined to the 64-row bucket table via broadcast cross join (round 15)
+    "llm_dsir_select", // single-row token-total frame joined to the 64-row bucket table via broadcast cross join (round 15)
+    "dq_control_chart", // single-row control-limit frame via broadcast cross join (round 15)
+    "llm_mix_temperature") // two single-row total frames via broadcast cross joins (round 15)
 
   test("no query plans an unexpected cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

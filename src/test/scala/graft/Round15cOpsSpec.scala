@@ -119,4 +119,89 @@ class Round15cOpsSpec extends GraftSpec {
     val expect = weights.toSeq.sortBy { case (id, w) => (-w, id) }.take(25)
     assert(got.toSeq == expect, s"engine ${got.take(3).toSeq} vs replay ${expect.take(3)}")
   }
+
+  test("dq_control_chart: limits replay from a plain-Scala fold; flags match the limits") {
+    val rows = graft.queries.Quality.dqControlChart(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val ns = rows.map(_.getLong(1))
+    def halfUp(num: Long, den: Long): Double =
+      (BigDecimal(num) / BigDecimal(den))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val xBar = halfUp(ns.sum, ns.length)
+    val mrs = ns.sliding(2).map { case Array(a, b) => math.abs(b - a) }.toSeq
+    val mrBar = halfUp(mrs.sum, mrs.length)
+    val ucl = BigDecimal(xBar + 2.66 * mrBar).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lcl = BigDecimal(xBar - 2.66 * mrBar).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(3) - xBar) < 1e-9, "x_bar")
+      assert(math.abs(r.getDouble(4) - mrBar) < 1e-9, "mr_bar")
+      assert(math.abs(r.getDouble(5) - ucl) < 1e-9, "ucl")
+      assert(math.abs(r.getDouble(6) - lcl) < 1e-9, "lcl")
+      assert(r.getBoolean(7) == (r.getLong(1).toDouble > r.getDouble(5) ||
+        r.getLong(1).toDouble < r.getDouble(6)), "flag matches limits")
+    }
+  }
+
+  test("ts_hampel: median/MAD replay from a sliding-window fold; repair only where flagged") {
+    val rows = graft.queries.TimeSeries.tsHampel(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // rebuild the daily series from the output itself is circular for
+    // edge days; recompute from parquet instead
+    val daily = graft.tables.Tables.t(spark, sfDir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum((col("value").cast("decimal(12,2)") * 100).cast("long")).as("cents"))
+      .orderBy("day").collect().map(r => (r.getDate(0).toString, r.getLong(1)))
+    val byDay = daily.sliding(7).map { w =>
+      val med = w.map(_._2).sorted.apply(3)
+      val mad = w.map(v => math.abs(v._2 - med)).sorted.apply(3)
+      (w(3)._1, med, mad)
+    }.map(t => t._1 -> (t._2, t._3)).toMap
+    rows.foreach { r =>
+      val (med, mad) = byDay(r.getDate(0).toString)
+      assert(r.getLong(2) == med, s"median on ${r.getDate(0)}")
+      assert(r.getLong(3) == mad, s"mad on ${r.getDate(0)}")
+      val flagged = math.abs(r.getLong(1) - med) * 10000L > mad * 44478L
+      assert(r.getBoolean(4) == flagged)
+      assert(r.getLong(5) == (if (flagged) med else r.getLong(1)))
+    }
+  }
+
+  test("census_grouped_median: bracket contains n/2; estimate within its bracket and near the exact median") {
+    val rows = graft.queries.CensusQueries.censusGroupedMedian(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getLong(1); val lo = r.getLong(2); val f = r.getLong(3); val cb = r.getLong(4)
+      assert(cb * 2 < n && (cb + f) * 2 >= n, "containing bracket")
+      val gm = r.getDouble(5)
+      assert(gm >= lo && gm <= lo + 100000, s"median $gm outside bracket [$lo, ${lo + 100000}]")
+    }
+    // the interpolated estimate sits within one bracket width of the
+    // exact per-nation median
+    val exact = spark.read.parquet(s"$sfDir/customer.parquet")
+      .join(spark.read.parquet(s"$sfDir/nation.parquet"),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(expr("percentile_approx(round(c_acctbal * 100), 0.5, 100000)").as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(5) - exact(r.getString(0))) <= 100000.0,
+        s"${r.getString(0)}: grouped ${r.getDouble(5)} vs exact ${exact(r.getString(0))}")
+    }
+  }
+
+  test("llm_mix_temperature: rates normalize; boost anti-monotone in share (sqrt flattening)") {
+    val rows = graft.queries.LlmExtra.llmMixTemperature(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val rateSum = rows.map(_.getLong(5)).sum
+    assert(math.abs(rateSum - 1000000L) <= rows.length, s"rates sum to $rateSum")
+    // boost ∝ 1/sqrt(share): bigger share can never have a bigger boost
+    // (allow 1-milli quantization slop)
+    val byShare = rows.map(r => (r.getLong(3), r.getLong(6))).sortBy(_._1)
+    byShare.sliding(2).foreach {
+      case Array((s1, b1), (s2, b2)) if s2 > s1 =>
+        assert(b2 <= b1 + 1, s"share $s2 boost $b2 > share $s1 boost $b1")
+      case _ =>
+    }
+  }
 }
