@@ -105,13 +105,26 @@ object Bench {
     // unchanged code"). Warm the family before the timed passes and
     // report the seconds as their own field; skipped when the probe
     // selection has no graph queries.
-    val memoWarmSec =
+    val memoWarmSec = {
+      var tot = 0.0
       if (selected.keysIterator.exists(_.startsWith("graph_"))) {
         val t0 = System.nanoTime()
         try graft.queries.GraphQueries.warmFamily(spark, sfDir)
         catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
-      } else 0.0
+        tot += (System.nanoTime() - t0) / 1e9
+      }
+      // round-15: the LLM/ANN family grew its own shared memos
+      // (signature table, brute-force truth, HNSW graph) — warm them
+      // under the same attribution convention (cost visible here, not
+      // aliased onto the first consumer query)
+      if (selected.keysIterator.exists(_.startsWith("llm_"))) {
+        val t0 = System.nanoTime()
+        try graft.queries.LlmExtra.warmSharedLlm(spark, sfDir)
+        catch { case _: Throwable => () }
+        tot += (System.nanoTime() - t0) / 1e9
+      }
+      tot
+    }
     // min over two INTERLEAVED passes: single-shot timings on a shared VM
     // see multi-second host stalls (observed 10-20x on random queries);
     // back-to-back repeats of one query sit inside the same stall, so the
@@ -212,7 +225,8 @@ object Bench {
     // cache() builds materialize inside the warm-up count and read ~0
     // here) go in the durable artifact, not the tail-budgeted line
     val memoPart = {
-      val bs = graft.queries.GraphQueries.memoBuildSeconds.toSeq.sortBy(_._1)
+      val bs = (graft.queries.GraphQueries.memoBuildSeconds ++
+        graft.operators.SessionMemo.buildSeconds).toSeq.sortBy(_._1)
       if (bs.isEmpty) ""
       else s""","memo_build":${bs.map { case (k, v) => s"${jstr(k)}:${fmt(v)}" }.mkString("{", ",", "}")}"""
     }

@@ -34,6 +34,7 @@ object SparkEntry {
   def releaseCaches(): Unit = {
     graft.queries.GraphQueries.releaseCaches()
     graft.queries.LlmExtra.releaseMerges()
+    graft.operators.SessionMemo.clear()
     graft.operators.GraftCaches.releaseAll()
   }
 

@@ -86,7 +86,16 @@ object GraphQueries {
     saltedSymAdj(s, dir)
     saltedSymAdjBfs(s, dir)
     lpaLabels(s, dir)
-    louvainL1(s, dir)
+    // round-15 additions — the new family-shared memos (each consumed
+    // by ≥ 2 graded queries): warming them keeps the shared-derivation
+    // cost VISIBLE in memo_build/memo_warm_sec instead of aliased onto
+    // whichever consumer runs first (the round-14 verdict-task-4
+    // attribution discipline). louvainTrace subsumes louvainL1.
+    louvainTrace(s, dir)
+    hIndexShared(s, dir)
+    landmarkReach(s, dir).count()
+    uniformWalkVisits(s, dir)
+    node2vecWalkShared(s, dir)
   }
 
   /** Drop every family-shared cache (the memoized frames above and the
@@ -123,6 +132,24 @@ object GraphQueries {
   private def ckptFresh(df: DataFrame): DataFrame =
     org.apache.spark.sql.graftbridge.Bridge.freshStatsView(
       graft.operators.GraftCaches.register(df.localCheckpoint(true)))
+
+  /** persist + materialize + tiny-plan view (round-15): like
+    * [[ckptFresh]] this hands consumers a LogicalRDD-rooted frame whose
+    * plan is a few nodes (the source's multi-MB logical plan — the
+    * 12-round h-index chain formats to 8.1 MB — is otherwise re-run
+    * through analysis/optimization by EVERY consumer action, ~3.5 s of
+    * pure driver time per readout), but the blocks live in the
+    * CacheManager (plain persist), so `releaseCaches()` actually frees
+    * them — `Dataset.unpersist` cannot drop localCheckpoint's RDD-level
+    * blocks (they wait for the ContextCleaner instead, which
+    * `ReleaseCachesSpec` rightly rejects for memo-held frames). The
+    * view reads the cached physical RDD; after release it rebuilds from
+    * lineage like any cached frame. */
+  private def persistView(df: DataFrame): DataFrame = {
+    val p = graft.operators.GraftCaches.register(df.persist())
+    p.count()
+    org.apache.spark.sql.graftbridge.Bridge.freshStatsView(p)
+  }
 
   /** Shared symmetric adjacency (both edge directions), cached.
     * `private[graft]` so `CoreSessionIsolationSpec` can hand the real
@@ -720,46 +747,23 @@ object GraphQueries {
     * map-combined to a |communities| census then a single-row
     * aggregate — two corpus-free passes over the shared cached
     * adjacency, nothing quadratic. */
-  def graphLouvainApply(s: SparkSession, dir: String): DataFrame = {
-    val adj = symAdj(s, dir)
-    val lab = lpaLabels(s, dir)
-    // the moves chain (census + 3 joins + 2 windows + a broadcast-2m
-    // cross join) feeds THREE consumers (newLab twice via the
-    // after-census, and n_moved). localCheckpoint, NOT persist: probed
-    // at sf0.1, every action over the CACHED moves frame still paid
-    // ~1.1 s re-preparing the plan's broadcast subtrees (an
-    // InMemoryTableScan does not short-circuit broadcast-exchange
-    // preparation), while the checkpoint-truncated frame reads in
-    // ~0.06 s — the same lesson as the BPE loops, at width 1.
-    val moves = graft.operators.GraftCaches.register(
-      louvainMoves(s, dir).select(col("node"), col("c").as("to_c"))
-        .localCheckpoint(true))
-    val newLab = graft.operators.GraftCaches.register(
-      lab.join(moves, Seq("node"), "left")
-        .select(col("node"), coalesce(col("to_c"), col("label")).as("label"))
-        .localCheckpoint(true))
-    // Q numerator for a labeling: census per community (degree mass +
-    // within-edges), then 2m·Σin_c − Σd_c² in one single-row aggregate
-    def qNum(labels: DataFrame, outCol: String): DataFrame = {
-      val cens = adj
-        .join(labels.select(col("node").as("u"), col("label").as("lu")), "u")
-        .join(labels.select(col("node").as("v"), col("label").as("lv")), "v")
-        .groupBy("lu")
-        .agg(count(lit(1)).as("deg_sum"),
-          count_if(col("lu") === col("lv")).as("in_edges"))
-      cens.agg(sum("deg_sum").as("twom"), sum("in_edges").as("in_tot"),
-          sum(col("deg_sum") * col("deg_sum")).as("sq"))
-        .select(col("twom"),
-          (col("twom") * col("in_tot") - col("sq")).as(outCol))
-    }
-    val nMoved = moves.agg(count(lit(1)).as("n_moved"))
-    qNum(lab, "q_before_num")
-      .crossJoin(broadcast(qNum(newLab, "q_after_num").drop("twom")))
-      .crossJoin(broadcast(nMoved))
+  def graphLouvainApply(s: SparkSession, dir: String): DataFrame =
+    // level-1 sweeps 0/1 of the family-shared dendrogram trace: sweep
+    // 1's labeling IS the LPA seed with this query's argmax moves
+    // applied (louvainL1 runs the identical sweep body), so q_before /
+    // q_after are exactly those sweeps' Q numerators, n_moved is sweep
+    // 1's move count, and the verdict compares the same two BIGINTs
+    // the standalone two-census form compared
+    louvainTrace(s, dir)
+      .filter(col("level") === 1 && col("sweep") <= 1)
+      .agg(
+        max(when(col("sweep") === 1, col("n_moved"))).as("n_moved"),
+        max("twom").as("twom"),
+        max(when(col("sweep") === 0, col("q_num"))).as("q_before_num"),
+        max(when(col("sweep") === 1, col("q_num"))).as("q_after_num"))
       .select(col("n_moved"), col("twom"),
         col("q_before_num"), col("q_after_num"),
         (col("q_after_num") > col("q_before_num")).as("improved"))
-  }
 
   /** LOUVAIN TO FIXPOINT — the family's convergence member: re-run the
     * synchronous local-move sweep on each post-move partition until a
@@ -787,24 +791,15 @@ object GraphQueries {
     * labelings (≤5 single-row union branches). Everything shuffles on
     * node/community keys over the family-shared adjacency cache —
     * nothing quadratic, nothing corpus-sized on the driver. */
-  def graphLouvainConverged(s: SparkSession, dir: String): DataFrame = {
-    val adj = symAdj(s, dir)
-    def qRow(labels: DataFrame, sweep: Int, nMoved: Long): DataFrame =
-      adj.join(labels.select(col("node").as("u"), col("label").as("lu")), "u")
-        .join(labels.select(col("node").as("v"), col("label").as("lv")), "v")
-        .groupBy("lu")
-        .agg(count(lit(1)).as("deg_sum"),
-          count_if(col("lu") === col("lv")).as("in_edges"))
-        .agg(sum("deg_sum").as("twom"), sum("in_edges").as("in_tot"),
-          sum(col("deg_sum") * col("deg_sum")).as("sq"))
-        .select(lit(sweep.toLong).as("sweep"), lit(nMoved).as("n_moved"),
-          col("twom"), (col("twom") * col("in_tot") - col("sq")).as("q_num"))
-    val (steps, zeroMoves) = louvainL1(s, dir)
-    steps.map { case (sw, n, lab) => qRow(lab, sw, n) }
-      .reduce(_.union(_))
-      .withColumn("converged", lit(zeroMoves))
+  def graphLouvainConverged(s: SparkSession, dir: String): DataFrame =
+    // the level-1 rows of the family-shared dendrogram trace: the
+    // weighted Q census at w ≡ 1 is bit-identical to the unweighted
+    // form this replaced (sum(w) = count(1) edge for edge), and the
+    // converged flag is `louvainL1`'s zero-moves verdict in both
+    louvainTrace(s, dir).filter(col("level") === 1)
+      .select(col("sweep"), col("n_moved"), col("twom"), col("q_num"),
+        col("converged"))
       .orderBy("sweep")
-  }
 
   /** The level-1 Louvain fixpoint loop, MEMOIZED for the family (the
     * `symAdj` discipline): `graph_louvain_converged` and
@@ -1020,28 +1015,12 @@ object GraphQueries {
     * is that each level shrinks the graph). Driver actions stay
     * bounded: ≤ 4 counts per level, Q censuses compose into the final
     * action. */
-  def graphLouvainTwoLevel(s: SparkSession, dir: String): DataFrame = {
-    val adj1 = symAdj(s, dir).withColumn("w", lit(1L))
-    // level 1 comes from the family-shared memoized loop (see
-    // `louvainL1`) — the unweighted sweep is bit-identical to the
-    // weighted runner at w ≡ 1 (sum(w) = count), so the trace rows
-    // derive from the shared labelings with the weighted Q census
-    val (steps, conv1) = louvainL1(s, dir)
-    val t1 = steps.map { case (sw, n, lab) => weightedQRow(adj1, lab, 1, sw, n) }
-    val lab1 = steps.last._3
-    val cadj = ckptFresh(
-      adj1.join(lab1.select(col("node").as("u"), col("label").as("cu")), "u")
-        .join(lab1.select(col("node").as("v"), col("label").as("cv")), "v")
-        .groupBy(col("cu").as("u"), col("cv").as("v"))
-        .agg(sum("w").as("w")))
-    val cdeg = cadj.groupBy(col("u").as("node")).agg(sum("w").as("deg"))
-    val cl0 = cdeg.select(col("node"), col("node").as("label"))
-    val (t2, _, conv2, _) = louvainLevelTrace(cadj, cdeg, cl0, 2, 4)
-    (t1.map(_.withColumn("converged", lit(conv1))) ++
-      t2.map(_.withColumn("converged", lit(conv2))))
-      .reduce(_ union _)
-      .orderBy("level", "sweep")
-  }
+  def graphLouvainTwoLevel(s: SparkSession, dir: String): DataFrame =
+    // the level ≤ 2 prefix of the family-shared dendrogram trace — the
+    // two-level run IS the dendrogram's first recursion step verbatim
+    // (same contraction, same louvainLevelTrace(…, 2, 4) sweep), so the
+    // rows are bit-identical to the standalone form this replaced
+    louvainTrace(s, dir).filter(col("level") <= 2).orderBy("level", "sweep")
 
   /** FULL LOUVAIN DENDROGRAM — the recursion `graph_louvain_two_level`
     * stops after one step, run to ITS OWN stopping rule (the round-14
@@ -1067,35 +1046,58 @@ object GraphQueries {
     * memoized sweep loop; the contraction shuffle shape is probed at
     * 26.6M edges by `ProbeGraphScale`). Driver actions stay ≤ 4 counts
     * per level, depth-capped. */
-  def graphLouvainDendrogram(s: SparkSession, dir: String): DataFrame = {
-    val maxLevels = 4
-    val adj1 = symAdj(s, dir).withColumn("w", lit(1L))
-    val (steps, conv1) = louvainL1(s, dir)
-    var trace: Seq[DataFrame] =
-      steps.map { case (sw, n, lab) =>
-        weightedQRow(adj1, lab, 1, sw, n).withColumn("converged", lit(conv1))
+  def graphLouvainDendrogram(s: SparkSession, dir: String): DataFrame =
+    louvainTrace(s, dir).orderBy("level", "sweep")
+
+  /** The (session, dir)-memoized FULL dendrogram trace (level, sweep,
+    * n_moved, twom, q_num, converged) — the family's one level/sweep
+    * story, from which four graded readouts derive (round-15
+    * optimization; extends the `louvainL1` memo one layer up):
+    *   - `graph_louvain_dendrogram` = the whole trace;
+    *   - `graph_louvain_two_level`  = the level ≤ 2 prefix (its level-2
+    *     run is the dendrogram's level-2 run verbatim: same contraction,
+    *     same `louvainLevelTrace(…, 2, 4)` call);
+    *   - `graph_louvain_converged`  = the level-1 rows (the weighted Q
+    *     census at w ≡ 1 is bit-identical to the unweighted form:
+    *     sum(w) = count, and the converged flag is `louvainL1`'s);
+    *   - `graph_louvain_apply`      = level-1 sweeps 0/1 (q_before/
+    *     q_after are exactly those sweeps' Q numerators and n_moved is
+    *     sweep 1's move count).
+    * Each query previously re-executed its own per-sweep Q censuses
+    * over the full adjacency (~5 two-join passes per query per bench
+    * pass) plus, for the deeper pair, the contraction and sweep loops.
+    * The trace is ≤ ~20 rows, eagerly checkpointed, so the readouts are
+    * O(1); outputs are bit-identical (pinned by the oracle rows). */
+  private[graft] def louvainTrace(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "louvainTrace") {
+      val maxLevels = 4
+      val adj1 = symAdj(s, dir).withColumn("w", lit(1L))
+      val (steps, conv1) = louvainL1(s, dir)
+      var trace: Seq[DataFrame] =
+        steps.map { case (sw, n, lab) =>
+          weightedQRow(adj1, lab, 1, sw, n).withColumn("converged", lit(conv1))
+        }
+      var curAdj = adj1
+      var curLab = steps.last._3
+      var level = 1
+      var movedLastLevel = true
+      while (movedLastLevel && level < maxLevels) {
+        level += 1
+        val cadj = ckptFresh(
+          curAdj.join(curLab.select(col("node").as("u"), col("label").as("cu")), "u")
+            .join(curLab.select(col("node").as("v"), col("label").as("cv")), "v")
+            .groupBy(col("cu").as("u"), col("cv").as("v"))
+            .agg(sum("w").as("w")))
+        val cdeg = cadj.groupBy(col("u").as("node")).agg(sum("w").as("deg"))
+        val cl0 = cdeg.select(col("node"), col("node").as("label"))
+        val (t, lab, conv, moves) = louvainLevelTrace(cadj, cdeg, cl0, level, 4)
+        trace = trace ++ t.map(_.withColumn("converged", lit(conv)))
+        curAdj = cadj
+        curLab = lab
+        movedLastLevel = moves > 0L
       }
-    var curAdj = adj1
-    var curLab = steps.last._3
-    var level = 1
-    var movedLastLevel = true
-    while (movedLastLevel && level < maxLevels) {
-      level += 1
-      val cadj = ckptFresh(
-        curAdj.join(curLab.select(col("node").as("u"), col("label").as("cu")), "u")
-          .join(curLab.select(col("node").as("v"), col("label").as("cv")), "v")
-          .groupBy(col("cu").as("u"), col("cv").as("v"))
-          .agg(sum("w").as("w")))
-      val cdeg = cadj.groupBy(col("u").as("node")).agg(sum("w").as("deg"))
-      val cl0 = cdeg.select(col("node"), col("node").as("label"))
-      val (t, lab, conv, moves) = louvainLevelTrace(cadj, cdeg, cl0, level, 4)
-      trace = trace ++ t.map(_.withColumn("converged", lit(conv)))
-      curAdj = cadj
-      curLab = lab
-      movedLastLevel = moves > 0L
+      persistView(trace.reduce(_ union _))
     }
-    trace.reduce(_ union _).orderBy("level", "sweep")
-  }
 
   /** Degree-mixing co-moments — the assortativity readout as EXACT
     * integers: over every directed edge of the similarity graph, the
@@ -1265,8 +1267,29 @@ object GraphQueries {
     * Scale: exactly `graph_core_full`'s cost envelope — 12 equi-join +
     * bounded-window rounds over the family-shared adjacency cache, no
     * per-round driver actions, no broadcasts of data-sized frames. */
+  /** The (session, dir)-memoized 12-round h-index estimate pair —
+    * `graph_core_decomposition` (k ≤ 4 truncated histogram) and
+    * `graph_core_full` (full histogram) both read the identical
+    * iteration; the 12-round join chain now runs once per session
+    * instead of once per consumer (round-15 optimization; the
+    * `louvainL1` family-memo discipline). */
+  private def hIndexShared(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    memoized(s, dir, "hIndex12") {
+      val (prev, fin) = hIndexEstimates(symAdj(s, dir), 12)
+      // TRUNCATE the consumer-visible lineage: the persisted frames
+      // carry the full 12-round join chain as their logical plan
+      // (measured 8.1 MB of formatted plan text at sf0.1), and every
+      // consumer action re-ran analysis/optimization over that tree
+      // even though execution read the cache — ~3.5 s/readout of pure
+      // driver-side planning. The views' plans are a LogicalRDD over
+      // the cached physical RDD; the persisted sources (registered
+      // inside hIndexEstimates) stay the release handles.
+      (org.apache.spark.sql.graftbridge.Bridge.freshStatsView(prev),
+        org.apache.spark.sql.graftbridge.Bridge.freshStatsView(fin))
+    }
+
   def graphCoreDecomposition(s: SparkSession, dir: String): DataFrame = {
-    val (prev, fin) = hIndexEstimates(symAdj(s, dir), 12)
+    val (prev, fin) = hIndexShared(s, dir)
     // the same loud convergence verdict `graph_core_full` carries
     // (round-15 ADVICE find): least(est, 4) is only the TRUE bounded
     // coreness when the 12-round iteration has converged, and without
@@ -1322,15 +1345,18 @@ object GraphQueries {
     * no reducer sees an unbounded sorted run even on power-law
     * corpora. */
   def graphCoreFull(s: SparkSession, dir: String): DataFrame =
-    coreFullOn(symAdj(s, dir), 12)
+    coreFullReadout(hIndexShared(s, dir))
 
   /** The h-index decomposition over an arbitrary symmetric adjacency —
     * the engine core of `graphCoreFull`, parameterized so specs can
     * drive graphs the contract graph never produces (a long path
     * defeats any fixed round cap and must surface `converged = false`
     * loudly, never truncated estimates passed off as cores). */
-  private[graft] def coreFullOn(adj: DataFrame, rounds: Int): DataFrame = {
-    val (prev, fin) = hIndexEstimates(adj, rounds)
+  private[graft] def coreFullOn(adj: DataFrame, rounds: Int): DataFrame =
+    coreFullReadout(hIndexEstimates(adj, rounds))
+
+  private def coreFullReadout(prevFin: (DataFrame, DataFrame)): DataFrame = {
+    val (prev, fin) = prevFin
     // monotone non-increasing estimates: equal sums ⟺ identical frames
     val flag = prev.agg(sum("est").as("sp"))
       .crossJoin(fin.agg(sum("est").as("sf")))
@@ -1479,7 +1505,14 @@ object GraphQueries {
   /** The shared uniform-walk visit stream (walker, node, step) —
     * `graph_random_walk` censuses it, `graph_walk_skipgram` pairs it
     * (private[graft] so the spec can replay the pairing). */
-  private[graft] def uniformWalkVisits(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def uniformWalkVisits(s: SparkSession, dir: String): DataFrame =
+    // (session, dir)-memoized: `graph_random_walk` and
+    // `graph_walk_skipgram` both read the identical 4-step uniform walk
+    // stream; the eager per-step checkpoint loop runs once per session
+    // (round-15 optimization; the `louvainL1` family-memo discipline).
+    memoized(s, dir, "uniformWalk") { uniformWalkBuild(s, dir) }
+
+  private def uniformWalkBuild(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val adj = symAdj(s, dir)
     var cur = symNodes(s, dir).filter(col("node") % 17 === 0)
@@ -1521,8 +1554,20 @@ object GraphQueries {
     * an embedding trained on node2vec vs DeepWalk sees). Same
     * walker-linear shape. */
   def graphNode2vecSkipgram(s: SparkSession, dir: String): DataFrame =
-    skipgramCensus(node2vecWalkOn(symAdj(s, dir),
-      symNodes(s, dir).filter(col("node") % 17 === 0).select(col("node")), 4))
+    skipgramCensus(node2vecWalkShared(s, dir))
+
+  /** The (session, dir)-memoized biased-walk visit stream —
+    * `graph_node2vec_biased` (visit census) and
+    * `graph_node2vec_skipgram` (training-pair census) both read the
+    * identical 4-step p/q walk; the driver-action-heavy step loop (one
+    * eager localCheckpoint per step) now runs once per session instead
+    * of once per consumer (round-15 optimization; the `louvainL1`
+    * family-memo discipline). */
+  private def node2vecWalkShared(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "node2vecWalk") {
+      node2vecWalkOn(symAdj(s, dir),
+        symNodes(s, dir).filter(col("node") % 17 === 0).select(col("node")), 4)
+    }
 
   /** ±2-step-window ordered (center, context) pair census over a
     * (walker, node, step) visit stream — shared by both walk flavors. */
@@ -1562,8 +1607,7 @@ object GraphQueries {
     * multiply-referenced (extend + census union), the k^r lineage rule
     * (docs/PLANS.md). */
   def graphNode2vecBiased(s: SparkSession, dir: String): DataFrame =
-    node2vecWalkOn(symAdj(s, dir),
-      symNodes(s, dir).filter(col("node") % 17 === 0).select(col("node")), 4)
+    node2vecWalkShared(s, dir)
       .groupBy("node")
       .agg(count(lit(1)).as("n_visits"),
         count_distinct(col("walker")).as("n_walkers"))
@@ -1625,23 +1669,13 @@ object GraphQueries {
     * linear-lineage layout) + one map-combined min, so the 4-round
     * unroll is a single lazy chain. Harmonic fold and top-k are one
     * aggregate + TakeOrdered. */
-  def graphLandmarkDistance(s: SparkSession, dir: String): DataFrame = {
-    val sadj = saltedSymAdjBfs(s, dir)
-    val nodes = symNodes(s, dir)
-    var reach = nodes.filter(col("node") % 151 === 0)
-      .select(col("node"), col("node").as("lm"), lit(0L).as("dist"))
-    for (_ <- 1 to 4) {
-      reach = sadj.propagate(reach)
-        .select(col("node"), col("lm"), (col("dist") + col("w")).as("dist"))
-        .groupBy("node", "lm").agg(min("dist").as("dist"))
-    }
-    reach.filter(col("dist") > 0)
+  def graphLandmarkDistance(s: SparkSession, dir: String): DataFrame =
+    landmarkReach(s, dir).filter(col("dist") > 0)
       .groupBy("node")
       .agg(count(lit(1)).as("n_reached"),
         sum(call_function("div", lit(1000000L), col("dist"))).as("closeness_micro"))
       .orderBy(desc("closeness_micro"), col("node"))
       .limit(25)
-  }
 
   /** EFFECTIVE-DIAMETER estimate from the landmark frame — the
     * "how far apart is this graph, really" readout next to
@@ -1656,18 +1690,34 @@ object GraphQueries {
     * as the closeness query (per-node state ≤ |landmarks| rows); the
     * histogram windows run on ≤ 5 rows. All-integer cut ⇒ bit-stable
     * flag. */
+  /** The (session, dir)-memoized 4-round landmark distance frame
+    * (node, lm, dist) — `graph_landmark_distance` (closeness readout)
+    * and `graph_effective_diameter` (hop histogram) both derive from
+    * this identical multi-source BFS; the 4-round propagate over the
+    * salted adjacency now runs once per session instead of once per
+    * consumer (round-15 optimization; the `symAdj` family-memo
+    * discipline). Cached lazily — the first consumer's action
+    * materializes it. */
+  private def landmarkReach(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "landmarkReach") {
+      val sadj = saltedSymAdjBfs(s, dir)
+      var reach = symNodes(s, dir).filter(col("node") % 151 === 0)
+        .select(col("node"), col("node").as("lm"), lit(0L).as("dist"))
+      for (_ <- 1 to 4) {
+        reach = sadj.propagate(reach)
+          .select(col("node"), col("lm"), (col("dist") + col("w")).as("dist"))
+          .groupBy("node", "lm").agg(min("dist").as("dist"))
+      }
+      // persist + tiny-plan view, not lazy persist: the 4-round
+      // propagate's logical plan is ~840 KB of formatted text and each
+      // consumer action would re-plan it (driver-side) even on cache
+      // hits; persistView keeps the blocks releasable
+      persistView(reach)
+    }
+
   def graphEffectiveDiameter(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sadj = saltedSymAdjBfs(s, dir)
-    val nodes = symNodes(s, dir)
-    var reach = nodes.filter(col("node") % 151 === 0)
-      .select(col("node"), col("node").as("lm"), lit(0L).as("dist"))
-    for (_ <- 1 to 4) {
-      reach = sadj.propagate(reach)
-        .select(col("node"), col("lm"), (col("dist") + col("w")).as("dist"))
-        .groupBy("node", "lm").agg(min("dist").as("dist"))
-    }
-    val hist = reach.groupBy("dist").agg(count(lit(1)).as("n_pairs"))
+    val hist = landmarkReach(s, dir).groupBy("dist").agg(count(lit(1)).as("n_pairs"))
     val one = lit(1)
     val cum = Window.partitionBy(one).orderBy("dist")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -281,8 +281,10 @@ object LlmExtra {
     * cell-bucketed candidate join) plus a 5-rows-per-probe equi-join —
     * evaluation adds nothing corpus-sized. */
   def llmSimRecall(s: SparkSession, dir: String): DataFrame = {
-    val truth = graft.queries.Llm.llmSimCosineTopk(s, dir)
-      .select(col("pid"), col("nid"))
+    // top-5 truth = rnk ≤ 5 prefix of the family-shared memoized top-10
+    // (deterministic total order makes every depth a prefix)
+    val truth = graft.queries.Llm.truthTop10(s, dir)
+      .filter(col("rnk") <= 5).select(col("pid"), col("nid"))
     val approx = llmSimIvfTopk(s, dir)
       .select(col("pid"), col("nid"), lit(1L).as("hit"))
     truth.join(approx, Seq("pid", "nid"), "left")
@@ -312,7 +314,7 @@ object LlmExtra {
     * ≤10-rows-per-probe equi-join and one map-combined aggregate —
     * evaluation adds nothing corpus-sized, exactly like recall@5. */
   def llmSimRecallAtK(s: SparkSession, dir: String): DataFrame = {
-    val truth = graft.queries.Llm.simCosineTopkK(s, dir, 10)
+    val truth = graft.queries.Llm.truthTop10(s, dir)
       .select(col("pid"), col("nid"), col("rnk").as("rt"))
     val approx = simIvfTopkK(s, dir, 10)
       .select(col("pid"), col("nid"), col("rnk").as("ra"))
@@ -395,8 +397,9 @@ object LlmExtra {
     * histogram. */
   def llmDupGraphDegree(s: SparkSession, dir: String): DataFrame = {
     graft.udx.NGrams.registerAll(s)
-    val docs = t(s, dir, "documents").filter(col("doc_id") < 2000)
-    val sigs = GraftCaches.register(graft.queries.Llm.signatures(docs).persist())
+    // signatures are row-local, so the doc_id slice of the family-shared
+    // full-corpus signature table IS the signature table of the slice
+    val sigs = graft.queries.Llm.sigsShared(s, dir).filter(col("doc_id") < 2000)
     val bands = graft.queries.Llm.bandsOf(sigs, graft.operators.HotKeys.DefaultCap)
     val pairs = bands.select(col("doc_id").as("da"), col("band"), col("bkey"))
       .join(bands.select(col("doc_id").as("db"), col("band"), col("bkey")),
@@ -514,7 +517,7 @@ object LlmExtra {
   private[graft] def simHnswTopkImpl(s: SparkSession, dir: String,
       m: Int, b: Int, r: Int): DataFrame = {
     val (emb, edges) = hnswGraph(s, dir, m)
-    hnswSearchReadout(s, dir, emb, edges, b, r)
+    hnswSearchReadoutMulti(s, dir, emb, edges, Seq((b, r)))
       .select(col("pid"), col("n_visited"),
         col("n_hit_5"), col("n_hit_10"),
         col("recall_at_5"), col("recall_at_10"))
@@ -527,7 +530,19 @@ object LlmExtra {
     * pays the build a single time (exactly the offline-index reuse a
     * deployment gets). Returns (normalized embeddings, symmetric
     * bounded-degree edge list). */
-  private[graft] def hnswGraph(s: SparkSession, dir: String, m: Int): (DataFrame, DataFrame) = {
+  private[graft] def hnswGraph(s: SparkSession, dir: String, m: Int): (DataFrame, DataFrame) =
+    // (session, dir, m)-memoized: the navigable graph is the offline
+    // index a deployment builds ONCE and serves every search from —
+    // `llm_sim_hnsw_topk` and `llm_sim_hnsw_tune` each rebuilt the
+    // byte-identical graph per invocation (round-15 optimization
+    // measure: 4 builds per two-pass bench; the build dominates both
+    // queries). Same session-scoped semantics as the graph family's
+    // `symAdj` memo — nothing crosses an invocation boundary.
+    graft.operators.SessionMemo.memoized(s, s"hnswGraph|$m|$dir") {
+      hnswGraphBuild(s, dir, m)
+    }
+
+  private def hnswGraphBuild(s: SparkSession, dir: String, m: Int): (DataFrame, DataFrame) = {
     import graft.llm.{Hnsw, Ivf, Lsh}
     graft.udx.NGrams.registerAll(s)
     val emb = t(s, dir, "embeddings")
@@ -594,47 +609,72 @@ object LlmExtra {
     * beam width `b`, then exact recall@5/@10 against the shared
     * brute-force truth — one row per probe, with the truth-side counts
     * carried so sweep aggregates can ratio over exact sums. */
-  private def hnswSearchReadout(s: SparkSession, dir: String,
-      emb: DataFrame, edges: DataFrame, b: Int, r: Int): DataFrame = {
+  /** CONFIG-TAGGED beam search + truth-graded readout over an
+    * already-built navigable graph — N (beam, hop) configs run in ONE
+    * interleaved hop loop (round-15 optimization): per config the
+    * algebra is unchanged (self-entry, expand-the-best-b /
+    * score-new-candidates-only hops, every operator partitioned by
+    * (b, r, pid)), but the tune sweep's three sequential searches — 6
+    * hops, each an eager localCheckpoint action — collapse to
+    * max(r) = 3 shared hops over a 3×-wider tiny frame (a config whose
+    * r is below the current hop simply stops expanding: its frontier
+    * filters out, its visited set is frozen — exactly the state the
+    * standalone search ends in, so per-config rows are bit-identical).
+    * Output: one row per (b, r, probe) with visited size and exact
+    * recall@5/@10 against the shared memoized truth. */
+  private def hnswSearchReadoutMulti(s: SparkSession, dir: String,
+      emb: DataFrame, edges: DataFrame, configs: Seq[(Int, Int)]): DataFrame = {
+    import s.implicits._
+    val cfg = broadcast(configs.toDF("b", "r"))
     val probes = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("pid"), col("v").as("pv"), col("nrm").as("pnorm"))
-    // score a (pid, nid) candidate set against the probe vectors
+    // score a (b, r, pid, nid) candidate set against the probe vectors
     def scoreCands(c: DataFrame): DataFrame = c
       .join(emb.select(col("vec_id").as("nid"), col("v"), col("nrm")), "nid")
       .join(broadcast(probes), "pid")
-      .select(col("pid"), col("nid"),
+      .select(col("b"), col("r"), col("pid"), col("nid"),
         round(graft.llm.Vectors.cosineWithNorms(
           graft.llm.Vectors.fdot(col("pv"), col("v")), col("pnorm"), col("nrm")), 4).as("cos"))
-    // self-entry: the query node's own adjacency list
+    // self-entry: the query node's own adjacency list, once per config
     val entries = edges.filter(col("u") < 10)
       .select(col("u").as("pid"), col("n").as("nid"))
+      .crossJoin(cfg)
     var visited = scoreCands(entries).localCheckpoint(true)
-    val wBeam = Window.partitionBy("pid").orderBy(desc("cos"), asc("nid"))
-    var frontier = visited.withColumn("rn", row_number().over(wBeam))
-      .filter(col("rn") <= b).select("pid", "nid")
-    for (_ <- 1 to r) {
-      val expand = frontier.join(edges, frontier("nid") === edges("u"))
-        .select(col("pid"), col("n").as("nid"))
+    val wBeam = Window.partitionBy("b", "r", "pid").orderBy(desc("cos"), asc("nid"))
+    def beamOf(v: DataFrame): DataFrame =
+      v.withColumn("rn", row_number().over(wBeam))
+        .filter(col("rn") <= col("b")).select("b", "r", "pid", "nid")
+    var frontier = beamOf(visited)
+    for (h <- 1 to configs.map(_._2).max) {
+      // a config whose hop budget is spent stops expanding — its
+      // visited set is frozen at exactly the standalone loop's end state
+      val active = frontier.filter(col("r") >= h)
+      val expand = active.join(edges, active("nid") === edges("u"))
+        .select(col("b"), col("r"), col("pid"), col("n").as("nid"))
         .filter(col("nid") =!= col("pid"))
         .distinct()
-        .join(visited.select("pid", "nid"), Seq("pid", "nid"), "left_anti")
+        .join(visited.select("b", "r", "pid", "nid"),
+          Seq("b", "r", "pid", "nid"), "left_anti")
       visited = visited.unionByName(scoreCands(expand)).localCheckpoint(true)
-      frontier = visited.withColumn("rn", row_number().over(wBeam))
-        .filter(col("rn") <= b).select("pid", "nid")
+      frontier = beamOf(visited)
     }
-    // grade against brute-force truth at depth 10 (shared total order)
-    val truth = graft.queries.Llm.simCosineTopkK(s, dir, 10)
+    // grade against brute-force truth at depth 10 (shared total order;
+    // the family-shared memoized table — one corpus scan per session)
+    val truth = graft.queries.Llm.truthTop10(s, dir)
       .select(col("pid"), col("nid"), col("rnk").as("rt"))
+      .crossJoin(cfg)
     val approx = visited.withColumn("ra", row_number().over(wBeam).cast("long"))
-    truth.join(approx.select("pid", "nid", "ra"), Seq("pid", "nid"), "left")
-      .groupBy("pid")
+    truth.join(approx.select("b", "r", "pid", "nid", "ra"),
+        Seq("b", "r", "pid", "nid"), "left")
+      .groupBy("b", "r", "pid")
       .agg(
         count_if(col("rt") <= 5).as("n_true_5"),
         count_if(col("rt") <= 5 && col("ra") <= 5).as("n_hit_5"),
         count(lit(1)).as("n_true_10"),
         count_if(col("ra") <= 10).as("n_hit_10"))
-      .join(visited.groupBy("pid").agg(count(lit(1)).as("n_visited")), "pid")
-      .select(col("pid"), col("n_visited"),
+      .join(visited.groupBy("b", "r", "pid").agg(count(lit(1)).as("n_visited")),
+        Seq("b", "r", "pid"))
+      .select(col("b"), col("r"), col("pid"), col("n_visited"),
         col("n_true_5"), col("n_hit_5"),
         col("n_true_10"), col("n_hit_10"),
         Num.ratio(col("n_hit_5"), col("n_true_5"), 4).as("recall_at_5"),
@@ -657,21 +697,24 @@ object LlmExtra {
     * the aggregates are one map-combined pass per config. */
   def llmSimHnswTune(s: SparkSession, dir: String): DataFrame = {
     val (emb, edges) = hnswGraph(s, dir, graft.llm.Hnsw.M)
-    val configs = Seq((2, 1), (4, 2), (8, 3))
-    configs.map { case (b, r) =>
-      hnswSearchReadout(s, dir, emb, edges, b, r)
-        .agg(
-          count(lit(1)).as("n_probes"),
-          sum("n_visited").as("n_visited"),
-          sum("n_hit_5").as("n_hit_5"),
-          sum("n_true_5").as("sum_true_5"),
-          sum("n_hit_10").as("n_hit_10"),
-          sum("n_true_10").as("sum_true_10"))
-        .select(lit(b.toLong).as("beam_b"), lit(r.toLong).as("hops_r"),
-          col("n_probes"), col("n_visited"), col("n_hit_5"), col("n_hit_10"),
-          Num.ratio(col("n_hit_5"), col("sum_true_5"), 4).as("recall_at_5"),
-          Num.ratio(col("n_hit_10"), col("sum_true_10"), 4).as("recall_at_10"))
-    }.reduce(_ unionByName _).orderBy("beam_b")
+    // all three budget points ride ONE config-tagged search loop (see
+    // hnswSearchReadoutMulti) — 3 shared hops instead of 1+2+3
+    // sequential ones, per-config rows bit-identical
+    hnswSearchReadoutMulti(s, dir, emb, edges, Seq((2, 1), (4, 2), (8, 3)))
+      .groupBy("b", "r")
+      .agg(
+        count(lit(1)).as("n_probes"),
+        sum("n_visited").as("sum_visited"),
+        sum("n_hit_5").as("sum_hit_5"),
+        sum("n_true_5").as("sum_true_5"),
+        sum("n_hit_10").as("sum_hit_10"),
+        sum("n_true_10").as("sum_true_10"))
+      .select(col("b").cast("long").as("beam_b"), col("r").cast("long").as("hops_r"),
+        col("n_probes"), col("sum_visited").as("n_visited"),
+        col("sum_hit_5").as("n_hit_5"), col("sum_hit_10").as("n_hit_10"),
+        Num.ratio(col("sum_hit_5"), col("sum_true_5"), 4).as("recall_at_5"),
+        Num.ratio(col("sum_hit_10"), col("sum_true_10"), 4).as("recall_at_10"))
+      .orderBy("beam_b")
   }
 
   /** K-MEANS TRAINING over the embedding corpus — the offline step the
@@ -1576,6 +1619,24 @@ object LlmExtra {
     * stopped sessions evicted on lookup, cleared by releaseCaches()). */
   private val merges =
     scala.collection.mutable.HashMap.empty[(SparkSession, String), Seq[(Long, String, Long)]]
+
+  /** Build AND MATERIALIZE the LLM/ANN family's shared memo artifacts
+    * up front — the round-15 counterpart of `GraphQueries.warmFamily`
+    * (round-14 verdict-task-4 attribution discipline): each artifact is
+    * consumed by ≥ 2 graded queries, and warming keeps the one-off
+    * shared-derivation cost visible in the bench's memo_warm_sec /
+    * memo_build fields instead of aliased onto whichever consumer runs
+    * first. Covers the MinHash signature table (5 consumers), the
+    * brute-force truth top-10 (4 consumers) and the HNSW navigable
+    * graph (2 consumers). */
+  private[graft] def warmSharedLlm(s: SparkSession, dir: String): Unit = {
+    graft.udx.NGrams.registerAll(s)
+    graft.queries.Llm.sigsShared(s, dir).count()
+    graft.queries.Llm.truthTop10(s, dir).count()
+    val (emb, edges) = hnswGraph(s, dir, graft.llm.Hnsw.M)
+    emb.count()
+    edges.count()
+  }
 
   private[graft] def releaseMerges(): Unit = {
     merges.synchronized(merges.clear())
@@ -2650,8 +2711,9 @@ object LlmExtra {
     * signatures back on the bounded candidate set only. */
   def llmMinhashBandTune(s: SparkSession, dir: String): DataFrame = {
     graft.udx.NGrams.registerAll(s)
-    val docs = t(s, dir, "documents").filter(col("doc_id") < 2000)
-    val sigs = GraftCaches.register(Llm.signatures(docs).persist())
+    // row-local signatures: the doc_id slice of the family-shared
+    // full-corpus signature table IS the slice's signature table
+    val sigs = Llm.sigsShared(s, dir).filter(col("doc_id") < 2000)
     val bandRows = Seq(1, 2, 4, 8).map { r =>
       val bandStructs = array((0 until 64 / r).map { i =>
         struct(lit(i).as("band"),
@@ -2701,8 +2763,9 @@ object LlmExtra {
     * over the two parents' plans — nothing corpus-sized (the
     * `llm_sim_recall` convention). */
   def llmSimPqRecall(s: SparkSession, dir: String): DataFrame = {
-    val truth = graft.queries.Llm.simCosineTopkK(s, dir, 5)
-      .select(col("pid"), col("nid"))
+    // top-5 truth = rnk ≤ 5 prefix of the family-shared memoized top-10
+    val truth = graft.queries.Llm.truthTop10(s, dir)
+      .filter(col("rnk") <= 5).select(col("pid"), col("nid"))
     val approx = llmSimPqTopk(s, dir)
       .select(col("pid"), col("nid"), lit(1L).as("hit"))
     truth.join(approx, Seq("pid", "nid"), "left")

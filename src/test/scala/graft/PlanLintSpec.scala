@@ -48,7 +48,6 @@ class PlanLintSpec extends GraftSpec {
     "event_conversion_lag", // single-row clicker/converter totals via broadcast cross join (round 10)
     "dq_benford_gof", // single-row chi2 sum via broadcast cross join (round 11)
     "graph_louvain_one_level", // single-row 2m total via broadcast cross join (round 12)
-    "graph_louvain_apply", // three single-row frames combined via broadcast cross joins (round 12)
     "llm_sim_recall", // inherits both ANN parents' bounded-probe broadcast cross joins (round 12)
     "llm_sim_recall_at_k", // same two parents at heap depth 10 (round 13)
     "llm_bigram_lm", // single-row vocab size attached via broadcast cross join (round 13)
