@@ -435,9 +435,12 @@ object GraphQueries {
         lab = cnt.withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1).select("node", "label")
       }
-      lab = lab.cache()
+      lab = graft.operators.GraftCaches.register(lab.cache())
       lab.count()
-      lab
+      // tiny-plan view (round-15): the 3-round loop lineage is re-run
+      // through the planner by every consumer action otherwise — LPA
+      // labels feed modularity, the Louvain moves chain and the trace
+      org.apache.spark.sql.graftbridge.Bridge.freshStatsView(lab)
     }
 
   /** simEdges body with an injectable block cap (HotKeySpec plants a
@@ -1073,10 +1076,36 @@ object GraphQueries {
       val maxLevels = 4
       val adj1 = symAdj(s, dir).withColumn("w", lit(1L))
       val (steps, conv1) = louvainL1(s, dir)
-      var trace: Seq[DataFrame] =
-        steps.map { case (sw, n, lab) =>
-          weightedQRow(adj1, lab, 1, sw, n).withColumn("converged", lit(conv1))
-        }
+      // FUSED level-1 Q censuses (round-15): one sweep-tagged pass over
+      // the adjacency instead of one two-join census per sweep — the
+      // per-sweep labelings union (tagged by sweep), the adjacency is
+      // joined ONCE per side, and the (sweep, community) census rolls
+      // up to the per-sweep Q rows. Values are identical to the
+      // per-sweep weightedQRow form (same joins, same algebra, grouped
+      // by one more key); at any scale this is 2 adjacency shuffles
+      // instead of 2 × |sweeps|.
+      val labAll = steps.map { case (sw, _, lab) =>
+        lab.select(lit(sw.toLong).as("sweep"), col("node"), col("label"))
+      }.reduce(_ unionByName _)
+      val cens1 = adj1
+        .join(labAll.select(col("sweep"), col("node").as("u"), col("label").as("lu")), "u")
+        .join(labAll.select(col("sweep"), col("node").as("v"), col("label").as("lv")),
+          Seq("v", "sweep"))
+        .groupBy("sweep", "lu")
+        .agg(sum("w").as("deg_sum"),
+          sum(when(col("lu") === col("lv"), col("w")).otherwise(lit(0L))).as("in_w"))
+        .groupBy("sweep")
+        .agg(sum("deg_sum").as("twom"), sum("in_w").as("in_tot"),
+          sum(col("deg_sum") * col("deg_sum")).as("sq"))
+      val movesDf = {
+        import s.implicits._
+        steps.map { case (sw, n, _) => (sw.toLong, n) }.toDF("sweep", "n_moved")
+      }
+      var trace: Seq[DataFrame] = Seq(
+        cens1.join(broadcast(movesDf), "sweep")
+          .select(lit(1L).as("level"), col("sweep"), col("n_moved"), col("twom"),
+            (col("twom") * col("in_tot") - col("sq")).as("q_num"))
+          .withColumn("converged", lit(conv1)))
       var curAdj = adj1
       var curLab = steps.last._3
       var level = 1
@@ -1872,7 +1901,15 @@ object GraphQueries {
       .select(col("l_partkey").as("p"), col("l_suppkey").as("sp"))
       .distinct()
     val occ = inc.groupBy("p").agg(count(lit(1)).as("occ"))
-    val kept = inc.join(occ.filter(col("occ") <= 32), "p")
+    // persist the capped incidence list (round-15): it feeds BOTH sides
+    // of the projection self-join, and `inc` additionally feeds `occ` —
+    // unpersisted, the lineitem scan + distinct shuffle ran up to four
+    // times (the post-alias join sides do not reuse one exchange). The
+    // cached frame is the DERIVED (part, supplier) edge list — ~0.1% of
+    // lineitem — exactly the "compute the incidence once" posture a
+    // bipartite projection runs at 100 TB.
+    val kept = graft.operators.GraftCaches.register(
+      inc.join(occ.filter(col("occ") <= 32), "p").persist())
     kept.select(col("p"), col("sp").as("u"))
       .join(kept.select(col("p"), col("sp").as("v")), "p")
       .filter(col("u") < col("v"))

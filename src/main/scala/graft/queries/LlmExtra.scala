@@ -217,7 +217,19 @@ object LlmExtra {
     * SQL row_number mirrors exactly — fully oracle-checked; ScalaTest
     * additionally measures recall vs brute force. */
   def llmSimIvfTopk(s: SparkSession, dir: String): DataFrame =
-    simIvfTopkK(s, dir, 5)
+    // rnk ≤ 5 prefix of the family-shared top-10 (the deterministic
+    // (cos DESC, nid ASC) heap makes every depth a prefix)
+    ivfTop10Shared(s, dir).filter(col("rnk") <= 5).orderBy("pid", "rnk")
+
+  /** The (session, dir)-memoized IVF top-10 — `llm_sim_ivf_topk` (top-5
+    * prefix), `llm_sim_recall` (top-5 approx side) and
+    * `llm_sim_recall_at_k` (top-10 approx side) each re-ran the whole
+    * IVF pipeline per invocation (round-15 optimization; the truthTop10
+    * discipline). */
+  private def ivfTop10Shared(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SessionMemo.memoized(s, s"ivfTop10|$dir") {
+      GraftCaches.register(simIvfTopkK(s, dir, 10).persist())
+    }
 
   /** IVF candidate search with the final heap depth as a parameter —
     * same candidate set (NProbe cells), deeper readout; shared by the
@@ -285,7 +297,7 @@ object LlmExtra {
     // (deterministic total order makes every depth a prefix)
     val truth = graft.queries.Llm.truthTop10(s, dir)
       .filter(col("rnk") <= 5).select(col("pid"), col("nid"))
-    val approx = llmSimIvfTopk(s, dir)
+    val approx = ivfTop10Shared(s, dir).filter(col("rnk") <= 5)
       .select(col("pid"), col("nid"), lit(1L).as("hit"))
     truth.join(approx, Seq("pid", "nid"), "left")
       .groupBy("pid")
@@ -316,7 +328,7 @@ object LlmExtra {
   def llmSimRecallAtK(s: SparkSession, dir: String): DataFrame = {
     val truth = graft.queries.Llm.truthTop10(s, dir)
       .select(col("pid"), col("nid"), col("rnk").as("rt"))
-    val approx = simIvfTopkK(s, dir, 10)
+    val approx = ivfTop10Shared(s, dir)
       .select(col("pid"), col("nid"), col("rnk").as("ra"))
     truth.join(approx, Seq("pid", "nid"), "left")
       .groupBy("pid")
@@ -463,7 +475,15 @@ object LlmExtra {
     * referenced twice per hop, and truncation keeps the statically-
     * planned search linear). */
   def llmSimHnswTopk(s: SparkSession, dir: String): DataFrame =
-    simHnswTopkImpl(s, dir, graft.llm.Hnsw.M, graft.llm.Hnsw.B, graft.llm.Hnsw.R)
+    // the graded (Hnsw.B, Hnsw.R) = (4,2) slice of the family-shared
+    // sweep readout; a default drifting out of the sweep set would read
+    // as an empty result and fail the oracle loudly
+    hnswReadoutShared(s, dir)
+      .filter(col("b") === graft.llm.Hnsw.B && col("r") === graft.llm.Hnsw.R)
+      .select(col("pid"), col("n_visited"),
+        col("n_hit_5"), col("n_hit_10"),
+        col("recall_at_5"), col("recall_at_10"))
+      .orderBy("pid")
 
   /** The graph build + beam search with explicit parameters — shared by
     * the graded query and the parameter-sweep spec. */
@@ -523,6 +543,24 @@ object LlmExtra {
         col("recall_at_5"), col("recall_at_10"))
       .orderBy("pid")
   }
+
+  /** The sweep's three budget points — (2,1) skim, (Hnsw.B, Hnsw.R) =
+    * (4,2) the graded default, (8,3) deep. */
+  private val hnswSweepConfigs = Seq((2, 1), (4, 2), (8, 3))
+
+  /** The (session, dir)-memoized config-tagged search readout over the
+    * shared navigable graph — `llm_sim_hnsw_topk` IS the (4,2) slice of
+    * the sweep `llm_sim_hnsw_tune` aggregates (the same prefix
+    * relationship as graph_louvain_two_level vs the dendrogram trace),
+    * so both graded queries read ONE search (round-15 optimization;
+    * rows bit-identical per config by the multi-readout's partitioned
+    * algebra, oracle-pinned). 30 rows, persisted. */
+  private def hnswReadoutShared(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SessionMemo.memoized(s, s"hnswReadout|$dir") {
+      val (emb, edges) = hnswGraph(s, dir, graft.llm.Hnsw.M)
+      GraftCaches.register(
+        hnswSearchReadoutMulti(s, dir, emb, edges, hnswSweepConfigs).persist())
+    }
 
   /** The navigable-graph BUILD (candidate rings → top-M → symmetrize),
     * shared by the graded search and the round-15 tuning sweep —
@@ -696,11 +734,11 @@ object LlmExtra {
     * searches each bounded by B·M new candidates per hop per probe;
     * the aggregates are one map-combined pass per config. */
   def llmSimHnswTune(s: SparkSession, dir: String): DataFrame = {
-    val (emb, edges) = hnswGraph(s, dir, graft.llm.Hnsw.M)
     // all three budget points ride ONE config-tagged search loop (see
-    // hnswSearchReadoutMulti) — 3 shared hops instead of 1+2+3
-    // sequential ones, per-config rows bit-identical
-    hnswSearchReadoutMulti(s, dir, emb, edges, Seq((2, 1), (4, 2), (8, 3)))
+    // hnswSearchReadoutMulti), family-shared with llm_sim_hnsw_topk —
+    // 3 shared hops instead of 1+2+3 sequential ones, per-config rows
+    // bit-identical
+    hnswReadoutShared(s, dir)
       .groupBy("b", "r")
       .agg(
         count(lit(1)).as("n_probes"),
@@ -980,6 +1018,11 @@ object LlmExtra {
           .otherwise("train"))
       .select(col("split"), expr("graft_ngrams(text, 8)").as("g"))
       .distinct()
+      // persisted (round-15): the distinct (split, gram) table feeds
+      // BOTH sides of the overlap join AND the per-split sizes —
+      // unpersisted, the gram explode + distinct shuffle ran three times
+      .persist()
+    GraftCaches.register(grams)
     val overlap = grams.select(col("split").as("split_a"), col("g"))
       .join(grams.select(col("split").as("split_b"), col("g")), "g")
       .filter(col("split_a") =!= col("split_b"))
@@ -1636,6 +1679,9 @@ object LlmExtra {
     val (emb, edges) = hnswGraph(s, dir, graft.llm.Hnsw.M)
     emb.count()
     edges.count()
+    hnswReadoutShared(s, dir).count()
+    ivfTop10Shared(s, dir).count()
+    pqTop5Shared(s, dir).count()
   }
 
   private[graft] def releaseMerges(): Unit = {
@@ -1990,8 +2036,11 @@ object LlmExtra {
     // the metric stays a ratio over informative grams; rows here are
     // distinct per doc (array_distinct upstream), so rows-per-gh IS
     // document frequency. No graded gram reaches the default cap.
-    val cappedGrams = graft.operators.HotKeys.dropOverCap(
-      grams, Seq("gh"), graft.operators.HotKeys.DefaultCap)
+    // persisted (round-15): the capped gram stream feeds the popularity
+    // census AND the per-doc join — unpersisted, the gram explode, the
+    // md5 pass and dropOverCap's census+anti-join all ran twice
+    val cappedGrams = GraftCaches.register(graft.operators.HotKeys.dropOverCap(
+      grams, Seq("gh"), graft.operators.HotKeys.DefaultCap).persist())
     val popularity = cappedGrams.groupBy("gh").agg(countDistinct(col("doc_id")).as("nd"))
     val perDoc = cappedGrams.join(popularity, "gh")
       .groupBy("doc_id", "source")
@@ -2601,7 +2650,20 @@ object LlmExtra {
     * (sub, cid) against the ≤320-row broadcast table — cost is
     * probes × corpus × M rows through a map-combined sum, never a
     * cross join of vectors. */
-  def llmSimPqTopk(s: SparkSession, dir: String): DataFrame = {
+  def llmSimPqTopk(s: SparkSession, dir: String): DataFrame =
+    pqTop5Shared(s, dir).orderBy("pid", "rnk")
+
+  /** The (session, dir)-memoized PQ ADC top-5 — `llm_sim_pq_topk`
+    * reports it and `llm_sim_pq_recall` grades it, so the codebook
+    * training + encode + ADC pipeline runs once per session instead of
+    * once per consumer (round-15 optimization; the hnswReadoutShared /
+    * trainedMerges discipline). */
+  private def pqTop5Shared(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SessionMemo.memoized(s, s"pqTop5|$dir") {
+      GraftCaches.register(pqTop5Build(s, dir).persist())
+    }
+
+  private def pqTop5Build(s: SparkSession, dir: String): DataFrame = {
     // qv feeds every training round, the encode pass and the probe
     // tables — one posexplode, persisted (the kmeans discipline)
     val qv = t(s, dir, "embeddings")
@@ -2641,7 +2703,6 @@ object LlmExtra {
     adc.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 5)
       .select("pid", "nid", "adc_d2", "rnk")
-      .orderBy("pid", "rnk")
   }
 
   /** BIGRAM LANGUAGE-MODEL scoring — the n-gram-LM quality signal one
@@ -2766,7 +2827,7 @@ object LlmExtra {
     // top-5 truth = rnk ≤ 5 prefix of the family-shared memoized top-10
     val truth = graft.queries.Llm.truthTop10(s, dir)
       .filter(col("rnk") <= 5).select(col("pid"), col("nid"))
-    val approx = llmSimPqTopk(s, dir)
+    val approx = pqTop5Shared(s, dir)
       .select(col("pid"), col("nid"), lit(1L).as("hit"))
     truth.join(approx, Seq("pid", "nid"), "left")
       .groupBy("pid")
@@ -2971,25 +3032,37 @@ object LlmExtra {
     * the readout is one TakeOrdered. */
   def llmDsirSelect(s: SparkSession, dir: String): DataFrame = {
     val nBuckets = 64L
-    val toks = t(s, dir, "documents")
-      .select(col("doc_id"), col("lang"),
-        explode(split(col("text"), " ")).as("word"))
-      .withColumn("b",
-        (conv(substring(md5(col("word")), 1, 15), 16, 10).cast("long")
-          % nBuckets).as("b"))
-    val counts = toks.groupBy("b")
-      .agg(count(lit(1)).as("c_corpus"),
-        count_if(col("lang") === "en").as("c_target"))
+    // ONE tokenize pass (round-15): the exploded token stream fed both
+    // the bucket census and the per-doc weighted sum — two full
+    // tokenize+md5 passes over the corpus. The per-(doc, lang, bucket)
+    // census (map-combined, ≤ 64 rows/doc — NOT the token stream) is
+    // the only thing persisted; bucket counts, the log-ratio table and
+    // the per-doc readout all fold from it with identical arithmetic
+    // (n_tokens = Σc, weight = Σ c·lr — sums of per-token terms grouped
+    // by bucket first).
+    val docB = GraftCaches.register(
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("word"))
+        .withColumn("b",
+          (conv(substring(md5(col("word")), 1, 15), 16, 10).cast("long")
+            % nBuckets).as("b"))
+        .groupBy("doc_id", "lang", "b")
+        .agg(count(lit(1)).as("c"))
+        .persist())
+    val counts = docB.groupBy("b")
+      .agg(sum("c").as("c_corpus"),
+        sum(when(col("lang") === "en", col("c")).otherwise(lit(0L))).as("c_target"))
     val tot = counts.agg(sum("c_corpus").as("t_corpus"), sum("c_target").as("t_target"))
     val lr = counts.crossJoin(broadcast(tot))
       .select(col("b"),
         round((log(col("c_target") + 1L) - log(col("t_target") + lit(nBuckets))
           - log(col("c_corpus") + 1L) + log(col("t_corpus") + lit(nBuckets)))
           * 1000000d).cast("long").as("lr_micro"))
-    toks.join(broadcast(lr), "b")
+    docB.join(broadcast(lr), "b")
       .groupBy("doc_id")
-      .agg(max(col("lang")).as("lang"), count(lit(1)).as("n_tokens"),
-        sum("lr_micro").as("weight_micro"))
+      .agg(max(col("lang")).as("lang"), sum(col("c")).as("n_tokens"),
+        sum(col("c") * col("lr_micro")).as("weight_micro"))
       .orderBy(desc("weight_micro"), col("doc_id"))
       .limit(25)
   }

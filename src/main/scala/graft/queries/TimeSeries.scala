@@ -1029,15 +1029,22 @@ object TimeSeries {
         .groupBy("event_type")
         .agg(min(when(col("cw") * 2 >= col("n"), col(valueCol))).as(out))
     }
-    val med = discMedian(
-      e.groupBy("event_type", "cents").agg(count(lit(1)).as("cnt")),
-      "cents", "med_cents")
-    val adCensus = e.groupBy("event_type", "cents").agg(count(lit(1)).as("cnt"))
-      .join(med, "event_type")
+    // ONE value census feeds both median chains (round-15): the
+    // (type, cents, cnt) aggregate was computed twice — once under the
+    // median, once under the MAD census — costing two full event scans
+    // plus two identical shuffles; persisted (bounded by the distinct
+    // cents domain, not the row count) it runs once. med/mad are
+    // ≤ |types| rows — broadcast so the final per-event attach never
+    // shuffles the corpus.
+    val census = graft.operators.GraftCaches.register(
+      e.groupBy("event_type", "cents").agg(count(lit(1)).as("cnt")).persist())
+    val med = discMedian(census, "cents", "med_cents")
+    val adCensus = census
+      .join(broadcast(med), "event_type")
       .select(col("event_type"), abs(col("cents") - col("med_cents")).as("ad"), col("cnt"))
       .groupBy("event_type", "ad").agg(sum("cnt").as("cnt"))
     val mad = discMedian(adCensus, "ad", "mad_cents")
-    e.join(med, "event_type").join(mad, "event_type")
+    e.join(broadcast(med), "event_type").join(broadcast(mad), "event_type")
       .select(col("event_id"), col("event_type"), col("cents"),
         col("med_cents"), col("mad_cents"),
         call_function("div", (col("cents") - col("med_cents")) * lit(1000000L),
@@ -1063,11 +1070,17 @@ object TimeSeries {
     * offset) frame — never a corpus-sized shuffle. */
   def tsMatrixProfileDiscord(s: SparkSession, dir: String): DataFrame = {
     val cents = (Num.money(col("value")) * 100).cast("long")
-    val hourly = t(s, dir, "events")
-      .filter(col("event_type") === "purchase")
-      .select(call_function("div", unix_micros(col("ts")), lit(3600000000L)).as("h"),
-        cents.as("cents"))
-      .groupBy("h").agg(sum("cents").as("c"))
+    // persist the calendar-bounded hourly census (round-15): it feeds
+    // `bounds`, `series`, and (through the window frame `w`) BOTH sides
+    // of the profile join — unpersisted, the corpus scan + hourly
+    // aggregate ran four times per invocation
+    val hourly = graft.operators.GraftCaches.register(
+      t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(call_function("div", unix_micros(col("ts")), lit(3600000000L)).as("h"),
+          cents.as("cents"))
+        .groupBy("h").agg(sum("cents").as("c"))
+        .persist())
     val bounds = hourly.agg(min("h").as("h0"), max("h").as("h1"))
     val series = bounds.select(explode(sequence(col("h0"), col("h1"))).as("h"))
       .join(hourly, Seq("h"), "left")
