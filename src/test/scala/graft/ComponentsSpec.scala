@@ -87,13 +87,17 @@ class ComponentsSpec extends GraftSpec {
     assert(byLabel == Map(1L -> 8, 20L -> 7, 100L -> 2))
   }
 
-  test("loop width derives from cluster parallelism, not a constant cap") {
-    // floor: every core gets work even on a tiny frontier
-    assert(Components.loopWidth(32, 300L) == 32)
-    assert(Components.loopWidth(1000, 300L) == 1000)
-    // growth: width tracks measured edges once they outgrow the cluster
-    // floor — a billion-edge graph gets ~20k partitions (≈50k rows
-    // each), where the old min(200, …) cap left 5M-row partitions
+  test("loop width derives from measured rows, not core count or a constant cap") {
+    // round 16: NO parallelism floor — a tiny frontier runs one
+    // partition regardless of cores (the per-round fixed cost of
+    // core-count task waves measured as inverse CPU scaling on the
+    // fixpoint loops; work per partition is bounded by RowsPerPartition
+    // so a narrow width is per-task trivial by construction)
+    assert(Components.loopWidth(32, 300L) == 1)
+    assert(Components.loopWidth(1000, 300L) == 1)
+    // growth: width tracks measured edges — a billion-edge graph gets
+    // ~20k partitions (≈50k rows each), where the old min(200, …) cap
+    // left 5M-row partitions
     assert(Components.loopWidth(32, 1_000_000_000L) == 20000)
     assert(Components.loopWidth(1000, 100_000_000L) == 2000)
     // degenerate inputs stay sane

@@ -59,20 +59,15 @@ class CoreSessionIsolationSpec extends GraftSpec {
   }
 
   test("child-session chain still reads the family's shared adjacency cache") {
-    // the cache manager lives in SharedState: the child session's
-    // expanded global-temp-view plan must pick up the parent-persisted
-    // adjacency by canonical-plan match — losing this would silently
-    // re-scan parquet 12 times per invocation. Asserting
-    // InMemoryTableScan on `fin` is TRIVIALLY true (fin itself is
-    // persisted inside hIndexEstimates — round-15 ADVICE find), so the
-    // probe instead builds a FRESH, never-persisted child frame over a
-    // view of the adjacency: the ONLY cache in that frame's lineage is
-    // the family adjacency, so an InMemoryTableScan in its plan proves
-    // the cross-session canonical-plan match specifically.
-    // (cacheManager.lookupCachedData is NOT used: after a prior
-    // cache-on-cache materialization it returns None for plans the
-    // substitution rule still rewrites — the executed plan is the
-    // ground truth.)
+    // the protected property: a fresh child frame over the family
+    // adjacency must NEVER re-scan parquet. Since round 16 `symAdj` is
+    // served as a measured-stats VIEW — a one-node LogicalRDD whose
+    // physical RDD was planned over the persisted union (it reads the
+    // cached blocks, or rebuilds from lineage after release) — so the
+    // child plan shows `Scan ExistingRDD`, not an InMemoryTableScan
+    // node; the assertion checks for the absence of a parquet scan and
+    // the presence of the view scan, which is the same no-12×-parquet
+    // guarantee the old InMemoryTableScan assertion encoded.
     val adj = graft.queries.GraphQueries.symAdj(spark, sfDir)
     adj.count() // materialize the family cache in the parent
     val child = spark.newSession()
@@ -81,8 +76,10 @@ class CoreSessionIsolationSpec extends GraftSpec {
       val childAdj = child.table("global_temp.graft_isolation_probe_adj")
       val fresh = childAdj.groupBy("u").count()
       val p = fresh.queryExecution.executedPlan.toString
-      assert(p.contains("InMemoryTableScan"),
+      assert(!p.contains("Scan parquet") && !p.contains("FileScan"),
         s"fresh child frame over the adjacency re-scans parquet:\n${p.take(2000)}")
+      assert(p.contains("ExistingRDD") || p.contains("InMemoryTableScan"),
+        s"fresh child frame lost the shared-adjacency view/cache:\n${p.take(2000)}")
     } finally spark.catalog.dropGlobalTempView("graft_isolation_probe_adj")
     // and the handoff itself still plans in a child session
     val (prevF, fin) = graft.queries.GraphQueries.hIndexEstimates(adj, 3)

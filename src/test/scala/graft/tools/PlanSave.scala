@@ -3,12 +3,13 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.ExplainMode
 
 /** Writes the FULL `.explain("formatted")` text of named queries to
-  * `plans/r15/<query>_<suffix>.txt` — the optimization round's
+  * `plans/<round>/<query>_<suffix>.txt` — the optimization round's
   * before/after plan artifacts (the judge checks plan claims against
   * these files). Usage:
   *   sbt "Test/runMain graft.PlanSave before q1 q2 ..."
   * Env: SPARK_GRAFT_SF_DIR (default sf0.1 — plan shape only, nothing
-  * executes), SPARK_GRAFT_CPUS (default 32, matches Bench).
+  * executes), SPARK_GRAFT_CPUS (default 32, matches Bench),
+  * SPARK_GRAFT_PLANS_DIR (default plans/r16).
   */
 object PlanSave {
   def main(args: Array[String]): Unit = {
@@ -22,7 +23,8 @@ object PlanSave {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val outDir = new java.io.File("plans/r15")
+    val outDir = new java.io.File(
+      sys.env.getOrElse("SPARK_GRAFT_PLANS_DIR", "plans/r16"))
     outDir.mkdirs()
     names.foreach { n =>
       val txt = SparkEntry.queries(n)(spark, dir).queryExecution
