@@ -45,6 +45,15 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // AQE coalescing by ADVISORY SIZE, not core count (round 16,
+      // guide §2.2): the default parallelismFirst=true only coalesces
+      // down to the session's parallelism, so a KB-sized shuffle still
+      // ran one task wave per core at every exchange; Spark's own docs
+      // recommend false in production ("to make resource utilization
+      // more efficient"), and the advisory size (64 MB default) keeps
+      // big shuffles at full width at any scale — this is the
+      // scale-honest posture, not a local-mode tune.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

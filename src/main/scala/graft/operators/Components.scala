@@ -223,18 +223,26 @@ object Components {
     while (!converged && folds < maxRounds) {
       val folded = Iterator.iterate(labels)(fold).drop(batch).next()
       folds += batch
-      val next =
+      // one action per batch: materializes the batch AND reads the last
+      // fold's change count (coalesce: an EMPTY edge set — legal, e.g.
+      // a density filter that matched nothing — must read as converged,
+      // not a null deref). On checkpoint batches the count rides the
+      // eager checkpoint job as an observed metric (round 16 —
+      // CollectMetrics fires on the localCheckpoint action; previously
+      // the checkpoint AND the count each ran a job); on cache batches
+      // the aggregate itself is the materializing action, as before.
+      val chgMetric = coalesce(count(when(col("label") < col("old"), 1)), lit(0L))
+      val (next, changed) =
         // truncate lineage whenever the batch crossed a multiple of
         // checkpointEvery folds (batch ≤ checkpointEvery by construction)
-        if (folds % checkpointEvery < batch) folded.localCheckpoint(true)
-        else folded.cache()
-      // one action: materializes the batch AND reads the last fold's
-      // change count (coalesce: an EMPTY edge set — legal, e.g. a
-      // density filter that matched nothing — must read as converged,
-      // not a null deref)
-      val changed = next
-        .agg(coalesce(count(when(col("label") < col("old"), 1)), lit(0L)))
-        .head.getLong(0)
+        if (folds % checkpointEvery < batch) {
+          val obs = org.apache.spark.sql.Observation()
+          val ck = folded.observe(obs, chgMetric.as("chg")).localCheckpoint(true)
+          (ck, obs.get.apply("chg").asInstanceOf[Number].longValue)
+        } else {
+          val c = folded.cache()
+          (c, c.agg(chgMetric).head.getLong(0))
+        }
       labels.unpersist()
       labels = next
       converged = changed == 0L

@@ -129,6 +129,19 @@ object GraphQueries {
     * (`Bridge.freshStatsView`); the sweeps here are bounded (4/level,
     * 4 levels) so the old form merely CRAWLED instead of hanging —
     * but quadratically worse with every level the dendrogram adds. */
+  /** [[ckptFresh]] plus ONE observed metric collected off the SAME
+    * eager checkpoint job (round 16): a sweep loop's continuation count
+    * previously ran as its own action per sweep — `Dataset.observe`'s
+    * CollectMetrics fires on the eager localCheckpoint action
+    * (verified by `ProbeObs`), so the count rides the job the loop
+    * already pays for. */
+  private def ckptFreshCounted(df: DataFrame, metric: org.apache.spark.sql.Column)
+      : (DataFrame, Long) = {
+    val obs = org.apache.spark.sql.Observation()
+    val v = ckptFresh(df.observe(obs, metric.as("m")))
+    (v, obs.get.apply("m").asInstanceOf[Number].longValue)
+  }
+
   private def ckptFresh(df: DataFrame): DataFrame =
     // measured leaf stats off the checkpoint's block-manager blocks
     // (round 16): the loop's joins over these frames keep their static
@@ -855,11 +868,11 @@ object GraphQueries {
         // action per sweep instead of two; labels and move counts are
         // bit-identical (same argmax moves, same left join).
         val moves = louvainMovesFor(s, dir, lab).select(col("node"), col("c").as("to_c"))
-        val lab2 = ckptFresh(
+        val (lab2, n) = ckptFreshCounted(
           lab.join(moves, Seq("node"), "left")
             .select(col("node"), coalesce(col("to_c"), col("label")).as("label"),
-              col("to_c").isNotNull.as("moved")))
-        val n = lab2.filter(col("moved")).count()
+              col("to_c").isNotNull.as("moved")),
+          coalesce(sum(when(col("moved"), 1L)), lit(0L)))
         if (n == 0L) { zeroMoves = true; steps += ((sweep, 0L, lab)) }
         else {
           lab = lab2.select("node", "label")
@@ -1039,11 +1052,11 @@ object GraphQueries {
       sweep += 1
       val moves = louvainMovesWeightedOn(adjW, lab, degN)
         .select(col("node"), col("c").as("to_c"))
-      val lab2 = ckptFresh(
+      val (lab2, n) = ckptFreshCounted(
         lab.join(moves, Seq("node"), "left")
           .select(col("node"), coalesce(col("to_c"), col("label")).as("label"),
-            col("to_c").isNotNull.as("moved")))
-      val n = lab2.filter(col("moved")).count()
+            col("to_c").isNotNull.as("moved")),
+        coalesce(sum(when(col("moved"), 1L)), lit(0L)))
       totalMoves += n
       if (n == 0L) { zeroMoves = true; steps += ((sweep, 0L, lab)) }
       else {
@@ -1151,6 +1164,12 @@ object GraphQueries {
       val loopW = math.max(1L,
         symAdj(s, dir).count() / graft.operators.Components.RowsPerPartition)
       try {
+        // AQE stays ON here: it was tried off both with default-stats
+        // views (+4 s — every sweep join went sort-merge) and with
+        // measured-stats views (louvainL1 2.8 → 3.9 s) — its runtime
+        // sizing earns more than its per-stage re-plan costs on these
+        // frames. Only the shuffle width is pinned to the derived loop
+        // width.
         conf.set("spark.sql.shuffle.partitions", loopW.toString)
         val (steps, conv1) = louvainL1(s, dir)
         // per-level FUSED Q censuses (`fusedLevelTrace`): 2 adjacency
@@ -1370,7 +1389,11 @@ object GraphQueries {
       // fires and the split costs an extra materialization boundary
       // (+1.5 s) — halved stays available for convergence-fast graphs,
       // default off.
-      val (prev, fin) = hIndexEstimates(symAdj(s, dir), 12)
+      // chain width derived from the measured edge count (round 16 —
+      // the loopWidth policy; the old constant 8 was a local-mode tune)
+      val w = math.max(1L,
+        symAdj(s, dir).count() / graft.operators.Components.RowsPerPartition).toInt
+      val (prev, fin) = hIndexEstimates(symAdj(s, dir), 12, halved = false, width = w)
       // TRUNCATE the consumer-visible lineage: the persisted frames
       // carry the full 12-round join chain as their logical plan
       // (measured 8.1 MB of formatted plan text at sf0.1), and every
@@ -1497,7 +1520,7 @@ object GraphQueries {
     * current values so downstream readouts over the returned frames
     * plan exactly as the caller would. */
   private[graft] def hIndexEstimates(adjIn: DataFrame, rounds: Int,
-      halved: Boolean = false): (DataFrame, DataFrame) = {
+      halved: Boolean = false, width: Int = 8): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val parent = adjIn.sparkSession
     val child = parent.newSession()
@@ -1524,7 +1547,7 @@ object GraphQueries {
       def floored[A](act: => A): A =
         try {
           child.conf.set("spark.sql.adaptive.enabled", "false")
-          child.conf.set("spark.sql.shuffle.partitions", "8")
+          child.conf.set("spark.sql.shuffle.partitions", width.toString)
           act
         } finally {
           child.conf.set("spark.sql.adaptive.enabled",

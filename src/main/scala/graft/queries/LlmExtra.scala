@@ -564,8 +564,24 @@ object LlmExtra {
   private def hnswReadoutShared(s: SparkSession, dir: String): DataFrame =
     graft.operators.SessionMemo.memoized(s, s"hnswReadout|$dir", "hnswReadout") {
       val (emb, edges) = hnswGraph(s, dir, graft.llm.Hnsw.M)
-      GraftCaches.register(
-        hnswSearchReadoutMulti(s, dir, emb, edges, hnswSweepConfigs).persist())
+      // the search loop's frames are PROBE-bounded by construction
+      // (≤ nProbes · B · M candidates per hop per config), so its four
+      // eager checkpoint hops run at a width derived from that bound
+      // instead of the session's corpus width (round 16 — the Louvain
+      // trace-loop discipline; integer/rounded algebra throughout, so
+      // frames are partitioning-invariant). Conf restored in finally.
+      val conf = s.conf
+      val sp0 = conf.get("spark.sql.shuffle.partitions", "32")
+      val bound = 10L * hnswSweepConfigs.map(_._1).max *
+        graft.llm.Hnsw.M * hnswSweepConfigs.size
+      val w = math.max(1L, bound / graft.operators.Components.RowsPerPartition)
+      try {
+        conf.set("spark.sql.shuffle.partitions", w.toString)
+        val out = GraftCaches.register(
+          hnswSearchReadoutMulti(s, dir, emb, edges, hnswSweepConfigs).persist())
+        out.count()
+        out
+      } finally conf.set("spark.sql.shuffle.partitions", sp0)
     }
 
   /** The navigable-graph BUILD (candidate rings → top-M → symmetrize),
